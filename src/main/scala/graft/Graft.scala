@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** Engine installation: SQL functions + (as they land) optimizer rules.
+  *
+  * Two entry points, mirroring the reference's session integration
+  * (`/root/reference/src/df_vector/session.rs:11-35`):
+  *  - `Graft.install(spark)` — imperative, for an existing session;
+  *  - `spark.sql.extensions=graft.GraftExtensions` — declarative.
+  */
+object Graft {
+  def install(spark: SparkSession): SparkSession = {
+    functions.registerAll(spark)
+    spark
+  }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    functions.registry.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+  }
+}

@@ -1,0 +1,325 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{array_cosine_similarity, array_distance, float_vector}
+import graft.ivf.{IndexManager, VectorTopK}
+
+/** The engine's query inventory: every operator from SURVEY.md §2 plus the
+  * LLM-data-pipeline extensions, each as a (SparkSession, sfDir) => DataFrame
+  * paired (where SQL-expressible) with a DuckDB oracle in [[oracle]].
+  *
+  * Oracle-compare discipline: outputs are integral columns only (ids, counts,
+  * cents via per-element `round(x*100)` before an integer sum), every query
+  * has a total deterministic ORDER BY, and Spark/DuckDB column names match
+  * exactly — floating-point sum order and hash instability never reach the
+  * comparator.
+  */
+object Queries {
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Deterministic 64-dim query vector, multiples of 0.1 in [-0.9, 0.9] so
+    * the SQL literal round-trips to identical float32 bits in both engines.
+    */
+  val queryVec: IndexedSeq[Float] = (0 until 64).map(i => (((i * 37) % 19) - 9) / 10.0f)
+
+  private def duckVecLit: String =
+    queryVec.map(_.toString).mkString("[", ", ", "]") + "::FLOAT[]"
+
+  private def distAsc(column: String): Column =
+    array_distance(col(column), float_vector(queryVec)).asc_nulls_last
+
+  /** Money columns carry 2-decimal values; `round(x*100)` per element is
+    * computed on bit-identical doubles in both engines, and the integer sum
+    * is order-independent — exact cross-engine equality.
+    */
+  private def cents(c: Column): Column = round(c * 100).cast("bigint")
+
+  // ---------------------------------------------------------------- vector
+
+  def vq1BruteTopk(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "embeddings")
+      .orderBy(distAsc("embedding"), col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"))
+
+  val vq1Oracle: String =
+    s"""SELECT vec_id FROM embeddings
+       |ORDER BY list_distance(embedding::FLOAT[], $duckVecLit) ASC, vec_id LIMIT 10""".stripMargin
+
+  def vq2IvfTopkExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/embeddings.parquet"
+    val ti = IndexManager.ensure(spark, path, "embedding")
+    // nprobe = nClusters makes IVF exhaustive => must equal brute force.
+    VectorTopK
+      .indexed(spark, path, "embedding", queryVec, 10,
+        VectorTopK.Options(nprobe = ti.nClusters))
+      .orderBy(distAsc("embedding"), col("vec_id"))
+      .select(col("vec_id"))
+  }
+
+  def vq3IvfTopkFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/embeddings.parquet"
+    val ti = IndexManager.ensure(spark, path, "embedding")
+    VectorTopK
+      .indexed(spark, path, "embedding", queryVec, 10,
+        VectorTopK.Options(nprobe = ti.nClusters),
+        filter = Some(col("label") >= 5))
+      .orderBy(distAsc("embedding"), col("vec_id"))
+      .select(col("vec_id"))
+  }
+
+  val vq3Oracle: String =
+    s"""SELECT vec_id FROM embeddings WHERE label >= 5
+       |ORDER BY list_distance(embedding::FLOAT[], $duckVecLit) ASC, vec_id LIMIT 10""".stripMargin
+
+  def vq4RangeSearch(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "embeddings")
+      .where(array_distance(col("embedding"), float_vector(queryVec)) < lit(4.5f))
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
+
+  val vq4Oracle: String =
+    s"""SELECT vec_id FROM embeddings
+       |WHERE list_distance(embedding::FLOAT[], $duckVecLit) < 4.5 ORDER BY vec_id""".stripMargin
+
+  def vq5CosineTopk(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "embeddings")
+      .orderBy(
+        array_cosine_similarity(col("embedding"), float_vector(queryVec)).desc_nulls_last,
+        col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"))
+
+  val vq5Oracle: String =
+    s"""SELECT vec_id FROM embeddings
+       |ORDER BY list_cosine_similarity(embedding::FLOAT[], $duckVecLit) DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Brute-force k-NN join: for each query vector (vec_id < 5), its top-3
+    * neighbors. The query side is tiny => broadcast; the big side streams.
+    */
+  def vq6KnnJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = t(spark, sfDir, "embeddings")
+    val queries = e.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      .where(col("query_id") < 5)
+    val joined = e
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("dist", array_distance(col("embedding"), col("qvec")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("vec_id").asc)
+    joined
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  val vq6Oracle: String =
+    """SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
+      |FROM embeddings q JOIN embeddings n ON n.vec_id != q.vec_id
+      |WHERE q.vec_id < 5
+      |QUALIFY row_number() OVER (PARTITION BY q.vec_id
+      |  ORDER BY list_distance(n.embedding::FLOAT[], q.embedding::FLOAT[]) ASC, n.vec_id ASC) <= 3
+      |ORDER BY query_id, neighbor_id""".stripMargin
+
+  // ------------------------------------------------------------ relational
+
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("bigint")).cast("bigint").as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).cast("bigint").as("base_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("bigint").as("disc_cents"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q1Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS base_cents,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS disc_cents,
+      |  COUNT(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  def q3Join(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = t(spark, sfDir, "customer")
+    val orders = t(spark, sfDir, "orders")
+    val lineitem = t(spark, sfDir, "lineitem")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .cast("bigint").as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q3Oracle: String =
+    """SELECT o_orderkey,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY o_orderkey
+      |ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""".stripMargin
+
+  def q5RegionRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val dims = t(spark, sfDir, "customer")
+      .join(t(spark, sfDir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(t(spark, sfDir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    t(spark, sfDir, "lineitem")
+      .join(t(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .cast("bigint").as("revenue_cents"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q5Oracle: String =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  def qwWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, sfDir, "orders")
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .where(col("rn") <= 2)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val qwOracle: String =
+    """SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders) WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin
+
+  def qsSetOp(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer")
+      .select(col("c_custkey"))
+      .except(
+        t(spark, sfDir, "orders")
+          .where(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("c_custkey")))
+      .orderBy(col("c_custkey"))
+
+  val qsOracle: String =
+    """SELECT c_custkey FROM customer
+      |EXCEPT SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY c_custkey""".stripMargin
+
+  def qeEventsHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS); Spark has no nanos timestamp type —
+    // read as long nanos and truncate to micros (UTC session).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, sfDir, "events")
+      .groupBy(
+        date_format(expr("timestamp_micros(ts div 1000)"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  val qeOracle: String =
+    """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type, COUNT(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  // ------------------------------------------------------- text / dedup
+
+  def dq1ExactDedup(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
+  val dq1Oracle: String =
+    """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents
+      |GROUP BY text ORDER BY doc_id""".stripMargin
+
+  def tq1TokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("int").as("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  val tq1Oracle: String =
+    """SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def tq2TextStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    t(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("int").as("n_chars"),
+        size(array_distinct(toks)).cast("int").as("n_distinct_tokens"),
+        size(filter(toks, t => t === "the" || t === "a")).cast("int").as("n_stopwords"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tq2Oracle: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS INTEGER) AS n_chars,
+      |  CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS INTEGER) AS n_distinct_tokens,
+      |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |       t -> t = 'the' OR t = 'a')) AS INTEGER) AS n_stopwords
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------- registry
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vq1_brute_topk" -> (vq1BruteTopk _),
+    "vq2_ivf_topk_exact" -> (vq2IvfTopkExact _),
+    "vq3_ivf_topk_filter" -> (vq3IvfTopkFilter _),
+    "vq4_range_search" -> (vq4RangeSearch _),
+    "vq5_cosine_topk" -> (vq5CosineTopk _),
+    "vq6_knn_join" -> (vq6KnnJoin _),
+    "q1_agg" -> (q1Agg _),
+    "q3_join" -> (q3Join _),
+    "q5_region_revenue" -> (q5RegionRevenue _),
+    "qw_window" -> (qwWindow _),
+    "qs_setop" -> (qsSetOp _),
+    "qe_events_hourly" -> (qeEventsHourly _),
+    "dq1_exact_dedup" -> (dq1ExactDedup _),
+    "tq1_token_count" -> (tq1TokenCount _),
+    "tq2_text_stats" -> (tq2TextStats _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "vq1_brute_topk" -> vq1Oracle,
+    "vq2_ivf_topk_exact" -> vq1Oracle, // exhaustive probe == brute force
+    "vq3_ivf_topk_filter" -> vq3Oracle,
+    "vq4_range_search" -> vq4Oracle,
+    "vq5_cosine_topk" -> vq5Oracle,
+    "vq6_knn_join" -> vq6Oracle,
+    "q1_agg" -> q1Oracle,
+    "q3_join" -> q3Oracle,
+    "q5_region_revenue" -> q5Oracle,
+    "qw_window" -> qwOracle,
+    "qs_setop" -> qsOracle,
+    "qe_events_hourly" -> qeOracle,
+    "dq1_exact_dedup" -> dq1Oracle,
+    "tq1_token_count" -> tq1Oracle,
+    "tq2_text_stats" -> tq2Oracle,
+  )
+}

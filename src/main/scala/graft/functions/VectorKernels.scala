@@ -1,0 +1,78 @@
+package graft.functions
+
+/** Scalar vector kernels shared by the Catalyst expressions, the IVF index
+  * build, and the search paths.
+  *
+  * Distance semantics follow the reference engine
+  * (`/root/reference/src/ivf/index.rs:459-480`): squared L2 accumulated in
+  * Float32 with a 4-way unrolled loop. `l2Distance` (= sqrt of squared L2)
+  * matches the `array_distance` SQL function semantics the reference relies
+  * on from its SQL layer.
+  */
+object VectorKernels {
+
+  /** Squared L2 distance (reference: index.rs:461-480). */
+  def squaredL2(a: Array[Float], b: Array[Float]): Float = {
+    val len = a.length
+    var sum = 0.0f
+    var i = 0
+    while (i + 4 <= len) {
+      val d0 = a(i) - b(i)
+      val d1 = a(i + 1) - b(i + 1)
+      val d2 = a(i + 2) - b(i + 2)
+      val d3 = a(i + 3) - b(i + 3)
+      sum += d0 * d0 + d1 * d1 + d2 * d2 + d3 * d3
+      i += 4
+    }
+    while (i < len) {
+      val d = a(i) - b(i)
+      sum += d * d
+      i += 1
+    }
+    sum
+  }
+
+  /** Euclidean (L2) distance — SQL `array_distance` semantics. */
+  def l2Distance(a: Array[Float], b: Array[Float]): Float =
+    math.sqrt(squaredL2(a, b).toDouble).toFloat
+
+  def dot(a: Array[Float], b: Array[Float]): Float = {
+    val len = a.length
+    var sum = 0.0f
+    var i = 0
+    while (i < len) { sum += a(i) * b(i); i += 1 }
+    sum
+  }
+
+  def norm(a: Array[Float]): Float = math.sqrt(dot(a, a).toDouble).toFloat
+
+  /** Cosine similarity in [-1, 1]; 0 when either vector has zero norm. */
+  def cosine(a: Array[Float], b: Array[Float]): Float = {
+    val na = norm(a)
+    val nb = norm(b)
+    if (na == 0.0f || nb == 0.0f) 0.0f else dot(a, b) / (na * nb)
+  }
+
+  /** Squared L2 against a flat row-major centroid matrix; returns the index
+    * of the nearest centroid (reference: index.rs:244-257).
+    */
+  def nearestCentroid(vec: Array[Float], centroids: Array[Float], dim: Int): Int = {
+    val k = centroids.length / dim
+    var best = 0
+    var bestDist = Float.PositiveInfinity
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var sum = 0.0f
+      var i = 0
+      while (i < dim) {
+        val d = vec(i) - centroids(off + i)
+        sum += d * d
+        i += 1
+      }
+      if (sum < bestDist) { bestDist = sum; best = c }
+      c += 1
+    }
+    best
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** Column-API entry points for the engine's vector functions, mirroring
+  * `org.apache.spark.sql.functions`. All are native Catalyst expressions
+  * with whole-stage codegen — no UDF boxing.
+  */
+package object functions {
+
+  private def col(e: Expression): Column = Bridge.column(e)
+  private def expr(c: Column): Expression = Bridge.expression(c)
+
+  /** Euclidean distance between two `array<float>` columns. */
+  def array_distance(a: Column, b: Column): Column =
+    col(ArrayDistance(expr(a), expr(b)))
+
+  /** Squared L2 distance (the reference's internal ranking key). */
+  def array_squared_l2(a: Column, b: Column): Column =
+    col(ArraySquaredL2(expr(a), expr(b)))
+
+  def array_dot(a: Column, b: Column): Column =
+    col(ArrayDot(expr(a), expr(b)))
+
+  def array_cosine_similarity(a: Column, b: Column): Column =
+    col(ArrayCosineSimilarity(expr(a), expr(b)))
+
+  /** Spark SQL has no `[...]` array literal — helper for query vectors. */
+  def float_vector(values: Seq[Float]): Column = {
+    import org.apache.spark.sql.functions.{array, lit}
+    array(values.map(v => lit(v)): _*).cast("array<float>")
+  }
+
+  /** All SQL-registrable functions: name -> (info, builder). */
+  private[graft] val registry: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      ("array_distance", "Euclidean (L2) distance between two float vectors",
+        (cs: Seq[Expression]) => ArrayDistance(cs(0), cs(1))),
+      ("array_squared_l2", "Squared L2 distance between two float vectors",
+        (cs: Seq[Expression]) => ArraySquaredL2(cs(0), cs(1))),
+      ("array_dot", "Inner product of two float vectors",
+        (cs: Seq[Expression]) => ArrayDot(cs(0), cs(1))),
+      ("array_cosine_similarity", "Cosine similarity of two float vectors",
+        (cs: Seq[Expression]) => ArrayCosineSimilarity(cs(0), cs(1))),
+    ).map { case (name, _, builder) =>
+      (FunctionIdentifier(name), new ExpressionInfo("graft.functions", name), builder)
+    }
+
+  /** Register the SQL functions on an existing session (the extension-less
+    * path used by Verify/Bench; `GraftExtensions` covers
+    * `spark.sql.extensions`-configured sessions).
+    */
+  def registerAll(spark: SparkSession): Unit = registry.foreach {
+    case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+  }
+}

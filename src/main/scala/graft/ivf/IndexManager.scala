@@ -1,0 +1,53 @@
+package graft.ivf
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Process-wide cache of built IVF indexes, keyed by (table path, column).
+  * `ensure` builds with the reference's default parameters on first use and
+  * reuses sidecars across sessions/runs (they are seeded-deterministic, so
+  * reuse is safe).
+  */
+object IndexManager {
+
+  final case class TableIndex(
+      path: String,
+      column: String,
+      dim: Int,
+      nClusters: Int,
+      files: Seq[String])
+
+  private val cache = TrieMap.empty[(String, String), TableIndex]
+
+  def listFiles(spark: SparkSession, path: String): Seq[String] = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .select(col("_metadata.file_path"))
+      .distinct()
+      .as[String]
+      .collect()
+      .sorted
+      .toSeq
+  }
+
+  def ensure(
+      spark: SparkSession,
+      path: String,
+      column: String,
+      nClusters: Option[Int] = None,
+      store: IndexStore = IndexStore.default): TableIndex =
+    cache.getOrElseUpdate((path, column), {
+      val files = listFiles(spark, path)
+      val existing = files.map(f => store.load(f, column))
+      if (nClusters.isEmpty && existing.forall(_.isDefined)) {
+        val first = existing.head.get
+        TableIndex(path, column, first.dim, first.nClusters, files)
+      } else {
+        val result = IvfBuilder.build(
+          spark, path, IvfBuilder.Config(column, nClusters), store)
+        TableIndex(path, column, result.dim, result.nClusters, files)
+      }
+    })
+}

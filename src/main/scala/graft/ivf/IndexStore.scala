@@ -1,0 +1,65 @@
+package graft.ivf
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.security.MessageDigest
+
+/** Sidecar persistence for per-data-file IVF indexes.
+  *
+  * The reference embeds the index inside the Parquet file footer region
+  * (`/root/reference/src/ivf/parquet.rs:536-611`); we support that layout on
+  * the read path (see [[ParquetFooterIndex]]) but default to sidecars so the
+  * (possibly read-only / remote) data files are never mutated. Sidecar bytes
+  * use the identical framing (magic + u64 length + payload), so a sidecar is
+  * byte-for-byte what the reference would have appended.
+  *
+  * Keyed by (data file path, embedding column): `<sha1>.pqvec` + `<sha1>.meta`.
+  * Writes are atomic (temp + rename) so speculative/retried executor tasks
+  * are safe.
+  */
+final class IndexStore(val dir: String) extends Serializable {
+
+  private def key(dataFile: String, column: String): String = {
+    val md = MessageDigest.getInstance("SHA-1")
+    md.update(dataFile.getBytes("UTF-8"))
+    md.update(0.toByte)
+    md.update(column.getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  def indexPath(dataFile: String, column: String): String =
+    s"$dir/${key(dataFile, column)}.pqvec"
+
+  def write(dataFile: String, column: String, index: IvfIndex): String = {
+    new File(dir).mkdirs()
+    val target = Paths.get(indexPath(dataFile, column))
+    val tmp = Paths.get(target.toString + s".tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, IvfIndex.frame(index.toBytes))
+    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    val meta = s"""{"file": ${jsonStr(dataFile)}, "column": ${jsonStr(column)}}"""
+    Files.write(Paths.get(target.toString.stripSuffix(".pqvec") + ".meta"), meta.getBytes("UTF-8"))
+    target.toString
+  }
+
+  def load(dataFile: String, column: String): Option[IvfIndex] = {
+    val p = Paths.get(indexPath(dataFile, column))
+    if (Files.exists(p)) Some(IvfIndex.unframe(Files.readAllBytes(p))) else None
+  }
+
+  def exists(dataFile: String, column: String): Boolean =
+    Files.exists(Paths.get(indexPath(dataFile, column)))
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}
+
+object IndexStore {
+  /** Default writable cache dir (testdata is read-only). */
+  def default: IndexStore =
+    new IndexStore(sys.env.getOrElse("GRAFT_INDEX_DIR", "/root/repo/.graft/index"))
+}

@@ -1,0 +1,148 @@
+package graft.ivf
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorKernels
+
+/** Distributed IVF index construction over a Parquet table.
+  *
+  * Mirrors the reference's build pipeline (`/root/reference/src/ivf/
+  * parquet.rs:22-103`, `src/ivf/index.rs:152-214`) re-expressed for Spark's
+  * execution model:
+  *
+  *  1. one distributed validation pass (null vectors / null elements /
+  *     inconsistent dims rejected, like `parquet.rs:241-279`);
+  *  2. centroids trained ONCE on a seeded global sample collected to the
+  *     driver (the reference trains on a ≤100k sample per file; sharing one
+  *     centroid set across all files of a table keeps driver work O(sample),
+  *     not O(files), at 100 TB — each per-file index still stores its own
+  *     copy, so the on-disk format stays reference-compatible);
+  *  3. a distributed assignment pass (broadcast centroids, `mapPartitions`,
+  *     no shuffle) followed by a per-file `groupByKey` that builds the
+  *     inverted lists and writes each file's sidecar FROM THE EXECUTOR —
+  *     the driver never holds more than per-file stats. Row ids are the
+  *     file-local ordinals (`_metadata.row_index`), matching the reference's
+  *     u32 ordinals.
+  *
+  * Determinism: fixed seed → fixed sample (sorted before the driver-side
+  * k-means) → fixed centroids → fixed assignment; inverted lists sorted
+  * ascending (the reference gets that implicitly from contiguous chunking,
+  * `index.rs:193-206`).
+  */
+object IvfBuilder {
+
+  final case class Config(
+      column: String,
+      nClusters: Option[Int] = None,
+      maxIters: Int = 20,
+      seed: Long = 42L)
+
+  final case class BuildResult(
+      files: Map[String, Long], // data file -> rows indexed
+      dim: Int,
+      nClusters: Int,
+      centroids: Array[Float]) {
+    def numRows: Long = files.values.sum
+  }
+
+  /** Validation from reference `parquet.rs:241-279`: fail on null vectors,
+    * null elements, zero-length or inconsistent dims. Returns (rowCount, dim).
+    */
+  private def validate(vecs: DataFrame, column: String): (Long, Int) = {
+    val stats = vecs
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("_vec").isNull, 1)).as("null_vecs"),
+        count(when(exists(col("_vec"), _.isNull), 1)).as("null_elems"),
+        min(size(col("_vec"))).as("min_dim"),
+        max(size(col("_vec"))).as("max_dim"))
+      .first()
+    val n = stats.getAs[Long]("n")
+    require(n > 0, "cannot build IVF index over zero vectors")
+    require(stats.getAs[Long]("null_vecs") == 0L, s"null vectors in column '$column'")
+    require(stats.getAs[Long]("null_elems") == 0L, s"null elements in column '$column'")
+    val minDim = stats.getAs[Int]("min_dim")
+    val maxDim = stats.getAs[Int]("max_dim")
+    require(minDim == maxDim, s"inconsistent vector dims: [$minDim, $maxDim]")
+    require(minDim > 0, "zero-length vectors")
+    (n, minDim)
+  }
+
+  def build(
+      spark: SparkSession,
+      path: String,
+      config: Config,
+      store: IndexStore = IndexStore.default): BuildResult = {
+    import spark.implicits._
+    require(config.column.nonEmpty, "embedding column name must be non-empty")
+    require(config.maxIters > 0, "max_iters must be > 0")
+    config.nClusters.foreach(k => require(k > 0, "n_clusters must be > 0"))
+
+    val vecs = spark.read
+      .parquet(path)
+      .select(
+        col("_metadata.file_path").as("_file"),
+        col("_metadata.row_index").as("_ri"),
+        col(config.column).cast("array<float>").as("_vec"))
+
+    val (n, dim) = validate(vecs, config.column)
+    val k = config.nClusters.getOrElse(math.ceil(math.sqrt(n.toDouble)).toInt)
+    require(k <= n, s"n_clusters $k cannot exceed number of vectors $n")
+
+    // Training sample: clamp(5% of n, [k, 100k]) — reference index.rs:172-174.
+    val sampleSize = math.min(math.max(math.max(n / 20L, 1L), k.toLong), 100000L)
+    val trainRows: Array[Array[Float]] =
+      if (sampleSize >= n) {
+        vecs.sort("_file", "_ri").select("_vec").as[Array[Float]].collect()
+      } else {
+        val frac = math.min(1.0, (sampleSize.toDouble * 1.5) / n.toDouble)
+        val sampled = vecs
+          .sample(withReplacement = false, frac, config.seed)
+          .sort("_file", "_ri")
+          .select("_vec")
+          .as[Array[Float]]
+          .take(sampleSize.toInt)
+        if (sampled.length >= k) sampled
+        else vecs.sort("_file", "_ri").select("_vec").as[Array[Float]].take(sampleSize.toInt)
+      }
+
+    val flat = new Array[Float](trainRows.length * dim)
+    var r = 0
+    while (r < trainRows.length) {
+      System.arraycopy(trainRows(r), 0, flat, r * dim, dim)
+      r += 1
+    }
+    val centroids = KMeans.fit(flat, dim, KMeans.Params(k, config.maxIters, config.seed))
+
+    // Distributed assignment + per-file inverted lists + executor-side write.
+    val bcCentroids = spark.sparkContext.broadcast(centroids)
+    val column = config.column
+    val written = vecs
+      .as[(String, Long, Array[Float])]
+      .mapPartitions { it =>
+        val cents = bcCentroids.value
+        it.map { case (file, ri, vec) =>
+          (file, VectorKernels.nearestCentroid(vec, cents, dim), ri)
+        }
+      }
+      .groupByKey(_._1)
+      .mapGroups { (file, rows) =>
+        val lists = Array.fill(k)(new ArrayBuffer[Int]())
+        var count = 0L
+        rows.foreach { case (_, cluster, ri) =>
+          lists(cluster) += ri.toInt
+          count += 1L
+        }
+        val sorted = lists.map { l => val a = l.toArray; java.util.Arrays.sort(a); a }
+        val index = IvfIndex(dim, k, bcCentroids.value, sorted)
+        store.write(file, column, index)
+        (file, count)
+      }
+      .collect()
+
+    BuildResult(written.toMap, dim, k, centroids)
+  }
+}

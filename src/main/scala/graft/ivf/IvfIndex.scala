@@ -1,0 +1,124 @@
+package graft.ivf
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import graft.functions.VectorKernels
+
+/** In-memory IVF index for one Parquet file.
+  *
+  * Byte format is identical to the reference engine's so indexes are
+  * interchangeable (`/root/reference/src/ivf/index.rs:65-128`):
+  * `dim:u32 LE, n_clusters:u32 LE, centroids f32 LE × (k·d),
+  *  then per cluster: len:u32 LE + row_id:u32 LE × len`.
+  * Framing when persisted (`/root/reference/src/ivf/parquet.rs:105-174`):
+  * magic `PQ_VECTOR1` + payload_len:u64 LE + payload.
+  *
+  * `invertedLists(i)` holds the file-local row ordinals whose nearest
+  * centroid is `i`, ascending.
+  */
+final case class IvfIndex(
+    dim: Int,
+    nClusters: Int,
+    centroids: Array[Float],
+    invertedLists: Array[Array[Int]]) {
+  require(centroids.length == dim * nClusters, "centroid matrix shape mismatch")
+  require(invertedLists.length == nClusters, "inverted list count mismatch")
+
+  /** Indices of the `nprobe` nearest centroids to `query`, ascending by
+    * squared L2 (reference: index.rs:130-149).
+    */
+  def findClosestCentroids(query: Array[Float], nprobe: Int): Array[Int] = {
+    val k = math.min(nprobe, nClusters)
+    val dists = new Array[Float](nClusters)
+    var i = 0
+    while (i < nClusters) {
+      val off = i * dim
+      var sum = 0.0f
+      var j = 0
+      while (j < dim) { val d = query(j) - centroids(off + j); sum += d * d; j += 1 }
+      dists(i) = sum
+      i += 1
+    }
+    (0 until nClusters).sortBy(dists).take(k).toArray
+  }
+
+  /** Union of the probed centroids' inverted lists (reference: index.rs:57-63). */
+  def candidateRows(query: Array[Float], nprobe: Int): Array[Int] =
+    findClosestCentroids(query, nprobe).flatMap(invertedLists)
+
+  def numRows: Long = invertedLists.iterator.map(_.length.toLong).sum
+
+  def toBytes: Array[Byte] = {
+    val payloadLen = 8 + 4 * centroids.length +
+      invertedLists.map(l => 4 + 4 * l.length).sum
+    val buf = ByteBuffer.allocate(payloadLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(dim)
+    buf.putInt(nClusters)
+    centroids.foreach(buf.putFloat)
+    invertedLists.foreach { list =>
+      buf.putInt(list.length)
+      list.foreach(buf.putInt)
+    }
+    buf.array()
+  }
+
+  def nearestCentroid(vec: Array[Float]): Int =
+    VectorKernels.nearestCentroid(vec, centroids, dim)
+}
+
+object IvfIndex {
+  val Magic: Array[Byte] = "PQ_VECTOR1".getBytes("UTF-8")
+  val IndexOffsetKey = "pq_vector_index_offset"
+  val EmbeddingColumnKey = "pq_vector_embedding_column"
+
+  def fromBytes(bytes: Array[Byte]): IvfIndex = {
+    require(bytes.length >= 8, "IVF index buffer too small")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val dim = buf.getInt
+    val nClusters = buf.getInt
+    require(dim > 0, s"invalid dim $dim")
+    require(nClusters > 0, s"invalid n_clusters $nClusters")
+    val centroids = new Array[Float](dim * nClusters)
+    var i = 0
+    while (i < centroids.length) { centroids(i) = buf.getFloat; i += 1 }
+    val lists = new Array[Array[Int]](nClusters)
+    var c = 0
+    while (c < nClusters) {
+      val len = buf.getInt
+      val list = new Array[Int](len)
+      var j = 0
+      while (j < len) { list(j) = buf.getInt; j += 1 }
+      lists(c) = list
+      c += 1
+    }
+    IvfIndex(dim, nClusters, centroids, lists)
+  }
+
+  /** Wrap payload with the reference's persist framing: magic + u64 LE length. */
+  def frame(payload: Array[Byte]): Array[Byte] = {
+    val buf = ByteBuffer
+      .allocate(Magic.length + 8 + payload.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(Magic)
+    buf.putLong(payload.length.toLong)
+    buf.put(payload)
+    buf.array()
+  }
+
+  /** Parse framed bytes (magic + length + payload) back into an index. */
+  def unframe(framed: Array[Byte]): IvfIndex = {
+    require(framed.length >= Magic.length + 8, "framed index too small")
+    require(
+      framed.view.slice(0, Magic.length).sameElements(Magic),
+      "bad index magic — not a PQ_VECTOR1 index")
+    val buf = ByteBuffer.wrap(framed).order(ByteOrder.LITTLE_ENDIAN)
+    buf.position(Magic.length)
+    val len = buf.getLong
+    require(
+      len >= 0 && len <= framed.length - Magic.length - 8,
+      s"index length $len exceeds buffer")
+    val payload = new Array[Byte](len.toInt)
+    buf.get(payload)
+    fromBytes(payload)
+  }
+}

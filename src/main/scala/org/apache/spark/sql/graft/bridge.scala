@@ -1,0 +1,28 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, FloatType}
+
+/** Minimal `private[sql]` bridge. Everything else in the engine lives in the
+  * `graft` package; only the two pieces that structurally need `sql`-private
+  * types are here: the Column<->Expression converters and the
+  * `inputTypes` declaration (Seq[AbstractDataType] is private[sql]).
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
+
+/** Base for binary expressions over two `array<float>` columns; declares the
+  * implicit-cast contract (f64 vectors coerce to f32, matching the reference:
+  * `/root/reference/src/ivf/parquet.rs:287-291`).
+  */
+abstract class FloatVectorBinaryExpression
+    extends BinaryExpression with ImplicitCastInputTypes with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = FloatType
+  override def nullable: Boolean = true
+}

@@ -1,0 +1,120 @@
+package graft.ivf
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+/** End-to-end replication of the reference's own e2e tests
+  * (`/root/reference/src/df_vector/tests.rs:16-241`): 6-row 2-d fixtures with
+  * pinned expected ids, run with an exhaustive probe so ANN == exact.
+  */
+class VectorTopKSpec extends SparkSpec {
+
+  private def writeFixture(vecs: Seq[Seq[Float]]): String = {
+    val dir = Files.createTempDirectory("graft-fixture").toString
+    val df = spark.createDataFrame(
+      vecs.zipWithIndex.map { case (v, i) => (i, v) })
+      .toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def tmpStore = new IndexStore(
+    Files.createTempDirectory("graft-store").toString)
+
+  // Fixture 1: tests.rs:31-39; WHERE id >= 2 LIMIT 2 → ids [5, 2] (tests.rs:99)
+  test("reference fixture 1: filter id >= 2, top-2 → ids [5, 2]") {
+    val path = writeFixture(Seq(
+      Seq(0f, 0f), Seq(1f, 0f), Seq(0f, 2f), Seq(5f, 5f), Seq(2f, 2f), Seq(0.1f, 0.1f)))
+    val store = tmpStore
+    val build = IvfBuilder.build(spark, path,
+      IvfBuilder.Config("vec", nClusters = Some(3)), store)
+    assert(build.numRows == 6)
+    val result = VectorTopK
+      .indexed(spark, path, "vec", Seq(0f, 0f), 2,
+        VectorTopK.Options(nprobe = 64), // exhaustive, like the reference test
+        filter = Some(col("id") >= 2), store = store)
+      .select("id")
+      .collect()
+      .map(_.getInt(0))
+    assert(result.toSet == Set(5, 2))
+  }
+
+  // Fixture 2: tests.rs:166-174; WHERE id >= 3 LIMIT 2 → ids [3, 4] (tests.rs:235)
+  test("reference fixture 2: post-filter composes with pruning → ids [3, 4]") {
+    val path = writeFixture(Seq(
+      Seq(0f, 0f), Seq(0.05f, 0.05f), Seq(0.2f, 0.2f),
+      Seq(1f, 1f), Seq(1.1f, 1.1f), Seq(1.4f, 1.4f)))
+    val store = tmpStore
+    IvfBuilder.build(spark, path, IvfBuilder.Config("vec", nClusters = Some(3)), store)
+    val result = VectorTopK
+      .indexed(spark, path, "vec", Seq(0f, 0f), 2,
+        VectorTopK.Options(nprobe = 64),
+        filter = Some(col("id") >= 3), store = store)
+      .select("id")
+      .collect()
+      .map(_.getInt(0))
+    assert(result.toSet == Set(3, 4))
+  }
+
+  test("exhaustive probe equals brute force on random data") {
+    val rnd = new scala.util.Random(123)
+    val vecs = Seq.fill(80)(Seq.fill(8)(rnd.nextFloat()))
+    val path = writeFixture(vecs)
+    val store = tmpStore
+    val build = IvfBuilder.build(spark, path, IvfBuilder.Config("vec"), store)
+    val query = Seq.fill(8)(0.5f)
+    val brute = VectorTopK
+      .bruteForce(spark.read.parquet(path), "vec", query, 10)
+      .select("id").collect().map(_.getInt(0)).toSeq
+    val indexed = VectorTopK
+      .indexed(spark, path, "vec", query, 10,
+        VectorTopK.Options(nprobe = build.nClusters), store = store)
+      .select("id").collect().map(_.getInt(0)).toSeq
+    assert(indexed.sorted == brute.sorted)
+  }
+
+  test("restrictive probe returns a subset of candidates (ANN semantics)") {
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.fill(100)(Seq.fill(4)(rnd.nextFloat() * 10))
+    val path = writeFixture(vecs)
+    val store = tmpStore
+    IvfBuilder.build(spark, path,
+      IvfBuilder.Config("vec", nClusters = Some(10)), store)
+    val res = VectorTopK
+      .indexed(spark, path, "vec", Seq(5f, 5f, 5f, 5f), 5,
+        VectorTopK.Options(nprobe = 2), store = store)
+      .collect()
+    assert(res.length == 5) // enough candidates in 2 cells for k=5
+  }
+
+  test("query dim mismatch fails fast") {
+    val path = writeFixture(Seq(Seq(0f, 0f), Seq(1f, 1f)))
+    val store = tmpStore
+    IvfBuilder.build(spark, path, IvfBuilder.Config("vec", nClusters = Some(1)), store)
+    assertThrows[IllegalArgumentException] {
+      VectorTopK.indexed(spark, path, "vec", Seq(0f, 0f, 0f), 1,
+        VectorTopK.Options(nprobe = 1), store = store)
+    }
+  }
+
+  test("index build rejects invalid input") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bad").toString
+    // inconsistent dims
+    Seq((0, Seq(1f, 2f)), (1, Seq(1f))).toDF("id", "vec")
+      .write.mode("overwrite").parquet(dir)
+    assertThrows[IllegalArgumentException] {
+      IvfBuilder.build(spark, dir, IvfBuilder.Config("vec"), tmpStore)
+    }
+    // n_clusters > n rows
+    val dir2 = Files.createTempDirectory("graft-bad2").toString
+    Seq((0, Seq(1f, 2f))).toDF("id", "vec").write.mode("overwrite").parquet(dir2)
+    assertThrows[IllegalArgumentException] {
+      IvfBuilder.build(spark, dir2, IvfBuilder.Config("vec", nClusters = Some(5)), tmpStore)
+    }
+  }
+}
