@@ -285,6 +285,105 @@ object Queries {
       |       t -> t = 'the' OR t = 'a')) AS INTEGER) AS n_stopwords
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------- dedup / text extensions
+
+  /** Shared DuckDB CTE: distinct word-3-gram shingle sets per doc. */
+  private val duckShingleCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+      |                   for i in range(1, len(tk) - 1)]) shingles
+      |  FROM toks WHERE len(tk) >= 3)""".stripMargin
+
+  /** Exact-jaccard near-dup pairs — the shared oracle for every
+    * candidate-generation strategy (minhash / simhash / inverted index):
+    * the verify step makes precision exact, and on this corpus the dup
+    * pairs sit at jaccard ≈ 0.98 (next pair < 0.2), so recall is certain.
+    */
+  private val duckNearDupOracle: String =
+    s"""$duckShingleCte
+       |SELECT doc_a, doc_b FROM (
+       |  SELECT a.doc_id doc_a, b.doc_id doc_b,
+       |    len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+       |    len(list_distinct(list_concat(a.shingles, b.shingles))) j
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
+  def dq2MinhashNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Dedup
+      .minhashNearDupPairs(t(spark, sfDir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  def dq3SimhashNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Dedup
+      .simhashNearDupPairs(t(spark, sfDir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  def dq4InvIndexNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Dedup
+      .invertedIndexNearDupPairs(t(spark, sfDir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  def dq5EmbedNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Dedup
+      .embeddingNearDupPairs(t(spark, sfDir, "embeddings"), "vec_id", "embedding", 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val dq5Oracle: String =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding::FLOAT[], b.embedding::FLOAT[]) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  def tq3LangId(spark: SparkSession, sfDir: String): DataFrame = {
+    val txt = col("text")
+    t(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        ops.TextAnalysis.markerCount(txt, ops.TextAnalysis.LangMarkers.toMap.apply("en"))
+          .cast("int").as("c_en"),
+        ops.TextAnalysis.langId(txt).as("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tq3Oracle: String = {
+    val markerSql = ops.TextAnalysis.LangMarkers.map { case (lang, ms) =>
+      val list = ms.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w IN ($list))) AS c_$lang"
+    }.mkString(",\n  ")
+    val langs = ops.TextAnalysis.LangMarkers.map(_._1)
+    val greatest = s"greatest(${langs.map("c_" + _).mkString(", ")})"
+    val caseArms = langs.map(l => s"WHEN c_$l = m THEN '$l'").mkString(" ")
+    s"""WITH counts AS (SELECT doc_id, $markerSql FROM documents),
+       |m AS (SELECT *, $greatest AS m FROM counts)
+       |SELECT doc_id, CAST(c_en AS INTEGER) AS c_en,
+       |  CASE $caseArms END AS pred_lang
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  def tq4Fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  val tq4Oracle: String =
+    """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def tq5SubwordCount(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        ops.TextAnalysis.subwordCount(col("text")).cast("int").as("n_subwords"))
+      .orderBy(col("doc_id"))
+
+  val tq5Oracle: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '${ops.TextAnalysis.SubwordPattern}')) AS INTEGER) AS n_subwords
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -301,8 +400,15 @@ object Queries {
     "qs_setop" -> (qsSetOp _),
     "qe_events_hourly" -> (qeEventsHourly _),
     "dq1_exact_dedup" -> (dq1ExactDedup _),
+    "dq2_minhash_neardup" -> (dq2MinhashNearDup _),
+    "dq3_simhash_neardup" -> (dq3SimhashNearDup _),
+    "dq4_invindex_neardup" -> (dq4InvIndexNearDup _),
+    "dq5_embed_neardup" -> (dq5EmbedNearDup _),
     "tq1_token_count" -> (tq1TokenCount _),
     "tq2_text_stats" -> (tq2TextStats _),
+    "tq3_lang_id" -> (tq3LangId _),
+    "tq4_fingerprint" -> (tq4Fingerprint _),
+    "tq5_subword_count" -> (tq5SubwordCount _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -319,7 +425,14 @@ object Queries {
     "qs_setop" -> qsOracle,
     "qe_events_hourly" -> qeOracle,
     "dq1_exact_dedup" -> dq1Oracle,
+    "dq2_minhash_neardup" -> duckNearDupOracle,
+    "dq3_simhash_neardup" -> duckNearDupOracle,
+    "dq4_invindex_neardup" -> duckNearDupOracle,
+    "dq5_embed_neardup" -> dq5Oracle,
     "tq1_token_count" -> tq1Oracle,
     "tq2_text_stats" -> tq2Oracle,
+    "tq3_lang_id" -> tq3Oracle,
+    "tq4_fingerprint" -> tq4Oracle,
+    "tq5_subword_count" -> tq5Oracle,
   )
 }

@@ -1,0 +1,211 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.array_cosine_similarity
+
+/** Deduplication operators for large-scale text/embedding corpora.
+  *
+  * All candidate-generation paths are shuffle-based (explode → hash-join on
+  * bucket keys) — never a cross join on the full corpus — so they scale to
+  * cluster-sized inputs: work is proportional to candidate pairs, not n².
+  * Everything is built from codegen'd built-ins + higher-order functions
+  * (no UDFs in the hot path).
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles of a text column. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    when(size(toks) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact duplicate removal: keep the smallest id per identical key. */
+  def exact(df: DataFrame, keyCol: Column, idCol: Column): DataFrame =
+    df.groupBy(keyCol.as("_key"))
+      .agg(min(idCol).as("doc_id"))
+      .drop("_key")
+
+  /** Exact jaccard similarity of two pre-distinct shingle arrays; an
+    * integer-ratio expression, so it is bit-identical across engines.
+    */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** MinHash signature: `numHashes` independent min-hashes of the shingle
+    * set, using seeded xxhash64 (hash family indexed by the hash slot).
+    */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingleCol, s => xxhash64(s, i))))
+
+  /** LSH banding: candidate pairs are doc pairs sharing at least one
+    * (band index, band hash) bucket. Banded signatures shuffle on the bucket
+    * key — the classic MinHash-LSH plan that scales horizontally.
+    */
+  private def bandBuckets(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => struct(
+        b.as("band"),
+        xxhash64(concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
+          .as("bucket")))
+
+  /** Near-duplicate pairs by MinHash LSH with exact-jaccard verification.
+    *
+    * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard >=
+    * `threshold`. Candidates come from LSH buckets; the verify step computes
+    * exact jaccard over the shingle sets, so precision is exact and only
+    * recall depends on (numHashes, bands).
+    */
+  def minhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5,
+      numHashes: Int = 128,
+      bands: Int = 16): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val docs = df
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .where(size(col("sh")) > 0)
+    val buckets = docs
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(
+        col("id"),
+        explode(bandBuckets(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bucket"))
+    val cands = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cands, docs, threshold)
+  }
+
+  /** Near-duplicate pairs by inverted-index prefiltering: docs sharing at
+    * least `minShared` shingles become candidates (exact recall for any
+    * threshold where `minShared` shared shingles are implied), then exact
+    * jaccard verification. Frequent shingles (in > `maxDocFreq` docs) are
+    * dropped from the index to bound bucket fan-out — the standard
+    * stop-shingle trick for exact similarity joins at scale.
+    */
+  def invertedIndexNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5,
+      maxDocFreq: Long = 1000L): DataFrame = {
+    val docs = df
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .where(size(col("sh")) > 0)
+    val posting = docs.select(col("id"), explode(col("sh")).as("shingle"))
+    val rare = posting
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDocFreq && col("df") >= 2)
+      .select("shingle")
+    val filtered = posting.join(rare, "shingle")
+    val cands = filtered.as("a")
+      .join(filtered.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cands, docs, threshold)
+  }
+
+  private def verifyJaccard(
+      cands: DataFrame, docs: DataFrame, threshold: Double): DataFrame =
+    cands
+      .join(docs.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+
+  /** 64-bit SimHash over a token array: bit i of the fingerprint is set when
+    * the sum over tokens of ±1 (sign of bit i of xxhash64(token)) is
+    * positive. Pure higher-order-function expression (stays in codegen);
+    * a dedicated Catalyst expression is the follow-up optimization for the
+    * very hot path.
+    */
+  def simhash64(tokens: Column): Column = {
+    val bitCols: Seq[Column] = (0 until 64).map { i =>
+      val bitSum = aggregate(
+        tokens,
+        lit(0L),
+        (acc, t) =>
+          acc + when(shiftright(xxhash64(t), i).bitwiseAND(lit(1L)) === 1L, 1L)
+            .otherwise(-1L))
+      when(bitSum > 0L, lit(1L << i)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ bitwiseOR _)
+  }
+
+  /** Near-duplicate pairs by SimHash banding: candidates share at least one
+    * of `numBlocks` equal bit-blocks of the 64-bit fingerprint — guaranteed
+    * recall for hamming distance <= numBlocks - 1 — then exact-jaccard
+    * verified. Default 8 blocks of 8 bits (hamming <= 7); heavier
+    * perturbation needs more blocks, bigger corpora fewer (bucket fan-out
+    * grows as n / 2^blockBits).
+    */
+  def simhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5,
+      numBlocks: Int = 8): DataFrame = {
+    require(64 % numBlocks == 0, "numBlocks must divide 64")
+    val blockBits = 64 / numBlocks
+    val blockMask = if (blockBits == 64) -1L else (1L << blockBits) - 1L
+    val docs = df
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .where(size(col("sh")) > 0)
+    val hashed = df
+      .select(
+        col(idCol).as("id"),
+        simhash64(split(trim(col(textCol)), "\\s+")).as("sim"))
+    val blocks = hashed.select(
+      col("id"),
+      col("sim"),
+      explode(array((0 until numBlocks).map { b =>
+        struct(
+          lit(b).as("block"),
+          shiftright(col("sim"), b * blockBits).bitwiseAND(lit(blockMask)).as("val"))
+      }: _*)).as("blk"))
+      .select(col("id"), col("sim"), col("blk.block"), col("blk.val"))
+    val cands = blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.block") === col("b.block") &&
+          col("a.val") === col("b.val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cands, docs, threshold)
+  }
+
+  /** Embedding near-duplicates: pairs with cosine similarity >= threshold.
+    * This is the exact (quadratic) form for oracle-grade answers on bounded
+    * inputs; [[graft.ops.Similarity.ivfCellPairs]] is the bucketed scale
+    * path.
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .where(array_cosine_similarity(col("v_a"), col("v_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+}

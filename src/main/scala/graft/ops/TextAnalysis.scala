@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline operators: tokenization, quality scoring, language ID,
+  * fingerprinting. All column expressions (codegen'd), designed to run as a
+  * single projection pass over a 100 TB documents table — no shuffles, no
+  * UDFs, trivially partition-parallel.
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alphanumeric runs plus individual punctuation
+    * marks, the usual cheap proxy for LLM token budgeting when no tokenizer
+    * model is loaded. Uses `regexp_extract_all` with an RE2-compatible
+    * pattern (no lookaround) so the same pattern runs in oracle engines.
+    */
+  val SubwordPattern = "[\\p{L}\\p{N}]+|[^\\p{L}\\p{N}\\s]"
+
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(SubwordPattern), lit(0)))
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercased text —
+    * the exact-dup key that survives formatting noise.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Quality features in one pass: lengths, token stats, stopword ratio,
+    * punctuation ratio, mean token length.
+    */
+  def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    df.select(
+      col(idCol),
+      length(t).as("n_chars"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct_tokens"),
+      size(filter(toks, w => w.isin(Stopwords: _*))).as("n_stopwords"),
+      (length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))).as("n_punct"),
+      round(size(array_distinct(toks)).cast("double") / size(toks), 6)
+        .as("distinct_ratio"))
+  }
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
+
+  /** Language-ID marker vocabularies (tiny n-gram-free heuristic: count
+    * language-specific high-frequency words; argmax wins, ties break
+    * alphabetically). A real deployment swaps in char-trigram profiles —
+    * the plan shape (single projection) is identical.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "and", "is", "not"),
+    "es" -> Seq("el", "los", "y", "es", "no"),
+    "fr" -> Seq("le", "les", "et", "est", "pas"),
+    "zh" -> Seq("的", "是", "不", "了", "在"))
+
+  def markerCount(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), w => w.isin(markers: _*)))
+
+  /** Predicted language: argmax of marker counts, alphabetical tie-break
+    * (greatest-count scan in fixed language order).
+    */
+  def langId(text: Column): Column = {
+    val counts = LangMarkers.map { case (lang, markers) =>
+      (lang, markerCount(text, markers))
+    }
+    // fold: keep (bestLang, bestCount); strictly-greater keeps earlier
+    // (alphabetical) language on ties.
+    counts.tail.foldLeft(
+      struct(lit(counts.head._1).as("lang"), counts.head._2.as("cnt"))) {
+      case (best, (lang, cnt)) =>
+        when(cnt > best.getField("cnt"), struct(lit(lang).as("lang"), cnt.as("cnt")))
+          .otherwise(best)
+    }.getField("lang")
+  }
+}

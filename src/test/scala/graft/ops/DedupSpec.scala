@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog tonight"),
+    (1L, "the quick brown fox jumps over the lazy cat tonight"), // near-dup of 0
+    (2L, "completely different words about spark query engines here now"),
+    (3L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup of 0
+    (4L, "one two")) // shorter than shingle size 3? no — 2 tokens < 3
+    .toDF("doc_id", "text")
+
+  test("shingles builds distinct word n-grams, empty below n tokens") {
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(0L).head == "the quick brown")
+    assert(sh(0L).length == 8)
+    assert(sh(4L).isEmpty)
+  }
+
+  test("exact dedup keeps smallest id per text") {
+    val kept = Dedup.exact(docs, col("text"), col("doc_id"))
+      .as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 1L, 2L, 4L))
+  }
+
+  test("minhash near-dup pairs finds the near and exact dup, not the distinct doc") {
+    // jaccard(0,1) is 0.6 — use 64 bands × 2 rows so recall at 0.6 is ~1
+    // (default 16×8 banding targets the ≥0.9 regime).
+    val pairs = Dedup
+      .minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.5, bands = 64)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L))) // exact dup, jaccard 1.0
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 3L))) // near dups
+    assert(!pairs.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
+  test("simhash and inverted-index pairs agree with minhash on this corpus") {
+    val expected = Set((0L, 1L), (0L, 3L), (1L, 3L))
+    val sim = Dedup.simhashNearDupPairs(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    val inv = Dedup.invertedIndexNearDupPairs(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(sim == expected)
+    assert(inv == expected)
+  }
+
+  test("simhash64 is deterministic and insensitive to small perturbation") {
+    val h = docs.select(Dedup.simhash64(split(col("text"), " ")).as("h"))
+      .as[Long].collect()
+    assert(h(0) == h(3)) // identical text, identical hash
+    assert(java.lang.Long.bitCount(h(0) ^ h(1)) <= 16) // one word changed
+    assert(java.lang.Long.bitCount(h(0) ^ h(2)) > 10) // unrelated text far
+  }
+
+  test("embedding near-dup pairs by cosine threshold") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f)),
+      (1L, Seq(0.99f, 0.1f, 0f)), // ~cos 0.995 with 0
+      (2L, Seq(0f, 1f, 0f)))
+      .toDF("id", "v")
+      .select(col("id"), col("v").cast("array<float>").as("v"))
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "id", "v", 0.9)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}

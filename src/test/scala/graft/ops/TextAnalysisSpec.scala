@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token and subword counts") {
+    val df = Seq((1L, "Hello, world! It's 42 degrees.")).toDF("id", "text")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("text")).as("t"),
+      TextAnalysis.subwordCount(col("text")).as("s"))
+      .as[(Int, Int)].head()
+    assert(r._1 == 5) // whitespace tokens
+    // subwords: Hello , world ! It ' s 42 degrees . = 10
+    assert(r._2 == 10)
+  }
+
+  test("fingerprint normalizes case and whitespace") {
+    val df = Seq(
+      (1L, "Hello   World"),
+      (2L, "hello world"),
+      (3L, "hello worlds")).toDF("id", "text")
+    val fps = df.select(col("id"), TextAnalysis.fingerprint(col("text")))
+      .as[(Long, String)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("langId picks the language with most marker hits, alphabetical ties") {
+    val df = Seq(
+      (1L, "the cat is on the mat and it is not here"), // en
+      (2L, "der hund ist nicht da und die katze"), // de
+      (3L, "el perro y los gatos no es aqui"), // es
+      (4L, "xyzzy plugh")) // no markers anywhere -> first lang (de)
+      .toDF("id", "text")
+    val preds = df.select(col("id"), TextAnalysis.langId(col("text")))
+      .as[(Long, String)].collect().toMap
+    assert(preds(1L) == "en")
+    assert(preds(2L) == "de")
+    assert(preds(3L) == "es")
+    assert(preds(4L) == "de")
+  }
+
+  test("quality features computes consistent counts") {
+    val df = Seq((1L, "the the quick fox!")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityFeatures(df, "doc_id", "text").head()
+    assert(r.getAs[Int]("n_tokens") == 4)
+    assert(r.getAs[Int]("n_distinct_tokens") == 3)
+    assert(r.getAs[Int]("n_stopwords") == 2)
+    assert(r.getAs[Int]("n_punct") == 1)
+  }
+}
