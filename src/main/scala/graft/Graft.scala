@@ -12,6 +12,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 object Graft {
   def install(spark: SparkSession): SparkSession = {
     functions.registerAll(spark)
+    plans.VectorTopKRule.install(spark)
     spark
   }
 }
@@ -21,5 +22,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     functions.registry.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    ext.injectOptimizerRule(s => plans.VectorTopKRule(s))
   }
 }

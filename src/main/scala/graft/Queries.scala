@@ -76,6 +76,33 @@ object Queries {
     s"""SELECT vec_id FROM embeddings WHERE label >= 5
        |ORDER BY list_distance(embedding::FLOAT[], $duckVecLit) ASC, vec_id LIMIT 10""".stripMargin
 
+  /** SQL-transparent path: the optimizer rule rewrites the ORDER BY +
+    * LIMIT over the indexed table into an IVF-pruned scan; nprobe is set
+    * exhaustive so the result is exact and shares vq1's oracle. Output is
+    * re-sorted by id outside the topk so row order is deterministic.
+    */
+  def vq7SqlTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/embeddings.parquet"
+    val ti = IndexManager.ensure(spark, path, "embedding")
+    Graft.install(spark)
+    spark.conf.set(plans.VectorTopKRule.NprobeKey, ti.nClusters.toString)
+    spark.read.parquet(path).createOrReplaceTempView("graft_embeddings")
+    val vecLit = queryVec.map(v => s"${v}F").mkString("array(", ", ", ")")
+    // NOTE: the nprobe conf must stay set — optimization (where the rule
+    // reads it) happens lazily when the returned DataFrame executes.
+    spark.sql(
+      s"""SELECT vec_id FROM (
+         |  SELECT vec_id FROM graft_embeddings
+         |  ORDER BY array_distance(embedding, $vecLit) ASC LIMIT 10)
+         |ORDER BY vec_id""".stripMargin)
+  }
+
+  val vq7Oracle: String =
+    s"""SELECT vec_id FROM (
+       |  SELECT vec_id FROM embeddings
+       |  ORDER BY list_distance(embedding::FLOAT[], $duckVecLit) ASC LIMIT 10)
+       |ORDER BY vec_id""".stripMargin
+
   def vq4RangeSearch(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "embeddings")
       .where(array_distance(col("embedding"), float_vector(queryVec)) < lit(4.5f))
@@ -391,6 +418,7 @@ object Queries {
     "vq2_ivf_topk_exact" -> (vq2IvfTopkExact _),
     "vq3_ivf_topk_filter" -> (vq3IvfTopkFilter _),
     "vq4_range_search" -> (vq4RangeSearch _),
+    "vq7_sql_topk" -> (vq7SqlTopk _),
     "vq5_cosine_topk" -> (vq5CosineTopk _),
     "vq6_knn_join" -> (vq6KnnJoin _),
     "q1_agg" -> (q1Agg _),
@@ -416,6 +444,7 @@ object Queries {
     "vq2_ivf_topk_exact" -> vq1Oracle, // exhaustive probe == brute force
     "vq3_ivf_topk_filter" -> vq3Oracle,
     "vq4_range_search" -> vq4Oracle,
+    "vq7_sql_topk" -> vq7Oracle,
     "vq5_cosine_topk" -> vq5Oracle,
     "vq6_knn_join" -> vq6Oracle,
     "q1_agg" -> q1Oracle,

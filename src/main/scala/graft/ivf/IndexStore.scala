@@ -21,7 +21,7 @@ final class IndexStore(val dir: String) extends Serializable {
 
   private def key(dataFile: String, column: String): String = {
     val md = MessageDigest.getInstance("SHA-1")
-    md.update(dataFile.getBytes("UTF-8"))
+    md.update(IndexStore.canonicalPath(dataFile).getBytes("UTF-8"))
     md.update(0.toByte)
     md.update(column.getBytes("UTF-8"))
     md.digest().map("%02x".format(_)).mkString
@@ -62,4 +62,14 @@ object IndexStore {
   /** Default writable cache dir (testdata is read-only). */
   def default: IndexStore =
     new IndexStore(sys.env.getOrElse("GRAFT_INDEX_DIR", "/root/repo/.graft/index"))
+
+  /** Spark renders local file URIs in two shapes depending on the API
+    * (`_metadata.file_path` → `file:/p`, `FileIndex.inputFiles` →
+    * `file:///p`). Canonicalize to the `_metadata` shape so store keys and
+    * join keys agree no matter which side produced the path.
+    */
+  def canonicalPath(s: String): String = {
+    val uri = try new java.net.URI(s) catch { case _: Exception => return s }
+    if (uri.getScheme == "file") "file:" + uri.getPath else s
+  }
 }

@@ -48,7 +48,7 @@ object VectorTopK {
   /** Round-robin fairness cap across files so one file cannot starve the
     * others (reference `CandidateCursor`: `src/df_vector/access.rs:193-243`).
     */
-  private[ivf] def capRoundRobin(
+  def capRoundRobin(
       perFile: Seq[(String, Array[Int])], cap: Int): Seq[(String, Array[Int])] = {
     val cursors = perFile.map(_ => 0).toArray
     val out = perFile.map(_ => Vector.newBuilder[Int]).toArray

@@ -1,0 +1,230 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+import graft.functions.{ArrayDistance, ArraySquaredL2}
+import graft.ivf.{IndexStore, ParquetFooterIndex, VectorTopK}
+
+/** SQL-transparent IVF acceleration: rewrites
+  * `ORDER BY array_distance(col, literal-vector) ASC LIMIT k` over a single
+  * indexed Parquet relation so the scan only reads IVF candidate rows.
+  *
+  * This is the Spark analog of the reference's
+  * `VectorTopKPhysicalOptimizerRule` (`/root/reference/src/df_vector/
+  * physical.rs:20-196`), re-expressed as a logical rewrite: instead of a
+  * custom physical operator, the parquet leaf is replaced by a broadcast
+  * semi-join against the probed candidate (file, row ordinal) pairs, and the
+  * original Filter/Project chain plus Sort+Limit stay untouched above it.
+  * Catalyst then plans the Sort+Limit as `TakeOrderedAndProjectExec` (bounded
+  * heap — the reference's exact re-rank) and pushes residual predicates over
+  * candidate rows only (the reference's post-filter semantics,
+  * `src/df_vector/exec.rs`/`tests.rs:151-241`).
+  *
+  * Guard matrix mirrors `physical.rs:134-177`: single sort expression,
+  * ascending, `array_distance(col, literal)` in either argument order with
+  * casts stripped, exactly one parquet relation beneath with only
+  * Filter/Project in between, no OFFSET (a plan with offset has a different
+  * shape and never matches), every scan file indexed for the sorted column.
+  *
+  * Results are ANN for `nprobe < nClusters` — identical to the reference's
+  * contract; set `spark.graft.ivf.nprobe >= nClusters` for exact top-k.
+  */
+case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  import VectorTopKRule._
+
+  private def conf(key: String, default: String): String =
+    spark.conf.getOption(key).getOrElse(default)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf(EnabledKey, "true") != "true") return plan
+    plan.transformDown {
+      case limit @ Limit(IntegerLiteral(k), lchild) =>
+        // column pruning may leave Projects between the limit and the sort
+        val (projects, sortCandidate) = peelProjects(lchild)
+        sortCandidate match {
+          case sort @ Sort(Seq(order), true, child, _)
+              if sort.getTagValue(RewrittenTag).isEmpty =>
+            tryRewrite(k, order, child) match {
+              case Some(newChild) =>
+                val newSort = sort.copy(child = newChild)
+                newSort.setTagValue(RewrittenTag, ())
+                val rebuilt = projects.foldRight(newSort: LogicalPlan) {
+                  (pr, acc) => pr.copy(child = acc)
+                }
+                limit match {
+                  case gl @ GlobalLimit(_, ll @ LocalLimit(_, _)) =>
+                    gl.copy(child = ll.copy(child = rebuilt))
+                  case other => other
+                }
+              case None => limit
+            }
+          case _ => limit
+        }
+    }
+  }
+
+  private def peelProjects(p: LogicalPlan): (Seq[Project], LogicalPlan) = p match {
+    case pr @ Project(_, c) =>
+      val (ps, leaf) = peelProjects(c)
+      (pr +: ps, leaf)
+    case other => (Nil, other)
+  }
+
+  /** Strip Cast/TryCast wrappers (reference `strip_wrappers`,
+    * physical.rs:216-229).
+    */
+  private def stripCast(e: Expression): Expression = e match {
+    case Cast(c, _, _, _) => stripCast(c)
+    case other => other
+  }
+
+  /** Extract (vector attribute, query literal) from a distance sort key,
+    * accepting both argument orders (physical.rs:198-243).
+    */
+  private def extractDistanceArgs(e: Expression): Option[(Attribute, Array[Float])] = {
+    def lit2vec(l: Expression): Option[Array[Float]] = stripCast(l) match {
+      case Literal(data: ArrayData, ArrayType(FloatType, _)) =>
+        Option(data).map(_.toFloatArray())
+      case Literal(data: ArrayData, ArrayType(DoubleType, _)) =>
+        Option(data).map(_.toDoubleArray().map(_.toFloat))
+      case _ => None
+    }
+    def attr(a: Expression): Option[Attribute] = stripCast(a) match {
+      case ar: Attribute => Some(ar)
+      case _ => None
+    }
+    val args = stripCast(e) match {
+      case ArrayDistance(l, r) => Some((l, r))
+      case ArraySquaredL2(l, r) => Some((l, r))
+      case _ => None
+    }
+    args.flatMap { case (l, r) =>
+      (attr(l), lit2vec(r)) match {
+        case (Some(a), Some(v)) => Some((a, v))
+        case _ =>
+          (attr(r), lit2vec(l)) match {
+            case (Some(a), Some(v)) => Some((a, v))
+            case _ => None
+          }
+      }
+    }
+  }
+
+  /** Only Filter/Project may sit between the sort input and the scan
+    * (the reference additionally allows its repartition node, which has no
+    * logical analog here).
+    */
+  private def findSingleParquetLeaf(plan: LogicalPlan): Option[LogicalRelation] =
+    plan match {
+      case Filter(_, c) => findSingleParquetLeaf(c)
+      case Project(_, c) => findSingleParquetLeaf(c)
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation
+              if fs.fileFormat.getClass.getSimpleName.startsWith("Parquet") =>
+            Some(lr)
+          case _ => None
+        }
+      case _ => None
+    }
+
+  private def tryRewrite(
+      k: Int, order: SortOrder, child: LogicalPlan): Option[LogicalPlan] = {
+    if (order.direction != Ascending) return None
+    for {
+      (attr, query) <- extractDistanceArgs(order.child)
+      lr <- findSingleParquetLeaf(child)
+      // the sorted attribute must be a physical column of the scan
+      column <- lr.output.find(_.exprId == attr.exprId).map(_.name)
+      rewritten <- buildPrunedLeaf(lr, column, query, k)
+    } yield child.transformUp {
+      case l: LogicalRelation if l.eq(lr) => rewritten
+    }
+  }
+
+  /** Probe every file's index and graft `scan -> semi-join(candidates)` in
+    * place of the bare relation, aliasing output back to the original
+    * attribute ids so the untouched parent operators still resolve.
+    */
+  private def buildPrunedLeaf(
+      lr: LogicalRelation,
+      column: String,
+      query: Array[Float],
+      k: Int): Option[LogicalPlan] = {
+    val fs = lr.relation.asInstanceOf[HadoopFsRelation]
+    // canonical form matches `_metadata.file_path`, which the semi-join
+    // compares against
+    val files = fs.location.inputFiles.toSeq.map(IndexStore.canonicalPath).sorted
+    if (files.isEmpty) return None
+    val store = new IndexStore(conf(IndexDirKey, IndexStore.default.dir))
+    val nprobe = conf(NprobeKey, "5").toInt
+    val maxCandidates = conf(MaxCandidatesKey, "").toIntOption
+
+    val perFile = files.map { file =>
+      val idx = store.load(file, column).orElse(ParquetFooterIndex.load(file, column))
+      idx match {
+        case Some(i) if i.dim == query.length => file -> i.candidateRows(query, nprobe)
+        case _ => return None // any unindexed file or dim mismatch: no rewrite
+      }
+    }
+    val capped = maxCandidates match {
+      case Some(cap) => VectorTopK.capRoundRobin(perFile, cap)
+      case None => perFile
+    }
+
+    import spark.implicits._
+    val pairs = capped.flatMap { case (f, rows) => rows.iterator.map(r => (f, r.toLong)) }
+    val candDf = spark.createDataset(pairs).toDF("__file", "__ri")
+    val paths = fs.location.rootPaths.map(_.toString)
+    val pruned = spark.read
+      .schema(fs.dataSchema)
+      .parquet(paths: _*)
+      .withColumn("__file", col("_metadata.file_path"))
+      .withColumn("__ri", col("_metadata.row_index"))
+      .join(broadcast(candDf), Seq("__file", "__ri"), "left_semi")
+      .drop("__file", "__ri")
+    // This rule runs in extraOptimizations, AFTER the main optimizer
+    // batches — optimize the injected subtree explicitly so hint
+    // elimination, pushdown, and pruning still apply inside it. (Our own
+    // rule sees no Limit+Sort in the subtree, so this cannot recurse.)
+    val prunedPlan = spark.sessionState.optimizer.execute(pruned.queryExecution.analyzed)
+    // rebind the new scan's output to the original attribute ids
+    val byName = prunedPlan.output.map(a => a.name -> a).toMap
+    val aliases = lr.output.map { old =>
+      byName.get(old.name) match {
+        case Some(na) => Alias(na, old.name)(exprId = old.exprId)
+        case None => return None
+      }
+    }
+    Some(Project(aliases, prunedPlan))
+  }
+}
+
+object VectorTopKRule {
+  val EnabledKey = "spark.graft.ivf.enabled"
+  val NprobeKey = "spark.graft.ivf.nprobe"
+  val MaxCandidatesKey = "spark.graft.ivf.maxCandidates"
+  val IndexDirKey = "spark.graft.ivf.indexDir"
+
+  /** Prevents re-matching the rewritten Sort on later rule iterations. */
+  private[plans] val RewrittenTag = TreeNodeTag[Unit]("graft.ivf.rewritten")
+
+  /** Runtime installation on an existing session (no extensions config
+    * needed): appends to `spark.experimental.extraOptimizations`.
+    */
+  def install(spark: SparkSession): Unit = {
+    val existing = spark.experimental.extraOptimizations
+    if (!existing.exists(_.isInstanceOf[VectorTopKRule])) {
+      spark.experimental.extraOptimizations = existing :+ VectorTopKRule(spark)
+    }
+  }
+}

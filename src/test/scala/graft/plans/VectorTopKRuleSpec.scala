@@ -1,0 +1,129 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+import graft.ivf.{IndexStore, IvfBuilder}
+
+/** Plan-shape and semantics tests for the SQL-transparent topk rewrite —
+  * the Spark analog of the reference's snapshot plan tests (the `.snap`
+  * files under `/root/reference/src/df_vector/snapshots/`).
+  */
+class VectorTopKRuleSpec extends SparkSpec {
+
+  private lazy val storeDir = Files.createTempDirectory("graft-rule-store").toString
+  private lazy val dataDir: String = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val dir = Files.createTempDirectory("graft-rule-data").toString
+    (0 until 200).map(i => (i.toLong, Seq.fill(8)(rnd.nextFloat()), i % 4))
+      .toDF("id", "vec", "label")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"), col("label"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    IvfBuilder.build(spark, dir,
+      IvfBuilder.Config("vec", nClusters = Some(8)), new IndexStore(storeDir))
+    dir
+  }
+
+  private def withRule[T](nprobe: Int)(body: => T): T = {
+    graft.Graft.install(spark)
+    spark.conf.set(VectorTopKRule.IndexDirKey, storeDir)
+    spark.conf.set(VectorTopKRule.NprobeKey, nprobe.toString)
+    try body
+    finally {
+      spark.conf.set(VectorTopKRule.EnabledKey, "true")
+      spark.conf.unset(VectorTopKRule.NprobeKey)
+    }
+  }
+
+  private def sqlTopk(extra: String = "", order: String = "ASC"): DataFrame =
+    spark.sql(
+      s"""SELECT id FROM graft_vecs $extra
+         |ORDER BY array_distance(vec, array(${Seq.fill(8)("0.5F").mkString(",")})) $order
+         |LIMIT 5""".stripMargin)
+
+  private def register(): Unit =
+    spark.read.parquet(dataDir).createOrReplaceTempView("graft_vecs")
+
+  private def fired(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.toString.contains("LeftSemi")
+
+  test("rewrite fires on ORDER BY array_distance ASC LIMIT k and stays exact") {
+    register()
+    withRule(nprobe = 8) { // nprobe = nClusters → exhaustive → exact
+      val df = sqlTopk()
+      assert(fired(df), df.queryExecution.optimizedPlan.toString)
+      spark.conf.set(VectorTopKRule.EnabledKey, "false")
+      val brute = sqlTopk()
+      assert(!fired(brute))
+      assert(df.collect().map(_.getLong(0)).toSeq ==
+        brute.collect().map(_.getLong(0)).toSeq)
+    }
+  }
+
+  test("residual WHERE composes post-pruning and pushes into the pruned scan") {
+    register()
+    withRule(nprobe = 8) {
+      val df = sqlTopk(extra = "WHERE label >= 2")
+      assert(fired(df))
+      spark.conf.set(VectorTopKRule.EnabledKey, "false")
+      val brute = sqlTopk(extra = "WHERE label >= 2")
+      assert(df.collect().map(_.getLong(0)).toSeq ==
+        brute.collect().map(_.getLong(0)).toSeq)
+      // predicate survives the rewrite down to a scan (pushed filters)
+      val physical = df.queryExecution.executedPlan.toString
+      assert(physical.contains("label"), physical)
+    }
+  }
+
+  test("ANN mode: small nprobe returns a subset ranked consistently") {
+    register()
+    withRule(nprobe = 2) {
+      val ann = sqlTopk()
+      assert(fired(ann))
+      val annIds = ann.collect().map(_.getLong(0)).toSeq
+      assert(annIds.nonEmpty && annIds.length <= 5)
+    }
+  }
+
+  test("no rewrite for DESC, multiple sort keys, or unindexed columns") {
+    register()
+    withRule(nprobe = 8) {
+      assert(!fired(sqlTopk(order = "DESC")))
+      val multi = spark.sql(
+        s"""SELECT id FROM graft_vecs
+           |ORDER BY array_distance(vec, array(${Seq.fill(8)("0.5F").mkString(",")})), id
+           |LIMIT 5""".stripMargin)
+      assert(!fired(multi))
+      // unindexed: point the rule at an empty index dir
+      spark.conf.set(VectorTopKRule.IndexDirKey,
+        Files.createTempDirectory("graft-empty").toString)
+      assert(!fired(sqlTopk()))
+    }
+  }
+
+  test("no rewrite when an aggregate sits between sort and scan") {
+    register()
+    withRule(nprobe = 8) {
+      val agg = spark.sql(
+        s"""SELECT first(vec) AS v, count(*) AS n FROM graft_vecs GROUP BY label
+           |ORDER BY array_distance(first(vec), array(${Seq.fill(8)("0.5F").mkString(",")}))
+           |LIMIT 2""".stripMargin)
+      assert(!fired(agg))
+    }
+  }
+
+  test("Column-API query with float_vector literal also rewrites") {
+    withRule(nprobe = 8) {
+      import graft.functions.{array_distance, float_vector}
+      val df = spark.read.parquet(dataDir)
+        .orderBy(array_distance(col("vec"), float_vector(Seq.fill(8)(0.5f))).asc)
+        .limit(5)
+        .select("id")
+      assert(fired(df), df.queryExecution.optimizedPlan.toString)
+    }
+  }
+}
