@@ -411,6 +411,90 @@ object Queries {
        |  CAST(len(regexp_extract_all(text, '${ops.TextAnalysis.SubwordPattern}')) AS INTEGER) AS n_subwords
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------- multimodal / streaming
+
+  /** Binary-column pipeline over documents-as-media: UTF-8 payloads through
+    * the stubbed mapPartitions decoder; byte counts are decode-independent
+    * and oracle-checkable.
+    */
+  def mq1MediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = ops.Multimodal.fromText(t(spark, sfDir, "documents"), "doc_id", "text")
+    ops.Multimodal.extractFeatures(spark, media)
+      .toDF()
+      .select(
+        col("id").as("doc_id"),
+        col("nBytes").cast("int").as("n_bytes"),
+        col("thumbnailBytes").cast("int").as("n_thumb_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mq1Oracle: String =
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+      |  CAST((octet_length(encode(text)) + 1) // 2 AS INTEGER) AS n_thumb_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, sfDir, "events")
+  }
+
+  def sq1Sessionize(spark: SparkSession, sfDir: String): DataFrame =
+    streaming.EventStreams
+      .sessionCounts(eventsRaw(spark, sfDir))
+      .orderBy(col("user_id"))
+
+  val sq1Oracle: String =
+    """SELECT user_id, CAST(COUNT(*) FILTER (new_session) AS BIGINT) AS n_sessions
+      |FROM (
+      |  SELECT user_id,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |      OR epoch_ns(ts) - epoch_ns(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+      |         > 1800000000000 AS new_session
+      |  FROM events)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  def st1StreamHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val stream = streaming.EventStreams.readStream(spark, sfDir)
+    streaming.EventStreams
+      .replayToTable(
+        spark, streaming.EventStreams.hourlyCounts(stream), OutputMode.Complete())
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  val st1Oracle: String =
+    """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type, COUNT(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  def st2StreamUserCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val stream = streaming.EventStreams.readStream(spark, sfDir)
+    streaming.EventStreams
+      .replayToTable(
+        spark,
+        streaming.EventStreams.userCounts(spark, stream),
+        OutputMode.Update(),
+        latestPerKey = Some((Seq("user_id"), "n")))
+      .select(col("user_id"), col("n").cast("bigint").as("n"))
+      .orderBy(col("user_id"))
+  }
+
+  val st2Oracle: String =
+    """SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  def st3StreamSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val stream = streaming.EventStreams.readStream(spark, sfDir)
+    streaming.EventStreams
+      .replayToTable(
+        spark,
+        streaming.EventStreams.sessionize(spark, stream),
+        OutputMode.Update(),
+        latestPerKey = Some((Seq("user_id"), "n_sessions")))
+      .select(col("user_id"), col("n_sessions").cast("bigint").as("n_sessions"))
+      .orderBy(col("user_id"))
+  }
+
   // -------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -437,6 +521,11 @@ object Queries {
     "tq3_lang_id" -> (tq3LangId _),
     "tq4_fingerprint" -> (tq4Fingerprint _),
     "tq5_subword_count" -> (tq5SubwordCount _),
+    "mq1_media_features" -> (mq1MediaFeatures _),
+    "sq1_sessionize" -> (sq1Sessionize _),
+    "st1_stream_hourly" -> (st1StreamHourly _),
+    "st2_stream_user_counts" -> (st2StreamUserCounts _),
+    "st3_stream_sessionize" -> (st3StreamSessionize _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -463,5 +552,10 @@ object Queries {
     "tq3_lang_id" -> tq3Oracle,
     "tq4_fingerprint" -> tq4Oracle,
     "tq5_subword_count" -> tq5Oracle,
+    "mq1_media_features" -> mq1Oracle,
+    "sq1_sessionize" -> sq1Oracle,
+    "st1_stream_hourly" -> st1Oracle,
+    "st2_stream_user_counts" -> st2Oracle,
+    "st3_stream_sessionize" -> sq1Oracle, // streaming state == batch sessions
   )
 }

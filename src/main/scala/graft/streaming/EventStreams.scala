@@ -1,0 +1,163 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming operators over the events table, plus their exactly
+  * batch-equivalent forms. The streaming versions run `readStream` →
+  * transform → `writeStream`; tests and the correctness gate replay the
+  * static events parquet with `Trigger.AvailableNow` into a memory sink and
+  * compare against the batch/oracle answer.
+  *
+  * events.ts is TIMESTAMP(NANOS), which Spark only reads as long — the
+  * schema below carries nanos and converts to TimestampType (micros) where
+  * event-time semantics (watermarks, windows) need it.
+  */
+object EventStreams {
+
+  private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** events schema with ts as raw nanos (matches
+    * spark.sql.legacy.parquet.nanosAsLong reads).
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File streams require a directory source; `glob` narrows to the events
+    * file(s) inside it.
+    */
+  def readStream(
+      spark: SparkSession, dir: String, glob: String = "events.parquet"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+  }
+
+  private def withEventTime(df: DataFrame): DataFrame =
+    df.withColumn("event_time", timestamp_micros(col("ts") / lit(1000L) cast LongType))
+
+  /** Streaming hourly counts per event type: watermarked tumbling window.
+    * Complete output mode so a bounded replay emits every window.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"),
+        col("n"))
+
+  final case class UserCount(user_id: Long, n: Long)
+
+  /** Stateful per-user running count via mapGroupsWithState — the custom
+    * streaming-state primitive; state survives across micro-batches.
+    */
+  def userCounts(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("user_id"))
+      .as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          UserCount(user, total)
+      }
+      .toDF()
+  }
+
+  /** Run a streaming transform over the static events dir with
+    * AvailableNow, collect into a memory sink, return the final table.
+    * `latestPerKey` handles Update-mode sinks where a key may appear once
+    * per micro-batch (the last value wins).
+    */
+  def replayToTable(
+      spark: SparkSession,
+      transformed: DataFrame,
+      mode: OutputMode,
+      latestPerKey: Option[(Seq[String], String)] = None): DataFrame = {
+    val sinkName = s"graft_sink_${EventStreams.sinkCounter.incrementAndGet()}"
+    val checkpoint = Files.createTempDirectory("graft-ckpt").toString
+    val query = transformed.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode(mode)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val sunk = spark.table(sinkName)
+    latestPerKey match {
+      case Some((keys, valueCol)) =>
+        // Update-mode memory sink appends one row per key per batch; the
+        // final state is the max (counts are monotone).
+        sunk.groupBy(keys.map(col): _*)
+          .agg(max(col(valueCol)).as(valueCol))
+      case None => sunk
+    }
+  }
+
+  /** Batch sessionization (30-min inactivity gap): the SQL-expressible
+    * twin of the streaming stateful session operator, used as its oracle.
+    */
+  def sessionCounts(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapNanos = gapMinutes.toLong * 60L * 1000000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn(
+        "new_session",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNanos, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).cast("bigint").as("n_sessions"))
+  }
+
+  final case class SessionState(lastTs: Long, sessions: Long)
+  final case class UserSessions(user_id: Long, n_sessions: Long)
+
+  /** Streaming sessionization with explicit state: counts 30-min-gap
+    * sessions per user across micro-batches. Events within a batch are
+    * sorted per group (bounded by per-user event counts); state carries the
+    * last timestamp so sessions spanning batch boundaries merge correctly.
+    */
+  def sessionize(
+      spark: SparkSession, events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val gapNanos = gapMinutes.toLong * 60L * 1000000000L
+    events
+      .select(col("user_id"), col("ts"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
+          val sorted = rows.map(_._2).toArray.sorted
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+          sorted.foreach { ts =>
+            if (st.lastTs == Long.MinValue || ts - st.lastTs > gapNanos) {
+              st = SessionState(ts, st.sessions + 1L)
+            } else {
+              st = SessionState(ts, st.sessions)
+            }
+          }
+          state.update(st)
+          UserSessions(user, st.sessions)
+      }
+      .toDF()
+  }
+}
