@@ -1,0 +1,138 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expressions for the text-dedup hot path.
+  *
+  * The first implementation used higher-order functions (`transform` /
+  * `aggregate` lambdas), which Spark evaluates INTERPRETED — at 128 hash
+  * slots × shingles × join branches that dominated whole queries. These
+  * expressions do the same work in tight JVM loops (one xxhash64 per
+  * shingle, then cheap splitmix64 per slot), ~two orders of magnitude
+  * faster per row. They extend CodegenFallback: the per-row work is large
+  * enough that the codegen boundary cost is irrelevant.
+  */
+object TextHash {
+  /** splitmix64 finalizer — cheap per-slot derivation from one base hash. */
+  @inline def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  @inline def hashString(s: UTF8String): Long =
+    XxHash64Function.hash(s, StringType, 42L)
+}
+
+/** `word_shingles(text, n)`: distinct word n-grams (space-joined) of a
+  * whitespace-tokenized string. Single pass, no regex per element.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val toks = text.trim.split("\\s+")
+    if (toks.length < n || (toks.length == 1 && toks(0).isEmpty)) {
+      return new GenericArrayData(Array.empty[Any])
+    }
+    val seen = mutable.LinkedHashSet.empty[String]
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen += sb.toString
+      i += 1
+    }
+    new GenericArrayData(seen.iterator.map(UTF8String.fromString).toArray[Any])
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `minhash_signature(shingles, k)`: k-slot MinHash — one xxhash64 per
+  * shingle, k splitmix64-derived slot values, running minima.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(numHashes >= 1, "numHashes must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  private lazy val slotSeeds: Array[Long] =
+    Array.tabulate(numHashes)(i => TextHash.mix(0xC0FFEEL + i.toLong))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var s = 0
+    while (s < m) {
+      if (!arr.isNullAt(s)) {
+        val h = TextHash.hashString(arr.getUTF8String(s))
+        var i = 0
+        while (i < numHashes) {
+          val v = TextHash.mix(h ^ slotSeeds(i))
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
+      s += 1
+    }
+    new GenericArrayData(sig.map(Long.box).toArray[Any])
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `simhash64(tokens)`: 64-bit SimHash — one xxhash64 per token, 64 signed
+  * bit counters, sign bits form the fingerprint.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val counters = new Array[Int](64)
+    var s = 0
+    while (s < m) {
+      if (!arr.isNullAt(s)) {
+        val h = TextHash.hashString(arr.getUTF8String(s))
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) counters(i) += 1 else counters(i) -= 1
+          i += 1
+        }
+      }
+      s += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (counters(i) > 0) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

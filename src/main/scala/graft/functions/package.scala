@@ -28,6 +28,18 @@ package object functions {
   def array_cosine_similarity(a: Column, b: Column): Column =
     col(ArrayCosineSimilarity(expr(a), expr(b)))
 
+  /** Distinct word n-gram shingles of a text column (native expression). */
+  def word_shingles(text: Column, n: Int): Column =
+    col(WordShingles(expr(text), n))
+
+  /** k-slot MinHash signature of a shingle array (native expression). */
+  def minhash_signature(shingleCol: Column, numHashes: Int): Column =
+    col(MinHashSignature(expr(shingleCol), numHashes))
+
+  /** 64-bit SimHash of a token array (native expression). */
+  def simhash64(tokens: Column): Column =
+    col(SimHash64(expr(tokens)))
+
   /** Spark SQL has no `[...]` array literal — helper for query vectors. */
   def float_vector(values: Seq[Float]): Column = {
     import org.apache.spark.sql.functions.{array, lit}

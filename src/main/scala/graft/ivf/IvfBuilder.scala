@@ -71,11 +71,16 @@ object IvfBuilder {
     (n, minDim)
   }
 
+  /** @param embed true: write each file's index INSIDE the parquet footer
+    *              region (reference-native layout, mutates the data files —
+    *              they must be writable); false: sidecar files in `store`.
+    */
   def build(
       spark: SparkSession,
       path: String,
       config: Config,
-      store: IndexStore = IndexStore.default): BuildResult = {
+      store: IndexStore = IndexStore.default,
+      embed: Boolean = false): BuildResult = {
     import spark.implicits._
     require(config.column.nonEmpty, "embedding column name must be non-empty")
     require(config.maxIters > 0, "max_iters must be > 0")
@@ -138,7 +143,8 @@ object IvfBuilder {
         }
         val sorted = lists.map { l => val a = l.toArray; java.util.Arrays.sort(a); a }
         val index = IvfIndex(dim, k, bcCentroids.value, sorted)
-        store.write(file, column, index)
+        if (embed) ParquetFooterIndex.embedInPlace(file, column, index)
+        else store.write(file, column, index)
         (file, count)
       }
       .collect()

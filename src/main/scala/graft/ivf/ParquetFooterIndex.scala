@@ -1,14 +1,18 @@
 package graft.ivf
 
-import java.io.RandomAccessFile
+import java.io.{ByteArrayOutputStream, RandomAccessFile}
 import java.net.URI
+import java.nio.{ByteBuffer, ByteOrder}
 
 import scala.jdk.CollectionConverters._
 import scala.util.Try
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.format.Util
+import org.apache.parquet.format.converter.ParquetMetadataConverter
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter}
+import org.apache.parquet.hadoop.metadata.{FileMetaData, ParquetMetadata}
 import org.apache.parquet.hadoop.util.HadoopInputFile
 
 /** Read path for indexes embedded INSIDE a Parquet file, the reference's
@@ -44,6 +48,76 @@ object ParquetFooterIndex {
   }
 
   def hasIndex(file: String): Boolean = indexMetadata(file).isDefined
+
+  /** Embed an index INSIDE the Parquet file, in place — the reference's
+    * native persist mode (`/root/reference/src/ivf/parquet.rs:536-611`):
+    * the index payload is written where the footer metadata used to start
+    * (data pages and page indexes are untouched, so all row-group offsets
+    * stay valid), then the metadata — with stale pq-vector keys stripped and
+    * fresh `pq_vector_index_offset`/`pq_vector_embedding_column` entries —
+    * and the `len + PAR1` trailer are rewritten after it. A previously
+    * embedded index region is reclaimed (write restarts at the recorded old
+    * offset), so repeated embeds don't grow the file. Encrypted footers are
+    * refused, like the reference.
+    */
+  def embedInPlace(file: String, column: String, index: IvfIndex): Unit = {
+    val local = toLocalFile(file)
+    val inputFile = HadoopInputFile.fromPath(new Path(local), new Configuration())
+    val reader = ParquetFileReader.open(inputFile)
+    val footer: ParquetMetadata =
+      try reader.getFooter
+      finally reader.close()
+    val fmd = footer.getFileMetaData
+    require(
+      fmd.getEncryptionType == null ||
+        fmd.getEncryptionType == FileMetaData.EncryptionType.UNENCRYPTED,
+      s"refusing to embed index into encrypted parquet file $file")
+
+    val raf = new RandomAccessFile(local, "rw")
+    try {
+      val fileLen = raf.length()
+      val trailer = new Array[Byte](8)
+      raf.seek(fileLen - 8)
+      raf.readFully(trailer)
+      require(
+        new String(trailer, 4, 4, "US-ASCII") == "PAR1",
+        s"$file is not a parquet file (bad magic)")
+      val footerLen =
+        ByteBuffer.wrap(trailer, 0, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+      val metadataStart = fileLen - 8 - footerLen.toLong
+      require(metadataStart > 0, s"implausible footer length $footerLen in $file")
+
+      val oldKv = fmd.getKeyValueMetaData.asScala
+      // reclaim a previously embedded index region if its offset checks out
+      val writeStart = oldKv
+        .get(IvfIndex.IndexOffsetKey)
+        .flatMap(s => Try(s.toLong).toOption)
+        .filter(off => off > 0 && off < metadataStart)
+        .getOrElse(metadataStart)
+
+      val newKv = (oldKv.toMap
+        - IvfIndex.IndexOffsetKey - IvfIndex.EmbeddingColumnKey) +
+        (IvfIndex.IndexOffsetKey -> writeStart.toString) +
+        (IvfIndex.EmbeddingColumnKey -> column)
+      val newMeta = new ParquetMetadata(
+        new FileMetaData(fmd.getSchema, newKv.asJava, fmd.getCreatedBy),
+        footer.getBlocks)
+      val thrift = new ParquetMetadataConverter()
+        .toParquetMetadata(ParquetFileWriter.CURRENT_VERSION, newMeta)
+      val footerBytes = new ByteArrayOutputStream()
+      Util.writeFileMetaData(thrift, footerBytes)
+      val footerArr = footerBytes.toByteArray
+
+      raf.seek(writeStart)
+      raf.write(IvfIndex.frame(index.toBytes))
+      raf.write(footerArr)
+      val lenAndMagic = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      lenAndMagic.putInt(footerArr.length)
+      lenAndMagic.put("PAR1".getBytes("US-ASCII"))
+      raf.write(lenAndMagic.array())
+      raf.setLength(raf.getFilePointer)
+    } finally raf.close()
+  }
 
   /** Load the embedded index if this file carries one for `column`. */
   def load(file: String, column: String): Option[IvfIndex] =

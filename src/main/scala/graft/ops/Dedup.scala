@@ -15,14 +15,11 @@ import graft.functions.array_cosine_similarity
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles of a text column. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(trim(text), "\\s+")
-    val grams = transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
-    when(size(toks) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
-  }
+  /** Distinct word n-gram shingles of a text column (native expression —
+    * the HOF formulation was interpreted and dominated dedup runtime).
+    */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.word_shingles(text, n)
 
   /** Exact duplicate removal: keep the smallest id per identical key. */
   def exact(df: DataFrame, keyCol: Column, idCol: Column): DataFrame =
@@ -38,12 +35,11 @@ object Dedup {
       size(array_union(a, b)).cast("double")
 
   /** MinHash signature: `numHashes` independent min-hashes of the shingle
-    * set, using seeded xxhash64 (hash family indexed by the hash slot).
+    * set — one xxhash64 per shingle + splitmix64 slot derivation, in a
+    * native expression.
     */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingleCol, s => xxhash64(s, i))))
+    graft.functions.minhash_signature(shingleCol, numHashes)
 
   /** LSH banding: candidate pairs are doc pairs sharing at least one
     * (band index, band hash) bucket. Banded signatures shuffle on the bucket
@@ -134,23 +130,11 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
 
   /** 64-bit SimHash over a token array: bit i of the fingerprint is set when
-    * the sum over tokens of ±1 (sign of bit i of xxhash64(token)) is
-    * positive. Pure higher-order-function expression (stays in codegen);
-    * a dedicated Catalyst expression is the follow-up optimization for the
-    * very hot path.
+    * the sum over tokens of ±1 (sign of bit i of the token hash) is
+    * positive. Native expression — one hash per token, 64 counters.
     */
-  def simhash64(tokens: Column): Column = {
-    val bitCols: Seq[Column] = (0 until 64).map { i =>
-      val bitSum = aggregate(
-        tokens,
-        lit(0L),
-        (acc, t) =>
-          acc + when(shiftright(xxhash64(t), i).bitwiseAND(lit(1L)) === 1L, 1L)
-            .otherwise(-1L))
-      when(bitSum > 0L, lit(1L << i)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ bitwiseOR _)
-  }
+  def simhash64(tokens: Column): Column =
+    graft.functions.simhash64(tokens)
 
   /** Near-duplicate pairs by SimHash banding: candidates share at least one
     * of `numBlocks` equal bit-blocks of the 64-bit fingerprint — guaranteed
