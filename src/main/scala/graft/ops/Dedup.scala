@@ -112,11 +112,22 @@ object Dedup {
       .where(col("df") <= maxDocFreq && col("df") >= 2)
       .select("shingle")
     val filtered = posting.join(rare, "shingle")
-    val cands = filtered.as("a")
+    // Shared-shingle count per pair straight off the postings — no arrays
+    // touched yet. The count filter is EXACT for jaccard >= t:
+    //   i/(|a|+|b|-i) >= t  <=>  i >= t/(1+t) * (|a|+|b|)
+    // so only genuinely similar pairs reach the array-based verify step.
+    val shared = filtered.as("a")
       .join(filtered.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .distinct()
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    val sizes = docs.select(col("id"), size(col("sh")).as("sz"))
+    val cands = shared
+      .join(sizes.select(col("id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .where(col("shared").cast("double") >=
+        lit(threshold / (1.0 + threshold)) * (col("sz_a") + col("sz_b")))
+      .select(col("doc_a"), col("doc_b"))
     verifyJaccard(cands, docs, threshold)
   }
 
@@ -169,11 +180,15 @@ object Dedup {
           shiftright(col("sim"), b * blockBits).bitwiseAND(lit(blockMask)).as("val"))
       }: _*)).as("blk"))
       .select(col("id"), col("sim"), col("blk.block"), col("blk.val"))
+    // hamming prefilter matches the banding recall guarantee exactly and
+    // kills the (overwhelmingly random) same-block collisions before the
+    // array-based jaccard verify
     val cands = blocks.as("a")
       .join(blocks.as("b"),
         col("a.block") === col("b.block") &&
           col("a.val") === col("b.val") &&
-          col("a.id") < col("b.id"))
+          col("a.id") < col("b.id") &&
+          bit_count(col("a.sim").bitwiseXOR(col("b.sim"))) <= numBlocks - 1)
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
     verifyJaccard(cands, docs, threshold)

@@ -91,6 +91,39 @@ class VectorTopKSpec extends SparkSpec {
     assert(res.length == 5) // enough candidates in 2 cells for k=5
   }
 
+  test("multi-file table: per-file indexes, global top-k equals brute force") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(99)
+    val dir = Files.createTempDirectory("graft-multi").toString
+    val df = spark.createDataFrame(
+      (0 until 300).map(i => (i.toLong, Seq.fill(8)(rnd.nextFloat()))))
+      .toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    df.repartition(3).write.mode("overwrite").parquet(dir)
+    val store = tmpStore
+    val build = IvfBuilder.build(spark, dir,
+      IvfBuilder.Config("vec", nClusters = Some(6)), store)
+    assert(build.files.size == 3) // one index per data file
+    assert(build.numRows == 300)
+    val query = Seq.fill(8)(0.3f)
+    val brute = VectorTopK
+      .bruteForce(spark.read.parquet(dir), "vec", query, 10)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val indexed = VectorTopK
+      .indexed(spark, dir, "vec", query, 10,
+        VectorTopK.Options(nprobe = build.nClusters), store = store)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(indexed.sorted == brute.sorted)
+    // recall harness: exhaustive probe has recall 1.0
+    val r = Recall.atK(spark, dir, "vec", "id", query, 10, build.nClusters, store)
+    assert(r.recall == 1.0)
+    assert(r.candidates == 300)
+    // restrictive probe: recall in (0, 1], fewer candidates than rows
+    val r2 = Recall.atK(spark, dir, "vec", "id", query, 10, 1, store)
+    assert(r2.candidates < 300)
+    assert(r2.recall > 0.0 && r2.recall <= 1.0)
+  }
+
   test("query dim mismatch fails fast") {
     val path = writeFixture(Seq(Seq(0f, 0f), Seq(1f, 1f)))
     val store = tmpStore
