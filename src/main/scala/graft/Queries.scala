@@ -178,9 +178,11 @@ object Queries {
     val customer = t(spark, sfDir, "customer")
     val orders = t(spark, sfDir, "orders")
     val lineitem = t(spark, sfDir, "lineitem")
+    // customer scales with SF — shuffle-join it (AQE may still broadcast at
+    // small SF); only fixed-cardinality dims get explicit broadcast hints.
     lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"))
       .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
         .cast("bigint").as("revenue_cents"))
@@ -198,13 +200,15 @@ object Queries {
       |ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""".stripMargin
 
   def q5RegionRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    // nation/region are fixed-size → broadcast; customer scales with SF →
+    // shuffle join (AQE handles the small-SF case).
     val dims = t(spark, sfDir, "customer")
-      .join(t(spark, sfDir, "nation"), col("c_nationkey") === col("n_nationkey"))
-      .join(t(spark, sfDir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(t(spark, sfDir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, sfDir, "region")), col("n_regionkey") === col("r_regionkey"))
       .select(col("c_custkey"), col("n_name"), col("r_name"))
     t(spark, sfDir, "lineitem")
       .join(t(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
         .cast("bigint").as("revenue_cents"))

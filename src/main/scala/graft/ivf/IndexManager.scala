@@ -21,16 +21,13 @@ object IndexManager {
 
   private val cache = TrieMap.empty[(String, String), TableIndex]
 
-  def listFiles(spark: SparkSession, path: String): Seq[String] = {
-    import spark.implicits._
-    spark.read.parquet(path)
-      .select(col("_metadata.file_path"))
-      .distinct()
-      .as[String]
-      .collect()
+  /** Enumerate data files from the driver-side file index (no scan job);
+    * canonical form matches `_metadata.file_path` and the store keys.
+    */
+  def listFiles(spark: SparkSession, path: String): Seq[String] =
+    spark.read.parquet(path).inputFiles.toSeq
+      .map(IndexStore.canonicalPath)
       .sorted
-      .toSeq
-  }
 
   def ensure(
       spark: SparkSession,

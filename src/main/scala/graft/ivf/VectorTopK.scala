@@ -89,12 +89,7 @@ object VectorTopK {
     import spark.implicits._
 
     val base = spark.read.parquet(path)
-    val files = base
-      .select(col("_metadata.file_path"))
-      .distinct()
-      .as[String]
-      .collect()
-      .sorted
+    val files = IndexManager.listFiles(spark, path)
     val q = query.toArray
 
     val perFile: Seq[(String, Array[Int])] = files.toSeq.map { file =>
