@@ -257,6 +257,51 @@ object Queries {
       |EXCEPT SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
       |ORDER BY c_custkey""".stripMargin
 
+  /** Grouping sets (inherited rollup surface): per-(status,priority) counts
+    * plus per-status subtotals plus a grand total.
+    */
+  def qgRollup(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"))
+      .orderBy(col("status"), col("priority"))
+
+  val qgOracle: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority, COUNT(*) AS n
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  def qs2Intersect(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .where(col("o_orderstatus") === "F")
+      .select(col("o_custkey"))
+      .intersect(
+        t(spark, sfDir, "orders")
+          .where(col("o_orderstatus") === "O")
+          .select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+
+  val qs2Oracle: String =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |ORDER BY o_custkey""".stripMargin
+
+  /** True-ANN configuration (nprobe << nClusters) for the bench: no oracle —
+    * the driver records a rows-only check; exactness is gated by vq2/vq7.
+    */
+  def va1AnnNprobe4(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/embeddings.parquet"
+    IndexManager.ensure(spark, path, "embedding")
+    VectorTopK.indexed(spark, path, "embedding", queryVec, 10,
+      VectorTopK.Options(nprobe = 4))
+      .select(col("vec_id"))
+  }
+
   def qeEventsHourly(spark: SparkSession, sfDir: String): DataFrame = {
     // events.ts is TIMESTAMP(NANOS); Spark has no nanos timestamp type —
     // read as long nanos and truncate to micros (UTC session).
@@ -514,6 +559,9 @@ object Queries {
     "q5_region_revenue" -> (q5RegionRevenue _),
     "qw_window" -> (qwWindow _),
     "qs_setop" -> (qsSetOp _),
+    "qs2_intersect" -> (qs2Intersect _),
+    "qg_rollup" -> (qgRollup _),
+    "va1_ann_nprobe4" -> (va1AnnNprobe4 _),
     "qe_events_hourly" -> (qeEventsHourly _),
     "dq1_exact_dedup" -> (dq1ExactDedup _),
     "dq2_minhash_neardup" -> (dq2MinhashNearDup _),
@@ -545,6 +593,9 @@ object Queries {
     "q5_region_revenue" -> q5Oracle,
     "qw_window" -> qwOracle,
     "qs_setop" -> qsOracle,
+    "qs2_intersect" -> qs2Oracle,
+    "qg_rollup" -> qgOracle,
+    // va1_ann_nprobe4 intentionally has no oracle (ANN subset)
     "qe_events_hourly" -> qeOracle,
     "dq1_exact_dedup" -> dq1Oracle,
     "dq2_minhash_neardup" -> duckNearDupOracle,

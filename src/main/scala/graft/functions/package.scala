@@ -57,9 +57,21 @@ package object functions {
         (cs: Seq[Expression]) => ArrayDot(cs(0), cs(1))),
       ("array_cosine_similarity", "Cosine similarity of two float vectors",
         (cs: Seq[Expression]) => ArrayCosineSimilarity(cs(0), cs(1))),
+      ("word_shingles", "Distinct word n-gram shingles of a string",
+        (cs: Seq[Expression]) => WordShingles(cs(0), intArg(cs, 1, "word_shingles"))),
+      ("minhash_signature", "k-slot MinHash signature of a shingle array",
+        (cs: Seq[Expression]) => MinHashSignature(cs(0), intArg(cs, 1, "minhash_signature"))),
+      ("simhash64", "64-bit SimHash of a token array",
+        (cs: Seq[Expression]) => SimHash64(cs(0))),
     ).map { case (name, _, builder) =>
       (FunctionIdentifier(name), new ExpressionInfo("graft.functions", name), builder)
     }
+
+  private def intArg(cs: Seq[Expression], i: Int, fn: String): Int = cs(i) match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn argument ${i + 1} must be an integer literal, got $other")
+  }
 
   /** Register the SQL functions on an existing session (the extension-less
     * path used by Verify/Bench; `GraftExtensions` covers
