@@ -151,4 +151,30 @@ object IvfBuilder {
 
     BuildResult(written.toMap, dim, k, centroids)
   }
+
+  /** Rewrite mode (reference `write_parquet_with_index`,
+    * `/root/reference/src/ivf/parquet.rs:307-377`): copy the table to
+    * `outPath` with point-read-friendly page layout — 1 row per data page,
+    * dictionary off — then build and embed the index into each output file.
+    * parquet-java only exposes these knobs per-file (not per-column like the
+    * reference's arrow writer), so the whole file gets the tuned layout; the
+    * row-group size cap keeps the page-header overhead bounded. Row ordering
+    * inside each output file defines the index ordinals, so the index is
+    * built AFTER the rewrite, from the rewritten files.
+    */
+  def rewriteWithIndex(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      config: Config,
+      numFiles: Option[Int] = None): BuildResult = {
+    val df = spark.read.parquet(inPath)
+    val writer = numFiles.fold(df)(df.repartition(_)).write
+      .mode("overwrite")
+      .option("parquet.page.row.count.limit", "1")
+      .option("parquet.enable.dictionary", "false")
+    writer.parquet(outPath)
+    val store = IndexStore.default // unused: embed writes into the files
+    build(spark, outPath, config, store, embed = true)
+  }
 }

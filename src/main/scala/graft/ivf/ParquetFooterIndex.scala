@@ -117,6 +117,11 @@ object ParquetFooterIndex {
       raf.write(lenAndMagic.array())
       raf.setLength(raf.getFilePointer)
     } finally raf.close()
+    // the mutation invalidates any Hadoop LocalFileSystem checksum sidecar
+    // (.<name>.crc) — remove it so later reads don't fail checksum
+    val p = java.nio.file.Paths.get(local)
+    val crc = p.getParent.resolve("." + p.getFileName.toString + ".crc")
+    java.nio.file.Files.deleteIfExists(crc): Unit
   }
 
   /** Load the embedded index if this file carries one for `column`. */

@@ -77,6 +77,29 @@ class ParquetFooterIndexSpec extends SparkSpec {
     assert(indexed.sorted == brute.sorted)
   }
 
+  test("rewrite mode: tuned pages + embedded index, search works end to end") {
+    val src = copyFixture()
+    val out = Files.createTempDirectory("graft-rewrite").toString + "/out"
+    val build = IvfBuilder.rewriteWithIndex(
+      spark, src, out, IvfBuilder.Config("embedding", nClusters = Some(8)),
+      numFiles = Some(2))
+    assert(build.files.size == 2)
+    assert(build.numRows == 500)
+    build.files.keys.foreach { f =>
+      assert(ParquetFooterIndex.hasIndex(f), f)
+    }
+    val emptyStore = new IndexStore(Files.createTempDirectory("graft-e3").toString)
+    val query = graft.Queries.queryVec
+    val indexed = VectorTopK
+      .indexed(spark, out, "embedding", query, 5,
+        VectorTopK.Options(nprobe = 8), store = emptyStore)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val brute = VectorTopK
+      .bruteForce(spark.read.parquet(out), "embedding", query, 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(indexed.sorted == brute.sorted)
+  }
+
   test("wrong column name yields no index") {
     val file = copyFixture()
     val store = new IndexStore(Files.createTempDirectory("graft-noop3").toString)
