@@ -130,17 +130,9 @@ object Queries {
     */
   def vq6KnnJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val e = t(spark, sfDir, "embeddings")
-    val queries = e.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      .where(col("query_id") < 5)
-    val joined = e
-      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .withColumn("dist", array_distance(col("embedding"), col("qvec")))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("vec_id").asc)
-    joined
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= 3)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    ops.Similarity
+      .knnJoin(e.where(col("vec_id") < 5), e, "vec_id", "vec_id", "embedding", 3)
+      .select(col("query_id"), col("neighbor_id"))
       .orderBy(col("query_id"), col("neighbor_id"))
   }
 
@@ -460,6 +452,57 @@ object Queries {
        |  CAST(len(regexp_extract_all(text, '${ops.TextAnalysis.SubwordPattern}')) AS INTEGER) AS n_subwords
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  def tq6Quality(spark: SparkSession, sfDir: String): DataFrame =
+    ops.TextAnalysis
+      .qualityFeatures(t(spark, sfDir, "documents"), "doc_id", "text")
+      .select(
+        col("doc_id"),
+        col("n_chars").cast("int").as("n_chars"),
+        col("n_tokens").cast("int").as("n_tokens"),
+        col("n_punct").cast("int").as("n_punct"),
+        col("distinct_ratio"))
+      .orderBy(col("doc_id"))
+
+  val tq6Oracle: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS INTEGER) AS n_chars,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+      |  CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS INTEGER) AS n_punct,
+      |  round(len(list_distinct(regexp_split_to_array(trim(text), '\s+')))::DOUBLE
+      |        / len(regexp_split_to_array(trim(text), '\s+')), 6) AS distinct_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** JSON column surface (inherited): extract a typed field from the events
+    * props JSON.
+    */
+  def je1JsonExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, sfDir, "events")
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy(col("event_id"))
+  }
+
+  val je1Oracle: String =
+    """SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** IVF-cell bucketed similarity pairs — the 100 TB-safe candidate path
+    * (equi-join on cell id). Rows-only check: recall vs the exact pair join
+    * is bounded by cell co-location, so no oracle.
+    */
+  def sq2IvfCellPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/embeddings.parquet"
+    val ti = IndexManager.ensure(spark, path, "embedding")
+    val store = graft.ivf.IndexStore.default
+    val centroids = store.load(ti.files.head, "embedding").get.centroids
+    ops.Similarity
+      .ivfCellPairs(spark, t(spark, sfDir, "embeddings"), "vec_id", "embedding",
+        centroids, ti.dim, threshold = 0.3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ---------------------------------------- multimodal / streaming
 
   /** Binary-column pipeline over documents-as-media: UTF-8 payloads through
@@ -573,6 +616,9 @@ object Queries {
     "tq3_lang_id" -> (tq3LangId _),
     "tq4_fingerprint" -> (tq4Fingerprint _),
     "tq5_subword_count" -> (tq5SubwordCount _),
+    "tq6_quality" -> (tq6Quality _),
+    "je1_json_extract" -> (je1JsonExtract _),
+    "sq2_ivf_cell_pairs" -> (sq2IvfCellPairs _),
     "mq1_media_features" -> (mq1MediaFeatures _),
     "sq1_sessionize" -> (sq1Sessionize _),
     "st1_stream_hourly" -> (st1StreamHourly _),
@@ -607,6 +653,9 @@ object Queries {
     "tq3_lang_id" -> tq3Oracle,
     "tq4_fingerprint" -> tq4Oracle,
     "tq5_subword_count" -> tq5Oracle,
+    "tq6_quality" -> tq6Oracle,
+    "je1_json_extract" -> je1Oracle,
+    // sq2_ivf_cell_pairs intentionally has no oracle (cell-recall ANN)
     "mq1_media_features" -> mq1Oracle,
     "sq1_sessionize" -> sq1Oracle,
     "st1_stream_hourly" -> st1Oracle,
