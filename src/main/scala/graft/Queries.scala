@@ -587,6 +587,32 @@ object Queries {
       .orderBy(col("user_id"))
   }
 
+  /** Streaming vector top-k over the embeddings table replayed as a stream:
+    * final heap state must equal the batch brute-force answer (vq1's oracle
+    * modulo ordering — output re-sorted by id).
+    */
+  def st4StreamVectorTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    // file streams need an explicit schema; reuse the table's own
+    val schema = t(spark, sfDir, "embeddings").schema
+    val typed = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(sfDir)
+    val topk = streaming.EventStreams
+      .streamingVectorTopK(spark, typed, "vec_id", "embedding", queryVec, 10)
+    val sunk = streaming.EventStreams
+      .replayToTable(spark, topk, OutputMode.Append())
+    sunk
+      .where(col("batch") === sunk.agg(max(col("batch"))).head().getLong(0))
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  val st4Oracle: String =
+    s"""SELECT vec_id FROM (
+       |  SELECT vec_id FROM embeddings
+       |  ORDER BY list_distance(embedding::FLOAT[], $duckVecLit) ASC, vec_id LIMIT 10)
+       |ORDER BY vec_id""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -624,6 +650,7 @@ object Queries {
     "st1_stream_hourly" -> (st1StreamHourly _),
     "st2_stream_user_counts" -> (st2StreamUserCounts _),
     "st3_stream_sessionize" -> (st3StreamSessionize _),
+    "st4_stream_vector_topk" -> (st4StreamVectorTopk _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -661,5 +688,6 @@ object Queries {
     "st1_stream_hourly" -> st1Oracle,
     "st2_stream_user_counts" -> st2Oracle,
     "st3_stream_sessionize" -> sq1Oracle, // streaming state == batch sessions
+    "st4_stream_vector_topk" -> st4Oracle,
   )
 }

@@ -111,6 +111,48 @@ object EventStreams {
     }
   }
 
+  final case class TopKState(batch: Long, top: Seq[(Long, Float)])
+  final case class TopKRow(batch: Long, vec_id: Long, dist: Float)
+
+  /** Streaming vector top-k: maintains a bounded k-heap of nearest vectors
+    * over an unbounded stream via mapGroupsWithState — the streaming twin of
+    * the batch `VectorTopK.bruteForce`. Single state key: the heap is k
+    * entries, so state stays tiny regardless of stream size (a two-level
+    * per-partition pre-heap is the >>1M-rows-per-batch refinement).
+    * Each micro-batch emits the current top-k tagged with a batch sequence;
+    * the final answer is the rows of the highest batch.
+    */
+  def streamingVectorTopK(
+      spark: SparkSession,
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val q = query.toArray
+    stream
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[(Long, Array[Float])], state: GroupState[TopKState]) =>
+          val prev = state.getOption.getOrElse(TopKState(0L, Seq.empty))
+          val merged = (prev.top.iterator ++ rows.flatMap { case (id, v) =>
+            if (v == null || v.length != q.length) None
+            else Some((id, graft.functions.VectorKernels.squaredL2(v, q)))
+          }).toSeq
+            .sortBy { case (id, d) => (d, id) }
+            .take(k)
+          val next = TopKState(prev.batch + 1L, merged)
+          state.update(next)
+          merged.iterator.map { case (id, d) => TopKRow(next.batch, id, d) }
+      }
+      .toDF()
+  }
+
   /** Batch sessionization (30-min inactivity gap): the SQL-expressible
     * twin of the streaming stateful session operator, used as its oracle.
     */
