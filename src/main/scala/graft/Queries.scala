@@ -384,6 +384,12 @@ object Queries {
       .minhashNearDupPairs(t(spark, sfDir, "documents"), "doc_id", "text")
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** SimHash recall is bounded by the banding guarantee (hamming <=
+    * numBlocks-1 = 7): on the sf0.01 gate corpus every true dup pair sits at
+    * hamming <= 5, so dq3 equals the exact-jaccard oracle; at larger sf a
+    * few heavily-perturbed pairs exceed the bound (by design — heavier
+    * perturbation is MinHash's regime, dq2).
+    */
   def dq3SimhashNearDup(spark: SparkSession, sfDir: String): DataFrame =
     ops.Dedup
       .simhashNearDupPairs(t(spark, sfDir, "documents"), "doc_id", "text")

@@ -167,10 +167,14 @@ object Dedup {
     val docs = df
       .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
       .where(size(col("sh")) > 0)
+    // persist: the hashed side feeds both branches of the self-join, and
+    // recomputing simhash per branch doubles the dominant cost (the same
+    // pattern Spark ML uses for LSH similarity self-joins). O(rows × 16B).
     val hashed = df
       .select(
         col(idCol).as("id"),
         simhash64(split(trim(col(textCol)), "\\s+")).as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocks = hashed.select(
       col("id"),
       col("sim"),
