@@ -48,12 +48,26 @@ object Bench {
       try materialize(SparkEntry.queries(name)(spark, sfDir))
       catch { case _: Throwable => () }
     }
+    // BASELINE.md protocol metrics (k=100, nprobe=16), directly comparable
+    // to the self-measured baseline table
+    val query = Queries.queryVec
+    val path = s"$sfDir/embeddings.parquet"
+    def bruteK100() = graft.ivf.VectorTopK
+      .bruteForce(spark.read.parquet(path), "embedding", query, 100)
+    def indexedK100() = graft.ivf.VectorTopK
+      .indexed(spark, path, "embedding", query, 100,
+        graft.ivf.VectorTopK.Options(nprobe = 16))
+    materialize(bruteK100()); materialize(indexedK100()) // warm
+
     val results: Seq[(String, Double)] = names.map { name =>
       val sec =
         try time(materialize(SparkEntry.queries(name)(spark, sfDir)))
         catch { case _: Throwable => -1.0 }
       name -> sec
-    } :+ ("index_build" -> indexBuild)
+    } ++ Seq(
+      "baseline_brute_topk100" -> time(materialize(bruteK100())),
+      "baseline_indexed_topk100_nprobe16" -> time(materialize(indexedK100())),
+      "index_build" -> indexBuild)
 
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + v }

@@ -134,6 +134,29 @@ class VectorTopKSpec extends SparkSpec {
     }
   }
 
+  test("edge cases: k > n, candidate cap, option validation, index reuse") {
+    val vecs = Seq(Seq(0f, 0f), Seq(1f, 1f), Seq(2f, 2f))
+    val path = writeFixture(vecs)
+    val store = tmpStore
+    val build = IvfBuilder.build(spark, path,
+      IvfBuilder.Config("vec", nClusters = Some(2)), store)
+    // k > n returns all rows
+    val all = VectorTopK.indexed(spark, path, "vec", Seq(0f, 0f), 99,
+      VectorTopK.Options(nprobe = 2), store = store).collect()
+    assert(all.length == 3)
+    // maxCandidates caps the fetched rows end to end
+    val capped = VectorTopK.indexed(spark, path, "vec", Seq(0f, 0f), 99,
+      VectorTopK.Options(nprobe = 2, maxCandidates = Some(2)), store = store).collect()
+    assert(capped.length == 2)
+    // invalid options fail fast
+    assertThrows[IllegalArgumentException](VectorTopK.Options(nprobe = 0))
+    assertThrows[IllegalArgumentException](
+      VectorTopK.Options(nprobe = 1, maxCandidates = Some(0)))
+    // ensure() reuses existing sidecars without rebuilding
+    val ti = IndexManager.ensure(spark, path, "vec", store = store)
+    assert(ti.nClusters == build.nClusters && ti.dim == 2)
+  }
+
   test("index build rejects invalid input") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-bad").toString
