@@ -13,7 +13,16 @@ object Graft {
   def install(spark: SparkSession): SparkSession = {
     functions.registerAll(spark)
     plans.VectorTopKRule.install(spark)
+    installStrategy(spark)
     spark
+  }
+
+  /** Planner strategy for the custom candidate-scan node (idempotent). */
+  def installStrategy(spark: SparkSession): Unit = {
+    val existing = spark.experimental.extraStrategies
+    if (!existing.contains(plans.GraftStrategy)) {
+      spark.experimental.extraStrategies = existing :+ plans.GraftStrategy
+    }
   }
 }
 
@@ -23,5 +32,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((ident, info, builder))
     }
     ext.injectOptimizerRule(s => plans.VectorTopKRule(s))
+    ext.injectPlannerStrategy(_ => plans.GraftStrategy)
   }
 }

@@ -109,10 +109,11 @@ object VectorTopK {
       case None => perFile
     }
     val nonEmpty = capped.filter(_._2.nonEmpty)
-    val candidatePairs = nonEmpty.flatMap { case (file, rows) =>
-      rows.iterator.map(ri => (file, ri.toLong))
-    }
-    val candDf = candidatePairs.toDF("_file", "_ri")
+    // metered custom scan node (files_scanned / candidate_rows SQLMetrics)
+    graft.Graft.installStrategy(spark)
+    val candDf = graft.plans.IvfCandidateScan
+      .df(spark, column, q.length, options.nprobe, nonEmpty)
+      .toDF("_file", "_ri")
     val filesWithCands = nonEmpty.map(_._1)
 
     val scan = base

@@ -181,9 +181,8 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case None => perFile
     }
 
-    import spark.implicits._
-    val pairs = capped.flatMap { case (f, rows) => rows.iterator.map(r => (f, r.toLong)) }
-    val candDf = spark.createDataset(pairs).toDF("__file", "__ri")
+    val candDf =
+      IvfCandidateScan.df(spark, column, query.length, nprobe, capped)
     val paths = fs.location.rootPaths.map(_.toString)
     val pruned = spark.read
       .schema(fs.dataSchema)

@@ -56,6 +56,9 @@ class VectorTopKRuleSpec extends SparkSpec {
     withRule(nprobe = 8) { // nprobe = nClusters → exhaustive → exact
       val df = sqlTopk()
       assert(fired(df), df.queryExecution.optimizedPlan.toString)
+      // candidate feed is the metered custom node, planned by GraftStrategy
+      assert(df.queryExecution.optimizedPlan.toString.contains("IvfCandidateScan"))
+      assert(df.queryExecution.executedPlan.toString.contains("IvfCandidateScanExec"))
       spark.conf.set(VectorTopKRule.EnabledKey, "false")
       val brute = sqlTopk()
       assert(!fired(brute))
