@@ -3,7 +3,7 @@ package graft.functions
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -13,10 +13,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * The first implementation used higher-order functions (`transform` /
   * `aggregate` lambdas), which Spark evaluates INTERPRETED — at 128 hash
   * slots × shingles × join branches that dominated whole queries. These
-  * expressions do the same work in tight JVM loops (one xxhash64 per
-  * shingle, then cheap splitmix64 per slot), ~two orders of magnitude
-  * faster per row. They extend CodegenFallback: the per-row work is large
-  * enough that the codegen boundary cost is irrelevant.
+  * expressions run tight JVM loops (one xxhash64 per shingle, then cheap
+  * splitmix64 per slot) and generate code that calls the same static
+  * kernels, so projections containing them stay inside whole-stage codegen.
   */
 object TextHash {
   /** splitmix64 finalizer — cheap per-slot derivation from one base hash. */
@@ -29,20 +28,10 @@ object TextHash {
 
   @inline def hashString(s: UTF8String): Long =
     XxHash64Function.hash(s, StringType, 42L)
-}
 
-/** `word_shingles(text, n)`: distinct word n-grams (space-joined) of a
-  * whitespace-tokenized string. Single pass, no regex per element.
-  */
-case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(n >= 1, "shingle size must be >= 1")
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "word_shingles"
-
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    val toks = text.trim.split("\\s+")
+  /** Kernel behind `word_shingles` (also called from generated code). */
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.trim.split("\\s+")
     if (toks.length < n || (toks.length == 1 && toks(0).isEmpty)) {
       return new GenericArrayData(Array.empty[Any])
     }
@@ -63,32 +52,17 @@ case class WordShingles(child: Expression, n: Int)
     new GenericArrayData(seen.iterator.map(UTF8String.fromString).toArray[Any])
   }
 
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-}
-
-/** `minhash_signature(shingles, k)`: k-slot MinHash — one xxhash64 per
-  * shingle, k splitmix64-derived slot values, running minima.
-  */
-case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(numHashes >= 1, "numHashes must be >= 1")
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "minhash_signature"
-
-  private lazy val slotSeeds: Array[Long] =
-    Array.tabulate(numHashes)(i => TextHash.mix(0xC0FFEEL + i.toLong))
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Kernel behind `minhash_signature` (also called from generated code). */
+  def minhashSignature(arr: ArrayData, numHashes: Int, slotSeeds: Array[Long]): ArrayData = {
     val m = arr.numElements()
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var s = 0
     while (s < m) {
       if (!arr.isNullAt(s)) {
-        val h = TextHash.hashString(arr.getUTF8String(s))
+        val h = hashString(arr.getUTF8String(s))
         var i = 0
         while (i < numHashes) {
-          val v = TextHash.mix(h ^ slotSeeds(i))
+          val v = mix(h ^ slotSeeds(i))
           if (v < sig(i)) sig(i) = v
           i += 1
         }
@@ -98,25 +72,14 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     new GenericArrayData(sig.map(Long.box).toArray[Any])
   }
 
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-}
-
-/** `simhash64(tokens)`: 64-bit SimHash — one xxhash64 per token, 64 signed
-  * bit counters, sign bits form the fingerprint.
-  */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override def prettyName: String = "simhash64"
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Kernel behind `simhash64` (also called from generated code). */
+  def simhash64(arr: ArrayData): Long = {
     val m = arr.numElements()
     val counters = new Array[Int](64)
     var s = 0
     while (s < m) {
       if (!arr.isNullAt(s)) {
-        val h = TextHash.hashString(arr.getUTF8String(s))
+        val h = hashString(arr.getUTF8String(s))
         var i = 0
         while (i < 64) {
           if (((h >>> i) & 1L) == 1L) counters(i) += 1 else counters(i) -= 1
@@ -133,6 +96,62 @@ case class SimHash64(child: Expression)
     }
     out
   }
+}
+
+/** `word_shingles(text, n)`: distinct word n-grams (space-joined) of a
+  * whitespace-tokenized string. Single pass, no regex per element.
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.wordShingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHash.wordShingles($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `minhash_signature(shingles, k)`: k-slot MinHash — one xxhash64 per
+  * shingle, k splitmix64-derived slot values, running minima.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpression {
+  require(numHashes >= 1, "numHashes must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  private lazy val slotSeeds: Array[Long] =
+    Array.tabulate(numHashes)(i => TextHash.mix(0xC0FFEEL + i.toLong))
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.minhashSignature(input.asInstanceOf[ArrayData], numHashes, slotSeeds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seeds = ctx.addReferenceObj("slotSeeds", slotSeeds, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHash.minhashSignature($c, $numHashes, $seeds);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `simhash64(tokens)`: 64-bit SimHash — one xxhash64 per token, 64 signed
+  * bit counters, sign bits form the fingerprint.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHash.simhash64($c);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
