@@ -72,12 +72,15 @@ object Dedup {
     val docs = df
       .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
       .where(size(col("sh")) > 0)
+    // persist: both sides of the candidate self-join read this, and the
+    // signature computation is the dominant per-row cost
     val buckets = docs
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .select(
         col("id"),
         explode(bandBuckets(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") &&
@@ -112,6 +115,7 @@ object Dedup {
       .where(col("df") <= maxDocFreq && col("df") >= 2)
       .select("shingle")
     val filtered = posting.join(rare, "shingle")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Shared-shingle count per pair straight off the postings — no arrays
     // touched yet. The count filter is EXACT for jaccard >= t:
     //   i/(|a|+|b|-i) >= t  <=>  i >= t/(1+t) * (|a|+|b|)
