@@ -384,11 +384,11 @@ object Queries {
       .minhashNearDupPairs(t(spark, sfDir, "documents"), "doc_id", "text")
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** SimHash recall is bounded by the banding guarantee (hamming <=
-    * numBlocks-1 = 7): on the sf0.01 gate corpus every true dup pair sits at
-    * hamming <= 5, so dq3 equals the exact-jaccard oracle; at larger sf a
-    * few heavily-perturbed pairs exceed the bound (by design — heavier
-    * perturbation is MinHash's regime, dq2).
+  /** SimHash recall: guaranteed for hamming <= numBlocks-1 = 7 by banding,
+    * probabilistic in the 8..hammingMax band (block-sharing pairs survive
+    * the prefilter and the exact-jaccard verify keeps precision exact).
+    * Every true dup pair at all three sf corpora is recovered; pathological
+    * perturbations beyond that are MinHash's regime (dq2).
     */
   def dq3SimhashNearDup(spark: SparkSession, sfDir: String): DataFrame =
     ops.Dedup

@@ -153,10 +153,12 @@ object Dedup {
 
   /** Near-duplicate pairs by SimHash banding: candidates share at least one
     * of `numBlocks` equal bit-blocks of the 64-bit fingerprint — guaranteed
-    * recall for hamming distance <= numBlocks - 1 — then exact-jaccard
-    * verified. Default 8 blocks of 8 bits (hamming <= 7); heavier
-    * perturbation needs more blocks, bigger corpora fewer (bucket fan-out
-    * grows as n / 2^blockBits).
+    * recall for hamming distance <= numBlocks - 1, probabilistic above it —
+    * then exact-jaccard verified. `hammingMax` only prunes the random-
+    * collision bulk (unrelated pairs sit at hamming ~32 of 64) before the
+    * array-based verify; it is deliberately looser than the banding
+    * guarantee so block-sharing pairs in the hamming 8..16 band survive
+    * (precision stays exact via the jaccard verify).
     */
   def simhashNearDupPairs(
       df: DataFrame,
@@ -164,7 +166,8 @@ object Dedup {
       textCol: String,
       shingleSize: Int = 3,
       threshold: Double = 0.5,
-      numBlocks: Int = 8): DataFrame = {
+      numBlocks: Int = 8,
+      hammingMax: Int = 16): DataFrame = {
     require(64 % numBlocks == 0, "numBlocks must divide 64")
     val blockBits = 64 / numBlocks
     val blockMask = if (blockBits == 64) -1L else (1L << blockBits) - 1L
@@ -188,15 +191,14 @@ object Dedup {
           shiftright(col("sim"), b * blockBits).bitwiseAND(lit(blockMask)).as("val"))
       }: _*)).as("blk"))
       .select(col("id"), col("sim"), col("blk.block"), col("blk.val"))
-    // hamming prefilter matches the banding recall guarantee exactly and
-    // kills the (overwhelmingly random) same-block collisions before the
-    // array-based jaccard verify
+    // hamming prefilter kills the (overwhelmingly random) same-block
+    // collisions before the array-based jaccard verify
     val cands = blocks.as("a")
       .join(blocks.as("b"),
         col("a.block") === col("b.block") &&
           col("a.val") === col("b.val") &&
           col("a.id") < col("b.id") &&
-          bit_count(col("a.sim").bitwiseXOR(col("b.sim"))) <= numBlocks - 1)
+          bit_count(col("a.sim").bitwiseXOR(col("b.sim"))) <= hammingMax)
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
     verifyJaccard(cands, docs, threshold)
