@@ -386,9 +386,10 @@ object Queries {
 
   /** SimHash recall: guaranteed for hamming <= numBlocks-1 = 7 by banding,
     * probabilistic in the 8..hammingMax band (block-sharing pairs survive
-    * the prefilter and the exact-jaccard verify keeps precision exact).
-    * Every true dup pair at all three sf corpora is recovered; pathological
-    * perturbations beyond that are MinHash's regime (dq2).
+    * via the small-bucket or second-block-refined hot-bucket path, and the
+    * exact-jaccard verify keeps precision exact). Every true dup pair at all
+    * three sf corpora is recovered (measured; see simhashNearDupPairs docs);
+    * pathological perturbations beyond that are MinHash's regime (dq2).
     */
   def dq3SimhashNearDup(spark: SparkSession, sfDir: String): DataFrame =
     ops.Dedup
@@ -504,7 +505,7 @@ object Queries {
     val store = graft.ivf.IndexStore.default
     val centroids = store.load(ti.files.head, "embedding").get.centroids
     ops.Similarity
-      .ivfCellPairs(spark, t(spark, sfDir, "embeddings"), "vec_id", "embedding",
+      .ivfCellPairs(t(spark, sfDir, "embeddings"), "vec_id", "embedding",
         centroids, ti.dim, threshold = 0.3)
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -72,6 +72,30 @@ object TextHash {
     new GenericArrayData(sig.map(Long.box).toArray[Any])
   }
 
+  /** Kernel behind `sorted_jaccard`: linear merge-count over two ascending
+    * long arrays (also called from generated code). Inputs are expected to
+    * be distinct-element (hashed shingle SETS).
+    */
+  def sortedJaccard(a: ArrayData, b: ArrayData): Double = {
+    val la = a.numElements()
+    val lb = b.numElements()
+    if (la == 0 && lb == 0) return 0.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    var union = 0
+    while (i < la && j < lb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      union += 1
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    union += (la - i) + (lb - j)
+    inter.toDouble / union.toDouble
+  }
+
   /** Kernel behind `simhash64` (also called from generated code). */
   def simhash64(arr: ArrayData): Long = {
     val m = arr.numElements()
@@ -137,6 +161,28 @@ case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpr
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `sorted_jaccard(a, b)`: jaccard similarity of two ASCENDING long arrays
+  * via a single allocation-free merge pass — the cheap exact verify for
+  * hashed shingle sets (string-array `array_intersect`/`array_union` builds
+  * per-pair hash sets of UTF8Strings; at millions of candidate pairs that
+  * dominated whole dedup queries).
+  */
+case class SortedArrayJaccard(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sorted_jaccard"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    TextHash.sortedJaccard(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextHash.sortedJaccard($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** `simhash64(tokens)`: 64-bit SimHash — one xxhash64 per token, 64 signed

@@ -53,6 +53,44 @@ object VectorKernels {
     if (na == 0.0f || nb == 0.0f) 0.0f else dot(a, b) / (na * nb)
   }
 
+  /** Indices of the `p` nearest centroids in a flat row-major matrix,
+    * ascending by squared L2 — the multi-probe generalization of
+    * [[nearestCentroid]] (selection sort over k distances; k is √n-small).
+    */
+  def nearestCentroids(
+      vec: Array[Float], centroids: Array[Float], dim: Int, p: Int): Array[Int] = {
+    val k = centroids.length / dim
+    val dists = new Array[Float](k)
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var sum = 0.0f
+      var i = 0
+      while (i < dim) {
+        val d = vec(i) - centroids(off + i)
+        sum += d * d
+        i += 1
+      }
+      dists(c) = sum
+      c += 1
+    }
+    val take = math.min(p, k)
+    val order = Array.tabulate(k)(identity)
+    var s = 0
+    while (s < take) {
+      var best = s
+      var t = s + 1
+      while (t < k) {
+        if (dists(order(t)) < dists(order(best)) ||
+          (dists(order(t)) == dists(order(best)) && order(t) < order(best))) best = t
+        t += 1
+      }
+      val tmp = order(s); order(s) = order(best); order(best) = tmp
+      s += 1
+    }
+    java.util.Arrays.copyOfRange(order, 0, take)
+  }
+
   /** Squared L2 against a flat row-major centroid matrix; returns the index
     * of the nearest centroid (reference: index.rs:244-257).
     */

@@ -40,6 +40,21 @@ package object functions {
   def simhash64(tokens: Column): Column =
     col(SimHash64(expr(tokens)))
 
+  /** Jaccard of two ascending long arrays (allocation-free merge). */
+  def sorted_jaccard(a: Column, b: Column): Column =
+    col(SortedArrayJaccard(expr(a), expr(b)))
+
+  /** Nearest-centroid id against a flat row-major k×dim matrix (native
+    * expression; null vector / dim mismatch → null). The map-side IVF cell
+    * assignment for bucketed similarity joins.
+    */
+  def nearest_centroid(vec: Column, centroids: Array[Float], dim: Int): Column =
+    col(NearestCentroid(expr(vec.cast("array<float>")), centroids, dim))
+
+  /** Indices of the `p` nearest centroids (multi-probe cell assignment). */
+  def nearest_centroids(vec: Column, centroids: Array[Float], dim: Int, p: Int): Column =
+    col(NearestCentroids(expr(vec.cast("array<float>")), centroids, dim, p))
+
   /** Spark SQL has no `[...]` array literal — helper for query vectors. */
   def float_vector(values: Seq[Float]): Column = {
     import org.apache.spark.sql.functions.{array, lit}
@@ -63,6 +78,8 @@ package object functions {
         (cs: Seq[Expression]) => MinHashSignature(cs(0), intArg(cs, 1, "minhash_signature"))),
       ("simhash64", "64-bit SimHash of a token array",
         (cs: Seq[Expression]) => SimHash64(cs(0))),
+      ("sorted_jaccard", "Jaccard similarity of two ascending long arrays",
+        (cs: Seq[Expression]) => SortedArrayJaccard(cs(0), cs(1))),
     ).map { case (name, _, builder) =>
       (FunctionIdentifier(name), new ExpressionInfo("graft.functions", name), builder)
     }

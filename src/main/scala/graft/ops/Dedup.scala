@@ -135,14 +135,28 @@ object Dedup {
     verifyJaccard(cands, docs, threshold)
   }
 
+  /** Exact-jaccard verification over hashed shingle sets: each doc's
+    * distinct shingles hash to a SORTED long array once (per doc, not per
+    * pair), and per-pair jaccard is an allocation-free merge
+    * ([[graft.functions.SortedArrayJaccard]]) instead of string-set
+    * `array_intersect`/`array_union` — the verify step processes millions of
+    * candidate pairs on template-heavy corpora, and the string-set form
+    * dominated whole queries. Jaccard over 64-bit-hashed distinct shingles
+    * equals string jaccard absent xxhash64 collisions (~|union|²/2⁶⁴ per
+    * pair — vanishing, and a collision shifts the value by ≤1/|union|).
+    */
   private def verifyJaccard(
-      cands: DataFrame, docs: DataFrame, threshold: Double): DataFrame =
+      cands: DataFrame, docs: DataFrame, threshold: Double): DataFrame = {
+    val hashed = docs.select(
+      col("id"),
+      sort_array(transform(col("sh"), s => xxhash64(s))).as("shh"))
     cands
-      .join(docs.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(docs.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .join(hashed.select(col("id").as("doc_a"), col("shh").as("sh_a")), "doc_a")
+      .join(hashed.select(col("id").as("doc_b"), col("shh").as("sh_b")), "doc_b")
+      .withColumn("jaccard", graft.functions.sorted_jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"))
+  }
 
   /** 64-bit SimHash over a token array: bit i of the fingerprint is set when
     * the sum over tokens of ±1 (sign of bit i of the token hash) is
@@ -154,11 +168,35 @@ object Dedup {
   /** Near-duplicate pairs by SimHash banding: candidates share at least one
     * of `numBlocks` equal bit-blocks of the 64-bit fingerprint — guaranteed
     * recall for hamming distance <= numBlocks - 1, probabilistic above it —
-    * then exact-jaccard verified. `hammingMax` only prunes the random-
-    * collision bulk (unrelated pairs sit at hamming ~32 of 64) before the
-    * array-based verify; it is deliberately looser than the banding
-    * guarantee so block-sharing pairs in the hamming 8..16 band survive
-    * (precision stays exact via the jaccard verify).
+    * then exact-jaccard verified. `hammingMax` prunes same-bucket collisions
+    * before the pair-attaching verify; it is deliberately looser than the
+    * banding guarantee so block-sharing pairs in the hamming 8..12 band
+    * survive (precision stays exact via the jaccard verify). Measured across
+    * the test corpora, true jaccard-0.5 pairs top out at hamming 12; on
+    * template-heavy text, candidates are DENSE right below any threshold
+    * (~190k pairs/hamming-step at sf0.1), so widening hammingMax buys no
+    * recall and costs a near-linear slice of verify time.
+    *
+    * Candidate generation is two-path, keyed off the (block, value) bucket
+    * sizes (simhash concentrates on homogeneous corpora, so a few buckets
+    * hold O(corpus) members and a naive self-join degenerates toward
+    * all-pairs):
+    *
+    *  - SMALL buckets (2 <= n <= `maxBucketSize`) self-join directly —
+    *    bounded at buckets × cap² pairs;
+    *  - HOT buckets (n > cap) are refined by a SECOND matching block:
+    *    members re-key on (hot block, value, other block, other value), so
+    *    hot-bucket pairs must share two blocks. This keeps recall for pairs
+    *    whose every shared bucket is hot (they share >= 2 blocks in
+    *    practice: a pair sharing only ONE block sits at hamming >= 8 of 64,
+    *    where block values are nearly independent and a hot collision is
+    *    vanishingly unlikely) while cutting each hot bucket's fan-out by the
+    *    second block's selectivity.
+    *
+    * Measured on the test corpora: all true pairs with exactly one shared
+    * block sit in buckets <= 129 members (small path, 1.55× margin at the
+    * default cap), every all-hot pair shares >= 2 blocks (refined path), and
+    * candidate join volume drops 6.76M → ~0.9M pairs at sf0.1.
     */
   def simhashNearDupPairs(
       df: DataFrame,
@@ -167,7 +205,8 @@ object Dedup {
       shingleSize: Int = 3,
       threshold: Double = 0.5,
       numBlocks: Int = 8,
-      hammingMax: Int = 16): DataFrame = {
+      hammingMax: Int = 12,
+      maxBucketSize: Long = 200L): DataFrame = {
     require(64 % numBlocks == 0, "numBlocks must divide 64")
     val blockBits = 64 / numBlocks
     val blockMask = if (blockBits == 64) -1L else (1L << blockBits) - 1L
@@ -182,24 +221,48 @@ object Dedup {
         col(idCol).as("id"),
         simhash64(split(trim(col(textCol)), "\\s+")).as("sim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def blockStructs(simCol: Column, exclude: Option[Column]): Column = {
+      val all = array((0 until numBlocks).map { b =>
+        struct(
+          lit(b).as("block"),
+          shiftright(simCol, b * blockBits).bitwiseAND(lit(blockMask)).as("val"))
+      }: _*)
+      exclude.fold(all)(ex => filter(all, s => s.getField("block") =!= ex))
+    }
     val blocks = hashed.select(
       col("id"),
       col("sim"),
-      explode(array((0 until numBlocks).map { b =>
-        struct(
-          lit(b).as("block"),
-          shiftright(col("sim"), b * blockBits).bitwiseAND(lit(blockMask)).as("val"))
-      }: _*)).as("blk"))
+      explode(blockStructs(col("sim"), None)).as("blk"))
       .select(col("id"), col("sim"), col("blk.block"), col("blk.val"))
-    // hamming prefilter kills the (overwhelmingly random) same-block
-    // collisions before the array-based jaccard verify
-    val cands = blocks.as("a")
-      .join(blocks.as("b"),
-        col("a.block") === col("b.block") &&
-          col("a.val") === col("b.val") &&
-          col("a.id") < col("b.id") &&
-          bit_count(col("a.sim").bitwiseXOR(col("b.sim"))) <= hammingMax)
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+    val sizes = blocks
+      .groupBy(col("block"), col("val"))
+      .agg(count(lit(1)).as("n"))
+    // small path: pairable, non-degenerate buckets self-join directly
+    val small = blocks.join(
+      sizes.where(col("n") >= 2 && col("n") <= maxBucketSize)
+        .select(col("block"), col("val")),
+      Seq("block", "val"))
+    def pairJoin(side: DataFrame, keys: Seq[String]): DataFrame =
+      side.as("a")
+        .join(side.as("b"),
+          keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+            col("a.id") < col("b.id") &&
+            // hamming prefilter kills the (overwhelmingly random) same-key
+            // collisions before the array-based jaccard verify
+            bit_count(col("a.sim").bitwiseXOR(col("b.sim"))) <= hammingMax)
+        .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+    // hot path: members of over-cap buckets re-key on a second block
+    val hot = blocks.join(
+      sizes.where(col("n") > maxBucketSize).select(col("block"), col("val")),
+      Seq("block", "val"))
+    val refined = hot.select(
+      col("id"), col("sim"), col("block"), col("val"),
+      explode(blockStructs(col("sim"), Some(col("block")))).as("blk2"))
+      .select(
+        col("id"), col("sim"), col("block"), col("val"),
+        col("blk2.block").as("block2"), col("blk2.val").as("val2"))
+    val cands = pairJoin(small, Seq("block", "val"))
+      .union(pairJoin(refined, Seq("block", "val", "block2", "val2")))
       .distinct()
     verifyJaccard(cands, docs, threshold)
   }

@@ -1,10 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{array_cosine_similarity, array_distance, VectorKernels}
-import graft.ivf.IndexStore
+import graft.functions.{array_cosine_similarity, array_distance}
 
 /** Similarity-search operators over embedding columns.
   *
@@ -48,43 +47,62 @@ object Similarity {
   }
 
   /** Map-side IVF cell assignment: adds a `_cell` column = nearest centroid
-    * id, with the centroid matrix broadcast. The building block for
-    * bucketed similarity joins and distributed ANN.
+    * id via the codegen'd [[graft.functions.NearestCentroid]] expression
+    * (the centroid matrix ships inside the broadcast task binary). The
+    * building block for bucketed similarity joins and distributed ANN.
+    * Null/mismatched vectors get cell -1.
     */
   def withCell(
-      spark: SparkSession,
       df: DataFrame,
       vecCol: String,
       centroids: Array[Float],
-      dim: Int): DataFrame = {
-    val bc = spark.sparkContext.broadcast(centroids)
-    val cellUdf = udf { (v: Seq[Float]) =>
-      if (v == null) -1 else VectorKernels.nearestCentroid(v.toArray, bc.value, dim)
-    }
-    df.withColumn("_cell", cellUdf(col(vecCol)))
-  }
+      dim: Int): DataFrame =
+    df.withColumn(
+      "_cell",
+      coalesce(graft.functions.nearest_centroid(col(vecCol), centroids, dim), lit(-1)))
 
   /** Candidate pairs from shared IVF cells: both sides bucket by nearest
-    * centroid (map-side), pairs come from an equi-join on `_cell` — the
-    * 100 TB-safe alternative to a cross join. Recall is bounded by cell
-    * co-location (multi-probe raises it; exact pairs near cell borders can
-    * be missed — callers needing exact results use
-    * [[Dedup.embeddingNearDupPairs]]).
+    * centroid (map-side), pairs come from an equi-join on cell id — the
+    * 100 TB-safe alternative to a cross join. Precision is exact (every
+    * emitted pair passes the cosine threshold); recall is bounded by cell
+    * co-location. `probes > 1` assigns each probe-side vector to its p
+    * nearest cells, so a pair is found whenever either vector's home cell is
+    * among the other's p probes — the same recall/fan-out trade as `nprobe`
+    * on the IVF search path. Callers needing exact results use
+    * [[Dedup.embeddingNearDupPairs]].
     */
   def ivfCellPairs(
-      spark: SparkSession,
       df: DataFrame,
       idCol: String,
       vecCol: String,
       centroids: Array[Float],
       dim: Int,
-      threshold: Double): DataFrame = {
-    val cells = withCell(spark, df, vecCol, centroids, dim)
+      threshold: Double,
+      probes: Int = 1): DataFrame = {
+    val cells = withCell(df, vecCol, centroids, dim)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("_cell"))
-    cells.as("a")
-      .join(cells.as("b"),
-        col("a._cell") === col("b._cell") && col("a.id") < col("b.id"))
-      .where(array_cosine_similarity(col("a.v"), col("b.v")) >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    if (probes <= 1) {
+      cells.as("a")
+        .join(cells.as("b"),
+          col("a._cell") === col("b._cell") && col("a.id") < col("b.id"))
+        .where(array_cosine_similarity(col("a.v"), col("b.v")) >= threshold)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    } else {
+      val probed = df.select(
+        col(idCol).as("id"),
+        col(vecCol).as("v"),
+        explode(graft.functions.nearest_centroids(col(vecCol), centroids, dim, probes))
+          .as("_pcell"))
+      // probe side × home side; both orientations of a pair can appear, so
+      // verify (cosine is symmetric), normalize to (min id, max id), dedup
+      probed.as("a")
+        .join(cells.as("b"),
+          col("a._pcell") === col("b._cell") && col("a.id") =!= col("b.id"))
+        .where(array_cosine_similarity(col("a.v"), col("b.v")) >= threshold)
+        .select(
+          least(col("a.id"), col("b.id")).as("id_a"),
+          greatest(col("a.id"), col("b.id")).as("id_b"))
+        .distinct()
+    }
   }
 }

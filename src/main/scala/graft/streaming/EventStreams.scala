@@ -114,11 +114,17 @@ object EventStreams {
   final case class TopKState(batch: Long, top: Seq[(Long, Float)])
   final case class TopKRow(batch: Long, vec_id: Long, dist: Float)
 
-  /** Streaming vector top-k: maintains a bounded k-heap of nearest vectors
-    * over an unbounded stream via mapGroupsWithState — the streaming twin of
-    * the batch `VectorTopK.bruteForce`. Single state key: the heap is k
-    * entries, so state stays tiny regardless of stream size (a two-level
-    * per-partition pre-heap is the >>1M-rows-per-batch refinement).
+  /** Streaming vector top-k: a two-level bounded heap over an unbounded
+    * stream — the streaming twin of the batch `VectorTopK.bruteForce`
+    * (per-partition heaps + driver merge, i.e. TakeOrderedAndProject's
+    * shape).
+    *
+    * Level 1 is a STATELESS per-partition pre-heap (`mapPartitions`): each
+    * task reduces its own slice of the micro-batch to ≤ k (id, distance)
+    * rows, so distance computation and almost all data reduction happen
+    * map-side in parallel. Level 2 is the single-key stateful merge, which
+    * now receives at most partitions×k tiny rows per micro-batch instead of
+    * the whole stream — the state stays k entries regardless of stream size.
     * Each micro-batch emits the current top-k tagged with a batch sequence;
     * the final answer is the rows of the highest batch.
     */
@@ -131,19 +137,34 @@ object EventStreams {
       k: Int): DataFrame = {
     import spark.implicits._
     val q = query.toArray
-    stream
+    val pre = stream
       .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        // bounded max-heap on (distance, id): root = current worst of the
+        // kept k, evicted when a strictly better candidate arrives
+        val heap = scala.collection.mutable.PriorityQueue
+          .empty[(Float, Long)](Ordering.Tuple2[Float, Long])
+        it.foreach { case (id, v) =>
+          if (v != null && v.length == q.length) {
+            val d = graft.functions.VectorKernels.squaredL2(v, q)
+            if (heap.size < k) heap.enqueue((d, id))
+            else if (Ordering.Tuple2[Float, Long].lt((d, id), heap.head)) {
+              heap.dequeue(): Unit
+              heap.enqueue((d, id))
+            }
+          }
+        }
+        heap.iterator.map { case (d, id) => (id, d) }
+      }
+    pre
       .groupByKey(_ => 0)
       .flatMapGroupsWithState(
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout) {
-        (_: Int, rows: Iterator[(Long, Array[Float])], state: GroupState[TopKState]) =>
+        (_: Int, rows: Iterator[(Long, Float)], state: GroupState[TopKState]) =>
           val prev = state.getOption.getOrElse(TopKState(0L, Seq.empty))
-          val merged = (prev.top.iterator ++ rows.flatMap { case (id, v) =>
-            if (v == null || v.length != q.length) None
-            else Some((id, graft.functions.VectorKernels.squaredL2(v, q)))
-          }).toSeq
+          val merged = (prev.top.iterator ++ rows).toSeq
             .sortBy { case (id, d) => (d, id) }
             .take(k)
           val next = TopKState(prev.batch + 1L, merged)

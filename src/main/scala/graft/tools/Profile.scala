@@ -8,6 +8,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Profile {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty || !graft.SparkEntry.queries.contains(args(0))) {
+      System.err.println(
+        "usage: runMain graft.tools.Profile <queryName> [sfDir] [repeat]\n" +
+          "queries: " + graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+      sys.exit(1)
+    }
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val repeat = if (args.length > 2) args(2).toInt else 2

@@ -18,11 +18,32 @@ class SimilaritySpec extends SparkSpec {
   test("ivfCellPairs finds within-cluster pairs on separated clusters") {
     val centroids = Array(1f, 1f, 1f, 1f, -1f, -1f, -1f, -1f)
     val pairs = Similarity
-      .ivfCellPairs(spark, clustered, "id", "v", centroids, 4, threshold = 0.99)
+      .ivfCellPairs(clustered, "id", "v", centroids, 4, threshold = 0.99)
       .as[(Long, Long)].collect().toSet
     // all within-cluster pairs (cos ~ 1), no cross-cluster pairs (cos ~ -1)
     assert(pairs.size == 2 * (10 * 9 / 2))
     assert(pairs.forall { case (a, b) => (a < 10) == (b < 10) })
+  }
+
+  test("withCell assigns nearest cells via a codegen'd expression (no UDF)") {
+    val centroids = Array(1f, 1f, 1f, 1f, -1f, -1f, -1f, -1f)
+    val df = Similarity.withCell(clustered, "v", centroids, 4)
+    assert(!df.queryExecution.executedPlan.toString.contains("ScalaUDF"))
+    val cells = df.select("id", "_cell").as[(Long, Int)].collect().toMap
+    assert((0L until 10L).forall(cells(_) == 0))
+    assert((10L until 20L).forall(cells(_) == 1))
+  }
+
+  test("withCell maps null and dim-mismatched vectors to cell -1") {
+    val df = Seq(
+      (0L, Some(Seq(1f, 1f, 1f, 1f))),
+      (1L, None),
+      (2L, Some(Seq(1f, 1f)))).toDF("id", "v")
+      .select(col("id"), col("v").cast("array<float>").as("v"))
+    val centroids = Array(1f, 1f, 1f, 1f, -1f, -1f, -1f, -1f)
+    val cells = Similarity.withCell(df, "v", centroids, 4)
+      .select("id", "_cell").as[(Long, Int)].collect().toMap
+    assert(cells(0L) == 0 && cells(1L) == -1 && cells(2L) == -1)
   }
 
   test("knnJoin returns k ranked neighbors per query") {
@@ -33,6 +54,38 @@ class SimilaritySpec extends SparkSpec {
     assert(out.length == 3)
     assert(out.map(_._3).sorted.toSeq == Seq(1, 2, 3))
     assert(out.forall(_._2 < 10)) // neighbors from the same cluster
+  }
+
+  test("ivfCellPairs recall gate vs exact pairs on testdata, multi-probe") {
+    val sfDir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val path = s"$sfDir/embeddings.parquet"
+    val ti = graft.ivf.IndexManager.ensure(spark, path, "embedding")
+    val centroids = graft.ivf.IndexStore.default
+      .load(ti.files.head, "embedding").get.centroids
+    val emb = spark.read.parquet(path)
+    val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.3)
+      .as[(Long, Long)].collect().toSet
+    val single = Similarity
+      .ivfCellPairs(emb, "vec_id", "embedding", centroids, ti.dim, 0.3)
+      .as[(Long, Long)].collect().toSet
+    val multi = Similarity
+      .ivfCellPairs(emb, "vec_id", "embedding", centroids, ti.dim, 0.3, probes = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    // precision is exact by construction: bucketed pairs are cosine-verified
+    assert(single.subsetOf(exact))
+    assert(multi.subsetOf(exact))
+    // probing more cells only adds pairs (home cell is always probe #1)
+    assert(single.subsetOf(multi))
+    val r1 = single.size.toDouble / exact.size
+    val r4 = multi.size.toDouble / exact.size
+    assert(r4 >= r1)
+    info(f"cell-pair recall: single-probe $r1%.3f, 4-probe $r4%.3f (${exact.size} exact pairs)")
+    // measured on this corpus: 0.33 single-probe → 0.78 at 4 probes (cos 0.3
+    // is a WEAK-similarity threshold — pairs span cell borders; near-dup
+    // thresholds like 0.9 co-locate far more). Gate guards regressions.
+    assert(r4 >= 0.7, s"multi-probe recall $r4 below gate")
   }
 
   test("cosineTopK ranks by similarity descending") {
