@@ -46,6 +46,28 @@ final class IndexStore(val dir: String) extends Serializable {
     if (Files.exists(p)) Some(IvfIndex.unframe(Files.readAllBytes(p))) else None
   }
 
+  /** Cheap (dim, nClusters) peek — reads only the framed header, so the
+    * driver can validate an arbitrarily large file list without decoding
+    * posting lists (those are probed executor-side).
+    */
+  def peek(dataFile: String, column: String): Option[(Int, Int)] = {
+    val p = Paths.get(indexPath(dataFile, column))
+    if (!Files.exists(p)) return None
+    val ch = java.nio.channels.FileChannel.open(p)
+    try {
+      val buf = java.nio.ByteBuffer.allocate(IvfIndex.Magic.length + 16)
+      while (buf.hasRemaining && ch.read(buf) >= 0) {}
+      if (buf.hasRemaining) return None
+      buf.flip()
+      val magic = new Array[Byte](IvfIndex.Magic.length)
+      buf.get(magic)
+      if (!magic.sameElements(IvfIndex.Magic)) return None
+      buf.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.getLong // payload length
+      Some((buf.getInt, buf.getInt))
+    } finally ch.close()
+  }
+
   def exists(dataFile: String, column: String): Boolean =
     Files.exists(Paths.get(indexPath(dataFile, column)))
 

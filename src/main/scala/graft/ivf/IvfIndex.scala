@@ -46,6 +46,12 @@ final case class IvfIndex(
   def candidateRows(query: Array[Float], nprobe: Int): Array[Int] =
     findClosestCentroids(query, nprobe).flatMap(invertedLists)
 
+  /** Number of candidates a probe would return, without materializing them —
+    * the cheap first phase of the distributed `max_candidates` fairness cap.
+    */
+  def candidateCount(query: Array[Float], nprobe: Int): Long =
+    findClosestCentroids(query, nprobe).map(invertedLists(_).length.toLong).sum
+
   def numRows: Long = invertedLists.iterator.map(_.length.toLong).sum
 
   def toBytes: Array[Byte] = {

@@ -124,6 +124,29 @@ object ParquetFooterIndex {
     java.nio.file.Files.deleteIfExists(crc): Unit
   }
 
+  /** Cheap (dim, nClusters) peek of an embedded index: footer KV lookup plus
+    * a header-sized read at the recorded offset — no posting-list decode.
+    */
+  def peek(file: String, column: String): Option[(Int, Int)] =
+    indexMetadata(file).collect {
+      case (offset, indexedColumn) if indexedColumn == column =>
+        val raf = new RandomAccessFile(toLocalFile(file), "r")
+        try {
+          val header = new Array[Byte](IvfIndex.Magic.length + 16)
+          require(
+            offset >= 0 && offset + header.length <= raf.length(),
+            s"index offset $offset out of bounds for $file (len ${raf.length()})")
+          raf.seek(offset)
+          raf.readFully(header)
+          require(
+            header.view.slice(0, IvfIndex.Magic.length).sameElements(IvfIndex.Magic),
+            s"bad index magic at offset $offset in $file")
+          val buf = ByteBuffer.wrap(header).order(ByteOrder.LITTLE_ENDIAN)
+          buf.position(IvfIndex.Magic.length + 8)
+          (buf.getInt, buf.getInt)
+        } finally raf.close()
+    }
+
   /** Load the embedded index if this file carries one for `column`. */
   def load(file: String, column: String): Option[IvfIndex] =
     indexMetadata(file).collect {

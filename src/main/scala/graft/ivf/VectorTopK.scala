@@ -1,6 +1,6 @@
 package graft.ivf
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{array_distance, float_vector}
@@ -14,19 +14,21 @@ import graft.functions.{array_distance, float_vector}
   *  - brute force = `orderBy(array_distance).limit(k)` — Spark plans this as
   *    `TakeOrderedAndProjectExec`, a per-partition bounded heap + driver
   *    merge, i.e. exactly the reference's heap re-rank, but distributed;
-  *  - indexed = driver-side probe of the (small) per-file indexes → a
-  *    broadcast semi-join of the candidate (file, row ordinal) pairs against
-  *    the scan → residual filter → heap top-k. Candidate pruning composes
-  *    with later filters in post-filter order, matching the reference's
-  *    semantics (`src/df_vector/tests.rs:151-241`): a restrictive filter may
-  *    return fewer than k rows.
+  *  - indexed = a semi-join of the scan against the candidate (file, row
+  *    ordinal) feed emitted by `IvfCandidateScanExec`, which probes each
+  *    file's index in EXECUTOR tasks (the reference's per-scan-file
+  *    `VectorIndexScanExec` distribution shape) → residual filter →
+  *    metered fetch → heap top-k. Candidate pruning composes with later
+  *    filters in post-filter order, matching the reference's semantics
+  *    (`src/df_vector/tests.rs:151-241`): a restrictive filter may return
+  *    fewer than k rows.
   *
-  * Scale: the index per file is ~(k·d·4 + rows·4) bytes, so probing stays on
-  * the driver; only the candidate id pairs (≈ nprobe/nClusters of all rows)
-  * are broadcast. File pruning happens via the `_metadata.file_path` filter;
-  * within a file, Spark reads at row-group granularity (the reference gets
-  * page-granular reads via 1-row pages, `src/ivf/parquet.rs:324-345` — a
-  * perf, not correctness, delta noted in SURVEY §4.2).
+  * Scale: the driver only peeks index HEADERS (dim/k, a ~26-byte read per
+  * file) for validation and estimates candidate volume from one file;
+  * probing — footer reads and posting-list decodes — happens on executors.
+  * The candidate feed joins by stats-driven strategy: small candidate sets
+  * broadcast, large ones fall back to a shuffle join instead of funnelling
+  * through the driver.
   */
 object VectorTopK {
 
@@ -35,6 +37,12 @@ object VectorTopK {
     require(nprobe > 0, "nprobe must be > 0")
     maxCandidates.foreach(m => require(m > 0, "max_candidates must be > 0"))
   }
+
+  /** Programmatic search row, the reference's `SearchResult`
+    * (`/root/reference/src/ivf/search.rs:40-45`): file-local row ordinal +
+    * true (sqrt'd) L2 distance.
+    */
+  final case class SearchResult(row_idx: Long, distance: Float)
 
   def distanceCol(column: String, query: Seq[Float]): Column =
     array_distance(col(column), float_vector(query))
@@ -47,6 +55,9 @@ object VectorTopK {
 
   /** Round-robin fairness cap across files so one file cannot starve the
     * others (reference `CandidateCursor`: `src/df_vector/access.rs:193-243`).
+    * Used when the per-file lists are already materialized;
+    * [[graft.plans.IvfCandidateScan.roundRobinQuotas]] is the counts-only
+    * twin used by the distributed scan.
     */
   def capRoundRobin(
       perFile: Seq[(String, Array[Int])], cap: Int): Seq[(String, Array[Int])] = {
@@ -71,6 +82,72 @@ object VectorTopK {
     perFile.zipWithIndex.map { case ((file, _), i) => (file, out(i).result().toArray) }
   }
 
+  /** Candidate-pruned scan with `_file`/`_ri` metadata columns retained:
+    * the shared front half of [[indexed]] and [[search]].
+    */
+  private def candidateScan(
+      spark: SparkSession,
+      path: String,
+      column: String,
+      query: Seq[Float],
+      options: Options,
+      store: IndexStore): DataFrame = {
+    val base = spark.read.parquet(path)
+    val files = IndexManager.listFiles(spark, path)
+    require(files.nonEmpty, s"no parquet files under $path")
+    val q = query.toArray
+
+    // driver-side validation is header-peek only (O(files) tiny reads);
+    // posting lists are probed executor-side by IvfCandidateScanExec
+    files.foreach { file =>
+      val (dim, _) = store.peek(file, column)
+        .orElse(ParquetFooterIndex.peek(file, column))
+        .getOrElse(throw new IllegalStateException(
+          s"no IVF index for file $file column '$column' — build one with IvfBuilder"))
+      require(
+        dim == q.length,
+        s"query dim ${q.length} != index dim $dim for $file")
+    }
+    val est = estimateCandidates(store, files, column, q, options)
+
+    graft.Graft.installStrategy(spark)
+    val candDf = graft.plans.IvfCandidateScan
+      .df(spark, column, query, options.nprobe, options.maxCandidates,
+        files, store.dir, est)
+      .toDF("_file", "_ri")
+    val estBytes = est * graft.plans.IvfCandidateScan.estRowBytes(files)
+    val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val candSide = if (threshold < 0 || estBytes <= threshold) broadcast(candDf) else candDf
+
+    base
+      .withColumn("_file", col("_metadata.file_path"))
+      .withColumn("_ri", col("_metadata.row_index"))
+      .join(candSide, Seq("_file", "_ri"), "left_semi")
+  }
+
+  /** One full index load (the first file) scaled by file count — an O(1)
+    * driver estimate feeding broadcast-vs-shuffle selection.
+    */
+  private def estimateCandidates(
+      store: IndexStore,
+      files: Seq[String],
+      column: String,
+      q: Array[Float],
+      options: Options): Long = {
+    val first = store.load(files.head, column)
+      .orElse(ParquetFooterIndex.load(files.head, column))
+    val perFile = first.map(_.candidateCount(q, options.nprobe)).getOrElse(0L)
+    val total = perFile * files.size
+    options.maxCandidates.fold(total)(c => math.min(c.toLong, total))
+  }
+
+  /** Wrap in the fetch-metering node (`embeddings_fetched` /
+    * `batches_fetched` SQLMetrics, post-filter like the reference).
+    */
+  private def meterFetch(spark: SparkSession, df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.Bridge.ofRows(
+      spark, graft.plans.MeteredFetch(df.queryExecution.analyzed))
+
   /** Index-accelerated top-k over a Parquet table.
     *
     * @param filter residual predicate applied AFTER candidate pruning
@@ -86,44 +163,34 @@ object VectorTopK {
       filter: Option[Column] = None,
       store: IndexStore = IndexStore.default): DataFrame = {
     require(k > 0, "k must be > 0")
-    import spark.implicits._
-
-    val base = spark.read.parquet(path)
-    val files = IndexManager.listFiles(spark, path)
-    val q = query.toArray
-
-    val perFile: Seq[(String, Array[Int])] = files.toSeq.map { file =>
-      val index = store
-        .load(file, column)
-        .orElse(ParquetFooterIndex.load(file, column))
-        .getOrElse(throw new IllegalStateException(
-          s"no IVF index for file $file column '$column' — build one with IvfBuilder"))
-      require(
-        index.dim == q.length,
-        s"query dim ${q.length} != index dim ${index.dim} for $file")
-      (file, index.candidateRows(q, options.nprobe))
-    }
-
-    val capped = options.maxCandidates match {
-      case Some(cap) => capRoundRobin(perFile, cap)
-      case None => perFile
-    }
-    val nonEmpty = capped.filter(_._2.nonEmpty)
-    // metered custom scan node (files_scanned / candidate_rows SQLMetrics)
-    graft.Graft.installStrategy(spark)
-    val candDf = graft.plans.IvfCandidateScan
-      .df(spark, column, q.length, options.nprobe, nonEmpty)
-      .toDF("_file", "_ri")
-    val filesWithCands = nonEmpty.map(_._1)
-
-    val scan = base
-      .withColumn("_file", col("_metadata.file_path"))
-      .withColumn("_ri", col("_metadata.row_index"))
-      .where(col("_file").isin(filesWithCands: _*))
-      .join(broadcast(candDf), Seq("_file", "_ri"), "left_semi")
+    val scan = candidateScan(spark, path, column, query, options, store)
       .drop("_file", "_ri")
-
     val filtered = filter.fold(scan)(scan.where)
-    bruteForce(filtered, column, query.toIndexedSeq, k)
+    bruteForce(meterFetch(spark, filtered), column, query, k)
+  }
+
+  /** Programmatic search returning the reference's `SearchResult` shape —
+    * (file-local row ordinal, true L2 distance), distance ascending
+    * (`/root/reference/src/ivf/search.rs:129-141`; the reference sqrt's the
+    * squared-L2 heap key before returning, as `array_distance` does).
+    */
+  def search(
+      spark: SparkSession,
+      path: String,
+      column: String,
+      query: Seq[Float],
+      k: Int,
+      options: Options = Options(),
+      store: IndexStore = IndexStore.default): Dataset[SearchResult] = {
+    require(k > 0, "k must be > 0")
+    import spark.implicits._
+    val scan = candidateScan(spark, path, column, query, options, store)
+    meterFetch(spark, scan)
+      .select(
+        col("_ri").as("row_idx"),
+        distanceCol(column, query).as("distance"))
+      .orderBy(col("distance").asc_nulls_last)
+      .limit(k)
+      .as[SearchResult]
   }
 }

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions.{broadcast, col}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
 import graft.functions.{ArrayDistance, ArraySquaredL2}
-import graft.ivf.{IndexStore, ParquetFooterIndex, VectorTopK}
+import graft.ivf.{IndexStore, ParquetFooterIndex}
 
 /** SQL-transparent IVF acceleration: rewrites
   * `ORDER BY array_distance(col, literal-vector) ASC LIMIT k` over a single
@@ -146,14 +146,16 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // the sorted attribute must be a physical column of the scan
       column <- lr.output.find(_.exprId == attr.exprId).map(_.name)
       rewritten <- buildPrunedLeaf(lr, column, query, k)
-    } yield child.transformUp {
+    } yield MeteredFetch(child.transformUp {
       case l: LogicalRelation if l.eq(lr) => rewritten
-    }
+    })
   }
 
-  /** Probe every file's index and graft `scan -> semi-join(candidates)` in
-    * place of the bare relation, aliasing output back to the original
-    * attribute ids so the untouched parent operators still resolve.
+  /** Header-peek every file's index (cheap, driver-side) and graft
+    * `scan -> semi-join(distributed candidate feed)` in place of the bare
+    * relation, aliasing output back to the original attribute ids so the
+    * untouched parent operators still resolve. Probing itself happens
+    * executor-side inside `IvfCandidateScanExec`.
     */
   private def buildPrunedLeaf(
       lr: LogicalRelation,
@@ -169,27 +171,38 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val nprobe = conf(NprobeKey, "5").toInt
     val maxCandidates = conf(MaxCandidatesKey, "").toIntOption
 
-    val perFile = files.map { file =>
-      val idx = store.load(file, column).orElse(ParquetFooterIndex.load(file, column))
-      idx match {
-        case Some(i) if i.dim == query.length => file -> i.candidateRows(query, nprobe)
-        case _ => return None // any unindexed file or dim mismatch: no rewrite
+    // any unindexed file, dim mismatch, or unreadable header: no rewrite
+    files.foreach { file =>
+      scala.util.Try(
+        store.peek(file, column).orElse(ParquetFooterIndex.peek(file, column)))
+        .toOption.flatten match {
+        case Some((dim, _)) if dim == query.length => ()
+        case _ => return None
       }
     }
-    val capped = maxCandidates match {
-      case Some(cap) => VectorTopK.capRoundRobin(perFile, cap)
-      case None => perFile
+    // one full index load (first file) scaled by file count: O(1) estimate
+    // for stats and broadcast-vs-shuffle selection of the candidate side
+    val est = {
+      val perFile = store.load(files.head, column)
+        .orElse(ParquetFooterIndex.load(files.head, column))
+        .map(_.candidateCount(query, nprobe)).getOrElse(0L)
+      maxCandidates.fold(perFile * files.size)(c =>
+        math.min(c.toLong, perFile * files.size))
     }
 
-    val candDf =
-      IvfCandidateScan.df(spark, column, query.length, nprobe, capped)
+    val candDf = IvfCandidateScan.df(
+      spark, column, query.toIndexedSeq, nprobe, maxCandidates,
+      files, store.dir, est)
+    val estBytes = est * IvfCandidateScan.estRowBytes(files)
+    val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val candSide = if (threshold < 0 || estBytes <= threshold) broadcast(candDf) else candDf
     val paths = fs.location.rootPaths.map(_.toString)
     val pruned = spark.read
       .schema(fs.dataSchema)
       .parquet(paths: _*)
       .withColumn("__file", col("_metadata.file_path"))
       .withColumn("__ri", col("_metadata.row_index"))
-      .join(broadcast(candDf), Seq("__file", "__ri"), "left_semi")
+      .join(candSide, Seq("__file", "__ri"), "left_semi")
       .drop("__file", "__ri")
     // This rule runs in extraOptimizations, AFTER the main optimizer
     // batches — optimize the injected subtree explicitly so hint

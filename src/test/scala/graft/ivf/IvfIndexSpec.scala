@@ -87,4 +87,17 @@ class IvfIndexSpec extends AnyFunSuite {
     val uncapped = VectorTopK.capRoundRobin(perFile, 100)
     assert(uncapped.map(_._2.length).sum == 10)
   }
+
+  test("counts-only roundRobinQuotas matches capRoundRobin's take counts") {
+    val rnd = new scala.util.Random(11)
+    (1 to 50).foreach { _ =>
+      val perFile = Seq.tabulate(1 + rnd.nextInt(6))(i =>
+        s"f$i" -> Array.tabulate(rnd.nextInt(12))(identity))
+      val cap = 1 + rnd.nextInt(25)
+      val capped = VectorTopK.capRoundRobin(perFile, cap)
+      val quotas = graft.plans.IvfCandidateScan
+        .roundRobinQuotas(perFile.map(_._2.length.toLong).toArray, cap.toLong)
+      assert(capped.map(_._2.length.toLong) == quotas.toSeq)
+    }
+  }
 }

@@ -124,6 +124,60 @@ class VectorTopKSpec extends SparkSpec {
     assert(r2.recall > 0.0 && r2.recall <= 1.0)
   }
 
+  test("search returns (row_idx, sqrt'd distance) equal to brute force at exhaustive probe") {
+    val rnd = new scala.util.Random(31)
+    val vecs = Seq.fill(60)(Seq.fill(6)(rnd.nextFloat()))
+    val path = writeFixture(vecs)
+    val store = tmpStore
+    val build = IvfBuilder.build(spark, path, IvfBuilder.Config("vec"), store)
+    val query = Seq.fill(6)(0.5f)
+    val res = VectorTopK.search(spark, path, "vec", query, 10,
+      VectorTopK.Options(nprobe = build.nClusters), store = store).collect()
+    assert(res.length == 10)
+    assert(res.map(_.distance).toSeq == res.map(_.distance).sorted.toSeq)
+    // expected via the same float kernel + sqrt (reference sqrt's the
+    // squared-L2 heap key, search.rs:129-141) — bit-identical computation
+    val expected = vecs.zipWithIndex.map { case (v, i) =>
+      (i.toLong, math.sqrt(graft.functions.VectorKernels
+        .squaredL2(v.toArray, query.toArray).toDouble).toFloat)
+    }.sortBy { case (id, d) => (d, id) }.take(10)
+    assert(res.map(r => (r.row_idx, r.distance)).toSet == expected.toSet)
+  }
+
+  test("indexed path surfaces reference fetch metrics (post-filter)") {
+    val path = writeFixture(Seq(
+      Seq(0f, 0f), Seq(0.05f, 0.05f), Seq(0.2f, 0.2f),
+      Seq(1f, 1f), Seq(1.1f, 1.1f), Seq(1.4f, 1.4f)))
+    val store = tmpStore
+    IvfBuilder.build(spark, path, IvfBuilder.Config("vec", nClusters = Some(3)), store)
+    val df = VectorTopK.indexed(spark, path, "vec", Seq(0f, 0f), 2,
+      VectorTopK.Options(nprobe = 64),
+      filter = Some(col("id") >= 3), store = store)
+    df.collect()
+    // flatten across AQE wrappers and query-stage boundaries
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: allNodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: allNodes(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        p +: allNodes(r.child)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    val metered = nodes.collectFirst { case m: graft.plans.MeteredFetchExec => m }
+    assert(metered.isDefined, df.queryExecution.executedPlan.toString)
+    // reference snapshot parity (filter id >= 3 over 6 candidate rows):
+    // embeddings_fetched = 3 post-filter rows
+    assert(metered.get.metrics("embeddingsFetched").value == 3L)
+    assert(metered.get.metrics("batchesFetched").value >= 1L)
+    val candScan = nodes.collectFirst { case c: graft.plans.IvfCandidateScanExec => c }
+    assert(candScan.isDefined, df.queryExecution.executedPlan.toString)
+    assert(candScan.get.metrics("candidateRows").value == 6L)
+    assert(candScan.get.metrics("filesScanned").value == 1L)
+  }
+
   test("query dim mismatch fails fast") {
     val path = writeFixture(Seq(Seq(0f, 0f), Seq(1f, 1f)))
     val store = tmpStore
