@@ -413,13 +413,14 @@ object Queries {
       |ORDER BY id_a, id_b""".stripMargin
 
   def tq3LangId(spark: SparkSession, sfDir: String): DataFrame = {
-    val txt = col("text")
+    // one native marker_counts pass feeds both outputs
+    val en = ops.TextAnalysis.LangMarkers.indexWhere(_._1 == "en")
     t(spark, sfDir, "documents")
+      .select(col("doc_id"), ops.TextAnalysis.allMarkerCounts(col("text")).as("_mc"))
       .select(
         col("doc_id"),
-        ops.TextAnalysis.markerCount(txt, ops.TextAnalysis.LangMarkers.toMap.apply("en"))
-          .cast("int").as("c_en"),
-        ops.TextAnalysis.langId(txt).as("pred_lang"))
+        col("_mc").getItem(en).cast("int").as("c_en"),
+        ops.TextAnalysis.langIdFromCounts(col("_mc")).as("pred_lang"))
       .orderBy(col("doc_id"))
   }
 
@@ -478,6 +479,59 @@ object Queries {
       |  round(len(list_distinct(regexp_split_to_array(trim(text), '\s+')))::DOUBLE
       |        / len(regexp_split_to_array(trim(text), '\s+')), 6) AS distinct_ratio
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Deterministic content-hash train/val/test split (fingerprint-keyed, so
+    * format-noise duplicates land in the same split — no leakage).
+    */
+  def dq6HashSplit(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), ops.Corpus.hashSplit("text").as("split"))
+      .orderBy(col("doc_id"))
+
+  val dq6Oracle: String =
+    """SELECT doc_id,
+      |  CASE WHEN b < 204 THEN 'train' WHEN b < 230 THEN 'val' ELSE 'test' END AS split
+      |FROM (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 2))::INT AS b
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Greedy sequence packing: docs chunk into ~200-token packs per
+    * 1000-doc shard (window partitioned by shard — no global ordering).
+    */
+  def tq8Pack(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Corpus
+      .packByBudget(
+        t(spark, sfDir, "documents"), "doc_id",
+        ops.TextAnalysis.tokenCount(col("text")).cast("bigint"), budget = 200L)
+      .select(col("doc_id"), col("pack_id"))
+      .orderBy(col("doc_id"))
+
+  val tq8Oracle: String =
+    """SELECT doc_id,
+      |  CAST((doc_id // 1000) * 1000000 + (prev // 200) AS BIGINT) AS pack_id
+      |FROM (
+      |  SELECT doc_id,
+      |    COALESCE(SUM(n) OVER (PARTITION BY doc_id // 1000 ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      |  FROM (SELECT doc_id,
+      |          len(regexp_split_to_array(trim(text), '\s+')) AS n
+      |        FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  /** Corpus token-count stats: exact interpolated percentiles, one row. */
+  def tq7TokenStats(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Corpus.tokenStats(
+      t(spark, sfDir, "documents"), "text", Seq(0.5, 0.9, 0.99))
+
+  val tq7Oracle: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  round(quantile_cont(n, 0.5), 6) AS p50,
+      |  round(quantile_cont(n, 0.9), 6) AS p90,
+      |  round(quantile_cont(n, 0.99), 6) AS p99
+      |FROM (SELECT len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS n
+      |      FROM documents)""".stripMargin
 
   /** JSON column surface (inherited): extract a typed field from the events
     * props JSON.
@@ -620,6 +674,23 @@ object Queries {
        |  ORDER BY list_distance(embedding::FLOAT[], $duckVecLit) ASC, vec_id LIMIT 10)
        |ORDER BY vec_id""".stripMargin
 
+  /** Streaming exact dedup: dropDuplicates keyed state over the replayed
+    * documents stream; which doc survives per text is arrival-order
+    * dependent, so the deterministic output is the distinct count.
+    */
+  def st5StreamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val schema = t(spark, sfDir, "documents").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    val sunk = streaming.EventStreams
+      .replayToTable(spark, stream.dropDuplicates("text"), OutputMode.Append())
+    sunk.agg(count(lit(1)).cast("bigint").as("n_distinct"))
+  }
+
+  val st5Oracle: String =
+    "SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct FROM documents"
+
   // -------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -644,12 +715,15 @@ object Queries {
     "dq3_simhash_neardup" -> (dq3SimhashNearDup _),
     "dq4_invindex_neardup" -> (dq4InvIndexNearDup _),
     "dq5_embed_neardup" -> (dq5EmbedNearDup _),
+    "dq6_hash_split" -> (dq6HashSplit _),
     "tq1_token_count" -> (tq1TokenCount _),
     "tq2_text_stats" -> (tq2TextStats _),
     "tq3_lang_id" -> (tq3LangId _),
     "tq4_fingerprint" -> (tq4Fingerprint _),
     "tq5_subword_count" -> (tq5SubwordCount _),
     "tq6_quality" -> (tq6Quality _),
+    "tq7_token_stats" -> (tq7TokenStats _),
+    "tq8_pack" -> (tq8Pack _),
     "je1_json_extract" -> (je1JsonExtract _),
     "sq2_ivf_cell_pairs" -> (sq2IvfCellPairs _),
     "mq1_media_features" -> (mq1MediaFeatures _),
@@ -658,6 +732,7 @@ object Queries {
     "st2_stream_user_counts" -> (st2StreamUserCounts _),
     "st3_stream_sessionize" -> (st3StreamSessionize _),
     "st4_stream_vector_topk" -> (st4StreamVectorTopk _),
+    "st5_stream_dedup" -> (st5StreamDedup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -682,12 +757,15 @@ object Queries {
     "dq3_simhash_neardup" -> duckNearDupOracle,
     "dq4_invindex_neardup" -> duckNearDupOracle,
     "dq5_embed_neardup" -> dq5Oracle,
+    "dq6_hash_split" -> dq6Oracle,
     "tq1_token_count" -> tq1Oracle,
     "tq2_text_stats" -> tq2Oracle,
     "tq3_lang_id" -> tq3Oracle,
     "tq4_fingerprint" -> tq4Oracle,
     "tq5_subword_count" -> tq5Oracle,
     "tq6_quality" -> tq6Oracle,
+    "tq7_token_stats" -> tq7Oracle,
+    "tq8_pack" -> tq8Oracle,
     "je1_json_extract" -> je1Oracle,
     // sq2_ivf_cell_pairs intentionally has no oracle (cell-recall ANN)
     "mq1_media_features" -> mq1Oracle,
@@ -696,5 +774,6 @@ object Queries {
     "st2_stream_user_counts" -> st2Oracle,
     "st3_stream_sessionize" -> sq1Oracle, // streaming state == batch sessions
     "st4_stream_vector_topk" -> st4Oracle,
+    "st5_stream_dedup" -> st5Oracle,
   )
 }

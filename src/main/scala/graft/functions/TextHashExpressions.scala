@@ -96,6 +96,24 @@ object TextHash {
     inter.toDouble / union.toDouble
   }
 
+  /** Kernel behind `marker_counts` (also called from generated code): one
+    * tokenization pass, one membership probe per (token, vocabulary).
+    */
+  def markerCounts(text: UTF8String, sets: Array[java.util.HashSet[String]]): ArrayData = {
+    val counts = new Array[Int](sets.length)
+    val toks = text.toString.trim.split("\\s+")
+    var t = 0
+    while (t < toks.length) {
+      var i = 0
+      while (i < sets.length) {
+        if (sets(i).contains(toks(t))) counts(i) += 1
+        i += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(counts)
+  }
+
   /** Kernel behind `simhash64` (also called from generated code). */
   def simhash64(arr: ArrayData): Long = {
     val m = arr.numElements()
@@ -183,6 +201,37 @@ case class SortedArrayJaccard(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** `marker_counts(text)`: per-vocabulary marker-word hit counts in ONE
+  * tokenization pass — the hot kernel of n-gram-free language ID. The HOF
+  * formulation (`size(filter(split(...), isin(...)))` per language) is
+  * interpreted per element and re-splits the text per language; this runs
+  * the whole profile in a single codegen'd call.
+  */
+case class MarkerCounts(child: Expression, vocabularies: Seq[Seq[String]])
+    extends UnaryExpression {
+  require(vocabularies.nonEmpty, "at least one vocabulary required")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "marker_counts"
+
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    vocabularies.map { vs =>
+      val s = new java.util.HashSet[String]()
+      vs.foreach(s.add)
+      s
+    }.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.markerCounts(input.asInstanceOf[UTF8String], sets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setsRef = ctx.addReferenceObj("markerSets", sets, "java.util.HashSet[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHash.markerCounts($c, $setsRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** `simhash64(tokens)`: 64-bit SimHash — one xxhash64 per token, 64 signed

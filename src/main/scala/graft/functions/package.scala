@@ -44,6 +44,10 @@ package object functions {
   def sorted_jaccard(a: Column, b: Column): Column =
     col(SortedArrayJaccard(expr(a), expr(b)))
 
+  /** Per-vocabulary marker-word counts in one tokenization pass. */
+  def marker_counts(text: Column, vocabularies: Seq[Seq[String]]): Column =
+    col(MarkerCounts(expr(text), vocabularies))
+
   /** Nearest-centroid id against a flat row-major k×dim matrix (native
     * expression; null vector / dim mismatch → null). The map-side IVF cell
     * assignment for bucketed similarity joins.

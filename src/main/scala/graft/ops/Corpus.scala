@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for training-data pipelines: deterministic
+  * splits, sequence packing, and distribution stats. All are pure
+  * DataFrame transforms over codegen'd built-ins — no UDFs, no driver
+  * loops — designed to run unchanged over a sharded 100 TB corpus.
+  */
+object Corpus {
+
+  /** Deterministic content-hash train/val/test split.
+    *
+    * The split key is the first two hex chars of md5 over the NORMALIZED
+    * text (the [[TextAnalysis.fingerprint]] key), giving 256 stable buckets:
+    *  - content-based, so the assignment survives re-sharding, re-ordering,
+    *    and id reassignment (id-based splits leak when ids shuffle);
+    *  - fingerprint-based, so exact/format-noise duplicates land in the
+    *    SAME split — no train/test leakage through duplicated documents;
+    *  - engine-portable (md5 is bit-identical everywhere), so the split is
+    *    reproducible outside Spark.
+    *
+    * `trainBuckets`/`valBuckets` partition the 256 buckets as
+    * [0, train) → train, [train, train+val) → val, rest → test.
+    */
+  def hashSplit(
+      textCol: String,
+      trainBuckets: Int = 204, // ~80%
+      valBuckets: Int = 26): Column = {
+    require(trainBuckets > 0 && valBuckets >= 0, "bucket counts must be positive")
+    require(trainBuckets + valBuckets <= 256, "train+val buckets exceed 256")
+    val bucket = conv(substring(TextAnalysis.fingerprint(col(textCol)), 1, 2), 16, 10)
+      .cast("int")
+    when(bucket < trainBuckets, "train")
+      .when(bucket < trainBuckets + valBuckets, "val")
+      .otherwise("test")
+  }
+
+  /** Greedy sequence packing by cumulative token budget: documents are
+    * chunked, in id order, into packs of ~`budget` tokens (a document whose
+    * tokens straddle a boundary starts the next pack's budget — the
+    * standard cheap approximation of bin packing for context-window
+    * filling).
+    *
+    * Packing is per-shard (`idCol div shardSize`), so the window never
+    * globally orders the corpus: each shard packs independently in one
+    * partition-local pass and pack ids are globally unique as
+    * `shard * packsPerShardCap + local pack`. At 100 TB, shards map to the
+    * natural write partitioning and the window shuffle is by shard key.
+    */
+  def packByBudget(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: Column,
+      budget: Long,
+      shardSize: Long = 1000L,
+      packsPerShardCap: Long = 1000000L): DataFrame = {
+    require(budget > 0 && shardSize > 0, "budget and shardSize must be positive")
+    val shard = (col(idCol) / shardSize).cast("bigint")
+    val w = Window.partitionBy(shard).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("_tok", tokensCol)
+      .withColumn("_prev", coalesce(sum(col("_tok")).over(w), lit(0L)))
+      .withColumn(
+        "pack_id",
+        (shard * packsPerShardCap + floor(col("_prev") / budget)).cast("bigint"))
+      .drop("_tok", "_prev")
+  }
+
+  /** Exact token-count distribution stats (count + interpolated
+    * percentiles) — the corpus-level summary a filtering pipeline keys off.
+    */
+  def tokenStats(df: DataFrame, textCol: String, percentiles: Seq[Double]): DataFrame = {
+    val toks = TextAnalysis.tokenCount(col(textCol)).cast("bigint")
+    df.select(toks.as("n_tokens"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        percentile(col("n_tokens"), lit(percentiles.toArray)).as("_ps"))
+      .select(
+        col("n_docs") +: percentiles.zipWithIndex.map { case (p, i) =>
+          round(col("_ps").getItem(i), 6).as(s"p${(p * 100).toInt}")
+        }: _*)
+  }
+}

@@ -63,23 +63,35 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "et", "est", "pas"),
     "zh" -> Seq("的", "是", "不", "了", "在"))
 
-  def markerCount(text: Column, markers: Seq[String]): Column =
-    size(filter(tokens(text), w => w.isin(markers: _*)))
-
-  /** Predicted language: argmax of marker counts, alphabetical tie-break
-    * (greatest-count scan in fixed language order).
+  /** Hit count for one marker vocabulary (a single-vocabulary projection of
+    * [[allMarkerCounts]] when it is a known language's, else a one-off HOF).
     */
-  def langId(text: Column): Column = {
-    val counts = LangMarkers.map { case (lang, markers) =>
-      (lang, markerCount(text, markers))
+  def markerCount(text: Column, markers: Seq[String]): Column = {
+    val i = LangMarkers.indexWhere(_._2 == markers)
+    if (i >= 0) allMarkerCounts(text).getItem(i)
+    else size(filter(tokens(text), w => w.isin(markers: _*)))
+  }
+
+  /** All language marker counts in ONE tokenization pass (native
+    * expression), ordered like [[LangMarkers]].
+    */
+  def allMarkerCounts(text: Column): Column =
+    graft.functions.marker_counts(text, LangMarkers.map(_._2))
+
+  /** Predicted language from a marker-count array: argmax, alphabetical
+    * tie-break (strictly-greater fold in fixed language order).
+    */
+  def langIdFromCounts(counts: Column): Column = {
+    val pairs = LangMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      (lang, counts.getItem(i))
     }
-    // fold: keep (bestLang, bestCount); strictly-greater keeps earlier
-    // (alphabetical) language on ties.
-    counts.tail.foldLeft(
-      struct(lit(counts.head._1).as("lang"), counts.head._2.as("cnt"))) {
+    pairs.tail.foldLeft(
+      struct(lit(pairs.head._1).as("lang"), pairs.head._2.as("cnt"))) {
       case (best, (lang, cnt)) =>
         when(cnt > best.getField("cnt"), struct(lit(lang).as("lang"), cnt.as("cnt")))
           .otherwise(best)
     }.getField("lang")
   }
+
+  def langId(text: Column): Column = langIdFromCounts(allMarkerCounts(text))
 }

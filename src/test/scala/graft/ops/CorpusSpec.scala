@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSplit is deterministic, content-based, and leakage-proof for dups") {
+    val df = Seq(
+      (0L, "the quick brown fox"),
+      (1L, "THE  quick   brown fox "), // format-noise dup of doc 0
+      (2L, "a completely different document"),
+      (3L, "yet another text")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), Corpus.hashSplit("text").as("split"))
+      .as[(Long, String)].collect().toMap
+    // format-noise duplicates share a fingerprint → same split (no leakage)
+    assert(out(0L) == out(1L))
+    assert(Set("train", "val", "test").contains(out(2L)))
+    // stable across evaluations
+    val again = df.select(col("doc_id"), Corpus.hashSplit("text").as("split"))
+      .as[(Long, String)].collect().toMap
+    assert(out == again)
+  }
+
+  test("hashSplit fractions approximate the bucket shares") {
+    val docs = (0 until 2000).map(i => (i.toLong, s"document number $i with body"))
+      .toDF("doc_id", "text")
+    val counts = docs.select(Corpus.hashSplit("text").as("split"))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    val n = counts.values.sum.toDouble
+    assert(math.abs(counts("train") / n - 204.0 / 256) < 0.05)
+    assert(counts.getOrElse("val", 0L) > 0 && counts.getOrElse("test", 0L) > 0)
+  }
+
+  test("packByBudget chunks by cumulative tokens within shards") {
+    // 6 docs of 3 tokens each, budget 7: exclusive prefix sums
+    // 0,3,6,9,12,15 → packs 0,0,0,1,1,2
+    val docs = (0 until 6).map(i => (i.toLong, "one two three")).toDF("doc_id", "text")
+    val packs = Corpus
+      .packByBudget(docs, "doc_id", TextAnalysis.tokenCount(col("text")).cast("bigint"),
+        budget = 7L)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(packs == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 2L))
+    // shard isolation: ids in different shards never share a pack
+    val sharded = (0 until 4).map(i => (i * 1000L, "one two")).toDF("doc_id", "text")
+    val packIds = Corpus
+      .packByBudget(sharded, "doc_id", TextAnalysis.tokenCount(col("text")).cast("bigint"),
+        budget = 100L)
+      .select("pack_id").as[Long].collect().toSet
+    assert(packIds.size == 4)
+  }
+
+  test("tokenStats emits exact interpolated percentiles") {
+    val docs = Seq((0L, "a"), (1L, "a b"), (2L, "a b c"), (3L, "a b c d e f g h i j"))
+      .toDF("doc_id", "text")
+    val row = Corpus.tokenStats(docs, "text", Seq(0.5, 0.9)).collect().head
+    assert(row.getLong(0) == 4L)
+    assert(row.getDouble(1) == 2.5) // linear interpolation between 2 and 3
+  }
+}
