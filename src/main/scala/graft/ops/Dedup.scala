@@ -261,6 +261,9 @@ object Dedup {
       .select(
         col("id"), col("sim"), col("block"), col("val"),
         col("blk2.block").as("block2"), col("blk2.val").as("val2"))
+    // distinct BEFORE the verify joins: a pair can surface from several
+    // buckets, and deduping candidates first was measured faster than
+    // verifying duplicate instances (the attach joins dominate otherwise)
     val cands = pairJoin(small, Seq("block", "val"))
       .union(pairJoin(refined, Seq("block", "val", "block2", "val2")))
       .distinct()
@@ -274,7 +277,11 @@ object Dedup {
     */
   def embeddingNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    // the stream side of the nested-loop join inherits the input's file
+    // partitioning — a bounded oracle input is often ONE small file, which
+    // would serialize the O(n²) kernel on one task; spread it first
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a")).repartition(p)
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     a.join(b, col("id_a") < col("id_b"))
       .where(array_cosine_similarity(col("v_a"), col("v_b")) >= threshold)
