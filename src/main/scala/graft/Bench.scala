@@ -69,12 +69,18 @@ object Bench {
       "baseline_indexed_topk100_nprobe16" -> time(materialize(indexedK100())),
       "index_build" -> indexBuild)
 
+    // BASELINE.md protocol quality metric: Recall@100 vs brute force at
+    // nprobe=16 (extra top-level key; the driver reads the fields it knows)
+    val recall =
+      try graft.ivf.Recall.atK(spark, path, "embedding", "vec_id", query, 100, 16).recall
+      catch { case _: Throwable => -1.0 }
+
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","recall_at100_nprobe16":$recall}""")
     spark.stop()
   }
 }
