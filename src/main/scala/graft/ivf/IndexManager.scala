@@ -29,6 +29,15 @@ object IndexManager {
       .map(IndexStore.canonicalPath)
       .sorted
 
+  /** Sidecar first, footer-embedded second (the order the driver peeks in);
+    * shared by the executor-side probe paths.
+    */
+  def loadIndex(store: IndexStore, file: String, column: String): IvfIndex =
+    store.load(file, column)
+      .orElse(ParquetFooterIndex.load(file, column))
+      .getOrElse(throw new IllegalStateException(
+        s"no IVF index for file $file column '$column' — build one with IvfBuilder"))
+
   def ensure(
       spark: SparkSession,
       path: String,

@@ -82,8 +82,8 @@ object VectorTopK {
     perFile.zipWithIndex.map { case ((file, _), i) => (file, out(i).result().toArray) }
   }
 
-  /** Candidate-pruned scan with `_file`/`_ri` metadata columns retained:
-    * the shared front half of [[indexed]] and [[search]].
+  /** Candidate-pruned scan with `_file`/`_ri` metadata columns retained —
+    * the plan-integrated (semi-join) fetch behind [[indexed]].
     */
   private def candidateScan(
       spark: SparkSession,
@@ -173,6 +173,14 @@ object VectorTopK {
     * (file-local row ordinal, true L2 distance), distance ascending
     * (`/root/reference/src/ivf/search.rs:129-141`; the reference sqrt's the
     * squared-L2 heap key before returning, as `array_distance` does).
+    *
+    * This is the reference's Rust-API pipeline end to end, distributed:
+    * each executor task probes its files' indexes and SELECTIVELY reads
+    * only the embedding column of only the row groups holding candidates
+    * ([[SelectiveFetch]]) — IO proportional to candidates, not file size —
+    * then `orderBy(distance).limit(k)` bounded-heap merges across files.
+    * For multi-file tables `row_idx` is file-local, like the reference's
+    * per-file API; use [[indexed]] when full rows are needed.
     */
   def search(
       spark: SparkSession,
@@ -184,11 +192,48 @@ object VectorTopK {
       store: IndexStore = IndexStore.default): Dataset[SearchResult] = {
     require(k > 0, "k must be > 0")
     import spark.implicits._
-    val scan = candidateScan(spark, path, column, query, options, store)
-    meterFetch(spark, scan)
-      .select(
-        col("_ri").as("row_idx"),
-        distanceCol(column, query).as("distance"))
+    val files = IndexManager.listFiles(spark, path)
+    require(files.nonEmpty, s"no parquet files under $path")
+    val q = query.toArray
+    files.foreach { file =>
+      val (dim, _) = store.peek(file, column)
+        .orElse(ParquetFooterIndex.peek(file, column))
+        .getOrElse(throw new IllegalStateException(
+          s"no IVF index for file $file column '$column' — build one with IvfBuilder"))
+      require(dim == q.length, s"query dim ${q.length} != index dim $dim for $file")
+    }
+    val sc = spark.sparkContext
+    val slices = math.max(1, math.min(files.size, sc.defaultParallelism))
+    val colName = column
+    val nprobe = options.nprobe
+    // fairness cap, two-phase like IvfCandidateScanExec
+    val quotas: Option[Map[String, Long]] = options.maxCandidates.map { cap =>
+      val counts = sc.parallelize(files.zipWithIndex, slices)
+        .map { case (f, i) =>
+          (i, IndexManager.loadIndex(store, f, colName).candidateCount(q, nprobe))
+        }
+        .collect().sortBy(_._1).map(_._2)
+      files.zip(graft.plans.IvfCandidateScan.roundRobinQuotas(counts, cap.toLong)).toMap
+    }
+    val withQuota = files.map(f => (f, quotas.fold(Long.MaxValue)(_(f))))
+    val results = sc.parallelize(withQuota, slices).flatMap { case (file, quota) =>
+      val index = IndexManager.loadIndex(store, file, colName)
+      require(
+        index.dim == q.length,
+        s"query dim ${q.length} != index dim ${index.dim} for $file")
+      // cap takes the probe-order (centroid-order) prefix, like the
+      // reference's CandidateCursor, then fetch reads ordinal-ascending
+      val cands = index.candidateRows(q, nprobe)
+      val n = math.min(quota, cands.length.toLong).toInt
+      val capped = java.util.Arrays.copyOfRange(cands, 0, n)
+      SelectiveFetch.embeddings(file, colName, capped).iterator.collect {
+        case (ri, vec) if vec.length == q.length =>
+          SearchResult(
+            ri,
+            math.sqrt(graft.functions.VectorKernels.squaredL2(vec, q).toDouble).toFloat)
+      }
+    }
+    spark.createDataset(results)
       .orderBy(col("distance").asc_nulls_last)
       .limit(k)
       .as[SearchResult]

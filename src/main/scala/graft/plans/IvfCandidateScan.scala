@@ -69,10 +69,7 @@ object IvfCandidateScan {
 
   /** Sidecar first, footer-embedded second (same order as the driver peek). */
   def loadIndex(store: IndexStore, file: String, column: String): IvfIndex =
-    store.load(file, column)
-      .orElse(ParquetFooterIndex.load(file, column))
-      .getOrElse(throw new IllegalStateException(
-        s"no IVF index for file $file column '$column' — build one with IvfBuilder"))
+    graft.ivf.IndexManager.loadIndex(store, file, column)
 
   /** Per-file quotas with the reference's round-robin fairness across files
     * (`/root/reference/src/df_vector/access.rs:193-243`), computed from
