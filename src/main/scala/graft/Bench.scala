@@ -57,7 +57,11 @@ object Bench {
     def indexedK100() = graft.ivf.VectorTopK
       .indexed(spark, path, "embedding", query, 100,
         graft.ivf.VectorTopK.Options(nprobe = 16))
-    materialize(bruteK100()); materialize(indexedK100()) // warm
+    def searchK100() = graft.ivf.VectorTopK
+      .search(spark, path, "embedding", query, 100,
+        graft.ivf.VectorTopK.Options(nprobe = 16))
+      .toDF()
+    materialize(bruteK100()); materialize(indexedK100()); materialize(searchK100()) // warm
 
     val results: Seq[(String, Double)] = names.map { name =>
       val sec =
@@ -67,6 +71,7 @@ object Bench {
     } ++ Seq(
       "baseline_brute_topk100" -> time(materialize(bruteK100())),
       "baseline_indexed_topk100_nprobe16" -> time(materialize(indexedK100())),
+      "baseline_search_selective_topk100_nprobe16" -> time(materialize(searchK100())),
       "index_build" -> indexBuild)
 
     // BASELINE.md protocol quality metric: Recall@100 vs brute force at
