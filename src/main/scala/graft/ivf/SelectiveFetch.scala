@@ -1,6 +1,8 @@
 package graft.ivf
 
 import java.net.URI
+import java.util.PrimitiveIterator
+import java.util.stream.{IntStream, LongStream}
 
 import scala.collection.mutable.ArrayBuffer
 import scala.jdk.CollectionConverters._
@@ -10,25 +12,24 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.column.ColumnDescriptor
 import org.apache.parquet.column.impl.ColumnReadStoreImpl
+import org.apache.parquet.column.page.PageReadStore
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.internal.filter2.columnindex.RowRanges
 import org.apache.parquet.io.api.{Binary, Converter, GroupConverter, PrimitiveConverter}
 import org.apache.parquet.schema.{GroupType, MessageType, PrimitiveType, Type}
 
 /** Selective single-column vector fetch — the Spark-side analog of the
   * reference's `read_embeddings_for_rows` (`/root/reference/src/ivf/
   * search.rs:155-244`): given a file and a set of candidate row ordinals,
-  * read ONLY the embedding column and ONLY the row groups that contain
-  * candidates (`ParquetFileReader.skipNextRowGroup` for the rest — the
-  * reference's `ParquetAccessPlan::new_none`/`skip` shape,
-  * `src/df_vector/access.rs:107-159`). IO is proportional to probed row
-  * groups × one column chunk, not to file size × row width.
-  *
-  * The reference additionally skips PAGES inside a selected group via
-  * `RowSelection` over 1-row pages; parquet-java reads whole column chunks
-  * per group, so this path is row-group granular within the chunk (decode
-  * cost, not IO layout, is the residual delta — documented in README's
-  * roadmap).
+  * read ONLY the embedding column, ONLY the row groups that contain
+  * candidates, and — when the file carries a page/offset index — ONLY the
+  * PAGES whose row span holds a candidate (`readFilteredRowGroup` with
+  * page-selected `RowRanges`; the reference's `RowSelection` shape,
+  * `src/df_vector/access.rs:107-159`). Over `IvfBuilder.rewriteWithIndex`
+  * output (1 row per page) this is true point-read IO, like the reference's
+  * 1-row-page + selection pairing; over standard files it degrades
+  * gracefully to row-group granularity.
   *
   * Null vectors, null elements, and dim-mismatched rows yield no output row
   * (the engine-wide skip-don't-error semantics). f64 embedding columns are
@@ -102,56 +103,99 @@ object SelectiveFetch {
       val converter = noopConverter(projected).asInstanceOf[GroupConverter]
       val createdBy = footer.getFileMetaData.getCreatedBy
 
-      var groupStart = 0L // first ordinal of the current row group
+      var groupStart = 0L // first file-absolute ordinal of the current group
       var ci = 0 // cursor into sorted ordinals
-      val blocks = footer.getBlocks.asScala
-      blocks.foreach { block =>
+      footer.getBlocks.asScala.zipWithIndex.foreach { case (block, blockIdx) =>
         val rows = block.getRowCount
         val groupEnd = groupStart + rows
-        // advance past ordinals below this group (defensive; sorted input)
-        while (ci < sorted.length && sorted(ci) < groupStart) ci += 1
-        val hasCandidates = ci < sorted.length && sorted(ci) < groupEnd
-        if (!hasCandidates) {
-          reader.skipNextRowGroup(): Unit
-        } else {
-          val pages = reader.readNextRowGroup()
-          val store = new ColumnReadStoreImpl(pages, converter, projected, createdBy)
-          val cr = store.getColumnReader(desc)
-          var remaining = cr.getTotalValueCount
-          var record = groupStart // ordinal of the record being assembled
-          val buf = new ArrayBuffer[Float]()
-          var valid = true
-          var started = false
-          def emit(): Unit = {
-            if (started) {
-              if (valid && ci < sorted.length && sorted(ci) == record) {
-                out += ((record, buf.toArray))
+        val lo = ci
+        while (ci < sorted.length && sorted(ci) < groupEnd) ci += 1
+        val groupCands = java.util.Arrays.copyOfRange(sorted, lo, ci)
+        if (groupCands.nonEmpty) {
+          // page-granular row selection when the file has an offset index;
+          // whole-group ranges otherwise (groups without candidates are
+          // never touched at all — random access by block index)
+          val chunk = block.getColumns.asScala
+            .find(c => c.getPath.toArray.sameElements(desc.getPath))
+            .getOrElse(throw new IllegalStateException(
+              s"column chunk for '$column' missing in row group $blockIdx of $file"))
+          val offsetIndex = Try(reader.readOffsetIndex(chunk)).getOrElse(null)
+          val ranges =
+            if (offsetIndex == null) RowRanges.createSingle(rows)
+            else {
+              val selected = (0 until offsetIndex.getPageCount).filter { p =>
+                val first = groupStart + offsetIndex.getFirstRowIndex(p)
+                val last = groupStart + offsetIndex.getLastRowIndex(p, rows)
+                // any candidate in [first, last]?
+                var idx = java.util.Arrays.binarySearch(groupCands, first.toInt)
+                if (idx < 0) idx = -idx - 1
+                idx < groupCands.length && groupCands(idx) <= last
               }
-              while (ci < sorted.length && sorted(ci) <= record) ci += 1
-              record += 1
+              RowRanges.create(
+                rows,
+                IntStream.of(selected.toArray: _*).iterator(),
+                offsetIndex)
             }
-          }
-          while (remaining > 0) {
-            if (cr.getCurrentRepetitionLevel == 0) {
-              emit()
-              started = true
-              buf.clear()
-              valid = true
-            }
-            if (cr.getCurrentDefinitionLevel == maxDef) {
-              buf += (if (isDouble) cr.getDouble.toFloat else cr.getFloat)
-            } else {
-              // null list, empty list, or null element → skip the row
-              valid = false
-            }
-            cr.consume()
-            remaining -= 1
-          }
-          emit() // last record of the group
+          // typed as the interface: the concrete ColumnChunkPageReadStore's
+          // covariant close() override is package-private to callers
+          val pages: PageReadStore = reader.readFilteredRowGroup(blockIdx, ranges)
+          try {
+            decodeGroup(
+              pages, projected, desc, converter, createdBy,
+              isDouble, maxDef, groupStart, groupCands, out)
+          } finally pages.close()
         }
         groupStart = groupEnd
       }
     } finally reader.close()
     out.toSeq
+  }
+
+  /** Record-driven decode of one (possibly page-filtered) row group: rows
+    * arrive in ascending ordinal order (the filtered store synchronizes the
+    * value stream to the selected rows and exposes their row indexes).
+    */
+  private def decodeGroup(
+      pages: PageReadStore,
+      projected: MessageType,
+      desc: ColumnDescriptor,
+      converter: GroupConverter,
+      createdBy: String,
+      isDouble: Boolean,
+      maxDef: Int,
+      groupStart: Long,
+      groupCands: Array[Int],
+      out: ArrayBuffer[(Long, Array[Float])]): Unit = {
+    val store = new ColumnReadStoreImpl(pages, converter, projected, createdBy)
+    val cr = store.getColumnReader(desc)
+    val total = pages.getRowCount
+    val rowIdx: PrimitiveIterator.OfLong = pages.getRowIndexes
+      .orElseGet(() => LongStream.range(0L, total).iterator())
+    val buf = new ArrayBuffer[Float]()
+    var cj = 0
+    var n = 0L
+    while (n < total) {
+      val ordinal = groupStart + rowIdx.nextLong()
+      buf.clear()
+      var valid = true
+      // one record: first value sits at repetition 0; the record ends when
+      // the NEXT value's repetition level returns to 0 (or the chunk ends,
+      // where the reader reports level 0)
+      var more = true
+      while (more) {
+        if (cr.getCurrentDefinitionLevel == maxDef) {
+          buf += (if (isDouble) cr.getDouble.toFloat else cr.getFloat)
+        } else {
+          valid = false // null list, empty list, or null element
+        }
+        cr.consume()
+        more = cr.getCurrentRepetitionLevel != 0
+      }
+      while (cj < groupCands.length && groupCands(cj) < ordinal) cj += 1
+      if (valid && cj < groupCands.length && groupCands(cj) == ordinal) {
+        out += ((ordinal, buf.toArray))
+      }
+      n += 1
+    }
   }
 }

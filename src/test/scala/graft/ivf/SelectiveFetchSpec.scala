@@ -2,6 +2,8 @@ package graft.ivf
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions.col
 
 import graft.SparkSpec
@@ -56,6 +58,39 @@ class SelectiveFetchSpec extends SparkSpec {
     assert(got.map(_._1) == Seq(0L, 3L))
     assert(got.head._2.toSeq == Seq(1.5f, 2.5f))
     assert(got(1)._2.toSeq == Seq(4.5f, 5.5f))
+  }
+
+  test("page-granular selection over 1-row-page files (rewriteWithIndex layout)") {
+    val in = Files.createTempDirectory("graft-pg-in").toString
+    val outDir = Files.createTempDirectory("graft-pg-out").toString
+    val vecs = (0 until 120).map(i => (i.toLong, Seq.fill(6)(i.toFloat)))
+    vecs.toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+      .coalesce(1).write.mode("overwrite").parquet(in)
+    // 1 row per page + embedded index, the reference's point-read layout
+    IvfBuilder.rewriteWithIndex(spark, in, outDir,
+      IvfBuilder.Config("vec", nClusters = Some(4)), numFiles = Some(1))
+    val file = oneFile(outDir)
+    // sanity: the rewritten file really has many pages (offset index present)
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader
+      .open(org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file), new org.apache.hadoop.conf.Configuration()))
+    try {
+      val block = rdr.getFooter.getBlocks.get(0)
+      val chunk = block.getColumns.asScala
+        .find(_.getPath.toDotString.startsWith("vec")).get
+      val oi = rdr.readOffsetIndex(chunk)
+      assert(oi != null && oi.getPageCount > 10, s"pages=${if (oi == null) -1 else oi.getPageCount}")
+    } finally rdr.close()
+    // rewrite preserves row order here (single input file, single output);
+    // fetch sparse ordinals and verify content
+    val rows = spark.read.parquet(outDir)
+      .select(col("id"), col("vec"), col("_metadata.row_index").as("ri"))
+      .collect().map(r => r.getLong(2) -> (r.getLong(0), r.getSeq[Float](1))).toMap
+    val wanted = Array(3, 57, 119)
+    val got = SelectiveFetch.embeddings(file, "vec", wanted)
+    assert(got.map(_._1) == wanted.map(_.toLong).toSeq)
+    got.foreach { case (ri, v) => assert(v.toSeq == rows(ri)._2) }
   }
 
   test("search over the selective path honors maxCandidates fairness") {
