@@ -606,12 +606,21 @@ object Queries {
       |  FROM events)
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** State-store partition count for the bounded fixture replays: state
+    * volume here is thousands of keys, so a handful of stores is right —
+    * per-partition store/checkpoint overhead dominates otherwise (state
+    * partitioning should track state size, not the relational shuffle
+    * width; a production stream over big state raises it).
+    */
+  private val ReplayStatePartitions = 8
+
   def st1StreamHourly(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.OutputMode
     val stream = streaming.EventStreams.readStream(spark, sfDir)
     streaming.EventStreams
       .replayToTable(
-        spark, streaming.EventStreams.hourlyCounts(stream), OutputMode.Complete())
+        spark, streaming.EventStreams.hourlyCounts(stream), OutputMode.Complete(),
+        statePartitions = Some(ReplayStatePartitions))
       .orderBy(col("hour"), col("event_type"))
   }
 
@@ -627,7 +636,8 @@ object Queries {
         spark,
         streaming.EventStreams.userCounts(spark, stream),
         OutputMode.Update(),
-        latestPerKey = Some((Seq("user_id"), "n")))
+        latestPerKey = Some((Seq("user_id"), "n")),
+        statePartitions = Some(ReplayStatePartitions))
       .select(col("user_id"), col("n").cast("bigint").as("n"))
       .orderBy(col("user_id"))
   }
@@ -643,7 +653,8 @@ object Queries {
         spark,
         streaming.EventStreams.sessionize(spark, stream),
         OutputMode.Update(),
-        latestPerKey = Some((Seq("user_id"), "n_sessions")))
+        latestPerKey = Some((Seq("user_id"), "n_sessions")),
+        statePartitions = Some(ReplayStatePartitions))
       .select(col("user_id"), col("n_sessions").cast("bigint").as("n_sessions"))
       .orderBy(col("user_id"))
   }
@@ -661,7 +672,8 @@ object Queries {
     val topk = streaming.EventStreams
       .streamingVectorTopK(spark, typed, "vec_id", "embedding", queryVec, 10)
     val sunk = streaming.EventStreams
-      .replayToTable(spark, topk, OutputMode.Append())
+      .replayToTable(spark, topk, OutputMode.Append(),
+        statePartitions = Some(ReplayStatePartitions))
     sunk
       .where(col("batch") === sunk.agg(max(col("batch"))).head().getLong(0))
       .select(col("vec_id"))
@@ -684,7 +696,8 @@ object Queries {
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
     val sunk = streaming.EventStreams
-      .replayToTable(spark, stream.dropDuplicates("text"), OutputMode.Append())
+      .replayToTable(spark, stream.dropDuplicates("text"), OutputMode.Append(),
+        statePartitions = Some(ReplayStatePartitions))
     sunk.agg(count(lit(1)).cast("bigint").as("n_distinct"))
   }
 

@@ -84,22 +84,35 @@ object EventStreams {
     * AvailableNow, collect into a memory sink, return the final table.
     * `latestPerKey` handles Update-mode sinks where a key may appear once
     * per micro-batch (the last value wins).
+    *
+    * `statePartitions` scopes `spark.sql.shuffle.partitions` around query
+    * START (the value a streaming query captures for its state stores, and
+    * then keeps for its lifetime): stateful operators pay per-partition
+    * state-store + checkpoint overhead every micro-batch, so the partition
+    * count should track expected STATE volume, not the session's relational
+    * shuffle width — 32 stores for a bounded replay is pure overhead.
     */
   def replayToTable(
       spark: SparkSession,
       transformed: DataFrame,
       mode: OutputMode,
-      latestPerKey: Option[(Seq[String], String)] = None): DataFrame = {
+      latestPerKey: Option[(Seq[String], String)] = None,
+      statePartitions: Option[Int] = None): DataFrame = {
     val sinkName = s"graft_sink_${EventStreams.sinkCounter.incrementAndGet()}"
     val checkpoint = Files.createTempDirectory("graft-ckpt").toString
-    val query = transformed.writeStream
-      .format("memory")
-      .queryName(sinkName)
-      .outputMode(mode)
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p.toString))
+    try {
+      val query = transformed.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    } finally statePartitions.foreach(_ =>
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle))
     val sunk = spark.table(sinkName)
     latestPerKey match {
       case Some((keys, valueCol)) =>
