@@ -4,27 +4,42 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The production install path: a session configured with
-  * `spark.sql.extensions=graft.GraftExtensions` gets the SQL functions and
-  * the optimizer rule without any imperative install call.
+  * `spark.sql.extensions=graft.GraftExtensions` gets the SQL functions,
+  * the optimizer rule, AND the planner strategy without any imperative
+  * install call.
   */
 class GraftExtensionsSpec extends AnyFunSuite {
 
-  test("extensions-configured session resolves graft SQL functions") {
-    // force a fresh session so the extensions config is applied
+  /** Run `body` on a fresh session built through the extensions injection
+    * path, restoring the suite-shared default/active sessions afterwards.
+    * `spark.sql.extensions` is a static conf — it only takes effect on a
+    * fresh SparkContext, and the test JVM shares one; withExtensions
+    * exercises the identical injection path programmatically.
+    */
+  private def withExtSession[T](body: SparkSession => T): T = {
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession
     SparkSession.clearDefaultSession()
     SparkSession.clearActiveSession()
-    // `spark.sql.extensions` is a static conf — it only takes effect on a
-    // fresh SparkContext, and the test JVM shares one. withExtensions
-    // exercises the identical injection path programmatically.
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext-test")
       .withExtensions(new GraftExtensions)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    try {
+    try body(spark)
+    finally {
+      // do NOT stop(): the SparkContext is shared with the other suites —
+      // just restore the previous default/active sessions
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
+  test("extensions-configured session resolves graft SQL functions") {
+    withExtSession { spark =>
       val d = spark
         .sql("SELECT array_distance(array(1.0F,2.0F,3.0F), array(4.0F,5.0F,6.0F)) d")
         .head().getFloat(0)
@@ -33,17 +48,41 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .sql("SELECT simhash64(array('a','b','c')) s")
         .head().getLong(0)
       assert(sim != 0L)
-      // the optimizer rule is injected (visible in the session's rule list
-      // behavior: an indexed-table rewrite is covered in VectorTopKRuleSpec;
-      // here we assert injection didn't break plain queries)
       assert(spark.sql("SELECT 1 + 1").head().getInt(0) == 2)
-    } finally {
-      // do NOT stop(): the SparkContext is shared with the other suites —
-      // just restore the previous default/active sessions
-      SparkSession.clearDefaultSession()
-      SparkSession.clearActiveSession()
-      prevDefault.foreach(SparkSession.setDefaultSession)
-      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
+  test("extensions session runs the indexed SQL rewrite end to end") {
+    withExtSession { spark =>
+      import java.nio.file.Files
+      import org.apache.spark.sql.functions.col
+      val dir = Files.createTempDirectory("graft-ext-data").toString
+      val storeDir = Files.createTempDirectory("graft-ext-store").toString
+      val rnd = new scala.util.Random(17)
+      spark.createDataFrame((0 until 100).map(i => (i.toLong, Seq.fill(4)(rnd.nextFloat()))))
+        .toDF("id", "vec")
+        .select(col("id"), col("vec").cast("array<float>").as("vec"))
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      graft.ivf.IvfBuilder.build(spark, dir,
+        graft.ivf.IvfBuilder.Config("vec", nClusters = Some(4)),
+        new graft.ivf.IndexStore(storeDir))
+      spark.conf.set(plans.VectorTopKRule.IndexDirKey, storeDir)
+      spark.conf.set(plans.VectorTopKRule.NprobeKey, "4") // exhaustive
+      spark.read.parquet(dir).createOrReplaceTempView("ext_vecs")
+      val sql =
+        s"""SELECT id FROM ext_vecs
+           |ORDER BY array_distance(vec, array(${Seq.fill(4)("0.5F").mkString(",")}))
+           |LIMIT 5""".stripMargin
+      val df = spark.sql(sql)
+      // the rewrite fired (custom candidate node planned by the injected
+      // strategy) and the ANN-exhaustive answer equals brute force
+      assert(df.queryExecution.optimizedPlan.toString.contains("IvfCandidateScan"),
+        df.queryExecution.optimizedPlan.toString)
+      val got = df.collect().map(_.getLong(0)).toSet
+      spark.conf.set(plans.VectorTopKRule.EnabledKey, "false")
+      val brute = spark.sql(sql).collect().map(_.getLong(0)).toSet
+      spark.conf.set(plans.VectorTopKRule.EnabledKey, "true")
+      assert(got == brute)
     }
   }
 }
