@@ -586,6 +586,33 @@ object Queries {
       |  CAST((octet_length(encode(text)) + 1) // 2 AS INTEGER) AS n_thumb_bytes
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Frame-sampling generator over binary payloads (stride 32, 8-byte stub
+    * frames): per-doc frame count + total sampled bytes — decode-independent
+    * and oracle-checkable in closed form.
+    */
+  def mq2FrameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = ops.Multimodal.fromText(t(spark, sfDir, "documents"), "doc_id", "text")
+    ops.Multimodal.sampleFrameRows(spark, media, stride = 32)
+      .toDF()
+      .groupBy(col("id").as("doc_id"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_frames"),
+        sum(col("n_bytes")).cast("bigint").as("n_sampled_bytes"))
+      .select(col("doc_id"), col("n_frames"), col("n_sampled_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Closed form of the stub's sampling: ceil(len/32) frames; every frame
+    * takes 8 bytes except a shorter final group.
+    */
+  val mq2Oracle: String =
+    """SELECT doc_id,
+      |  CAST(ceil(len / 32.0) AS BIGINT) AS n_frames,
+      |  CAST(8 * (ceil(len / 32.0) - 1)
+      |       + least(8, len - 32 * (ceil(len / 32.0) - 1)) AS BIGINT) AS n_sampled_bytes
+      |FROM (SELECT doc_id, octet_length(encode(text)) AS len FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(spark, sfDir, "events")
@@ -740,6 +767,7 @@ object Queries {
     "je1_json_extract" -> (je1JsonExtract _),
     "sq2_ivf_cell_pairs" -> (sq2IvfCellPairs _),
     "mq1_media_features" -> (mq1MediaFeatures _),
+    "mq2_frame_sample" -> (mq2FrameSample _),
     "sq1_sessionize" -> (sq1Sessionize _),
     "st1_stream_hourly" -> (st1StreamHourly _),
     "st2_stream_user_counts" -> (st2StreamUserCounts _),
@@ -782,6 +810,7 @@ object Queries {
     "je1_json_extract" -> je1Oracle,
     // sq2_ivf_cell_pairs intentionally has no oracle (cell-recall ANN)
     "mq1_media_features" -> mq1Oracle,
+    "mq2_frame_sample" -> mq2Oracle,
     "sq1_sessionize" -> sq1Oracle,
     "st1_stream_hourly" -> st1Oracle,
     "st2_stream_user_counts" -> st2Oracle,

@@ -72,6 +72,27 @@ object Multimodal {
         lit(0).as("height"),
         lit(1).as("channels")).as("meta"))
 
+  final case class FrameRow(id: Long, frame_idx: Int, n_bytes: Int)
+
+  /** Frame sampling as a generator op: one output row per sampled frame —
+    * the explode-shaped twin of [[extractFeatures]] (a real video pipeline
+    * emits keyframe payloads here; the stub emits 8-byte probes every
+    * `stride` bytes).
+    */
+  def sampleFrameRows(
+      spark: SparkSession, media: DataFrame, stride: Int): Dataset[FrameRow] = {
+    import spark.implicits._
+    require(stride > 0, "stride must be > 0")
+    media.select(col("id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          MediaStub.sampleFrames(bytes, stride).iterator.zipWithIndex.map {
+            case (frame, i) => FrameRow(id, i, frame.length)
+          }
+        }
+      }
+  }
+
   /** Batch feature extraction over binary payloads: the mapPartitions batch
     * shape every real decoder plugs into.
     */
