@@ -1,6 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 import graft.functions.{array_cosine_similarity, array_distance}
@@ -21,9 +23,40 @@ object Similarity {
     df.orderBy(array_cosine_similarity(col(vecCol), qlit).desc_nulls_last).limit(k)
   }
 
+  /** One scored neighbor candidate; ranked by (dist, id) ascending. */
+  final case class Neighbor(neighbor_id: Long, dist: Float)
+
+  /** Bounded top-k-per-key heap as a typed Aggregator: partial aggregation
+    * runs MAP-SIDE, so the per-query shuffle carries at most k neighbors
+    * per partition instead of the whole expanded candidate set — the
+    * per-query-heap shape `TakeOrderedAndProject` uses globally, applied
+    * per key.
+    */
+  final class TopKNeighbors(k: Int)
+      extends Aggregator[(Long, Neighbor), Seq[Neighbor], Seq[Neighbor]] {
+    private def key(n: Neighbor): (Float, Long) = (n.dist, n.neighbor_id)
+    override def zero: Seq[Neighbor] = Vector.empty
+    override def reduce(buf: Seq[Neighbor], in: (Long, Neighbor)): Seq[Neighbor] = {
+      val n = in._2
+      if (buf.length < k) (buf :+ n).sortBy(key)
+      else if (Ordering[(Float, Long)].lt(key(n), key(buf.last))) {
+        (buf.init :+ n).sortBy(key)
+      } else buf
+    }
+    override def merge(a: Seq[Neighbor], b: Seq[Neighbor]): Seq[Neighbor] =
+      (a ++ b).sortBy(key).take(k)
+    override def finish(r: Seq[Neighbor]): Seq[Neighbor] = r.sortBy(key)
+    override def bufferEncoder: Encoder[Seq[Neighbor]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Neighbor]] = ExpressionEncoder()
+  }
+
   /** Brute-force k-NN join: every row of `queries` gets its k nearest
     * `corpus` rows by L2. The query side is broadcast (it is the small
-    * side); the corpus streams. Output: query id, neighbor id, rank.
+    * side); the corpus streams, and each task heaps its own slice per query
+    * ([[TopKNeighbors]]) so the shuffle is queries × k rows — NOT the
+    * queries × corpus expansion a ranking window would shuffle. Unscorable
+    * pairs (null/dim-mismatched vectors) are skipped. Output: query id,
+    * neighbor id, rank.
     */
   def knnJoin(
       queries: DataFrame,
@@ -32,18 +65,29 @@ object Similarity {
       corpusId: String,
       vecCol: String,
       k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    import spark.implicits._
     val q = queries.select(
       col(queryId).as("query_id"), col(vecCol).as("_qvec"))
-    val joined = corpus
+    val agg = new TopKNeighbors(k).toColumn
+    corpus
       .join(broadcast(q), col(corpusId) =!= col("query_id"))
-      .withColumn("_dist", array_distance(col(vecCol), col("_qvec")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("_dist").asc, col(corpusId).asc)
-    joined
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col(corpusId).as("neighbor_id"), col("rank"))
+      .select(
+        col("query_id").cast("long"),
+        col(corpusId).cast("long").as("neighbor_id"),
+        array_distance(col(vecCol), col("_qvec")).as("dist"))
+      .where(col("dist").isNotNull)
+      .as[(Long, Long, Float)]
+      .map { case (qid, nid, d) => (qid, Neighbor(nid, d)) }
+      .groupByKey(_._1)
+      .agg(agg)
+      .flatMap { case (qid, neighbors) =>
+        neighbors.iterator.zipWithIndex.map {
+          case (n, i) => (qid, n.neighbor_id, i + 1)
+        }
+      }
+      .toDF("query_id", "neighbor_id", "rank")
+      .withColumn("rank", col("rank").cast("int"))
   }
 
   /** Map-side IVF cell assignment: adds a `_cell` column = nearest centroid
