@@ -56,7 +56,10 @@ object IvfBuilder {
       .agg(
         count(lit(1)).as("n"),
         count(when(col("_vec").isNull, 1)).as("null_vecs"),
-        count(when(exists(col("_vec"), _.isNull), 1)).as("null_elems"),
+        // null-element probe without a lambda HOF (interpreted per element):
+        // array_compact drops nulls, so a size delta flags them
+        count(when(size(array_compact(col("_vec"))) =!= size(col("_vec")), 1))
+          .as("null_elems"),
         min(size(col("_vec"))).as("min_dim"),
         max(size(col("_vec"))).as("max_dim"))
       .first()

@@ -92,6 +92,19 @@ class VectorTopKRuleSpec extends SparkSpec {
     }
   }
 
+  test("maxCandidates conf caps the fetched candidate set") {
+    register()
+    withRule(nprobe = 8) {
+      spark.conf.set(VectorTopKRule.MaxCandidatesKey, "2")
+      try {
+        val df = sqlTopk()
+        assert(fired(df))
+        // 200 rows, exhaustive probe, but only 2 candidates survive the cap
+        assert(df.collect().length == 2)
+      } finally spark.conf.unset(VectorTopKRule.MaxCandidatesKey)
+    }
+  }
+
   test("no rewrite for DESC, multiple sort keys, or unindexed columns") {
     register()
     withRule(nprobe = 8) {
