@@ -46,10 +46,15 @@ object IndexManager {
       store: IndexStore = IndexStore.default): TableIndex =
     cache.getOrElseUpdate((path, column), {
       val files = listFiles(spark, path)
-      val existing = files.map(f => store.load(f, column))
-      if (nClusters.isEmpty && existing.forall(_.isDefined)) {
-        val first = existing.head.get
-        TableIndex(path, column, first.dim, first.nClusters, files)
+      // header peeks only — O(files) tiny reads, no posting-list decode
+      val peeks = files.map(f => store.peek(f, column))
+      if (nClusters.isEmpty && peeks.forall(_.isDefined)) {
+        val (dim, k) = peeks.head.get
+        TableIndex(path, column, dim, k, files)
+      } else if (nClusters.isEmpty && peeks.exists(_.isDefined)) {
+        // append-only table grew: index just the new files, shared centroids
+        val result = IvfBuilder.extend(spark, path, IvfBuilder.Config(column), store)
+        TableIndex(path, column, result.dim, result.nClusters, files)
       } else {
         val result = IvfBuilder.build(
           spark, path, IvfBuilder.Config(column, nClusters), store)

@@ -125,10 +125,25 @@ object IvfBuilder {
     }
     val centroids = KMeans.fit(flat, dim, KMeans.Params(k, config.maxIters, config.seed))
 
-    // Distributed assignment + per-file inverted lists + executor-side write.
+    val written = assignAndWrite(spark, vecs, config.column, centroids, dim, k, store, embed)
+    BuildResult(written, dim, k, centroids)
+  }
+
+  /** Distributed assignment + per-file inverted lists + executor-side write
+    * (shared by full builds and incremental extension).
+    */
+  private def assignAndWrite(
+      spark: SparkSession,
+      vecs: DataFrame,
+      column: String,
+      centroids: Array[Float],
+      dim: Int,
+      k: Int,
+      store: IndexStore,
+      embed: Boolean): Map[String, Long] = {
+    import spark.implicits._
     val bcCentroids = spark.sparkContext.broadcast(centroids)
-    val column = config.column
-    val written = vecs
+    vecs
       .as[(String, Long, Array[Float])]
       .mapPartitions { it =>
         val cents = bcCentroids.value
@@ -151,8 +166,51 @@ object IvfBuilder {
         (file, count)
       }
       .collect()
+      .toMap
+  }
 
-    BuildResult(written.toMap, dim, k, centroids)
+  /** Incremental extension: index only the table's UNINDEXED files, reusing
+    * the centroid set from any already-indexed file — new data files arriving
+    * in an append-only table get indexed without retraining or touching the
+    * indexed ones (the shared-centroid-per-table design makes the per-file
+    * indexes composable; the README roadmap's centroid-catalog idea). Falls
+    * back to a full [[build]] when nothing is indexed yet. Scan, assignment,
+    * and sidecar writes all touch ONLY the new files.
+    */
+  def extend(
+      spark: SparkSession,
+      path: String,
+      config: Config,
+      store: IndexStore = IndexStore.default): BuildResult = {
+    import org.apache.spark.sql.functions.col
+    require(config.column.nonEmpty, "embedding column name must be non-empty")
+    val files = IndexManager.listFiles(spark, path)
+    require(files.nonEmpty, s"no parquet files under $path")
+    val indexed = files.filter(f =>
+      store.exists(f, config.column) || ParquetFooterIndex.hasIndex(f))
+    if (indexed.isEmpty) return build(spark, path, config, store)
+
+    val existing = IndexManager.loadIndex(store, indexed.head, config.column)
+    val missing = files.filterNot(indexed.contains)
+    val counts: Map[String, Long] =
+      if (missing.isEmpty) Map.empty
+      else {
+        val vecs = spark.read
+          .parquet(path)
+          .select(
+            col("_metadata.file_path").as("_file"),
+            col("_metadata.row_index").as("_ri"),
+            col(config.column).cast("array<float>").as("_vec"))
+          .where(col("_file").isin(missing: _*))
+        val (_, dim) = validate(vecs, config.column)
+        require(
+          dim == existing.dim,
+          s"new files' vector dim $dim != existing index dim ${existing.dim}")
+        assignAndWrite(
+          spark, vecs, config.column, existing.centroids, existing.dim,
+          existing.nClusters, store, embed = false)
+      }
+    BuildResult(counts, existing.dim, existing.nClusters, existing.centroids)
   }
 
   /** Rewrite mode (reference `write_parquet_with_index`,

@@ -178,6 +178,41 @@ class VectorTopKSpec extends SparkSpec {
     assert(candScan.get.metrics("filesScanned").value == 1L)
   }
 
+  test("incremental extend indexes only new files with the shared centroids") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    val dir = Files.createTempDirectory("graft-extend").toString
+    def batch(ids: Range) = spark.createDataFrame(
+      ids.map(i => (i.toLong, Seq.fill(8)(rnd.nextFloat()))))
+      .toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    batch(0 until 200).repartition(2).write.mode("overwrite").parquet(dir)
+    val store = tmpStore
+    val first = IvfBuilder.build(spark, dir,
+      IvfBuilder.Config("vec", nClusters = Some(5)), store)
+    assert(first.files.size == 2)
+    // new data arrives in the append-only table
+    batch(200 until 300).coalesce(1).write.mode("append").parquet(dir)
+    val ext = IvfBuilder.extend(spark, dir, IvfBuilder.Config("vec"), store)
+    // only the new file was assigned/written, with the ORIGINAL centroids
+    assert(ext.files.size == 1 && ext.files.values.sum == 100)
+    assert(ext.centroids.toSeq == first.centroids.toSeq)
+    assert(ext.nClusters == first.nClusters)
+    // all three files now indexed; exhaustive search equals brute force
+    val files = IndexManager.listFiles(spark, dir)
+    assert(files.size == 3 && files.forall(f => store.exists(f, "vec")))
+    val query = Seq.fill(8)(0.4f)
+    val brute = VectorTopK.bruteForce(spark.read.parquet(dir), "vec", query, 12)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val indexed = VectorTopK.indexed(spark, dir, "vec", query, 12,
+      VectorTopK.Options(nprobe = first.nClusters), store = store)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(indexed.sorted == brute.sorted)
+    // extend with nothing new is a no-op summary
+    val noop = IvfBuilder.extend(spark, dir, IvfBuilder.Config("vec"), store)
+    assert(noop.files.isEmpty && noop.nClusters == first.nClusters)
+  }
+
   test("query dim mismatch fails fast") {
     val path = writeFixture(Seq(Seq(0f, 0f), Seq(1f, 1f)))
     val store = tmpStore
