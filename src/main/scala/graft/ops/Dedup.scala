@@ -185,13 +185,16 @@ object Dedup {
     *  - SMALL buckets (2 <= n <= `maxBucketSize`) self-join directly —
     *    bounded at buckets × cap² pairs;
     *  - HOT buckets (n > cap) are refined by a SECOND matching block:
-    *    members re-key on (hot block, value, other block, other value), so
-    *    hot-bucket pairs must share two blocks. This keeps recall for pairs
-    *    whose every shared bucket is hot (they share >= 2 blocks in
-    *    practice: a pair sharing only ONE block sits at hamming >= 8 of 64,
-    *    where block values are nearly independent and a hot collision is
-    *    vanishingly unlikely) while cutting each hot bucket's fan-out by the
-    *    second block's selectivity.
+    *    members re-key on (hot block, value, LARGER block, value), so
+    *    hot-bucket pairs must share two blocks. Restricting the second
+    *    block to higher indexes loses nothing — a pair whose shared blocks
+    *    are all hot meets under its lowest hot block with any higher shared
+    *    one, and a pair with a small shared bucket is the small path's —
+    *    while cutting the duplicate-key fan-out roughly in half. This keeps
+    *    recall for pairs whose every shared bucket is hot (they share >= 2
+    *    blocks in practice: a pair sharing only ONE block sits at hamming
+    *    >= 8 of 64, where block values are nearly independent and a hot
+    *    collision is vanishingly unlikely).
     *
     * Measured on the test corpora: all true pairs with exactly one shared
     * block sit in buckets <= 129 members (small path, 1.55× margin at the
@@ -227,7 +230,7 @@ object Dedup {
           lit(b).as("block"),
           shiftright(simCol, b * blockBits).bitwiseAND(lit(blockMask)).as("val"))
       }: _*)
-      exclude.fold(all)(ex => filter(all, s => s.getField("block") =!= ex))
+      exclude.fold(all)(ex => filter(all, s => s.getField("block") > ex))
     }
     val blocks = hashed.select(
       col("id"),
