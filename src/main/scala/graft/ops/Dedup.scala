@@ -91,12 +91,22 @@ object Dedup {
     verifyJaccard(cands, docs, threshold)
   }
 
-  /** Near-duplicate pairs by inverted-index prefiltering: docs sharing at
-    * least `minShared` shingles become candidates (exact recall for any
-    * threshold where `minShared` shared shingles are implied), then exact
-    * jaccard verification. Frequent shingles (in > `maxDocFreq` docs) are
-    * dropped from the index to bound bucket fan-out — the standard
-    * stop-shingle trick for exact similarity joins at scale.
+  /** Near-duplicate pairs by a PREFIX-FILTERED inverted index (the
+    * AllPairs/PPJoin candidate scheme): each doc posts only its
+    * `|sh| - ceil(t·|sh|) + 1` RAREST shingles under a global (doc
+    * frequency, shingle) total order. If J(a, b) >= t, the two prefixes
+    * must share a shingle — exact recall by the prefix-filter theorem —
+    * and because prefixes hold the rarest shingles, posting-list buckets
+    * are naturally tiny, so the self-join fan-out collapses without any
+    * recall-losing frequency cutoff. Exact-jaccard verification (cheap
+    * sorted-merge over hashed shingles) makes precision exact.
+    *
+    * `maxDocFreq` remains as a degenerate-corpus guard: a prefix shingle
+    * in more than that many docs (possible only when a doc consists almost
+    * entirely of corpus-wide-frequent shingles) is dropped, trading
+    * far-tail recall for bounded fan-out — the documented stop-shingle
+    * trade, which never binds on natural corpora because prefixes are
+    * rare-first.
     */
   def invertedIndexNearDupPairs(
       df: DataFrame,
@@ -105,33 +115,30 @@ object Dedup {
       shingleSize: Int = 3,
       threshold: Double = 0.5,
       maxDocFreq: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val docs = df
       .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
       .where(size(col("sh")) > 0)
-    val posting = docs.select(col("id"), explode(col("sh")).as("shingle"))
-    val rare = posting
+    val posting = docs.select(
+      col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
+    val dfreq = posting
       .groupBy("shingle")
       .agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDocFreq && col("df") >= 2)
-      .select("shingle")
-    val filtered = posting.join(rare, "shingle")
+    // rank each doc's shingles rare-first under the global (df, shingle)
+    // order and keep the prefix implied by the threshold
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))
+    val prefix = posting.join(dfreq, "shingle")
+      .withColumn("rn", row_number().over(w))
+      .where(
+        col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + lit(1) &&
+          col("df") <= maxDocFreq && col("df") >= 2)
+      .select(col("id"), col("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Shared-shingle count per pair straight off the postings — no arrays
-    // touched yet. The count filter is EXACT for jaccard >= t:
-    //   i/(|a|+|b|-i) >= t  <=>  i >= t/(1+t) * (|a|+|b|)
-    // so only genuinely similar pairs reach the array-based verify step.
-    val shared = filtered.as("a")
-      .join(filtered.as("b"),
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    val sizes = docs.select(col("id"), size(col("sh")).as("sz"))
-    val cands = shared
-      .join(sizes.select(col("id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
-      .join(sizes.select(col("id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
-      .where(col("shared").cast("double") >=
-        lit(threshold / (1.0 + threshold)) * (col("sz_a") + col("sz_b")))
-      .select(col("doc_a"), col("doc_b"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
     verifyJaccard(cands, docs, threshold)
   }
 
