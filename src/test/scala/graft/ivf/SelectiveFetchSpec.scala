@@ -93,6 +93,30 @@ class SelectiveFetchSpec extends SparkSpec {
     got.foreach { case (ri, v) => assert(v.toSeq == rows(ri)._2) }
   }
 
+  test("search works against a footer-embedded index (no sidecar)") {
+    val dir = Files.createTempDirectory("graft-selfetch-embed").toString
+    val rnd = new scala.util.Random(13)
+    val vecs = (0 until 80).map(i => (i.toLong, Seq.fill(4)(rnd.nextFloat())))
+    spark.createDataFrame(vecs).toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    // embed the index INSIDE the parquet footer region (reference layout);
+    // point the search at an EMPTY sidecar store so only the footer serves
+    val buildStore = new IndexStore(Files.createTempDirectory("graft-embed-b").toString)
+    val build = IvfBuilder.build(spark, dir,
+      IvfBuilder.Config("vec", nClusters = Some(4)), buildStore, embed = true)
+    val emptyStore = new IndexStore(Files.createTempDirectory("graft-embed-e").toString)
+    val query = Seq.fill(4)(0.5f)
+    val res = VectorTopK.search(spark, dir, "vec", query, 10,
+      VectorTopK.Options(nprobe = build.nClusters), store = emptyStore).collect()
+    assert(res.length == 10)
+    val expected = vecs.map { case (id, v) =>
+      (id, math.sqrt(graft.functions.VectorKernels
+        .squaredL2(v.toArray, query.toArray).toDouble).toFloat)
+    }.sortBy { case (id, d) => (d, id) }.take(10)
+    assert(res.map(r => (r.row_idx, r.distance)).toSet == expected.toSet)
+  }
+
   test("search over the selective path honors maxCandidates fairness") {
     val dir = Files.createTempDirectory("graft-selfetch-search").toString
     val rnd = new scala.util.Random(5)
