@@ -618,6 +618,29 @@ object Queries {
     t(spark, sfDir, "events")
   }
 
+  /** As-of join over the event stream: each purchase gets the user's latest
+    * preceding view event (point-in-time attribution — the canonical
+    * time-series join). One keyed window pass; DuckDB's native ASOF JOIN is
+    * the oracle.
+    */
+  def qa1AsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = eventsRaw(spark, sfDir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_event_id"))
+    ops.AsOf.asofJoin(purchases, views, Seq("user_id"), "ts")
+      .select(col("event_id"), col("asof_view_event_id").as("view_event_id"))
+      .orderBy(col("event_id"))
+  }
+
+  val qa1Oracle: String =
+    """SELECT p.event_id, v.event_id AS view_event_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY p.event_id""".stripMargin
+
   def sq1Sessionize(spark: SparkSession, sfDir: String): DataFrame =
     streaming.EventStreams
       .sessionCounts(eventsRaw(spark, sfDir))
@@ -750,6 +773,7 @@ object Queries {
     "qg_rollup" -> (qgRollup _),
     "va1_ann_nprobe4" -> (va1AnnNprobe4 _),
     "qe_events_hourly" -> (qeEventsHourly _),
+    "qa1_asof_join" -> (qa1AsofJoin _),
     "dq1_exact_dedup" -> (dq1ExactDedup _),
     "dq2_minhash_neardup" -> (dq2MinhashNearDup _),
     "dq3_simhash_neardup" -> (dq3SimhashNearDup _),
@@ -793,6 +817,7 @@ object Queries {
     "qg_rollup" -> qgOracle,
     // va1_ann_nprobe4 intentionally has no oracle (ANN subset)
     "qe_events_hourly" -> qeOracle,
+    "qa1_asof_join" -> qa1Oracle,
     "dq1_exact_dedup" -> dq1Oracle,
     "dq2_minhash_neardup" -> duckNearDupOracle,
     "dq3_simhash_neardup" -> duckNearDupOracle,

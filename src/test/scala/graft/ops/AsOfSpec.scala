@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofJoin attaches the latest preceding right row per key") {
+    val left = Seq(
+      (1L, 100L, 10L), // key 1, ts 100
+      (1L, 250L, 11L),
+      (2L, 50L, 20L),
+      (3L, 10L, 30L) // key with no right rows at all
+    ).toDF("k", "ts", "lid")
+    val right = Seq(
+      (1L, 90L, "a"),
+      (1L, 100L, "b"), // equal ts is visible (>= semantics)
+      (1L, 200L, "c"),
+      (2L, 60L, "d") // after the only left row → no match
+    ).toDF("k", "ts", "payload")
+    val out = AsOf.asofJoin(left, right, Seq("k"), "ts")
+      .select(col("lid"), col("asof_payload"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(10L) == Some("b")) // ts 100: equal-ts right row wins over ts 90
+    assert(out(11L) == Some("c")) // latest of {90, 100, 200} <= 250
+    assert(out(20L) == None) // only right row is later
+    assert(out(30L) == None) // key absent on the right
+  }
+
+  test("asofJoin passes left columns through and nulls unmatched payloads") {
+    val left = Seq((1L, 5L, "x", 1.5)).toDF("k", "ts", "tag", "v")
+    val right = Seq((9L, 1L, 7)).toDF("k", "ts", "rv")
+    val out = AsOf.asofJoin(left, right, Seq("k"), "ts").collect().head
+    assert(out.getAs[String]("tag") == "x")
+    assert(out.getAs[Double]("v") == 1.5)
+    assert(out.isNullAt(out.fieldIndex("asof_rv")))
+  }
+}
