@@ -186,8 +186,12 @@ object IvfBuilder {
     require(config.column.nonEmpty, "embedding column name must be non-empty")
     val files = IndexManager.listFiles(spark, path)
     require(files.nonEmpty, s"no parquet files under $path")
+    // column-specific check: a footer index for a DIFFERENT column must not
+    // classify the file as indexed (peek validates the recorded column;
+    // hasIndex alone would skip the file and later loads would fail)
     val indexed = files.filter(f =>
-      store.exists(f, config.column) || ParquetFooterIndex.hasIndex(f))
+      store.exists(f, config.column) ||
+        ParquetFooterIndex.peek(f, config.column).isDefined)
     if (indexed.isEmpty) return build(spark, path, config, store)
 
     val existing = IndexManager.loadIndex(store, indexed.head, config.column)

@@ -117,7 +117,10 @@ object VectorTopK {
       .toDF("_file", "_ri")
     val estBytes = est * graft.plans.IvfCandidateScan.estRowBytes(files)
     val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
-    val candSide = if (threshold < 0 || estBytes <= threshold) broadcast(candDf) else candDf
+    // threshold < 0 = auto-broadcast disabled by the user: never force it
+    // (shuffle join instead); 2x safety factor on the one-file estimate
+    val candSide =
+      if (threshold >= 0 && estBytes * 2 <= threshold) broadcast(candDf) else candDf
 
     base
       .withColumn("_file", col("_metadata.file_path"))

@@ -13,9 +13,13 @@ import org.apache.spark.sql.functions._
   * single stream sorted by (ts, side) per key — right rows first on ties so
   * an equal-timestamp right row is visible — and `last(_, ignoreNulls)`
   * over an unbounded-preceding frame carries the most recent right payload
-  * forward onto each left row. Cost is a single shuffle by key: no
-  * range-join pair explosion, no broadcast requirement, skew bounded by
-  * per-key row counts — the shape that survives a 100 TB event table.
+  * forward onto each left row. The payload travels as ONE struct of all
+  * right columns (null struct on left rows), so every `asof_*` value comes
+  * from the SAME matched right row — per-column carry would stitch values
+  * from different rows whenever the payload itself contains nulls. Cost is
+  * a single shuffle by key: no range-join pair explosion, no broadcast
+  * requirement, skew bounded by per-key row counts — the shape that
+  * survives a 100 TB event table.
   */
 object AsOf {
 
@@ -35,26 +39,26 @@ object AsOf {
     require(rPayload.nonEmpty, "right side has no payload columns")
     val lPassthrough = left.columns.filterNot(c => keyCols.contains(c) || c == tsCol)
 
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rPayload.map(c => right.schema(c).copy(name = c)))
     val lSel =
       keyCols.map(col) ++ Seq(col(tsCol)) ++
         lPassthrough.map(col) ++
-        Seq(lit(1).as("_side")) ++
-        rPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c"))
+        Seq(lit(1).as("_side"), lit(null).cast(payloadType).as("_payload"))
     val rSel =
       keyCols.map(col) ++ Seq(col(tsCol)) ++
         lPassthrough.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(lit(0).as("_side")) ++
-        rPayload.map(c => col(c).as(s"asof_$c"))
+        Seq(lit(0).as("_side"), struct(rPayload.map(col): _*).as("_payload"))
 
     val w = Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rPayload.foldLeft(left.select(lSel: _*).unionByName(right.select(rSel: _*))) {
-      (df, c) => df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
-    }
-    filled
+    left.select(lSel: _*).unionByName(right.select(rSel: _*))
+      .withColumn("_payload", last(col("_payload"), ignoreNulls = true).over(w))
       .where(col("_side") === 1)
-      .drop("_side")
+      .select(
+        keyCols.map(col) ++ Seq(col(tsCol)) ++ lPassthrough.map(col) ++
+          rPayload.map(c => col(s"_payload.$c").as(s"asof_$c")): _*)
   }
 }

@@ -57,6 +57,10 @@ object Similarity {
     * queries × corpus expansion a ranking window would shuffle. Unscorable
     * pairs (null/dim-mismatched vectors) are skipped. Output: query id,
     * neighbor id, rank.
+    *
+    * Ids must be integral (byte/short/int/long): the per-key heap is keyed
+    * by long, and a silent cast would null out e.g. string doc ids — so
+    * non-integral id columns are rejected up front.
     */
   def knnJoin(
       queries: DataFrame,
@@ -67,6 +71,16 @@ object Similarity {
       k: Int): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
+    def requireIntegral(df: DataFrame, c: String): Unit = {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = df.schema(c).dataType
+      require(
+        Set[org.apache.spark.sql.types.DataType](
+          ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"knnJoin id column '$c' must be integral, got ${dt.simpleString}")
+    }
+    requireIntegral(queries, queryId)
+    requireIntegral(corpus, corpusId)
     val q = queries.select(
       col(queryId).as("query_id"), col(vecCol).as("_qvec"))
     val agg = new TopKNeighbors(k).toColumn

@@ -76,22 +76,37 @@ object IvfCandidateScan {
     * candidate COUNTS only — the distributed twin of
     * [[graft.ivf.VectorTopK.capRoundRobin]], which needs the materialized
     * per-file candidate lists.
+    *
+    * Closed-form water-fill, O(files log files) regardless of cap (a
+    * 1-per-round simulation would be O(cap × files)): after L complete
+    * rounds every file holds min(count, L); find the largest affordable L
+    * by walking the sorted counts, then hand the remainder out one each to
+    * the first unsaturated files in index order — exactly the state the
+    * round-robin loop ends in.
     */
   def roundRobinQuotas(counts: Array[Long], cap: Long): Array[Long] = {
-    val quotas = new Array[Long](counts.length)
-    var remaining = cap
-    var progressed = true
-    while (remaining > 0 && progressed) {
-      progressed = false
-      var i = 0
-      while (i < counts.length && remaining > 0) {
-        if (quotas(i) < counts(i)) {
-          quotas(i) += 1
-          remaining -= 1
-          progressed = true
-        }
-        i += 1
-      }
+    require(cap >= 0, s"cap must be >= 0, got $cap")
+    val n = counts.length
+    if (n == 0) return Array.emptyLongArray
+    val total = counts.sum
+    if (cap >= total) return counts.clone()
+    val sorted = counts.sorted
+    var j = 0 // sorted files below j saturate at level L
+    var satSum = 0L
+    var level = 0L
+    var found = false
+    while (!found && j < n) {
+      val lCand = (cap - satSum) / (n - j)
+      if (lCand < sorted(j)) { level = lCand; found = true }
+      else { satSum += sorted(j); j += 1 }
+    }
+    // cap < total guarantees `found`; hand out the partial-round remainder
+    var rem = cap - (satSum + level * (n - j))
+    val quotas = counts.map(c => math.min(c, level))
+    var i = 0
+    while (rem > 0 && i < n) {
+      if (counts(i) > level) { quotas(i) += 1; rem -= 1 }
+      i += 1
     }
     quotas
   }

@@ -195,7 +195,11 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       files, store.dir, est)
     val estBytes = est * IvfCandidateScan.estRowBytes(files)
     val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
-    val candSide = if (threshold < 0 || estBytes <= threshold) broadcast(candDf) else candDf
+    // threshold < 0 means the user DISABLED auto-broadcast — honor it (the
+    // candidate feed can be huge at high nprobe / no cap); the 2x safety
+    // factor covers the first-file-scaled estimate under-counting skew
+    val candSide =
+      if (threshold >= 0 && estBytes * 2 <= threshold) broadcast(candDf) else candDf
     val paths = fs.location.rootPaths.map(_.toString)
     val pruned = spark.read
       .schema(fs.dataSchema)

@@ -100,4 +100,19 @@ class IvfIndexSpec extends AnyFunSuite {
       assert(capped.map(_._2.length.toLong) == quotas.toSeq)
     }
   }
+
+  test("roundRobinQuotas closed form: edge cases and huge caps") {
+    import graft.plans.IvfCandidateScan.roundRobinQuotas
+    assert(roundRobinQuotas(Array.emptyLongArray, 10L).isEmpty)
+    assert(roundRobinQuotas(Array(3L, 5L), 0L).toSeq == Seq(0L, 0L))
+    // cap >= total: everything taken
+    assert(roundRobinQuotas(Array(3L, 5L), Long.MaxValue).toSeq == Seq(3L, 5L))
+    // a dominant file + a huge cap must not iterate cap times: quotas are
+    // level-filled (small files saturate, the big one absorbs the rest)
+    val big = roundRobinQuotas(Array(1L << 40, 7L, 2L), 1000000L)
+    assert(big.toSeq == Seq(1000000L - 9L, 7L, 2L))
+    assert(big.sum == 1000000L)
+    // partial round goes to the FIRST unsaturated files in index order
+    assert(roundRobinQuotas(Array(4L, 4L, 4L), 7L).toSeq == Seq(3L, 2L, 2L))
+  }
 }

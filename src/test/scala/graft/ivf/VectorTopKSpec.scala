@@ -213,6 +213,48 @@ class VectorTopKSpec extends SparkSpec {
     assert(noop.files.isEmpty && noop.nClusters == first.nClusters)
   }
 
+  test("extend ignores footer indexes built for a DIFFERENT column") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val dir = Files.createTempDirectory("graft-extend-col").toString
+    spark.createDataFrame(
+      (0 until 60).map(i => (i.toLong, Seq.fill(4)(rnd.nextFloat()), Seq.fill(4)(rnd.nextFloat()))))
+      .toDF("id", "vec", "vec2")
+      .select(col("id"),
+        col("vec").cast("array<float>").as("vec"),
+        col("vec2").cast("array<float>").as("vec2"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    // embed a footer index for vec2 ONLY — with a column-ignorant check,
+    // extend(vec) would classify the file as indexed, never index `vec`,
+    // and loadIndex on it would fail
+    IvfBuilder.build(spark, dir,
+      IvfBuilder.Config("vec2", nClusters = Some(3)), tmpStore, embed = true)
+    val store = tmpStore
+    val ext = IvfBuilder.extend(spark, dir, IvfBuilder.Config("vec", nClusters = Some(3)), store)
+    assert(ext.files.values.sum == 60, "all rows must get a vec index")
+    val files = IndexManager.listFiles(spark, dir)
+    assert(files.forall(f => store.exists(f, "vec")))
+  }
+
+  test("autoBroadcastJoinThreshold=-1 disables the candidate broadcast") {
+    val vecs = Seq(Seq(0f, 0f), Seq(1f, 0f), Seq(0f, 2f), Seq(5f, 5f))
+    val path = writeFixture(vecs)
+    val store = tmpStore
+    IvfBuilder.build(spark, path, IvfBuilder.Config("vec", nClusters = Some(2)), store)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val df = VectorTopK.indexed(spark, path, "vec", Seq(0f, 0f), 2,
+        VectorTopK.Options(nprobe = 64), store = store)
+      val ids = df.select("id").collect().map(_.getInt(0)).toSet
+      assert(ids == Set(0, 1)) // still correct via the shuffle join
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"user disabled auto-broadcast; plan must not force one:\n$plan")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("query dim mismatch fails fast") {
     val path = writeFixture(Seq(Seq(0f, 0f), Seq(1f, 1f)))
     val store = tmpStore

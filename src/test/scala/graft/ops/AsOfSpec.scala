@@ -29,6 +29,21 @@ class AsOfSpec extends SparkSpec {
     assert(out(30L) == None) // key absent on the right
   }
 
+  test("asofJoin takes ALL payload values from the matched row, nulls included") {
+    // the latest right row carries a NULL in one payload column: per-column
+    // carry would stitch the stale non-null 'a' from ts=100 with 'b' from
+    // ts=200 — as-of semantics (and the DuckDB oracle) return the matched
+    // row as-is, null and all
+    val left = Seq((1L, 250L, 99L)).toDF("k", "ts", "lid")
+    val right = Seq(
+      (1L, 100L, Option("x1"), Option(1)),
+      (1L, 200L, Option.empty[String], Option(2))
+    ).toDF("k", "ts", "a", "b")
+    val out = AsOf.asofJoin(left, right, Seq("k"), "ts").collect().head
+    assert(out.isNullAt(out.fieldIndex("asof_a")), "null from the matched row must survive")
+    assert(out.getAs[Int]("asof_b") == 2)
+  }
+
   test("asofJoin passes left columns through and nulls unmatched payloads") {
     val left = Seq((1L, 5L, "x", 1.5)).toDF("k", "ts", "tag", "v")
     val right = Seq((9L, 1L, 7)).toDF("k", "ts", "rv")

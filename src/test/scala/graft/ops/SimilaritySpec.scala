@@ -56,6 +56,15 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_._2 < 10)) // neighbors from the same cluster
   }
 
+  test("knnJoin rejects non-integral id columns instead of nulling them") {
+    val df = Seq(("a", Seq(0f, 0f, 0f, 0f))).toDF("sid", "v")
+      .select(col("sid"), col("v").cast("array<float>").as("v"))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.knnJoin(df, df, "sid", "sid", "v", 1)
+    }
+    assert(ex.getMessage.contains("must be integral"))
+  }
+
   test("ivfCellPairs recall gate vs exact pairs on testdata, multi-probe") {
     val sfDir = "/root/testdata/sf0.01"
     assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
