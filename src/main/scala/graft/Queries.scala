@@ -533,6 +533,71 @@ object Queries {
       |FROM (SELECT len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS n
       |      FROM documents)""".stripMargin
 
+  /** Gopher-style repetition quality signals (Rae et al. 2021 §A1.1): share
+    * of the most frequent word / word-bigram — one codegen'd projection
+    * pass, no shuffle (the oracle's explode+groupBy formulation shuffles
+    * every token; the single-pass kernel is the 100 TB shape).
+    */
+  def tq9Repetition(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        round(graft.functions.top_ngram_ratio(col("text"), 1), 6)
+          .as("top_word_ratio"),
+        round(graft.functions.top_ngram_ratio(col("text"), 2), 6)
+          .as("top_bigram_ratio"))
+      .orderBy(col("doc_id"))
+
+  val tq9Oracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      |tc AS (
+      |  SELECT doc_id, t, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(ws) AS t FROM w) GROUP BY 1, 2),
+      |t1 AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_word_ratio
+      |       FROM tc GROUP BY 1),
+      |bc AS (
+      |  SELECT doc_id, g, count(*) AS c
+      |  FROM (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS g
+      |        FROM (SELECT doc_id, ws,
+      |                unnest(generate_series(1, len(ws) - 1)) AS i FROM w))
+      |  GROUP BY 1, 2),
+      |t2 AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_ratio
+      |       FROM bc GROUP BY 1)
+      |SELECT doc_id, top_word_ratio, top_bigram_ratio
+      |FROM t1 JOIN t2 USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Benchmark decontamination: training docs (doc_id % 50 != 0) that share
+    * a word 4-gram with the held-out eval slice (doc_id % 50 == 0). The
+    * query joins on RAW gram strings so the DuckDB oracle can replicate it;
+    * production uses the default hashed-gram path (same result, 8-byte
+    * join keys).
+    */
+  def dc1Decontam(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    ops.Decontaminate
+      .contaminatedIds(
+        docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 4, hashGrams = false)
+      .orderBy(col("doc_id"))
+  }
+
+  val dc1Oracle: String =
+    """WITH dw AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      |  FROM documents WHERE doc_id % 50 <> 0),
+      |ew AS (
+      |  SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+      |  FROM documents WHERE doc_id % 50 = 0),
+      |dg AS (
+      |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+3], ' ') AS g
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 3)) AS i FROM dw)),
+      |eg AS (
+      |  SELECT DISTINCT array_to_string(ws[i:i+3], ' ') AS g
+      |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 3)) AS i FROM ew))
+      |SELECT DISTINCT doc_id FROM dg JOIN eg USING (g) ORDER BY doc_id""".stripMargin
+
   /** JSON column surface (inherited): extract a typed field from the events
     * props JSON.
     */
@@ -788,6 +853,8 @@ object Queries {
     "tq6_quality" -> (tq6Quality _),
     "tq7_token_stats" -> (tq7TokenStats _),
     "tq8_pack" -> (tq8Pack _),
+    "tq9_repetition" -> (tq9Repetition _),
+    "dc1_decontam" -> (dc1Decontam _),
     "je1_json_extract" -> (je1JsonExtract _),
     "sq2_ivf_cell_pairs" -> (sq2IvfCellPairs _),
     "mq1_media_features" -> (mq1MediaFeatures _),
@@ -832,6 +899,8 @@ object Queries {
     "tq6_quality" -> tq6Oracle,
     "tq7_token_stats" -> tq7Oracle,
     "tq8_pack" -> tq8Oracle,
+    "tq9_repetition" -> tq9Oracle,
+    "dc1_decontam" -> dc1Oracle,
     "je1_json_extract" -> je1Oracle,
     // sq2_ivf_cell_pairs intentionally has no oracle (cell-recall ANN)
     "mq1_media_features" -> mq1Oracle,

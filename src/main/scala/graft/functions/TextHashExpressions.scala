@@ -114,6 +114,36 @@ object TextHash {
     new GenericArrayData(counts)
   }
 
+  /** Kernel behind `top_ngram_ratio` (also called from generated code):
+    * occurrences of the most frequent word n-gram over total n-grams — the
+    * Gopher-style repetition signal (Rae et al. 2021, "Scaling Language
+    * Models", §A1.1: "fraction of characters in the most common n-gram").
+    * One tokenization pass, one HashMap; 0.0 when the text has < n tokens.
+    */
+  def topNgramRatio(text: UTF8String, n: Int): Double = {
+    val toks = text.toString.trim.split("\\s+")
+    if (toks.length < n || (toks.length == 1 && toks(0).isEmpty)) return 0.0
+    val counts = new java.util.HashMap[String, Integer]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    var max = 0
+    var total = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val c = counts.merge(sb.toString, 1, (a, b) => a + b)
+      if (c > max) max = c
+      total += 1
+      i += 1
+    }
+    max.toDouble / total.toDouble
+  }
+
   /** Kernel behind `simhash64` (also called from generated code). */
   def simhash64(arr: ArrayData): Long = {
     val m = arr.numElements()
@@ -230,6 +260,26 @@ case class MarkerCounts(child: Expression, vocabularies: Seq[Seq[String]])
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.TextHash.markerCounts($c, $setsRef);")
   }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `top_ngram_ratio(text, n)`: share of the most frequent word n-gram among
+  * all n-grams — the Gopher-style repetition quality signal. One pass, one
+  * map; codegen keeps it inside whole-stage projections like the other
+  * text kernels.
+  */
+case class TopNgramRatio(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "n-gram size must be >= 1")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "top_ngram_ratio"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.topNgramRatio(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHash.topNgramRatio($c, $n);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -48,6 +48,10 @@ package object functions {
   def marker_counts(text: Column, vocabularies: Seq[Seq[String]]): Column =
     col(MarkerCounts(expr(text), vocabularies))
 
+  /** Most-frequent-word-n-gram share (Gopher-style repetition signal). */
+  def top_ngram_ratio(text: Column, n: Int): Column =
+    col(TopNgramRatio(expr(text), n))
+
   /** Nearest-centroid id against a flat row-major k×dim matrix (native
     * expression; null vector / dim mismatch → null). The map-side IVF cell
     * assignment for bucketed similarity joins.
@@ -84,6 +88,8 @@ package object functions {
         (cs: Seq[Expression]) => SimHash64(cs(0))),
       ("sorted_jaccard", "Jaccard similarity of two ascending long arrays",
         (cs: Seq[Expression]) => SortedArrayJaccard(cs(0), cs(1))),
+      ("top_ngram_ratio", "Most-frequent word n-gram share of a string",
+        (cs: Seq[Expression]) => TopNgramRatio(cs(0), intArg(cs, 1, "top_ngram_ratio"))),
     ).map { case (name, _, builder) =>
       (FunctionIdentifier(name), new ExpressionInfo("graft.functions", name), builder)
     }

@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ngrams builds overlapping word n-grams, empty below n tokens") {
+    val df = Seq("a b c d", "a", "").toDF("text")
+      .select(Decontaminate.ngrams(col("text"), 2).as("g"))
+      .as[Seq[String]].collect()
+    assert(df(0) == Seq("a b", "b c", "c d"))
+    assert(df(1).isEmpty)
+    assert(df(2).isEmpty)
+  }
+
+  test("contaminatedIds flags n-gram overlap; hashed and raw paths agree") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps high"),
+      (2L, "totally different words here now"),
+      (3L, "see the quick brown fox run")).toDF("doc_id", "text")
+    val eval = Seq((100L, "a lazy dog met the quick brown fox")).toDF("doc_id", "text")
+    def ids(hashed: Boolean): Set[Long] = Decontaminate
+      .contaminatedIds(docs, eval, "doc_id", "text", n = 3, hashGrams = hashed)
+      .as[Long].collect().toSet
+    // docs 1 and 3 share "the quick brown" / "quick brown fox" with eval
+    assert(ids(hashed = false) == Set(1L, 3L))
+    assert(ids(hashed = true) == Set(1L, 3L))
+    val clean = Decontaminate
+      .decontaminate(docs, eval, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L))
+  }
+}

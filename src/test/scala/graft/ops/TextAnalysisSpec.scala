@@ -18,6 +18,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r._2 == 10)
   }
 
+  test("top_ngram_ratio measures word/bigram repetition (codegen + SQL)") {
+    val df = Seq(
+      (1L, "a a a b"), // top word 'a': 3/4
+      (2L, "a b a b a"), // bigrams: a b, b a, a b, b a -> top 2/4
+      (3L, "x")) // fewer than 2 tokens: bigram ratio 0.0
+      .toDF("id", "text")
+    val r = df.select(
+      col("id"),
+      graft.functions.top_ngram_ratio(col("text"), 1).as("w"),
+      graft.functions.top_ngram_ratio(col("text"), 2).as("b"))
+      .as[(Long, Double, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r(1L)._1 == 0.75)
+    assert(r(2L)._2 == 0.5)
+    assert(r(3L) == ((1.0, 0.0)))
+    // registered SQL function agrees
+    df.createOrReplaceTempView("tnr_docs")
+    val viaSql = spark.sql(
+      "SELECT id, top_ngram_ratio(text, 1) FROM tnr_docs ORDER BY id")
+      .as[(Long, Double)].collect().toMap
+    assert(viaSql(1L) == 0.75)
+  }
+
   test("fingerprint normalizes case and whitespace") {
     val df = Seq(
       (1L, "Hello   World"),
