@@ -598,6 +598,98 @@ object Queries {
       |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 3)) AS i FROM ew))
       |SELECT DISTINCT doc_id FROM dg JOIN eg USING (g) ORDER BY doc_id""".stripMargin
 
+  /** Gopher-rule quality filter: keep/drop decision per document as a
+    * single codegen'd boolean projection (no shuffle).
+    */
+  def pq1QualityFilter(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        ops.TextAnalysis.qualityKeep(col("text")).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+
+  val pq1Oracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      |bc AS (
+      |  SELECT doc_id, g, count(*) AS c
+      |  FROM (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS g
+      |        FROM (SELECT doc_id, ws,
+      |                unnest(generate_series(1, len(ws) - 1)) AS i FROM w))
+      |  GROUP BY 1, 2),
+      |br AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS r FROM bc GROUP BY 1)
+      |SELECT w.doc_id,
+      |  CAST(len(ws) BETWEEN 20 AND 90
+      |    AND len(list_distinct(ws))::DOUBLE / len(ws) >= 0.32
+      |    AND coalesce(br.r, 0) <= 0.07 AS INTEGER) AS keep
+      |FROM w LEFT JOIN br USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Deterministic stratified downsampling by language: English keeps
+    * 128/256 buckets (~50%), everything else 192/256 (~75%) — a pure
+    * hash-filter at the scan, engine-reproducible.
+    */
+  def pq2StratifiedSample(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Corpus
+      .stratifiedSample(
+        t(spark, sfDir, "documents"),
+        col("doc_id"), col("lang"),
+        Map("en" -> 128), defaultBuckets = 192)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  val pq2Oracle: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INT
+      |      < (CASE WHEN lang = 'en' THEN 128 ELSE 192 END)
+      |ORDER BY doc_id""".stripMargin
+
+  /** End-to-end curation pipeline — the operators composed the way a real
+    * training-data job chains them: exact dedup (keep min id per identical
+    * text) → benchmark decontamination (4-gram overlap vs the held-out
+    * eval slice) → Gopher-rule quality filter. One query, three pipeline
+    * stages, each individually oracled (dq1 / dc1 / pq1).
+    */
+  def cq1CurationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val train = docs.where(col("doc_id") % 50 =!= 0)
+    val evalDocs = docs.where(col("doc_id") % 50 === 0)
+    val deduped = train
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val clean = ops.Decontaminate
+      .decontaminate(deduped, evalDocs, "doc_id", "text", n = 4, hashGrams = false)
+    clean
+      .where(ops.TextAnalysis.qualityKeep(col("text")))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val cq1Oracle: String =
+    """WITH train AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+      |ev AS (SELECT * FROM documents WHERE doc_id % 50 = 0),
+      |dedup AS (SELECT min(doc_id) AS doc_id, text FROM train GROUP BY text),
+      |dw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM dedup),
+      |ew AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws FROM ev),
+      |dg AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+3], ' ') AS g
+      |       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 3)) AS i FROM dw)),
+      |eg AS (SELECT DISTINCT array_to_string(ws[i:i+3], ' ') AS g
+      |       FROM (SELECT ws, unnest(generate_series(1, len(ws) - 3)) AS i FROM ew)),
+      |cont AS (SELECT DISTINCT doc_id FROM dg JOIN eg USING (g)),
+      |clean AS (SELECT dw.doc_id, dw.ws FROM dw
+      |          WHERE dw.doc_id NOT IN (SELECT doc_id FROM cont)),
+      |bc AS (
+      |  SELECT doc_id, g, count(*) AS c
+      |  FROM (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS g
+      |        FROM (SELECT doc_id, ws,
+      |                unnest(generate_series(1, len(ws) - 1)) AS i FROM clean))
+      |  GROUP BY 1, 2),
+      |br AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS r FROM bc GROUP BY 1)
+      |SELECT c.doc_id FROM clean c LEFT JOIN br USING (doc_id)
+      |WHERE len(c.ws) BETWEEN 20 AND 90
+      |  AND len(list_distinct(c.ws))::DOUBLE / len(c.ws) >= 0.32
+      |  AND coalesce(br.r, 0) <= 0.07
+      |ORDER BY doc_id""".stripMargin
+
   /** JSON column surface (inherited): extract a typed field from the events
     * props JSON.
     */
@@ -855,6 +947,9 @@ object Queries {
     "tq8_pack" -> (tq8Pack _),
     "tq9_repetition" -> (tq9Repetition _),
     "dc1_decontam" -> (dc1Decontam _),
+    "pq1_quality_filter" -> (pq1QualityFilter _),
+    "pq2_stratified_sample" -> (pq2StratifiedSample _),
+    "cq1_curation_pipeline" -> (cq1CurationPipeline _),
     "je1_json_extract" -> (je1JsonExtract _),
     "sq2_ivf_cell_pairs" -> (sq2IvfCellPairs _),
     "mq1_media_features" -> (mq1MediaFeatures _),
@@ -901,6 +996,9 @@ object Queries {
     "tq8_pack" -> tq8Oracle,
     "tq9_repetition" -> tq9Oracle,
     "dc1_decontam" -> dc1Oracle,
+    "pq1_quality_filter" -> pq1Oracle,
+    "pq2_stratified_sample" -> pq2Oracle,
+    "cq1_curation_pipeline" -> cq1Oracle,
     "je1_json_extract" -> je1Oracle,
     // sq2_ivf_cell_pairs intentionally has no oracle (cell-recall ANN)
     "mq1_media_features" -> mq1Oracle,

@@ -69,6 +69,38 @@ object Corpus {
       .drop("_tok", "_prev")
   }
 
+  /** 256-bucket deterministic hash of a key column (first md5 byte) — the
+    * engine-portable sampling/splitting primitive (md5 is bit-identical in
+    * every engine, so a sample drawn here reproduces in DuckDB/Trino/etc.).
+    */
+  def hashBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 2), 16, 10).cast("int")
+
+  /** Deterministic stratified downsampling: keep a row iff its key's
+    * [[hashBucket]] falls below the stratum's bucket allowance
+    * (buckets/256 = sampling rate). Content/id-hash based, not `rand()` —
+    * re-runs, re-shards, and other engines reproduce the exact sample; no
+    * shuffle, a pure filter pushed to the scan.
+    *
+    * @param bucketsByStratum per-stratum allowance in [0, 256]
+    *                         (e.g. "en" -> 128 keeps ~50% of English docs)
+    * @param defaultBuckets   allowance for strata not in the map
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      keyCol: Column,
+      strataCol: Column,
+      bucketsByStratum: Map[String, Int],
+      defaultBuckets: Int): DataFrame = {
+    (defaultBuckets +: bucketsByStratum.values.toSeq).foreach(b =>
+      require(b >= 0 && b <= 256, s"bucket allowance must be in [0,256], got $b"))
+    val allowance = bucketsByStratum.foldLeft(lit(defaultBuckets)) {
+      case (acc, (stratum, buckets)) =>
+        when(strataCol === stratum, lit(buckets)).otherwise(acc)
+    }
+    df.where(hashBucket(keyCol) < allowance)
+  }
+
   /** Exact token-count distribution stats (count + interpolated
     * percentiles) — the corpus-level summary a filtering pipeline keys off.
     */

@@ -51,6 +51,29 @@ object TextAnalysis {
   val Stopwords: Seq[String] =
     Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
 
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1, adapted:
+    * token-count window, lexical diversity floor, repetition ceiling).
+    * Comparisons run on raw doubles — integer-count divisions are
+    * bit-identical across engines, so the boolean reproduces in the oracle.
+    */
+  final case class QualityRules(
+      minTokens: Int = 20,
+      maxTokens: Int = 90,
+      minDistinctRatio: Double = 0.32,
+      maxTopBigramRatio: Double = 0.07)
+
+  /** Keep/drop decision as one codegen'd boolean column — the filter stage
+    * of a curation pipeline (no shuffle; composes with any scan).
+    */
+  def qualityKeep(text: Column, rules: QualityRules = QualityRules()): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    n.geq(rules.minTokens)
+      .and(n.leq(rules.maxTokens))
+      .and(size(array_distinct(toks)).cast("double") / n >= rules.minDistinctRatio)
+      .and(graft.functions.top_ngram_ratio(text, 2) <= rules.maxTopBigramRatio)
+  }
+
   /** Language-ID marker vocabularies (tiny n-gram-free heuristic: count
     * language-specific high-frequency words; argmax wins, ties break
     * alphabetically). A real deployment swaps in char-trigram profiles —

@@ -59,4 +59,29 @@ class CorpusSpec extends SparkSpec {
     assert(row.getLong(0) == 4L)
     assert(row.getDouble(1) == 2.5) // linear interpolation between 2 and 3
   }
+
+  test("stratifiedSample is deterministic, monotone in allowance, per-stratum") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = spark.range(0, 2000).toDF("id")
+      .withColumn("lang", when(col("id") % 3 === 0, "en").otherwise("de"))
+    def sample(en: Int, other: Int): Set[Long] = Corpus
+      .stratifiedSample(docs, col("id"), col("lang"), Map("en" -> en), other)
+      .select("id").as[Long].collect().toSet
+    val s1 = sample(128, 192)
+    assert(s1 == sample(128, 192)) // deterministic, not rand()
+    // larger allowance strictly contains the smaller one (prefix property)
+    assert(s1.subsetOf(sample(256, 256)))
+    assert(sample(64, 192).subsetOf(s1))
+    // rates land near buckets/256 per stratum
+    val en = docs.where(col("lang") === "en").count().toDouble
+    val de = docs.where(col("lang") === "de").count().toDouble
+    val enKept = s1.count(_ % 3 == 0) / en
+    val deKept = s1.count(_ % 3 != 0) / de
+    assert(math.abs(enKept - 0.5) < 0.08, s"en rate $enKept")
+    assert(math.abs(deKept - 0.75) < 0.08, s"de rate $deKept")
+    // allowance 0 / 256 are exact
+    assert(sample(0, 0).isEmpty)
+    assert(sample(256, 256).size == 2000)
+  }
 }

@@ -40,6 +40,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(viaSql(1L) == 0.75)
   }
 
+  test("qualityKeep applies token window, diversity floor, repetition cap") {
+    val words = (1 to 50).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, words), // 50 distinct tokens: keep
+      (2L, "too short"), // below minTokens
+      (3L, (1 to 50).map(_ => "spam").mkString(" ")), // zero diversity
+      (4L, (1 to 25).map(_ => "ab ba").mkString(" ")) // top bigram dominates
+    ).toDF("id", "text")
+    val kept = df.where(TextAnalysis.qualityKeep(col("text")))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
   test("fingerprint normalizes case and whitespace") {
     val df = Seq(
       (1L, "Hello   World"),
