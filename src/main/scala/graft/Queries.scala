@@ -568,10 +568,10 @@ object Queries {
       |FROM t1 JOIN t2 USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** Benchmark decontamination: training docs (doc_id % 50 != 0) that share
-    * a word 4-gram with the held-out eval slice (doc_id % 50 == 0). The
-    * query joins on RAW gram strings so the DuckDB oracle can replicate it;
-    * production uses the default hashed-gram path (same result, 8-byte
-    * join keys).
+    * a word 4-gram with the held-out eval slice (doc_id % 50 == 0). Runs
+    * the hashed-gram scale path (8-byte join keys); the string-gram oracle
+    * returns the same ids — DecontaminateSpec pins the two paths equal,
+    * and this hash-match re-checks it per round.
     */
   def dc1Decontam(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents")
@@ -579,7 +579,7 @@ object Queries {
       .contaminatedIds(
         docs.where(col("doc_id") % 50 =!= 0),
         docs.where(col("doc_id") % 50 === 0),
-        "doc_id", "text", n = 4, hashGrams = false)
+        "doc_id", "text", n = 4)
       .orderBy(col("doc_id"))
   }
 
@@ -657,7 +657,7 @@ object Queries {
       .groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"))
     val clean = ops.Decontaminate
-      .decontaminate(deduped, evalDocs, "doc_id", "text", n = 4, hashGrams = false)
+      .decontaminate(deduped, evalDocs, "doc_id", "text", n = 4)
     clean
       .where(ops.TextAnalysis.qualityKeep(col("text")))
       .select(col("doc_id"))
@@ -689,6 +689,29 @@ object Queries {
       |  AND len(list_distinct(c.ws))::DOUBLE / len(c.ws) >= 0.32
       |  AND coalesce(br.r, 0) <= 0.07
       |ORDER BY doc_id""".stripMargin
+
+  /** Corpus-level top-k bigram vocabulary — the counting primitive behind
+    * tokenizer/vocab construction (BPE merge candidates). Plan shape:
+    * gram explode → map-side partial count → shuffle by gram →
+    * TakeOrdered(k) — the aggregation tree that survives any corpus size.
+    * Deterministic tie-break (count desc, gram asc) keeps the k-boundary
+    * stable for the oracle.
+    */
+  def vb1TopNgrams(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(explode(ops.Decontaminate.ngrams(col("text"), 2)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(20)
+
+  val vb1Oracle: String =
+    """SELECT g AS gram, CAST(count(*) AS BIGINT) AS n
+      |FROM (SELECT array_to_string(ws[i:i+1], ' ') AS g
+      |      FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+      |            FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+      |                  FROM documents)))
+      |GROUP BY g ORDER BY n DESC, gram LIMIT 20""".stripMargin
 
   /** JSON column surface (inherited): extract a typed field from the events
     * props JSON.
@@ -950,6 +973,7 @@ object Queries {
     "pq1_quality_filter" -> (pq1QualityFilter _),
     "pq2_stratified_sample" -> (pq2StratifiedSample _),
     "cq1_curation_pipeline" -> (cq1CurationPipeline _),
+    "vb1_top_ngrams" -> (vb1TopNgrams _),
     "je1_json_extract" -> (je1JsonExtract _),
     "sq2_ivf_cell_pairs" -> (sq2IvfCellPairs _),
     "mq1_media_features" -> (mq1MediaFeatures _),
@@ -999,6 +1023,7 @@ object Queries {
     "pq1_quality_filter" -> pq1Oracle,
     "pq2_stratified_sample" -> pq2Oracle,
     "cq1_curation_pipeline" -> cq1Oracle,
+    "vb1_top_ngrams" -> vb1Oracle,
     "je1_json_extract" -> je1Oracle,
     // sq2_ivf_cell_pairs intentionally has no oracle (cell-recall ANN)
     "mq1_media_features" -> mq1Oracle,

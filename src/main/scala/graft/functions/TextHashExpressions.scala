@@ -114,6 +114,32 @@ object TextHash {
     new GenericArrayData(counts)
   }
 
+  /** Kernel behind `word_ngrams` (also called from generated code): like
+    * [[wordShingles]] but KEEPING duplicates — the multiplicity-preserving
+    * form vocabulary counting needs.
+    */
+  def wordNgrams(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.trim.split("\\s+")
+    if (toks.length < n || (toks.length == 1 && toks(0).isEmpty)) {
+      return new GenericArrayData(Array.empty[Any])
+    }
+    val out = new Array[Any](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Kernel behind `top_ngram_ratio` (also called from generated code):
     * occurrences of the most frequent word n-gram over total n-grams — the
     * Gopher-style repetition signal (Rae et al. 2021, "Scaling Language
@@ -184,6 +210,24 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.TextHash.wordShingles($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `word_ngrams(text, n)`: ALL word n-grams (duplicates kept) of a
+  * whitespace-tokenized string — [[WordShingles]] without the dedup.
+  */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "n-gram size must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.wordNgrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHash.wordNgrams($c, $n);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

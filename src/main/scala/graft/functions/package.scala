@@ -32,6 +32,10 @@ package object functions {
   def word_shingles(text: Column, n: Int): Column =
     col(WordShingles(expr(text), n))
 
+  /** All word n-grams, duplicates kept (native expression). */
+  def word_ngrams(text: Column, n: Int): Column =
+    col(WordNgrams(expr(text), n))
+
   /** k-slot MinHash signature of a shingle array (native expression). */
   def minhash_signature(shingleCol: Column, numHashes: Int): Column =
     col(MinHashSignature(expr(shingleCol), numHashes))
@@ -82,6 +86,8 @@ package object functions {
         (cs: Seq[Expression]) => ArrayCosineSimilarity(cs(0), cs(1))),
       ("word_shingles", "Distinct word n-gram shingles of a string",
         (cs: Seq[Expression]) => WordShingles(cs(0), intArg(cs, 1, "word_shingles"))),
+      ("word_ngrams", "All word n-grams of a string, duplicates kept",
+        (cs: Seq[Expression]) => WordNgrams(cs(0), intArg(cs, 1, "word_ngrams"))),
       ("minhash_signature", "k-slot MinHash signature of a shingle array",
         (cs: Seq[Expression]) => MinHashSignature(cs(0), intArg(cs, 1, "minhash_signature"))),
       ("simhash64", "64-bit SimHash of a token array",

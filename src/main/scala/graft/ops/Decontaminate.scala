@@ -17,17 +17,12 @@ import org.apache.spark.sql.functions._
 object Decontaminate {
 
   /** All word n-grams of a whitespace-tokenized text column (space-joined,
-    * with duplicates — callers dedup as needed). Empty array when the text
-    * has fewer than n tokens (guard required: `sequence(0, negative)` would
-    * generate a DESCENDING range).
+    * duplicates kept) — the codegen'd [[graft.functions.word_ngrams]]
+    * kernel; a `transform(sequence(...))` HOF formulation ran interpreted
+    * and dominated gram-heavy queries 3x.
     */
-  def ngrams(text: Column, n: Int): Column = {
-    require(n >= 1, s"n-gram size must be >= 1, got $n")
-    val ws = split(trim(text), "\\s+")
-    when(size(ws) >= n,
-      transform(sequence(lit(0), size(ws) - n), i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def ngrams(text: Column, n: Int): Column =
+    graft.functions.word_ngrams(text, n)
 
   /** Distinct ids of documents sharing >= 1 word n-gram with `evalDocs`.
     *
@@ -42,9 +37,13 @@ object Decontaminate {
       textCol: String,
       n: Int = 4,
       hashGrams: Boolean = true): DataFrame = {
-    val docGrams = docs.select(col(idCol), explode(ngrams(col(textCol), n)).as("_g"))
+    // overlap is set-semantics: per-doc DISTINCT grams via the codegen'd
+    // shingle kernel (one pass, no interpreted lambdas) shrink the explode
+    val docGrams = docs.select(
+      col(idCol),
+      explode(graft.functions.word_shingles(col(textCol), n)).as("_g"))
     val evalGrams = evalDocs
-      .select(explode(ngrams(col(textCol), n)).as("_g"))
+      .select(explode(graft.functions.word_shingles(col(textCol), n)).as("_g"))
       .distinct()
     val (dg, eg) =
       if (hashGrams)

@@ -16,6 +16,18 @@ class DecontaminateSpec extends SparkSpec {
     assert(df(2).isEmpty)
   }
 
+  test("ngrams keeps duplicate grams (multiplicity), unlike word_shingles") {
+    val Array(grams, shingles) = Seq("a b a b a")
+      .toDF("text")
+      .select(
+        Decontaminate.ngrams(col("text"), 2).as("g"),
+        graft.functions.word_shingles(col("text"), 2).as("s"))
+      .as[(Seq[String], Seq[String])].collect()
+      .flatMap(t => Array(t._1, t._2))
+    assert(grams == Seq("a b", "b a", "a b", "b a"))
+    assert(shingles.toSet == Set("a b", "b a") && shingles.length == 2)
+  }
+
   test("contaminatedIds flags n-gram overlap; hashed and raw paths agree") {
     val docs = Seq(
       (1L, "the quick brown fox jumps high"),
