@@ -412,6 +412,37 @@ object Queries {
       |WHERE list_cosine_similarity(a.embedding::FLOAT[], b.embedding::FLOAT[]) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Near-dup CLUSTERING: minhash pairs → connected components → one
+    * `(doc_id, cluster_id)` row per clustered doc, cluster_id = min member
+    * id. The oracle recomputes the exact-jaccard pair graph and walks its
+    * transitive closure with a recursive CTE — so this gate covers both
+    * pair recall AND the component collapse.
+    */
+  def dq7DupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = ops.Dedup
+      .minhashNearDupPairs(t(spark, sfDir, "documents"), "doc_id", "text")
+    ops.Dedup.connectedComponents(pairs, "doc_a", "doc_b").orderBy(col("doc_id"))
+  }
+
+  val dq7Oracle: String =
+    s"""${duckShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id doc_a, b.doc_id doc_b,
+       |      len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+       |      len(list_distinct(list_concat(a.shingles, b.shingles))) j
+       |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |  WHERE j >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |walk(id, reach) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT w.id, e.d FROM walk w JOIN edges e ON e.s = w.reach)
+       |SELECT id AS doc_id, min(reach) AS cluster_id
+       |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
+
   def tq3LangId(spark: SparkSession, sfDir: String): DataFrame = {
     // one native marker_counts pass feeds both outputs
     val en = ops.TextAnalysis.LangMarkers.indexWhere(_._1 == "en")
@@ -960,6 +991,7 @@ object Queries {
     "dq4_invindex_neardup" -> (dq4InvIndexNearDup _),
     "dq5_embed_neardup" -> (dq5EmbedNearDup _),
     "dq6_hash_split" -> (dq6HashSplit _),
+    "dq7_dup_clusters" -> (dq7DupClusters _),
     "tq1_token_count" -> (tq1TokenCount _),
     "tq2_text_stats" -> (tq2TextStats _),
     "tq3_lang_id" -> (tq3LangId _),
@@ -1010,6 +1042,7 @@ object Queries {
     "dq4_invindex_neardup" -> duckNearDupOracle,
     "dq5_embed_neardup" -> dq5Oracle,
     "dq6_hash_split" -> dq6Oracle,
+    "dq7_dup_clusters" -> dq7Oracle,
     "tq1_token_count" -> tq1Oracle,
     "tq2_text_stats" -> tq2Oracle,
     "tq3_lang_id" -> tq3Oracle,

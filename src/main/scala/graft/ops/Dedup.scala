@@ -280,6 +280,81 @@ object Dedup {
     verifyJaccard(cands, docs, threshold)
   }
 
+  /** Connected components over an undirected near-dup pair graph:
+    * one row `(doc_id, cluster_id)` per distinct doc appearing in `pairs`,
+    * with `cluster_id` = the smallest doc id in the component — the step
+    * that turns pair emission into actual corpus dedup (a doc chain
+    * a~b, b~c must collapse to ONE representative even though (a,c) was
+    * never emitted as a pair).
+    *
+    * Algorithm: min-label propagation with pointer jumping — each round
+    * (1) every node takes the min label over itself and its neighbors
+    * (one shuffle join + partial-agg'd min), then (2) labels shortcut
+    * through themselves (`label := label(label)`), which is what makes
+    * long chains converge in O(log diameter) rounds instead of
+    * O(diameter). Rounds are driver-coordinated (like GraphX/GraphFrames
+    * CC) with each round's labels persisted and the previous round's
+    * freed, so lineage and memory stay O(1) per round. Scale: every step
+    * is an equi-join/agg on the id — shuffle-partitioned, no driver
+    * materialization; near-dup graphs are sparse (|edges| ~ |dup pairs|)
+    * and shallow, so this converges in 2-3 rounds on real corpora.
+    */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val edges = fwd
+      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges
+      .groupBy(col("src").as("id"))
+      .agg(min(least(col("dst"), col("src"))).as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    while (!converged) {
+      val viaNeighbors = edges
+        .join(labels, col("dst") === col("id"))
+        .groupBy(col("src").as("nid"))
+        .agg(min(col("label")).as("nlabel"))
+      val propagated = labels
+        .join(viaNeighbors, col("id") === col("nid"), "left")
+        .select(
+          col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      val jumped = propagated.as("x")
+        .join(
+          propagated.select(col("id").as("lid"), col("label").as("llabel")).as("y"),
+          col("x.label") === col("y.lid"), "left")
+        .select(
+          col("x.id").as("id"),
+          least(col("x.label"), coalesce(col("y.llabel"), col("x.label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      converged = jumped.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .where(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels.unpersist(blocking = false)
+      labels = jumped
+    }
+    edges.unpersist(blocking = false)
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Corpus minus non-representative cluster members: drops every doc whose
+    * `cluster_id` differs from its own id (anti-join — docs in no cluster
+    * pass through untouched). The end-to-end near-dup dedup is
+    * `keepRepresentatives(df, id, connectedComponents(pairs, a, b))`.
+    */
+  def keepRepresentatives(
+      df: DataFrame, idCol: String, clusters: DataFrame): DataFrame =
+    df.join(
+      clusters
+        .where(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as("_nonrep")),
+      col(idCol) === col("_nonrep"),
+      "left_anti")
+
   /** Embedding near-duplicates: pairs with cosine similarity >= threshold.
     * This is the exact (quadratic) form for oracle-grade answers on bounded
     * inputs; [[graft.ops.Similarity.ivfCellPairs]] is the bucketed scale

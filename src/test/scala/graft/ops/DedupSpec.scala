@@ -58,6 +58,29 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(h(0) ^ h(2)) > 10) // unrelated text far
   }
 
+  test("connectedComponents collapses chains to the min-id representative") {
+    // components: {1,2,3,9} via a chain (1-2, 2-3, 3-9), {5,7}, and a
+    // long path 10-11-12-13-14 that needs >1 propagation round
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (9L, 3L), (5L, 7L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 7L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L))
+  }
+
+  test("keepRepresentatives drops non-representative members only") {
+    val pairs = Seq((0L, 1L), (0L, 3L)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val kept = Dedup.keepRepresentatives(docs, "doc_id", clusters)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 2L, 4L)) // 1 and 3 collapse into 0
+  }
+
   test("embedding near-dup pairs by cosine threshold") {
     val vecs = Seq(
       (0L, Seq(1f, 0f, 0f)),
