@@ -674,6 +674,35 @@ object Queries {
       |      < (CASE WHEN lang = 'en' THEN 128 ELSE 192 END)
       |ORDER BY doc_id""".stripMargin
 
+  /** PII scrubbing: the corpus text carries no PII, so both engines append
+    * an identical deterministic PII-laden suffix (email/IP derived from
+    * doc_id, fixed SSN + phone) and redact it — the full-string compare
+    * then certifies the regex semantics match byte-for-byte across
+    * engines, which is the actual risk in a redaction operator.
+    */
+  def pq3PiiScrub(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        ops.TextAnalysis.piiScrub(concat(
+          col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com via 10.0."),
+          col("doc_id") % 256, lit(".7 ssn 123-45-6789 tel 415-555-0123")))
+          .as("clean"))
+      .orderBy(col("doc_id"))
+
+  val pq3Oracle: String = {
+    val scrubbed = ops.TextAnalysis.PiiPatterns.foldLeft(
+      "text || ' contact user' || doc_id || '@example.com via 10.0.' || " +
+        "(doc_id % 256) || '.7 ssn 123-45-6789 tel 415-555-0123'") {
+      case (expr, (pat, tag)) =>
+        // DuckDB conventional strings pass backslashes through verbatim
+        s"regexp_replace($expr, '$pat', '$tag', 'g')"
+    }
+    s"""SELECT doc_id, $scrubbed AS clean
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** End-to-end curation pipeline — the operators composed the way a real
     * training-data job chains them: exact dedup (keep min id per identical
     * text) → benchmark decontamination (4-gram overlap vs the held-out
@@ -1004,6 +1033,7 @@ object Queries {
     "dc1_decontam" -> (dc1Decontam _),
     "pq1_quality_filter" -> (pq1QualityFilter _),
     "pq2_stratified_sample" -> (pq2StratifiedSample _),
+    "pq3_pii_scrub" -> (pq3PiiScrub _),
     "cq1_curation_pipeline" -> (cq1CurationPipeline _),
     "vb1_top_ngrams" -> (vb1TopNgrams _),
     "je1_json_extract" -> (je1JsonExtract _),
@@ -1055,6 +1085,7 @@ object Queries {
     "dc1_decontam" -> dc1Oracle,
     "pq1_quality_filter" -> pq1Oracle,
     "pq2_stratified_sample" -> pq2Oracle,
+    "pq3_pii_scrub" -> pq3Oracle,
     "cq1_curation_pipeline" -> cq1Oracle,
     "vb1_top_ngrams" -> vb1Oracle,
     "je1_json_extract" -> je1Oracle,

@@ -117,4 +117,26 @@ object TextAnalysis {
   }
 
   def langId(text: Column): Column = langIdFromCounts(allMarkerCounts(text))
+
+  /** PII redaction patterns, ordered: email first (its local part can
+    * contain digits/dots that the later numeric patterns would mangle),
+    * then SSN (3-2-4 grouping) before the generic 3-3-4 phone, then IPv4.
+    * Restricted to syntax with identical semantics in Java regex and RE2
+    * (`\b`, `\d`, bounded repetition, non-capturing groups) so a SQL
+    * engine applying the same patterns byte-matches the output.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>",
+    "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b" -> "<PHONE>",
+    "\\b\\d{1,3}(?:\\.\\d{1,3}){3}\\b" -> "<IP>")
+
+  /** Redact emails, SSNs, phone numbers, and IPv4 addresses — one chained
+    * codegen'd `regexp_replace` pass per pattern, a pure projection (no
+    * shuffle, scales linearly with corpus bytes).
+    */
+  def piiScrub(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
 }

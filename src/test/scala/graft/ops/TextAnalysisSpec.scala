@@ -87,4 +87,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Int]("n_stopwords") == 2)
     assert(r.getAs[Int]("n_punct") == 1)
   }
+
+  test("piiScrub redacts emails, SSNs, phones, IPs and leaves clean text") {
+    val cases = Seq(
+      "mail a.b+c_1%d@sub.example.org now" -> "mail <EMAIL> now",
+      "ssn 123-45-6789 ok" -> "ssn <SSN> ok",
+      "call 415-555-0123 or 415.555.0123" -> "call <PHONE> or <PHONE>",
+      "host 192.168.0.1 up" -> "host <IP> up",
+      "all: x@y.io 987-65-4321 212 555 9876 10.0.0.255" ->
+        "all: <EMAIL> <SSN> <PHONE> <IP>",
+      // non-PII lookalikes survive: version strings (2 dots), short codes
+      "v1.2.3 and 12-34 stay" -> "v1.2.3 and 12-34 stay")
+    val out = cases.map(_._1).toDF("text")
+      .select(TextAnalysis.piiScrub(col("text")))
+      .as[String].collect()
+    cases.map(_._2).zip(out).foreach { case (want, got) => assert(got == want) }
+  }
 }
