@@ -804,6 +804,46 @@ object Queries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Corpus clustering profile over a FIXED literal centroid grid: cell
+    * assignment via the codegen'd nearest_centroid kernel, then per-cell
+    * count + label sum. Fixed centroids (multiples of 0.1, which
+    * round-trip to identical float32 bits in both engines) make the cell
+    * assignment itself hash-matchable — the learned-centroid twin (sq2) is
+    * necessarily recall-gated, so this is the exactness gate for the
+    * bucketing kernel. Plan shape: pure projection → partial agg →
+    * 8-group exchange; linear at any corpus size.
+    */
+  val cp1Centroids: Array[Float] = Array.tabulate(8 * 64) { i =>
+    ((((i / 64) * 7 + (i % 64) * 13) % 21) - 10) / 10.0f
+  }
+
+  def cp1ClusterProfile(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "embeddings")
+      .select(
+        graft.functions.nearest_centroid(col("embedding"), cp1Centroids, 64).as("cell"),
+        col("label"))
+      .groupBy(col("cell"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("label")).cast("bigint").as("label_sum"))
+      .orderBy(col("cell"))
+
+  val cp1Oracle: String = {
+    val k = 8
+    val dcols = (0 until k).map { c =>
+      val lit = (0 until 64).map(d => cp1Centroids(c * 64 + d).toString)
+        .mkString("[", ", ", "]") + "::FLOAT[]"
+      s"list_distance(embedding::FLOAT[], $lit) AS d$c"
+    }.mkString(",\n  ")
+    val least = s"least(${(0 until k).map("d" + _).mkString(", ")})"
+    val arms = (0 until k).map(i => s"WHEN d$i = m THEN $i").mkString(" ")
+    s"""WITH d AS (SELECT label, $dcols FROM embeddings),
+       |a AS (SELECT label, CASE $arms END AS cell
+       |      FROM (SELECT *, $least AS m FROM d))
+       |SELECT cell, count(*) AS n, CAST(sum(label) AS BIGINT) AS label_sum
+       |FROM a GROUP BY cell ORDER BY cell""".stripMargin
+  }
+
   // ---------------------------------------- multimodal / streaming
 
   /** Binary-column pipeline over documents-as-media: UTF-8 payloads through
@@ -1038,6 +1078,7 @@ object Queries {
     "vb1_top_ngrams" -> (vb1TopNgrams _),
     "je1_json_extract" -> (je1JsonExtract _),
     "sq2_ivf_cell_pairs" -> (sq2IvfCellPairs _),
+    "cp1_cluster_profile" -> (cp1ClusterProfile _),
     "mq1_media_features" -> (mq1MediaFeatures _),
     "mq2_frame_sample" -> (mq2FrameSample _),
     "sq1_sessionize" -> (sq1Sessionize _),
@@ -1090,6 +1131,7 @@ object Queries {
     "vb1_top_ngrams" -> vb1Oracle,
     "je1_json_extract" -> je1Oracle,
     // sq2_ivf_cell_pairs intentionally has no oracle (cell-recall ANN)
+    "cp1_cluster_profile" -> cp1Oracle,
     "mq1_media_features" -> mq1Oracle,
     "mq2_frame_sample" -> mq2Oracle,
     "sq1_sessionize" -> sq1Oracle,
