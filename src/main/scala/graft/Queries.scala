@@ -412,6 +412,31 @@ object Queries {
       |WHERE list_cosine_similarity(a.embedding::FLOAT[], b.embedding::FLOAT[]) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Cross-corpus (incremental-ingest) dedup: the doc_id % 10 == 0 slice
+    * plays the incoming batch, the rest the existing corpus; emit every
+    * (incoming, corpus) near-dup pair. Exercises the asymmetric bucket
+    * join — batch-side work only, corpus signatures reusable.
+    */
+  def dx1CrossDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    ops.Dedup
+      .minhashNearDupAgainst(
+        docs.where(col("doc_id") % 10 =!= 0),
+        docs.where(col("doc_id") % 10 === 0),
+        "doc_id", "text")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dx1Oracle: String =
+    s"""$duckShingleCte
+       |SELECT doc_a, doc_b FROM (
+       |  SELECT a.doc_id doc_a, b.doc_id doc_b,
+       |    len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+       |    len(list_distinct(list_concat(a.shingles, b.shingles))) j
+       |  FROM sh a JOIN sh b
+       |    ON a.doc_id % 10 = 0 AND b.doc_id % 10 != 0)
+       |WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
   /** Near-dup CLUSTERING: minhash pairs → connected components → one
     * `(doc_id, cluster_id)` row per clustered doc, cluster_id = min member
     * id. The oracle recomputes the exact-jaccard pair graph and walks its
@@ -1061,6 +1086,7 @@ object Queries {
     "dq5_embed_neardup" -> (dq5EmbedNearDup _),
     "dq6_hash_split" -> (dq6HashSplit _),
     "dq7_dup_clusters" -> (dq7DupClusters _),
+    "dx1_cross_dedup" -> (dx1CrossDedup _),
     "tq1_token_count" -> (tq1TokenCount _),
     "tq2_text_stats" -> (tq2TextStats _),
     "tq3_lang_id" -> (tq3LangId _),
@@ -1114,6 +1140,7 @@ object Queries {
     "dq5_embed_neardup" -> dq5Oracle,
     "dq6_hash_split" -> dq6Oracle,
     "dq7_dup_clusters" -> dq7Oracle,
+    "dx1_cross_dedup" -> dx1Oracle,
     "tq1_token_count" -> tq1Oracle,
     "tq2_text_stats" -> tq2Oracle,
     "tq3_lang_id" -> tq3Oracle,

@@ -142,6 +142,44 @@ object Dedup {
     verifyJaccard(cands, docs, threshold)
   }
 
+  /** Cross-corpus near-dup: incoming docs that near-duplicate an EXISTING
+    * corpus — the incremental-ingest shape. At scale the corpus side's
+    * band buckets are computed once and persisted (they are a pure
+    * projection of the corpus, reusable across every ingest batch), and
+    * each batch's buckets equi-join against them — work proportional to
+    * the batch, never a corpus self-join. Output: (doc_a = incoming id,
+    * doc_b = corpus id) with exact jaccard >= threshold; precision is
+    * exact via the sorted-merge verify, recall is the banding curve.
+    */
+  def minhashNearDupAgainst(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5,
+      numHashes: Int = 128,
+      bands: Int = 16): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def prep(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .where(size(col("sh")) > 0)
+    def buckets(docs: DataFrame): DataFrame = docs
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(
+        col("id"),
+        explode(bandBuckets(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bucket"))
+    val inc = prep(incoming)
+    val corp = prep(corpus)
+    val cands = buckets(inc).as("a")
+      .join(buckets(corp).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    verifyJaccardAcross(cands, inc, corp, threshold)
+  }
+
   /** Exact-jaccard verification over hashed shingle sets: each doc's
     * distinct shingles hash to a SORTED long array once (per doc, not per
     * pair), and per-pair jaccard is an allocation-free merge
@@ -153,13 +191,23 @@ object Dedup {
     * pair — vanishing, and a collision shifts the value by ≤1/|union|).
     */
   private def verifyJaccard(
-      cands: DataFrame, docs: DataFrame, threshold: Double): DataFrame = {
-    val hashed = docs.select(
+      cands: DataFrame, docs: DataFrame, threshold: Double): DataFrame =
+    verifyJaccardAcross(cands, docs, docs, threshold)
+
+  /** Two-sided form: doc_a ids resolve against `aDocs`, doc_b against
+    * `bDocs` (identical frames for self-join dedup).
+    */
+  private def verifyJaccardAcross(
+      cands: DataFrame,
+      aDocs: DataFrame,
+      bDocs: DataFrame,
+      threshold: Double): DataFrame = {
+    def hashed(docs: DataFrame): DataFrame = docs.select(
       col("id"),
       sort_array(transform(col("sh"), s => xxhash64(s))).as("shh"))
     cands
-      .join(hashed.select(col("id").as("doc_a"), col("shh").as("sh_a")), "doc_a")
-      .join(hashed.select(col("id").as("doc_b"), col("shh").as("sh_b")), "doc_b")
+      .join(hashed(aDocs).select(col("id").as("doc_a"), col("shh").as("sh_a")), "doc_a")
+      .join(hashed(bDocs).select(col("id").as("doc_b"), col("shh").as("sh_b")), "doc_b")
       .withColumn("jaccard", graft.functions.sorted_jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"))

@@ -58,6 +58,16 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(h(0) ^ h(2)) > 10) // unrelated text far
   }
 
+  test("minhashNearDupAgainst finds incoming-vs-corpus pairs only") {
+    val corpus = docs.where(col("doc_id") =!= 3L)
+    val incoming = docs.where(col("doc_id") === 3L) // exact dup of 0
+    val pairs = Dedup
+      .minhashNearDupAgainst(corpus, incoming, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    // doc 3 duplicates 0 and near-duplicates 1; never pairs corpus-corpus
+    assert(pairs == Set((3L, 0L), (3L, 1L)))
+  }
+
   test("connectedComponents collapses chains to the min-id representative") {
     // components: {1,2,3,9} via a chain (1-2, 2-3, 3-9), {5,7}, and a
     // long path 10-11-12-13-14 that needs >1 propagation round
