@@ -829,6 +829,40 @@ object Queries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Bucketed-layout join: both sides are (re)written bucketed + sorted on
+    * the order key, so the join AND the per-order aggregation plan with no
+    * shuffle exchange — pay the layout shuffle once at write time, join
+    * shuffle-free forever after (the dominant repeat-join optimization for
+    * cluster-scale fact tables; LayoutSpec pins the exchange-free plan).
+    * The oracle is the equivalent plain join on the raw parquet — layout
+    * must never change results.
+    */
+  def bj1BucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    ops.Layout.writeBucketed(
+      t(spark, sfDir, "orders").select(col("o_orderkey")),
+      "graft_bj_orders", "o_orderkey", 8)
+    ops.Layout.writeBucketed(
+      t(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+      "graft_bj_lineitem", "l_orderkey", 8)
+    spark.table("graft_bj_orders")
+      .join(
+        spark.table("graft_bj_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("bigint").as("disc_cents"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val bj1Oracle: String =
+    """SELECT o_orderkey, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS disc_cents
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
+
   /** Corpus clustering profile over a FIXED literal centroid grid: cell
     * assignment via the codegen'd nearest_centroid kernel, then per-cell
     * count + label sum. Fixed centroids (multiples of 0.1, which
@@ -1105,6 +1139,7 @@ object Queries {
     "je1_json_extract" -> (je1JsonExtract _),
     "sq2_ivf_cell_pairs" -> (sq2IvfCellPairs _),
     "cp1_cluster_profile" -> (cp1ClusterProfile _),
+    "bj1_bucketed_join" -> (bj1BucketedJoin _),
     "mq1_media_features" -> (mq1MediaFeatures _),
     "mq2_frame_sample" -> (mq2FrameSample _),
     "sq1_sessionize" -> (sq1Sessionize _),
@@ -1159,6 +1194,7 @@ object Queries {
     "je1_json_extract" -> je1Oracle,
     // sq2_ivf_cell_pairs intentionally has no oracle (cell-recall ANN)
     "cp1_cluster_profile" -> cp1Oracle,
+    "bj1_bucketed_join" -> bj1Oracle,
     "mq1_media_features" -> mq1Oracle,
     "mq2_frame_sample" -> mq2Oracle,
     "sq1_sessionize" -> sq1Oracle,

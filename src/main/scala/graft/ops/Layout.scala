@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Data-layout operators: physical organization that trades one write-time
+  * shuffle for shuffle-free reads forever after — the dominant cost lever
+  * for repeat joins/aggregations over cluster-sized tables (a 100 TB fact
+  * table that is joined on the same key daily should never re-exchange).
+  */
+object Layout {
+
+  /** Write `df` as a bucketed (and per-bucket sorted) managed parquet
+    * table: rows hash-partition on `key` into `numBuckets` files per write
+    * task, and the catalog records the layout, so later equi-joins and
+    * aggregations on `key` between same-bucketed tables plan with NO
+    * shuffle exchange (and, with matching `sortBy`, no sort) under
+    * `spark.sql.sources.bucketing.enabled`. Bucket count is a corpus-level
+    * choice: targets per-bucket data that fits an executor's memory at
+    * full scale.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      key: String,
+      numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    val sorts = if (sortCols.isEmpty) Seq(key) else sortCols
+    df.write
+      .format("parquet")
+      .bucketBy(numBuckets, key)
+      .sortBy(sorts.head, sorts.tail: _*)
+      .mode("overwrite")
+      .saveAsTable(table)
+  }
+}
