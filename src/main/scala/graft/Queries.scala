@@ -829,6 +829,28 @@ object Queries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Salted shuffle join: lineitem spreads over (suppkey, salt) with the
+    * supplier side replicated per salt — the hot-key straggler mitigation
+    * when the other side exceeds broadcast. Salting must never change
+    * results; the oracle is the plain join.
+    */
+  def sk1SaltedJoin(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Skew
+      .saltedJoin(
+        t(spark, sfDir, "lineitem"), t(spark, sfDir, "supplier"),
+        "l_suppkey", "s_suppkey", salts = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(cents(col("l_extendedprice"))).cast("bigint").as("base_cents"))
+      .orderBy(col("s_nationkey"))
+
+  val sk1Oracle: String =
+    """SELECT s_nationkey, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS base_cents
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   /** Bucketed-layout join: both sides are (re)written bucketed + sorted on
     * the order key, so the join AND the per-order aggregation plan with no
     * shuffle exchange — pay the layout shuffle once at write time, join
@@ -1140,6 +1162,7 @@ object Queries {
     "sq2_ivf_cell_pairs" -> (sq2IvfCellPairs _),
     "cp1_cluster_profile" -> (cp1ClusterProfile _),
     "bj1_bucketed_join" -> (bj1BucketedJoin _),
+    "sk1_salted_join" -> (sk1SaltedJoin _),
     "mq1_media_features" -> (mq1MediaFeatures _),
     "mq2_frame_sample" -> (mq2FrameSample _),
     "sq1_sessionize" -> (sq1Sessionize _),
@@ -1195,6 +1218,7 @@ object Queries {
     // sq2_ivf_cell_pairs intentionally has no oracle (cell-recall ANN)
     "cp1_cluster_profile" -> cp1Oracle,
     "bj1_bucketed_join" -> bj1Oracle,
+    "sk1_salted_join" -> sk1Oracle,
     "mq1_media_features" -> mq1Oracle,
     "mq2_frame_sample" -> mq2Oracle,
     "sq1_sessionize" -> sq1Oracle,

@@ -25,6 +25,15 @@ object Layout {
       numBuckets: Int,
       sortCols: Seq[String] = Nil): Unit = {
     val sorts = if (sortCols.isEmpty) Seq(key) else sortCols
+    // a managed table's files outlive the in-memory catalog (fresh session,
+    // same warehouse dir), and CREATE refuses a stale location — drop both
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog
+        .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true): Unit
     df.write
       .format("parquet")
       .bucketBy(numBuckets, key)

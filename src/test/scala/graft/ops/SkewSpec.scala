@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  // one hot key (0) holding 90% of the big side
+  private lazy val big = ((1L to 900L).map(_ => 0L) ++ (1L to 100L).map(_ % 10))
+    .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "row_id")
+  private lazy val small = (0L until 10L).map(i => (i, s"v$i")).toDF("sk", "v")
+
+  test("saltedJoin equals the plain join (inner)") {
+    val plain = big.join(small, big("k") === small("sk")).drop("sk")
+      .as[(Long, Long, String)].collect().toSet
+    val salted = Skew.saltedJoin(big, small, "k", "sk", salts = 8).drop("sk")
+      .as[(Long, Long, String)].collect().toSet
+    assert(salted == plain)
+    assert(salted.size == 1000)
+  }
+
+  test("saltedJoin preserves left-join misses") {
+    val sparse = small.where(col("sk") >= 5)
+    val plain = big.join(sparse, big("k") === sparse("sk"), "left").drop("sk")
+      .as[(Long, Long, Option[String])].collect().toSet
+    val salted = Skew.saltedJoin(big, sparse, "k", "sk", 4, "left").drop("sk")
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(salted == plain)
+    // the hot key 0 misses: its rows survive exactly once with null v
+    assert(salted.count(_._3.isEmpty) == plain.count(_._3.isEmpty))
+  }
+}
