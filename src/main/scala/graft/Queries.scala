@@ -144,6 +144,26 @@ object Queries {
       |  ORDER BY list_distance(n.embedding::FLOAT[], q.embedding::FLOAT[]) ASC, n.vec_id ASC) <= 3
       |ORDER BY query_id, neighbor_id""".stripMargin
 
+  /** Batch ANN: IVF-accelerated k-NN join at EXHAUSTIVE probes, which
+    * makes it exact — so the scale-path machinery (cell bucketing, probe
+    * explode, per-query heap) is oracled against the same plain-SQL k-NN
+    * as vq6. The production setting (probes ≪ nClusters) is the same code
+    * on the recall curve; SimilaritySpec pins the subset/recall behavior.
+    */
+  def va2IvfKnnJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/embeddings.parquet"
+    val ti = IndexManager.ensure(spark, path, "embedding")
+    val centroids = graft.ivf.IndexStore.default
+      .load(ti.files.head, "embedding").get.centroids
+    val e = t(spark, sfDir, "embeddings")
+    ops.Similarity
+      .ivfKnnJoin(
+        e.where(col("vec_id") < 5), e, "vec_id", "vec_id", "embedding",
+        centroids, ti.dim, k = 3, probes = ti.nClusters)
+      .select(col("query_id"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
   // ------------------------------------------------------------ relational
 
   def q1Agg(spark: SparkSession, sfDir: String): DataFrame =
@@ -1133,6 +1153,7 @@ object Queries {
     "qs2_intersect" -> (qs2Intersect _),
     "qg_rollup" -> (qgRollup _),
     "va1_ann_nprobe4" -> (va1AnnNprobe4 _),
+    "va2_ivf_knn_join" -> (va2IvfKnnJoin _),
     "qe_events_hourly" -> (qeEventsHourly _),
     "qa1_asof_join" -> (qa1AsofJoin _),
     "dq1_exact_dedup" -> (dq1ExactDedup _),
@@ -1181,6 +1202,7 @@ object Queries {
     "vq7_sql_topk" -> vq7Oracle,
     "vq5_cosine_topk" -> vq5Oracle,
     "vq6_knn_join" -> vq6Oracle,
+    "va2_ivf_knn_join" -> vq6Oracle,
     "q1_agg" -> q1Oracle,
     "q3_join" -> q3Oracle,
     "q5_region_revenue" -> q5Oracle,

@@ -69,27 +69,83 @@ object Similarity {
       corpusId: String,
       vecCol: String,
       k: Int): DataFrame = {
-    val spark = queries.sparkSession
-    import spark.implicits._
-    def requireIntegral(df: DataFrame, c: String): Unit = {
-      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-      val dt = df.schema(c).dataType
-      require(
-        Set[org.apache.spark.sql.types.DataType](
-          ByteType, ShortType, IntegerType, LongType).contains(dt),
-        s"knnJoin id column '$c' must be integral, got ${dt.simpleString}")
-    }
     requireIntegral(queries, queryId)
     requireIntegral(corpus, corpusId)
     val q = queries.select(
       col(queryId).as("query_id"), col(vecCol).as("_qvec"))
-    val agg = new TopKNeighbors(k).toColumn
-    corpus
+    val scored = corpus
       .join(broadcast(q), col(corpusId) =!= col("query_id"))
       .select(
         col("query_id").cast("long"),
         col(corpusId).cast("long").as("neighbor_id"),
         array_distance(col(vecCol), col("_qvec")).as("dist"))
+    topKRanked(scored, k)
+  }
+
+  /** IVF-accelerated k-NN join (batch ANN): each query row probes its
+    * `probes` nearest cells and scores ONLY the corpus rows homed there —
+    * per-query work scales with probed-cell volume (≈ probes/nClusters of
+    * the corpus), never corpus size, and neither side is broadcast: the
+    * candidate generation is an equi-join on cell id, so both sides
+    * shuffle-partition by cell. With `probes >= nClusters` every cell is
+    * probed and the result is EXACT (equals [[knnJoin]] — how va2 is
+    * oracled); below that, recall follows the IVF probe curve. The
+    * per-query heap keeps the post-join shuffle at queries × k rows.
+    */
+  def ivfKnnJoin(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryId: String,
+      corpusId: String,
+      vecCol: String,
+      centroids: Array[Float],
+      dim: Int,
+      k: Int,
+      probes: Int): DataFrame = {
+    require(probes >= 1, s"probes must be >= 1, got $probes")
+    requireIntegral(queries, queryId)
+    requireIntegral(corpus, corpusId)
+    val corpusCells = withCell(corpus, vecCol, centroids, dim)
+      .select(
+        col(corpusId).cast("long").as("neighbor_id"),
+        col(vecCol).as("_cvec"),
+        col("_cell"))
+    val probed = queries.select(
+      col(queryId).cast("long").as("query_id"),
+      col(vecCol).as("_qvec"),
+      explode(
+        graft.functions.nearest_centroids(col(vecCol), centroids, dim, probes))
+        .as("_pcell"))
+    // a corpus row lives in exactly one cell and probe cells are distinct,
+    // so a (query, corpus) pair is scored at most once — no dedup needed
+    val scored = probed
+      .join(
+        corpusCells,
+        col("_pcell") === col("_cell") && col("neighbor_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        array_distance(col("_cvec"), col("_qvec")).as("dist"))
+    topKRanked(scored, k)
+  }
+
+  private def requireIntegral(df: DataFrame, c: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(c).dataType
+    require(
+      Set[org.apache.spark.sql.types.DataType](
+        ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"knn join id column '$c' must be integral, got ${dt.simpleString}")
+  }
+
+  /** (query_id, neighbor_id, dist) → per-query top-k with dense ranks,
+    * via the map-side-partial [[TopKNeighbors]] heap.
+    */
+  private def topKRanked(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val agg = new TopKNeighbors(k).toColumn
+    scored
       .where(col("dist").isNotNull)
       .as[(Long, Long, Float)]
       .map { case (qid, nid, d) => (qid, Neighbor(nid, d)) }

@@ -56,6 +56,30 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_._2 < 10)) // neighbors from the same cluster
   }
 
+  test("ivfKnnJoin at exhaustive probes equals brute knnJoin exactly") {
+    val df = clustered
+    val centroids = Array(1f, 1f, 1f, 1f, -1f, -1f, -1f, -1f)
+    val queries = df.where(col("id") === 0 || col("id") === 15)
+    val brute = Similarity.knnJoin(queries, df, "id", "id", "v", 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val ivf = Similarity
+      .ivfKnnJoin(queries, df, "id", "id", "v", centroids, 4, 3, probes = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(ivf == brute)
+  }
+
+  test("ivfKnnJoin at 1 probe stays within the query's own cluster") {
+    val df = clustered
+    val centroids = Array(1f, 1f, 1f, 1f, -1f, -1f, -1f, -1f)
+    val out = Similarity
+      .ivfKnnJoin(df.where(col("id") === 15), df, "id", "id", "v",
+        centroids, 4, k = 30, probes = 1)
+      .as[(Long, Long, Int)].collect()
+    // only the 9 same-cell rows are candidates, self excluded, k un-hit
+    assert(out.length == 9)
+    assert(out.forall(_._2 >= 10))
+  }
+
   test("knnJoin rejects non-integral id columns instead of nulling them") {
     val df = Seq(("a", Seq(0f, 0f, 0f, 0f))).toDF("sid", "v")
       .select(col("sid"), col("v").cast("array<float>").as("v"))
