@@ -1135,6 +1135,25 @@ object Queries {
   val st5Oracle: String =
     "SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct FROM documents"
 
+  /** Streaming cross-corpus dedup: the doc_id % 10 == 0 slice arrives as
+    * a stream and dedups against the static rest — dx1's semantics under
+    * replay, so it shares dx1's oracle.
+    */
+  def st6StreamCrossDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val schema = t(spark, sfDir, "documents").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .where(col("doc_id") % 10 === 0)
+    val corpus = t(spark, sfDir, "documents").where(col("doc_id") % 10 =!= 0)
+    val pairs = ops.Dedup
+      .minhashNearDupStreamStatic(corpus, stream, "doc_id", "text")
+    streaming.EventStreams
+      .replayToTable(spark, pairs, OutputMode.Append(),
+        statePartitions = Some(ReplayStatePartitions))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // -------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1192,6 +1211,7 @@ object Queries {
     "st3_stream_sessionize" -> (st3StreamSessionize _),
     "st4_stream_vector_topk" -> (st4StreamVectorTopk _),
     "st5_stream_dedup" -> (st5StreamDedup _),
+    "st6_stream_cross_dedup" -> (st6StreamCrossDedup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1249,5 +1269,6 @@ object Queries {
     "st3_stream_sessionize" -> sq1Oracle, // streaming state == batch sessions
     "st4_stream_vector_topk" -> st4Oracle,
     "st5_stream_dedup" -> st5Oracle,
+    "st6_stream_cross_dedup" -> dx1Oracle,
   )
 }

@@ -180,6 +180,53 @@ object Dedup {
     verifyJaccardAcross(cands, inc, corp, threshold)
   }
 
+  /** Streaming form of [[minhashNearDupAgainst]]: `incoming` is an
+    * UNBOUNDED stream of new docs deduped against a static corpus as they
+    * arrive. All per-row work (shingles, signature, band buckets, hashed
+    * shingle array) is stateless codegen'd projection; candidates come
+    * from a stream-static equi-join on the bucket key (the static bucket
+    * side is persisted — recomputing it per micro-batch is the classic
+    * stream-static trap); the only state is the pair-key dropDuplicates.
+    * The stream row CARRIES its own hashed shingles through the bucket
+    * explode, so verification needs no stream-stream join. Append-mode
+    * safe end to end.
+    */
+  def minhashNearDupStreamStatic(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5,
+      numHashes: Int = 128,
+      bands: Int = 16): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def prep(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .where(size(col("sh")) > 0)
+    val corpSide = prep(corpus)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(
+        col("id").as("doc_b"),
+        sort_array(transform(col("sh"), s => xxhash64(s))).as("sh_b"),
+        explode(bandBuckets(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("doc_b"), col("sh_b"), col("bk.band"), col("bk.bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val streamSide = prep(incoming)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(
+        col("id").as("doc_a"),
+        sort_array(transform(col("sh"), s => xxhash64(s))).as("sh_a"),
+        explode(bandBuckets(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("doc_a"), col("sh_a"), col("bk.band"), col("bk.bucket"))
+    streamSide
+      .join(corpSide, Seq("band", "bucket"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("jaccard", graft.functions.sorted_jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   /** Exact-jaccard verification over hashed shingle sets: each doc's
     * distinct shingles hash to a SORTED long array once (per doc, not per
     * pair), and per-pair jaccard is an allocation-free merge
