@@ -14,14 +14,21 @@ import graft.functions.{array_distance, float_vector}
   *  - brute force = `orderBy(array_distance).limit(k)` — Spark plans this as
   *    `TakeOrderedAndProjectExec`, a per-partition bounded heap + driver
   *    merge, i.e. exactly the reference's heap re-rank, but distributed;
-  *  - indexed = a semi-join of the scan against the candidate (file, row
-  *    ordinal) feed emitted by `IvfCandidateScanExec`, which probes each
-  *    file's index in EXECUTOR tasks (the reference's per-scan-file
+  *  - indexed, no residual filter = TWO-PHASE (the reference's access
+  *    plan): phase 1 probes per-file indexes executor-side and reads only
+  *    the embedding column of candidate row groups (`SelectiveFetch`) to
+  *    rank candidates; phase 2 broadcast-semi-joins the base table on the
+  *    k winning (file, ordinal) pairs — payload IO is k rows, not
+  *    candidate-count rows;
+  *  - indexed with a residual filter = one-phase: a semi-join of the scan
+  *    against the candidate (file, row ordinal) feed emitted by
+  *    `IvfCandidateScanExec` (the reference's per-scan-file
   *    `VectorIndexScanExec` distribution shape) → residual filter →
   *    metered fetch → heap top-k. Candidate pruning composes with later
   *    filters in post-filter order, matching the reference's semantics
   *    (`src/df_vector/tests.rs:151-241`): a restrictive filter may return
-  *    fewer than k rows.
+  *    fewer than k rows, and the filter must see full candidate rows
+  *    BEFORE the top-k, which rules out the winner-first shortcut.
   *
   * Scale: the driver only peeks index HEADERS (dim/k, a ~26-byte read per
   * file) for validation and estimates candidate volume from one file;
@@ -166,10 +173,32 @@ object VectorTopK {
       filter: Option[Column] = None,
       store: IndexStore = IndexStore.default): DataFrame = {
     require(k > 0, "k must be > 0")
-    val scan = candidateScan(spark, path, column, query, options, store)
-      .drop("_file", "_ri")
-    val filtered = filter.fold(scan)(scan.where)
-    bruteForce(meterFetch(spark, filtered), column, query, k)
+    filter match {
+      case Some(residual) =>
+        // post-filter semantics: the residual prunes candidates BEFORE the
+        // top-k, so full candidate rows must be fetched — one-phase plan
+        val scan = candidateScan(spark, path, column, query, options, store)
+          .drop("_file", "_ri")
+        bruteForce(meterFetch(spark, scan.where(residual)), column, query, k)
+      case None =>
+        // two-phase (the reference's access plan): phase 1 ranks candidates
+        // reading ONLY the embedding column of candidate row groups
+        // (SelectiveFetch — IO proportional to candidates); phase 2 fetches
+        // full payload rows for just the k winners via a broadcast
+        // semi-join on (file, ordinal). Payload IO is k rows, not
+        // candidate-count rows — the gap that dominates on wide tables.
+        // Lazy end to end: phase 1 executes as the join's build side.
+        val winners = searchByFile(spark, path, column, query, options, store)
+          .orderBy(col("_dist").asc_nulls_last)
+          .limit(k)
+          .select(col("_file"), col("_ri"))
+        val fetched = spark.read.parquet(path)
+          .withColumn("_file", col("_metadata.file_path"))
+          .withColumn("_ri", col("_metadata.row_index"))
+          .join(broadcast(winners), Seq("_file", "_ri"), "left_semi")
+          .drop("_file", "_ri")
+        bruteForce(meterFetch(spark, fetched), column, query, k)
+    }
   }
 
   /** Programmatic search returning the reference's `SearchResult` shape —
@@ -194,6 +223,27 @@ object VectorTopK {
       options: Options = Options(),
       store: IndexStore = IndexStore.default): Dataset[SearchResult] = {
     require(k > 0, "k must be > 0")
+    import spark.implicits._
+    searchByFile(spark, path, column, query, options, store)
+      .select(col("_ri").as("row_idx"), col("_dist").as("distance"))
+      .orderBy(col("distance").asc_nulls_last)
+      .limit(k)
+      .as[SearchResult]
+  }
+
+  /** The probe + selective-read pipeline as a lazy DataFrame of
+    * `(_file, _ri, _dist)`: each executor task probes its files' indexes
+    * and reads ONLY the embedding column of only the row groups holding
+    * candidates ([[SelectiveFetch]]) — the shared phase-1 of [[search]]
+    * and the two-phase [[indexed]].
+    */
+  private def searchByFile(
+      spark: SparkSession,
+      path: String,
+      column: String,
+      query: Seq[Float],
+      options: Options,
+      store: IndexStore): DataFrame = {
     import spark.implicits._
     val files = IndexManager.listFiles(spark, path)
     require(files.nonEmpty, s"no parquet files under $path")
@@ -231,14 +281,10 @@ object VectorTopK {
       val capped = java.util.Arrays.copyOfRange(cands, 0, n)
       SelectiveFetch.embeddings(file, colName, capped).iterator.collect {
         case (ri, vec) if vec.length == q.length =>
-          SearchResult(
-            ri,
+          (file, ri,
             math.sqrt(graft.functions.VectorKernels.squaredL2(vec, q).toDouble).toFloat)
       }
     }
-    spark.createDataset(results)
-      .orderBy(col("distance").asc_nulls_last)
-      .limit(k)
-      .as[SearchResult]
+    spark.createDataset(results).toDF("_file", "_ri", "_dist")
   }
 }

@@ -237,6 +237,9 @@ class VectorTopKSpec extends SparkSpec {
   }
 
   test("autoBroadcastJoinThreshold=-1 disables the candidate broadcast") {
+    // the filtered (one-phase) path joins the UNBOUNDED candidate feed, so
+    // it must honor the user's broadcast opt-out; the no-filter two-phase
+    // path only ever broadcasts the k winners (bounded), tested below
     val vecs = Seq(Seq(0f, 0f), Seq(1f, 0f), Seq(0f, 2f), Seq(5f, 5f))
     val path = writeFixture(vecs)
     val store = tmpStore
@@ -246,13 +249,29 @@ class VectorTopKSpec extends SparkSpec {
     try {
       spark.conf.set(key, "-1")
       val df = VectorTopK.indexed(spark, path, "vec", Seq(0f, 0f), 2,
-        VectorTopK.Options(nprobe = 64), store = store)
+        VectorTopK.Options(nprobe = 64),
+        filter = Some(org.apache.spark.sql.functions.col("id") >= 0), store = store)
       val ids = df.select("id").collect().map(_.getInt(0)).toSet
       assert(ids == Set(0, 1)) // still correct via the shuffle join
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastHashJoin"),
         s"user disabled auto-broadcast; plan must not force one:\n$plan")
     } finally spark.conf.set(key, prev)
+  }
+
+  test("two-phase fetch broadcasts only the k winners (bounded build side)") {
+    val vecs = Seq(Seq(0f, 0f), Seq(1f, 0f), Seq(0f, 2f), Seq(5f, 5f))
+    val path = writeFixture(vecs)
+    val store = tmpStore
+    IvfBuilder.build(spark, path, IvfBuilder.Config("vec", nClusters = Some(2)), store)
+    val df = VectorTopK.indexed(spark, path, "vec", Seq(0f, 0f), 2,
+      VectorTopK.Options(nprobe = 64), store = store)
+    val ids = df.select("id").collect().map(_.getInt(0)).toSet
+    assert(ids == Set(0, 1))
+    val plan = df.queryExecution.executedPlan.toString
+    // phase 2's build side is the limit-k winner set under a broadcast
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"))
+    assert(plan.contains("TakeOrderedAndProject(limit=2, orderBy=[_dist"))
   }
 
   test("query dim mismatch fails fast") {
