@@ -406,16 +406,22 @@ object Dedup {
       .groupBy(col("src").as("id"))
       .agg(min(least(col("dst"), col("src"))).as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // the handle actually holding this round's cached blocks (labels may be
+    // a projection over it, whose unpersist would no-op)
+    var cached = labels
     var converged = false
     while (!converged) {
       val viaNeighbors = edges
         .join(labels, col("dst") === col("id"))
         .groupBy(col("src").as("nid"))
         .agg(min(col("label")).as("nlabel"))
+      // carry the round-entry label through, so convergence is a sum over
+      // this round's own output — one action per round, no check join
       val propagated = labels
         .join(viaNeighbors, col("id") === col("nid"), "left")
         .select(
           col("id"),
+          col("label").as("_old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
       val jumped = propagated.as("x")
         .join(
@@ -423,14 +429,15 @@ object Dedup {
           col("x.label") === col("y.lid"), "left")
         .select(
           col("x.id").as("id"),
+          col("x._old").as("_old"),
           least(col("x.label"), coalesce(col("y.llabel"), col("x.label"))).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      converged = jumped.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .where(col("n.label") =!= col("o.label"))
-        .isEmpty
-      labels.unpersist(blocking = false)
-      labels = jumped
+      converged = jumped
+        .agg(count(when(col("label") =!= col("_old"), 1)).as("chg"))
+        .first().getLong(0) == 0L
+      cached.unpersist(blocking = false)
+      cached = jumped
+      labels = jumped.select(col("id"), col("label"))
     }
     edges.unpersist(blocking = false)
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
