@@ -330,6 +330,31 @@ object Queries {
     """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type, COUNT(*) AS n
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** Range-sorted layout: events rewritten range-partitioned + sorted on
+    * (user_id, ts) so per-user time-range scans prune at the row-group
+    * level (zone-map skipping — LayoutSpec proves the pruning; this query
+    * gates that relayout never changes results). Aggregates a user-id
+    * range off the laid-out copy against the plain-table oracle.
+    */
+  def lq1SortedLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_lq1_events"
+    val laid = ops.Layout.writeSortedBy(
+      t(spark, sfDir, "events"), dir, Seq("user_id", "ts"), numFiles = 8)
+    laid
+      .where(col("user_id") >= 50 && col("user_id") < 100)
+      .groupBy(col("user_id"))
+      // min commutes with the monotone nanos→micros truncation, and DuckDB
+      // only surfaces micros from TIMESTAMP(NANOS) parquet
+      .agg(count(lit(1)).as("n"), expr("min(ts) div 1000").as("first_ts_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val lq1Oracle: String =
+    """SELECT user_id, COUNT(*) AS n, CAST(epoch_us(MIN(ts)) AS BIGINT) AS first_ts_us
+      |FROM events WHERE user_id >= 50 AND user_id < 100
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------- text / dedup
 
   def dq1ExactDedup(spark: SparkSession, sfDir: String): DataFrame =
@@ -1174,6 +1199,7 @@ object Queries {
     "va1_ann_nprobe4" -> (va1AnnNprobe4 _),
     "va2_ivf_knn_join" -> (va2IvfKnnJoin _),
     "qe_events_hourly" -> (qeEventsHourly _),
+    "lq1_sorted_layout" -> (lq1SortedLayout _),
     "qa1_asof_join" -> (qa1AsofJoin _),
     "dq1_exact_dedup" -> (dq1ExactDedup _),
     "dq2_minhash_neardup" -> (dq2MinhashNearDup _),
@@ -1232,6 +1258,7 @@ object Queries {
     "qg_rollup" -> qgOracle,
     // va1_ann_nprobe4 intentionally has no oracle (ANN subset)
     "qe_events_hourly" -> qeOracle,
+    "lq1_sorted_layout" -> lq1Oracle,
     "qa1_asof_join" -> qa1Oracle,
     "dq1_exact_dedup" -> dq1Oracle,
     "dq2_minhash_neardup" -> duckNearDupOracle,

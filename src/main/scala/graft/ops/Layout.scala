@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.col
 
 /** Data-layout operators: physical organization that trades one write-time
   * shuffle for shuffle-free reads forever after — the dominant cost lever
@@ -40,5 +41,30 @@ object Layout {
       .sortBy(sorts.head, sorts.tail: _*)
       .mode("overwrite")
       .saveAsTable(table)
+  }
+
+  /** Write `df` range-partitioned + sorted on `cols`: rows range-shuffle
+    * into `numFiles` contiguous key ranges and sort within each, so every
+    * parquet row group's min/max stats span a narrow slice of the key
+    * space — range predicates on `cols` then prune most row groups at
+    * scan time (zone-map skipping, free from pushed filters + footer
+    * stats). The write-once twin of [[writeBucketed]]: bucketing kills the
+    * JOIN shuffle, range-sorting kills the SELECTIVE-SCAN read. Returns
+    * the reread frame.
+    */
+  def writeSortedBy(
+      df: DataFrame,
+      path: String,
+      cols: Seq[String],
+      numFiles: Int): DataFrame = {
+    require(cols.nonEmpty, "need at least one layout column")
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val keys: Seq[Column] = cols.map(col)
+    df.repartitionByRange(numFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .write
+      .mode("overwrite")
+      .parquet(path)
+    df.sparkSession.read.parquet(path)
   }
 }

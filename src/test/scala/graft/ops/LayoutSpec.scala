@@ -7,6 +7,32 @@ import graft.SparkSpec
 class LayoutSpec extends SparkSpec {
   import spark.implicits._
 
+  test("range-sorted layout prunes row groups for range predicates") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hc.get("parquet.block.size")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    try {
+      hc.setInt("parquet.block.size", 64 * 1024) // many small row groups
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val n = 100000L
+      val df = spark.range(n).select(col("id").as("k"), (col("id") * 2).as("v"))
+      // scramble first: the op must impose the order, not inherit it
+      val laid = Layout.writeSortedBy(df.repartition(7), s"$dir/sorted", Seq("k"), 4)
+      val q = laid.where(col("k") >= 1000 && col("k") < 2000)
+      assert(q.collect().map(_.getLong(0)).sorted.toSeq == (1000L until 2000L))
+      val scanned = q.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+      // zone-map skipping: the scan emits only the few row groups whose
+      // [min,max] overlap the range, not the whole table
+      assert(scanned < n / 2, s"expected row-group pruning, scan emitted $scanned of $n")
+    } finally {
+      if (prevBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", prevBlock)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("bucketed tables join and aggregate with no shuffle exchange") {
     val facts = (1L to 400L).map(i => (i % 40, i, (i % 7).toInt)).toDF("k", "row_id", "v")
     val dims = (0L until 40L).map(i => (i, s"name$i")).toDF("k", "name")
