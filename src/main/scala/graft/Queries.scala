@@ -725,6 +725,58 @@ object Queries {
       |    AND coalesce(br.r, 0) <= 0.07 AS INTEGER) AS keep
       |FROM w LEFT JOIN br USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** NEAR-dup curation: minhash pairs → connected components → keep one
+    * representative per cluster → Gopher-rule quality filter — the
+    * full-strength version of cq1's exact-dedup stage, composed end to
+    * end (chains a~b~c collapse to a single surviving doc even when (a,c)
+    * never paired). Oracle: recursive-CTE transitive closure over the
+    * exact-jaccard pair graph, anti-joined, plus pq1's quality predicate.
+    */
+  def cq2NearDupCuration(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val pairs = ops.Dedup.minhashNearDupPairs(docs, "doc_id", "text")
+    val clusters = ops.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    ops.Dedup.keepRepresentatives(docs, "doc_id", clusters)
+      .where(ops.TextAnalysis.qualityKeep(col("text")))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val cq2Oracle: String =
+    s"""${duckShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id doc_a, b.doc_id doc_b,
+       |      len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+       |      len(list_distinct(list_concat(a.shingles, b.shingles))) j
+       |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |  WHERE j >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |walk(id, reach) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT w.id, e.d FROM walk w JOIN edges e ON e.s = w.reach),
+       |nonrep AS (
+       |  SELECT id FROM (SELECT id, min(reach) AS m FROM walk GROUP BY id)
+       |  WHERE id != m),
+       |w AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+       |bc AS (
+       |  SELECT doc_id, g, count(*) AS c
+       |  FROM (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS g
+       |        FROM (SELECT doc_id, ws,
+       |                unnest(generate_series(1, len(ws) - 1)) AS i FROM w))
+       |  GROUP BY 1, 2),
+       |br AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS r FROM bc GROUP BY 1)
+       |SELECT w.doc_id FROM w LEFT JOIN br USING (doc_id)
+       |WHERE w.doc_id NOT IN (SELECT id FROM nonrep)
+       |  AND len(ws) BETWEEN 20 AND 90
+       |  AND len(list_distinct(ws))::DOUBLE / len(ws) >= 0.32
+       |  AND coalesce(br.r, 0) <= 0.07
+       |ORDER BY doc_id""".stripMargin
+
   /** Deterministic stratified downsampling by language: English keeps
     * 128/256 buckets (~50%), everything else 192/256 (~75%) — a pure
     * hash-filter at the scan, engine-reproducible.
@@ -1223,6 +1275,7 @@ object Queries {
     "pq2_stratified_sample" -> (pq2StratifiedSample _),
     "pq3_pii_scrub" -> (pq3PiiScrub _),
     "cq1_curation_pipeline" -> (cq1CurationPipeline _),
+    "cq2_neardup_curation" -> (cq2NearDupCuration _),
     "vb1_top_ngrams" -> (vb1TopNgrams _),
     "je1_json_extract" -> (je1JsonExtract _),
     "sq2_ivf_cell_pairs" -> (sq2IvfCellPairs _),
@@ -1282,6 +1335,7 @@ object Queries {
     "pq2_stratified_sample" -> pq2Oracle,
     "pq3_pii_scrub" -> pq3Oracle,
     "cq1_curation_pipeline" -> cq1Oracle,
+    "cq2_neardup_curation" -> cq2Oracle,
     "vb1_top_ngrams" -> vb1Oracle,
     "je1_json_extract" -> je1Oracle,
     // sq2_ivf_cell_pairs intentionally has no oracle (cell-recall ANN)
