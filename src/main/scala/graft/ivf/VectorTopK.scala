@@ -244,9 +244,23 @@ object VectorTopK {
       query: Seq[Float],
       options: Options,
       store: IndexStore): DataFrame = {
-    import spark.implicits._
     val files = IndexManager.listFiles(spark, path)
     require(files.nonEmpty, s"no parquet files under $path")
+    searchByFiles(spark, files, column, query, options, store)
+  }
+
+  /** Files-list form of the phase-1 pipeline — also the winner feed for
+    * [[graft.plans.VectorTopKRule]]'s filter-free SQL rewrite.
+    */
+  private[graft] def searchByFiles(
+      spark: SparkSession,
+      files: Seq[String],
+      column: String,
+      query: Seq[Float],
+      options: Options,
+      store: IndexStore): DataFrame = {
+    import spark.implicits._
+    require(files.nonEmpty, "no parquet files to search")
     val q = query.toArray
     files.foreach { file =>
       val (dim, _) = store.peek(file, column)

@@ -21,8 +21,13 @@ import graft.ivf.{IndexStore, ParquetFooterIndex}
   * `VectorTopKPhysicalOptimizerRule` (`/root/reference/src/df_vector/
   * physical.rs:20-196`), re-expressed as a logical rewrite: instead of a
   * custom physical operator, the parquet leaf is replaced by a broadcast
-  * semi-join against the probed candidate (file, row ordinal) pairs, and the
-  * original Filter/Project chain plus Sort+Limit stay untouched above it.
+  * semi-join against a probed (file, row ordinal) feed, and the original
+  * Filter/Project chain plus Sort+Limit stay untouched above it. The feed
+  * depends on what sits below the top-k: FILTER-FREE queries get the
+  * winner-first two-phase feed (rank all candidates on selective
+  * single-column reads, semi-join only the k winners — payload IO ∝ k);
+  * queries with residual filters get the full candidate feed, because
+  * post-filter semantics must see every candidate row before the top-k.
   * Catalyst then plans the Sort+Limit as `TakeOrderedAndProjectExec` (bounded
   * heap — the reference's exact re-rank) and pushes residual predicates over
   * candidate rows only (the reference's post-filter semantics,
@@ -137,6 +142,17 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** True when only row-preserving Projects sit between the sort input and
+    * the scan — the precondition for the winner-first (two-phase) feed: a
+    * Filter below the top-k must see full candidate rows, a Project never
+    * drops rows.
+    */
+  private def filterFree(plan: LogicalPlan): Boolean = plan match {
+    case Project(_, c) => filterFree(c)
+    case _: LogicalRelation => true
+    case _ => false
+  }
+
   private def tryRewrite(
       k: Int, order: SortOrder, child: LogicalPlan): Option[LogicalPlan] = {
     if (order.direction != Ascending) return None
@@ -145,7 +161,7 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       lr <- findSingleParquetLeaf(child)
       // the sorted attribute must be a physical column of the scan
       column <- lr.output.find(_.exprId == attr.exprId).map(_.name)
-      rewritten <- buildPrunedLeaf(lr, column, query, k)
+      rewritten <- buildPrunedLeaf(lr, column, query, k, filterFree(child))
     } yield MeteredFetch(child.transformUp {
       case l: LogicalRelation if l.eq(lr) => rewritten
     })
@@ -161,7 +177,8 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       lr: LogicalRelation,
       column: String,
       query: Array[Float],
-      k: Int): Option[LogicalPlan] = {
+      k: Int,
+      filterFree: Boolean): Option[LogicalPlan] = {
     val fs = lr.relation.asInstanceOf[HadoopFsRelation]
     // canonical form matches `_metadata.file_path`, which the semi-join
     // compares against
@@ -180,26 +197,39 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => return None
       }
     }
-    // one full index load (first file) scaled by file count: O(1) estimate
-    // for stats and broadcast-vs-shuffle selection of the candidate side
-    val est = {
-      val perFile = store.load(files.head, column)
-        .orElse(ParquetFooterIndex.load(files.head, column))
-        .map(_.candidateCount(query, nprobe)).getOrElse(0L)
-      maxCandidates.fold(perFile * files.size)(c =>
-        math.min(c.toLong, perFile * files.size))
-    }
-
-    val candDf = IvfCandidateScan.df(
-      spark, column, query.toIndexedSeq, nprobe, maxCandidates,
-      files, store.dir, est)
-    val estBytes = est * IvfCandidateScan.estRowBytes(files)
-    val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
-    // threshold < 0 means the user DISABLED auto-broadcast — honor it (the
-    // candidate feed can be huge at high nprobe / no cap); the 2x safety
-    // factor covers the first-file-scaled estimate under-counting skew
-    val candSide =
+    val candSide = if (filterFree && conf(TwoPhaseKey, "true") == "true") {
+      // winner-first (two-phase): no Filter sits below the top-k, so the k
+      // phase-1 winners ARE the result set — rank candidates on selective
+      // single-column reads, then fetch payload for k rows only. The feed
+      // is bounded by k, so broadcasting is always safe.
+      val winners = graft.ivf.VectorTopK
+        .searchByFiles(
+          spark, files, column, query.toIndexedSeq,
+          graft.ivf.VectorTopK.Options(nprobe, maxCandidates), store)
+        .orderBy(col("_dist").asc_nulls_last)
+        .limit(k)
+        .select(col("_file").as("__file"), col("_ri").as("__ri"))
+      broadcast(winners)
+    } else {
+      // one full index load (first file) scaled by file count: O(1)
+      // estimate for stats and broadcast-vs-shuffle selection
+      val est = {
+        val perFile = store.load(files.head, column)
+          .orElse(ParquetFooterIndex.load(files.head, column))
+          .map(_.candidateCount(query, nprobe)).getOrElse(0L)
+        maxCandidates.fold(perFile * files.size)(c =>
+          math.min(c.toLong, perFile * files.size))
+      }
+      val candDf = IvfCandidateScan.df(
+        spark, column, query.toIndexedSeq, nprobe, maxCandidates,
+        files, store.dir, est)
+      val estBytes = est * IvfCandidateScan.estRowBytes(files)
+      val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+      // threshold < 0 means the user DISABLED auto-broadcast — honor it
+      // (the candidate feed can be huge at high nprobe / no cap); the 2x
+      // safety factor covers the first-file-scaled estimate under-counting
       if (threshold >= 0 && estBytes * 2 <= threshold) broadcast(candDf) else candDf
+    }
     val paths = fs.location.rootPaths.map(_.toString)
     val pruned = spark.read
       .schema(fs.dataSchema)
@@ -230,6 +260,12 @@ object VectorTopKRule {
   val NprobeKey = "spark.graft.ivf.nprobe"
   val MaxCandidatesKey = "spark.graft.ivf.maxCandidates"
   val IndexDirKey = "spark.graft.ivf.indexDir"
+
+  /** Filter-free queries use the winner-first two-phase feed (rank on
+    * selective reads, fetch k payload rows); set false to force the
+    * one-phase candidate semi-join everywhere.
+    */
+  val TwoPhaseKey = "spark.graft.ivf.twoPhase"
 
   /** Prevents re-matching the rewritten Sort on later rule iterations. */
   private[plans] val RewrittenTag = TreeNodeTag[Unit]("graft.ivf.rewritten")

@@ -74,10 +74,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
            |ORDER BY array_distance(vec, array(${Seq.fill(4)("0.5F").mkString(",")}))
            |LIMIT 5""".stripMargin
       val df = spark.sql(sql)
-      // the rewrite fired (custom candidate node planned by the injected
-      // strategy) and the ANN-exhaustive answer equals brute force
-      assert(df.queryExecution.optimizedPlan.toString.contains("IvfCandidateScan"),
-        df.queryExecution.optimizedPlan.toString)
+      // the rewrite fired — filter-free SQL gets the winner-first feed
+      // (phase-1 `_dist` ranking under a LeftSemi) — and the
+      // ANN-exhaustive answer equals brute force
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("LeftSemi") && optimized.contains("_dist"), optimized)
       val got = df.collect().map(_.getLong(0)).toSet
       spark.conf.set(plans.VectorTopKRule.EnabledKey, "false")
       val brute = spark.sql(sql).collect().map(_.getLong(0)).toSet

@@ -56,14 +56,46 @@ class VectorTopKRuleSpec extends SparkSpec {
     withRule(nprobe = 8) { // nprobe = nClusters → exhaustive → exact
       val df = sqlTopk()
       assert(fired(df), df.queryExecution.optimizedPlan.toString)
-      // candidate feed is the metered custom node, planned by GraftStrategy
-      assert(df.queryExecution.optimizedPlan.toString.contains("IvfCandidateScan"))
-      assert(df.queryExecution.executedPlan.toString.contains("IvfCandidateScanExec"))
+      // filter-free → winner-first feed: the build side is the phase-1
+      // top-k over selective reads, not the full candidate scan
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("_dist"), optimized)
+      assert(!optimized.contains("IvfCandidateScan"), optimized)
       spark.conf.set(VectorTopKRule.EnabledKey, "false")
       val brute = sqlTopk()
       assert(!fired(brute))
       assert(df.collect().map(_.getLong(0)).toSeq ==
         brute.collect().map(_.getLong(0)).toSeq)
+    }
+  }
+
+  test("twoPhase=false forces the one-phase candidate feed and stays exact") {
+    register()
+    withRule(nprobe = 8) {
+      spark.conf.set(VectorTopKRule.TwoPhaseKey, "false")
+      try {
+        val df = sqlTopk()
+        assert(fired(df), df.queryExecution.optimizedPlan.toString)
+        // candidate feed is the metered custom node, planned by GraftStrategy
+        assert(df.queryExecution.optimizedPlan.toString.contains("IvfCandidateScan"))
+        assert(df.queryExecution.executedPlan.toString.contains("IvfCandidateScanExec"))
+        spark.conf.set(VectorTopKRule.EnabledKey, "false")
+        val brute = sqlTopk()
+        spark.conf.set(VectorTopKRule.EnabledKey, "true")
+        assert(df.collect().map(_.getLong(0)).toSeq ==
+          brute.collect().map(_.getLong(0)).toSeq)
+      } finally spark.conf.unset(VectorTopKRule.TwoPhaseKey)
+    }
+  }
+
+  test("residual WHERE keeps the one-phase candidate feed (post-filter)") {
+    register()
+    withRule(nprobe = 8) {
+      val df = sqlTopk(extra = "WHERE label >= 2")
+      assert(fired(df))
+      // a filter below the top-k must see full candidate rows — the
+      // winner-first shortcut must NOT engage
+      assert(df.queryExecution.optimizedPlan.toString.contains("IvfCandidateScan"))
     }
   }
 
