@@ -725,6 +725,28 @@ object Queries {
       |    AND coalesce(br.r, 0) <= 0.07 AS INTEGER) AS keep
       |FROM w LEFT JOIN br USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Small-files compaction: events rewritten into ~1 MiB-target files
+    * (round-robin repartition sized from input bytes — LayoutSpec pins
+    * the file-count collapse); this gate proves compaction never changes
+    * content, via an aggregate off the compacted copy against the
+    * plain-table oracle.
+    */
+  def lq2Compact(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_lq2_events"
+    ops.Layout
+      .compact(spark, s"$sfDir/events.parquet", out, targetFileBytes = 1L << 20)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("user_id")).cast("bigint").as("uid_sum"))
+      .orderBy(col("event_type"))
+  }
+
+  val lq2Oracle: String =
+    """SELECT event_type, COUNT(*) AS n, CAST(SUM(user_id) AS BIGINT) AS uid_sum
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** NEAR-dup curation: minhash pairs → connected components → keep one
     * representative per cluster → Gopher-rule quality filter — the
     * full-strength version of cq1's exact-dedup stage, composed end to
@@ -1252,6 +1274,7 @@ object Queries {
     "va2_ivf_knn_join" -> (va2IvfKnnJoin _),
     "qe_events_hourly" -> (qeEventsHourly _),
     "lq1_sorted_layout" -> (lq1SortedLayout _),
+    "lq2_compact" -> (lq2Compact _),
     "qa1_asof_join" -> (qa1AsofJoin _),
     "dq1_exact_dedup" -> (dq1ExactDedup _),
     "dq2_minhash_neardup" -> (dq2MinhashNearDup _),
@@ -1312,6 +1335,7 @@ object Queries {
     // va1_ann_nprobe4 intentionally has no oracle (ANN subset)
     "qe_events_hourly" -> qeOracle,
     "lq1_sorted_layout" -> lq1Oracle,
+    "lq2_compact" -> lq2Oracle,
     "qa1_asof_join" -> qa1Oracle,
     "dq1_exact_dedup" -> dq1Oracle,
     "dq2_minhash_neardup" -> duckNearDupOracle,

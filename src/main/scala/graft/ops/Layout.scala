@@ -67,4 +67,30 @@ object Layout {
       .parquet(path)
     df.sparkSession.read.parquet(path)
   }
+
+  /** Compact a parquet directory's small files into ~`targetFileBytes`
+    * outputs — the small-files mitigation every long-running ingest needs
+    * (each file costs a task + footer read + catalog entry per downstream
+    * scan; a stream or per-batch writer left alone produces millions).
+    * File count is sized from the INPUT's on-disk bytes, and the shuffle
+    * is a round-robin repartition (no key skew; parallel writers).
+    * Returns the reread compacted frame.
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      inPath: String,
+      outPath: String,
+      targetFileBytes: Long = 128L << 20): DataFrame = {
+    require(targetFileBytes > 0, "targetFileBytes must be > 0")
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(p).getLength
+    val numFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inPath)
+      .repartition(numFiles)
+      .write
+      .mode("overwrite")
+      .parquet(outPath)
+    spark.read.parquet(outPath)
+  }
 }

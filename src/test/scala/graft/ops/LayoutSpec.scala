@@ -33,6 +33,22 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("compact collapses many small files and preserves content exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val df = spark.range(10000).select(col("id"), (col("id") % 13).as("v"))
+    df.repartition(64).write.parquet(s"$dir/small") // 64 tiny files
+    val before = new java.io.File(s"$dir/small")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before == 64)
+    val compacted = Layout.compact(spark, s"$dir/small", s"$dir/big", 1L << 20)
+    val after = new java.io.File(s"$dir/big")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after < 8, s"expected few output files, got $after")
+    assert(compacted.count() == 10000)
+    assert(compacted.agg(sum(col("v"))).head().getLong(0) ==
+      df.agg(sum(col("v"))).head().getLong(0))
+  }
+
   test("bucketed tables join and aggregate with no shuffle exchange") {
     val facts = (1L to 400L).map(i => (i % 40, i, (i % 7).toInt)).toDF("k", "row_id", "v")
     val dims = (0L until 40L).map(i => (i, s"name$i")).toDF("k", "name")
