@@ -83,6 +83,15 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L))
   }
 
+  test("connectedComponents of an empty pair set is empty; keepRepresentatives passes all") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(empty, "doc_a", "doc_b")
+    assert(cc.count() == 0)
+    val kept = Dedup.keepRepresentatives(docs, "doc_id", cc)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("keepRepresentatives drops non-representative members only") {
     val pairs = Seq((0L, 1L), (0L, 3L)).toDF("doc_a", "doc_b")
     val clusters = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
