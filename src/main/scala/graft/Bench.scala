@@ -122,12 +122,33 @@ object Bench {
         if (exact == 0L) -1.0 else bucketed.toDouble / exact
       } catch { case _: Throwable => -1.0 }
 
+    // batch-ANN quality gate: mean per-query recall of ivfKnnJoin at
+    // probes=4 vs brute knnJoin (k=10, 20 query vectors)
+    val knnJoinRecall =
+      try {
+        val ti = graft.ivf.IndexManager.ensure(spark, path, "embedding")
+        val centroids = graft.ivf.IndexStore.default
+          .load(ti.files.head, "embedding").get.centroids
+        val emb = spark.read.parquet(path)
+        val queries20 = emb.where(org.apache.spark.sql.functions.col("vec_id") < 20)
+        def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = df
+          .select("query_id", "neighbor_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val exact = pairs(graft.ops.Similarity
+          .knnJoin(queries20, emb, "vec_id", "vec_id", "embedding", 10))
+        val approx = pairs(graft.ops.Similarity
+          .ivfKnnJoin(queries20, emb, "vec_id", "vec_id", "embedding",
+            centroids, ti.dim, 10, probes = 4))
+        if (exact.isEmpty) -1.0
+        else (approx intersect exact).size.toDouble / exact.size
+      } catch { case _: Throwable => -1.0 }
+
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","recall_at100_nprobe16":$recall,"cell_pair_recall_probe4":$cellPairRecall}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","recall_at100_nprobe16":$recall,"cell_pair_recall_probe4":$cellPairRecall,"knn_join_recall_probe4":$knnJoinRecall}""")
     spark.stop()
   }
 }
