@@ -110,9 +110,8 @@ object Bench {
     // (precision is 1.0 by construction — every emitted pair is verified)
     val cellPairRecall =
       try {
-        val ti = graft.ivf.IndexManager.ensure(spark, path, "embedding")
-        val centroids = graft.ivf.IndexStore.default
-          .load(ti.files.head, "embedding").get.centroids
+        val (ti, centroids) =
+          graft.ivf.IndexManager.ensureWithCentroids(spark, path, "embedding")
         val emb = spark.read.parquet(path)
         val exact = graft.ops.Dedup
           .embeddingNearDupPairs(emb, "vec_id", "embedding", 0.3).count()
@@ -126,9 +125,8 @@ object Bench {
     // probes=4 vs brute knnJoin (k=10, 20 query vectors)
     val knnJoinRecall =
       try {
-        val ti = graft.ivf.IndexManager.ensure(spark, path, "embedding")
-        val centroids = graft.ivf.IndexStore.default
-          .load(ti.files.head, "embedding").get.centroids
+        val (ti, centroids) =
+          graft.ivf.IndexManager.ensureWithCentroids(spark, path, "embedding")
         val emb = spark.read.parquet(path)
         val queries20 = emb.where(org.apache.spark.sql.functions.col("vec_id") < 20)
         def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = df

@@ -152,9 +152,7 @@ object Queries {
     */
   def va2IvfKnnJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val path = s"$sfDir/embeddings.parquet"
-    val ti = IndexManager.ensure(spark, path, "embedding")
-    val centroids = graft.ivf.IndexStore.default
-      .load(ti.files.head, "embedding").get.centroids
+    val (ti, centroids) = IndexManager.ensureWithCentroids(spark, path, "embedding")
     val e = t(spark, sfDir, "embeddings")
     ops.Similarity
       .ivfKnnJoin(
@@ -665,8 +663,13 @@ object Queries {
       |  GROUP BY 1, 2),
       |t2 AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_ratio
       |       FROM bc GROUP BY 1)
-      |SELECT doc_id, top_word_ratio, top_bigram_ratio
-      |FROM t1 JOIN t2 USING (doc_id) ORDER BY doc_id""".stripMargin
+      |SELECT w.doc_id,
+      |  CASE WHEN trim(text) = '' THEN 0 ELSE coalesce(top_word_ratio, 0) END
+      |    AS top_word_ratio,
+      |  coalesce(top_bigram_ratio, 0) AS top_bigram_ratio
+      |FROM w JOIN documents USING (doc_id)
+      |LEFT JOIN t1 USING (doc_id) LEFT JOIN t2 USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   /** Benchmark decontamination: training docs (doc_id % 50 != 0) that share
     * a word 4-gram with the held-out eval slice (doc_id % 50 == 0). Runs
@@ -939,9 +942,7 @@ object Queries {
     */
   def sq2IvfCellPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val path = s"$sfDir/embeddings.parquet"
-    val ti = IndexManager.ensure(spark, path, "embedding")
-    val store = graft.ivf.IndexStore.default
-    val centroids = store.load(ti.files.head, "embedding").get.centroids
+    val (ti, centroids) = IndexManager.ensureWithCentroids(spark, path, "embedding")
     ops.Similarity
       .ivfCellPairs(t(spark, sfDir, "embeddings"), "vec_id", "embedding",
         centroids, ti.dim, threshold = 0.3)

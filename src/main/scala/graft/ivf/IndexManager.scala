@@ -38,6 +38,20 @@ object IndexManager {
       .getOrElse(throw new IllegalStateException(
         s"no IVF index for file $file column '$column' — build one with IvfBuilder"))
 
+  /** `ensure` + the table's shared centroid matrix (every per-file index
+    * of a table carries the same centroids by construction, so the first
+    * file's copy is authoritative) — the entry point for cell-bucketing
+    * callers (sq2/cp-style cell joins, batch ANN).
+    */
+  def ensureWithCentroids(
+      spark: SparkSession,
+      path: String,
+      column: String,
+      store: IndexStore = IndexStore.default): (TableIndex, Array[Float]) = {
+    val ti = ensure(spark, path, column, store = store)
+    (ti, loadIndex(store, ti.files.head, column).centroids)
+  }
+
   def ensure(
       spark: SparkSession,
       path: String,

@@ -31,6 +31,13 @@ object Skew {
       salts: Int,
       joinType: String = "inner"): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
+    // replication preserves multiplicity only for big-side-driven joins: a
+    // right/full/cross join would emit one row per UNMATCHED salt replica
+    require(
+      Set("inner", "left", "leftouter").contains(
+        joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left joins only, got '$joinType' " +
+        "(small-side replication corrupts right/full/cross multiplicities)")
     val saltedBig = big.withColumn(
       "_graft_salt",
       pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))

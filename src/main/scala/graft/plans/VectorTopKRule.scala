@@ -197,7 +197,11 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => return None
       }
     }
-    val candSide = if (filterFree && conf(TwoPhaseKey, "true") == "true") {
+    // winner-first only without a candidate cap: the cap's fairness quotas
+    // need a distributed counts job, which must not run at OPTIMIZATION
+    // time (a rule fires per action, and the rewrite can still bail)
+    val candSide = if (filterFree && maxCandidates.isEmpty &&
+        conf(TwoPhaseKey, "true") == "true") {
       // winner-first (two-phase): no Filter sits below the top-k, so the k
       // phase-1 winners ARE the result set — rank candidates on selective
       // single-column reads, then fetch payload for k rows only. The feed
@@ -205,7 +209,7 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val winners = graft.ivf.VectorTopK
         .searchByFiles(
           spark, files, column, query.toIndexedSeq,
-          graft.ivf.VectorTopK.Options(nprobe, maxCandidates), store)
+          graft.ivf.VectorTopK.Options(nprobe), store)
         .orderBy(col("_dist").asc_nulls_last)
         .limit(k)
         .select(col("_file").as("__file"), col("_ri").as("__ri"))
