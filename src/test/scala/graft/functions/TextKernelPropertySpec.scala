@@ -66,6 +66,25 @@ class TextKernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("wordNgrams keeps multiplicity; wordShingles equals its distinct form") {
+    val textGen = for {
+      toks <- Gen.listOf(Gen.oneOf("a", "b", "c", "ab", "xy"))
+      n <- Gen.choose(1, 4)
+    } yield (toks, n)
+    forAllSeeded(textGen, 200) { case (toks, n) =>
+      val text = org.apache.spark.unsafe.types.UTF8String.fromString(toks.mkString(" "))
+      val grams = TextHash.wordNgrams(text, n).toObjectArray(
+        org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      val shingles = TextHash.wordShingles(text, n).toObjectArray(
+        org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      val expected =
+        if (toks.length < n) Seq.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      assert(grams == expected, s"toks=$toks n=$n")
+      assert(shingles == expected.distinct, s"toks=$toks n=$n")
+    }
+  }
+
   test("markerCounts matches a naive recount on random token streams") {
     val vocabGen = for {
       vocabs <- Gen.listOfN(3, Gen.listOf(Gen.oneOf("aa", "bb", "cc", "dd", "ee")).map(_.distinct))
