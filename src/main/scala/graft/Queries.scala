@@ -125,6 +125,67 @@ object Queries {
     s"""SELECT vec_id FROM embeddings
        |ORDER BY list_cosine_similarity(embedding::FLOAT[], $duckVecLit) DESC, vec_id LIMIT 10""".stripMargin
 
+  // ------------------------------------------------- int8 quantization
+
+  /** DuckDB twin of [[graft.functions.Sq8.code]]: the float widens to f64
+    * exactly, x·127 is exact in f64, and floor(v + 0.5) has identical
+    * semantics in the JVM and DuckDB — codes are bit-reproducible, so
+    * quantized queries hash-match exactly.
+    */
+  private val duckSq8 =
+    "x -> CAST(floor(least(greatest(x::DOUBLE, -1), 1) * 127 + 0.5) AS BIGINT)"
+
+  private def duckQCodesLit: String =
+    graft.functions.Sq8.encode(queryVec.toArray).map(_.toString).mkString("[", ", ", "]")
+
+  /** Coarse top-k in SQ8 code space: integer squared L2 on the 4×-smaller
+    * binary codes — exact arithmetic, so distances themselves are gated.
+    */
+  def zq1Sq8CoarseTopk(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Quantize.coarseTopK(
+      ops.Quantize.compress(t(spark, sfDir, "embeddings"), "embedding"),
+      "vec_id", "sq8", queryVec, 10)
+
+  val zq1Oracle: String =
+    s"""WITH z AS (
+       |  SELECT vec_id,
+       |         unnest(list_transform(embedding, $duckSq8)) AS c,
+       |         unnest($duckQCodesLit) AS q
+       |  FROM embeddings)
+       |SELECT vec_id, CAST(sum((c - q) * (c - q)) AS BIGINT) AS code_dist
+       |FROM z GROUP BY vec_id
+       |ORDER BY code_dist, vec_id LIMIT 10""".stripMargin
+
+  /** Encode→codes round trip, gated per vector via integral code stats. */
+  def zq2Sq8Roundtrip(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "embeddings")
+      .select(
+        col("vec_id"),
+        graft.functions.sq8_codes(graft.functions.sq8_encode(col("embedding"))).as("c"))
+      .select(
+        col("vec_id"),
+        aggregate(col("c"), lit(0L), (acc, x) => acc + x).as("code_sum"),
+        array_min(col("c")).as("code_min"),
+        array_max(col("c")).as("code_max"))
+      .orderBy(col("vec_id"))
+
+  val zq2Oracle: String =
+    s"""SELECT vec_id,
+       |  CAST(list_sum(c) AS BIGINT) AS code_sum,
+       |  CAST(list_min(c) AS INT) AS code_min,
+       |  CAST(list_max(c) AS INT) AS code_max
+       |FROM (SELECT vec_id, list_transform(embedding, $duckSq8) AS c FROM embeddings)
+       |ORDER BY vec_id""".stripMargin
+
+  /** Two-phase compressed search: coarse rank on codes, exact re-rank of
+    * the oversampled survivors — gated against the exact brute-force top-k
+    * (the refine step must recover it).
+    */
+  def zq3Sq8RefinedTopk(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Quantize
+      .sq8TopK(t(spark, sfDir, "embeddings"), "vec_id", "embedding", queryVec, 10)
+      .select(col("vec_id"))
+
   /** Brute-force k-NN join: for each query vector (vec_id < 5), its top-3
     * neighbors. The query side is tiny => broadcast; the big side streams.
     */
@@ -1264,6 +1325,9 @@ object Queries {
     "vq7_sql_topk" -> (vq7SqlTopk _),
     "vq5_cosine_topk" -> (vq5CosineTopk _),
     "vq6_knn_join" -> (vq6KnnJoin _),
+    "zq1_sq8_coarse_topk" -> (zq1Sq8CoarseTopk _),
+    "zq2_sq8_roundtrip" -> (zq2Sq8Roundtrip _),
+    "zq3_sq8_refined_topk" -> (zq3Sq8RefinedTopk _),
     "q1_agg" -> (q1Agg _),
     "q3_join" -> (q3Join _),
     "q5_region_revenue" -> (q5RegionRevenue _),
@@ -1325,6 +1389,10 @@ object Queries {
     "vq7_sql_topk" -> vq7Oracle,
     "vq5_cosine_topk" -> vq5Oracle,
     "vq6_knn_join" -> vq6Oracle,
+    "zq1_sq8_coarse_topk" -> zq1Oracle,
+    "zq2_sq8_roundtrip" -> zq2Oracle,
+    "zq3_sq8_refined_topk" -> vq1Oracle, // sq8 refine must recover exact top-k
+
     "va2_ivf_knn_join" -> vq6Oracle,
     "q1_agg" -> q1Oracle,
     "q3_join" -> q3Oracle,

@@ -67,6 +67,19 @@ package object functions {
   def nearest_centroids(vec: Column, centroids: Array[Float], dim: Int, p: Int): Column =
     col(NearestCentroids(expr(vec.cast("array<float>")), centroids, dim, p))
 
+  /** Int8 scalar-quantize a float vector to binary codes (4× smaller). */
+  def sq8_encode(vec: Column): Column = col(Sq8Encode(expr(vec)))
+
+  /** Reconstruct an `array<float>` from SQ8 binary codes. */
+  def sq8_decode(codes: Column): Column = col(Sq8Decode(expr(codes)))
+
+  /** SQ8 binary codes as `array<int>` for SQL-side aggregation. */
+  def sq8_codes(codes: Column): Column = col(Sq8Codes(expr(codes)))
+
+  /** Exact integer squared L2 between two SQ8 code vectors. */
+  def sq8_distance_sq(a: Column, b: Column): Column =
+    col(Sq8DistanceSq(expr(a), expr(b)))
+
   /** Spark SQL has no `[...]` array literal — helper for query vectors. */
   def float_vector(values: Seq[Float]): Column = {
     import org.apache.spark.sql.functions.{array, lit}
@@ -96,6 +109,14 @@ package object functions {
         (cs: Seq[Expression]) => SortedArrayJaccard(cs(0), cs(1))),
       ("top_ngram_ratio", "Most-frequent word n-gram share of a string",
         (cs: Seq[Expression]) => TopNgramRatio(cs(0), intArg(cs, 1, "top_ngram_ratio"))),
+      ("sq8_encode", "Int8 scalar-quantize a float vector to binary codes",
+        (cs: Seq[Expression]) => Sq8Encode(cs(0))),
+      ("sq8_decode", "Reconstruct a float vector from SQ8 binary codes",
+        (cs: Seq[Expression]) => Sq8Decode(cs(0))),
+      ("sq8_codes", "SQ8 binary codes as array<int>",
+        (cs: Seq[Expression]) => Sq8Codes(cs(0))),
+      ("sq8_distance_sq", "Integer squared L2 between two SQ8 code vectors",
+        (cs: Seq[Expression]) => Sq8DistanceSq(cs(0), cs(1))),
     ).map { case (name, _, builder) =>
       (FunctionIdentifier(name), new ExpressionInfo("graft.functions", name), builder)
     }

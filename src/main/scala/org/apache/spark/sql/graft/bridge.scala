@@ -1,9 +1,9 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, FloatType}
 
 /** Minimal `private[sql]` bridge. Everything else in the engine lives in the
   * `graft` package; only the two pieces that structurally need `sql`-private
@@ -29,5 +29,28 @@ abstract class FloatVectorBinaryExpression
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = FloatType
+  override def nullable: Boolean = true
+}
+
+/** Base for unary expressions over one `array<float>` column (same implicit
+  * f64→f32 coercion as the binary variant).
+  */
+abstract class FloatVectorUnaryExpression
+    extends UnaryExpression with ImplicitCastInputTypes with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def nullable: Boolean = true
+}
+
+/** Base for unary expressions over one `binary` column. */
+abstract class BytesUnaryExpression
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+}
+
+/** Base for binary expressions over two `binary` columns. */
+abstract class BytesBinaryExpression
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
   override def nullable: Boolean = true
 }
