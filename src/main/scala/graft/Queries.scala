@@ -516,6 +516,76 @@ object Queries {
       |WHERE list_cosine_similarity(a.embedding::FLOAT[], b.embedding::FLOAT[]) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Exact duplicated-substring spans at 8-token-gram granularity
+    * ([[ops.Dedup.duplicatedNgramSpans]] — the linear posting-list
+    * re-expression of suffix-array substring dedup). The oracle recomputes
+    * spans from 1-based DuckDB gram positions and shifts to the operator's
+    * 0-based token indexes.
+    */
+  def dq8DupSpans(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Dedup
+      .duplicatedNgramSpans(t(spark, sfDir, "documents"), "doc_id", "text", 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"), col("span_start"))
+
+  /** Shared DuckDB CTE chain: maximal duplicated 8-gram spans per doc,
+    * 1-based inclusive token positions [s, e]. Mirrors
+    * [[ops.Dedup.duplicatedNgramSpans]]: gram duplicated iff it occurs >= 2
+    * times corpus-wide; islands merge starts <= 8 apart.
+    */
+  private val duckSpanCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |    unnest(range(1, len(tk) - 6)) AS pos,
+      |    unnest([array_to_string(tk[i:i+7], ' ') for i in range(1, len(tk) - 6)]) AS gram
+      |  FROM toks WHERE len(tk) >= 8),
+      |starts AS (
+      |  SELECT doc_id, pos FROM (
+      |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gram) cnt FROM grams)
+      |  WHERE cnt > 1),
+      |flagged AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+      |         THEN 0 ELSE 1 END brk
+      |  FROM starts),
+      |islands AS (
+      |  SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) isl
+      |  FROM flagged),
+      |spans AS (
+      |  SELECT doc_id, MIN(pos) s, MAX(pos) + 7 e FROM islands GROUP BY doc_id, isl)""".stripMargin
+
+  val dq8Oracle: String =
+    s"""$duckSpanCte
+       |SELECT doc_id, CAST(s - 1 AS INTEGER) AS span_start,
+       |  CAST(e - 1 AS INTEGER) AS span_end
+       |FROM spans ORDER BY doc_id, span_start""".stripMargin
+
+  /** Corpus with duplicated spans scrubbed ([[ops.Dedup.dropDuplicatedSpans]]);
+    * both sides whitespace-normalize (split + single-space rejoin), and a
+    * fully-scrubbed doc is the empty string (COALESCE — DuckDB's
+    * array_to_string of an empty list is NULL, Spark's array_join is '').
+    */
+  def dq9SpanScrub(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Dedup
+      .dropDuplicatedSpans(
+        t(spark, sfDir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", 8)
+      .orderBy(col("doc_id"))
+
+  val dq9Oracle: String =
+    s"""$duckSpanCte,
+       |agg AS (
+       |  SELECT doc_id, list({'s': s, 'e': e}) sp FROM spans GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  COALESCE(CASE WHEN a.sp IS NULL THEN array_to_string(tk, ' ')
+       |    ELSE array_to_string([tk[i] for i in range(1, len(tk) + 1)
+       |           if len(list_filter(a.sp, z -> z['s'] <= i AND i <= z['e'])) = 0], ' ')
+       |  END, '') AS text
+       |FROM toks t LEFT JOIN agg a USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+
   /** Cross-corpus (incremental-ingest) dedup: the doc_id % 10 == 0 slice
     * plays the incoming batch, the rest the existing corpus; emit every
     * (incoming, corpus) near-dup pair. Exercises the asymmetric bucket
@@ -1348,6 +1418,8 @@ object Queries {
     "dq5_embed_neardup" -> (dq5EmbedNearDup _),
     "dq6_hash_split" -> (dq6HashSplit _),
     "dq7_dup_clusters" -> (dq7DupClusters _),
+    "dq8_dup_spans" -> (dq8DupSpans _),
+    "dq9_span_scrub" -> (dq9SpanScrub _),
     "dx1_cross_dedup" -> (dx1CrossDedup _),
     "tq1_token_count" -> (tq1TokenCount _),
     "tq2_text_stats" -> (tq2TextStats _),
@@ -1413,6 +1485,8 @@ object Queries {
     "dq5_embed_neardup" -> dq5Oracle,
     "dq6_hash_split" -> dq6Oracle,
     "dq7_dup_clusters" -> dq7Oracle,
+    "dq8_dup_spans" -> dq8Oracle,
+    "dq9_span_scrub" -> dq9Oracle,
     "dx1_cross_dedup" -> dx1Oracle,
     "tq1_token_count" -> tq1Oracle,
     "tq2_text_stats" -> tq2Oracle,

@@ -487,4 +487,79 @@ object Dedup {
       .where(array_cosine_similarity(col("v_a"), col("v_b")) >= threshold)
       .select(col("id_a"), col("id_b"))
   }
+
+  /** Exact duplicated-substring spans at token-n-gram granularity — the
+    * distributed posting-list equivalent of suffix-array substring dedup
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499): a token position is duplicated when some
+    * n-gram covering it occurs >= 2 times CORPUS-WIDE (within- and
+    * cross-document occurrences both count), and overlapping/adjacent
+    * duplicated gram windows merge into maximal per-document spans.
+    *
+    * Scale shape — linear in corpus tokens, never a pair join: one
+    * map-side-combined groupBy on the 64-bit gram hash filtered to
+    * count > 1 (so the join feed holds only duplicated grams), one
+    * equi-join back to the postings (AQE splits a hot gram's partition),
+    * then per-document windows over only the duplicated starts. Gram
+    * identity is xxhash64 — two distinct grams collide with
+    * p ≈ grams²/2⁶⁵, negligible through petabyte corpora.
+    *
+    * Output: (id, span_start, span_end) — 0-based inclusive token indexes,
+    * one row per maximal span.
+    */
+  def duplicatedNgramSpans(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"n must be >= 1, got $n")
+    val posting = df
+      .select(
+        col(idCol).as("id"),
+        posexplode(graft.functions.word_ngrams(col(textCol), n)))
+      .select(col("id"), col("pos"), xxhash64(col("col")).as("gh"))
+    val dupGrams = posting
+      .groupBy(col("gh")).agg(count(lit(1)).as("_cnt"))
+      .where(col("_cnt") > 1)
+      .select(col("gh"))
+    // two duplicated windows starting <= n apart overlap or touch in token
+    // coverage ([p, p+n-1]), so a new island begins exactly when the gap
+    // from the previous duplicated start exceeds n
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    posting.join(dupGrams, "gh")
+      .select(col("id"), col("pos"))
+      .withColumn(
+        "_brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= n, lit(0)).otherwise(lit(1)))
+      .withColumn("_isl", sum(col("_brk")).over(w))
+      .groupBy(col("id"), col("_isl"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(n - 1)).as("span_end"))
+      .select(col("id"), col("span_start"), col("span_end"))
+  }
+
+  /** Corpus with every duplicated span scrubbed: tokens covered by a
+    * [[duplicatedNgramSpans]] span are dropped and the survivors rejoined
+    * with single spaces (the paper's remove-duplicated-substrings pass).
+    * Documents with no spans pass through with the same whitespace
+    * normalization (split + single-space rejoin), so the output column is
+    * uniformly normalized. Spans broadcast-join back per doc as an array —
+    * per-doc span counts are small even when the corpus isn't.
+    */
+  def dropDuplicatedSpans(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val spans = duplicatedNgramSpans(df, idCol, textCol, n)
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("_spans"))
+    val toks = split(trim(col(textCol)), "\\s+")
+    df.join(spans, col(idCol) === spans("id"), "left")
+      .withColumn(
+        "_kept",
+        filter(
+          zip_with(toks, sequence(lit(0), size(toks) - 1), (t, i) => struct(t.as("t"), i.as("i"))),
+          p => !exists(
+            coalesce(col("_spans"), array().cast("array<struct<span_start:int,span_end:int>>")),
+            s => p.getField("i").between(s.getField("span_start"), s.getField("span_end")))))
+      .withColumn(textCol, array_join(transform(col("_kept"), _.getField("t")), " "))
+      .drop("id", "_spans", "_kept")
+  }
 }

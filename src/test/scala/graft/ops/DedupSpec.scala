@@ -111,4 +111,38 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  // d0/d1 share the 4-token run "a b c d"; d3 repeats its own 3-gram
+  // (within-doc occurrences count); d5 has TWO duplicated runs separated by
+  // a gap > n (distinct islands); d2 unique; d4 shorter than n.
+  private val spanDocs = Seq(
+    (0L, "a b c d e f"),
+    (1L, "x y a b c d z"),
+    (2L, "p q r s t u"),
+    (3L, "w w w w"),
+    (4L, "m n"),
+    (5L, "g1 g2 g3 s1 s2 s3 s4 g1 g2 g3"))
+    .toDF("doc_id", "text")
+
+  test("duplicatedNgramSpans merges overlapping windows, splits over gaps") {
+    val spans = Dedup.duplicatedNgramSpans(spanDocs, "doc_id", "text", 3)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(spans == Set(
+      (0L, 0, 3), // "a b c d"
+      (1L, 2, 5), // "a b c d"
+      (3L, 0, 3), // self-repeated "w w w" covers the whole doc
+      (5L, 0, 2), (5L, 7, 9))) // two islands, gap 7-2 > 3
+  }
+
+  test("dropDuplicatedSpans scrubs span tokens, passes clean docs through") {
+    val out = Dedup.dropDuplicatedSpans(spanDocs, "doc_id", "text", 3)
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(
+      0L -> "e f",
+      1L -> "x y z",
+      2L -> "p q r s t u",
+      3L -> "", // fully duplicated doc scrubs to empty
+      4L -> "m n",
+      5L -> "s1 s2 s3 s4"))
+  }
 }
