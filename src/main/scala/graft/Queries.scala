@@ -1176,6 +1176,43 @@ object Queries {
        |FROM a GROUP BY cell ORDER BY cell""".stripMargin
   }
 
+  /** Drift-probe histogram over the same FIXED literal centroid grid as
+    * cp1: the vec_id % 10 == 0 slice plays an appended batch against the
+    * rest as the trained corpus — per-cell counts for both sides out of ONE
+    * linear pass (integer-exact, hash-gateable). The total-variation fold
+    * over the k-row histogram and the retrain decision are
+    * [[graft.ivf.IvfBuilder.extendOrRetrain]], spec-gated on learned
+    * centroids in VectorTopKSpec.
+    */
+  def vd1DriftProfile(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "embeddings")
+      .select(
+        graft.functions.nearest_centroid(col("embedding"), cp1Centroids, 64).as("cell"),
+        (col("vec_id") % 10 === 0).as("_app"))
+      .groupBy(col("cell"))
+      .agg(
+        count(when(!col("_app"), 1)).as("n_base"),
+        count(when(col("_app"), 1)).as("n_appended"))
+      .orderBy(col("cell"))
+
+  val vd1Oracle: String = {
+    val k = 8
+    val dcols = (0 until k).map { c =>
+      val lit = (0 until 64).map(d => cp1Centroids(c * 64 + d).toString)
+        .mkString("[", ", ", "]") + "::FLOAT[]"
+      s"list_distance(embedding::FLOAT[], $lit) AS d$c"
+    }.mkString(",\n  ")
+    val least = s"least(${(0 until k).map("d" + _).mkString(", ")})"
+    val arms = (0 until k).map(i => s"WHEN d$i = m THEN $i").mkString(" ")
+    s"""WITH d AS (SELECT vec_id, $dcols FROM embeddings),
+       |a AS (SELECT vec_id, CASE $arms END AS cell
+       |      FROM (SELECT *, $least AS m FROM d))
+       |SELECT cell,
+       |  COUNT(*) FILTER (WHERE vec_id % 10 <> 0) AS n_base,
+       |  COUNT(*) FILTER (WHERE vec_id % 10 = 0) AS n_appended
+       |FROM a GROUP BY cell ORDER BY cell""".stripMargin
+  }
+
   // ---------------------------------------- multimodal / streaming
 
   /** Binary-column pipeline over documents-as-media: UTF-8 payloads through
@@ -1440,6 +1477,7 @@ object Queries {
     "je1_json_extract" -> (je1JsonExtract _),
     "sq2_ivf_cell_pairs" -> (sq2IvfCellPairs _),
     "cp1_cluster_profile" -> (cp1ClusterProfile _),
+    "vd1_drift_profile" -> (vd1DriftProfile _),
     "bj1_bucketed_join" -> (bj1BucketedJoin _),
     "sk1_salted_join" -> (sk1SaltedJoin _),
     "mq1_media_features" -> (mq1MediaFeatures _),
@@ -1507,6 +1545,7 @@ object Queries {
     "je1_json_extract" -> je1Oracle,
     // sq2_ivf_cell_pairs intentionally has no oracle (cell-recall ANN)
     "cp1_cluster_profile" -> cp1Oracle,
+    "vd1_drift_profile" -> vd1Oracle,
     "bj1_bucketed_join" -> bj1Oracle,
     "sk1_salted_join" -> sk1Oracle,
     "mq1_media_features" -> mq1Oracle,

@@ -217,6 +217,121 @@ object IvfBuilder {
     BuildResult(counts, existing.dim, existing.nClusters, existing.centroids)
   }
 
+  /** Outcome of [[extendOrRetrain]]: what ran, and the measured drift.
+    * `drift` is the total-variation distance in [0, 1] between the trained
+    * per-cell assignment distribution (read from the STORED inverted lists —
+    * no data rescan) and the appended batch's distribution under the same
+    * centroids; -1 when no comparison happened (first build / nothing new).
+    */
+  final case class ExtendResult(build: BuildResult, retrained: Boolean, drift: Double)
+
+  /** Per-cell counts recorded in the stored inverted lists of `files` —
+    * the trained distribution, free from the index itself. Index loads are
+    * distributed across executor tasks; the driver sees only k partial sums.
+    */
+  def indexedCellCounts(
+      spark: SparkSession,
+      files: Seq[String],
+      column: String,
+      store: IndexStore = IndexStore.default): Array[Long] = {
+    import spark.implicits._
+    require(files.nonEmpty, "no indexed files to profile")
+    val k = IndexManager.loadIndex(store, files.head, column).nClusters
+    spark
+      .createDataset(files)
+      .repartition(math.min(files.size, spark.sparkContext.defaultParallelism))
+      .mapPartitions { it =>
+        val acc = new Array[Long](k)
+        it.foreach { f =>
+          val idx = IndexManager.loadIndex(store, f, column)
+          var c = 0
+          while (c < k) { acc(c) += idx.invertedLists(c).length; c += 1 }
+        }
+        Iterator.single(acc)
+      }
+      .collect()
+      .foldLeft(new Array[Long](k)) { (a, b) =>
+        var c = 0
+        while (c < k) { a(c) += b(c); c += 1 }
+        a
+      }
+  }
+
+  /** Total-variation distance between two cell-count histograms:
+    * `0.5 * Σ |p_c − q_c|` over normalized counts — 0 means identical
+    * distributions, 1 means disjoint support.
+    */
+  def totalVariation(a: Array[Long], b: Array[Long]): Double = {
+    require(a.length == b.length, s"histogram sizes differ: ${a.length} vs ${b.length}")
+    val na = a.sum.toDouble
+    val nb = b.sum.toDouble
+    require(na > 0 && nb > 0, "empty histogram")
+    var tv = 0.0
+    var c = 0
+    while (c < a.length) { tv += math.abs(a(c) / na - b(c) / nb); c += 1 }
+    tv / 2.0
+  }
+
+  /** Drift-aware incremental indexing — the retrain policy the README
+    * roadmap left open. Appended (unindexed) files are first ASSIGNED under
+    * the existing centroids (one linear broadcast-centroid pass, the same
+    * work [[extend]] does anyway); if the appended cell distribution's
+    * total-variation distance from the trained one exceeds `maxDrift`, the
+    * centroids no longer represent the data and the whole table is REBUILT
+    * with retrained centroids; otherwise only the new files get indexes
+    * ([[extend]] semantics). At 100 TB the drift probe
+    * costs one map-side-combined groupBy over the appended files only —
+    * the trained histogram comes from the stored lists, never a rescan.
+    */
+  def extendOrRetrain(
+      spark: SparkSession,
+      path: String,
+      config: Config,
+      store: IndexStore = IndexStore.default,
+      maxDrift: Double = 0.25): ExtendResult = {
+    import spark.implicits._
+    require(maxDrift >= 0 && maxDrift <= 1, s"maxDrift must be in [0,1], got $maxDrift")
+    val files = IndexManager.listFiles(spark, path)
+    require(files.nonEmpty, s"no parquet files under $path")
+    val indexed = files.filter(f =>
+      store.exists(f, config.column) ||
+        ParquetFooterIndex.peek(f, config.column).isDefined)
+    if (indexed.isEmpty)
+      return ExtendResult(build(spark, path, config, store), retrained = true, drift = -1.0)
+    val missing = files.filterNot(indexed.contains)
+    if (missing.isEmpty)
+      return ExtendResult(extend(spark, path, config, store), retrained = false, drift = -1.0)
+
+    val existing = IndexManager.loadIndex(store, indexed.head, config.column)
+    val trained = indexedCellCounts(spark, indexed, config.column, store)
+    val bcCentroids = spark.sparkContext.broadcast(existing.centroids)
+    val dim = existing.dim
+    val appendedRows = spark.read
+      .parquet(path)
+      .select(
+        col("_metadata.file_path").as("_file"),
+        col(config.column).cast("array<float>").as("_vec"))
+      .where(col("_file").isin(missing: _*))
+    val appended = new Array[Long](existing.nClusters)
+    appendedRows
+      .select(col("_vec"))
+      .as[Array[Float]]
+      .mapPartitions { it =>
+        val cents = bcCentroids.value
+        it.map(v => VectorKernels.nearestCentroid(v, cents, dim))
+      }
+      .groupByKey(identity)
+      .count()
+      .collect()
+      .foreach { case (cell, n) => appended(cell) = n }
+
+    val tv = totalVariation(trained, appended)
+    if (tv > maxDrift)
+      ExtendResult(build(spark, path, config, store), retrained = true, drift = tv)
+    else
+      ExtendResult(extend(spark, path, config, store), retrained = false, drift = tv)
+  }
+
   /** Rewrite mode (reference `write_parquet_with_index`,
     * `/root/reference/src/ivf/parquet.rs:307-377`): copy the table to
     * `outPath` with point-read-friendly page layout — 1 row per data page,

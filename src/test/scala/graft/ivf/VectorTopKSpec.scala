@@ -213,6 +213,57 @@ class VectorTopKSpec extends SparkSpec {
     assert(noop.files.isEmpty && noop.nClusters == first.nClusters)
   }
 
+  test("extendOrRetrain extends in-distribution, retrains on drifted appends") {
+    val rnd = new scala.util.Random(137)
+    val dir = Files.createTempDirectory("graft-drift").toString
+    def uniform(ids: Range) = spark.createDataFrame(
+      ids.map(i => (i.toLong, Seq.fill(8)(rnd.nextFloat()))))
+      .toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    uniform(0 until 200).repartition(2).write.mode("overwrite").parquet(dir)
+    val store = tmpStore
+    val first = IvfBuilder.build(spark, dir,
+      IvfBuilder.Config("vec", nClusters = Some(4)), store)
+
+    // trained histogram comes from the stored lists and covers every row
+    val counts = IvfBuilder.indexedCellCounts(
+      spark, IndexManager.listFiles(spark, dir), "vec", store)
+    assert(counts.length == 4 && counts.sum == 200L)
+
+    // same-distribution append: low TV, extend path, centroids untouched
+    uniform(200 until 300).coalesce(1).write.mode("append").parquet(dir)
+    val ext = IvfBuilder.extendOrRetrain(spark, dir, IvfBuilder.Config("vec"), store)
+    assert(!ext.retrained && ext.drift >= 0 && ext.drift < 0.25, s"drift=${ext.drift}")
+    assert(ext.build.centroids.toSeq == first.centroids.toSeq)
+    assert(ext.build.files.size == 1 && ext.build.files.values.sum == 100)
+
+    // shifted append far outside [0,1)^8: one cell swallows everything,
+    // TV blows past the threshold, the whole table retrains
+    spark.createDataFrame(
+      (300 until 400).map(i => (i.toLong, Seq.fill(8)(10f + (i % 3) * 0.1f))))
+      .toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val ret = IvfBuilder.extendOrRetrain(spark, dir, IvfBuilder.Config("vec"), store)
+    assert(ret.retrained && ret.drift > 0.25, s"drift=${ret.drift}")
+    assert(ret.build.centroids.toSeq != first.centroids.toSeq)
+    assert(ret.build.files.values.sum == 400L) // full rebuild covers the table
+
+    // retrained index still answers exactly at exhaustive probe
+    val query = Seq.fill(8)(0.4f)
+    val brute = VectorTopK.bruteForce(spark.read.parquet(dir), "vec", query, 12)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val indexed = VectorTopK.indexed(spark, dir, "vec", query, 12,
+      VectorTopK.Options(nprobe = ret.build.nClusters), store = store)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(indexed.sorted == brute.sorted)
+  }
+
+  test("totalVariation: identical is 0, disjoint is 1") {
+    assert(IvfBuilder.totalVariation(Array(5L, 5L), Array(50L, 50L)) == 0.0)
+    assert(IvfBuilder.totalVariation(Array(10L, 0L), Array(0L, 7L)) == 1.0)
+  }
+
   test("extend ignores footer indexes built for a DIFFERENT column") {
     import spark.implicits._
     val rnd = new scala.util.Random(29)
