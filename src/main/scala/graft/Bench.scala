@@ -69,6 +69,7 @@ object Bench {
     }.min
     // the queries themselves share the default store via ensure()
     graft.ivf.IndexManager.ensure(spark, s"$sfDir/embeddings.parquet", "embedding"): Unit
+    graft.ivf.Sq8Sidecar.ensure(spark, s"$sfDir/embeddings.parquet", "embedding")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     // warmup pass: steady-state JIT/codegen/page-cache
@@ -89,7 +90,12 @@ object Bench {
       .search(spark, path, "embedding", query, 100,
         graft.ivf.VectorTopK.Options(nprobe = 16))
       .toDF()
+    def sq8SearchK100() = graft.ivf.VectorTopK
+      .searchQuantized(spark, path, "embedding", query, 100,
+        graft.ivf.VectorTopK.Options(nprobe = 16), oversample = 4)
+      .toDF()
     materialize(bruteK100()); materialize(indexedK100()); materialize(searchK100()) // warm
+    materialize(sq8SearchK100())
 
     val results: Seq[(String, Double)] = names.map { name =>
       name -> timeMin(materialize(SparkEntry.queries(name)(spark, sfDir)))
@@ -97,6 +103,7 @@ object Bench {
       "baseline_brute_topk100" -> timeMin(materialize(bruteK100())),
       "baseline_indexed_topk100_nprobe16" -> timeMin(materialize(indexedK100())),
       "baseline_search_selective_topk100_nprobe16" -> timeMin(materialize(searchK100())),
+      "baseline_sq8_search_topk100_nprobe16" -> timeMin(materialize(sq8SearchK100())),
       "index_build" -> indexBuild)
 
     // BASELINE.md protocol quality metric: Recall@100 vs brute force at

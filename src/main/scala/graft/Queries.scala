@@ -186,6 +186,24 @@ object Queries {
       .sq8TopK(t(spark, sfDir, "embeddings"), "vec_id", "embedding", queryVec, 10)
       .select(col("vec_id"))
 
+  /** IVF-SQ8 two-phase search over the code SIDECAR (coarse integer ranking
+    * on point-read codes, float re-rank of survivors). Exhaustive probe +
+    * covering oversample (k·oversample >= corpus at every tested sf) makes
+    * the pipeline exactly brute force — the same exactness-gate trick as
+    * vq2; the real ANN operating point is benched as
+    * baseline_sq8_search_topk100_nprobe16.
+    */
+  def zq4IvfSq8Topk(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/embeddings.parquet"
+    val ti = IndexManager.ensure(spark, path, "embedding")
+    graft.ivf.Sq8Sidecar.ensure(spark, path, "embedding")
+    VectorTopK
+      .indexedQuantized(spark, path, "embedding", queryVec, 10,
+        VectorTopK.Options(nprobe = ti.nClusters), oversample = 200)
+      .orderBy(distAsc("embedding"), col("vec_id"))
+      .select(col("vec_id"))
+  }
+
   /** Brute-force k-NN join: for each query vector (vec_id < 5), its top-3
     * neighbors. The query side is tiny => broadcast; the big side streams.
     */
@@ -1435,6 +1453,7 @@ object Queries {
     "zq1_sq8_coarse_topk" -> (zq1Sq8CoarseTopk _),
     "zq2_sq8_roundtrip" -> (zq2Sq8Roundtrip _),
     "zq3_sq8_refined_topk" -> (zq3Sq8RefinedTopk _),
+    "zq4_ivfsq8_topk" -> (zq4IvfSq8Topk _),
     "q1_agg" -> (q1Agg _),
     "q3_join" -> (q3Join _),
     "q5_region_revenue" -> (q5RegionRevenue _),
@@ -1502,6 +1521,7 @@ object Queries {
     "zq1_sq8_coarse_topk" -> zq1Oracle,
     "zq2_sq8_roundtrip" -> zq2Oracle,
     "zq3_sq8_refined_topk" -> vq1Oracle, // sq8 refine must recover exact top-k
+    "zq4_ivfsq8_topk" -> vq1Oracle, // exhaustive probe + covering oversample
 
     "va2_ivf_knn_join" -> vq6Oracle,
     "q1_agg" -> q1Oracle,

@@ -71,6 +71,15 @@ final class IndexStore(val dir: String) extends Serializable {
   def exists(dataFile: String, column: String): Boolean =
     Files.exists(Paths.get(indexPath(dataFile, column)))
 
+  /** SQ8 code-sidecar path for (data file, column) — same key scheme as the
+    * index sidecar, `.sq8` extension (see [[Sq8Sidecar]] for the codec).
+    */
+  def codesPath(dataFile: String, column: String): String =
+    s"$dir/${key(dataFile, column)}.sq8"
+
+  def existsCodes(dataFile: String, column: String): Boolean =
+    Files.exists(Paths.get(codesPath(dataFile, column)))
+
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""

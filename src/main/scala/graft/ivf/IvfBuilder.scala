@@ -51,7 +51,7 @@ object IvfBuilder {
   /** Validation from reference `parquet.rs:241-279`: fail on null vectors,
     * null elements, zero-length or inconsistent dims. Returns (rowCount, dim).
     */
-  private def validate(vecs: DataFrame, column: String): (Long, Int) = {
+  private[ivf] def validate(vecs: DataFrame, column: String): (Long, Int) = {
     val stats = vecs
       .agg(
         count(lit(1)).as("n"),

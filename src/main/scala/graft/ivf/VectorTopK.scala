@@ -301,4 +301,151 @@ object VectorTopK {
     }
     spark.createDataset(results).toDF("_file", "_ri", "_dist")
   }
+
+  /** IVF-SQ8 phase 1+2 as a lazy `(_file, _ri, _dist)` feed of the
+    * `k·oversample` refine survivors with EXACT distances:
+    *
+    *  1. coarse — each executor task probes its files' indexes and ranks
+    *     candidates by integer code-space L2 read from the [[Sq8Sidecar]]
+    *     (`dim` bytes per candidate, point reads; a per-file bounded heap
+    *     keeps `k·oversample`, so no full candidate list leaves a task);
+    *  2. refine — the surviving (file, ordinal) pairs regroup per file and
+    *     only THEIR full-precision floats are read ([[SelectiveFetch]]).
+    *
+    * Float IO is `k·oversample` rows regardless of candidate volume — the
+    * IVF-SQ8 (faiss `IndexIVFScalarQuantizer`-style) asymptotic.
+    */
+  private def quantizedWinners(
+      spark: SparkSession,
+      path: String,
+      column: String,
+      query: Seq[Float],
+      k: Int,
+      options: Options,
+      oversample: Int,
+      store: IndexStore): DataFrame = {
+    import spark.implicits._
+    require(k > 0, "k must be > 0")
+    require(oversample >= 1, "oversample must be >= 1")
+    val files = IndexManager.listFiles(spark, path)
+    require(files.nonEmpty, s"no parquet files under $path")
+    val q = query.toArray
+    files.foreach { file =>
+      val (dim, _) = store.peek(file, column)
+        .orElse(ParquetFooterIndex.peek(file, column))
+        .getOrElse(throw new IllegalStateException(
+          s"no IVF index for file $file column '$column' — build one with IvfBuilder"))
+      require(dim == q.length, s"query dim ${q.length} != index dim $dim for $file")
+      require(
+        store.existsCodes(file, column),
+        s"no SQ8 sidecar for file $file column '$column' — build one with Sq8Sidecar.build")
+    }
+    val sc = spark.sparkContext
+    val slices = math.max(1, math.min(files.size, sc.defaultParallelism))
+    val colName = column
+    val nprobe = options.nprobe
+    val qCodes = graft.functions.Sq8.encode(q)
+    val keep = math.min(k.toLong * oversample, Int.MaxValue.toLong).toInt
+
+    val coarse = sc.parallelize(files, slices).flatMap { file =>
+      val index = IndexManager.loadIndex(store, file, colName)
+      val cands = index.candidateRows(q, nprobe)
+      val codes = Sq8Sidecar.readRows(store.codesPath(file, colName), cands)
+      // bounded max-heap of the keep smallest (idist, ri) — deterministic
+      // tie-break on ordinal, like coarseTopK's id tie-break
+      val heap = new java.util.PriorityQueue[(Long, Int)](
+        math.max(1, math.min(keep, cands.length)),
+        (a: (Long, Int), b: (Long, Int)) => {
+          val c = java.lang.Long.compare(b._1, a._1)
+          if (c != 0) c else Integer.compare(b._2, a._2)
+        })
+      var i = 0
+      while (i < cands.length) {
+        if (codes(i).length == qCodes.length) {
+          val d = graft.functions.Sq8.distanceSq(qCodes, codes(i))
+          if (heap.size < keep) heap.add((d, cands(i)))
+          else {
+            val worst = heap.peek()
+            if (d < worst._1 || (d == worst._1 && cands(i) < worst._2)) {
+              heap.poll(); heap.add((d, cands(i)))
+            }
+          }
+        }
+        i += 1
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(String, Long, Long)](heap.size)
+      while (!heap.isEmpty) {
+        val (d, ri) = heap.poll()
+        out += ((file, ri.toLong, d))
+      }
+      out.iterator
+    }
+    val survivors = spark.createDataset(coarse).toDF("_file", "_ri", "_idist")
+      .orderBy(col("_idist"), col("_file"), col("_ri"))
+      .limit(keep)
+      .as[(String, Long, Long)]
+
+    // refine: re-group survivors per file, selectively read ONLY their
+    // floats, emit exact distances
+    val refined = survivors
+      .groupByKey(_._1)
+      .flatMapGroups { (file, rows) =>
+        val ordinals = rows.map(_._2.toInt).toArray.sorted
+        SelectiveFetch.embeddings(file, colName, ordinals).iterator.collect {
+          case (ri, vec) if vec.length == q.length =>
+            (file, ri,
+              math.sqrt(graft.functions.VectorKernels.squaredL2(vec, q).toDouble).toFloat)
+        }
+      }
+    refined.toDF("_file", "_ri", "_dist")
+  }
+
+  /** IVF-SQ8 programmatic search ([[SearchResult]] shape, like [[search]]):
+    * candidate ranking on int8 code sidecars, exact float re-rank of the
+    * `k·oversample` survivors. Exact when `nprobe >= nClusters` AND
+    * `k·oversample` covers the candidate volume; otherwise approximate with
+    * recall governed by (nprobe, oversample).
+    */
+  def searchQuantized(
+      spark: SparkSession,
+      path: String,
+      column: String,
+      query: Seq[Float],
+      k: Int,
+      options: Options = Options(),
+      oversample: Int = 4,
+      store: IndexStore = IndexStore.default): Dataset[SearchResult] = {
+    import spark.implicits._
+    quantizedWinners(spark, path, column, query, k, options, oversample, store)
+      .select(col("_ri").as("row_idx"), col("_dist").as("distance"))
+      .orderBy(col("distance").asc_nulls_last)
+      .limit(k)
+      .as[SearchResult]
+  }
+
+  /** IVF-SQ8 plan-integrated top-k: quantized winners → k-row payload
+    * broadcast semi-join, the two-phase [[indexed]] shape with the coarse
+    * phase reading codes instead of floats.
+    */
+  def indexedQuantized(
+      spark: SparkSession,
+      path: String,
+      column: String,
+      query: Seq[Float],
+      k: Int,
+      options: Options = Options(),
+      oversample: Int = 4,
+      store: IndexStore = IndexStore.default): DataFrame = {
+    val winners =
+      quantizedWinners(spark, path, column, query, k, options, oversample, store)
+        .orderBy(col("_dist").asc_nulls_last)
+        .limit(k)
+        .select(col("_file"), col("_ri"))
+    val fetched = spark.read.parquet(path)
+      .withColumn("_file", col("_metadata.file_path"))
+      .withColumn("_ri", col("_metadata.row_index"))
+      .join(broadcast(winners), Seq("_file", "_ri"), "left_semi")
+      .drop("_file", "_ri")
+    bruteForce(meterFetch(spark, fetched), column, query, k)
+  }
 }

@@ -213,6 +213,60 @@ class VectorTopKSpec extends SparkSpec {
     assert(noop.files.isEmpty && noop.nClusters == first.nClusters)
   }
 
+  test("IVF-SQ8: codes sidecar + quantized search recover brute force exactly") {
+    val rnd = new scala.util.Random(53)
+    val dir = Files.createTempDirectory("graft-sq8ivf").toString
+    // values in [-1, 1) — inside the SQ8 grid, so quantization only coarsens
+    spark.createDataFrame(
+      (0 until 300).map(i => (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2f - 1f))))
+      .toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    val store = tmpStore
+    val built = IvfBuilder.build(spark, dir,
+      IvfBuilder.Config("vec", nClusters = Some(5)), store)
+
+    // quantized search without codes fails fast, naming the missing piece
+    val noCodes = intercept[IllegalArgumentException] {
+      VectorTopK.searchQuantized(spark, dir, "vec", Seq.fill(8)(0f), 5, store = store)
+    }
+    assert(noCodes.getMessage.contains("SQ8 sidecar"))
+
+    val counts = Sq8Sidecar.build(spark, dir, "vec", store)
+    assert(counts.values.sum == 300L && counts.size == 3)
+    // sidecar headers carry the real shape
+    counts.keys.foreach { f =>
+      val (dim, n) = Sq8Sidecar.readHeader(store.codesPath(f, "vec"))
+      assert(dim == 8 && n.toLong == counts(f))
+    }
+
+    val query = Seq.fill(8)(0.3f)
+    // exhaustive probe + covering oversample (k·oversample >= corpus) → the
+    // coarse cut prunes nothing and the float re-rank is exact brute force
+    val brute = VectorTopK.bruteForce(spark.read.parquet(dir), "vec", query, 10)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val exact = VectorTopK.indexedQuantized(spark, dir, "vec", query, 10,
+      VectorTopK.Options(nprobe = built.nClusters), oversample = 30, store = store)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(exact.sorted == brute.sorted)
+
+    // searchQuantized (ordinal, distance) rows equal the float-path search
+    // exactly — same kernel, same winners at exhaustive probe
+    val sq = VectorTopK.searchQuantized(spark, dir, "vec", query, 10,
+      VectorTopK.Options(nprobe = built.nClusters), oversample = 30, store = store)
+      .collect().map(r => (r.row_idx, r.distance)).toSet
+    val viaFloats = VectorTopK.search(spark, dir, "vec", query, 10,
+      VectorTopK.Options(nprobe = built.nClusters), store = store)
+      .collect().map(r => (r.row_idx, r.distance)).toSet
+    assert(sq == viaFloats)
+
+    // tight oversample stays ANN: k rows out, all from the candidate set
+    val ann = VectorTopK.searchQuantized(spark, dir, "vec", query, 10,
+      VectorTopK.Options(nprobe = 2), oversample = 1, store = store)
+      .collect()
+    assert(ann.length == 10)
+  }
+
   test("extendOrRetrain extends in-distribution, retrains on drifted appends") {
     val rnd = new scala.util.Random(137)
     val dir = Files.createTempDirectory("graft-drift").toString
