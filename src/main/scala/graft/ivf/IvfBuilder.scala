@@ -34,11 +34,16 @@ import graft.functions.VectorKernels
   */
 object IvfBuilder {
 
+  /** `warmStart`: optional flat (k × dim) centroid matrix — Lloyd refines
+    * these instead of re-seeding k-means++ (k is then taken from the
+    * matrix). Used by [[extendOrRetrain]]'s retrain path.
+    */
   final case class Config(
       column: String,
       nClusters: Option[Int] = None,
       maxIters: Int = 20,
-      seed: Long = 42L)
+      seed: Long = 42L,
+      warmStart: Option[Array[Float]] = None)
 
   final case class BuildResult(
       files: Map[String, Long], // data file -> rows indexed
@@ -97,7 +102,17 @@ object IvfBuilder {
         col(config.column).cast("array<float>").as("_vec"))
 
     val (n, dim) = validate(vecs, config.column)
-    val k = config.nClusters.getOrElse(math.ceil(math.sqrt(n.toDouble)).toInt)
+    val k = config.warmStart match {
+      case Some(warm) =>
+        require(
+          warm.length % dim == 0 && warm.length > 0,
+          s"warm-start centroids length ${warm.length} not a positive multiple of dim $dim")
+        val kw = warm.length / dim
+        config.nClusters.foreach(c => require(
+          c == kw, s"n_clusters $c != warm-start centroid count $kw"))
+        kw
+      case None => config.nClusters.getOrElse(math.ceil(math.sqrt(n.toDouble)).toInt)
+    }
     require(k <= n, s"n_clusters $k cannot exceed number of vectors $n")
 
     // Training sample: clamp(5% of n, [k, 100k]) — reference index.rs:172-174.
@@ -123,7 +138,8 @@ object IvfBuilder {
       System.arraycopy(trainRows(r), 0, flat, r * dim, dim)
       r += 1
     }
-    val centroids = KMeans.fit(flat, dim, KMeans.Params(k, config.maxIters, config.seed))
+    val centroids = KMeans.fit(
+      flat, dim, KMeans.Params(k, config.maxIters, config.seed, config.warmStart))
 
     val written = assignAndWrite(spark, vecs, config.column, centroids, dim, k, store, embed)
     BuildResult(written, dim, k, centroids)
@@ -326,9 +342,14 @@ object IvfBuilder {
       .foreach { case (cell, n) => appended(cell) = n }
 
     val tv = totalVariation(trained, appended)
-    if (tv > maxDrift)
-      ExtendResult(build(spark, path, config, store), retrained = true, drift = tv)
-    else
+    if (tv > maxDrift) {
+      // retrain = refresh centroid POSITIONS under the new distribution:
+      // Lloyd warm-starts from the drifted centroids (k preserved, no
+      // re-seeding), then the whole table re-assigns and re-indexes
+      val warmed = config.copy(
+        nClusters = Some(existing.nClusters), warmStart = Some(existing.centroids))
+      ExtendResult(build(spark, path, warmed, store), retrained = true, drift = tv)
+    } else
       ExtendResult(extend(spark, path, config, store), retrained = false, drift = tv)
   }
 

@@ -13,7 +13,17 @@ import java.util.Random
   */
 object KMeans {
 
-  final case class Params(nClusters: Int, maxIters: Int = 20, seed: Long = 42L)
+  /** `init`: optional warm-start centroid matrix (k × dim flat). When set,
+    * k-means++ seeding is skipped entirely — Lloyd refines the given
+    * centroids (deterministic, no RNG draw). The retrain path of
+    * [[IvfBuilder.extendOrRetrain]] uses this to refresh centroid positions
+    * under drift without re-seeding from scratch.
+    */
+  final case class Params(
+      nClusters: Int,
+      maxIters: Int = 20,
+      seed: Long = 42L,
+      init: Option[Array[Float]] = None)
 
   /** Sample `sampleSize` distinct row indices out of `n`, seeded. */
   def sampleIndices(n: Int, sampleSize: Int, rng: Random): Array[Int] = {
@@ -43,18 +53,10 @@ object KMeans {
     sum
   }
 
-  /** k-means++ init + Lloyd iterations (reference: index.rs:322-457).
-    * Returns the flat centroid matrix (k × dim).
-    */
-  def fit(data: Array[Float], dim: Int, params: Params): Array[Float] = {
-    val n = data.length / dim
-    require(n > 0, "cannot run k-means on zero vectors")
-    val k = params.nClusters
-    require(k > 0 && k <= n, s"n_clusters $k must be in [1, $n]")
-    val rng = new Random(params.seed)
+  /** k-means++ seeding over an init sample (reference caps at 50k). */
+  private def seedPlusPlus(
+      data: Array[Float], dim: Int, n: Int, k: Int, rng: Random): Array[Float] = {
     val centroids = new Array[Float](k * dim)
-
-    // -- k-means++ seeding over an init sample (reference caps at 50k) --
     val initSampleSize = math.max(math.min(n, 50000), k)
     val initIdx =
       if (initSampleSize == n) (0 until n).toArray
@@ -98,6 +100,25 @@ object KMeans {
         System.arraycopy(data, choice * dim, centroids, c * dim, dim)
       }
       c += 1
+    }
+    centroids
+  }
+
+  /** k-means++ init (or warm start) + Lloyd iterations (reference:
+    * index.rs:322-457). Returns the flat centroid matrix (k × dim).
+    */
+  def fit(data: Array[Float], dim: Int, params: Params): Array[Float] = {
+    val n = data.length / dim
+    require(n > 0, "cannot run k-means on zero vectors")
+    val k = params.nClusters
+    require(k > 0 && k <= n, s"n_clusters $k must be in [1, $n]")
+    val centroids = params.init match {
+      case Some(warm) =>
+        require(
+          warm.length == k * dim,
+          s"warm-start centroids length ${warm.length} != nClusters $k × dim $dim")
+        warm.clone()
+      case None => seedPlusPlus(data, dim, n, k, new Random(params.seed))
     }
 
     // -- Lloyd iterations until stable or maxIters --

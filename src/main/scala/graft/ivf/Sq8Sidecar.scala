@@ -97,32 +97,39 @@ object Sq8Sidecar {
 
   /** Build the per-file code sidecars for a table's embedding column —
     * same distribution shape as the index build: one validated linear scan,
-    * per-file `groupByKey`, codes encoded and written FROM THE EXECUTOR;
-    * driver state is O(files). Returns file → rows encoded.
+    * quantization to 1-byte-per-element codes BEFORE the per-file
+    * `groupByKey` (the shuffle and the per-file buffer carry dim bytes per
+    * row, not 4·dim float bytes), sidecars written FROM THE EXECUTOR;
+    * driver state is O(files). `only` restricts the scan to those data
+    * files (incremental appends). Returns file → rows encoded.
     */
   def build(
       spark: SparkSession,
       path: String,
       column: String,
-      store: IndexStore = IndexStore.default): Map[String, Long] = {
+      store: IndexStore = IndexStore.default,
+      only: Option[Seq[String]] = None): Map[String, Long] = {
     import spark.implicits._
-    val vecs = spark.read
+    val all = spark.read
       .parquet(path)
       .select(
         col("_metadata.file_path").as("_file"),
         col("_metadata.row_index").as("_ri"),
         col(column).cast("array<float>").as("_vec"))
+    val vecs = only.fold(all)(fs => all.where(col("_file").isin(fs: _*)))
     val (_, dim) = IvfBuilder.validate(vecs, column)
     vecs
       .as[(String, Long, Array[Float])]
+      .map { case (file, ri, vec) =>
+        require(vec.length == dim, s"dim mismatch at $file:$ri")
+        (file, ri.toInt, Sq8.encode(vec))
+      }
       .groupByKey(_._1)
       .mapGroups { (file, rows) =>
-        val collected = rows.map { case (_, ri, vec) => (ri.toInt, vec) }.toArray
+        val collected = rows.map { case (_, ri, c) => (ri, c) }.toArray
         val codes = new Array[Byte](collected.length * dim)
-        collected.foreach { case (ri, vec) =>
-          require(vec.length == dim, s"dim mismatch at $file:$ri")
-          var d = 0
-          while (d < dim) { codes(ri * dim + d) = Sq8.code(vec(d)); d += 1 }
+        collected.foreach { case (ri, c) =>
+          System.arraycopy(c, 0, codes, ri * dim, dim)
         }
         writeFile(store.codesPath(file, column), dim, codes)
         (file, collected.length.toLong)
@@ -131,15 +138,18 @@ object Sq8Sidecar {
       .toMap
   }
 
-  /** Build only if some file's sidecar is missing (idempotent ensure). */
+  /** Build sidecars ONLY for files that lack one (idempotent, incremental:
+    * an appended file triggers a scan of itself, not of the table).
+    */
   def ensure(
       spark: SparkSession,
       path: String,
       column: String,
       store: IndexStore = IndexStore.default): Unit = {
-    val files = IndexManager.listFiles(spark, path)
-    if (files.exists(f => !store.existsCodes(f, column))) {
-      build(spark, path, column, store): Unit
+    val missing = IndexManager.listFiles(spark, path)
+      .filterNot(f => store.existsCodes(f, column))
+    if (missing.nonEmpty) {
+      build(spark, path, column, store, only = Some(missing)): Unit
     }
   }
 }

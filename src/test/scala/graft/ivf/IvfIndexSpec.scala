@@ -72,6 +72,26 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(a.toSeq != c.toSeq) // different seed, different init
   }
 
+  test("kmeans warm start refines the given centroids, no RNG re-seed") {
+    val rnd = new java.util.Random(11)
+    val data = Array.fill(200 * 8)(rnd.nextFloat())
+    val cold = KMeans.fit(data.clone(), 8, KMeans.Params(nClusters = 5, seed = 42))
+    // warm-starting from a converged solution is a fixed point
+    val stay = KMeans.fit(
+      data.clone(), 8, KMeans.Params(nClusters = 5, init = Some(cold)))
+    assert(stay.toSeq == cold.toSeq)
+    // warm-starting from arbitrary centroids is deterministic regardless of
+    // seed (no RNG draw on the warm path)
+    val init = Array.fill(5 * 8)(rnd.nextFloat())
+    val w1 = KMeans.fit(data.clone(), 8, KMeans.Params(5, seed = 1, init = Some(init.clone())))
+    val w2 = KMeans.fit(data.clone(), 8, KMeans.Params(5, seed = 99, init = Some(init.clone())))
+    assert(w1.toSeq == w2.toSeq)
+    // wrong shape fails fast
+    intercept[IllegalArgumentException] {
+      KMeans.fit(data.clone(), 8, KMeans.Params(5, init = Some(new Array[Float](8))))
+    }
+  }
+
   test("round-robin candidate cap is fair across files") {
     val perFile = Seq(
       "a" -> Array(1, 2, 3, 4, 5),

@@ -265,6 +265,30 @@ class VectorTopKSpec extends SparkSpec {
       VectorTopK.Options(nprobe = 2), oversample = 1, store = store)
       .collect()
     assert(ann.length == 10)
+
+    // appended file: ensure() scans and encodes ONLY the new file, extend
+    // indexes it, and the quantized pipeline stays exact over all four
+    spark.createDataFrame(
+      (300 until 350).map(i => (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2f - 1f))))
+      .toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    IvfBuilder.extend(spark, dir, IvfBuilder.Config("vec"), store)
+    val before = counts.keys.map(f => store.codesPath(f, "vec") ->
+      Files.getLastModifiedTime(java.nio.file.Paths.get(store.codesPath(f, "vec")))).toMap
+    Sq8Sidecar.ensure(spark, dir, "vec", store)
+    val files4 = IndexManager.listFiles(spark, dir)
+    assert(files4.size == 4 && files4.forall(f => store.existsCodes(f, "vec")))
+    // pre-existing sidecars untouched (incremental, not a rebuild)
+    before.foreach { case (p, t) =>
+      assert(Files.getLastModifiedTime(java.nio.file.Paths.get(p)) == t)
+    }
+    val brute4 = VectorTopK.bruteForce(spark.read.parquet(dir), "vec", query, 10)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val exact4 = VectorTopK.indexedQuantized(spark, dir, "vec", query, 10,
+      VectorTopK.Options(nprobe = built.nClusters), oversample = 35, store = store)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(exact4.sorted == brute4.sorted)
   }
 
   test("extendOrRetrain extends in-distribution, retrains on drifted appends") {
@@ -302,6 +326,9 @@ class VectorTopKSpec extends SparkSpec {
     assert(ret.retrained && ret.drift > 0.25, s"drift=${ret.drift}")
     assert(ret.build.centroids.toSeq != first.centroids.toSeq)
     assert(ret.build.files.values.sum == 400L) // full rebuild covers the table
+    // retrain warm-starts Lloyd from the drifted centroids: k is preserved,
+    // positions refresh
+    assert(ret.build.nClusters == first.nClusters)
 
     // retrained index still answers exactly at exhaustive probe
     val query = Seq.fill(8)(0.4f)
