@@ -147,6 +147,10 @@ object KMeans {
       }
       if (changed == 0) converged = true
       else {
+        // empty clusters KEEP their previous position (k-means++ seeds are
+        // data points so this is rare there, but a warm-start centroid the
+        // data has drifted away from must not collapse to the origin)
+        val prev = centroids.clone()
         java.util.Arrays.fill(centroids, 0.0f)
         var r2 = 0
         while (r2 < n) {
@@ -158,11 +162,13 @@ object KMeans {
         }
         var cc2 = 0
         while (cc2 < k) {
+          val off = cc2 * dim
           if (sizes(cc2) > 0) {
             val size = sizes(cc2).toFloat
-            val off = cc2 * dim
             var j = 0
             while (j < dim) { centroids(off + j) /= size; j += 1 }
+          } else {
+            System.arraycopy(prev, off, centroids, off, dim)
           }
           cc2 += 1
         }

@@ -550,8 +550,9 @@ object Dedup {
     val spans = duplicatedNgramSpans(df, idCol, textCol, n)
       .groupBy(col("id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("_spans"))
+      .select(col("id").as("_span_id"), col("_spans"))
     val toks = split(trim(col(textCol)), "\\s+")
-    df.join(spans, col(idCol) === spans("id"), "left")
+    df.join(spans, col(idCol) === col("_span_id"), "left")
       .withColumn(
         "_kept",
         filter(
@@ -560,6 +561,6 @@ object Dedup {
             coalesce(col("_spans"), array().cast("array<struct<span_start:int,span_end:int>>")),
             s => p.getField("i").between(s.getField("span_start"), s.getField("span_end")))))
       .withColumn(textCol, array_join(transform(col("_kept"), _.getField("t")), " "))
-      .drop("id", "_spans", "_kept")
+      .drop("_span_id", "_spans", "_kept")
   }
 }
