@@ -25,8 +25,14 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, FloatType, I
   */
 object Sq8 {
 
-  /** Quantize one float to an int8 code in [-127, 127]. */
+  /** Quantize one float to an int8 code in [-127, 127]. NaN maps to code 0
+    * EXPLICITLY (it fell there implicitly before — NaN comparisons are false
+    * and `NaN.toByte == 0` — but SQL engines order NaN above all values, so
+    * the cross-engine twin must special-case it the same way; see the
+    * `isnan` branch in the DuckDB kernel in `Queries.duckSq8`).
+    */
   def code(x: Float): Byte = {
+    if (java.lang.Float.isNaN(x)) return 0
     var v = x.toDouble
     if (v > 1.0) v = 1.0
     if (v < -1.0) v = -1.0

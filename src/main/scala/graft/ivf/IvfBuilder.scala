@@ -328,6 +328,13 @@ object IvfBuilder {
         col("_metadata.file_path").as("_file"),
         col(config.column).cast("array<float>").as("_vec"))
       .where(col("_file").isin(missing: _*))
+    // same validation contract as build/extend: a null or wrong-dim vector in
+    // an appended file must fail with the clean error, not an executor NPE
+    // inside the assignment pass
+    val (_, appendedDim) = validate(appendedRows, config.column)
+    require(
+      appendedDim == dim,
+      s"appended files' vector dim $appendedDim != existing index dim $dim")
     val appended = new Array[Long](existing.nClusters)
     appendedRows
       .select(col("_vec"))

@@ -122,6 +122,10 @@ object Sq8Sidecar {
       .as[(String, Long, Array[Float])]
       .map { case (file, ri, vec) =>
         require(vec.length == dim, s"dim mismatch at $file:$ri")
+        require(
+          ri <= Int.MaxValue,
+          s"row ordinal $ri in $file exceeds the sidecar's 2^31 rows-per-file limit " +
+            "(header stores nRows as i32) — split the file")
         (file, ri.toInt, Sq8.encode(vec))
       }
       .groupByKey(_._1)

@@ -61,6 +61,13 @@ object Similarity {
     * Ids must be integral (byte/short/int/long): the per-key heap is keyed
     * by long, and a silent cast would null out e.g. string doc ids — so
     * non-integral id columns are rejected up front.
+    *
+    * The broadcast assumes a SMALL query side; a large one would OOM every
+    * executor, so the row count is checked up front (one cheap count job on
+    * the small-by-contract side) and over-limit inputs fail fast with a
+    * pointer to [[ivfKnnJoin]], whose cell equi-join broadcasts neither
+    * side. Raise `maxQueries` only with executor memory to match
+    * (~vectorBytes × maxQueries per executor).
     */
   def knnJoin(
       queries: DataFrame,
@@ -68,9 +75,16 @@ object Similarity {
       queryId: String,
       corpusId: String,
       vecCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      maxQueries: Long = 100000L): DataFrame = {
     requireIntegral(queries, queryId)
     requireIntegral(corpus, corpusId)
+    val nq = queries.count()
+    require(
+      nq <= maxQueries,
+      s"knnJoin broadcasts the query side, but it has $nq rows (> maxQueries=" +
+        s"$maxQueries) — use ivfKnnJoin for large query sets (no broadcast) " +
+        "or raise maxQueries if executors have the memory")
     val q = queries.select(
       col(queryId).as("query_id"), col(vecCol).as("_qvec"))
     val scored = corpus
@@ -91,6 +105,21 @@ object Similarity {
     * probed and the result is EXACT (equals [[knnJoin]] — how va2 is
     * oracled); below that, recall follows the IVF probe curve. The
     * per-query heap keeps the post-join shuffle at queries × k rows.
+    *
+    * HOT-CELL GUARD: a degenerate cell (near-duplicate embedding mass)
+    * would otherwise fan out |probing queries| × |cell| with no bound — the
+    * same failure mode the simhash path caps with its two-path scheme
+    * ([[Dedup.simhashNearDupPairs]]). Corpus cells larger than
+    * `maxCellSize` are refined by a SECOND key, the member's second-nearest
+    * centroid; a query reaching a hot cell supplies the second key from its
+    * own probe set, so the hot join is an equi-join on (cell, cell2) and
+    * the expected per-key fan-out drops k-fold. At `probes >= nClusters`
+    * the query's probe set contains every cell, so the refinement loses
+    * NOTHING — exhaustive-probe exactness survives the cap engaging.
+    * Below exhaustive, a hot-cell member whose second cell the query did
+    * not probe is missed — the usual IVF recall trade, now applied twice.
+    * With a single centroid no second key exists; the guard disengages
+    * (one cell = the whole corpus, nothing to refine by).
     */
   def ivfKnnJoin(
       queries: DataFrame,
@@ -101,31 +130,73 @@ object Similarity {
       centroids: Array[Float],
       dim: Int,
       k: Int,
-      probes: Int): DataFrame = {
+      probes: Int,
+      maxCellSize: Long = 4096L): DataFrame = {
     require(probes >= 1, s"probes must be >= 1, got $probes")
+    require(maxCellSize >= 2, s"maxCellSize must be >= 2, got $maxCellSize")
     requireIntegral(queries, queryId)
     requireIntegral(corpus, corpusId)
+    val nClusters = centroids.length / dim
+    // cell -1 (null/dim-mismatched vectors) can never be probed — drop it
+    // before the shuffle instead of carrying unmatchable rows
     val corpusCells = withCell(corpus, vecCol, centroids, dim)
+      .where(col("_cell") >= 0)
       .select(
         col(corpusId).cast("long").as("neighbor_id"),
         col(vecCol).as("_cvec"),
         col("_cell"))
-    val probed = queries.select(
-      col(queryId).cast("long").as("query_id"),
-      col(vecCol).as("_qvec"),
-      explode(
-        graft.functions.nearest_centroids(col(vecCol), centroids, dim, probes))
-        .as("_pcell"))
+    val probedAll = queries
+      .select(
+        col(queryId).cast("long").as("query_id"),
+        col(vecCol).as("_qvec"),
+        graft.functions.nearest_centroids(col(vecCol), centroids, dim, probes)
+          .as("_pcells"))
+      .where(col("_pcells").isNotNull)
+    val probed = probedAll.select(
+      col("query_id"), col("_qvec"), col("_pcells"),
+      explode(col("_pcells")).as("_pcell"))
+
+    def score(cands: DataFrame): DataFrame = cands.select(
+      col("query_id"),
+      col("neighbor_id"),
+      array_distance(col("_cvec"), col("_qvec")).as("dist"))
+
     // a corpus row lives in exactly one cell and probe cells are distinct,
     // so a (query, corpus) pair is scored at most once — no dedup needed
-    val scored = probed
-      .join(
-        corpusCells,
-        col("_pcell") === col("_cell") && col("neighbor_id") =!= col("query_id"))
-      .select(
-        col("query_id"),
-        col("neighbor_id"),
-        array_distance(col("_cvec"), col("_qvec")).as("dist"))
+    val scored =
+      if (nClusters < 2) {
+        score(probed.join(
+          corpusCells,
+          col("_pcell") === col("_cell") && col("neighbor_id") =!= col("query_id")))
+      } else {
+        val sizes = corpusCells.groupBy(col("_cell")).agg(count(lit(1)).as("_n"))
+        val sized = corpusCells.join(broadcast(sizes), Seq("_cell"))
+        val small = sized.where(col("_n") <= maxCellSize).drop("_n")
+        val hot = sized.where(col("_n") > maxCellSize).drop("_n")
+        val smallScored = score(probed.join(
+          small,
+          col("_pcell") === col("_cell") && col("neighbor_id") =!= col("query_id")))
+        // hot members carry their second-nearest cell; the probing query
+        // re-explodes its OWN probe set as the second key. Each (query,
+        // member) pair still matches at most once: _pcell2 values are
+        // distinct and exactly one can equal the member's _cell2.
+        val hot2 = hot.withColumn(
+          "_cell2",
+          get(graft.functions.nearest_centroids(col("_cvec"), centroids, dim, 2), lit(1)))
+        val hotCellIds = sizes.where(col("_n") > maxCellSize).select(col("_cell"))
+        val hotScored = score(
+          probed
+            .join(broadcast(hotCellIds), col("_pcell") === col("_cell"), "leftsemi")
+            .select(
+              col("query_id"), col("_qvec"), col("_pcell"),
+              explode(col("_pcells")).as("_pcell2"))
+            .where(col("_pcell2") =!= col("_pcell"))
+            .join(
+              hot2,
+              col("_pcell") === col("_cell") && col("_pcell2") === col("_cell2") &&
+                col("neighbor_id") =!= col("query_id")))
+        smallScored.unionByName(hotScored)
+      }
     topKRanked(scored, k)
   }
 
@@ -184,6 +255,30 @@ object Similarity {
     * among the other's p probes — the same recall/fan-out trade as `nprobe`
     * on the IVF search path. Callers needing exact results use
     * [[Dedup.embeddingNearDupPairs]].
+    *
+    * HOT-CELL GUARD (the [[Dedup.simhashNearDupPairs]] two-path scheme,
+    * re-keyed for IVF cells): null-vector rows (cell -1) are excluded, and
+    * cells over `maxCellSize` members never self-join directly —
+    *
+    *  - hot-cell members re-key on (home cell, SECOND-nearest cell); the
+    *    resulting sub-buckets within the cap pair-join on both keys (a
+    *    near-dup pair's second assignments agree with overwhelming
+    *    probability — the vectors are nearly identical, so their centroid
+    *    rankings are too);
+    *  - sub-buckets STILL over the cap are a near-identical embedding mass
+    *    no key can split (all second cells equal). These emit member ×
+    *    pivot STAR pairs against a deterministic ~`starPivots`-member
+    *    hash-selected pivot sample: O(m·pivots) pairs instead of O(m²),
+    *    every emitted pair still threshold-verified (precision exact), and
+    *    the downstream clustering consumer ([[Dedup.nearDupClusters]]) sees
+    *    the mass as one component through the pivots. Direct
+    *    non-pivot-to-non-pivot pairs inside such a mass are the one
+    *    documented recall concession — the price of a pair count linear in
+    *    the mass.
+    *
+    * The cap never engages on healthily-clustered data (cells sized around
+    * corpus/k); it exists so one degenerate cell cannot quadratically
+    * dominate the job at scale.
     */
   def ivfCellPairs(
       df: DataFrame,
@@ -192,31 +287,102 @@ object Similarity {
       centroids: Array[Float],
       dim: Int,
       threshold: Double,
-      probes: Int = 1): DataFrame = {
-    val cells = withCell(df, vecCol, centroids, dim)
+      probes: Int = 1,
+      maxCellSize: Long = 4096L,
+      starPivots: Int = 16): DataFrame = {
+    require(maxCellSize >= 2, s"maxCellSize must be >= 2, got $maxCellSize")
+    require(starPivots >= 1, s"starPivots must be >= 1, got $starPivots")
+    val assigned = withCell(df, vecCol, centroids, dim)
+      .where(col("_cell") >= 0)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("_cell"))
-    if (probes <= 1) {
-      cells.as("a")
-        .join(cells.as("b"),
-          col("a._cell") === col("b._cell") && col("a.id") < col("b.id"))
-        .where(array_cosine_similarity(col("a.v"), col("b.v")) >= threshold)
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    } else {
-      val probed = df.select(
-        col(idCol).as("id"),
-        col(vecCol).as("v"),
-        explode(graft.functions.nearest_centroids(col(vecCol), centroids, dim, probes))
-          .as("_pcell"))
-      // probe side × home side; both orientations of a pair can appear, so
-      // verify (cosine is symmetric), normalize to (min id, max id), dedup
-      probed.as("a")
-        .join(cells.as("b"),
-          col("a._pcell") === col("b._cell") && col("a.id") =!= col("b.id"))
+    val sizes = assigned.groupBy(col("_cell")).agg(count(lit(1)).as("_n"))
+    val sized = assigned.join(broadcast(sizes), Seq("_cell"))
+    val small = sized.where(col("_n") <= maxCellSize).drop("_n")
+    val hot = sized.where(col("_n") > maxCellSize).drop("_n")
+
+    // verify (cosine is symmetric — no orientation swap needed), normalize
+    // to (min id, max id); the final distinct dedups multi-route candidates
+    def pairs(cands: DataFrame): DataFrame =
+      cands
         .where(array_cosine_similarity(col("a.v"), col("b.v")) >= threshold)
         .select(
           least(col("a.id"), col("b.id")).as("id_a"),
           greatest(col("a.id"), col("b.id")).as("id_b"))
-        .distinct()
-    }
+
+    val smallSelf = small.as("a").join(
+      small.as("b"),
+      col("a._cell") === col("b._cell") && col("a.id") < col("b.id"))
+
+    // hot members re-keyed on (home cell, second-nearest cell); with a
+    // single centroid there is no second key — the constant fallback routes
+    // everything to the star path, which is the only bound available
+    val hot2 = hot.withColumn(
+      "_cell2",
+      coalesce(
+        get(graft.functions.nearest_centroids(col("v"), centroids, dim, 2), lit(1)),
+        lit(0)))
+    val sizes2 = hot2.groupBy(col("_cell"), col("_cell2")).agg(
+      count(lit(1)).as("_n2"),
+      min(xxhash64(col("id"))).as("_minh"))
+    val sub = hot2.join(broadcast(sizes2), Seq("_cell", "_cell2"))
+    val subSmall = sub.where(col("_n2") <= maxCellSize)
+    val subHot = sub.where(col("_n2") > maxCellSize)
+    val subSelf = subSmall.as("a").join(
+      subSmall.as("b"),
+      col("a._cell") === col("b._cell") && col("a._cell2") === col("b._cell2") &&
+        col("a.id") < col("b.id"))
+    // deterministic hash-selected pivot sample, expected ~starPivots members;
+    // the min-hash member is always included so no bucket ends up pivot-less
+    val pivots = subHot.where(
+      pmod(
+        xxhash64(col("id")),
+        greatest(floor(col("_n2") / starPivots).cast("long"), lit(1L))) === 0 ||
+        xxhash64(col("id")) === col("_minh"))
+    val star = subHot.as("a").join(
+      pivots.as("b"),
+      col("a._cell") === col("b._cell") && col("a._cell2") === col("b._cell2") &&
+        col("a.id") =!= col("b.id"))
+
+    val within = pairs(smallSelf).unionByName(pairs(subSelf)).unionByName(pairs(star))
+
+    val all =
+      if (probes <= 1) within
+      else {
+        val probedAll = df
+          .select(
+            col(idCol).as("id"),
+            col(vecCol).as("v"),
+            graft.functions.nearest_centroids(col(vecCol), centroids, dim, probes)
+              .as("_pcells"))
+          .where(col("_pcells").isNotNull)
+        val probedExpl = probedAll.select(
+          col("id"), col("v"), col("_pcells"), explode(col("_pcells")).as("_pcell"))
+        val crossSmall = probedExpl.as("a").join(
+          small.as("b"),
+          col("a._pcell") === col("b._cell") && col("a.id") =!= col("b.id"))
+        val hotCellIds = sizes.where(col("_n") > maxCellSize).select(col("_cell"))
+        val probedHot = probedExpl
+          .join(broadcast(hotCellIds), col("_pcell") === col("_cell"), "leftsemi")
+        // probes into hot cells must also supply the second key (from the
+        // prober's own probe set) to reach capped sub-buckets…
+        val crossSub = probedHot
+          .select(col("id"), col("v"), col("_pcell"), explode(col("_pcells")).as("_pcell2"))
+          .where(col("_pcell2") =!= col("_pcell"))
+          .as("a")
+          .join(
+            subSmall.as("b"),
+            col("a._pcell") === col("b._cell") && col("a._pcell2") === col("b._cell2") &&
+              col("a.id") =!= col("b.id"))
+        // …while degenerate masses are reachable only through their pivots
+        // (bounded: |probers| × ~starPivots)
+        val crossStar = probedHot.as("a").join(
+          pivots.as("b"),
+          col("a._pcell") === col("b._cell") && col("a.id") =!= col("b.id"))
+        within
+          .unionByName(pairs(crossSmall))
+          .unionByName(pairs(crossSub))
+          .unionByName(pairs(crossStar))
+      }
+    all.distinct()
   }
 }

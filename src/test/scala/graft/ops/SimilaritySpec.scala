@@ -80,6 +80,14 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_._2 >= 10))
   }
 
+  test("knnJoin rejects an over-limit query side instead of broadcasting it") {
+    val df = clustered
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.knnJoin(df, df, "id", "id", "v", 3, maxQueries = 5L)
+    }
+    assert(ex.getMessage.contains("ivfKnnJoin"))
+  }
+
   test("knnJoin rejects non-integral id columns instead of nulling them") {
     val df = Seq(("a", Seq(0f, 0f, 0f, 0f))).toDF("sid", "v")
       .select(col("sid"), col("v").cast("array<float>").as("v"))
@@ -119,6 +127,47 @@ class SimilaritySpec extends SparkSpec {
     // is a WEAK-similarity threshold — pairs span cell borders; near-dup
     // thresholds like 0.9 co-locate far more). Gate guards regressions.
     assert(r4 >= 0.7, s"multi-probe recall $r4 below gate")
+  }
+
+  test("ivfCellPairs bounds the pair count on a single-cell-degenerate corpus") {
+    // 600 near-identical vectors: one cell holds everything and the second
+    // key cannot split it (every member's second cell is the same) — the
+    // star path must bound the output at O(m·pivots), not m(m-1)/2
+    val m = 600
+    val df = (0 until m).map(i => (i.toLong, Seq(1.0f + i * 1e-5f, 1.0f, 1.0f, 1.0f)))
+      .toDF("id", "v").select(col("id"), col("v").cast("array<float>").as("v"))
+    val centroids = Array(1f, 1f, 1f, 1f, -1f, -1f, -1f, -1f)
+    val pairs = Similarity
+      .ivfCellPairs(df, "id", "v", centroids, 4, threshold = 0.99,
+        maxCellSize = 50L, starPivots = 8)
+      .as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    val uncapped = m.toLong * (m - 1) / 2 // 179 700
+    assert(pairs.length < m * 40,
+      s"pair count ${pairs.length} not bounded (uncapped would be $uncapped)")
+    // connectivity for the clustering consumer: every member reaches a pivot
+    val covered = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(covered == (0L until m.toLong).toSet)
+  }
+
+  test("ivfKnnJoin stays exact at exhaustive probes when the hot-cell cap engages") {
+    val m = 120
+    val dense = (0 until m).map(i => (i.toLong, Seq(1.0f + i * 1e-4f, 1.0f, 1.0f, 1.0f)))
+    val sparse = (m until m + 5).map(i =>
+      (i.toLong, Seq(-1.0f - (i - m) * 1e-3f, -1.0f, -1.0f, -1.0f)))
+    val df = (dense ++ sparse).toDF("id", "v")
+      .select(col("id"), col("v").cast("array<float>").as("v"))
+    val centroids = Array(1f, 1f, 1f, 1f, -1f, -1f, -1f, -1f)
+    val queries = df.where(col("id") === 0 || col("id") === m)
+    val brute = Similarity.knnJoin(queries, df, "id", "id", "v", 5)
+      .as[(Long, Long, Int)].collect().toSet
+    // dense cell (120 members) blows the cap of 20 → hot path engages; the
+    // exhaustive probe set supplies every second key, so nothing is lost
+    val capped = Similarity
+      .ivfKnnJoin(queries, df, "id", "id", "v", centroids, 4, 5,
+        probes = 2, maxCellSize = 20L)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(capped == brute)
   }
 
   test("cosineTopK ranks by similarity descending") {
