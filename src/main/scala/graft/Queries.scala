@@ -125,6 +125,34 @@ object Queries {
     s"""SELECT vec_id FROM embeddings
        |ORDER BY list_cosine_similarity(embedding::FLOAT[], $duckVecLit) DESC, vec_id LIMIT 10""".stripMargin
 
+  /** Cosine top-k through the SQL rewrite: the rule matches
+    * `ORDER BY array_cosine_similarity(col, lit) DESC LIMIT k` and serves
+    * it from the SAME IVF index via the angular winner-first feed
+    * (descending cosine ≡ ascending 1 − cos). nprobe is exhaustive so the
+    * result is exact and hash-gates against the DuckDB cosine oracle; the
+    * production operating point (nprobe ≪ nClusters) is the same code on
+    * the recall curve.
+    */
+  def vq8CosineIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/embeddings.parquet"
+    val ti = IndexManager.ensure(spark, path, "embedding")
+    Graft.install(spark)
+    spark.conf.set(plans.VectorTopKRule.NprobeKey, ti.nClusters.toString)
+    spark.read.parquet(path).createOrReplaceTempView("graft_embeddings_cos")
+    val vecLit = queryVec.map(v => s"${v}F").mkString("array(", ", ", ")")
+    spark.sql(
+      s"""SELECT vec_id FROM (
+         |  SELECT vec_id FROM graft_embeddings_cos
+         |  ORDER BY array_cosine_similarity(embedding, $vecLit) DESC LIMIT 10)
+         |ORDER BY vec_id""".stripMargin)
+  }
+
+  val vq8Oracle: String =
+    s"""SELECT vec_id FROM (
+       |  SELECT vec_id FROM embeddings
+       |  ORDER BY list_cosine_similarity(embedding::FLOAT[], $duckVecLit) DESC LIMIT 10)
+       |ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------------- int8 quantization
 
   /** DuckDB twin of [[graft.functions.Sq8.code]]: the float widens to f64
@@ -133,7 +161,8 @@ object Queries {
     * quantized queries hash-match exactly.
     */
   private val duckSq8 =
-    "x -> CAST(floor(least(greatest(x::DOUBLE, -1), 1) * 127 + 0.5) AS BIGINT)"
+    "x -> CAST(CASE WHEN isnan(x::DOUBLE) THEN 0 " +
+      "ELSE floor(least(greatest(x::DOUBLE, -1), 1) * 127 + 0.5) END AS BIGINT)"
 
   private def duckQCodesLit: String =
     graft.functions.Sq8.encode(queryVec.toArray).map(_.toString).mkString("[", ", ", "]")
@@ -197,9 +226,18 @@ object Queries {
     val path = s"$sfDir/embeddings.parquet"
     val ti = IndexManager.ensure(spark, path, "embedding")
     graft.ivf.Sq8Sidecar.ensure(spark, path, "embedding")
+    // the exactness gate needs k·oversample to cover the whole corpus —
+    // derive it from the actual row count so the assumption is checked where
+    // it is made instead of silently going approximate at a larger sf
+    val k = 10
+    val corpusRows = spark.read.parquet(path).count()
+    val oversample = math.max(1L, (corpusRows + k - 1) / k)
+    require(
+      oversample <= Int.MaxValue,
+      s"corpus of $corpusRows rows too large for the covering-oversample exactness gate")
     VectorTopK
-      .indexedQuantized(spark, path, "embedding", queryVec, 10,
-        VectorTopK.Options(nprobe = ti.nClusters), oversample = 200)
+      .indexedQuantized(spark, path, "embedding", queryVec, k,
+        VectorTopK.Options(nprobe = ti.nClusters), oversample = oversample.toInt)
       .orderBy(distAsc("embedding"), col("vec_id"))
       .select(col("vec_id"))
   }
@@ -1098,6 +1136,26 @@ object Queries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** The cell-pair machinery made EXACT: probing every cell (probes =
+    * nClusters) means each pair meets in the home cell of either member, so
+    * the bucketed path's output equals the O(n²) exact join — the va2
+    * exhaustive-probe trick applied to pair generation, hash-gating the
+    * whole candidate scheme (assignment, probe explode, verify, dedup)
+    * against dq5's plain-SQL oracle. The production operating point
+    * (probes ≪ nClusters) is the same code on the recall curve, benched as
+    * sq2 with `cell_pair_recall_probe4`.
+    */
+  def sq3IvfCellPairsExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/embeddings.parquet"
+    val (ti, centroids) = IndexManager.ensureWithCentroids(spark, path, "embedding")
+    ops.Similarity
+      .ivfCellPairs(t(spark, sfDir, "embeddings"), "vec_id", "embedding",
+        centroids, ti.dim, threshold = 0.5, probes = ti.nClusters)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val sq3Oracle: String = dq5Oracle
+
   /** Salted shuffle join: lineitem spreads over (suppkey, salt) with the
     * supplier side replicated per salt — the hot-key straggler mitigation
     * when the other side exceeds broadcast. Salting must never change
@@ -1448,6 +1506,7 @@ object Queries {
     "vq3_ivf_topk_filter" -> (vq3IvfTopkFilter _),
     "vq4_range_search" -> (vq4RangeSearch _),
     "vq7_sql_topk" -> (vq7SqlTopk _),
+    "vq8_cosine_ivf" -> (vq8CosineIvf _),
     "vq5_cosine_topk" -> (vq5CosineTopk _),
     "vq6_knn_join" -> (vq6KnnJoin _),
     "zq1_sq8_coarse_topk" -> (zq1Sq8CoarseTopk _),
@@ -1495,6 +1554,7 @@ object Queries {
     "vb1_top_ngrams" -> (vb1TopNgrams _),
     "je1_json_extract" -> (je1JsonExtract _),
     "sq2_ivf_cell_pairs" -> (sq2IvfCellPairs _),
+    "sq3_ivf_cell_pairs_exact" -> (sq3IvfCellPairsExact _),
     "cp1_cluster_profile" -> (cp1ClusterProfile _),
     "vd1_drift_profile" -> (vd1DriftProfile _),
     "bj1_bucketed_join" -> (bj1BucketedJoin _),
@@ -1516,6 +1576,7 @@ object Queries {
     "vq3_ivf_topk_filter" -> vq3Oracle,
     "vq4_range_search" -> vq4Oracle,
     "vq7_sql_topk" -> vq7Oracle,
+    "vq8_cosine_ivf" -> vq8Oracle,
     "vq5_cosine_topk" -> vq5Oracle,
     "vq6_knn_join" -> vq6Oracle,
     "zq1_sq8_coarse_topk" -> zq1Oracle,
@@ -1541,6 +1602,7 @@ object Queries {
     "dq3_simhash_neardup" -> duckNearDupOracle,
     "dq4_invindex_neardup" -> duckNearDupOracle,
     "dq5_embed_neardup" -> dq5Oracle,
+    "sq3_ivf_cell_pairs_exact" -> sq3Oracle,
     "dq6_hash_split" -> dq6Oracle,
     "dq7_dup_clusters" -> dq7Oracle,
     "dq8_dup_spans" -> dq8Oracle,

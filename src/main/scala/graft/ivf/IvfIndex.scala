@@ -46,6 +46,44 @@ final case class IvfIndex(
   def candidateRows(query: Array[Float], nprobe: Int): Array[Int] =
     findClosestCentroids(query, nprobe).flatMap(invertedLists)
 
+  /** Indices of the `nprobe` most-aligned centroids by COSINE, descending —
+    * the angular probe order for cosine-metric search. Same candidate
+    * machinery as [[findClosestCentroids]], different cell ranking: over an
+    * index built on unit-normalized vectors this is the proper angular IVF
+    * probe; over a raw build it is a norm-insensitive heuristic (and any
+    * probe order is exact at `nprobe >= nClusters`). Zero-norm centroids
+    * rank last.
+    */
+  def findClosestCentroidsCosine(query: Array[Float], nprobe: Int): Array[Int] = {
+    val k = math.min(nprobe, nClusters)
+    var qn = 0.0f
+    var j = 0
+    while (j < dim) { qn += query(j) * query(j); j += 1 }
+    val negSims = new Array[Float](nClusters)
+    var i = 0
+    while (i < nClusters) {
+      val off = i * dim
+      var dot = 0.0f
+      var cn = 0.0f
+      j = 0
+      while (j < dim) {
+        val c = centroids(off + j)
+        dot += query(j) * c
+        cn += c * c
+        j += 1
+      }
+      val denom = math.sqrt(qn.toDouble) * math.sqrt(cn.toDouble)
+      negSims(i) =
+        if (denom == 0.0) Float.MaxValue else -(dot / denom.toFloat)
+      i += 1
+    }
+    (0 until nClusters).sortBy(negSims).take(k).toArray
+  }
+
+  /** Union of the cosine-probed centroids' inverted lists. */
+  def candidateRowsCosine(query: Array[Float], nprobe: Int): Array[Int] =
+    findClosestCentroidsCosine(query, nprobe).flatMap(invertedLists)
+
   /** Number of candidates a probe would return, without materializing them —
     * the cheap first phase of the distributed `max_candidates` fairness cap.
     */

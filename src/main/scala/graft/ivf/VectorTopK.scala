@@ -251,6 +251,15 @@ object VectorTopK {
 
   /** Files-list form of the phase-1 pipeline — also the winner feed for
     * [[graft.plans.VectorTopKRule]]'s filter-free SQL rewrite.
+    *
+    * `cosine = true` switches to the angular metric: cells are probed by
+    * centroid cosine ([[IvfIndex.findClosestCentroidsCosine]]) and `_dist`
+    * is `1 − cos(vec, query)` — ascending-sortable, so the same
+    * `orderBy(_dist).limit(k)` winner selection serves both metrics
+    * (descending cosine ≡ ascending 1 − cos). Exact at
+    * `nprobe >= nClusters` like the L2 path; below that, recall is best
+    * over indexes built on unit-normalized vectors, where angular and L2
+    * cell geometry coincide.
     */
   private[graft] def searchByFiles(
       spark: SparkSession,
@@ -258,7 +267,8 @@ object VectorTopK {
       column: String,
       query: Seq[Float],
       options: Options,
-      store: IndexStore): DataFrame = {
+      store: IndexStore,
+      cosine: Boolean = false): DataFrame = {
     import spark.implicits._
     require(files.nonEmpty, "no parquet files to search")
     val q = query.toArray
@@ -273,11 +283,16 @@ object VectorTopK {
     val slices = math.max(1, math.min(files.size, sc.defaultParallelism))
     val colName = column
     val nprobe = options.nprobe
+    val angular = cosine
     // fairness cap, two-phase like IvfCandidateScanExec
     val quotas: Option[Map[String, Long]] = options.maxCandidates.map { cap =>
       val counts = sc.parallelize(files.zipWithIndex, slices)
         .map { case (f, i) =>
-          (i, IndexManager.loadIndex(store, f, colName).candidateCount(q, nprobe))
+          val idx = IndexManager.loadIndex(store, f, colName)
+          val probed =
+            if (angular) idx.findClosestCentroidsCosine(q, nprobe)
+            else idx.findClosestCentroids(q, nprobe)
+          (i, probed.map(idx.invertedLists(_).length.toLong).sum)
         }
         .collect().sortBy(_._1).map(_._2)
       files.zip(graft.plans.IvfCandidateScan.roundRobinQuotas(counts, cap.toLong)).toMap
@@ -290,13 +305,17 @@ object VectorTopK {
         s"query dim ${q.length} != index dim ${index.dim} for $file")
       // cap takes the probe-order (centroid-order) prefix, like the
       // reference's CandidateCursor, then fetch reads ordinal-ascending
-      val cands = index.candidateRows(q, nprobe)
+      val cands =
+        if (angular) index.candidateRowsCosine(q, nprobe)
+        else index.candidateRows(q, nprobe)
       val n = math.min(quota, cands.length.toLong).toInt
       val capped = java.util.Arrays.copyOfRange(cands, 0, n)
       SelectiveFetch.embeddings(file, colName, capped).iterator.collect {
         case (ri, vec) if vec.length == q.length =>
-          (file, ri,
-            math.sqrt(graft.functions.VectorKernels.squaredL2(vec, q).toDouble).toFloat)
+          val d =
+            if (angular) 1.0f - graft.functions.VectorKernels.cosine(vec, q)
+            else math.sqrt(graft.functions.VectorKernels.squaredL2(vec, q).toDouble).toFloat
+          (file, ri, d)
       }
     }
     spark.createDataset(results).toDF("_file", "_ri", "_dist")
@@ -349,7 +368,12 @@ object VectorTopK {
 
     val coarse = sc.parallelize(files, slices).flatMap { file =>
       val index = IndexManager.loadIndex(store, file, colName)
+      // candidateRows concatenates per-cell posting lists — not globally
+      // ascending at nprobe > 1. readRows requires ascending ordinals (its
+      // bounds check and run-coalescing depend on it), and the heap below is
+      // order-independent, so sorting here is free of semantic effect.
       val cands = index.candidateRows(q, nprobe)
+      java.util.Arrays.sort(cands)
       val codes = Sq8Sidecar.readRows(store.codesPath(file, colName), cands)
       // bounded max-heap of the keep smallest (idist, ri) — deterministic
       // tie-break on ordinal, like coarseTopK's id tie-break

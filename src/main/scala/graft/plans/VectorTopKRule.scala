@@ -7,10 +7,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.functions.{broadcast, col}
-import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, StructType}
 
-import graft.functions.{ArrayDistance, ArraySquaredL2}
+import graft.functions.{ArrayCosineSimilarity, ArrayDistance, ArraySquaredL2}
 import graft.ivf.{IndexStore, ParquetFooterIndex}
 
 /** SQL-transparent IVF acceleration: rewrites
@@ -92,10 +94,11 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case other => other
   }
 
-  /** Extract (vector attribute, query literal) from a distance sort key,
-    * accepting both argument orders (physical.rs:198-243).
+  /** Extract (vector attribute, query literal, is-cosine) from a distance
+    * or cosine-similarity sort key, accepting both argument orders
+    * (physical.rs:198-243).
     */
-  private def extractDistanceArgs(e: Expression): Option[(Attribute, Array[Float])] = {
+  private def extractDistanceArgs(e: Expression): Option[(Attribute, Array[Float], Boolean)] = {
     def lit2vec(l: Expression): Option[Array[Float]] = stripCast(l) match {
       case Literal(data: ArrayData, ArrayType(FloatType, _)) =>
         Option(data).map(_.toFloatArray())
@@ -108,27 +111,42 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
     val args = stripCast(e) match {
-      case ArrayDistance(l, r) => Some((l, r))
-      case ArraySquaredL2(l, r) => Some((l, r))
+      case ArrayDistance(l, r) => Some((l, r, false))
+      case ArraySquaredL2(l, r) => Some((l, r, false))
+      case ArrayCosineSimilarity(l, r) => Some((l, r, true))
       case _ => None
     }
-    args.flatMap { case (l, r) =>
+    args.flatMap { case (l, r, cos) =>
       (attr(l), lit2vec(r)) match {
-        case (Some(a), Some(v)) => Some((a, v))
+        case (Some(a), Some(v)) => Some((a, v, cos))
         case _ =>
           (attr(r), lit2vec(l)) match {
-            case (Some(a), Some(v)) => Some((a, v))
+            case (Some(a), Some(v)) => Some((a, v, cos))
             case _ => None
           }
       }
     }
   }
 
+  /** A matched parquet scan leaf, abstracted over Spark's two file-source
+    * code paths (V1 `LogicalRelation(HadoopFsRelation)` — the default — and
+    * DSv2 `DataSourceV2ScanRelation(ParquetScan)` when
+    * `spark.sql.sources.useV1SourceList` excludes parquet).
+    */
+  private case class ParquetLeaf(
+      node: LogicalPlan,
+      output: Seq[Attribute],
+      dataSchema: StructType,
+      rootPaths: Seq[String],
+      inputFiles: Seq[String])
+
   /** Only Filter/Project may sit between the sort input and the scan
     * (the reference additionally allows its repartition node, which has no
-    * logical analog here).
+    * logical analog here). A DSv2 scan with CONSUMED partition filters is
+    * not matched: the pruned file set would have to be reproduced, and
+    * replacing the leaf with a fresh read would silently widen it.
     */
-  private def findSingleParquetLeaf(plan: LogicalPlan): Option[LogicalRelation] =
+  private def findSingleParquetLeaf(plan: LogicalPlan): Option[ParquetLeaf] =
     plan match {
       case Filter(_, c) => findSingleParquetLeaf(c)
       case Project(_, c) => findSingleParquetLeaf(c)
@@ -136,7 +154,17 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
         lr.relation match {
           case fs: HadoopFsRelation
               if fs.fileFormat.getClass.getSimpleName.startsWith("Parquet") =>
-            Some(lr)
+            Some(ParquetLeaf(
+              lr, lr.output, fs.dataSchema,
+              fs.location.rootPaths.map(_.toString), fs.location.inputFiles.toSeq))
+          case _ => None
+        }
+      case sr: DataSourceV2ScanRelation =>
+        sr.scan match {
+          case ps: ParquetScan if ps.partitionFilters.isEmpty =>
+            Some(ParquetLeaf(
+              sr, sr.output, ps.dataSchema,
+              ps.fileIndex.rootPaths.map(_.toString), ps.fileIndex.inputFiles.toSeq))
           case _ => None
         }
       case _ => None
@@ -145,25 +173,44 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
   /** True when only row-preserving Projects sit between the sort input and
     * the scan — the precondition for the winner-first (two-phase) feed: a
     * Filter below the top-k must see full candidate rows, a Project never
-    * drops rows.
+    * drops rows. (A DSv2 ParquetScan keeps its data filters as a logical
+    * Filter above the scan — parquet pushdown is best-effort — so a
+    * filterless chain over either leaf really is row-complete.)
     */
   private def filterFree(plan: LogicalPlan): Boolean = plan match {
     case Project(_, c) => filterFree(c)
     case _: LogicalRelation => true
+    // defense in depth: if a future Spark ever consumed data filters into
+    // the scan (no Filter node left), treating the chain as row-complete
+    // would drop them — require the scan itself to be filterless too
+    case sr: DataSourceV2ScanRelation =>
+      sr.scan match {
+        case ps: ParquetScan => ps.dataFilters.isEmpty
+        case _ => false
+      }
     case _ => false
   }
 
   private def tryRewrite(
       k: Int, order: SortOrder, child: LogicalPlan): Option[LogicalPlan] = {
-    if (order.direction != Ascending) return None
     for {
-      (attr, query) <- extractDistanceArgs(order.child)
-      lr <- findSingleParquetLeaf(child)
+      (attr, query, cosine) <- extractDistanceArgs(order.child)
+      // L2 accelerates ASC (nearest first), cosine DESC (most similar
+      // first) — the opposite direction has a different meaning (farthest
+      // first) that an IVF probe cannot serve
+      _ <- if (order.direction == (if (cosine) Descending else Ascending)) Some(())
+           else None
+      // cosine is winner-first only: the one-phase candidate feed ranks by
+      // the untouched Sort above it, but its probe machinery
+      // (IvfCandidateScanExec) is L2-ordered — restrict the angular rewrite
+      // to filter-free plans, where the cosine-probed two-phase feed applies
+      _ <- if (!cosine || filterFree(child)) Some(()) else None
+      leaf <- findSingleParquetLeaf(child)
       // the sorted attribute must be a physical column of the scan
-      column <- lr.output.find(_.exprId == attr.exprId).map(_.name)
-      rewritten <- buildPrunedLeaf(lr, column, query, k, filterFree(child))
+      column <- leaf.output.find(_.exprId == attr.exprId).map(_.name)
+      rewritten <- buildPrunedLeaf(leaf, column, query, k, filterFree(child), cosine)
     } yield MeteredFetch(child.transformUp {
-      case l: LogicalRelation if l.eq(lr) => rewritten
+      case l if l.eq(leaf.node) => rewritten
     })
   }
 
@@ -174,15 +221,15 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * executor-side inside `IvfCandidateScanExec`.
     */
   private def buildPrunedLeaf(
-      lr: LogicalRelation,
+      leaf: ParquetLeaf,
       column: String,
       query: Array[Float],
       k: Int,
-      filterFree: Boolean): Option[LogicalPlan] = {
-    val fs = lr.relation.asInstanceOf[HadoopFsRelation]
+      filterFree: Boolean,
+      cosine: Boolean = false): Option[LogicalPlan] = {
     // canonical form matches `_metadata.file_path`, which the semi-join
     // compares against
-    val files = fs.location.inputFiles.toSeq.map(IndexStore.canonicalPath).sorted
+    val files = leaf.inputFiles.map(IndexStore.canonicalPath).sorted
     if (files.isEmpty) return None
     val store = new IndexStore(conf(IndexDirKey, IndexStore.default.dir))
     val nprobe = conf(NprobeKey, "5").toInt
@@ -200,16 +247,23 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // winner-first only without a candidate cap: the cap's fairness quotas
     // need a distributed counts job, which must not run at OPTIMIZATION
     // time (a rule fires per action, and the rewrite can still bail)
-    val candSide = if (filterFree && maxCandidates.isEmpty &&
-        conf(TwoPhaseKey, "true") == "true") {
+    val twoPhaseOk =
+      filterFree && maxCandidates.isEmpty && conf(TwoPhaseKey, "true") == "true"
+    // the one-phase feed's probe machinery is L2-ordered — when the
+    // angular winner-first feed cannot apply, leave the cosine plan alone
+    // (full scan, exact) instead of serving mismatched-metric candidates
+    if (cosine && !twoPhaseOk) return None
+    val candSide = if (twoPhaseOk) {
       // winner-first (two-phase): no Filter sits below the top-k, so the k
       // phase-1 winners ARE the result set — rank candidates on selective
       // single-column reads, then fetch payload for k rows only. The feed
       // is bounded by k, so broadcasting is always safe.
+      // for cosine the feed emits 1 − cos as _dist, so the same ascending
+      // winner selection serves both metrics
       val winners = graft.ivf.VectorTopK
         .searchByFiles(
           spark, files, column, query.toIndexedSeq,
-          graft.ivf.VectorTopK.Options(nprobe), store)
+          graft.ivf.VectorTopK.Options(nprobe), store, cosine)
         .orderBy(col("_dist").asc_nulls_last)
         .limit(k)
         .select(col("_file").as("__file"), col("_ri").as("__ri"))
@@ -234,12 +288,34 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // safety factor covers the first-file-scaled estimate under-counting
       if (threshold >= 0 && estBytes * 2 <= threshold) broadcast(candDf) else candDf
     }
-    val paths = fs.location.rootPaths.map(_.toString)
-    val pruned = spark.read
-      .schema(fs.dataSchema)
-      .parquet(paths: _*)
+    val paths = leaf.rootPaths
+    // the semi-join feed keys on `_metadata.file_path`/`row_index`, which
+    // only the V1 file relation exposes — pin the INTERNAL subtree to the
+    // V1 source path even when the session routes parquet to DSv2 (the
+    // V1-vs-V2 choice is made eagerly inside DataFrameReader.load, so the
+    // override can be scoped to exactly that call)
+    val v1Key = "spark.sql.sources.useV1SourceList"
+    val prevV1 = spark.conf.get(v1Key)
+    val hasParquet = prevV1.split(",").exists(_.trim.equalsIgnoreCase("parquet"))
+    val scan =
+      if (hasParquet) spark.read.schema(leaf.dataSchema).parquet(paths: _*)
+      else {
+        spark.conf.set(v1Key, if (prevV1.trim.isEmpty) "parquet" else s"$prevV1,parquet")
+        try spark.read.schema(leaf.dataSchema).parquet(paths: _*)
+        finally spark.conf.set(v1Key, prevV1)
+      }
+    val base = scan
       .withColumn("__file", col("_metadata.file_path"))
       .withColumn("__ri", col("_metadata.row_index"))
+    // narrow to the leaf's (possibly column-pruned, for DSv2) output before
+    // the join so the standalone optimize below can push the pruning into
+    // the scan — the outer plan is not re-optimized after this rule
+    val needed = leaf.output.map(_.name)
+    val narrowed =
+      if (needed.forall(base.columns.contains))
+        base.select(needed.map(col) ++ Seq(col("__file"), col("__ri")): _*)
+      else base
+    val pruned = narrowed
       .join(candSide, Seq("__file", "__ri"), "left_semi")
       .drop("__file", "__ri")
     // This rule runs in extraOptimizations, AFTER the main optimizer
@@ -249,7 +325,7 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val prunedPlan = spark.sessionState.optimizer.execute(pruned.queryExecution.analyzed)
     // rebind the new scan's output to the original attribute ids
     val byName = prunedPlan.output.map(a => a.name -> a).toMap
-    val aliases = lr.output.map { old =>
+    val aliases = leaf.output.map { old =>
       byName.get(old.name) match {
         case Some(na) => Alias(na, old.name)(exprId = old.exprId)
         case None => return None

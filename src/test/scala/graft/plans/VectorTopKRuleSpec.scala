@@ -137,6 +137,41 @@ class VectorTopKRuleSpec extends SparkSpec {
     }
   }
 
+  private def sqlCosineTopk(extra: String = "", order: String = "DESC"): DataFrame =
+    spark.sql(
+      s"""SELECT id FROM graft_vecs $extra
+         |ORDER BY array_cosine_similarity(vec, array(${Seq.fill(8)("0.5F").mkString(",")})) $order
+         |LIMIT 5""".stripMargin)
+
+  test("cosine DESC rewrites via the angular winner-first feed and stays exact") {
+    register()
+    withRule(nprobe = 8) { // exhaustive → exact regardless of probe order
+      val df = sqlCosineTopk()
+      assert(fired(df), df.queryExecution.optimizedPlan.toString)
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("_dist"), optimized)
+      assert(!optimized.contains("IvfCandidateScan"), optimized)
+      spark.conf.set(VectorTopKRule.EnabledKey, "false")
+      val brute = sqlCosineTopk()
+      assert(!fired(brute))
+      assert(df.collect().map(_.getLong(0)).toSeq ==
+        brute.collect().map(_.getLong(0)).toSeq)
+    }
+  }
+
+  test("no cosine rewrite for ASC, residual filters, or twoPhase=false") {
+    register()
+    withRule(nprobe = 8) {
+      // ascending cosine = LEAST similar first — an IVF probe cannot serve it
+      assert(!fired(sqlCosineTopk(order = "ASC")))
+      // the one-phase candidate feed is L2-ordered; cosine must not use it
+      assert(!fired(sqlCosineTopk(extra = "WHERE label >= 2")))
+      spark.conf.set(VectorTopKRule.TwoPhaseKey, "false")
+      try assert(!fired(sqlCosineTopk()))
+      finally spark.conf.unset(VectorTopKRule.TwoPhaseKey)
+    }
+  }
+
   test("no rewrite for DESC, multiple sort keys, or unindexed columns") {
     register()
     withRule(nprobe = 8) {
@@ -161,6 +196,45 @@ class VectorTopKRuleSpec extends SparkSpec {
            |ORDER BY array_distance(first(vec), array(${Seq.fill(8)("0.5F").mkString(",")}))
            |LIMIT 2""".stripMargin)
       assert(!fired(agg))
+    }
+  }
+
+  test("DSv2 parquet scan (useV1SourceList='') also rewrites and stays exact") {
+    import graft.functions.{array_distance, float_vector}
+    withRule(nprobe = 8) {
+      val prev = spark.conf.get("spark.sql.sources.useV1SourceList")
+      spark.conf.set("spark.sql.sources.useV1SourceList", "")
+      try {
+        def topk = spark.read.parquet(dataDir)
+          .orderBy(array_distance(col("vec"), float_vector(Seq.fill(8)(0.5f))).asc)
+          .limit(5)
+          .select("id")
+        val df = topk
+        // confirm the plan really is on the V2 path, then that we fired
+        val optimized = df.queryExecution.optimizedPlan.toString
+        assert(!optimized.contains("HadoopFsRelation") || fired(df), optimized)
+        assert(fired(df), optimized)
+        spark.conf.set(VectorTopKRule.EnabledKey, "false")
+        val brute = topk
+        assert(!fired(brute))
+        spark.conf.set(VectorTopKRule.EnabledKey, "true")
+        assert(df.collect().map(_.getLong(0)).toSeq ==
+          brute.collect().map(_.getLong(0)).toSeq)
+
+        // a residual filter on the V2 path keeps post-filter semantics
+        def filtered = spark.read.parquet(dataDir)
+          .where(col("label") >= 2)
+          .orderBy(array_distance(col("vec"), float_vector(Seq.fill(8)(0.5f))).asc)
+          .limit(5)
+          .select("id")
+        val fdf = filtered
+        assert(fired(fdf), fdf.queryExecution.optimizedPlan.toString)
+        spark.conf.set(VectorTopKRule.EnabledKey, "false")
+        val fbrute = filtered
+        spark.conf.set(VectorTopKRule.EnabledKey, "true")
+        assert(fdf.collect().map(_.getLong(0)).toSeq ==
+          fbrute.collect().map(_.getLong(0)).toSeq)
+      } finally spark.conf.set("spark.sql.sources.useV1SourceList", prev)
     }
   }
 
