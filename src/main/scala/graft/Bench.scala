@@ -22,6 +22,25 @@ object Bench {
   /** Timed repetitions per query (post-warmup); min is reported. */
   private val Reps = 2
 
+  /** The structurally interesting queries, reported under a separate
+    * `headline` key: at 70+ entries the full-set total is dominated by
+    * per-query Spark fixed cost, and real deltas on the operators that
+    * matter can hide inside it. Gates are unchanged — this is reporting
+    * structure only (round-4 verdict item).
+    */
+  private val Headline = Seq(
+    "q1_agg", "q3_join", "vq2_ivf_topk_exact", "vq7_sql_topk",
+    "vq8_cosine_ivf", "dq2_minhash_neardup", "dq3_simhash_neardup",
+    "dq8_dup_spans", "sq2_ivf_cell_pairs", "va2_ivf_knn_join",
+    "zq4_ivfsq8_topk", "st1_stream_hourly", "cq2_neardup_curation")
+
+  /** Correctness-gate-only queries the bench skips: sq3 is the exhaustive-
+    * probe EXACTNESS gate for the cell-pair machinery — O(n²) by
+    * construction (like dq5's oracle, but with the full probe explode on
+    * top), so timing it benches the oracle, not the production path (sq2).
+    */
+  private val VerifyOnly = Set("sq3_ivf_cell_pairs_exact")
+
   private def time(f: => Unit): Double = {
     val t0 = System.nanoTime()
     f
@@ -71,7 +90,7 @@ object Bench {
     graft.ivf.IndexManager.ensure(spark, s"$sfDir/embeddings.parquet", "embedding"): Unit
     graft.ivf.Sq8Sidecar.ensure(spark, s"$sfDir/embeddings.parquet", "embedding")
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = SparkEntry.queries.keys.toSeq.filterNot(VerifyOnly).sorted
     // warmup pass: steady-state JIT/codegen/page-cache
     names.foreach { name =>
       try materialize(SparkEntry.queries(name)(spark, sfDir))
@@ -152,8 +171,14 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val resultMap = results.toMap
+    val headline = Headline.filter(resultMap.contains)
+    val hs = headline
+      .map(k => "\"" + k + "\":" + resultMap(k))
+      .mkString("{", ",", "}")
+    val headlineTotal = headline.map(resultMap).filter(_ >= 0).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","recall_at100_nprobe16":$recall,"cell_pair_recall_probe4":$cellPairRecall,"knn_join_recall_probe4":$knnJoinRecall}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline":$hs,"headline_total":$headlineTotal,"recall_at100_nprobe16":$recall,"cell_pair_recall_probe4":$cellPairRecall,"knn_join_recall_probe4":$knnJoinRecall}""")
     spark.stop()
   }
 }
