@@ -30,9 +30,10 @@ object Bench {
     */
   private val Headline = Seq(
     "q1_agg", "q3_join", "vq2_ivf_topk_exact", "vq7_sql_topk",
-    "vq8_cosine_ivf", "dq2_minhash_neardup", "dq3_simhash_neardup",
-    "dq8_dup_spans", "sq2_ivf_cell_pairs", "va2_ivf_knn_join",
-    "zq4_ivfsq8_topk", "st1_stream_hourly", "cq2_neardup_curation")
+    "vq8_cosine_ivf", "vq9_ivf_range", "dq2_minhash_neardup",
+    "dq3_simhash_neardup", "dq8_dup_spans", "sq2_ivf_cell_pairs",
+    "sd1_semdedup", "va2_ivf_knn_join", "zq4_ivfsq8_topk",
+    "st1_stream_hourly", "cq2_neardup_curation")
 
   /** Correctness-gate-only queries the bench skips: sq3 is the exhaustive-
     * probe EXACTNESS gate for the cell-pair machinery — O(n²) by

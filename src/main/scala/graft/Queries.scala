@@ -113,6 +113,23 @@ object Queries {
     s"""SELECT vec_id FROM embeddings
        |WHERE list_distance(embedding::FLOAT[], $duckVecLit) < 4.5 ORDER BY vec_id""".stripMargin
 
+  /** Index-accelerated range search: same predicate as vq4 but served from
+    * the IVF index with triangle-inequality cell pruning (per-cell radius
+    * sidecars). Unlike top-k, range pruning is LOSSLESS — no nprobe knob,
+    * exact at any radius — so vq9 shares vq4's oracle unconditionally.
+    */
+  def vq9IvfRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/embeddings.parquet"
+    IndexManager.ensure(spark, path, "embedding")
+    // backfill radius sidecars for indexes built before they existed;
+    // no-op when present (missing radii would still be exact, just unpruned)
+    ivf.IvfBuilder.ensureRadii(spark, path, "embedding")
+    VectorTopK
+      .rangeRows(spark, path, "embedding", queryVec, 4.5f)
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
   def vq5CosineTopk(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "embeddings")
       .orderBy(
@@ -571,6 +588,58 @@ object Queries {
       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       |WHERE list_cosine_similarity(a.embedding::FLOAT[], b.embedding::FLOAT[]) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Fixed 4×64 centroid matrix for the SemDeDup gate: multiples of 0.1 so
+    * the SQL literals round-trip to identical float32 bits in both engines
+    * (the queryVec trick, per centroid row). Deterministic and data-free —
+    * the oracle needs the SAME cell assignment expressible as SQL literals,
+    * which trained centroids can't be. The min assignment margin on the
+    * sf0.01 fixture is ~1.7e-3, orders above cross-engine float noise.
+    */
+  private val semCentroidK = 4
+  private val semCentroids: Array[Float] =
+    Array.tabulate(semCentroidK * 64) { i =>
+      val m = i / 64
+      val j = i % 64
+      (((j * 37 + m * 11) % 19) - 9) / 10.0f
+    }
+
+  /** SemDeDup (arXiv:2303.09540) over the embeddings table: k-means-cell-
+    * local cosine pruning with the deterministic id-dominance keep rule —
+    * a doc is dropped when a smaller-id doc in its cell is >= 0.4 cosine-
+    * similar. Cells come from the fixed [[semCentroids]] so the DuckDB
+    * oracle can recompute the identical assignment (argmin over 4 literal
+    * centroid distances; `<=` chains = first-minimum-wins, matching
+    * [[graft.functions.VectorKernels.nearestCentroid]]); the cell cap does
+    * not engage at fixture scale, so the operator output IS the dominance
+    * rule, hash-gated end to end.
+    */
+  def sd1SemDedup(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Dedup
+      .semDedup(t(spark, sfDir, "embeddings"), "vec_id", "embedding",
+        semCentroids, 64, threshold = 0.4)
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
+
+  val sd1Oracle: String = {
+    def cLit(m: Int): String =
+      (0 until 64)
+        .map(j => ((((j * 37 + m * 11) % 19) - 9) / 10.0f).toString)
+        .mkString("[", ", ", "]") + "::FLOAT[]"
+    val d = (0 until semCentroidK).map(m => s"list_distance(v, ${cLit(m)})")
+    s"""WITH cells AS (
+       |  SELECT vec_id, v,
+       |    CASE WHEN ${d(0)} <= ${d(1)} AND ${d(0)} <= ${d(2)} AND ${d(0)} <= ${d(3)} THEN 0
+       |         WHEN ${d(1)} <= ${d(2)} AND ${d(1)} <= ${d(3)} THEN 1
+       |         WHEN ${d(2)} <= ${d(3)} THEN 2 ELSE 3 END AS cell
+       |  FROM (SELECT vec_id, embedding::FLOAT[] AS v FROM embeddings))
+       |SELECT x.vec_id FROM cells x
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM cells y
+       |  WHERE y.cell = x.cell AND y.vec_id < x.vec_id
+       |    AND list_cosine_similarity(y.v, x.v) >= 0.4)
+       |ORDER BY x.vec_id""".stripMargin
+  }
 
   /** Exact duplicated-substring spans at 8-token-gram granularity
     * ([[ops.Dedup.duplicatedNgramSpans]] — the linear posting-list
@@ -1505,6 +1574,7 @@ object Queries {
     "vq2_ivf_topk_exact" -> (vq2IvfTopkExact _),
     "vq3_ivf_topk_filter" -> (vq3IvfTopkFilter _),
     "vq4_range_search" -> (vq4RangeSearch _),
+    "vq9_ivf_range" -> (vq9IvfRange _),
     "vq7_sql_topk" -> (vq7SqlTopk _),
     "vq8_cosine_ivf" -> (vq8CosineIvf _),
     "vq5_cosine_topk" -> (vq5CosineTopk _),
@@ -1531,6 +1601,7 @@ object Queries {
     "dq3_simhash_neardup" -> (dq3SimhashNearDup _),
     "dq4_invindex_neardup" -> (dq4InvIndexNearDup _),
     "dq5_embed_neardup" -> (dq5EmbedNearDup _),
+    "sd1_semdedup" -> (sd1SemDedup _),
     "dq6_hash_split" -> (dq6HashSplit _),
     "dq7_dup_clusters" -> (dq7DupClusters _),
     "dq8_dup_spans" -> (dq8DupSpans _),
@@ -1575,6 +1646,7 @@ object Queries {
     "vq2_ivf_topk_exact" -> vq1Oracle, // exhaustive probe == brute force
     "vq3_ivf_topk_filter" -> vq3Oracle,
     "vq4_range_search" -> vq4Oracle,
+    "vq9_ivf_range" -> vq4Oracle, // range pruning is lossless — same result
     "vq7_sql_topk" -> vq7Oracle,
     "vq8_cosine_ivf" -> vq8Oracle,
     "vq5_cosine_topk" -> vq5Oracle,
@@ -1602,6 +1674,7 @@ object Queries {
     "dq3_simhash_neardup" -> duckNearDupOracle,
     "dq4_invindex_neardup" -> duckNearDupOracle,
     "dq5_embed_neardup" -> dq5Oracle,
+    "sd1_semdedup" -> sd1Oracle,
     "sq3_ivf_cell_pairs_exact" -> sq3Oracle,
     "dq6_hash_split" -> dq6Oracle,
     "dq7_dup_clusters" -> dq7Oracle,

@@ -80,6 +80,50 @@ final class IndexStore(val dir: String) extends Serializable {
   def existsCodes(dataFile: String, column: String): Boolean =
     Files.exists(Paths.get(codesPath(dataFile, column)))
 
+  /** Per-cell radius sidecar for (data file, column): cell i's value is the
+    * max TRUE L2 distance from centroid i to its members — the triangle-
+    * inequality bound behind exact index-pruned RANGE search
+    * ([[graft.ivf.VectorTopK.rangeSearch]]). Tiny (4 bytes/cell) and
+    * OPTIONAL: readers without it fall back to probing every cell, which is
+    * still exact. Format: magic `GQR1` + nClusters:i32 LE + f32 LE × k.
+    */
+  def radiiPath(dataFile: String, column: String): String =
+    s"$dir/${key(dataFile, column)}.radii"
+
+  def writeRadii(dataFile: String, column: String, radii: Array[Float]): Unit = {
+    new File(dir).mkdirs()
+    val buf = java.nio.ByteBuffer
+      .allocate(4 + 4 + 4 * radii.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(IndexStore.RadiiMagic)
+    buf.putInt(radii.length)
+    radii.foreach(buf.putFloat)
+    val target = Paths.get(radiiPath(dataFile, column))
+    val tmp = Paths.get(target.toString + s".tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, buf.array())
+    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def loadRadii(dataFile: String, column: String): Option[Array[Float]] = {
+    val p = Paths.get(radiiPath(dataFile, column))
+    if (!Files.exists(p)) return None
+    val bytes = Files.readAllBytes(p)
+    if (bytes.length < 8) return None
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val magic = new Array[Byte](4)
+    buf.get(magic)
+    if (!magic.sameElements(IndexStore.RadiiMagic)) return None
+    val k = buf.getInt
+    if (k < 0 || bytes.length < 8 + 4 * k) return None
+    val radii = new Array[Float](k)
+    var i = 0
+    while (i < k) { radii(i) = buf.getFloat; i += 1 }
+    Some(radii)
+  }
+
+  def existsRadii(dataFile: String, column: String): Boolean =
+    Files.exists(Paths.get(radiiPath(dataFile, column)))
+
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
@@ -90,6 +134,8 @@ final class IndexStore(val dir: String) extends Serializable {
 }
 
 object IndexStore {
+  private[ivf] val RadiiMagic: Array[Byte] = "GQR1".getBytes("US-ASCII")
+
   /** Default writable cache dir (testdata is read-only). */
   def default: IndexStore =
     new IndexStore(sys.env.getOrElse("GRAFT_INDEX_DIR", "/root/repo/.graft/index"))

@@ -164,25 +164,83 @@ object IvfBuilder {
       .mapPartitions { it =>
         val cents = bcCentroids.value
         it.map { case (file, ri, vec) =>
-          (file, VectorKernels.nearestCentroid(vec, cents, dim), ri)
+          val cluster = VectorKernels.nearestCentroid(vec, cents, dim)
+          // distance via the SAME kernel the search paths use, so the stored
+          // radius bound dominates every query-side recomputation exactly
+          val cent = java.util.Arrays.copyOfRange(cents, cluster * dim, (cluster + 1) * dim)
+          (file, cluster, ri, VectorKernels.squaredL2(vec, cent))
         }
       }
       .groupByKey(_._1)
       .mapGroups { (file, rows) =>
         val lists = Array.fill(k)(new ArrayBuffer[Int]())
+        val maxDistSq = new Array[Float](k)
         var count = 0L
-        rows.foreach { case (_, cluster, ri) =>
+        rows.foreach { case (_, cluster, ri, distSq) =>
           lists(cluster) += ri.toInt
+          if (distSq > maxDistSq(cluster)) maxDistSq(cluster) = distSq
           count += 1L
         }
         val sorted = lists.map { l => val a = l.toArray; java.util.Arrays.sort(a); a }
         val index = IvfIndex(dim, k, bcCentroids.value, sorted)
         if (embed) ParquetFooterIndex.embedInPlace(file, column, index)
         else store.write(file, column, index)
+        // per-cell radius sidecar (true L2, rounded UP so the stored bound
+        // never understates a member's distance) — the triangle-inequality
+        // bound behind exact index-pruned range search
+        store.writeRadii(file, column,
+          maxDistSq.map(d => Math.nextUp(math.sqrt(d.toDouble).toFloat)))
         (file, count)
       }
       .collect()
       .toMap
+  }
+
+  /** Backfill the per-cell radius sidecars for files whose index predates
+    * them (or was built by the reference engine): one selective scan of the
+    * embedding column of ONLY the missing files, assignment under the
+    * stored centroids, per-cell max distance, sidecar write — the indexes
+    * themselves are untouched. No-op when every file already has radii.
+    */
+  def ensureRadii(
+      spark: SparkSession,
+      path: String,
+      column: String,
+      store: IndexStore = IndexStore.default): Unit = {
+    import spark.implicits._
+    val files = IndexManager.listFiles(spark, path)
+    val missing = files.filterNot(store.existsRadii(_, column))
+    if (missing.isEmpty) return
+    val existing = IndexManager.loadIndex(store, missing.head, column)
+    val bcCentroids = spark.sparkContext.broadcast(existing.centroids)
+    val dim = existing.dim
+    val k = existing.nClusters
+    spark.read
+      .parquet(path)
+      .select(
+        col("_metadata.file_path").as("_file"),
+        col(column).cast("array<float>").as("_vec"))
+      .where(col("_file").isin(missing: _*))
+      .as[(String, Array[Float])]
+      .mapPartitions { it =>
+        val cents = bcCentroids.value
+        it.map { case (file, vec) =>
+          val cluster = VectorKernels.nearestCentroid(vec, cents, dim)
+          val cent = java.util.Arrays.copyOfRange(cents, cluster * dim, (cluster + 1) * dim)
+          (file, cluster, VectorKernels.squaredL2(vec, cent))
+        }
+      }
+      .groupByKey(_._1)
+      .mapGroups { (file, rows) =>
+        val maxDistSq = new Array[Float](k)
+        rows.foreach { case (_, cluster, distSq) =>
+          if (distSq > maxDistSq(cluster)) maxDistSq(cluster) = distSq
+        }
+        store.writeRadii(file, column,
+          maxDistSq.map(d => Math.nextUp(math.sqrt(d.toDouble).toFloat)))
+        file
+      }
+      .collect(): Unit
   }
 
   /** Incremental extension: index only the table's UNINDEXED files, reusing

@@ -84,6 +84,47 @@ final case class IvfIndex(
   def candidateRowsCosine(query: Array[Float], nprobe: Int): Array[Int] =
     findClosestCentroidsCosine(query, nprobe).flatMap(invertedLists)
 
+  /** Cells that can possibly hold a member within `radius` (true L2) of
+    * `query`, by the triangle inequality: every member x of cell i satisfies
+    * `d(q, x) >= d(q, c_i) − radius_i`, so a cell with
+    * `d(q, c_i) > radius + radius_i` holds no in-range member and is pruned
+    * EXACTLY — range search over the surviving cells equals a full scan.
+    * `radii(i)` is cell i's max member-to-centroid distance (the sidecar
+    * [[IndexStore.loadRadii]] persists); `None` (no sidecar, e.g. a
+    * reference-built index) probes every non-empty cell, still exact. The
+    * small relative margin absorbs f32 rounding in the distance kernels so
+    * a boundary member is never lost to the last bit.
+    */
+  def rangeProbeCells(
+      query: Array[Float], radius: Float, radii: Option[Array[Float]]): Array[Int] = {
+    val bounds = radii match {
+      case Some(r) =>
+        require(
+          r.length == nClusters,
+          s"radii length ${r.length} != n_clusters $nClusters")
+        r
+      case None => null
+    }
+    val out = Array.newBuilder[Int]
+    var i = 0
+    while (i < nClusters) {
+      if (invertedLists(i).length > 0) {
+        if (bounds == null) out += i
+        else {
+          val off = i * dim
+          var sum = 0.0f
+          var j = 0
+          while (j < dim) { val d = query(j) - centroids(off + j); sum += d * d; j += 1 }
+          val dqc = math.sqrt(sum.toDouble)
+          val keep = radius.toDouble + bounds(i).toDouble
+          if (dqc <= keep * (1.0 + 1e-5) + 1e-6) out += i
+        }
+      }
+      i += 1
+    }
+    out.result()
+  }
+
   /** Number of candidates a probe would return, without materializing them —
     * the cheap first phase of the distributed `max_candidates` fairness cap.
     */

@@ -321,6 +321,115 @@ object VectorTopK {
     spark.createDataset(results).toDF("_file", "_ri", "_dist")
   }
 
+  /** RANGE search winner feed `(_file, _ri, _dist)`: all rows with
+    * `array_distance(vec, query) < radius`, served from the IVF index with
+    * EXACT per-cell pruning — cell i is read only when the triangle
+    * inequality admits an in-range member
+    * (`d(q, c_i) <= radius + maxMemberRadius_i`, see
+    * [[IvfIndex.rangeProbeCells]]), so IO scales with the in-range
+    * neighborhood, not the table. Unlike top-k, range pruning is LOSSLESS:
+    * the result equals the brute filter for any radius, no nprobe knob.
+    * Files without a radius sidecar (reference-built indexes) degrade to
+    * probing every cell of that file — still exact; run
+    * [[IvfBuilder.ensureRadii]] to backfill.
+    */
+  private def rangeWinners(
+      spark: SparkSession,
+      path: String,
+      column: String,
+      query: Seq[Float],
+      radius: Float,
+      store: IndexStore): DataFrame = {
+    import spark.implicits._
+    require(radius >= 0, s"radius must be >= 0, got $radius")
+    val files = IndexManager.listFiles(spark, path)
+    require(files.nonEmpty, s"no parquet files under $path")
+    val q = query.toArray
+    files.foreach { file =>
+      val (dim, _) = store.peek(file, column)
+        .orElse(ParquetFooterIndex.peek(file, column))
+        .getOrElse(throw new IllegalStateException(
+          s"no IVF index for file $file column '$column' — build one with IvfBuilder"))
+      require(dim == q.length, s"query dim ${q.length} != index dim $dim for $file")
+    }
+    val sc = spark.sparkContext
+    val slices = math.max(1, math.min(files.size, sc.defaultParallelism))
+    val colName = column
+    val r = radius
+    val results = sc.parallelize(files, slices).flatMap { file =>
+      val index = IndexManager.loadIndex(store, file, colName)
+      val radii = store.loadRadii(file, colName).filter(_.length == index.nClusters)
+      val cells = index.rangeProbeCells(q, r, radii)
+      val cands = cells.flatMap(index.invertedLists)
+      java.util.Arrays.sort(cands)
+      SelectiveFetch.embeddings(file, colName, cands).iterator.flatMap {
+        case (ri, vec) if vec.length == q.length =>
+          val d = math
+            .sqrt(graft.functions.VectorKernels.squaredL2(vec, q).toDouble)
+            .toFloat
+          if (d < r) Iterator.single((file, ri, d)) else Iterator.empty
+        case _ => Iterator.empty
+      }
+    }
+    spark.createDataset(results).toDF("_file", "_ri", "_dist")
+  }
+
+  /** Programmatic range search ([[SearchResult]] rows, distance ascending):
+    * every vector strictly within `radius` (true L2) of `query` — the
+    * radius-predicate analog of [[search]], exact at any radius.
+    */
+  def rangeSearch(
+      spark: SparkSession,
+      path: String,
+      column: String,
+      query: Seq[Float],
+      radius: Float,
+      store: IndexStore = IndexStore.default): Dataset[SearchResult] = {
+    import spark.implicits._
+    rangeWinners(spark, path, column, query, radius, store)
+      .select(col("_ri").as("row_idx"), col("_dist").as("distance"))
+      .orderBy(col("distance").asc_nulls_last, col("row_idx"))
+      .as[SearchResult]
+  }
+
+  /** Plan-integrated range search: full payload rows whose vector is
+    * strictly within `radius` of `query` — equivalent to
+    * `df.where(array_distance(col, query) < radius)` but reading only the
+    * cells the triangle-inequality bound admits, then only the winners'
+    * payload rows (the two-phase shape: in-range IO, not table IO).
+    */
+  def rangeRows(
+      spark: SparkSession,
+      path: String,
+      column: String,
+      query: Seq[Float],
+      radius: Float,
+      store: IndexStore = IndexStore.default): DataFrame = {
+    val winners = rangeWinners(spark, path, column, query, radius, store)
+      .select(col("_file"), col("_ri"))
+    // stats-driven broadcast like candidateScan: a degenerate radius can
+    // put most of the table in range, where broadcasting the key set OOMs
+    val files = IndexManager.listFiles(spark, path)
+    val est = store.load(files.head, column)
+      .orElse(ParquetFooterIndex.load(files.head, column))
+      .map { idx =>
+        val radii = store.loadRadii(files.head, column).filter(_.length == idx.nClusters)
+        idx.rangeProbeCells(query.toArray, radius, radii)
+          .map(idx.invertedLists(_).length.toLong).sum * files.size
+      }
+      .getOrElse(0L)
+    val estBytes = est * graft.plans.IvfCandidateScan.estRowBytes(files)
+    val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val winnerSide =
+      if (threshold >= 0 && estBytes * 2 <= threshold) broadcast(winners) else winners
+    val fetched = spark.read.parquet(path)
+      .withColumn("_file", col("_metadata.file_path"))
+      .withColumn("_ri", col("_metadata.row_index"))
+      .join(winnerSide, Seq("_file", "_ri"), "left_semi")
+      .drop("_file", "_ri")
+    meterFetch(spark, fetched)
+  }
+
   /** IVF-SQ8 phase 1+2 as a lazy `(_file, _ri, _dist)` feed of the
     * `k·oversample` refine survivors with EXACT distances:
     *

@@ -470,6 +470,52 @@ object Dedup {
       col(idCol) === col("_nonrep"),
       "left_anti")
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540): semantic
+    * dedup via CLUSTER-LOCAL cosine pruning — embeddings are k-means-
+    * partitioned into cells, pairwise similarity is computed only within a
+    * cell, and all but one member of each within-cell near-duplicate
+    * relation are dropped. Cluster-locality is what makes the paper's
+    * method web-scale: candidate generation is an equi-join on cell id
+    * (shuffle-partitioned by cell), never a corpus self-join.
+    *
+    * Keep rule (deterministic, join-expressible): a doc is DROPPED when
+    * some SMALLER-ID doc in its cell is cosine-similar at >= `threshold`.
+    * The paper keeps the member farthest from the cluster centroid per
+    * duplicate group; id-dominance is the deterministic variant of the
+    * same per-group keep-one (identical when a group is a clique, which
+    * near-identical embedding masses are), and it makes the operator
+    * expressible as one NOT EXISTS — how sd1 is oracle-gated in DuckDB.
+    *
+    * Scale guards inherited from [[Similarity.ivfCellPairs]]: null-vector
+    * rows (cell -1) pass through undropped, and cells over `maxCellSize`
+    * are second-key-refined / pivot-sampled instead of self-joined. Every
+    * emitted pair is threshold-verified, so a capped run only ever drops
+    * docs that genuinely have a smaller-id near-duplicate (drop PRECISION
+    * is exact); the cap concedes drop recall — some duplicates inside a
+    * degenerate mass survive — never correctness of what was dropped.
+    * Uncapped (cells within `maxCellSize`), the result is exactly the
+    * dominance rule.
+    */
+  def semDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Float],
+      dim: Int,
+      threshold: Double,
+      maxCellSize: Long = 4096L,
+      starPivots: Int = 16): DataFrame = {
+    // ivfCellPairs normalizes every within-cell pair to (min id, max id),
+    // so the dominated side of the dominance rule is exactly {id_b}
+    val dropped = Similarity
+      .ivfCellPairs(df, idCol, vecCol, centroids, dim, threshold,
+        probes = 1, maxCellSize = maxCellSize, starPivots = starPivots)
+      .select(col("id_b").as("_drop"))
+      .distinct()
+    df.join(dropped, col(idCol) === col("_drop"), "left_anti")
+  }
+
   /** Embedding near-duplicates: pairs with cosine similarity >= threshold.
     * This is the exact (quadratic) form for oracle-grade answers on bounded
     * inputs; [[graft.ops.Similarity.ivfCellPairs]] is the bucketed scale
