@@ -130,6 +130,25 @@ object Queries {
       .orderBy(col("vec_id"))
   }
 
+  /** SQL-transparent range search: the rule rewrites the WHERE-clause
+    * range predicate itself — no API call — into a cell-pruned semi-join
+    * (the original Filter stays and applies the exact predicate, so the
+    * rewrite is lossless by construction and shares vq4's oracle with no
+    * probe knob).
+    */
+  def vq10SqlRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/embeddings.parquet"
+    IndexManager.ensure(spark, path, "embedding")
+    ivf.IvfBuilder.ensureRadii(spark, path, "embedding")
+    Graft.install(spark)
+    spark.read.parquet(path).createOrReplaceTempView("graft_embeddings_range")
+    val vecLit = queryVec.map(v => s"${v}F").mkString("array(", ", ", ")")
+    spark.sql(
+      s"""SELECT vec_id FROM graft_embeddings_range
+         |WHERE array_distance(embedding, $vecLit) < 4.5
+         |ORDER BY vec_id""".stripMargin)
+  }
+
   def vq5CosineTopk(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "embeddings")
       .orderBy(
@@ -1575,6 +1594,7 @@ object Queries {
     "vq3_ivf_topk_filter" -> (vq3IvfTopkFilter _),
     "vq4_range_search" -> (vq4RangeSearch _),
     "vq9_ivf_range" -> (vq9IvfRange _),
+    "vq10_sql_range" -> (vq10SqlRange _),
     "vq7_sql_topk" -> (vq7SqlTopk _),
     "vq8_cosine_ivf" -> (vq8CosineIvf _),
     "vq5_cosine_topk" -> (vq5CosineTopk _),
@@ -1647,6 +1667,7 @@ object Queries {
     "vq3_ivf_topk_filter" -> vq3Oracle,
     "vq4_range_search" -> vq4Oracle,
     "vq9_ivf_range" -> vq4Oracle, // range pruning is lossless — same result
+    "vq10_sql_range" -> vq4Oracle, // rewrite keeps the exact Filter above
     "vq7_sql_topk" -> vq7Oracle,
     "vq8_cosine_ivf" -> vq8Oracle,
     "vq5_cosine_topk" -> vq5Oracle,

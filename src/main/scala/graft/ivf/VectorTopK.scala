@@ -374,6 +374,38 @@ object VectorTopK {
     spark.createDataset(results).toDF("_file", "_ri", "_dist")
   }
 
+  /** Range CANDIDATE feed for the SQL rewrite: `(_file, _ri)` of every
+    * member of every cell the triangle-inequality bound admits — a pure
+    * posting-list projection with NO embedding reads (the rewritten plan's
+    * untouched Filter recomputes the exact predicate on fetched rows via
+    * the codegen'd distance expression, so the feed only needs to be a
+    * superset of the in-range rows, which lossless cell pruning guarantees).
+    */
+  private[graft] def rangeCandidatesByFiles(
+      spark: SparkSession,
+      files: Seq[String],
+      column: String,
+      query: Seq[Float],
+      radius: Float,
+      store: IndexStore): DataFrame = {
+    import spark.implicits._
+    require(files.nonEmpty, "no parquet files to search")
+    require(radius >= 0, s"radius must be >= 0, got $radius")
+    val q = query.toArray
+    val sc = spark.sparkContext
+    val slices = math.max(1, math.min(files.size, sc.defaultParallelism))
+    val colName = column
+    val r = radius
+    val results = sc.parallelize(files, slices).flatMap { file =>
+      val index = IndexManager.loadIndex(store, file, colName)
+      val radii = store.loadRadii(file, colName).filter(_.length == index.nClusters)
+      index.rangeProbeCells(q, r, radii).iterator.flatMap { c =>
+        index.invertedLists(c).iterator.map(ri => (file, ri.toLong))
+      }
+    }
+    spark.createDataset(results).toDF("_file", "_ri")
+  }
+
   /** Programmatic range search ([[SearchResult]] rows, distance ascending):
     * every vector strictly within `radius` (true L2) of `query` — the
     * radius-predicate analog of [[search]], exact at any radius.

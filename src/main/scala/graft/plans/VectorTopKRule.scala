@@ -76,6 +76,28 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
             }
           case _ => limit
         }
+      // RANGE shape: `WHERE array_distance(col, literal) < radius` (any
+      // conjunct position, either comparison orientation, squared form
+      // accepted). The ORIGINAL Filter stays — the semi-join only prunes
+      // cells the triangle-inequality bound proves empty, the filter still
+      // applies the exact predicate to every fetched row. Lossless, so the
+      // rewrite needs no exactness knob at all.
+      case f @ Filter(cond, fchild)
+          if conf(RangeEnabledKey, "true") == "true" &&
+            f.getTagValue(RangeRewrittenTag).isEmpty =>
+        val res = for {
+          (attr, query, radius) <- extractRangePredicate(cond)
+          leaf <- findSingleParquetLeaf(fchild)
+          column <- leaf.output.find(_.exprId == attr.exprId).map(_.name)
+          rewritten <- buildRangePrunedLeaf(leaf, column, query, radius)
+        } yield {
+          val nf = f.copy(child = fchild.transformUp {
+            case l if l.eq(leaf.node) => rewritten
+          })
+          nf.setTagValue(RangeRewrittenTag, ())
+          nf: LogicalPlan
+        }
+        res.getOrElse(f)
     }
   }
 
@@ -288,6 +310,111 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // safety factor covers the first-file-scaled estimate under-counting
       if (threshold >= 0 && estBytes * 2 <= threshold) broadcast(candDf) else candDf
     }
+    graftSemiJoin(leaf, candSide)
+  }
+
+  /** Extract `(vector attribute, query literal, true-L2 radius)` from a
+    * range predicate conjunct: `array_distance(col, lit) < r` (or `<=`, or
+    * the flipped `r > dist` forms); the squared kernel bounds on `sqrt(r)`.
+    * Only the FIRST matching conjunct is used — one semi-join prunes, the
+    * untouched Filter applies everything (including that conjunct) exactly.
+    */
+  private def extractRangePredicate(
+      cond: Expression): Option[(Attribute, Array[Float], Float)] = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    def radiusOf(l: Literal): Option[Double] = l match {
+      case Literal(v: Float, FloatType) => Some(v.toDouble)
+      case Literal(v: Double, DoubleType) => Some(v)
+      case Literal(v: org.apache.spark.sql.types.Decimal, _) => Some(v.toDouble)
+      case Literal(v: Int, _) => Some(v.toDouble)
+      case Literal(v: Long, _) => Some(v.toDouble)
+      case _ => None
+    }
+    def distArgs(d: Expression): Option[(Attribute, Array[Float], Boolean)] =
+      stripCast(d) match {
+        case ArrayDistance(_, _) | ArraySquaredL2(_, _) =>
+          extractDistanceArgs(d).map { case (a, v, _) =>
+            (a, v, stripCast(d).isInstanceOf[ArraySquaredL2])
+          }
+        case _ => None
+      }
+    def combine(
+        d: Expression, lit: Literal): Option[(Attribute, Array[Float], Float)] =
+      for {
+        (attr, query, squared) <- distArgs(d)
+        r <- radiusOf(lit)
+        if r >= 0 && !r.isNaN && !r.isInfinite
+      } yield {
+        val trueL2 = if (squared) math.sqrt(r) else r
+        // round UP so the probe bound never undercuts the predicate
+        (attr, query, Math.nextUp(trueL2.toFloat))
+      }
+    split(cond).view.flatMap {
+      case LessThan(d, l: Literal) => combine(d, l)
+      case LessThanOrEqual(d, l: Literal) => combine(d, l)
+      case GreaterThan(l: Literal, d) => combine(d, l)
+      case GreaterThanOrEqual(l: Literal, d) => combine(d, l)
+      case _ => None
+    }.headOption
+  }
+
+  /** Range analog of [[buildPrunedLeaf]]: the candidate feed is every
+    * member of every cell the triangle-inequality bound admits
+    * ([[graft.ivf.IvfIndex.rangeProbeCells]]) — a pure posting-list
+    * projection, NO embedding reads in the feed at all; the untouched
+    * Filter above recomputes the exact predicate on the fetched rows via
+    * the codegen'd distance expression.
+    */
+  private def buildRangePrunedLeaf(
+      leaf: ParquetLeaf,
+      column: String,
+      query: Array[Float],
+      radius: Float): Option[LogicalPlan] = {
+    val files = leaf.inputFiles.map(IndexStore.canonicalPath).sorted
+    if (files.isEmpty) return None
+    val store = new IndexStore(conf(IndexDirKey, IndexStore.default.dir))
+    files.foreach { file =>
+      scala.util.Try(
+        store.peek(file, column).orElse(ParquetFooterIndex.peek(file, column)))
+        .toOption.flatten match {
+        case Some((dim, _)) if dim == query.length => ()
+        case _ => return None
+      }
+    }
+    val candDf = graft.ivf.VectorTopK
+      .rangeCandidatesByFiles(spark, files, column, query.toIndexedSeq, radius, store)
+      .toDF("__file", "__ri")
+    // broadcast-vs-shuffle from the first file's probed-cell volume
+    val est = {
+      val perFile = store.load(files.head, column)
+        .orElse(ParquetFooterIndex.load(files.head, column))
+        .map { idx =>
+          val radii = store.loadRadii(files.head, column)
+            .filter(_.length == idx.nClusters)
+          idx.rangeProbeCells(query, radius, radii)
+            .map(idx.invertedLists(_).length.toLong).sum
+        }
+        .getOrElse(0L)
+      perFile * files.size
+    }
+    val estBytes = est * IvfCandidateScan.estRowBytes(files)
+    val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val candSide =
+      if (threshold >= 0 && estBytes * 2 <= threshold) broadcast(candDf) else candDf
+    graftSemiJoin(leaf, candSide)
+  }
+
+  /** Shared tail of the rewrites: replace the parquet leaf with
+    * `V1 scan semi-join candidate feed`, re-optimize the injected subtree,
+    * and alias its output back to the original attribute ids so untouched
+    * parent operators still resolve.
+    */
+  private def graftSemiJoin(
+      leaf: ParquetLeaf,
+      candSide: org.apache.spark.sql.DataFrame): Option[LogicalPlan] = {
     val paths = leaf.rootPaths
     // the semi-join feed keys on `_metadata.file_path`/`row_index`, which
     // only the V1 file relation exposes — pin the INTERNAL subtree to the
@@ -347,8 +474,16 @@ object VectorTopKRule {
     */
   val TwoPhaseKey = "spark.graft.ivf.twoPhase"
 
+  /** Range-predicate rewrite master switch (lossless, so there is no
+    * exactness knob — this exists only to isolate plans when debugging).
+    */
+  val RangeEnabledKey = "spark.graft.ivf.rangeEnabled"
+
   /** Prevents re-matching the rewritten Sort on later rule iterations. */
   private[plans] val RewrittenTag = TreeNodeTag[Unit]("graft.ivf.rewritten")
+
+  /** Prevents re-matching a rewritten range Filter. */
+  private[plans] val RangeRewrittenTag = TreeNodeTag[Unit]("graft.ivf.rangeRewritten")
 
   /** Runtime installation on an existing session (no extensions config
     * needed): appends to `spark.experimental.extraOptimizations`.

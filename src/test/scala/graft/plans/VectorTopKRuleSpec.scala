@@ -248,4 +248,66 @@ class VectorTopKRuleSpec extends SparkSpec {
       assert(fired(df), df.queryExecution.optimizedPlan.toString)
     }
   }
+
+  private def vecLit: String = s"array(${Seq.fill(8)("0.5F").mkString(",")})"
+
+  private def sqlRange(pred: String): DataFrame =
+    spark.sql(s"SELECT id FROM graft_vecs WHERE $pred")
+
+  test("range WHERE rewrites to a pruned semi-join and stays exact") {
+    register()
+    withRule(nprobe = 8) {
+      val pred = s"array_distance(vec, $vecLit) < 0.55"
+      val df = sqlRange(pred)
+      assert(fired(df), df.queryExecution.optimizedPlan.toString)
+      spark.conf.set(VectorTopKRule.RangeEnabledKey, "false")
+      try {
+        val brute = sqlRange(pred)
+        assert(!fired(brute))
+        val expected = brute.collect().map(_.getLong(0)).sorted.toSeq
+        assert(expected.nonEmpty, "fixture radius catches no rows")
+        assert(df.collect().map(_.getLong(0)).sorted.toSeq == expected)
+      } finally spark.conf.unset(VectorTopKRule.RangeEnabledKey)
+    }
+  }
+
+  test("range rewrite fires for flipped, <=, squared, and conjunct forms") {
+    register()
+    withRule(nprobe = 8) {
+      val forms = Seq(
+        s"0.55 > array_distance(vec, $vecLit)",
+        s"array_distance(vec, $vecLit) <= 0.55",
+        s"array_squared_l2(vec, $vecLit) < 0.3",
+        s"label >= 0 AND array_distance(vec, $vecLit) < 0.55")
+      forms.foreach { pred =>
+        val df = sqlRange(pred)
+        assert(fired(df), s"$pred: ${df.queryExecution.optimizedPlan}")
+        spark.conf.set(VectorTopKRule.RangeEnabledKey, "false")
+        val brute = sqlRange(pred)
+        spark.conf.unset(VectorTopKRule.RangeEnabledKey)
+        assert(df.collect().map(_.getLong(0)).sorted.toSeq ==
+          brute.collect().map(_.getLong(0)).sorted.toSeq, pred)
+      }
+    }
+  }
+
+  test("no range rewrite for non-literal radius, upper bounds, or unindexed columns") {
+    register()
+    withRule(nprobe = 8) {
+      // radius from a column — not a constant bound
+      assert(!fired(sqlRange(s"array_distance(vec, $vecLit) < cast(label AS FLOAT)")))
+      // farthest-first has no triangle bound
+      assert(!fired(sqlRange(s"array_distance(vec, $vecLit) > 0.55")))
+      // unindexed table
+      import spark.implicits._
+      val plainDir = java.nio.file.Files.createTempDirectory("graft-rule-plain").toString
+      (0 until 20).map(i => (i.toLong, Seq.fill(8)(i.toFloat)))
+        .toDF("id", "vec")
+        .select(col("id"), col("vec").cast("array<float>").as("vec"))
+        .write.mode("overwrite").parquet(plainDir)
+      spark.read.parquet(plainDir).createOrReplaceTempView("graft_plain")
+      assert(!fired(spark.sql(
+        s"SELECT id FROM graft_plain WHERE array_distance(vec, $vecLit) < 0.5")))
+    }
+  }
 }
