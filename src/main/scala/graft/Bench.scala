@@ -33,7 +33,7 @@ object Bench {
     "vq8_cosine_ivf", "vq9_ivf_range", "dq2_minhash_neardup",
     "dq3_simhash_neardup", "dq8_dup_spans", "sq2_ivf_cell_pairs",
     "sd1_semdedup", "va2_ivf_knn_join", "zq4_ivfsq8_topk",
-    "st1_stream_hourly", "cq2_neardup_curation")
+    "zq5_ivfpq_topk", "st1_stream_hourly", "cq2_neardup_curation")
 
   /** Correctness-gate-only queries the bench skips: sq3 is the exhaustive-
     * probe EXACTNESS gate for the cell-pair machinery — O(n²) by
@@ -90,6 +90,7 @@ object Bench {
     // the queries themselves share the default store via ensure()
     graft.ivf.IndexManager.ensure(spark, s"$sfDir/embeddings.parquet", "embedding"): Unit
     graft.ivf.Sq8Sidecar.ensure(spark, s"$sfDir/embeddings.parquet", "embedding")
+    graft.ivf.PqSidecar.ensure(spark, s"$sfDir/embeddings.parquet", "embedding", m = 8)
 
     val names = SparkEntry.queries.keys.toSeq.filterNot(VerifyOnly).sorted
     // warmup pass: steady-state JIT/codegen/page-cache
@@ -114,8 +115,12 @@ object Bench {
       .searchQuantized(spark, path, "embedding", query, 100,
         graft.ivf.VectorTopK.Options(nprobe = 16), oversample = 4)
       .toDF()
+    def pqSearchK100() = graft.ivf.VectorTopK
+      .searchPq(spark, path, "embedding", query, 100,
+        graft.ivf.VectorTopK.Options(nprobe = 16), oversample = 4)
+      .toDF()
     materialize(bruteK100()); materialize(indexedK100()); materialize(searchK100()) // warm
-    materialize(sq8SearchK100())
+    materialize(sq8SearchK100()); materialize(pqSearchK100())
 
     val results: Seq[(String, Double)] = names.map { name =>
       name -> timeMin(materialize(SparkEntry.queries(name)(spark, sfDir)))
@@ -124,6 +129,7 @@ object Bench {
       "baseline_indexed_topk100_nprobe16" -> timeMin(materialize(indexedK100())),
       "baseline_search_selective_topk100_nprobe16" -> timeMin(materialize(searchK100())),
       "baseline_sq8_search_topk100_nprobe16" -> timeMin(materialize(sq8SearchK100())),
+      "baseline_pq_search_topk100_nprobe16" -> timeMin(materialize(pqSearchK100())),
       "index_build" -> indexBuild)
 
     // BASELINE.md protocol quality metric: Recall@100 vs brute force at

@@ -141,6 +141,9 @@ object Queries {
     IndexManager.ensure(spark, path, "embedding")
     ivf.IvfBuilder.ensureRadii(spark, path, "embedding")
     Graft.install(spark)
+    // the fixture radius is ~10%-selective but cell-wide — pin the
+    // selectivity bailout off so the gate always exercises the rewrite
+    spark.conf.set(plans.VectorTopKRule.RangeMaxSelectivityKey, "1.0")
     spark.read.parquet(path).createOrReplaceTempView("graft_embeddings_range")
     val vecLit = queryVec.map(v => s"${v}F").mkString("array(", ", ", ")")
     spark.sql(
@@ -273,6 +276,31 @@ object Queries {
       s"corpus of $corpusRows rows too large for the covering-oversample exactness gate")
     VectorTopK
       .indexedQuantized(spark, path, "embedding", queryVec, k,
+        VectorTopK.Options(nprobe = ti.nClusters), oversample = oversample.toInt)
+      .orderBy(distAsc("embedding"), col("vec_id"))
+      .select(col("vec_id"))
+  }
+
+  /** IVF-PQ top-k (m=8 subspaces → 8-byte codes, 32× under fp32): ADC
+    * coarse ranking + exact float refine, gated exactly like zq4 —
+    * exhaustive probe + covering oversample make the refine see every
+    * candidate in exact float space, so the result equals brute force
+    * REGARDLESS of codebook quality (what the covering gate isolates is the
+    * plumbing: sidecar IO, ADC table addressing, heap, refine ordinals).
+    * The ANN operating point is benched as baseline_pq_search.
+    */
+  def zq5IvfPqTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/embeddings.parquet"
+    val ti = IndexManager.ensure(spark, path, "embedding")
+    graft.ivf.PqSidecar.ensure(spark, path, "embedding", m = 8)
+    val k = 10
+    val corpusRows = spark.read.parquet(path).count()
+    val oversample = math.max(1L, (corpusRows + k - 1) / k)
+    require(
+      oversample <= Int.MaxValue,
+      s"corpus of $corpusRows rows too large for the covering-oversample exactness gate")
+    VectorTopK
+      .indexedPq(spark, path, "embedding", queryVec, k,
         VectorTopK.Options(nprobe = ti.nClusters), oversample = oversample.toInt)
       .orderBy(distAsc("embedding"), col("vec_id"))
       .select(col("vec_id"))
@@ -1603,6 +1631,7 @@ object Queries {
     "zq2_sq8_roundtrip" -> (zq2Sq8Roundtrip _),
     "zq3_sq8_refined_topk" -> (zq3Sq8RefinedTopk _),
     "zq4_ivfsq8_topk" -> (zq4IvfSq8Topk _),
+    "zq5_ivfpq_topk" -> (zq5IvfPqTopk _),
     "q1_agg" -> (q1Agg _),
     "q3_join" -> (q3Join _),
     "q5_region_revenue" -> (q5RegionRevenue _),
@@ -1676,6 +1705,7 @@ object Queries {
     "zq2_sq8_roundtrip" -> zq2Oracle,
     "zq3_sq8_refined_topk" -> vq1Oracle, // sq8 refine must recover exact top-k
     "zq4_ivfsq8_topk" -> vq1Oracle, // exhaustive probe + covering oversample
+    "zq5_ivfpq_topk" -> vq1Oracle, // same covering-exactness argument as zq4
 
     "va2_ivf_knn_join" -> vq6Oracle,
     "q1_agg" -> q1Oracle,

@@ -124,6 +124,15 @@ final class IndexStore(val dir: String) extends Serializable {
   def existsRadii(dataFile: String, column: String): Boolean =
     Files.exists(Paths.get(radiiPath(dataFile, column)))
 
+  /** PQ code-sidecar path for (data file, column) — `.pq` extension (see
+    * [[PqSidecar]] for the codec).
+    */
+  def pqPath(dataFile: String, column: String): String =
+    s"$dir/${key(dataFile, column)}.pq"
+
+  def existsPq(dataFile: String, column: String): Boolean =
+    Files.exists(Paths.get(pqPath(dataFile, column)))
+
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""

@@ -1,0 +1,204 @@
+package graft.ivf
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** PQ code sidecar: the product-quantized twin of a file's embedding column
+  * — `m` BYTES per row (vs `4·dim` for floats), dense in row-ordinal order
+  * for O(1) random access, with the table-shared codebook embedded so each
+  * sidecar is self-contained.
+  *
+  * Storage half of IVF-PQ search ([[VectorTopK.searchPq]]): coarse ranking
+  * reads `m` bytes per candidate and scores them with ADC table lookups;
+  * full-precision floats are touched only for the `k·oversample` refine
+  * survivors. At dim=64, m=8 this is a 32× coarse-IO reduction over floats
+  * (8× over SQ8).
+  *
+  * Layout (little-endian): `"GRAFTPQ1" | nRows i32 | cbLen i32 |
+  * codebook bytes ([[Pq.codebookBytes]]) | codes (nRows·m bytes)`.
+  * Writes are atomic (temp + rename), safe under speculative retries.
+  */
+object PqSidecar {
+
+  val Magic: Array[Byte] = "GRAFTPQ1".getBytes("UTF-8")
+  private val FixedHeaderLen = Magic.length + 8
+
+  def writeFile(path: String, cb: Pq.Codebook, codes: Array[Byte]): Unit = {
+    require(
+      codes.length % cb.m == 0,
+      s"codes length ${codes.length} not a multiple of m ${cb.m}")
+    val cbBytes = Pq.codebookBytes(cb)
+    val buf = ByteBuffer
+      .allocate(FixedHeaderLen + cbBytes.length + codes.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(Magic)
+    buf.putInt(codes.length / cb.m)
+    buf.putInt(cbBytes.length)
+    buf.put(cbBytes)
+    buf.put(codes)
+    val target = Paths.get(path)
+    Files.createDirectories(target.getParent)
+    val tmp = Paths.get(path + s".tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, buf.array())
+    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** (codebook, nRows, codes byte offset) — the codebook is small
+    * (≤ m·256·dsub floats) and read once per task.
+    */
+  def readHeader(path: String): (Pq.Codebook, Int, Long) = {
+    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+    try readHeader(ch, path) finally ch.close()
+  }
+
+  private def readHeader(ch: FileChannel, path: String): (Pq.Codebook, Int, Long) = {
+    val fixed = ByteBuffer.allocate(FixedHeaderLen).order(ByteOrder.LITTLE_ENDIAN)
+    while (fixed.hasRemaining && ch.read(fixed) >= 0) {}
+    require(!fixed.hasRemaining, s"truncated PQ sidecar $path")
+    fixed.flip()
+    val magic = new Array[Byte](Magic.length)
+    fixed.get(magic)
+    require(magic.sameElements(Magic), s"not a PQ sidecar: $path")
+    val nRows = fixed.getInt
+    val cbLen = fixed.getInt
+    require(nRows >= 0 && cbLen > 0, s"implausible PQ header in $path")
+    val cbBuf = ByteBuffer.allocate(cbLen)
+    var pos = FixedHeaderLen.toLong
+    while (cbBuf.hasRemaining) {
+      val n = ch.read(cbBuf, pos)
+      require(n >= 0, s"unexpected EOF reading PQ codebook in $path")
+      pos += n
+    }
+    (Pq.codebookFromBytes(cbBuf.array()), nRows, FixedHeaderLen.toLong + cbLen)
+  }
+
+  /** Codes of `ordinals` (sorted ascending, file-local), one positioned read
+    * per consecutive-ordinal run (same IO coalescing as [[Sq8Sidecar]]).
+    * Returns the codebook too so callers score without a second header read.
+    */
+  def readRows(path: String, ordinals: Array[Int]): (Pq.Codebook, Array[Array[Byte]]) = {
+    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+    try {
+      val (cb, nRows, codesOff) = readHeader(ch, path)
+      if (ordinals.isEmpty) return (cb, Array.empty)
+      require(
+        ordinals.last < nRows && ordinals.head >= 0,
+        s"ordinal out of range [0, $nRows) in $path")
+      val m = cb.m
+      val out = new Array[Array[Byte]](ordinals.length)
+      var i = 0
+      while (i < ordinals.length) {
+        var j = i
+        while (j + 1 < ordinals.length && ordinals(j + 1) == ordinals(j) + 1) j += 1
+        val run = ByteBuffer.allocate((j - i + 1) * m)
+        var pos = codesOff + ordinals(i).toLong * m
+        while (run.hasRemaining) {
+          val n = ch.read(run, pos)
+          require(n >= 0, s"unexpected EOF in $path")
+          pos += n
+        }
+        val bytes = run.array()
+        var r = i
+        while (r <= j) {
+          out(r) = java.util.Arrays.copyOfRange(bytes, (r - i) * m, (r - i + 1) * m)
+          r += 1
+        }
+        i = j + 1
+      }
+      (cb, out)
+    } finally ch.close()
+  }
+
+  /** Build the per-file PQ sidecars: ONE codebook trained on a driver-side
+    * bounded sample (the IVF build's sample discipline — table-shared, like
+    * the centroid set), then a distributed encode pass; the shuffle and the
+    * per-file buffer carry `m` bytes per row, and sidecars are written FROM
+    * THE EXECUTOR. `only` restricts the scan for incremental appends (the
+    * codebook still trains on the whole table so codes stay comparable).
+    */
+  def build(
+      spark: SparkSession,
+      path: String,
+      column: String,
+      m: Int,
+      store: IndexStore = IndexStore.default,
+      maxIters: Int = 20,
+      seed: Long = 42L,
+      only: Option[Seq[String]] = None): Map[String, Long] = {
+    import spark.implicits._
+    val all = spark.read
+      .parquet(path)
+      .select(
+        col("_metadata.file_path").as("_file"),
+        col("_metadata.row_index").as("_ri"),
+        col(column).cast("array<float>").as("_vec"))
+    val (n, dim) = IvfBuilder.validate(all, column)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+
+    // bounded training sample, deterministic (sorted before train)
+    val sampleSize = math.min(math.max(n / 20L, math.min(n, Pq.MaxK.toLong)), 100000L)
+    val samples: Array[Array[Float]] =
+      if (sampleSize >= n) {
+        all.sort("_file", "_ri").select("_vec").as[Array[Float]].collect()
+      } else {
+        val frac = math.min(1.0, (sampleSize.toDouble * 1.5) / n.toDouble)
+        val sampled = all
+          .sample(withReplacement = false, frac, seed)
+          .sort("_file", "_ri")
+          .select("_vec")
+          .as[Array[Float]]
+          .take(sampleSize.toInt)
+        if (sampled.nonEmpty) sampled
+        else all.sort("_file", "_ri").select("_vec").as[Array[Float]].take(sampleSize.toInt)
+      }
+    val cb = Pq.train(samples, m, maxIters, seed)
+    val bcCb = spark.sparkContext.broadcast(cb)
+
+    val vecs = only.fold(all)(fs => all.where(col("_file").isin(fs: _*)))
+    vecs
+      .as[(String, Long, Array[Float])]
+      .map { case (file, ri, vec) =>
+        require(
+          ri <= Int.MaxValue,
+          s"row ordinal $ri in $file exceeds the sidecar's 2^31 rows-per-file limit " +
+            "(header stores nRows as i32) — split the file")
+        (file, ri.toInt, Pq.encode(vec, bcCb.value))
+      }
+      .groupByKey(_._1)
+      .mapGroups { (file, rows) =>
+        val codebook = bcCb.value
+        val collected = rows.map { case (_, ri, c) => (ri, c) }.toArray
+        val codes = new Array[Byte](collected.length * codebook.m)
+        collected.foreach { case (ri, c) =>
+          System.arraycopy(c, 0, codes, ri * codebook.m, codebook.m)
+        }
+        writeFile(store.pqPath(file, column), codebook, codes)
+        (file, collected.length.toLong)
+      }
+      .collect()
+      .toMap
+  }
+
+  /** Build sidecars ONLY for files that lack one (idempotent, incremental).
+    * NOTE: an append-triggered build re-trains on the grown table; existing
+    * sidecars keep their original codebook (self-contained), so cross-file
+    * ADC stays valid per file — the refine phase re-ranks in exact float
+    * space, which is what guarantees cross-file comparability.
+    */
+  def ensure(
+      spark: SparkSession,
+      path: String,
+      column: String,
+      m: Int,
+      store: IndexStore = IndexStore.default): Unit = {
+    val missing = IndexManager.listFiles(spark, path)
+      .filterNot(f => store.existsPq(f, column))
+    if (missing.nonEmpty) {
+      build(spark, path, column, m, store, only = Some(missing)): Unit
+    }
+  }
+}

@@ -429,6 +429,12 @@ object VectorTopK {
     * `df.where(array_distance(col, query) < radius)` but reading only the
     * cells the triangle-inequality bound admits, then only the winners'
     * payload rows (the two-phase shape: in-range IO, not table IO).
+    *
+    * Selectivity note: point-read pruning wins when the radius is SELECTIVE
+    * (a small, localized in-range neighborhood). A radius that keeps most
+    * cells alive makes the vectorized full scan cheaper — the SQL rewrite
+    * bails out past `spark.graft.ivf.rangeMaxSelectivity` for exactly this
+    * reason; this API path trusts the caller's judgment.
     */
   def rangeRows(
       spark: SparkSession,
@@ -563,6 +569,147 @@ object VectorTopK {
         }
       }
     refined.toDF("_file", "_ri", "_dist")
+  }
+
+  /** IVF-PQ phase 1+2 as a lazy `(_file, _ri, _dist)` feed — the PQ twin of
+    * [[quantizedWinners]]: coarse ranks candidates by ADC (one `m × ksub`
+    * exact query-to-centroid table per task, then `m` byte lookups per
+    * candidate — coarse IO is `m` bytes/candidate, 32× under floats at
+    * m = dim/8), exact float refine of the `k·oversample` survivors.
+    */
+  private def pqWinners(
+      spark: SparkSession,
+      path: String,
+      column: String,
+      query: Seq[Float],
+      k: Int,
+      options: Options,
+      oversample: Int,
+      store: IndexStore): DataFrame = {
+    import spark.implicits._
+    require(k > 0, "k must be > 0")
+    require(oversample >= 1, "oversample must be >= 1")
+    val files = IndexManager.listFiles(spark, path)
+    require(files.nonEmpty, s"no parquet files under $path")
+    val q = query.toArray
+    files.foreach { file =>
+      val (dim, _) = store.peek(file, column)
+        .orElse(ParquetFooterIndex.peek(file, column))
+        .getOrElse(throw new IllegalStateException(
+          s"no IVF index for file $file column '$column' — build one with IvfBuilder"))
+      require(dim == q.length, s"query dim ${q.length} != index dim $dim for $file")
+      require(
+        store.existsPq(file, column),
+        s"no PQ sidecar for file $file column '$column' — build one with PqSidecar.build")
+    }
+    val sc = spark.sparkContext
+    val slices = math.max(1, math.min(files.size, sc.defaultParallelism))
+    val colName = column
+    val nprobe = options.nprobe
+    val keep = math.min(k.toLong * oversample, Int.MaxValue.toLong).toInt
+
+    val coarse = sc.parallelize(files, slices).flatMap { file =>
+      val index = IndexManager.loadIndex(store, file, colName)
+      val cands = index.candidateRows(q, nprobe)
+      java.util.Arrays.sort(cands)
+      val (cb, codes) = PqSidecar.readRows(store.pqPath(file, colName), cands)
+      require(
+        cb.dim == q.length,
+        s"query dim ${q.length} != PQ codebook dim ${cb.dim} for $file")
+      val table = Pq.adcTable(q, cb)
+      // bounded max-heap of the keep smallest (adc, ri); deterministic
+      // ordinal tie-break like the SQ8 path
+      val heap = new java.util.PriorityQueue[(Float, Int)](
+        math.max(1, math.min(keep, cands.length)),
+        (a: (Float, Int), b: (Float, Int)) => {
+          val c = java.lang.Float.compare(b._1, a._1)
+          if (c != 0) c else Integer.compare(b._2, a._2)
+        })
+      var i = 0
+      while (i < cands.length) {
+        val d = Pq.adcDistanceSq(table, codes(i), cb.ksub)
+        if (heap.size < keep) heap.add((d, cands(i)))
+        else {
+          val worst = heap.peek()
+          if (d < worst._1 || (d == worst._1 && cands(i) < worst._2)) {
+            heap.poll(); heap.add((d, cands(i)))
+          }
+        }
+        i += 1
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(String, Long, Float)](heap.size)
+      while (!heap.isEmpty) {
+        val (d, ri) = heap.poll()
+        out += ((file, ri.toLong, d))
+      }
+      out.iterator
+    }
+    val survivors = spark.createDataset(coarse).toDF("_file", "_ri", "_adc")
+      .orderBy(col("_adc"), col("_file"), col("_ri"))
+      .limit(keep)
+      .as[(String, Long, Float)]
+
+    val refined = survivors
+      .groupByKey(_._1)
+      .flatMapGroups { (file, rows) =>
+        val ordinals = rows.map(_._2.toInt).toArray.sorted
+        SelectiveFetch.embeddings(file, colName, ordinals).iterator.collect {
+          case (ri, vec) if vec.length == q.length =>
+            (file, ri,
+              math.sqrt(graft.functions.VectorKernels.squaredL2(vec, q).toDouble).toFloat)
+        }
+      }
+    refined.toDF("_file", "_ri", "_dist")
+  }
+
+  /** IVF-PQ programmatic search ([[SearchResult]] shape): ADC candidate
+    * ranking on `m`-byte product codes, exact float re-rank of the
+    * `k·oversample` survivors. Exact when `nprobe >= nClusters` AND
+    * `k·oversample` covers the candidate volume (every candidate survives
+    * coarse, refine is exact float space — ADC quality then only affects
+    * which EXTRA rows ride along); otherwise approximate with recall
+    * governed by (nprobe, oversample, codebook fit).
+    */
+  def searchPq(
+      spark: SparkSession,
+      path: String,
+      column: String,
+      query: Seq[Float],
+      k: Int,
+      options: Options = Options(),
+      oversample: Int = 8,
+      store: IndexStore = IndexStore.default): Dataset[SearchResult] = {
+    import spark.implicits._
+    pqWinners(spark, path, column, query, k, options, oversample, store)
+      .select(col("_ri").as("row_idx"), col("_dist").as("distance"))
+      .orderBy(col("distance").asc_nulls_last)
+      .limit(k)
+      .as[SearchResult]
+  }
+
+  /** IVF-PQ plan-integrated top-k: PQ winners → k-row payload broadcast
+    * semi-join (the [[indexedQuantized]] shape with `m`-byte coarse codes).
+    */
+  def indexedPq(
+      spark: SparkSession,
+      path: String,
+      column: String,
+      query: Seq[Float],
+      k: Int,
+      options: Options = Options(),
+      oversample: Int = 8,
+      store: IndexStore = IndexStore.default): DataFrame = {
+    val winners =
+      pqWinners(spark, path, column, query, k, options, oversample, store)
+        .orderBy(col("_dist").asc_nulls_last)
+        .limit(k)
+        .select(col("_file"), col("_ri"))
+    val fetched = spark.read.parquet(path)
+      .withColumn("_file", col("_metadata.file_path"))
+      .withColumn("_ri", col("_metadata.row_index"))
+      .join(broadcast(winners), Seq("_file", "_ri"), "left_semi")
+      .drop("_file", "_ri")
+    bruteForce(meterFetch(spark, fetched), column, query, k)
   }
 
   /** IVF-SQ8 programmatic search ([[SearchResult]] shape, like [[search]]):

@@ -387,19 +387,26 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val candDf = graft.ivf.VectorTopK
       .rangeCandidatesByFiles(spark, files, column, query.toIndexedSeq, radius, store)
       .toDF("__file", "__ri")
-    // broadcast-vs-shuffle from the first file's probed-cell volume
-    val est = {
-      val perFile = store.load(files.head, column)
+    // first-file estimate drives (a) the selectivity bailout — when the
+    // radius bound keeps most cells, the vectorized full scan beats the
+    // point-read fetch (index-vs-scan crossover; measured at sf0.1:
+    // a ~10%-selective radius runs 0.2 s brute vs 0.3-0.4 s pruned when
+    // pruning keeps most cells, see BENCHNOTES round-5) and (b) the
+    // broadcast-vs-shuffle choice
+    val (est, totalEst) = {
+      val first = store.load(files.head, column)
         .orElse(ParquetFooterIndex.load(files.head, column))
-        .map { idx =>
-          val radii = store.loadRadii(files.head, column)
-            .filter(_.length == idx.nClusters)
-          idx.rangeProbeCells(query, radius, radii)
-            .map(idx.invertedLists(_).length.toLong).sum
-        }
-        .getOrElse(0L)
-      perFile * files.size
+      val perFile = first.map { idx =>
+        val radii = store.loadRadii(files.head, column)
+          .filter(_.length == idx.nClusters)
+        idx.rangeProbeCells(query, radius, radii)
+          .map(idx.invertedLists(_).length.toLong).sum
+      }.getOrElse(0L)
+      val total = first.map(_.numRows).getOrElse(0L)
+      (perFile * files.size, total * files.size)
     }
+    val maxSelectivity = conf(RangeMaxSelectivityKey, "0.5").toDouble
+    if (totalEst > 0 && est.toDouble / totalEst > maxSelectivity) return None
     val estBytes = est * IvfCandidateScan.estRowBytes(files)
     val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
     val candSide =
@@ -478,6 +485,13 @@ object VectorTopKRule {
     * exactness knob — this exists only to isolate plans when debugging).
     */
   val RangeEnabledKey = "spark.graft.ivf.rangeEnabled"
+
+  /** Bail out of the range rewrite when the estimated candidate fraction
+    * exceeds this (first-file estimate): a barely-pruning radius makes the
+    * vectorized full scan cheaper than point-read fetch — the classic
+    * index-vs-scan selectivity crossover (BENCHNOTES round-5 measurement).
+    */
+  val RangeMaxSelectivityKey = "spark.graft.ivf.rangeMaxSelectivity"
 
   /** Prevents re-matching the rewritten Sort on later rule iterations. */
   private[plans] val RewrittenTag = TreeNodeTag[Unit]("graft.ivf.rewritten")

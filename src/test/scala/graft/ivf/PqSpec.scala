@@ -1,0 +1,152 @@
+package graft.ivf
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+import graft.functions.VectorKernels
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 8
+
+  private def sampleVecs(n: Int, seed: Int): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(n)(Array.fill(dim)(rnd.nextFloat()))
+  }
+
+  test("train is deterministic and encode/decode round-trips centroids") {
+    val samples = sampleVecs(300, 3)
+    val cb1 = Pq.train(samples, m = 4, seed = 7L)
+    val cb2 = Pq.train(samples, m = 4, seed = 7L)
+    assert(cb1.centroids.toSeq == cb2.centroids.toSeq)
+    assert(cb1.ksub == Pq.MaxK && cb1.dsub == 2)
+    // decode(encode(x)) is the per-subspace nearest centroid concatenation:
+    // re-encoding the decoded vector must be a fixed point
+    samples.take(20).foreach { v =>
+      val code = Pq.encode(v, cb1)
+      val dec = Pq.decode(code, cb1)
+      assert(Pq.encode(dec, cb1).toSeq == code.toSeq)
+    }
+  }
+
+  test("small sample clamps ksub below 256 and still works") {
+    val samples = sampleVecs(10, 5)
+    val cb = Pq.train(samples, m = 2)
+    assert(cb.ksub == 10)
+    samples.foreach { v =>
+      val code = Pq.encode(v, cb)
+      assert(code.forall(b => (b & 0xFF) < cb.ksub))
+      assert(Pq.decode(code, cb).length == dim)
+    }
+  }
+
+  test("ADC distance equals the direct distance to the decoded vector") {
+    val samples = sampleVecs(300, 11)
+    val cb = Pq.train(samples, m = 4, seed = 1L)
+    val q = sampleVecs(1, 99).head
+    val table = Pq.adcTable(q, cb)
+    samples.take(50).foreach { v =>
+      val code = Pq.encode(v, cb)
+      val adc = Pq.adcDistanceSq(table, code, cb.ksub)
+      // same per-subspace partial sums, same addition order → f32-identical
+      val direct = {
+        val dec = Pq.decode(code, cb)
+        var d = 0.0f
+        for (s <- 0 until cb.m) {
+          var ds = 0.0f
+          for (j <- 0 until cb.dsub) {
+            val t = q(s * cb.dsub + j) - dec(s * cb.dsub + j)
+            ds += t * t
+          }
+          d += ds
+        }
+        d
+      }
+      assert(adc == direct, s"adc $adc != direct $direct")
+    }
+  }
+
+  test("codebook bytes round-trip; sidecar write/read with run coalescing") {
+    val samples = sampleVecs(300, 17)
+    val cb = Pq.train(samples, m = 4, seed = 2L)
+    val back = Pq.codebookFromBytes(Pq.codebookBytes(cb))
+    assert(back == cb.copy(centroids = back.centroids)
+      && back.centroids.toSeq == cb.centroids.toSeq)
+
+    val codes = samples.flatMap(v => Pq.encode(v, cb))
+    val path = Files.createTempDirectory("graft-pq").toString + "/codes.pq"
+    PqSidecar.writeFile(path, cb, codes)
+    val (cbRead, nRows, _) = PqSidecar.readHeader(path)
+    assert(nRows == samples.length && cbRead.m == 4)
+    val wanted = Array(0, 1, 2, 57, 100, 299)
+    val (_, rows) = PqSidecar.readRows(path, wanted)
+    wanted.zipWithIndex.foreach { case (ri, i) =>
+      assert(rows(i).toSeq == Pq.encode(samples(ri), cb).toSeq, s"ordinal $ri")
+    }
+    intercept[IllegalArgumentException] {
+      PqSidecar.readRows(path, Array(300))
+    }
+  }
+
+  test("searchPq is exact at exhaustive probe + covering oversample") {
+    val dir = Files.createTempDirectory("graft-pq-data").toString
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 400).map(i => (i.toLong, Seq.fill(dim)(rnd.nextFloat())))
+    rows.toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+      .repartition(2)
+      .write.mode("overwrite").parquet(dir)
+    val store = new IndexStore(Files.createTempDirectory("graft-pq-store").toString)
+    val build = IvfBuilder.build(
+      spark, dir, IvfBuilder.Config("vec", nClusters = Some(5)), store)
+    PqSidecar.build(spark, dir, "vec", m = 4, store)
+
+    val q = Seq.fill(dim)(0.5f)
+    val k = 10
+    val got = VectorTopK
+      .searchPq(spark, dir, "vec", q, k,
+        VectorTopK.Options(nprobe = build.nClusters),
+        oversample = (400 + k - 1) / k, store = store)
+      .collect()
+    // brute twin through the SAME kernel (the codegen'd expression may
+    // differ in the last f32 bit from the unrolled kernel — ordering, not
+    // value, is the cross-path contract, and the oracle gates compare ids)
+    val brute = rows
+      .map { case (_, v) =>
+        math.sqrt(
+          VectorKernels.squaredL2(v.toArray, q.toArray).toDouble).toFloat
+      }
+      .sorted.take(k)
+    assert(got.length == k)
+    assert(got.map(_.distance).sorted.toSeq == brute)
+  }
+
+  test("ANN operating point: small oversample still recalls most of top-k") {
+    val dir = Files.createTempDirectory("graft-pq-ann").toString
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 400).map(i => (i.toLong, Seq.fill(dim)(rnd.nextFloat())))
+    rows.toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val store = new IndexStore(Files.createTempDirectory("graft-pq-ann-store").toString)
+    val build = IvfBuilder.build(
+      spark, dir, IvfBuilder.Config("vec", nClusters = Some(4)), store)
+    PqSidecar.build(spark, dir, "vec", m = 4, store)
+    val q = Seq.fill(dim)(0.5f)
+    // exhaustive probe isolates the ADC ranking quality from IVF recall
+    val approx = VectorTopK
+      .searchPq(spark, dir, "vec", q, 10,
+        VectorTopK.Options(nprobe = build.nClusters), oversample = 4, store = store)
+      .collect().map(_.row_idx).toSet
+    val vecsById = rows.map { case (id, v) => id -> v.toArray }.toMap
+    val exact = rows
+      .map { case (id, _) => id -> VectorKernels.squaredL2(vecsById(id), q.toArray) }
+      .sortBy(_._2).take(10).map(_._1).toSet
+    val recall = (approx intersect exact).size / 10.0
+    assert(recall >= 0.7, s"PQ@oversample=4 recall $recall")
+  }
+}

@@ -32,10 +32,14 @@ class VectorTopKRuleSpec extends SparkSpec {
     graft.Graft.install(spark)
     spark.conf.set(VectorTopKRule.IndexDirKey, storeDir)
     spark.conf.set(VectorTopKRule.NprobeKey, nprobe.toString)
+    // range tests assert plan shape — pin the selectivity bailout off so
+    // firing is a function of the predicate, not the random fixture
+    spark.conf.set(VectorTopKRule.RangeMaxSelectivityKey, "1.0")
     try body
     finally {
       spark.conf.set(VectorTopKRule.EnabledKey, "true")
       spark.conf.unset(VectorTopKRule.NprobeKey)
+      spark.conf.unset(VectorTopKRule.RangeMaxSelectivityKey)
     }
   }
 
@@ -288,6 +292,18 @@ class VectorTopKRuleSpec extends SparkSpec {
         assert(df.collect().map(_.getLong(0)).sorted.toSeq ==
           brute.collect().map(_.getLong(0)).sorted.toSeq, pred)
       }
+    }
+  }
+
+  test("selectivity bailout: a barely-pruning radius keeps the plain scan") {
+    register()
+    withRule(nprobe = 8) {
+      // radius covering everything → candidate fraction 1.0 > 0.5 default
+      spark.conf.set(VectorTopKRule.RangeMaxSelectivityKey, "0.5")
+      val wide = sqlRange(s"array_distance(vec, $vecLit) < 100.0")
+      assert(!fired(wide), wide.queryExecution.optimizedPlan.toString)
+      // and the result is still the plain-filter answer
+      assert(wide.count() == 200)
     }
   }
 
