@@ -306,6 +306,30 @@ object Queries {
       .select(col("vec_id"))
   }
 
+  /** Residual IVF-PQ (IVF-ADC, the faiss IndexIVFPQ convention): codes
+    * quantize `vec − cellCentroid`, the ADC table rebuilds per probed cell
+    * from `query − cellCentroid` — same covering-exactness gate as zq5,
+    * exercising the residual encode path, the per-cell table addressing,
+    * and the .pqr sidecar variant end to end.
+    */
+  def zq6IvfPqResidualTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/embeddings.parquet"
+    val ti = IndexManager.ensure(spark, path, "embedding")
+    graft.ivf.PqSidecar.ensure(spark, path, "embedding", m = 8, residual = true)
+    val k = 10
+    val corpusRows = spark.read.parquet(path).count()
+    val oversample = math.max(1L, (corpusRows + k - 1) / k)
+    require(
+      oversample <= Int.MaxValue,
+      s"corpus of $corpusRows rows too large for the covering-oversample exactness gate")
+    VectorTopK
+      .indexedPq(spark, path, "embedding", queryVec, k,
+        VectorTopK.Options(nprobe = ti.nClusters), oversample = oversample.toInt,
+        residual = true)
+      .orderBy(distAsc("embedding"), col("vec_id"))
+      .select(col("vec_id"))
+  }
+
   /** Brute-force k-NN join: for each query vector (vec_id < 5), its top-3
     * neighbors. The query side is tiny => broadcast; the big side streams.
     */
@@ -1632,6 +1656,7 @@ object Queries {
     "zq3_sq8_refined_topk" -> (zq3Sq8RefinedTopk _),
     "zq4_ivfsq8_topk" -> (zq4IvfSq8Topk _),
     "zq5_ivfpq_topk" -> (zq5IvfPqTopk _),
+    "zq6_ivfpq_residual_topk" -> (zq6IvfPqResidualTopk _),
     "q1_agg" -> (q1Agg _),
     "q3_join" -> (q3Join _),
     "q5_region_revenue" -> (q5RegionRevenue _),
@@ -1706,6 +1731,7 @@ object Queries {
     "zq3_sq8_refined_topk" -> vq1Oracle, // sq8 refine must recover exact top-k
     "zq4_ivfsq8_topk" -> vq1Oracle, // exhaustive probe + covering oversample
     "zq5_ivfpq_topk" -> vq1Oracle, // same covering-exactness argument as zq4
+    "zq6_ivfpq_residual_topk" -> vq1Oracle, // covering exactness, residual path
 
     "va2_ivf_knn_join" -> vq6Oracle,
     "q1_agg" -> q1Oracle,

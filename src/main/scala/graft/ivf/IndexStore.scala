@@ -124,14 +124,15 @@ final class IndexStore(val dir: String) extends Serializable {
   def existsRadii(dataFile: String, column: String): Boolean =
     Files.exists(Paths.get(radiiPath(dataFile, column)))
 
-  /** PQ code-sidecar path for (data file, column) — `.pq` extension (see
-    * [[PqSidecar]] for the codec).
+  /** PQ code-sidecar path for (data file, column) — `.pq` extension, or
+    * `.pqr` for the residual (IVF-ADC) variant so both codebooks can
+    * coexist for one column (see [[PqSidecar]] for the codec).
     */
-  def pqPath(dataFile: String, column: String): String =
-    s"$dir/${key(dataFile, column)}.pq"
+  def pqPath(dataFile: String, column: String, residual: Boolean = false): String =
+    s"$dir/${key(dataFile, column)}.${if (residual) "pqr" else "pq"}"
 
-  def existsPq(dataFile: String, column: String): Boolean =
-    Files.exists(Paths.get(pqPath(dataFile, column)))
+  def existsPq(dataFile: String, column: String, residual: Boolean = false): Boolean =
+    Files.exists(Paths.get(pqPath(dataFile, column, residual)))
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {

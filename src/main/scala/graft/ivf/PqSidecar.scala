@@ -18,16 +18,29 @@ import org.apache.spark.sql.functions._
   * survivors. At dim=64, m=8 this is a 32× coarse-IO reduction over floats
   * (8× over SQ8).
   *
-  * Layout (little-endian): `"GRAFTPQ1" | nRows i32 | cbLen i32 |
+  * Layout (little-endian): `"GRAFTPQ1" | nRows i32 | flags i32 | cbLen i32 |
   * codebook bytes ([[Pq.codebookBytes]]) | codes (nRows·m bytes)`.
+  * `flags` bit 0 = RESIDUAL: codes quantize `vec − cellCentroid` (IVF-ADC,
+  * the faiss `IndexIVFPQ` convention) and search must build its ADC table
+  * from `query − cellCentroid` per probed cell.
   * Writes are atomic (temp + rename), safe under speculative retries.
   */
 object PqSidecar {
 
-  val Magic: Array[Byte] = "GRAFTPQ1".getBytes("UTF-8")
-  private val FixedHeaderLen = Magic.length + 8
+  // "2": the flags field was added before any release of the "1" layout;
+  // readers treat a bad magic as sidecar-absent, so pre-flags files are
+  // transparently rebuilt by ensure() rather than misparsed
+  val Magic: Array[Byte] = "GRAFTPQ2".getBytes("UTF-8")
+  private val FixedHeaderLen = Magic.length + 12
 
-  def writeFile(path: String, cb: Pq.Codebook, codes: Array[Byte]): Unit = {
+  val FlagResidual = 1
+
+  /** Immutable view of a sidecar's header. */
+  final case class Header(cb: Pq.Codebook, nRows: Int, flags: Int, codesOffset: Long) {
+    def residual: Boolean = (flags & FlagResidual) != 0
+  }
+
+  def writeFile(path: String, cb: Pq.Codebook, codes: Array[Byte], flags: Int = 0): Unit = {
     require(
       codes.length % cb.m == 0,
       s"codes length ${codes.length} not a multiple of m ${cb.m}")
@@ -37,6 +50,7 @@ object PqSidecar {
       .order(ByteOrder.LITTLE_ENDIAN)
     buf.put(Magic)
     buf.putInt(codes.length / cb.m)
+    buf.putInt(flags)
     buf.putInt(cbBytes.length)
     buf.put(cbBytes)
     buf.put(codes)
@@ -47,15 +61,12 @@ object PqSidecar {
     Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** (codebook, nRows, codes byte offset) — the codebook is small
-    * (≤ m·256·dsub floats) and read once per task.
-    */
-  def readHeader(path: String): (Pq.Codebook, Int, Long) = {
+  def readHeader(path: String): Header = {
     val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
     try readHeader(ch, path) finally ch.close()
   }
 
-  private def readHeader(ch: FileChannel, path: String): (Pq.Codebook, Int, Long) = {
+  private def readHeader(ch: FileChannel, path: String): Header = {
     val fixed = ByteBuffer.allocate(FixedHeaderLen).order(ByteOrder.LITTLE_ENDIAN)
     while (fixed.hasRemaining && ch.read(fixed) >= 0) {}
     require(!fixed.hasRemaining, s"truncated PQ sidecar $path")
@@ -64,6 +75,7 @@ object PqSidecar {
     fixed.get(magic)
     require(magic.sameElements(Magic), s"not a PQ sidecar: $path")
     val nRows = fixed.getInt
+    val flags = fixed.getInt
     val cbLen = fixed.getInt
     require(nRows >= 0 && cbLen > 0, s"implausible PQ header in $path")
     val cbBuf = ByteBuffer.allocate(cbLen)
@@ -73,18 +85,22 @@ object PqSidecar {
       require(n >= 0, s"unexpected EOF reading PQ codebook in $path")
       pos += n
     }
-    (Pq.codebookFromBytes(cbBuf.array()), nRows, FixedHeaderLen.toLong + cbLen)
+    Header(
+      Pq.codebookFromBytes(cbBuf.array()), nRows, flags, FixedHeaderLen.toLong + cbLen)
   }
 
   /** Codes of `ordinals` (sorted ascending, file-local), one positioned read
     * per consecutive-ordinal run (same IO coalescing as [[Sq8Sidecar]]).
-    * Returns the codebook too so callers score without a second header read.
+    * Returns the header too so callers score without a second header read.
     */
-  def readRows(path: String, ordinals: Array[Int]): (Pq.Codebook, Array[Array[Byte]]) = {
+  def readRows(path: String, ordinals: Array[Int]): (Header, Array[Array[Byte]]) = {
     val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
     try {
-      val (cb, nRows, codesOff) = readHeader(ch, path)
-      if (ordinals.isEmpty) return (cb, Array.empty)
+      val header = readHeader(ch, path)
+      val cb = header.cb
+      val nRows = header.nRows
+      val codesOff = header.codesOffset
+      if (ordinals.isEmpty) return (header, Array.empty)
       require(
         ordinals.last < nRows && ordinals.head >= 0,
         s"ordinal out of range [0, $nRows) in $path")
@@ -109,7 +125,7 @@ object PqSidecar {
         }
         i = j + 1
       }
-      (cb, out)
+      (header, out)
     } finally ch.close()
   }
 
@@ -128,7 +144,8 @@ object PqSidecar {
       store: IndexStore = IndexStore.default,
       maxIters: Int = 20,
       seed: Long = 42L,
-      only: Option[Seq[String]] = None): Map[String, Long] = {
+      only: Option[Seq[String]] = None,
+      residual: Boolean = false): Map[String, Long] = {
     import spark.implicits._
     val all = spark.read
       .parquet(path)
@@ -139,9 +156,26 @@ object PqSidecar {
     val (n, dim) = IvfBuilder.validate(all, column)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
 
+    // residual (IVF-ADC) mode quantizes vec − cellCentroid under the
+    // table-shared IVF centroids — the index must already exist
+    val centroids: Array[Float] =
+      if (!residual) null
+      else {
+        val files = IndexManager.listFiles(spark, path)
+        files.foreach(f => require(
+          store.exists(f, column) || ParquetFooterIndex.peek(f, column).isDefined,
+          s"residual PQ needs an IVF index for every file — none for $f"))
+        IndexManager.loadIndex(store, files.head, column).centroids
+      }
+    def toResidual(vec: Array[Float], cents: Array[Float]): Array[Float] = {
+      val cell = graft.functions.VectorKernels.nearestCentroid(vec, cents, dim)
+      Pq.residual(
+        vec, java.util.Arrays.copyOfRange(cents, cell * dim, (cell + 1) * dim))
+    }
+
     // bounded training sample, deterministic (sorted before train)
     val sampleSize = math.min(math.max(n / 20L, math.min(n, Pq.MaxK.toLong)), 100000L)
-    val samples: Array[Array[Float]] =
+    val rawSamples: Array[Array[Float]] =
       if (sampleSize >= n) {
         all.sort("_file", "_ri").select("_vec").as[Array[Float]].collect()
       } else {
@@ -155,8 +189,12 @@ object PqSidecar {
         if (sampled.nonEmpty) sampled
         else all.sort("_file", "_ri").select("_vec").as[Array[Float]].take(sampleSize.toInt)
       }
+    val samples =
+      if (residual) rawSamples.map(toResidual(_, centroids)) else rawSamples
     val cb = Pq.train(samples, m, maxIters, seed)
     val bcCb = spark.sparkContext.broadcast(cb)
+    val bcCents = spark.sparkContext.broadcast(centroids)
+    val flags = if (residual) FlagResidual else 0
 
     val vecs = only.fold(all)(fs => all.where(col("_file").isin(fs: _*)))
     vecs
@@ -166,7 +204,9 @@ object PqSidecar {
           ri <= Int.MaxValue,
           s"row ordinal $ri in $file exceeds the sidecar's 2^31 rows-per-file limit " +
             "(header stores nRows as i32) — split the file")
-        (file, ri.toInt, Pq.encode(vec, bcCb.value))
+        val target =
+          if (bcCents.value == null) vec else toResidual(vec, bcCents.value)
+        (file, ri.toInt, Pq.encode(target, bcCb.value))
       }
       .groupByKey(_._1)
       .mapGroups { (file, rows) =>
@@ -176,7 +216,7 @@ object PqSidecar {
         collected.foreach { case (ri, c) =>
           System.arraycopy(c, 0, codes, ri * codebook.m, codebook.m)
         }
-        writeFile(store.pqPath(file, column), codebook, codes)
+        writeFile(store.pqPath(file, column, residual = flags != 0), codebook, codes, flags)
         (file, collected.length.toLong)
       }
       .collect()
@@ -189,16 +229,26 @@ object PqSidecar {
     * ADC stays valid per file — the refine phase re-ranks in exact float
     * space, which is what guarantees cross-file comparability.
     */
+  /** A sidecar is usable when present AND parseable with the wanted
+    * variant flag — a stale (old-format) or wrong-variant file counts as
+    * missing and gets rebuilt instead of failing mid-search.
+    */
+  private def usable(store: IndexStore, f: String, column: String, residual: Boolean): Boolean =
+    store.existsPq(f, column, residual) &&
+      scala.util.Try(readHeader(store.pqPath(f, column, residual)))
+        .toOption.exists(_.residual == residual)
+
   def ensure(
       spark: SparkSession,
       path: String,
       column: String,
       m: Int,
-      store: IndexStore = IndexStore.default): Unit = {
+      store: IndexStore = IndexStore.default,
+      residual: Boolean = false): Unit = {
     val missing = IndexManager.listFiles(spark, path)
-      .filterNot(f => store.existsPq(f, column))
+      .filterNot(f => usable(store, f, column, residual))
     if (missing.nonEmpty) {
-      build(spark, path, column, m, store, only = Some(missing)): Unit
+      build(spark, path, column, m, store, only = Some(missing), residual = residual): Unit
     }
   }
 }

@@ -153,10 +153,16 @@ object VectorTopK {
 
   /** Wrap in the fetch-metering node (`embeddings_fetched` /
     * `batches_fetched` SQLMetrics, post-filter like the reference).
+    * Installs the planner strategy first (idempotent): a MeteredFetch node
+    * in a session where no candidate-scan path ran yet would otherwise hit
+    * "No plan for MeteredFetch" at planning time — the order-dependent
+    * zq6 Verify failure.
     */
-  private def meterFetch(spark: SparkSession, df: DataFrame): DataFrame =
+  private def meterFetch(spark: SparkSession, df: DataFrame): DataFrame = {
+    graft.Graft.installStrategy(spark)
     org.apache.spark.sql.graft.Bridge.ofRows(
       spark, graft.plans.MeteredFetch(df.queryExecution.analyzed))
+  }
 
   /** Index-accelerated top-k over a Parquet table.
     *
@@ -585,7 +591,8 @@ object VectorTopK {
       k: Int,
       options: Options,
       oversample: Int,
-      store: IndexStore): DataFrame = {
+      store: IndexStore,
+      residual: Boolean): DataFrame = {
     import spark.implicits._
     require(k > 0, "k must be > 0")
     require(oversample >= 1, "oversample must be >= 1")
@@ -599,43 +606,75 @@ object VectorTopK {
           s"no IVF index for file $file column '$column' — build one with IvfBuilder"))
       require(dim == q.length, s"query dim ${q.length} != index dim $dim for $file")
       require(
-        store.existsPq(file, column),
-        s"no PQ sidecar for file $file column '$column' — build one with PqSidecar.build")
+        store.existsPq(file, column, residual),
+        s"no ${if (residual) "residual " else ""}PQ sidecar for file $file column " +
+          s"'$column' — build one with PqSidecar.build")
     }
     val sc = spark.sparkContext
     val slices = math.max(1, math.min(files.size, sc.defaultParallelism))
     val colName = column
     val nprobe = options.nprobe
     val keep = math.min(k.toLong * oversample, Int.MaxValue.toLong).toInt
+    val wantResidual = residual
 
     val coarse = sc.parallelize(files, slices).flatMap { file =>
       val index = IndexManager.loadIndex(store, file, colName)
-      val cands = index.candidateRows(q, nprobe)
-      java.util.Arrays.sort(cands)
-      val (cb, codes) = PqSidecar.readRows(store.pqPath(file, colName), cands)
+      val sidecar = store.pqPath(file, colName, wantResidual)
+      val header = PqSidecar.readHeader(sidecar)
+      require(
+        header.residual == wantResidual,
+        s"PQ sidecar variant mismatch for $file (flags=${header.flags})")
+      val cb = header.cb
       require(
         cb.dim == q.length,
         s"query dim ${q.length} != PQ codebook dim ${cb.dim} for $file")
-      val table = Pq.adcTable(q, cb)
       // bounded max-heap of the keep smallest (adc, ri); deterministic
       // ordinal tie-break like the SQ8 path
       val heap = new java.util.PriorityQueue[(Float, Int)](
-        math.max(1, math.min(keep, cands.length)),
+        math.max(1, keep),
         (a: (Float, Int), b: (Float, Int)) => {
           val c = java.lang.Float.compare(b._1, a._1)
           if (c != 0) c else Integer.compare(b._2, a._2)
         })
-      var i = 0
-      while (i < cands.length) {
-        val d = Pq.adcDistanceSq(table, codes(i), cb.ksub)
-        if (heap.size < keep) heap.add((d, cands(i)))
+      def push(d: Float, ri: Int): Unit = {
+        if (heap.size < keep) heap.add((d, ri))
         else {
           val worst = heap.peek()
-          if (d < worst._1 || (d == worst._1 && cands(i) < worst._2)) {
-            heap.poll(); heap.add((d, cands(i)))
+          if (d < worst._1 || (d == worst._1 && ri < worst._2)) {
+            heap.poll(); heap.add((d, ri)): Unit
           }
         }
-        i += 1
+      }
+      if (header.residual) {
+        // IVF-ADC: codes quantize vec − cellCentroid, so the ADC table is
+        // per probed cell, built from query − cellCentroid (exact identity
+        // ‖q − x‖² = ‖(q − c) − (x − c)‖² — no approximation added); each
+        // posting list is ascending, so the per-cell read still coalesces
+        val dim = index.dim
+        index.findClosestCentroids(q, nprobe).foreach { cell =>
+          val ords = index.invertedLists(cell)
+          if (ords.nonEmpty) {
+            val (_, codes) = PqSidecar.readRows(sidecar, ords)
+            val cent = java.util.Arrays
+              .copyOfRange(index.centroids, cell * dim, (cell + 1) * dim)
+            val table = Pq.adcTable(Pq.residual(q, cent), cb)
+            var i = 0
+            while (i < ords.length) {
+              push(Pq.adcDistanceSq(table, codes(i), cb.ksub), ords(i))
+              i += 1
+            }
+          }
+        }
+      } else {
+        val cands = index.candidateRows(q, nprobe)
+        java.util.Arrays.sort(cands)
+        val (_, codes) = PqSidecar.readRows(sidecar, cands)
+        val table = Pq.adcTable(q, cb)
+        var i = 0
+        while (i < cands.length) {
+          push(Pq.adcDistanceSq(table, codes(i), cb.ksub), cands(i))
+          i += 1
+        }
       }
       val out = new scala.collection.mutable.ArrayBuffer[(String, Long, Float)](heap.size)
       while (!heap.isEmpty) {
@@ -678,9 +717,10 @@ object VectorTopK {
       k: Int,
       options: Options = Options(),
       oversample: Int = 8,
-      store: IndexStore = IndexStore.default): Dataset[SearchResult] = {
+      store: IndexStore = IndexStore.default,
+      residual: Boolean = false): Dataset[SearchResult] = {
     import spark.implicits._
-    pqWinners(spark, path, column, query, k, options, oversample, store)
+    pqWinners(spark, path, column, query, k, options, oversample, store, residual)
       .select(col("_ri").as("row_idx"), col("_dist").as("distance"))
       .orderBy(col("distance").asc_nulls_last)
       .limit(k)
@@ -698,9 +738,10 @@ object VectorTopK {
       k: Int,
       options: Options = Options(),
       oversample: Int = 8,
-      store: IndexStore = IndexStore.default): DataFrame = {
+      store: IndexStore = IndexStore.default,
+      residual: Boolean = false): DataFrame = {
     val winners =
-      pqWinners(spark, path, column, query, k, options, oversample, store)
+      pqWinners(spark, path, column, query, k, options, oversample, store, residual)
         .orderBy(col("_dist").asc_nulls_last)
         .limit(k)
         .select(col("_file"), col("_ri"))

@@ -79,8 +79,8 @@ class PqSpec extends SparkSpec {
     val codes = samples.flatMap(v => Pq.encode(v, cb))
     val path = Files.createTempDirectory("graft-pq").toString + "/codes.pq"
     PqSidecar.writeFile(path, cb, codes)
-    val (cbRead, nRows, _) = PqSidecar.readHeader(path)
-    assert(nRows == samples.length && cbRead.m == 4)
+    val header = PqSidecar.readHeader(path)
+    assert(header.nRows == samples.length && header.cb.m == 4 && !header.residual)
     val wanted = Array(0, 1, 2, 57, 100, 299)
     val (_, rows) = PqSidecar.readRows(path, wanted)
     wanted.zipWithIndex.foreach { case (ri, i) =>
@@ -122,6 +122,61 @@ class PqSpec extends SparkSpec {
       .sorted.take(k)
     assert(got.length == k)
     assert(got.map(_.distance).sorted.toSeq == brute)
+  }
+
+  test("residual (IVF-ADC) build: exact under covering, better codes than raw") {
+    val dir = Files.createTempDirectory("graft-pqr-data").toString
+    val rnd = new scala.util.Random(31)
+    // clustered data: residual coding should shine (cells far apart, tight
+    // within-cell spread the residual codebook can spend its entries on)
+    val rows = (0 until 400).map { i =>
+      val center = (i % 4) * 8.0f
+      (i.toLong, Seq.tabulate(dim)(j => center + rnd.nextFloat()))
+    }
+    rows.toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val store = new IndexStore(Files.createTempDirectory("graft-pqr-store").toString)
+    val build = IvfBuilder.build(
+      spark, dir, IvfBuilder.Config("vec", nClusters = Some(4)), store)
+    PqSidecar.build(spark, dir, "vec", m = 4, store, residual = true)
+    PqSidecar.build(spark, dir, "vec", m = 4, store, residual = false)
+    val files = IndexManager.listFiles(spark, dir)
+    assert(PqSidecar.readHeader(store.pqPath(files.head, "vec", residual = true)).residual)
+
+    val q = Seq.tabulate(dim)(_ => 8.5f) // near cluster 1
+    val k = 10
+    // covering oversample → exact, regardless of codebook
+    val got = VectorTopK
+      .searchPq(spark, dir, "vec", q, k,
+        VectorTopK.Options(nprobe = build.nClusters),
+        oversample = (400 + k - 1) / k, store = store, residual = true)
+      .collect()
+    val brute = rows
+      .map { case (_, v) =>
+        math.sqrt(VectorKernels.squaredL2(v.toArray, q.toArray).toDouble).toFloat
+      }
+      .sorted.take(k)
+    assert(got.map(_.distance).sorted.toSeq == brute)
+
+    // coarse-quality comparison at tiny oversample: residual ADC must rank
+    // at least as well as raw ADC on clustered data
+    def recallAt(residual: Boolean): Double = {
+      val ids = VectorTopK
+        .searchPq(spark, dir, "vec", q, k,
+          VectorTopK.Options(nprobe = build.nClusters),
+          oversample = 2, store = store, residual = residual)
+        .collect().map(_.row_idx).toSet
+      val exact = rows
+        .map { case (id, v) => id -> VectorKernels.squaredL2(v.toArray, q.toArray) }
+        .sortBy(_._2).take(k).map(_._1).toSet
+      (ids intersect exact).size.toDouble / k
+    }
+    val rRes = recallAt(residual = true)
+    val rRaw = recallAt(residual = false)
+    assert(rRes >= rRaw, s"residual recall $rRes < raw recall $rRaw")
+    assert(rRes >= 0.8, s"residual recall $rRes")
   }
 
   test("ANN operating point: small oversample still recalls most of top-k") {
