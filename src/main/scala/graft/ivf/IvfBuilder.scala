@@ -37,13 +37,28 @@ object IvfBuilder {
   /** `warmStart`: optional flat (k × dim) centroid matrix — Lloyd refines
     * these instead of re-seeding k-means++ (k is then taken from the
     * matrix). Used by [[extendOrRetrain]]'s retrain path.
+    *
+    * `distributedIters`: full-corpus Lloyd iterations AFTER the driver-
+    * sample training. The sample (≤100k rows) seeds well but can misplace
+    * centroids when the corpus is far larger than the sample — each
+    * distributed iteration re-assigns EVERY vector (broadcast centroids,
+    * map-side partial sums, `treeAggregate` merge) and recomputes means, so
+    * centroid quality converges on the true distribution while the driver
+    * only ever holds one k×dim accumulator. 0 (default) = reference
+    * behavior, sample-only. Index EXACTNESS is unaffected either way
+    * (probes are exhaustive-correct under any centroids); this moves the
+    * recall/candidate-volume curve at production nprobe. Centroids are
+    * deterministic for a fixed file layout (fixed partitioning →
+    * fixed merge tree); re-sharding the input may move results by float
+    * rounding.
     */
   final case class Config(
       column: String,
       nClusters: Option[Int] = None,
       maxIters: Int = 20,
       seed: Long = 42L,
-      warmStart: Option[Array[Float]] = None)
+      warmStart: Option[Array[Float]] = None,
+      distributedIters: Int = 0)
 
   final case class BuildResult(
       files: Map[String, Long], // data file -> rows indexed
@@ -138,11 +153,73 @@ object IvfBuilder {
       System.arraycopy(trainRows(r), 0, flat, r * dim, dim)
       r += 1
     }
-    val centroids = KMeans.fit(
+    val seeded = KMeans.fit(
       flat, dim, KMeans.Params(k, config.maxIters, config.seed, config.warmStart))
+    val centroids =
+      if (config.distributedIters <= 0) seeded
+      else lloydDistributed(spark, vecs, seeded, dim, k, config.distributedIters)
 
     val written = assignAndWrite(spark, vecs, config.column, centroids, dim, k, store, embed)
     BuildResult(written, dim, k, centroids)
+  }
+
+  /** Full-corpus Lloyd iterations: one linear pass per iteration —
+    * broadcast centroids, per-partition (sum, count) accumulators,
+    * `treeAggregate` merge (driver receives ONE k×dim double matrix, never
+    * per-partition partials) — then the mean update on the driver. Empty
+    * cells keep their previous centroid (standard Lloyd practice; k-means++
+    * seeding makes them rare). This is the scale path past sample-only
+    * training: cost is `iters` corpus scans, driver state is O(k·dim).
+    */
+  private[ivf] def lloydDistributed(
+      spark: SparkSession,
+      vecs: DataFrame,
+      seed: Array[Float],
+      dim: Int,
+      k: Int,
+      iters: Int): Array[Float] = {
+    import spark.implicits._
+    var cents = seed
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val zero = (new Array[Double](k * dim), new Array[Long](k))
+      val (sums, counts) = vecs
+        .select(col("_vec"))
+        .as[Array[Float]]
+        .rdd
+        .treeAggregate(zero)(
+          seqOp = { case ((s, n), v) =>
+            val c = VectorKernels.nearestCentroid(v, bc.value, dim)
+            n(c) += 1L
+            var j = 0
+            while (j < dim) { s(c * dim + j) += v(j); j += 1 }
+            (s, n)
+          },
+          combOp = { case ((s1, n1), (s2, n2)) =>
+            var i = 0
+            while (i < s1.length) { s1(i) += s2(i); i += 1 }
+            i = 0
+            while (i < n1.length) { n1(i) += n2(i); i += 1 }
+            (s1, n1)
+          })
+      bc.destroy()
+      val next = cents.clone()
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0L) {
+          var j = 0
+          while (j < dim) {
+            next(c * dim + j) = (sums(c * dim + j) / counts(c)).toFloat
+            j += 1
+          }
+        }
+        c += 1
+      }
+      cents = next
+      it += 1
+    }
+    cents
   }
 
   /** Distributed assignment + per-file inverted lists + executor-side write

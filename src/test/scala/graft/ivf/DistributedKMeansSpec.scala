@@ -1,0 +1,88 @@
+package graft.ivf
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+import graft.functions.VectorKernels
+
+class DistributedKMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 8
+
+  private def writeCorpus(n: Int, seed: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    val dir = Files.createTempDirectory("graft-dkm").toString
+    (0 until n).map { i =>
+      val center = (i % 5) * 3.0f
+      (i.toLong, Seq.tabulate(dim)(_ => center + rnd.nextFloat()))
+    }.toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def vecsOf(dir: String): DataFrame =
+    spark.read.parquet(dir).select(col("vec").cast("array<float>").as("_vec"))
+
+  /** Within-cluster SSE of `cents` over the full corpus. */
+  private def sse(dir: String, cents: Array[Float], k: Int): Double =
+    vecsOf(dir).as[Array[Float]].collect().map { v =>
+      val c = VectorKernels.nearestCentroid(v, cents, dim)
+      VectorKernels
+        .squaredL2(v, java.util.Arrays.copyOfRange(cents, c * dim, (c + 1) * dim))
+        .toDouble
+    }.sum
+
+  test("distributed Lloyd never increases full-corpus SSE over the sample seed") {
+    val dir = writeCorpus(2000, 41)
+    val store0 = new IndexStore(Files.createTempDirectory("graft-dkm-s0").toString)
+    val store1 = new IndexStore(Files.createTempDirectory("graft-dkm-s1").toString)
+    val sampleOnly = IvfBuilder.build(
+      spark, dir, IvfBuilder.Config("vec", nClusters = Some(10)), store0)
+    val refined = IvfBuilder.build(
+      spark, dir,
+      IvfBuilder.Config("vec", nClusters = Some(10), distributedIters = 5), store1)
+    val sseSample = sse(dir, sampleOnly.centroids, 10)
+    val sseRefined = sse(dir, refined.centroids, 10)
+    assert(
+      sseRefined <= sseSample * (1.0 + 1e-9),
+      s"refined SSE $sseRefined > sample SSE $sseSample")
+    // the index built from refined centroids is still a valid partition of
+    // all rows (exactness never depended on centroid quality)
+    val files = IndexManager.listFiles(spark, dir)
+    val total = files
+      .map(f => IndexManager.loadIndex(store1, f, "vec").numRows).sum
+    assert(total == 2000L)
+  }
+
+  test("empty cells keep their previous centroid") {
+    val dir = writeCorpus(300, 43)
+    // a seed with one absurd centroid no vector will choose
+    val far = Array.fill(dim)(1e6f)
+    val near = (0 until 4).flatMap(c => Array.fill(dim)(c * 3.0f + 0.5f)).toArray
+    val seed = near ++ far
+    val vecs = vecsOf(dir)
+    val out = IvfBuilder.lloydDistributed(spark, vecs, seed, dim, 5, iters = 2)
+    assert(
+      java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(out, 4 * dim, 5 * dim),
+        far),
+      "empty cell's centroid must pass through unchanged")
+    // the live centroids moved toward their data
+    assert(!java.util.Arrays.equals(java.util.Arrays.copyOfRange(out, 0, dim), seed.take(dim)))
+  }
+
+  test("deterministic for a fixed file layout") {
+    val dir = writeCorpus(800, 47)
+    val vecs = vecsOf(dir)
+    val seed = (0 until 6).flatMap(c => Array.fill(dim)(c * 2.0f)).toArray
+    val a = IvfBuilder.lloydDistributed(spark, vecs, seed, dim, 6, iters = 3)
+    val b = IvfBuilder.lloydDistributed(spark, vecs, seed, dim, 6, iters = 3)
+    assert(a.toSeq == b.toSeq)
+  }
+}
