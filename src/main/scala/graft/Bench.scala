@@ -119,12 +119,23 @@ object Bench {
       .searchPq(spark, path, "embedding", query, 100,
         graft.ivf.VectorTopK.Options(nprobe = 16), oversample = 4)
       .toDF()
+    val queryResults: Seq[(String, Double)] = names.map { name =>
+      name -> timeMin(materialize(SparkEntry.queries(name)(spark, sfDir)))
+    }
+
+    // The query pass installed the SQL rewrite rule and left NprobeKey
+    // pinned session-wide (vq7/vq8 set it) — with the rule live,
+    // bruteK100's orderBy+limit is EXACTLY its match shape, so "brute"
+    // would silently time the indexed winner feed (and Recall.atK's brute
+    // side would go approximate, corrupting recall_at100). Disable the
+    // rewrite for the baseline + recall sections: the API paths below
+    // build their plans directly and never needed it.
+    spark.conf.set(graft.plans.VectorTopKRule.EnabledKey, "false")
+    spark.conf.unset(graft.plans.VectorTopKRule.NprobeKey)
     materialize(bruteK100()); materialize(indexedK100()); materialize(searchK100()) // warm
     materialize(sq8SearchK100()); materialize(pqSearchK100())
 
-    val results: Seq[(String, Double)] = names.map { name =>
-      name -> timeMin(materialize(SparkEntry.queries(name)(spark, sfDir)))
-    } ++ Seq(
+    val results: Seq[(String, Double)] = queryResults ++ Seq(
       "baseline_brute_topk100" -> timeMin(materialize(bruteK100())),
       "baseline_indexed_topk100_nprobe16" -> timeMin(materialize(indexedK100())),
       "baseline_search_selective_topk100_nprobe16" -> timeMin(materialize(searchK100())),

@@ -38,6 +38,25 @@ object Queries {
     */
   private def cents(c: Column): Column = round(c * 100).cast("bigint")
 
+  private val corpusRowsCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Oversample making `k·oversample` cover the whole corpus — the
+    * covering-exactness gate shared by zq4/zq5/zq6. The row count is
+    * derived from the actual table (so the assumption is checked where it
+    * is made, not silently broken at a larger sf) and cached per path:
+    * the bench re-invokes query functions per timed rep, and a count job
+    * per rep would bill setup, not the operator under test.
+    */
+  private def coveringOversample(spark: SparkSession, path: String, k: Int): Int = {
+    val corpusRows =
+      corpusRowsCache.getOrElseUpdate(path, spark.read.parquet(path).count())
+    val oversample = math.max(1L, (corpusRows + k - 1) / k)
+    require(
+      oversample <= Int.MaxValue,
+      s"corpus of $corpusRows rows too large for the covering-oversample exactness gate")
+    oversample.toInt
+  }
+
   // ---------------------------------------------------------------- vector
 
   def vq1BruteTopk(spark: SparkSession, sfDir: String): DataFrame =
@@ -141,15 +160,22 @@ object Queries {
     IndexManager.ensure(spark, path, "embedding")
     ivf.IvfBuilder.ensureRadii(spark, path, "embedding")
     Graft.install(spark)
-    // the fixture radius is ~10%-selective but cell-wide — pin the
-    // selectivity bailout off so the gate always exercises the rewrite
-    spark.conf.set(plans.VectorTopKRule.RangeMaxSelectivityKey, "1.0")
     spark.read.parquet(path).createOrReplaceTempView("graft_embeddings_range")
     val vecLit = queryVec.map(v => s"${v}F").mkString("array(", ", ", ")")
-    spark.sql(
+    val df = spark.sql(
       s"""SELECT vec_id FROM graft_embeddings_range
          |WHERE array_distance(embedding, $vecLit) < 4.5
          |ORDER BY vec_id""".stripMargin)
+    // the fixture radius is ~10%-selective but cell-wide — pin the
+    // selectivity bailout off so the gate always exercises the rewrite,
+    // and RESTORE it before returning (the optimized plan memoizes inside
+    // df's QueryExecution, so forcing optimization under the pin is enough;
+    // leaving the conf set would disable the bailout for every later query
+    // in the session, including vq4's brute baseline)
+    spark.conf.set(plans.VectorTopKRule.RangeMaxSelectivityKey, "1.0")
+    try df.queryExecution.optimizedPlan
+    finally spark.conf.unset(plans.VectorTopKRule.RangeMaxSelectivityKey)
+    df
   }
 
   def vq5CosineTopk(spark: SparkSession, sfDir: String): DataFrame =
@@ -269,14 +295,10 @@ object Queries {
     // derive it from the actual row count so the assumption is checked where
     // it is made instead of silently going approximate at a larger sf
     val k = 10
-    val corpusRows = spark.read.parquet(path).count()
-    val oversample = math.max(1L, (corpusRows + k - 1) / k)
-    require(
-      oversample <= Int.MaxValue,
-      s"corpus of $corpusRows rows too large for the covering-oversample exactness gate")
+    val oversample = coveringOversample(spark, path, k)
     VectorTopK
       .indexedQuantized(spark, path, "embedding", queryVec, k,
-        VectorTopK.Options(nprobe = ti.nClusters), oversample = oversample.toInt)
+        VectorTopK.Options(nprobe = ti.nClusters), oversample = oversample)
       .orderBy(distAsc("embedding"), col("vec_id"))
       .select(col("vec_id"))
   }
@@ -294,14 +316,10 @@ object Queries {
     val ti = IndexManager.ensure(spark, path, "embedding")
     graft.ivf.PqSidecar.ensure(spark, path, "embedding", m = 8)
     val k = 10
-    val corpusRows = spark.read.parquet(path).count()
-    val oversample = math.max(1L, (corpusRows + k - 1) / k)
-    require(
-      oversample <= Int.MaxValue,
-      s"corpus of $corpusRows rows too large for the covering-oversample exactness gate")
+    val oversample = coveringOversample(spark, path, k)
     VectorTopK
       .indexedPq(spark, path, "embedding", queryVec, k,
-        VectorTopK.Options(nprobe = ti.nClusters), oversample = oversample.toInt)
+        VectorTopK.Options(nprobe = ti.nClusters), oversample = oversample)
       .orderBy(distAsc("embedding"), col("vec_id"))
       .select(col("vec_id"))
   }
@@ -317,14 +335,10 @@ object Queries {
     val ti = IndexManager.ensure(spark, path, "embedding")
     graft.ivf.PqSidecar.ensure(spark, path, "embedding", m = 8, residual = true)
     val k = 10
-    val corpusRows = spark.read.parquet(path).count()
-    val oversample = math.max(1L, (corpusRows + k - 1) / k)
-    require(
-      oversample <= Int.MaxValue,
-      s"corpus of $corpusRows rows too large for the covering-oversample exactness gate")
+    val oversample = coveringOversample(spark, path, k)
     VectorTopK
       .indexedPq(spark, path, "embedding", queryVec, k,
-        VectorTopK.Options(nprobe = ti.nClusters), oversample = oversample.toInt,
+        VectorTopK.Options(nprobe = ti.nClusters), oversample = oversample,
         residual = true)
       .orderBy(distAsc("embedding"), col("vec_id"))
       .select(col("vec_id"))

@@ -36,6 +36,33 @@ object VectorKernels {
   def l2Distance(a: Array[Float], b: Array[Float]): Float =
     math.sqrt(squaredL2(a, b).toDouble).toFloat
 
+  /** [[squaredL2]] of `a` against `b(bOff ... bOff + a.length)` — the SAME
+    * 4-way-unrolled accumulation order, so the result is bit-identical to
+    * `squaredL2(a, copyOfRange(b, bOff, bOff + a.length))` without the
+    * per-call allocation. Used by the index build's radius pass, whose
+    * stored bound must dominate every query-side [[squaredL2]]
+    * recomputation exactly.
+    */
+  def squaredL2Offset(a: Array[Float], b: Array[Float], bOff: Int): Float = {
+    val len = a.length
+    var sum = 0.0f
+    var i = 0
+    while (i + 4 <= len) {
+      val d0 = a(i) - b(bOff + i)
+      val d1 = a(i + 1) - b(bOff + i + 1)
+      val d2 = a(i + 2) - b(bOff + i + 2)
+      val d3 = a(i + 3) - b(bOff + i + 3)
+      sum += d0 * d0 + d1 * d1 + d2 * d2 + d3 * d3
+      i += 4
+    }
+    while (i < len) {
+      val d = a(i) - b(bOff + i)
+      sum += d * d
+      i += 1
+    }
+    sum
+  }
+
   def dot(a: Array[Float], b: Array[Float]): Float = {
     val len = a.length
     var sum = 0.0f

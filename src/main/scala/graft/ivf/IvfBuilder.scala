@@ -242,10 +242,11 @@ object IvfBuilder {
         val cents = bcCentroids.value
         it.map { case (file, ri, vec) =>
           val cluster = VectorKernels.nearestCentroid(vec, cents, dim)
-          // distance via the SAME kernel the search paths use, so the stored
-          // radius bound dominates every query-side recomputation exactly
-          val cent = java.util.Arrays.copyOfRange(cents, cluster * dim, (cluster + 1) * dim)
-          (file, cluster, ri, VectorKernels.squaredL2(vec, cent))
+          // distance via the SAME accumulation order as the search kernel,
+          // so the stored radius bound dominates every query-side
+          // recomputation exactly (nearestCentroid's internal sum has a
+          // different f32 order and must NOT be reused for the bound)
+          (file, cluster, ri, VectorKernels.squaredL2Offset(vec, cents, cluster * dim))
         }
       }
       .groupByKey(_._1)
@@ -303,8 +304,7 @@ object IvfBuilder {
         val cents = bcCentroids.value
         it.map { case (file, vec) =>
           val cluster = VectorKernels.nearestCentroid(vec, cents, dim)
-          val cent = java.util.Arrays.copyOfRange(cents, cluster * dim, (cluster + 1) * dim)
-          (file, cluster, VectorKernels.squaredL2(vec, cent))
+          (file, cluster, VectorKernels.squaredL2Offset(vec, cents, cluster * dim))
         }
       }
       .groupByKey(_._1)

@@ -89,29 +89,34 @@ object PqSidecar {
       Pq.codebookFromBytes(cbBuf.array()), nRows, flags, FixedHeaderLen.toLong + cbLen)
   }
 
-  /** Codes of `ordinals` (sorted ascending, file-local), one positioned read
-    * per consecutive-ordinal run (same IO coalescing as [[Sq8Sidecar]]).
-    * Returns the header too so callers score without a second header read.
+  /** Open-once reader: holds the channel and the parsed header so repeated
+    * `rows()` calls (one per probed cell in residual search) don't reopen
+    * the file and re-deserialize the codebook each time. Not thread-safe;
+    * one per task.
     */
-  def readRows(path: String, ordinals: Array[Int]): (Header, Array[Array[Byte]]) = {
-    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
-    try {
-      val header = readHeader(ch, path)
-      val cb = header.cb
-      val nRows = header.nRows
-      val codesOff = header.codesOffset
-      if (ordinals.isEmpty) return (header, Array.empty)
+  final class Reader(path: String) extends AutoCloseable {
+    private val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+    val header: Header =
+      try PqSidecar.readHeader(ch, path)
+      catch { case e: Throwable => ch.close(); throw e }
+
+    /** Codes of `ordinals` (sorted ascending, file-local), one positioned
+      * read per consecutive-ordinal run (same IO coalescing as
+      * [[Sq8Sidecar]]).
+      */
+    def rows(ordinals: Array[Int]): Array[Array[Byte]] = {
+      if (ordinals.isEmpty) return Array.empty
       require(
-        ordinals.last < nRows && ordinals.head >= 0,
-        s"ordinal out of range [0, $nRows) in $path")
-      val m = cb.m
+        ordinals.last < header.nRows && ordinals.head >= 0,
+        s"ordinal out of range [0, ${header.nRows}) in $path")
+      val m = header.cb.m
       val out = new Array[Array[Byte]](ordinals.length)
       var i = 0
       while (i < ordinals.length) {
         var j = i
         while (j + 1 < ordinals.length && ordinals(j + 1) == ordinals(j) + 1) j += 1
         val run = ByteBuffer.allocate((j - i + 1) * m)
-        var pos = codesOff + ordinals(i).toLong * m
+        var pos = header.codesOffset + ordinals(i).toLong * m
         while (run.hasRemaining) {
           val n = ch.read(run, pos)
           require(n >= 0, s"unexpected EOF in $path")
@@ -125,8 +130,17 @@ object PqSidecar {
         }
         i = j + 1
       }
-      (header, out)
-    } finally ch.close()
+      out
+    }
+
+    override def close(): Unit = ch.close()
+  }
+
+  /** One-shot convenience over [[Reader]]. */
+  def readRows(path: String, ordinals: Array[Int]): (Header, Array[Array[Byte]]) = {
+    val reader = new Reader(path)
+    try (reader.header, reader.rows(ordinals))
+    finally reader.close()
   }
 
   /** Build the per-file PQ sidecars: ONE codebook trained on a driver-side

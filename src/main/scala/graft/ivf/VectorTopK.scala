@@ -620,7 +620,11 @@ object VectorTopK {
     val coarse = sc.parallelize(files, slices).flatMap { file =>
       val index = IndexManager.loadIndex(store, file, colName)
       val sidecar = store.pqPath(file, colName, wantResidual)
-      val header = PqSidecar.readHeader(sidecar)
+      // open-once reader: the residual branch reads per probed cell, and
+      // reopening + re-parsing the codebook per cell would be nprobe
+      // redundant header reads per task
+      val reader = new PqSidecar.Reader(sidecar)
+      val header = reader.header
       require(
         header.residual == wantResidual,
         s"PQ sidecar variant mismatch for $file (flags=${header.flags})")
@@ -645,37 +649,39 @@ object VectorTopK {
           }
         }
       }
-      if (header.residual) {
-        // IVF-ADC: codes quantize vec − cellCentroid, so the ADC table is
-        // per probed cell, built from query − cellCentroid (exact identity
-        // ‖q − x‖² = ‖(q − c) − (x − c)‖² — no approximation added); each
-        // posting list is ascending, so the per-cell read still coalesces
-        val dim = index.dim
-        index.findClosestCentroids(q, nprobe).foreach { cell =>
-          val ords = index.invertedLists(cell)
-          if (ords.nonEmpty) {
-            val (_, codes) = PqSidecar.readRows(sidecar, ords)
-            val cent = java.util.Arrays
-              .copyOfRange(index.centroids, cell * dim, (cell + 1) * dim)
-            val table = Pq.adcTable(Pq.residual(q, cent), cb)
-            var i = 0
-            while (i < ords.length) {
-              push(Pq.adcDistanceSq(table, codes(i), cb.ksub), ords(i))
-              i += 1
+      try {
+        if (header.residual) {
+          // IVF-ADC: codes quantize vec − cellCentroid, so the ADC table is
+          // per probed cell, built from query − cellCentroid (exact identity
+          // ‖q − x‖² = ‖(q − c) − (x − c)‖² — no approximation added); each
+          // posting list is ascending, so the per-cell read still coalesces
+          val dim = index.dim
+          index.findClosestCentroids(q, nprobe).foreach { cell =>
+            val ords = index.invertedLists(cell)
+            if (ords.nonEmpty) {
+              val codes = reader.rows(ords)
+              val cent = java.util.Arrays
+                .copyOfRange(index.centroids, cell * dim, (cell + 1) * dim)
+              val table = Pq.adcTable(Pq.residual(q, cent), cb)
+              var i = 0
+              while (i < ords.length) {
+                push(Pq.adcDistanceSq(table, codes(i), cb.ksub), ords(i))
+                i += 1
+              }
             }
           }
+        } else {
+          val cands = index.candidateRows(q, nprobe)
+          java.util.Arrays.sort(cands)
+          val codes = reader.rows(cands)
+          val table = Pq.adcTable(q, cb)
+          var i = 0
+          while (i < cands.length) {
+            push(Pq.adcDistanceSq(table, codes(i), cb.ksub), cands(i))
+            i += 1
+          }
         }
-      } else {
-        val cands = index.candidateRows(q, nprobe)
-        java.util.Arrays.sort(cands)
-        val (_, codes) = PqSidecar.readRows(sidecar, cands)
-        val table = Pq.adcTable(q, cb)
-        var i = 0
-        while (i < cands.length) {
-          push(Pq.adcDistanceSq(table, codes(i), cb.ksub), cands(i))
-          i += 1
-        }
-      }
+      } finally reader.close()
       val out = new scala.collection.mutable.ArrayBuffer[(String, Long, Float)](heap.size)
       while (!heap.isEmpty) {
         val (d, ri) = heap.poll()

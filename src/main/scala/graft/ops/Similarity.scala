@@ -162,9 +162,16 @@ object Similarity {
       array_distance(col("_cvec"), col("_qvec")).as("dist"))
 
     // a corpus row lives in exactly one cell and probe cells are distinct,
-    // so a (query, corpus) pair is scored at most once — no dedup needed
+    // so a (query, corpus) pair is scored at most once — no dedup needed.
+    // The hot-cell second-key refinement needs probes >= 2: the second key
+    // comes from the query's OWN probe set, and a 1-element probe set has
+    // no second element — engaging the cap there would silently score ZERO
+    // candidates from exactly the cell a query's neighbors live in. At
+    // probes = 1 the per-query fan-out is bounded by its single home cell
+    // anyway (≤ corpus, linear in |queries| not quadratic), so the cap
+    // disengages rather than cliffs.
     val scored =
-      if (nClusters < 2) {
+      if (nClusters < 2 || probes < 2) {
         score(probed.join(
           corpusCells,
           col("_pcell") === col("_cell") && col("neighbor_id") =!= col("query_id")))
@@ -343,7 +350,16 @@ object Similarity {
       col("a._cell") === col("b._cell") && col("a._cell2") === col("b._cell2") &&
         col("a.id") =!= col("b.id"))
 
-    val within = pairs(smallSelf).unionByName(pairs(subSelf)).unionByName(pairs(star))
+    // dedup exactly where duplicates can arise: smallSelf/subSelf emit each
+    // pair once by construction (a.id < b.id, disjoint cell strata), while
+    // star can see a pivot-pivot pair from both orientations — so only the
+    // star branch dedups, and the common small-cells-only path keeps its
+    // shuffle-free union. The probes > 1 cross branches re-reach within
+    // pairs (a probing row joins its own home cell), so THAT union dedups
+    // as a whole.
+    val within = pairs(smallSelf)
+      .unionByName(pairs(subSelf))
+      .unionByName(pairs(star).distinct())
 
     val all =
       if (probes <= 1) within
@@ -382,7 +398,8 @@ object Similarity {
           .unionByName(pairs(crossSmall))
           .unionByName(pairs(crossSub))
           .unionByName(pairs(crossStar))
+          .distinct()
       }
-    all.distinct()
+    all
   }
 }

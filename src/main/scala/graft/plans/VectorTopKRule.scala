@@ -429,15 +429,20 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // V1-vs-V2 choice is made eagerly inside DataFrameReader.load, so the
     // override can be scoped to exactly that call)
     val v1Key = "spark.sql.sources.useV1SourceList"
-    val prevV1 = spark.conf.get(v1Key)
-    val hasParquet = prevV1.split(",").exists(_.trim.equalsIgnoreCase("parquet"))
-    val scan =
+    // the set/read/restore dance must not interleave across threads
+    // optimizing concurrently on the same session: thread B reading A's
+    // transient value and "restoring" it later would leave the session
+    // permanently V1-pinned — serialize the critical section
+    val scan = VectorTopKRule.v1PinLock.synchronized {
+      val prevV1 = spark.conf.get(v1Key)
+      val hasParquet = prevV1.split(",").exists(_.trim.equalsIgnoreCase("parquet"))
       if (hasParquet) spark.read.schema(leaf.dataSchema).parquet(paths: _*)
       else {
         spark.conf.set(v1Key, if (prevV1.trim.isEmpty) "parquet" else s"$prevV1,parquet")
         try spark.read.schema(leaf.dataSchema).parquet(paths: _*)
         finally spark.conf.set(v1Key, prevV1)
       }
+    }
     val base = scan
       .withColumn("__file", col("_metadata.file_path"))
       .withColumn("__ri", col("_metadata.row_index"))
@@ -498,6 +503,12 @@ object VectorTopKRule {
 
   /** Prevents re-matching a rewritten range Filter. */
   private[plans] val RangeRewrittenTag = TreeNodeTag[Unit]("graft.ivf.rangeRewritten")
+
+  /** Serializes the useV1SourceList set/read/restore in [[graftSemiJoin]]
+    * (process-wide: runtime confs are session-scoped but cloned sessions
+    * share the underlying SQLConf in some paths — one lock is cheap).
+    */
+  private[plans] val v1PinLock = new Object
 
   /** Runtime installation on an existing session (no extensions config
     * needed): appends to `spark.experimental.extraOptimizations`.

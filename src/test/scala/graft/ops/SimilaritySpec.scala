@@ -170,6 +170,26 @@ class SimilaritySpec extends SparkSpec {
     assert(capped == brute)
   }
 
+  test("ivfKnnJoin at probes=1 returns hot-cell neighbors (cap disengages)") {
+    // regression: the second-key refinement needs probes >= 2 (the second
+    // key comes from the query's own probe set); engaging it at probes=1
+    // scored ZERO candidates from hot cells — a recall cliff to nothing
+    // from exactly the cell a query's neighbors live in
+    val m = 120
+    val dense = (0 until m).map(i => (i.toLong, Seq(1.0f + i * 1e-4f, 1.0f, 1.0f, 1.0f)))
+    val df = dense.toDF("id", "v")
+      .select(col("id"), col("v").cast("array<float>").as("v"))
+    val centroids = Array(1f, 1f, 1f, 1f, -1f, -1f, -1f, -1f)
+    val queries = df.where(col("id") === 0)
+    val got = Similarity
+      .ivfKnnJoin(queries, df, "id", "id", "v", centroids, 4, 5,
+        probes = 1, maxCellSize = 20L)
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = Similarity.knnJoin(queries, df, "id", "id", "v", 5)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == brute, s"probes=1 over a hot home cell must still score it")
+  }
+
   test("cosineTopK ranks by similarity descending") {
     val top = Similarity
       .cosineTopK(clustered, "v", Seq(1f, 1f, 1f, 1f), 5)
