@@ -372,9 +372,19 @@ object IvfBuilder {
     * `drift` is the total-variation distance in [0, 1] between the trained
     * per-cell assignment distribution (read from the STORED inverted lists —
     * no data rescan) and the appended batch's distribution under the same
-    * centroids; -1 when no comparison happened (first build / nothing new).
+    * centroids; `outlierFraction` is the share of appended vectors landing
+    * FARTHER from their assigned centroid than that cell's stored radius
+    * (the [[IndexStore.loadRadii]] sidecar) — the distortion signal that
+    * catches a shifted blob which still assigns proportionally (low TV,
+    * exploding distances). Either is -1 when no comparison happened (first
+    * build / nothing new; outlierFraction also -1 when no radius sidecar
+    * exists to compare against).
     */
-  final case class ExtendResult(build: BuildResult, retrained: Boolean, drift: Double)
+  final case class ExtendResult(
+      build: BuildResult,
+      retrained: Boolean,
+      drift: Double,
+      outlierFraction: Double = -1.0)
 
   /** Per-cell counts recorded in the stored inverted lists of `files` —
     * the trained distribution, free from the index itself. Index loads are
@@ -426,22 +436,38 @@ object IvfBuilder {
   /** Drift-aware incremental indexing — the retrain policy the README
     * roadmap left open. Appended (unindexed) files are first ASSIGNED under
     * the existing centroids (one linear broadcast-centroid pass, the same
-    * work [[extend]] does anyway); if the appended cell distribution's
-    * total-variation distance from the trained one exceeds `maxDrift`, the
-    * centroids no longer represent the data and the whole table is REBUILT
-    * with retrained centroids; otherwise only the new files get indexes
-    * ([[extend]] semantics). At 100 TB the drift probe
-    * costs one map-side-combined groupBy over the appended files only —
-    * the trained histogram comes from the stored lists, never a rescan.
+    * work [[extend]] does anyway); the whole table is REBUILT with
+    * retrained centroids when EITHER drift signal fires, otherwise only the
+    * new files get indexes ([[extend]] semantics):
+    *
+    *  1. distribution shift — the appended cell histogram's total-variation
+    *     distance from the trained one exceeds `maxDrift`;
+    *  2. distortion shift — more than `maxOutlierFraction` of appended
+    *     vectors land FARTHER from their assigned centroid than that
+    *     cell's learned radius envelope (max over the indexed files'
+    *     radius sidecars). This catches what TV cannot: a translated blob
+    *     that still assigns proportionally across cells has near-zero TV
+    *     while every distance explodes — the centroids stopped describing
+    *     the data even though the histogram looks stable.
+    *
+    * At 100 TB the probe costs one map-side-combined groupBy over the
+    * appended files only — the trained histogram comes from the stored
+    * lists and the radius envelope from the tiny sidecars, never a rescan.
+    * Indexes without radius sidecars disengage signal 2 (outlierFraction
+    * = -1), keeping pre-radii indexes fully compatible.
     */
   def extendOrRetrain(
       spark: SparkSession,
       path: String,
       config: Config,
       store: IndexStore = IndexStore.default,
-      maxDrift: Double = 0.25): ExtendResult = {
+      maxDrift: Double = 0.25,
+      maxOutlierFraction: Double = 0.5): ExtendResult = {
     import spark.implicits._
     require(maxDrift >= 0 && maxDrift <= 1, s"maxDrift must be in [0,1], got $maxDrift")
+    require(
+      maxOutlierFraction >= 0 && maxOutlierFraction <= 1,
+      s"maxOutlierFraction must be in [0,1], got $maxOutlierFraction")
     val files = IndexManager.listFiles(spark, path)
     require(files.nonEmpty, s"no parquet files under $path")
     val indexed = files.filter(f =>
@@ -470,29 +496,80 @@ object IvfBuilder {
     require(
       appendedDim == dim,
       s"appended files' vector dim $appendedDim != existing index dim $dim")
-    val appended = new Array[Long](existing.nClusters)
+    // trained per-cell radius envelope: max over the indexed files' radius
+    // sidecars (the loosest learned spread) — distributed like
+    // indexedCellCounts, driver sees only k floats; None when no indexed
+    // file carries a sidecar (pre-radii index), which disengages the
+    // distortion signal for backward compatibility
+    val k = existing.nClusters
+    val trainedRadii: Option[Array[Float]] = {
+      val perFile = spark
+        .createDataset(indexed)
+        .repartition(math.min(indexed.size, spark.sparkContext.defaultParallelism))
+        .mapPartitions { it =>
+          val acc = new Array[Float](k)
+          var any = false
+          it.foreach { f =>
+            store.loadRadii(f, config.column).filter(_.length == k).foreach { r =>
+              any = true
+              var c = 0
+              while (c < k) { if (r(c) > acc(c)) acc(c) = r(c); c += 1 }
+            }
+          }
+          if (any) Iterator.single(acc) else Iterator.empty
+        }
+        .collect()
+      if (perFile.isEmpty) None
+      else Some(perFile.reduce { (a, b) =>
+        var c = 0
+        while (c < k) { if (b(c) > a(c)) a(c) = b(c); c += 1 }
+        a
+      })
+    }
+    val bcRadii = spark.sparkContext.broadcast(trainedRadii.orNull)
+
+    val appended = new Array[Long](k)
+    var outliers = 0L
+    var appendedTotal = 0L
     appendedRows
       .select(col("_vec"))
       .as[Array[Float]]
       .mapPartitions { it =>
         val cents = bcCentroids.value
-        it.map(v => VectorKernels.nearestCentroid(v, cents, dim))
+        val radii = bcRadii.value
+        it.map { v =>
+          val cell = VectorKernels.nearestCentroid(v, cents, dim)
+          val out = radii != null && {
+            val d = math
+              .sqrt(VectorKernels.squaredL2Offset(v, cents, cell * dim).toDouble)
+            d > radii(cell).toDouble
+          }
+          (cell, out)
+        }
       }
       .groupByKey(identity)
       .count()
       .collect()
-      .foreach { case (cell, n) => appended(cell) = n }
+      .foreach { case ((cell, out), n) =>
+        appended(cell) += n
+        appendedTotal += n
+        if (out) outliers += n
+      }
 
     val tv = totalVariation(trained, appended)
-    if (tv > maxDrift) {
+    val outlierFrac =
+      if (trainedRadii.isEmpty || appendedTotal == 0L) -1.0
+      else outliers.toDouble / appendedTotal
+    val shouldRetrain = tv > maxDrift || (outlierFrac >= 0 && outlierFrac > maxOutlierFraction)
+    if (shouldRetrain) {
       // retrain = refresh centroid POSITIONS under the new distribution:
       // Lloyd warm-starts from the drifted centroids (k preserved, no
       // re-seeding), then the whole table re-assigns and re-indexes
       val warmed = config.copy(
         nClusters = Some(existing.nClusters), warmStart = Some(existing.centroids))
-      ExtendResult(build(spark, path, warmed, store), retrained = true, drift = tv)
+      ExtendResult(build(spark, path, warmed, store), retrained = true, drift = tv, outlierFrac)
     } else
-      ExtendResult(extend(spark, path, config, store), retrained = false, drift = tv)
+      ExtendResult(extend(spark, path, config, store), retrained = false, drift = tv, outlierFrac)
   }
 
   /** Rewrite mode (reference `write_parquet_with_index`,

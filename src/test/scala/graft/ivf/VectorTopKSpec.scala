@@ -345,6 +345,39 @@ class VectorTopKSpec extends SparkSpec {
     assert(IvfBuilder.totalVariation(Array(10L, 0L), Array(0L, 7L)) == 1.0)
   }
 
+  test("distortion signal retrains a translated blob that TV cannot see") {
+    val rnd = new scala.util.Random(53)
+    val dir = Files.createTempDirectory("graft-distort").toString
+    // two well-separated clusters at 0 and 10, balanced
+    def blob(ids: Range, center: Float) = spark.createDataFrame(
+      ids.map(i => (i.toLong, Seq.fill(8)(center + rnd.nextFloat()))))
+      .toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    blob(0 until 100, 0f).unionByName(blob(100 until 200, 10f))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val store = tmpStore
+    val first = IvfBuilder.build(spark, dir,
+      IvfBuilder.Config("vec", nClusters = Some(2)), store)
+
+    // translated append: half at -20 (assigns to the 0-cell), half at +30
+    // (assigns to the 10-cell) — the histogram stays balanced 50/50, so TV
+    // is near zero; every distance blows past the learned radii, so the
+    // OUTLIER signal is the only one that can catch it
+    blob(200 until 250, -20f).unionByName(blob(250 until 300, 30f))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val ret = IvfBuilder.extendOrRetrain(spark, dir, IvfBuilder.Config("vec"), store)
+    assert(ret.drift <= 0.25, s"fixture must keep TV low, got ${ret.drift}")
+    assert(ret.outlierFraction > 0.9, s"outlierFraction=${ret.outlierFraction}")
+    assert(ret.retrained, "distortion signal must force the retrain")
+    assert(ret.build.centroids.toSeq != first.centroids.toSeq)
+
+    // in-band append afterwards: both signals quiet, extend path
+    blob(300 until 330, 10f).coalesce(1).write.mode("append").parquet(dir)
+    val ext = IvfBuilder.extendOrRetrain(spark, dir, IvfBuilder.Config("vec"), store)
+    assert(!ext.retrained, s"drift=${ext.drift} outliers=${ext.outlierFraction}")
+    assert(ext.outlierFraction >= 0 && ext.outlierFraction <= 0.5)
+  }
+
   test("extend ignores footer indexes built for a DIFFERENT column") {
     import spark.implicits._
     val rnd = new scala.util.Random(29)
