@@ -149,6 +149,13 @@ object Bench {
       try graft.ivf.Recall.atK(spark, path, "embedding", "vec_id", query, 100, 16).recall
       catch { case _: Throwable => -1.0 }
 
+    // angular-path quality twin: vq8 gates cosine EXACTNESS at exhaustive
+    // probe; this tracks recall at the production operating point
+    val cosineRecall =
+      try graft.ivf.Recall
+        .cosineAtK(spark, path, "embedding", "vec_id", query, 100, 16).recall
+      catch { case _: Throwable => -1.0 }
+
     // sq2's quality gate as a bench metric: recall of the bucketed 4-probe
     // cell-pair path vs the exact cosine pair join at the same threshold
     // (precision is 1.0 by construction — every emitted pair is verified)
@@ -196,7 +203,7 @@ object Bench {
       .mkString("{", ",", "}")
     val headlineTotal = headline.map(resultMap).filter(_ >= 0).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline":$hs,"headline_total":$headlineTotal,"recall_at100_nprobe16":$recall,"cell_pair_recall_probe4":$cellPairRecall,"knn_join_recall_probe4":$knnJoinRecall}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline":$hs,"headline_total":$headlineTotal,"recall_at100_nprobe16":$recall,"cosine_recall_at100_nprobe16":$cosineRecall,"cell_pair_recall_probe4":$cellPairRecall,"knn_join_recall_probe4":$knnJoinRecall}""")
     spark.stop()
   }
 }

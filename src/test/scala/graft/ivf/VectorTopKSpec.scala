@@ -122,6 +122,12 @@ class VectorTopKSpec extends SparkSpec {
     val r2 = Recall.atK(spark, dir, "vec", "id", query, 10, 1, store)
     assert(r2.candidates < 300)
     assert(r2.recall > 0.0 && r2.recall <= 1.0)
+    // angular twin: exhaustive cosine probe is exact too
+    val rc = Recall.cosineAtK(spark, dir, "vec", "id", query, 10, build.nClusters, store)
+    assert(rc.recall == 1.0)
+    val rc2 = Recall.cosineAtK(spark, dir, "vec", "id", query, 10, 1, store)
+    assert(rc2.candidates < 300)
+    assert(rc2.recall >= 0.0 && rc2.recall <= 1.0)
   }
 
   test("search returns (row_idx, sqrt'd distance) equal to brute force at exhaustive probe") {
