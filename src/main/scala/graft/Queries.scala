@@ -1652,6 +1652,36 @@ object Queries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Streaming ingestion with incremental index maintenance
+    * ([[streaming.IndexIngest]]): the embeddings table is staged as 4
+    * files, streamed one file per micro-batch through foreachBatch — each
+    * batch appends to a fresh managed table and indexes ONLY its own files
+    * (batch 1 builds + trains the shared centroids, batches 2-4 extend).
+    * The final exhaustive-probe indexed search over the ingested table
+    * must equal brute force over the original embeddings — vq1's oracle,
+    * end to end through the streaming ingest + incremental index path.
+    */
+  def st7StreamIndexIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val schema = emb.schema
+    val stage = java.nio.file.Files.createTempDirectory("graft-st7-stage").toString
+    emb.repartition(4).write.mode("overwrite").parquet(stage)
+    val tableDir =
+      java.nio.file.Files.createTempDirectory("graft-st7-table").toString + "/t"
+    val store = new ivf.IndexStore(
+      java.nio.file.Files.createTempDirectory("graft-st7-store").toString)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    streaming.IndexIngest.ingest(spark, stream, tableDir, "embedding", store): Unit
+    val files = IndexManager.listFiles(spark, tableDir)
+    val (_, nClusters) = store.peek(files.head, "embedding").get
+    VectorTopK
+      .indexed(spark, tableDir, "embedding", queryVec, 10,
+        VectorTopK.Options(nprobe = nClusters), store = store)
+      .orderBy(distAsc("embedding"), col("vec_id"))
+      .select(col("vec_id"))
+  }
+
   // -------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1727,6 +1757,7 @@ object Queries {
     "st4_stream_vector_topk" -> (st4StreamVectorTopk _),
     "st5_stream_dedup" -> (st5StreamDedup _),
     "st6_stream_cross_dedup" -> (st6StreamCrossDedup _),
+    "st7_stream_index_ingest" -> (st7StreamIndexIngest _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1803,5 +1834,7 @@ object Queries {
     "st4_stream_vector_topk" -> st4Oracle,
     "st5_stream_dedup" -> st5Oracle,
     "st6_stream_cross_dedup" -> dx1Oracle,
+    "st7_stream_index_ingest" -> vq1Oracle, // exhaustive search == brute
+
   )
 }

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+import graft.ivf.{IndexManager, IndexStore, VectorTopK}
+
+class IndexIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 8
+
+  test("per-batch appends extend the index; final search equals brute force") {
+    val rnd = new scala.util.Random(61)
+    val rows = (0 until 240).map(i => (i.toLong, Seq.fill(dim)(rnd.nextFloat())))
+    val stage = Files.createTempDirectory("graft-ingest-stage").toString
+    rows.toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+      .repartition(3)
+      .write.mode("overwrite").parquet(stage)
+
+    val tableDir = Files.createTempDirectory("graft-ingest-table").toString + "/t"
+    val store = new IndexStore(Files.createTempDirectory("graft-ingest-store").toString)
+    val schema = spark.read.parquet(stage).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val batches = IndexIngest.ingest(spark, stream, tableDir, "vec", store)
+    assert(batches == 3, s"expected 3 micro-batches, got $batches")
+
+    // every ingested file carries an index with the SAME centroid set (the
+    // first batch trained it; later batches extended under it)
+    val files = IndexManager.listFiles(spark, tableDir)
+    assert(files.size >= 3)
+    val indexes = files.map(f => IndexManager.loadIndex(store, f, "vec"))
+    assert(indexes.map(_.centroids.toSeq).distinct.size == 1)
+    assert(indexes.map(_.numRows).sum == 240L)
+    // radius sidecars came along (extend shares assignAndWrite)
+    assert(files.forall(store.existsRadii(_, "vec")))
+
+    // exhaustive-probe search over the ingested table == brute over source
+    val q = Seq.fill(dim)(0.4f)
+    val got = VectorTopK
+      .indexed(spark, tableDir, "vec", q, 10,
+        VectorTopK.Options(nprobe = indexes.head.nClusters), store = store)
+      .select("id").as[Long].collect().sorted.toSeq
+    val brute = VectorTopK
+      .bruteForce(spark.read.parquet(stage), "vec", q, 10)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == brute)
+  }
+
+  test("retrainOnDrift routes batches through the drift policy") {
+    val rnd = new scala.util.Random(67)
+    val stage = Files.createTempDirectory("graft-ingest-drift").toString
+    // batch files with a distribution break: in-band then translated
+    (0 until 100).map(i => (i.toLong, Seq.fill(dim)(rnd.nextFloat())))
+      .toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    (100 until 200).map(i => (i.toLong, Seq.fill(dim)(50f + rnd.nextFloat())))
+      .toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+      .coalesce(1).write.mode("append").parquet(stage)
+
+    val tableDir = Files.createTempDirectory("graft-ingest-drift-t").toString + "/t"
+    val store = new IndexStore(Files.createTempDirectory("graft-ingest-drift-s").toString)
+    val schema = spark.read.parquet(stage).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    IndexIngest.ingest(
+      spark, stream, tableDir, "vec", store, retrainOnDrift = true): Unit
+
+    // whatever order the file source picked, the final table is fully
+    // indexed and exhaustive search stays exact
+    val files = IndexManager.listFiles(spark, tableDir)
+    val indexes = files.map(f => IndexManager.loadIndex(store, f, "vec"))
+    assert(indexes.map(_.numRows).sum == 200L)
+    assert(indexes.map(_.centroids.toSeq).distinct.size == 1)
+    val q = Seq.fill(dim)(50.4f)
+    val got = VectorTopK
+      .indexed(spark, tableDir, "vec", q, 10,
+        VectorTopK.Options(nprobe = indexes.head.nClusters), store = store)
+      .select("id").as[Long].collect().sorted.toSeq
+    val brute = VectorTopK
+      .bruteForce(spark.read.parquet(stage), "vec", q, 10)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == brute)
+  }
+}
