@@ -86,4 +86,57 @@ class IvfPropertySpec extends SparkSpec {
       assert(ann.subsetOf((0L until n.toLong).toSet))
     }
   }
+
+  test("PQ invariants across random shapes: codes in range, decode is a fixed point, ADC matches") {
+    val pqGen = for {
+      m <- Gen.oneOf(1, 2, 4)
+      dsub <- Gen.choose(1, 4)
+      n <- Gen.choose(5, 300)
+      seed <- Gen.choose(0L, 10000L)
+    } yield (m, dsub, n, seed)
+    forAllSeeded(pqGen, 10) { case (m, dsub, n, seed) =>
+      val dim = m * dsub
+      val rnd = new scala.util.Random(seed)
+      val samples = Array.fill(n)(Array.fill(dim)(rnd.nextFloat() * 4 - 2))
+      val cb = Pq.train(samples, m, seed = seed)
+      assert(cb.ksub == math.min(Pq.MaxK, n))
+      val q = Array.fill(dim)(rnd.nextFloat() * 4 - 2)
+      val table = Pq.adcTable(q, cb)
+      samples.take(30).foreach { v =>
+        val code = Pq.encode(v, cb)
+        assert(code.length == m)
+        assert(code.forall(b => (b & 0xFF) < cb.ksub))
+        val dec = Pq.decode(code, cb)
+        // nearest-centroid assignment is idempotent on its own output
+        assert(Pq.encode(dec, cb).toSeq == code.toSeq)
+        // ADC distance is a per-subspace table sum — non-negative always
+        val adc = Pq.adcDistanceSq(table, code, cb.ksub)
+        assert(adc >= 0.0f)
+        // codebook serialization round-trips
+        val back = Pq.codebookFromBytes(Pq.codebookBytes(cb))
+        assert(back.m == cb.m && back.dsub == cb.dsub && back.ksub == cb.ksub)
+        assert(back.centroids.toSeq == cb.centroids.toSeq)
+        // the assigned codeword is genuinely the nearest: no other code in
+        // the same subspace is strictly closer
+        var s = 0
+        while (s < m) {
+          val assigned = code(s) & 0xFF
+          val base = s * cb.ksub * cb.dsub
+          def d(c: Int): Float = {
+            var acc = 0.0f
+            var j = 0
+            while (j < cb.dsub) {
+              val t = v(s * cb.dsub + j) - cb.centroids(base + c * cb.dsub + j)
+              acc += t * t
+              j += 1
+            }
+            acc
+          }
+          val best = (0 until cb.ksub).map(d).min
+          assert(d(assigned) <= best + math.ulp(best))
+          s += 1
+        }
+      }
+    }
+  }
 }
