@@ -344,6 +344,28 @@ object Queries {
       .select(col("vec_id"))
   }
 
+  /** Late-interaction MaxSim top-k ([[ops.Similarity.maxSimTopK]]): vectors
+    * grouped into multi-vector "documents" (vec_id div 10), each scoring as
+    * its best member's cosine to the query, top-5 groups win. Output is the
+    * group ids only — float scores never reach the comparator.
+    */
+  def vq11MaxsimTopk(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Similarity
+      .maxSimTopK(
+        t(spark, sfDir, "embeddings")
+          .withColumn("group_id", (col("vec_id") / 10).cast("bigint")),
+        "group_id", "embedding", queryVec, 5)
+      .select(col("group_id"))
+      .orderBy(col("group_id"))
+
+  val vq11Oracle: String =
+    s"""SELECT group_id FROM (
+       |  SELECT vec_id // 10 AS group_id,
+       |         max(list_cosine_similarity(embedding::FLOAT[], $duckVecLit)) AS s
+       |  FROM embeddings GROUP BY 1
+       |  ORDER BY s DESC, group_id LIMIT 5)
+       |ORDER BY group_id""".stripMargin
+
   /** Brute-force k-NN join: for each query vector (vec_id < 5), its top-3
     * neighbors. The query side is tiny => broadcast; the big side streams.
     */
@@ -1695,6 +1717,7 @@ object Queries {
     "vq8_cosine_ivf" -> (vq8CosineIvf _),
     "vq5_cosine_topk" -> (vq5CosineTopk _),
     "vq6_knn_join" -> (vq6KnnJoin _),
+    "vq11_maxsim_topk" -> (vq11MaxsimTopk _),
     "zq1_sq8_coarse_topk" -> (zq1Sq8CoarseTopk _),
     "zq2_sq8_roundtrip" -> (zq2Sq8Roundtrip _),
     "zq3_sq8_refined_topk" -> (zq3Sq8RefinedTopk _),
@@ -1771,6 +1794,7 @@ object Queries {
     "vq8_cosine_ivf" -> vq8Oracle,
     "vq5_cosine_topk" -> vq5Oracle,
     "vq6_knn_join" -> vq6Oracle,
+    "vq11_maxsim_topk" -> vq11Oracle,
     "zq1_sq8_coarse_topk" -> zq1Oracle,
     "zq2_sq8_roundtrip" -> zq2Oracle,
     "zq3_sq8_refined_topk" -> vq1Oracle, // sq8 refine must recover exact top-k

@@ -23,6 +23,30 @@ object Similarity {
     df.orderBy(array_cosine_similarity(col(vecCol), qlit).desc_nulls_last).limit(k)
   }
 
+  /** Late-interaction MaxSim top-k (the ColBERT retrieval primitive,
+    * Khattab & Zaharia, SIGIR 2020): a GROUP of vectors (a multi-vector
+    * document — token embeddings, image patches, chunked passages) scores
+    * as the MAX cosine similarity between the query and any member vector;
+    * the top-k groups by that score win. Input is the flat one-row-per-
+    * vector layout (`groupCol` = document id), so the whole operator is a
+    * map-side-partial `max` aggregation + bounded top-k — one shuffle of
+    * |groups| rows, no explode, no cross join, unchanged at 100 TB.
+    * Deterministic ordering: score descending, then group id ascending.
+    */
+  def maxSimTopK(
+      df: DataFrame,
+      groupCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int): DataFrame = {
+    require(k > 0, "k must be > 0")
+    val qlit = graft.functions.float_vector(query)
+    df.groupBy(col(groupCol))
+      .agg(max(array_cosine_similarity(col(vecCol), qlit)).as("max_sim"))
+      .orderBy(col("max_sim").desc_nulls_last, col(groupCol))
+      .limit(k)
+  }
+
   /** One scored neighbor candidate; ranked by (dist, id) ascending. */
   final case class Neighbor(neighbor_id: Long, dist: Float)
 
