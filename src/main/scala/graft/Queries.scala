@@ -366,6 +366,42 @@ object Queries {
        |  ORDER BY s DESC, group_id LIMIT 5)
        |ORDER BY group_id""".stripMargin
 
+  /** Deterministic 64-dim "query token" m — row m of the [[semCentroids]]
+    * formula (m = 0 is [[queryVec]]); multiples of 0.1, exact f32
+    * round-trip in both engines.
+    */
+  private def tokenVec(m: Int): IndexedSeq[Float] =
+    (0 until 64).map(j => ((((j * 37 + m * 11) % 19) - 9) / 10.0f))
+
+  private def duckTokenLit(m: Int): String =
+    tokenVec(m).map(_.toString).mkString("[", ", ", "]") + "::FLOAT[]"
+
+  /** Full ColBERT late-interaction scoring: a 3-token multi-vector query,
+    * `score(group) = Σ over tokens of max over member vectors of cos` —
+    * one groupBy with a max-agg column per token, shuffle stays
+    * |groups| rows regardless of query length. Boundary margin on the
+    * fixture is ~0.02, orders above cross-engine float noise.
+    */
+  def vq12ColbertTopk(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Similarity
+      .colbertTopK(
+        t(spark, sfDir, "embeddings")
+          .withColumn("group_id", (col("vec_id") / 10).cast("bigint")),
+        "group_id", "embedding", (0 until 3).map(tokenVec), 5)
+      .select(col("group_id"))
+      .orderBy(col("group_id"))
+
+  val vq12Oracle: String = {
+    val terms = (0 until 3)
+      .map(m => s"max(list_cosine_similarity(embedding::FLOAT[], ${duckTokenLit(m)}))")
+      .mkString(" + ")
+    s"""SELECT group_id FROM (
+       |  SELECT vec_id // 10 AS group_id, $terms AS s
+       |  FROM embeddings GROUP BY 1
+       |  ORDER BY s DESC, group_id LIMIT 5)
+       |ORDER BY group_id""".stripMargin
+  }
+
   /** Brute-force k-NN join: for each query vector (vec_id < 5), its top-3
     * neighbors. The query side is tiny => broadcast; the big side streams.
     */
@@ -1718,6 +1754,7 @@ object Queries {
     "vq5_cosine_topk" -> (vq5CosineTopk _),
     "vq6_knn_join" -> (vq6KnnJoin _),
     "vq11_maxsim_topk" -> (vq11MaxsimTopk _),
+    "vq12_colbert_topk" -> (vq12ColbertTopk _),
     "zq1_sq8_coarse_topk" -> (zq1Sq8CoarseTopk _),
     "zq2_sq8_roundtrip" -> (zq2Sq8Roundtrip _),
     "zq3_sq8_refined_topk" -> (zq3Sq8RefinedTopk _),
@@ -1795,6 +1832,7 @@ object Queries {
     "vq5_cosine_topk" -> vq5Oracle,
     "vq6_knn_join" -> vq6Oracle,
     "vq11_maxsim_topk" -> vq11Oracle,
+    "vq12_colbert_topk" -> vq12Oracle,
     "zq1_sq8_coarse_topk" -> zq1Oracle,
     "zq2_sq8_roundtrip" -> zq2Oracle,
     "zq3_sq8_refined_topk" -> vq1Oracle, // sq8 refine must recover exact top-k

@@ -47,6 +47,36 @@ object Similarity {
       .limit(k)
   }
 
+  /** Full ColBERT scoring — a MULTI-vector query (token embeddings):
+    * `score(doc) = Σ over query tokens of max over doc vectors of cos` —
+    * the late-interaction sum-of-max. Still one groupBy (one max-agg
+    * column per query token, all map-side-partial) + bounded top-k: the
+    * shuffle stays |groups| rows independent of query length. Null/
+    * unscorable member similarities are ignored per token (max over the
+    * scorable members); a group with no scorable member for some token
+    * contributes null → ranked last.
+    */
+  def colbertTopK(
+      df: DataFrame,
+      groupCol: String,
+      vecCol: String,
+      queries: Seq[Seq[Float]],
+      k: Int): DataFrame = {
+    require(k > 0, "k must be > 0")
+    require(queries.nonEmpty, "at least one query vector required")
+    val maxCols = queries.zipWithIndex.map { case (q, i) =>
+      max(array_cosine_similarity(col(vecCol), graft.functions.float_vector(q)))
+        .as(s"_max_$i")
+    }
+    val score = queries.indices.map(i => col(s"_max_$i")).reduce(_ + _)
+    df.groupBy(col(groupCol))
+      .agg(maxCols.head, maxCols.tail: _*)
+      .withColumn("max_sim", score)
+      .orderBy(col("max_sim").desc_nulls_last, col(groupCol))
+      .limit(k)
+      .select(col(groupCol), col("max_sim"))
+  }
+
   /** One scored neighbor candidate; ranked by (dist, id) ascending. */
   final case class Neighbor(neighbor_id: Long, dist: Float)
 
