@@ -377,8 +377,9 @@ object IvfBuilder {
     * (the [[IndexStore.loadRadii]] sidecar) — the distortion signal that
     * catches a shifted blob which still assigns proportionally (low TV,
     * exploding distances). Either is -1 when no comparison happened (first
-    * build / nothing new; outlierFraction also -1 when no radius sidecar
-    * exists to compare against).
+    * build / nothing new; outlierFraction also -1 unless EVERY indexed
+    * file carries a radius sidecar — a partial envelope would understate
+    * the trained spread).
     */
   final case class ExtendResult(
       build: BuildResult,
@@ -418,6 +419,63 @@ object IvfBuilder {
       }
   }
 
+  /** ONE distributed pass over the indexed files returning BOTH the trained
+    * per-cell counts (from the stored inverted lists) and the per-cell
+    * radius envelope (max over the files' radius sidecars) —
+    * [[extendOrRetrain]]'s two drift signals share the job instead of
+    * scanning the file list twice. The envelope is `None` unless EVERY
+    * indexed file carries a valid length-k sidecar: a partial envelope
+    * (e.g. reference-built footer indexes without sidecars plus one
+    * extend-written file WITH one) would understate the trained spread and
+    * force spurious full-table rebuilds — partial coverage must disengage
+    * the distortion signal, not tighten it.
+    */
+  private def indexedCellStats(
+      spark: SparkSession,
+      indexed: Seq[String],
+      column: String,
+      k: Int,
+      store: IndexStore): (Array[Long], Option[Array[Float]]) = {
+    import spark.implicits._
+    val perPartition = spark
+      .createDataset(indexed)
+      .repartition(math.min(indexed.size, spark.sparkContext.defaultParallelism))
+      .mapPartitions { it =>
+        val counts = new Array[Long](k)
+        val radii = new Array[Float](k)
+        var files = 0L
+        var filesWithRadii = 0L
+        it.foreach { f =>
+          val idx = IndexManager.loadIndex(store, f, column)
+          var c = 0
+          while (c < k) { counts(c) += idx.invertedLists(c).length; c += 1 }
+          files += 1L
+          store.loadRadii(f, column).filter(_.length == k).foreach { r =>
+            filesWithRadii += 1L
+            var i = 0
+            while (i < k) { if (r(i) > radii(i)) radii(i) = r(i); i += 1 }
+          }
+        }
+        Iterator.single((counts, radii, files, filesWithRadii))
+      }
+      .collect()
+    val counts = new Array[Long](k)
+    val radii = new Array[Float](k)
+    var files = 0L
+    var filesWithRadii = 0L
+    perPartition.foreach { case (c, r, f, fr) =>
+      var i = 0
+      while (i < k) {
+        counts(i) += c(i)
+        if (r(i) > radii(i)) radii(i) = r(i)
+        i += 1
+      }
+      files += f
+      filesWithRadii += fr
+    }
+    (counts, if (files > 0 && filesWithRadii == files) Some(radii) else None)
+  }
+
   /** Total-variation distance between two cell-count histograms:
     * `0.5 * Σ |p_c − q_c|` over normalized counts — 0 means identical
     * distributions, 1 means disjoint support.
@@ -453,8 +511,10 @@ object IvfBuilder {
     * At 100 TB the probe costs one map-side-combined groupBy over the
     * appended files only — the trained histogram comes from the stored
     * lists and the radius envelope from the tiny sidecars, never a rescan.
-    * Indexes without radius sidecars disengage signal 2 (outlierFraction
-    * = -1), keeping pre-radii indexes fully compatible.
+    * Signal 2 engages only when EVERY indexed file carries a radius
+    * sidecar (run [[ensureRadii]] to backfill); anything less disengages
+    * it (outlierFraction = -1), keeping pre-radii and reference-built
+    * indexes fully compatible.
     */
   def extendOrRetrain(
       spark: SparkSession,
@@ -480,7 +540,8 @@ object IvfBuilder {
       return ExtendResult(extend(spark, path, config, store), retrained = false, drift = -1.0)
 
     val existing = IndexManager.loadIndex(store, indexed.head, config.column)
-    val trained = indexedCellCounts(spark, indexed, config.column, store)
+    val (trained, trainedRadii) =
+      indexedCellStats(spark, indexed, config.column, existing.nClusters, store)
     val bcCentroids = spark.sparkContext.broadcast(existing.centroids)
     val dim = existing.dim
     val appendedRows = spark.read
@@ -496,36 +557,7 @@ object IvfBuilder {
     require(
       appendedDim == dim,
       s"appended files' vector dim $appendedDim != existing index dim $dim")
-    // trained per-cell radius envelope: max over the indexed files' radius
-    // sidecars (the loosest learned spread) — distributed like
-    // indexedCellCounts, driver sees only k floats; None when no indexed
-    // file carries a sidecar (pre-radii index), which disengages the
-    // distortion signal for backward compatibility
     val k = existing.nClusters
-    val trainedRadii: Option[Array[Float]] = {
-      val perFile = spark
-        .createDataset(indexed)
-        .repartition(math.min(indexed.size, spark.sparkContext.defaultParallelism))
-        .mapPartitions { it =>
-          val acc = new Array[Float](k)
-          var any = false
-          it.foreach { f =>
-            store.loadRadii(f, config.column).filter(_.length == k).foreach { r =>
-              any = true
-              var c = 0
-              while (c < k) { if (r(c) > acc(c)) acc(c) = r(c); c += 1 }
-            }
-          }
-          if (any) Iterator.single(acc) else Iterator.empty
-        }
-        .collect()
-      if (perFile.isEmpty) None
-      else Some(perFile.reduce { (a, b) =>
-        var c = 0
-        while (c < k) { if (b(c) > a(c)) a(c) = b(c); c += 1 }
-        a
-      })
-    }
     val bcRadii = spark.sparkContext.broadcast(trainedRadii.orNull)
 
     val appended = new Array[Long](k)

@@ -38,14 +38,8 @@ object Similarity {
       groupCol: String,
       vecCol: String,
       query: Seq[Float],
-      k: Int): DataFrame = {
-    require(k > 0, "k must be > 0")
-    val qlit = graft.functions.float_vector(query)
-    df.groupBy(col(groupCol))
-      .agg(max(array_cosine_similarity(col(vecCol), qlit)).as("max_sim"))
-      .orderBy(col("max_sim").desc_nulls_last, col(groupCol))
-      .limit(k)
-  }
+      k: Int): DataFrame =
+    colbertTopK(df, groupCol, vecCol, Seq(query), k)
 
   /** Full ColBERT scoring — a MULTI-vector query (token embeddings):
     * `score(doc) = Σ over query tokens of max over doc vectors of cos` —

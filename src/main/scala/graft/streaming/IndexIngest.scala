@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
 
@@ -29,6 +27,17 @@ object IndexIngest {
 
   /** Runs the stream to completion (AvailableNow) and returns the number of
     * micro-batches processed.
+    *
+    * RECOVERY: the checkpoint lives INSIDE the table directory by default
+    * (`_graft_checkpoint` — the underscore prefix hides it from Spark's
+    * file listing, the `_spark_metadata` convention), so a re-run after a
+    * mid-stream failure resumes from the last committed batch instead of
+    * re-appending everything from scratch. The remaining exposure is the
+    * standard foreachBatch at-least-once window: a crash BETWEEN the
+    * parquet append and the checkpoint commit replays that one batch on
+    * restart (duplicating its rows) — callers needing exactly-once should
+    * ingest into per-batch subdirectories keyed by batchId or dedup on a
+    * key downstream.
     */
   def ingest(
       spark: SparkSession,
@@ -37,9 +46,10 @@ object IndexIngest {
       column: String,
       store: IndexStore = IndexStore.default,
       retrainOnDrift: Boolean = false,
-      filesPerBatch: Int = 1): Long = {
+      filesPerBatch: Int = 1,
+      checkpointDir: Option[String] = None): Long = {
     require(filesPerBatch > 0, "filesPerBatch must be > 0")
-    val checkpoint = Files.createTempDirectory("graft-ingest-ckpt").toString
+    val checkpoint = checkpointDir.getOrElse(s"$tableDir/_graft_checkpoint")
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val query = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
