@@ -17,9 +17,13 @@ import graft.functions.{array_distance, float_vector}
   *  - indexed, no residual filter = TWO-PHASE (the reference's access
   *    plan): phase 1 probes per-file indexes executor-side and reads only
   *    the embedding column of candidate row groups (`SelectiveFetch`) to
-  *    rank candidates; phase 2 broadcast-semi-joins the base table on the
-  *    k winning (file, ordinal) pairs — payload IO is k rows, not
-  *    candidate-count rows;
+  *    rank candidates; phase 2 materializes the k winners eagerly (the
+  *    reference TopkBuilder's shape) and fetches their payload rows from
+  *    ONLY the files that hold them — payload IO is ≤ k files of the
+  *    projected columns, not a table scan. (The SQL rewrite keeps a fully
+  *    LAZY plan, so its phase-2 stays a broadcast semi-join over the
+  *    column-pruned scan — lazy plans cannot prune files they have not
+  *    executed yet.);
   *  - indexed with a residual filter = one-phase: a semi-join of the scan
   *    against the candidate (file, row ordinal) feed emitted by
   *    `IvfCandidateScanExec` (the reference's per-scan-file
@@ -164,7 +168,54 @@ object VectorTopK {
       spark, graft.plans.MeteredFetch(df.queryExecution.analyzed))
   }
 
+  /** Payload fetch for an ALREADY-MATERIALIZED winner set: reads ONLY the
+    * files that hold winners (file-level pruning — payload IO is bounded
+    * by ≤ k files, not the table; the lazy semi-join alternative streams a
+    * column-pruned scan of EVERY file, which at 100 TB is a full pass of
+    * the projected columns per query). The winner list is k rows by
+    * contract, so collecting it is bounded — the same eager phase split
+    * the reference's TopkBuilder makes.
+    */
+  private def fetchWinnersPayload(
+      spark: SparkSession,
+      path: String,
+      winners: Array[(String, Long)]): DataFrame = {
+    if (winners.isEmpty) return spark.read.parquet(path).limit(0)
+    import spark.implicits._
+    val files = winners.map(_._1).distinct.toSeq
+    val winnerDf = winners.toSeq.toDF("_file", "_ri")
+    spark.read.parquet(files: _*)
+      .withColumn("_file", col("_metadata.file_path"))
+      .withColumn("_ri", col("_metadata.row_index"))
+      .join(broadcast(winnerDf), Seq("_file", "_ri"), "left_semi")
+      .drop("_file", "_ri")
+  }
+
+  /** Shared eager phase-2: rank the winner feed, keep k, fetch their
+    * payload rows from only their files, re-rank exactly.
+    */
+  private def winnersThenFetch(
+      spark: SparkSession,
+      path: String,
+      column: String,
+      query: Seq[Float],
+      k: Int,
+      winnerFeed: DataFrame): DataFrame = {
+    val winners = winnerFeed
+      .orderBy(col("_dist").asc_nulls_last)
+      .limit(k)
+      .select(col("_file"), col("_ri"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val fetched = fetchWinnersPayload(spark, path, winners)
+    bruteForce(meterFetch(spark, fetched), column, query, k)
+  }
+
   /** Index-accelerated top-k over a Parquet table.
+    *
+    * Filter-free queries run phase 1 EAGERLY (the reference TopkBuilder's
+    * shape): the k winners are materialized at call time so the payload
+    * scan can be pruned to only their files — see [[fetchWinnersPayload]].
     *
     * @param filter residual predicate applied AFTER candidate pruning
     *               (post-filter semantics, like the reference).
@@ -190,20 +241,10 @@ object VectorTopK {
         // two-phase (the reference's access plan): phase 1 ranks candidates
         // reading ONLY the embedding column of candidate row groups
         // (SelectiveFetch — IO proportional to candidates); phase 2 fetches
-        // full payload rows for just the k winners via a broadcast
-        // semi-join on (file, ordinal). Payload IO is k rows, not
-        // candidate-count rows — the gap that dominates on wide tables.
-        // Lazy end to end: phase 1 executes as the join's build side.
-        val winners = searchByFile(spark, path, column, query, options, store)
-          .orderBy(col("_dist").asc_nulls_last)
-          .limit(k)
-          .select(col("_file"), col("_ri"))
-        val fetched = spark.read.parquet(path)
-          .withColumn("_file", col("_metadata.file_path"))
-          .withColumn("_ri", col("_metadata.row_index"))
-          .join(broadcast(winners), Seq("_file", "_ri"), "left_semi")
-          .drop("_file", "_ri")
-        bruteForce(meterFetch(spark, fetched), column, query, k)
+        // full payload rows for just the k winners from ONLY their files.
+        winnersThenFetch(
+          spark, path, column, query, k,
+          searchByFile(spark, path, column, query, options, store))
     }
   }
 
@@ -746,17 +787,9 @@ object VectorTopK {
       oversample: Int = 8,
       store: IndexStore = IndexStore.default,
       residual: Boolean = false): DataFrame = {
-    val winners =
-      pqWinners(spark, path, column, query, k, options, oversample, store, residual)
-        .orderBy(col("_dist").asc_nulls_last)
-        .limit(k)
-        .select(col("_file"), col("_ri"))
-    val fetched = spark.read.parquet(path)
-      .withColumn("_file", col("_metadata.file_path"))
-      .withColumn("_ri", col("_metadata.row_index"))
-      .join(broadcast(winners), Seq("_file", "_ri"), "left_semi")
-      .drop("_file", "_ri")
-    bruteForce(meterFetch(spark, fetched), column, query, k)
+    winnersThenFetch(
+      spark, path, column, query, k,
+      pqWinners(spark, path, column, query, k, options, oversample, store, residual))
   }
 
   /** IVF-SQ8 programmatic search ([[SearchResult]] shape, like [[search]]):
@@ -795,16 +828,8 @@ object VectorTopK {
       options: Options = Options(),
       oversample: Int = 4,
       store: IndexStore = IndexStore.default): DataFrame = {
-    val winners =
-      quantizedWinners(spark, path, column, query, k, options, oversample, store)
-        .orderBy(col("_dist").asc_nulls_last)
-        .limit(k)
-        .select(col("_file"), col("_ri"))
-    val fetched = spark.read.parquet(path)
-      .withColumn("_file", col("_metadata.file_path"))
-      .withColumn("_ri", col("_metadata.row_index"))
-      .join(broadcast(winners), Seq("_file", "_ri"), "left_semi")
-      .drop("_file", "_ri")
-    bruteForce(meterFetch(spark, fetched), column, query, k)
+    winnersThenFetch(
+      spark, path, column, query, k,
+      quantizedWinners(spark, path, column, query, k, options, oversample, store))
   }
 }

@@ -438,19 +438,34 @@ class VectorTopKSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
-  test("two-phase fetch broadcasts only the k winners (bounded build side)") {
-    val vecs = Seq(Seq(0f, 0f), Seq(1f, 0f), Seq(0f, 2f), Seq(5f, 5f))
-    val path = writeFixture(vecs)
+  test("two-phase fetch reads ONLY the files holding the k winners") {
+    import spark.implicits._
+    // two well-separated blobs written to separate files: the winners for a
+    // blob-0 query all live in one file, and the payload scan must not
+    // touch the other — the file-level pruning that keeps phase-2 IO
+    // bounded by k files instead of the table
+    val dir = java.nio.file.Files.createTempDirectory("graft-2phase").toString
+    (0 until 50).map(i => (i.toLong, Seq(0f + i * 1e-3f, 0f)))
+      .toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    (50 until 100).map(i => (i.toLong, Seq(100f + i * 1e-3f, 100f)))
+      .toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+      .coalesce(1).write.mode("append").parquet(dir)
     val store = tmpStore
-    IvfBuilder.build(spark, path, IvfBuilder.Config("vec", nClusters = Some(2)), store)
-    val df = VectorTopK.indexed(spark, path, "vec", Seq(0f, 0f), 2,
+    IvfBuilder.build(spark, dir, IvfBuilder.Config("vec", nClusters = Some(2)), store)
+    assert(spark.read.parquet(dir).inputFiles.length == 2)
+
+    val df = VectorTopK.indexed(spark, dir, "vec", Seq(0f, 0f), 3,
       VectorTopK.Options(nprobe = 64), store = store)
-    val ids = df.select("id").collect().map(_.getInt(0)).toSet
-    assert(ids == Set(0, 1))
+    val ids = df.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 1L, 2L))
+    // the fetched plan scans exactly one file — the winners' file
+    assert(df.inputFiles.length == 1, df.inputFiles.mkString(", "))
+    // and the join build side is the broadcast k-row winner set
     val plan = df.queryExecution.executedPlan.toString
-    // phase 2's build side is the limit-k winner set under a broadcast
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"))
-    assert(plan.contains("TakeOrderedAndProject(limit=2, orderBy=[_dist"))
   }
 
   test("query dim mismatch fails fast") {
