@@ -47,7 +47,8 @@ object IndexIngest {
       store: IndexStore = IndexStore.default,
       retrainOnDrift: Boolean = false,
       filesPerBatch: Int = 1,
-      checkpointDir: Option[String] = None): Long = {
+      checkpointDir: Option[String] = None,
+      maintainSq8: Boolean = false): Long = {
     require(filesPerBatch > 0, "filesPerBatch must be > 0")
     val checkpoint = checkpointDir.getOrElse(s"$tableDir/_graft_checkpoint")
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -60,6 +61,15 @@ object IndexIngest {
               spark, tableDir, IvfBuilder.Config(column), store): Unit
           } else {
             IvfBuilder.extend(spark, tableDir, IvfBuilder.Config(column), store): Unit
+          }
+          // SQ8's fixed symmetric grid is codebook-free, so per-batch
+          // sidecar maintenance only encodes the NEW files — the quantized
+          // search tier stays live between micro-batches at append cost.
+          // (PQ is deliberately not maintained here: its codebook trains on
+          // a whole-table sample, so per-batch ensure would rescan the
+          // grown table every batch — run PqSidecar.ensure on a schedule.)
+          if (maintainSq8) {
+            graft.ivf.Sq8Sidecar.ensure(spark, tableDir, column, store)
           }
           batches.incrementAndGet(): Unit
         }

@@ -26,7 +26,8 @@ class IndexIngestSpec extends SparkSpec {
     val schema = spark.read.parquet(stage).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(stage)
-    val batches = IndexIngest.ingest(spark, stream, tableDir, "vec", store)
+    val batches =
+      IndexIngest.ingest(spark, stream, tableDir, "vec", store, maintainSq8 = true)
     assert(batches == 3, s"expected 3 micro-batches, got $batches")
 
     // every ingested file carries an index with the SAME centroid set (the
@@ -36,8 +37,15 @@ class IndexIngestSpec extends SparkSpec {
     val indexes = files.map(f => IndexManager.loadIndex(store, f, "vec"))
     assert(indexes.map(_.centroids.toSeq).distinct.size == 1)
     assert(indexes.map(_.numRows).sum == 240L)
-    // radius sidecars came along (extend shares assignAndWrite)
+    // radius sidecars came along (extend shares assignAndWrite), and the
+    // per-batch SQ8 maintenance kept the quantized tier live too
     assert(files.forall(store.existsRadii(_, "vec")))
+    assert(files.forall(store.existsCodes(_, "vec")))
+    val sq8Ids = VectorTopK
+      .searchQuantized(spark, tableDir, "vec", Seq.fill(dim)(0.4f), 10,
+        VectorTopK.Options(nprobe = 64), oversample = 24, store = store)
+      .collect()
+    assert(sq8Ids.length == 10)
 
     // exhaustive-probe search over the ingested table == brute over source
     val q = Seq.fill(dim)(0.4f)
