@@ -396,27 +396,9 @@ object IvfBuilder {
       files: Seq[String],
       column: String,
       store: IndexStore = IndexStore.default): Array[Long] = {
-    import spark.implicits._
     require(files.nonEmpty, "no indexed files to profile")
     val k = IndexManager.loadIndex(store, files.head, column).nClusters
-    spark
-      .createDataset(files)
-      .repartition(math.min(files.size, spark.sparkContext.defaultParallelism))
-      .mapPartitions { it =>
-        val acc = new Array[Long](k)
-        it.foreach { f =>
-          val idx = IndexManager.loadIndex(store, f, column)
-          var c = 0
-          while (c < k) { acc(c) += idx.invertedLists(c).length; c += 1 }
-        }
-        Iterator.single(acc)
-      }
-      .collect()
-      .foldLeft(new Array[Long](k)) { (a, b) =>
-        var c = 0
-        while (c < k) { a(c) += b(c); c += 1 }
-        a
-      }
+    indexedCellStats(spark, files, column, k, store)._1
   }
 
   /** ONE distributed pass over the indexed files returning BOTH the trained

@@ -184,7 +184,19 @@ object VectorTopK {
     import spark.implicits._
     val files = winners.map(_._1).distinct.toSeq
     val winnerDf = winners.toSeq.toDF("_file", "_ri")
-    spark.read.parquet(files: _*)
+    // basePath anchors partition-column inference to the TABLE root: a
+    // leaf-file read without it would silently drop Hive-style partition
+    // columns (and diverge from the empty-winners branch's root-read
+    // schema). Spark requires basePath to be a DIRECTORY — a single-file
+    // table (footer-embedded layouts) has no partition columns to lose,
+    // so it reads plain.
+    val isDir =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).getFileStatus(p).isDirectory
+      } catch { case _: Exception => false }
+    val reader = if (isDir) spark.read.option("basePath", path) else spark.read
+    reader.parquet(files: _*)
       .withColumn("_file", col("_metadata.file_path"))
       .withColumn("_ri", col("_metadata.row_index"))
       .join(broadcast(winnerDf), Seq("_file", "_ri"), "left_semi")
@@ -216,6 +228,13 @@ object VectorTopK {
     * Filter-free queries run phase 1 EAGERLY (the reference TopkBuilder's
     * shape): the k winners are materialized at call time so the payload
     * scan can be pruned to only their files — see [[fetchWinnersPayload]].
+    * Consequence: the returned DataFrame is a SNAPSHOT of the winners at
+    * construction time — re-executing it after the table grows replays the
+    * frozen winner set (construct a fresh query to re-probe), and
+    * construction itself launches the phase-1 jobs. The filtered variant
+    * stays fully lazy (its candidate feed re-probes per execution) —
+    * callers needing lazy filter-free plans can use the SQL rewrite path,
+    * which keeps the lazy semi-join shape.
     *
     * @param filter residual predicate applied AFTER candidate pruning
     *               (post-filter semantics, like the reference).

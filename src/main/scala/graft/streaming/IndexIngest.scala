@@ -28,6 +28,12 @@ object IndexIngest {
   /** Runs the stream to completion (AvailableNow) and returns the number of
     * micro-batches processed.
     *
+    * ONE LOGICAL SOURCE PER TABLE by default: the checkpoint is keyed by
+    * `tableDir` alone, so a later call feeding the SAME table from a
+    * DIFFERENT source would resume against the first source's committed
+    * state (offset mismatch or mis-resume). Ingesting one table from
+    * several sources needs an explicit per-source `checkpointDir`.
+    *
     * RECOVERY: the checkpoint lives INSIDE the table directory by default
     * (`_graft_checkpoint` — the underscore prefix hides it from Spark's
     * file listing, the `_spark_metadata` convention), so a re-run after a

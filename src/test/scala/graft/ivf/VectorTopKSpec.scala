@@ -468,6 +468,24 @@ class VectorTopKSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"))
   }
 
+  test("two-phase fetch keeps Hive-style partition columns") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-2phase-part").toString
+    (0 until 60).map(i => (i.toLong, Seq(i * 0.01f, 0f), if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "vec", "part")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"), col("part"))
+      .repartition(2)
+      .write.partitionBy("part").mode("overwrite").parquet(dir)
+    val store = tmpStore
+    val build = IvfBuilder.build(spark, dir, IvfBuilder.Config("vec", nClusters = Some(2)), store)
+    val df = VectorTopK.indexed(spark, dir, "vec", Seq(0f, 0f), 4,
+      VectorTopK.Options(nprobe = build.nClusters), store = store)
+    // the leaf-file-pruned payload read must still infer the partition
+    // column (basePath anchoring) — id 0,1,2,3 span both partitions
+    val got = df.select("id", "part").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((0L, "a"), (1L, "b"), (2L, "a"), (3L, "b")), got.toString)
+  }
+
   test("query dim mismatch fails fast") {
     val path = writeFixture(Seq(Seq(0f, 0f), Seq(1f, 1f)))
     val store = tmpStore
