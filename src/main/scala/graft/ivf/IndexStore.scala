@@ -85,17 +85,25 @@ final class IndexStore(val dir: String) extends Serializable {
     * inequality bound behind exact index-pruned RANGE search
     * ([[graft.ivf.VectorTopK.rangeSearch]]). Tiny (4 bytes/cell) and
     * OPTIONAL: readers without it fall back to probing every cell, which is
-    * still exact. Format: magic `GQR1` + nClusters:i32 LE + f32 LE × k.
+    * still exact. The bounds are a function of the centroid set, so the
+    * header carries the index's [[IvfIndex.centroidDigest]]; a reader that
+    * finds a different digest (an index rebuilt out-of-band, e.g. by the
+    * reference engine after `ensureRadii`) treats the sidecar as ABSENT —
+    * exact fallback instead of wrong pruning.
+    * Format: magic `GQR2` + centroidDigest:i64 LE + nClusters:i32 LE +
+    * f32 LE × k. (Old `GQR1` files lack the digest and read as absent.)
     */
   def radiiPath(dataFile: String, column: String): String =
     s"$dir/${key(dataFile, column)}.radii"
 
-  def writeRadii(dataFile: String, column: String, radii: Array[Float]): Unit = {
+  def writeRadii(
+      dataFile: String, column: String, radii: Array[Float], centroidDigest: Long): Unit = {
     new File(dir).mkdirs()
     val buf = java.nio.ByteBuffer
-      .allocate(4 + 4 + 4 * radii.length)
+      .allocate(4 + 8 + 4 + 4 * radii.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     buf.put(IndexStore.RadiiMagic)
+    buf.putLong(centroidDigest)
     buf.putInt(radii.length)
     radii.foreach(buf.putFloat)
     val target = Paths.get(radiiPath(dataFile, column))
@@ -104,17 +112,24 @@ final class IndexStore(val dir: String) extends Serializable {
     Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
 
-  def loadRadii(dataFile: String, column: String): Option[Array[Float]] = {
+  /** Radii iff present AND stamped with `expectedDigest` (the CURRENT
+    * index's centroid fingerprint) — a mismatch means the index was rebuilt
+    * after the radii were computed, and the caller must prune with no bound
+    * (probe every cell: slower, still exact).
+    */
+  def loadRadii(
+      dataFile: String, column: String, expectedDigest: Long): Option[Array[Float]] = {
     val p = Paths.get(radiiPath(dataFile, column))
     if (!Files.exists(p)) return None
     val bytes = Files.readAllBytes(p)
-    if (bytes.length < 8) return None
+    if (bytes.length < 16) return None
     val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val magic = new Array[Byte](4)
     buf.get(magic)
     if (!magic.sameElements(IndexStore.RadiiMagic)) return None
+    if (buf.getLong != expectedDigest) return None
     val k = buf.getInt
-    if (k < 0 || bytes.length < 8 + 4 * k) return None
+    if (k < 0 || bytes.length < 16 + 4 * k) return None
     val radii = new Array[Float](k)
     var i = 0
     while (i < k) { radii(i) = buf.getFloat; i += 1 }
@@ -134,6 +149,48 @@ final class IndexStore(val dir: String) extends Serializable {
   def existsPq(dataFile: String, column: String, residual: Boolean = false): Boolean =
     Files.exists(Paths.get(pqPath(dataFile, column, residual)))
 
+  def deletePq(dataFile: String, column: String, residual: Boolean): Unit =
+    Files.deleteIfExists(Paths.get(pqPath(dataFile, column, residual))): Unit
+
+  /** Centroid fingerprint of the stored index, decoding ONLY the framed
+    * header + centroid matrix (no posting lists) — O(d·k) per file, cheap
+    * enough for driver-side epoch checks over a long file list.
+    */
+  def centroidDigest(dataFile: String, column: String): Option[Long] = {
+    val p = Paths.get(indexPath(dataFile, column))
+    if (!Files.exists(p)) return None
+    val ch = java.nio.channels.FileChannel.open(p)
+    try {
+      val head = java.nio.ByteBuffer
+        .allocate(IvfIndex.Magic.length + 16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      while (head.hasRemaining && ch.read(head) >= 0) {}
+      if (head.hasRemaining) return None
+      head.flip()
+      val magic = new Array[Byte](IvfIndex.Magic.length)
+      head.get(magic)
+      if (!magic.sameElements(IvfIndex.Magic)) return None
+      head.getLong // payload length
+      val dim = head.getInt
+      val k = head.getInt
+      if (dim <= 0 || k <= 0) return None
+      val cents = java.nio.ByteBuffer
+        .allocate(4 * dim * k)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var pos = (IvfIndex.Magic.length + 16).toLong
+      while (cents.hasRemaining) {
+        val n = ch.read(cents, pos)
+        if (n < 0) return None
+        pos += n
+      }
+      cents.flip()
+      val arr = new Array[Float](dim * k)
+      var i = 0
+      while (i < arr.length) { arr(i) = cents.getFloat; i += 1 }
+      Some(IvfIndex.centroidDigest(dim, k, arr))
+    } finally ch.close()
+  }
+
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
@@ -144,7 +201,7 @@ final class IndexStore(val dir: String) extends Serializable {
 }
 
 object IndexStore {
-  private[ivf] val RadiiMagic: Array[Byte] = "GQR1".getBytes("US-ASCII")
+  private[ivf] val RadiiMagic: Array[Byte] = "GQR2".getBytes("US-ASCII")
 
   /** Default writable cache dir (testdata is read-only). */
   def default: IndexStore =

@@ -265,9 +265,17 @@ object IvfBuilder {
         else store.write(file, column, index)
         // per-cell radius sidecar (true L2, rounded UP so the stored bound
         // never understates a member's distance) — the triangle-inequality
-        // bound behind exact index-pruned range search
+        // bound behind exact index-pruned range search; stamped with this
+        // index's centroid epoch so an out-of-band rebuild can't leave
+        // wrong bounds in play
         store.writeRadii(file, column,
-          maxDistSq.map(d => Math.nextUp(math.sqrt(d.toDouble).toFloat)))
+          maxDistSq.map(d => Math.nextUp(math.sqrt(d.toDouble).toFloat)),
+          index.centroidDigest)
+        // residual PQ codes (vec − cellCentroid) from a PREVIOUS centroid
+        // epoch are garbage under this index — drop them here so every
+        // (re)index path (build, retrain, streaming ingest) invalidates
+        // uniformly; PqSidecar.ensure re-encodes on demand
+        store.deletePq(file, column, residual = true)
         (file, count)
       }
       .collect()
@@ -293,6 +301,7 @@ object IvfBuilder {
     val bcCentroids = spark.sparkContext.broadcast(existing.centroids)
     val dim = existing.dim
     val k = existing.nClusters
+    val epoch = existing.centroidDigest
     spark.read
       .parquet(path)
       .select(
@@ -314,7 +323,7 @@ object IvfBuilder {
           if (distSq > maxDistSq(cluster)) maxDistSq(cluster) = distSq
         }
         store.writeRadii(file, column,
-          maxDistSq.map(d => Math.nextUp(math.sqrt(d.toDouble).toFloat)))
+          maxDistSq.map(d => Math.nextUp(math.sqrt(d.toDouble).toFloat)), epoch)
         file
       }
       .collect(): Unit
@@ -432,7 +441,7 @@ object IvfBuilder {
           var c = 0
           while (c < k) { counts(c) += idx.invertedLists(c).length; c += 1 }
           files += 1L
-          store.loadRadii(f, column).filter(_.length == k).foreach { r =>
+          store.loadRadii(f, column, idx.centroidDigest).filter(_.length == k).foreach { r =>
             filesWithRadii += 1L
             var i = 0
             while (i < k) { if (r(i) > radii(i)) radii(i) = r(i); i += 1 }

@@ -149,12 +149,46 @@ final case class IvfIndex(
 
   def nearestCentroid(vec: Array[Float]): Int =
     VectorKernels.nearestCentroid(vec, centroids, dim)
+
+  /** Fingerprint of the centroid matrix (plus shape) — the index's "epoch".
+    * Derived artifacts whose bytes are a function of the centroids (residual
+    * PQ codes, per-cell radius bounds) stamp this into their headers so a
+    * retrain that moves the centroids invalidates them instead of letting
+    * them silently mis-score (the refuse-don't-guess posture of the
+    * reference's indexed-column validation, index_exec.rs:123-135).
+    */
+  lazy val centroidDigest: Long = IvfIndex.centroidDigest(dim, nClusters, centroids)
 }
 
 object IvfIndex {
   val Magic: Array[Byte] = "PQ_VECTOR1".getBytes("UTF-8")
   val IndexOffsetKey = "pq_vector_index_offset"
   val EmbeddingColumnKey = "pq_vector_embedding_column"
+
+  /** FNV-1a over the shape and the raw f32 bit patterns — stable across
+    * JVMs/platforms (bit-exact centroids ⇒ equal digest; any moved centroid
+    * ⇒ different with overwhelming probability). NaN payload bits count as
+    * written, so even exotic centroids fingerprint deterministically.
+    */
+  def centroidDigest(dim: Int, nClusters: Int, centroids: Array[Float]): Long = {
+    var h = 0xcbf29ce484222325L
+    def mix(v: Int): Unit = {
+      var i = 0
+      while (i < 4) {
+        h ^= (v >>> (i * 8)) & 0xFFL
+        h *= 0x100000001b3L
+        i += 1
+      }
+    }
+    mix(dim)
+    mix(nClusters)
+    var c = 0
+    while (c < centroids.length) {
+      mix(java.lang.Float.floatToRawIntBits(centroids(c)))
+      c += 1
+    }
+    h
+  }
 
   def fromBytes(bytes: Array[Byte]): IvfIndex = {
     require(bytes.length >= 8, "IVF index buffer too small")

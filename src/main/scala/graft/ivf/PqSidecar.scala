@@ -18,29 +18,42 @@ import org.apache.spark.sql.functions._
   * survivors. At dim=64, m=8 this is a 32× coarse-IO reduction over floats
   * (8× over SQ8).
   *
-  * Layout (little-endian): `"GRAFTPQ1" | nRows i32 | flags i32 | cbLen i32 |
-  * codebook bytes ([[Pq.codebookBytes]]) | codes (nRows·m bytes)`.
+  * Layout (little-endian): `"GRAFTPQ3" | nRows i32 | flags i32 |
+  * centroidDigest i64 | cbLen i32 | codebook bytes ([[Pq.codebookBytes]]) |
+  * codes (nRows·m bytes)`.
   * `flags` bit 0 = RESIDUAL: codes quantize `vec − cellCentroid` (IVF-ADC,
   * the faiss `IndexIVFPQ` convention) and search must build its ADC table
-  * from `query − cellCentroid` per probed cell.
+  * from `query − cellCentroid` per probed cell. Residual codes are a
+  * function of the IVF centroids at encode time, so `centroidDigest` stamps
+  * the [[IvfIndex.centroidDigest]] they were built under; readers REFUSE a
+  * mismatch (a drift retrain moved the centroids — scoring old-centroid
+  * codes against new-centroid ADC tables silently collapses recall) and
+  * [[ensure]] rebuilds it. Non-residual sidecars don't depend on the
+  * centroids and stamp 0.
   * Writes are atomic (temp + rename), safe under speculative retries.
   */
 object PqSidecar {
 
-  // "2": the flags field was added before any release of the "1" layout;
-  // readers treat a bad magic as sidecar-absent, so pre-flags files are
+  // "3": the centroidDigest field was added (epoch-stamping residual codes);
+  // readers treat a bad magic as sidecar-absent, so pre-digest files are
   // transparently rebuilt by ensure() rather than misparsed
-  val Magic: Array[Byte] = "GRAFTPQ2".getBytes("UTF-8")
-  private val FixedHeaderLen = Magic.length + 12
+  val Magic: Array[Byte] = "GRAFTPQ3".getBytes("UTF-8")
+  private val FixedHeaderLen = Magic.length + 20
 
   val FlagResidual = 1
 
   /** Immutable view of a sidecar's header. */
-  final case class Header(cb: Pq.Codebook, nRows: Int, flags: Int, codesOffset: Long) {
+  final case class Header(
+      cb: Pq.Codebook, nRows: Int, flags: Int, centroidDigest: Long, codesOffset: Long) {
     def residual: Boolean = (flags & FlagResidual) != 0
   }
 
-  def writeFile(path: String, cb: Pq.Codebook, codes: Array[Byte], flags: Int = 0): Unit = {
+  def writeFile(
+      path: String,
+      cb: Pq.Codebook,
+      codes: Array[Byte],
+      flags: Int = 0,
+      centroidDigest: Long = 0L): Unit = {
     require(
       codes.length % cb.m == 0,
       s"codes length ${codes.length} not a multiple of m ${cb.m}")
@@ -51,6 +64,7 @@ object PqSidecar {
     buf.put(Magic)
     buf.putInt(codes.length / cb.m)
     buf.putInt(flags)
+    buf.putLong(centroidDigest)
     buf.putInt(cbBytes.length)
     buf.put(cbBytes)
     buf.put(codes)
@@ -76,6 +90,7 @@ object PqSidecar {
     require(magic.sameElements(Magic), s"not a PQ sidecar: $path")
     val nRows = fixed.getInt
     val flags = fixed.getInt
+    val centroidDigest = fixed.getLong
     val cbLen = fixed.getInt
     require(nRows >= 0 && cbLen > 0, s"implausible PQ header in $path")
     val cbBuf = ByteBuffer.allocate(cbLen)
@@ -86,7 +101,8 @@ object PqSidecar {
       pos += n
     }
     Header(
-      Pq.codebookFromBytes(cbBuf.array()), nRows, flags, FixedHeaderLen.toLong + cbLen)
+      Pq.codebookFromBytes(cbBuf.array()), nRows, flags, centroidDigest,
+      FixedHeaderLen.toLong + cbLen)
   }
 
   /** Open-once reader: holds the channel and the parsed header so repeated
@@ -171,15 +187,29 @@ object PqSidecar {
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
 
     // residual (IVF-ADC) mode quantizes vec − cellCentroid under the
-    // table-shared IVF centroids — the index must already exist
-    val centroids: Array[Float] =
-      if (!residual) null
+    // table-shared IVF centroids — the index must already exist, and every
+    // file's index must carry the SAME centroid set (encode uses one file's
+    // copy but search builds ADC tables from each file's own index — a
+    // mixed-generation table would silently mis-rank, so verify the
+    // invariant by fingerprint before encoding anything)
+    val (centroids, centroidEpoch): (Array[Float], Long) =
+      if (!residual) (null, 0L)
       else {
         val files = IndexManager.listFiles(spark, path)
-        files.foreach(f => require(
-          store.exists(f, column) || ParquetFooterIndex.peek(f, column).isDefined,
-          s"residual PQ needs an IVF index for every file — none for $f"))
-        IndexManager.loadIndex(store, files.head, column).centroids
+        val digests = files.map { f =>
+          f -> store.centroidDigest(f, column)
+            .orElse(ParquetFooterIndex.load(f, column).map(_.centroidDigest))
+            .getOrElse(throw new IllegalStateException(
+              s"residual PQ needs an IVF index for every file — none for $f"))
+        }
+        val epoch = digests.head._2
+        digests.find(_._2 != epoch).foreach { case (f, d) =>
+          throw new IllegalStateException(
+            s"mixed-generation IVF indexes: $f has centroid digest $d but " +
+              s"${digests.head._1} has $epoch — residual PQ codes must share one " +
+              "centroid set; rebuild the table's index (IvfBuilder.build) first")
+        }
+        (IndexManager.loadIndex(store, files.head, column).centroids, epoch)
       }
     def toResidual(vec: Array[Float], cents: Array[Float]): Array[Float] = {
       val cell = graft.functions.VectorKernels.nearestCentroid(vec, cents, dim)
@@ -230,7 +260,9 @@ object PqSidecar {
         collected.foreach { case (ri, c) =>
           System.arraycopy(c, 0, codes, ri * codebook.m, codebook.m)
         }
-        writeFile(store.pqPath(file, column, residual = flags != 0), codebook, codes, flags)
+        writeFile(
+          store.pqPath(file, column, residual = flags != 0), codebook, codes, flags,
+          centroidEpoch)
         (file, collected.length.toLong)
       }
       .collect()
@@ -244,13 +276,20 @@ object PqSidecar {
     * space, which is what guarantees cross-file comparability.
     */
   /** A sidecar is usable when present AND parseable with the wanted
-    * variant flag — a stale (old-format) or wrong-variant file counts as
-    * missing and gets rebuilt instead of failing mid-search.
+    * variant flag AND (for residual codes) stamped with the CURRENT index's
+    * centroid digest — a stale (old-format), wrong-variant, or
+    * wrong-centroid-epoch file (index retrained since encode) counts as
+    * missing and gets rebuilt instead of silently mis-scoring.
     */
   private def usable(store: IndexStore, f: String, column: String, residual: Boolean): Boolean =
     store.existsPq(f, column, residual) &&
-      scala.util.Try(readHeader(store.pqPath(f, column, residual)))
-        .toOption.exists(_.residual == residual)
+      scala.util.Try(readHeader(store.pqPath(f, column, residual))).toOption.exists { h =>
+        h.residual == residual && (!residual ||
+          store.centroidDigest(f, column)
+            .orElse(scala.util.Try(
+              ParquetFooterIndex.load(f, column).map(_.centroidDigest)).toOption.flatten)
+            .contains(h.centroidDigest))
+      }
 
   def ensure(
       spark: SparkSession,

@@ -424,7 +424,8 @@ object VectorTopK {
     val r = radius
     val results = sc.parallelize(files, slices).flatMap { file =>
       val index = IndexManager.loadIndex(store, file, colName)
-      val radii = store.loadRadii(file, colName).filter(_.length == index.nClusters)
+      val radii = store.loadRadii(file, colName, index.centroidDigest)
+        .filter(_.length == index.nClusters)
       val cells = index.rangeProbeCells(q, r, radii)
       val cands = cells.flatMap(index.invertedLists)
       java.util.Arrays.sort(cands)
@@ -464,7 +465,8 @@ object VectorTopK {
     val r = radius
     val results = sc.parallelize(files, slices).flatMap { file =>
       val index = IndexManager.loadIndex(store, file, colName)
-      val radii = store.loadRadii(file, colName).filter(_.length == index.nClusters)
+      val radii = store.loadRadii(file, colName, index.centroidDigest)
+        .filter(_.length == index.nClusters)
       index.rangeProbeCells(q, r, radii).iterator.flatMap { c =>
         index.invertedLists(c).iterator.map(ri => (file, ri.toLong))
       }
@@ -517,7 +519,8 @@ object VectorTopK {
     val est = store.load(files.head, column)
       .orElse(ParquetFooterIndex.load(files.head, column))
       .map { idx =>
-        val radii = store.loadRadii(files.head, column).filter(_.length == idx.nClusters)
+        val radii = store.loadRadii(files.head, column, idx.centroidDigest)
+          .filter(_.length == idx.nClusters)
         idx.rangeProbeCells(query.toArray, radius, radii)
           .map(idx.invertedLists(_).length.toLong).sum * files.size
       }
@@ -688,6 +691,15 @@ object VectorTopK {
       require(
         header.residual == wantResidual,
         s"PQ sidecar variant mismatch for $file (flags=${header.flags})")
+      // refuse-don't-guess: residual codes quantize vec − cellCentroid, so a
+      // retrain that moved the centroids makes them garbage under the new
+      // ADC tables — a digest mismatch is a hard error, never a recall drop
+      if (wantResidual) require(
+        header.centroidDigest == index.centroidDigest,
+        s"stale residual PQ sidecar for $file: codes were encoded under " +
+          s"centroid epoch ${header.centroidDigest} but the index is now " +
+          s"${index.centroidDigest} (retrained since encode) — rebuild with " +
+          "PqSidecar.ensure")
       val cb = header.cb
       require(
         cb.dim == q.length,

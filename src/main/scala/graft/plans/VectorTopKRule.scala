@@ -397,7 +397,7 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val first = store.load(files.head, column)
         .orElse(ParquetFooterIndex.load(files.head, column))
       val perFile = first.map { idx =>
-        val radii = store.loadRadii(files.head, column)
+        val radii = store.loadRadii(files.head, column, idx.centroidDigest)
           .filter(_.length == idx.nClusters)
         idx.rangeProbeCells(query, radius, radii)
           .map(idx.invertedLists(_).length.toLong).sum

@@ -60,7 +60,7 @@ class RangeSearchSpec extends SparkSpec {
     val near = (0 until dim).map(_ => 0.1f).toArray
     val files = IndexManager.listFiles(spark, dir)
     val idx = IndexManager.loadIndex(store, files.head, "vec")
-    val radii = store.loadRadii(files.head, "vec")
+    val radii = store.loadRadii(files.head, "vec", idx.centroidDigest)
     assert(radii.isDefined, "build must write the radius sidecar")
     assert(radii.get.length == idx.nClusters)
     val probed = idx.rangeProbeCells(near, 1.0f, radii)
@@ -107,7 +107,7 @@ class RangeSearchSpec extends SparkSpec {
     val files = IndexManager.listFiles(spark, dir)
     files.foreach { f =>
       val idx = IndexManager.loadIndex(store, f, "vec")
-      val radii = store.loadRadii(f, "vec").get
+      val radii = store.loadRadii(f, "vec", idx.centroidDigest).get
       val all = idx.invertedLists.flatten.sorted
       val vecs = SelectiveFetch.embeddings(f, "vec", all).toMap
       for (c <- 0 until idx.nClusters; ri <- idx.invertedLists(c)) {
@@ -117,6 +117,25 @@ class RangeSearchSpec extends SparkSpec {
         assert(d <= radii(c).toDouble, s"member $ri of cell $c exceeds stored radius")
       }
     }
+  }
+
+  test("radii from a different centroid epoch read as absent; range stays exact") {
+    val (dir, store) = fixture()
+    val files = IndexManager.listFiles(spark, dir)
+    // simulate an out-of-band index rebuild AFTER the radii were written
+    // (e.g. the reference engine retrained with the same k): shift every
+    // centroid; the old radii no longer bound the new cells
+    files.foreach { f =>
+      val idx = IndexManager.loadIndex(store, f, "vec")
+      store.write(f, "vec", idx.copy(centroids = idx.centroids.map(_ + 0.25f)))
+    }
+    val shifted = IndexManager.loadIndex(store, files.head, "vec")
+    assert(
+      store.loadRadii(files.head, "vec", shifted.centroidDigest).isEmpty,
+      "stale-epoch radii must be treated as absent, not trusted")
+    // probe-all fallback keeps range search exact even under the new index
+    val near = (0 until dim).map(_ => 0.1f)
+    assert(ranged(dir, store, near, 1.5f) == brute(dir, near, 1.5f))
   }
 
   test("rangeSearch emits SearchResult rows, distance-ascending, strictly inside") {
