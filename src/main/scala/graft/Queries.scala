@@ -218,6 +218,36 @@ object Queries {
        |  ORDER BY list_cosine_similarity(embedding::FLOAT[], $duckVecLit) DESC LIMIT 10)
        |ORDER BY vec_id""".stripMargin
 
+  /** FILTERED cosine top-k through the SQL rewrite — the LLM-retrieval
+    * staple (`WHERE lang = 'en' ORDER BY cosine DESC LIMIT k`). A residual
+    * WHERE rules out the winner-first feed (post-filter semantics must see
+    * every candidate row), so the rule grafts the ANGULAR one-phase
+    * candidate feed: `IvfCandidateScanExec` probes cells by centroid
+    * cosine, and the untouched Filter + Sort above re-rank exactly. nprobe
+    * is exhaustive here so the result hash-gates against DuckDB; the
+    * production operating point is the same plan at nprobe ≪ nClusters.
+    */
+  def vq13FilteredCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/embeddings.parquet"
+    val ti = IndexManager.ensure(spark, path, "embedding")
+    Graft.install(spark)
+    spark.conf.set(plans.VectorTopKRule.NprobeKey, ti.nClusters.toString)
+    spark.read.parquet(path).createOrReplaceTempView("graft_embeddings_fcos")
+    val vecLit = queryVec.map(v => s"${v}F").mkString("array(", ", ", ")")
+    spark.sql(
+      s"""SELECT vec_id FROM (
+         |  SELECT vec_id FROM graft_embeddings_fcos
+         |  WHERE label >= 5
+         |  ORDER BY array_cosine_similarity(embedding, $vecLit) DESC LIMIT 10)
+         |ORDER BY vec_id""".stripMargin)
+  }
+
+  val vq13Oracle: String =
+    s"""SELECT vec_id FROM (
+       |  SELECT vec_id FROM embeddings WHERE label >= 5
+       |  ORDER BY list_cosine_similarity(embedding::FLOAT[], $duckVecLit) DESC LIMIT 10)
+       |ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------------- int8 quantization
 
   /** DuckDB twin of [[graft.functions.Sq8.code]]: the float widens to f64
@@ -1751,6 +1781,7 @@ object Queries {
     "vq10_sql_range" -> (vq10SqlRange _),
     "vq7_sql_topk" -> (vq7SqlTopk _),
     "vq8_cosine_ivf" -> (vq8CosineIvf _),
+    "vq13_filtered_cosine" -> (vq13FilteredCosine _),
     "vq5_cosine_topk" -> (vq5CosineTopk _),
     "vq6_knn_join" -> (vq6KnnJoin _),
     "vq11_maxsim_topk" -> (vq11MaxsimTopk _),
@@ -1829,6 +1860,7 @@ object Queries {
     "vq10_sql_range" -> vq4Oracle, // rewrite keeps the exact Filter above
     "vq7_sql_topk" -> vq7Oracle,
     "vq8_cosine_ivf" -> vq8Oracle,
+    "vq13_filtered_cosine" -> vq13Oracle,
     "vq5_cosine_topk" -> vq5Oracle,
     "vq6_knn_join" -> vq6Oracle,
     "vq11_maxsim_topk" -> vq11Oracle,

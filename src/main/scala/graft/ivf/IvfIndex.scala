@@ -127,9 +127,13 @@ final case class IvfIndex(
 
   /** Number of candidates a probe would return, without materializing them —
     * the cheap first phase of the distributed `max_candidates` fairness cap.
+    * `cosine` counts under the angular probe order (different cells survive
+    * at `nprobe < nClusters`; identical at exhaustive probe).
     */
-  def candidateCount(query: Array[Float], nprobe: Int): Long =
-    findClosestCentroids(query, nprobe).map(invertedLists(_).length.toLong).sum
+  def candidateCount(query: Array[Float], nprobe: Int, cosine: Boolean = false): Long =
+    (if (cosine) findClosestCentroidsCosine(query, nprobe)
+     else findClosestCentroids(query, nprobe))
+      .map(invertedLists(_).length.toLong).sum
 
   def numRows: Long = invertedLists.iterator.map(_.length.toLong).sum
 

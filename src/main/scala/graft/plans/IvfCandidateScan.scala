@@ -35,14 +35,16 @@ final case class IvfCandidateScan(
     maxCandidates: Option[Int],
     files: Seq[String],
     indexDir: String,
-    estCandidates: Long) extends LeafNode {
+    estCandidates: Long,
+    cosine: Boolean = false) extends LeafNode {
   override def computeStats(): org.apache.spark.sql.catalyst.plans.logical.Statistics =
     org.apache.spark.sql.catalyst.plans.logical.Statistics(
       sizeInBytes = BigInt(estCandidates) * IvfCandidateScan.estRowBytes(files) + 128,
       rowCount = Some(BigInt(estCandidates)))
   override def simpleString(maxFields: Int): String =
     s"IvfCandidateScan [column=$column, dim=${query.length}, nprobe=$nprobe, " +
-      s"files=${files.size}, estCandidates=$estCandidates]"
+      s"files=${files.size}, estCandidates=$estCandidates" +
+      (if (cosine) ", metric=cosine" else "") + "]"
 }
 
 object IvfCandidateScan {
@@ -63,9 +65,10 @@ object IvfCandidateScan {
       maxCandidates: Option[Int],
       files: Seq[String],
       indexDir: String,
-      estCandidates: Long): DataFrame =
+      estCandidates: Long,
+      cosine: Boolean = false): DataFrame =
     Bridge.ofRows(spark, IvfCandidateScan(
-      attrs, column, query, nprobe, maxCandidates, files, indexDir, estCandidates))
+      attrs, column, query, nprobe, maxCandidates, files, indexDir, estCandidates, cosine))
 
   /** Sidecar first, footer-embedded second (same order as the driver peek). */
   def loadIndex(store: IndexStore, file: String, column: String): IvfIndex =
@@ -119,7 +122,8 @@ final case class IvfCandidateScanExec(
     nprobe: Int,
     maxCandidates: Option[Int],
     files: Seq[String],
-    indexDir: String) extends LeafExecNode {
+    indexDir: String,
+    cosine: Boolean = false) extends LeafExecNode {
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "filesScanned" -> SQLMetrics.createMetric(sparkContext, "files scanned"),
@@ -127,7 +131,7 @@ final case class IvfCandidateScanExec(
 
   override def simpleString(maxFields: Int): String =
     s"IvfCandidateScanExec [column=$column, dim=${query.length}, nprobe=$nprobe, " +
-      s"files=${files.size}]"
+      s"files=${files.size}" + (if (cosine) ", metric=cosine" else "") + "]"
 
   protected override def doExecute(): RDD[InternalRow] = {
     val filesScanned = longMetric("filesScanned")
@@ -140,11 +144,12 @@ final case class IvfCandidateScanExec(
     // fairness cap, two-phase: executor-side counts -> driver quota water-fill
     // (O(files) driver memory), then the emit pass takes each file's quota in
     // probe (centroid) order, matching the reference's CandidateCursor.
+    val cos = cosine
     val quotas: Option[Array[Long]] = maxCandidates.map { cap =>
       val counts = sparkContext
         .parallelize(files.zipWithIndex, slices)
         .map { case (f, i) =>
-          (i, IvfCandidateScan.loadIndex(store, f, colName).candidateCount(q, np))
+          (i, IvfCandidateScan.loadIndex(store, f, colName).candidateCount(q, np, cos))
         }
         .collect()
         .sortBy(_._1)
@@ -163,7 +168,10 @@ final case class IvfCandidateScanExec(
           s"query dim ${q.length} != index dim ${index.dim} for $file")
         filesScanned.add(1L)
         val utf8 = UTF8String.fromString(file)
-        val cands = index.candidateRows(q, np)
+        // angular queries probe by centroid cosine — at nprobe >= nClusters
+        // both orders emit every row, which is what the exactness gate uses
+        val cands =
+          if (cos) index.candidateRowsCosine(q, np) else index.candidateRows(q, np)
         val n = math.min(quota, cands.length.toLong).toInt
         candidateRows.add(n.toLong)
         Iterator.tabulate(n)(j => proj(InternalRow(utf8, cands(j).toLong)).copy())
@@ -220,8 +228,8 @@ object GraftStrategy extends SparkStrategy {
   override def apply(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[SparkPlan] =
     plan match {
-      case IvfCandidateScan(out, col, q, nprobe, maxCands, files, dir, _) =>
-        IvfCandidateScanExec(out, col, q, nprobe, maxCands, files, dir) :: Nil
+      case IvfCandidateScan(out, col, q, nprobe, maxCands, files, dir, _, cos) =>
+        IvfCandidateScanExec(out, col, q, nprobe, maxCands, files, dir, cos) :: Nil
       case MeteredFetch(child) =>
         MeteredFetchExec(planLater(child)) :: Nil
       case _ => Nil

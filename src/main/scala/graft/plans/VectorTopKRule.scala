@@ -222,11 +222,6 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // first) that an IVF probe cannot serve
       _ <- if (order.direction == (if (cosine) Descending else Ascending)) Some(())
            else None
-      // cosine is winner-first only: the one-phase candidate feed ranks by
-      // the untouched Sort above it, but its probe machinery
-      // (IvfCandidateScanExec) is L2-ordered — restrict the angular rewrite
-      // to filter-free plans, where the cosine-probed two-phase feed applies
-      _ <- if (!cosine || filterFree(child)) Some(()) else None
       leaf <- findSingleParquetLeaf(child)
       // the sorted attribute must be a physical column of the scan
       column <- leaf.output.find(_.exprId == attr.exprId).map(_.name)
@@ -271,10 +266,6 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // time (a rule fires per action, and the rewrite can still bail)
     val twoPhaseOk =
       filterFree && maxCandidates.isEmpty && conf(TwoPhaseKey, "true") == "true"
-    // the one-phase feed's probe machinery is L2-ordered — when the
-    // angular winner-first feed cannot apply, leave the cosine plan alone
-    // (full scan, exact) instead of serving mismatched-metric candidates
-    if (cosine && !twoPhaseOk) return None
     val candSide = if (twoPhaseOk) {
       // winner-first (two-phase): no Filter sits below the top-k, so the k
       // phase-1 winners ARE the result set — rank candidates on selective
@@ -291,18 +282,22 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
         .select(col("_file").as("__file"), col("_ri").as("__ri"))
       broadcast(winners)
     } else {
+      // one-phase candidate feed — for cosine queries (a residual Filter or
+      // a candidate cap forced this path) the probe ranks cells by centroid
+      // cosine instead of L2, so the angular top-k's candidates are the
+      // angular neighborhood; the untouched Sort above re-ranks exactly
       // one full index load (first file) scaled by file count: O(1)
       // estimate for stats and broadcast-vs-shuffle selection
       val est = {
         val perFile = store.load(files.head, column)
           .orElse(ParquetFooterIndex.load(files.head, column))
-          .map(_.candidateCount(query, nprobe)).getOrElse(0L)
+          .map(_.candidateCount(query, nprobe, cosine)).getOrElse(0L)
         maxCandidates.fold(perFile * files.size)(c =>
           math.min(c.toLong, perFile * files.size))
       }
       val candDf = IvfCandidateScan.df(
         spark, column, query.toIndexedSeq, nprobe, maxCandidates,
-        files, store.dir, est)
+        files, store.dir, est, cosine)
       val estBytes = est * IvfCandidateScan.estRowBytes(files)
       val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
       // threshold < 0 means the user DISABLED auto-broadcast — honor it

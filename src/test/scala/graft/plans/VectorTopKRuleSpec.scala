@@ -163,16 +163,52 @@ class VectorTopKRuleSpec extends SparkSpec {
     }
   }
 
-  test("no cosine rewrite for ASC, residual filters, or twoPhase=false") {
+  test("no cosine rewrite for ASC (least-similar-first has no probe order)") {
     register()
     withRule(nprobe = 8) {
-      // ascending cosine = LEAST similar first — an IVF probe cannot serve it
       assert(!fired(sqlCosineTopk(order = "ASC")))
-      // the one-phase candidate feed is L2-ordered; cosine must not use it
-      assert(!fired(sqlCosineTopk(extra = "WHERE label >= 2")))
+    }
+  }
+
+  test("filtered cosine rewrites via the ANGULAR one-phase feed and stays exact") {
+    register()
+    withRule(nprobe = 8) { // exhaustive → both probe orders emit every row
+      val df = sqlCosineTopk(extra = "WHERE label >= 2")
+      assert(fired(df), df.queryExecution.optimizedPlan.toString)
+      // post-filter semantics need the full candidate feed, probed angularly
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("IvfCandidateScan"), optimized)
+      assert(optimized.contains("metric=cosine"), optimized)
+      spark.conf.set(VectorTopKRule.EnabledKey, "false")
+      val brute = sqlCosineTopk(extra = "WHERE label >= 2")
+      assert(!fired(brute))
+      spark.conf.set(VectorTopKRule.EnabledKey, "true")
+      assert(df.collect().map(_.getLong(0)).toSeq ==
+        brute.collect().map(_.getLong(0)).toSeq)
+
+      // twoPhase=false: filter-free cosine also drops to the angular
+      // one-phase feed instead of bailing
       spark.conf.set(VectorTopKRule.TwoPhaseKey, "false")
-      try assert(!fired(sqlCosineTopk()))
-      finally spark.conf.unset(VectorTopKRule.TwoPhaseKey)
+      try {
+        val one = sqlCosineTopk()
+        assert(fired(one), one.queryExecution.optimizedPlan.toString)
+        assert(one.queryExecution.optimizedPlan.toString.contains("metric=cosine"))
+        spark.conf.set(VectorTopKRule.EnabledKey, "false")
+        val b2 = sqlCosineTopk()
+        spark.conf.set(VectorTopKRule.EnabledKey, "true")
+        assert(one.collect().map(_.getLong(0)).toSeq ==
+          b2.collect().map(_.getLong(0)).toSeq)
+      } finally spark.conf.unset(VectorTopKRule.TwoPhaseKey)
+    }
+  }
+
+  test("ANN filtered cosine at small nprobe probes the angular neighborhood") {
+    register()
+    withRule(nprobe = 2) {
+      val df = sqlCosineTopk(extra = "WHERE label >= 2")
+      assert(fired(df))
+      val ids = df.collect().map(_.getLong(0)).toSeq
+      assert(ids.nonEmpty && ids.length <= 5)
     }
   }
 
