@@ -29,14 +29,85 @@ object IndexManager {
       .map(IndexStore.canonicalPath)
       .sorted
 
-  /** Sidecar first, footer-embedded second (the order the driver peeks in);
-    * shared by the executor-side probe paths.
+  /** Decoded-index LRU (per JVM, so per executor in cluster mode): probe
+    * paths call [[loadIndex]] once per (task, file), and without a cache
+    * every repeated query re-reads and re-decodes the same sidecar —
+    * decode cost × tasks × queries. Indexes are small (centroids + posting
+    * ordinals) and immutable once decoded, so a few hundred entries are
+    * cheap to pin. Entries are keyed by the BACKING file's (path, mtime,
+    * length): a rebuilt sidecar (retrain, streaming ingest) or an in-place
+    * footer re-embed changes both and reads as a miss, never a stale hit.
     */
-  def loadIndex(store: IndexStore, file: String, column: String): IvfIndex =
-    store.load(file, column)
-      .orElse(ParquetFooterIndex.load(file, column))
-      .getOrElse(throw new IllegalStateException(
-        s"no IVF index for file $file column '$column' — build one with IvfBuilder"))
+  private val MaxDecodedEntries =
+    sys.props.getOrElse("graft.index.cacheEntries", "256").toInt
+  // column is part of the key even though a sidecar path already encodes
+  // it — a FOOTER-embedded file can hold indexes for several columns under
+  // one backing path, and those must not alias. fileKey (inode identity)
+  // guards the mtime-granularity hole: every sidecar write is
+  // temp + atomic-rename, so a same-length rewrite within one timestamp
+  // tick still changes the inode and reads as a miss.
+  private final case class CacheKey(
+      path: String, column: String, fileKey: String, mtime: Long, length: Long)
+  private val decodedCache =
+    new java.util.LinkedHashMap[CacheKey, IvfIndex](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[CacheKey, IvfIndex]): Boolean =
+        size() > MaxDecodedEntries
+    }
+  private val hits = new java.util.concurrent.atomic.AtomicLong
+  private val misses = new java.util.concurrent.atomic.AtomicLong
+
+  /** (hits, misses) since JVM start — surfaced so benches/specs can see the
+    * cache working; executor-side numbers are per-executor.
+    */
+  def decodedCacheStats: (Long, Long) = (hits.get(), misses.get())
+
+  /** Identity of the bytes [[loadIndex]] would decode: the sidecar when one
+    * exists, else the data file itself (footer-embedded index — in-place
+    * re-embeds rewrite the file, moving mtime and usually length).
+    */
+  private def cacheKey(store: IndexStore, file: String, column: String): Option[CacheKey] = {
+    val sidecar = java.nio.file.Paths.get(store.indexPath(file, column))
+    val backing =
+      if (java.nio.file.Files.exists(sidecar)) sidecar
+      else {
+        val local = IndexStore.canonicalPath(file).stripPrefix("file:")
+        java.nio.file.Paths.get(local)
+      }
+    try {
+      val attrs = java.nio.file.Files.readAttributes(
+        backing, classOf[java.nio.file.attribute.BasicFileAttributes])
+      Some(CacheKey(
+        backing.toString, column, String.valueOf(attrs.fileKey()),
+        attrs.lastModifiedTime.to(java.util.concurrent.TimeUnit.NANOSECONDS), attrs.size))
+    } catch { case _: Exception => None }
+  }
+
+  /** Sidecar first, footer-embedded second (the order the driver peeks in);
+    * shared by the executor-side probe paths. Decoded results are served
+    * from the per-JVM LRU above.
+    */
+  def loadIndex(store: IndexStore, file: String, column: String): IvfIndex = {
+    def decode(): IvfIndex =
+      store.load(file, column)
+        .orElse(ParquetFooterIndex.load(file, column))
+        .getOrElse(throw new IllegalStateException(
+          s"no IVF index for file $file column '$column' — build one with IvfBuilder"))
+    cacheKey(store, file, column) match {
+      case None => decode() // unstattable backing file: let decode() report
+      case Some(key) =>
+        val cached = decodedCache.synchronized(decodedCache.get(key))
+        if (cached != null) { hits.incrementAndGet(); cached }
+        else {
+          // decode OUTSIDE the lock: concurrent first-touch of one file may
+          // decode twice, but never serializes unrelated files behind IO
+          val idx = decode()
+          misses.incrementAndGet()
+          decodedCache.synchronized(decodedCache.put(key, idx))
+          idx
+        }
+    }
+  }
 
   /** `ensure` + the table's shared centroid matrix (every per-file index
     * of a table carries the same centroids by construction, so the first
