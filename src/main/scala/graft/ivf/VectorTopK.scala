@@ -387,6 +387,34 @@ object VectorTopK {
     spark.createDataset(results).toDF("_file", "_ri", "_dist")
   }
 
+  /** Brute `(_file, _ri, _dist)` over the whole table in ONE vectorized
+    * scan pass, distances through [[graft.functions.VectorKernels]] — the
+    * kernel-identical full-scan twin of [[rangeWinners]], used when the
+    * selectivity bailout says scanning beats point reads.
+    */
+  private def bruteDistances(
+      spark: SparkSession,
+      path: String,
+      column: String,
+      query: Seq[Float]): DataFrame = {
+    import spark.implicits._
+    val q = query.toArray
+    spark.read.parquet(path)
+      .select(
+        col("_metadata.file_path").as("_file"),
+        col("_metadata.row_index").as("_ri"),
+        col(column).cast("array<float>").as("_vec"))
+      .as[(String, Long, Array[Float])]
+      .flatMap { case (f, ri, vec) =>
+        if (vec != null && vec.length == q.length)
+          Iterator.single(
+            (f, ri,
+              math.sqrt(graft.functions.VectorKernels.squaredL2(vec, q).toDouble).toFloat))
+        else Iterator.empty
+      }
+      .toDF("_file", "_ri", "_dist")
+  }
+
   /** RANGE search winner feed `(_file, _ri, _dist)`: all rows with
     * `array_distance(vec, query) < radius`, served from the IVF index with
     * EXACT per-cell pruning — cell i is read only when the triangle
@@ -474,9 +502,57 @@ object VectorTopK {
     spark.createDataset(results).toDF("_file", "_ri")
   }
 
+  /** First-file estimate of the range query's (candidate rows, total rows)
+    * across the table — the SAME O(1) estimate the SQL rewrite's
+    * selectivity bailout uses (`VectorTopKRule.buildRangePrunedLeaf`):
+    * probe-surviving posting-list sizes of one index scaled by file count.
+    */
+  private def estimateRangeCandidates(
+      files: Seq[String],
+      column: String,
+      query: Array[Float],
+      radius: Float,
+      store: IndexStore): (Long, Long) = {
+    val first = store.load(files.head, column)
+      .orElse(ParquetFooterIndex.load(files.head, column))
+    val perFile = first.map { idx =>
+      val radii = store.loadRadii(files.head, column, idx.centroidDigest)
+        .filter(_.length == idx.nClusters)
+      idx.rangeProbeCells(query, radius, radii)
+        .map(idx.invertedLists(_).length.toLong).sum
+    }.getOrElse(0L)
+    val total = first.map(_.numRows).getOrElse(0L)
+    (perFile * files.size, total * files.size)
+  }
+
+  /** True when the estimated candidate fraction exceeds
+    * `spark.graft.ivf.rangeMaxSelectivity` (default 0.5, shared with the
+    * SQL rewrite): a barely-pruning radius makes the vectorized full scan
+    * cheaper than point-read fetch — the classic index-vs-scan crossover
+    * (measured at sf0.1: a ~10%-in-range radius with cell-wide spread ran
+    * 0.31 s pruned vs 0.14 s brute, BENCHNOTES round-5).
+    */
+  private def rangeShouldBail(
+      spark: SparkSession,
+      files: Seq[String],
+      column: String,
+      query: Array[Float],
+      radius: Float,
+      store: IndexStore): Boolean = {
+    val (est, total) =
+      estimateRangeCandidates(files, column, query, radius, store)
+    val maxSel = spark.conf
+      .getOption(graft.plans.VectorTopKRule.RangeMaxSelectivityKey)
+      .getOrElse("0.5").toDouble
+    total > 0 && est.toDouble / total > maxSel
+  }
+
   /** Programmatic range search ([[SearchResult]] rows, distance ascending):
     * every vector strictly within `radius` (true L2) of `query` — the
-    * radius-predicate analog of [[search]], exact at any radius.
+    * radius-predicate analog of [[search]], exact at any radius. A radius
+    * whose estimated candidate fraction exceeds
+    * `spark.graft.ivf.rangeMaxSelectivity` is served by the vectorized
+    * full scan instead of point reads (same answer, cheaper plan).
     */
   def rangeSearch(
       spark: SparkSession,
@@ -486,7 +562,16 @@ object VectorTopK {
       radius: Float,
       store: IndexStore = IndexStore.default): Dataset[SearchResult] = {
     import spark.implicits._
-    rangeWinners(spark, path, column, query, radius, store)
+    val files = IndexManager.listFiles(spark, path)
+    require(files.nonEmpty, s"no parquet files under $path")
+    val winners =
+      if (rangeShouldBail(spark, files, column, query.toArray, radius, store)) {
+        // brute twin through the SAME kernel as the pruned path so both
+        // branches agree bit-for-bit at the radius boundary
+        bruteDistances(spark, path, column, query)
+          .where(col("_dist") < lit(radius))
+      } else rangeWinners(spark, path, column, query, radius, store)
+    winners
       .select(col("_ri").as("row_idx"), col("_dist").as("distance"))
       .orderBy(col("distance").asc_nulls_last, col("row_idx"))
       .as[SearchResult]
@@ -498,11 +583,11 @@ object VectorTopK {
     * cells the triangle-inequality bound admits, then only the winners'
     * payload rows (the two-phase shape: in-range IO, not table IO).
     *
-    * Selectivity note: point-read pruning wins when the radius is SELECTIVE
-    * (a small, localized in-range neighborhood). A radius that keeps most
-    * cells alive makes the vectorized full scan cheaper — the SQL rewrite
-    * bails out past `spark.graft.ivf.rangeMaxSelectivity` for exactly this
-    * reason; this API path trusts the caller's judgment.
+    * Selectivity: point-read pruning wins when the radius is SELECTIVE (a
+    * small, localized in-range neighborhood). Past
+    * `spark.graft.ivf.rangeMaxSelectivity` (default 0.5, same estimate and
+    * default as the SQL rewrite) this falls back to the vectorized full
+    * scan with the codegen'd predicate — identical rows, cheaper plan.
     */
   def rangeRows(
       spark: SparkSession,
@@ -511,20 +596,19 @@ object VectorTopK {
       query: Seq[Float],
       radius: Float,
       store: IndexStore = IndexStore.default): DataFrame = {
+    val files = IndexManager.listFiles(spark, path)
+    require(files.nonEmpty, s"no parquet files under $path")
+    if (rangeShouldBail(spark, files, column, query.toArray, radius, store)) {
+      import graft.functions.{array_distance, float_vector}
+      return spark.read.parquet(path)
+        .where(array_distance(col(column), float_vector(query)) < lit(radius))
+    }
     val winners = rangeWinners(spark, path, column, query, radius, store)
       .select(col("_file"), col("_ri"))
-    // stats-driven broadcast like candidateScan: a degenerate radius can
-    // put most of the table in range, where broadcasting the key set OOMs
-    val files = IndexManager.listFiles(spark, path)
-    val est = store.load(files.head, column)
-      .orElse(ParquetFooterIndex.load(files.head, column))
-      .map { idx =>
-        val radii = store.loadRadii(files.head, column, idx.centroidDigest)
-          .filter(_.length == idx.nClusters)
-        idx.rangeProbeCells(query.toArray, radius, radii)
-          .map(idx.invertedLists(_).length.toLong).sum * files.size
-      }
-      .getOrElse(0L)
+    // stats-driven broadcast like candidateScan: even below the bailout a
+    // broad radius can make the key set too large to broadcast safely
+    val (est, _) =
+      estimateRangeCandidates(files, column, query.toArray, radius, store)
     val estBytes = est * graft.plans.IvfCandidateScan.estRowBytes(files)
     val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
     val winnerSide =

@@ -138,6 +138,25 @@ class RangeSearchSpec extends SparkSpec {
     assert(ranged(dir, store, near, 1.5f) == brute(dir, near, 1.5f))
   }
 
+  test("selectivity bailout: a wide radius takes the scan plan, stays exact") {
+    val (dir, store) = fixture()
+    val near = (0 until dim).map(_ => 0.1f)
+    // global radius: every cell survives the triangle bound → fraction 1.0
+    val wide = VectorTopK.rangeRows(spark, dir, "vec", near, 40.0f, store)
+    val widePlan = wide.queryExecution.optimizedPlan.toString
+    assert(!widePlan.contains("LeftSemi"), widePlan)
+    assert(wide.select("id").as[Long].collect().sorted.toSeq == brute(dir, near, 40.0f))
+    // tight radius: pruning engages (semi-join shape) and stays exact
+    val tight = VectorTopK.rangeRows(spark, dir, "vec", near, 0.3f, store)
+    val tightPlan = tight.queryExecution.optimizedPlan.toString
+    assert(tightPlan.contains("LeftSemi"), tightPlan)
+    assert(tight.select("id").as[Long].collect().sorted.toSeq == brute(dir, near, 0.3f))
+    // rangeSearch's bail branch: kernel-identical distances, same rows
+    val rs = VectorTopK.rangeSearch(spark, dir, "vec", near, 40.0f, store).collect()
+    assert(rs.length == brute(dir, near, 40.0f).length)
+    assert(rs.forall(_.distance < 40.0f))
+  }
+
   test("rangeSearch emits SearchResult rows, distance-ascending, strictly inside") {
     val (dir, store) = fixture()
     val near = (0 until dim).map(_ => 0.1f)
