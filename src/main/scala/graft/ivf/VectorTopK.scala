@@ -387,6 +387,71 @@ object VectorTopK {
     spark.createDataset(results).toDF("_file", "_ri", "_dist")
   }
 
+  /** Winner feed with the reference's round-robin `max_candidates` fairness
+    * cap, computed entirely INSIDE the plan — no job at construction time,
+    * which is what lets [[graft.plans.VectorTopKRule]] keep the two-phase
+    * winner-first shape under a cap (a rule must not run Spark jobs at
+    * optimization time, so the driver-side quota water-fill of
+    * [[graft.plans.IvfCandidateScanExec]] is off limits there).
+    *
+    * The trick: round-robin selection across files in probe order IS the
+    * `cap`-prefix of candidates sorted by `(probe-order position,
+    * file index)` — round p takes every file's p-th candidate in file
+    * order, exactly the water-fill + remainder state
+    * ([[graft.plans.IvfCandidateScan.roundRobinQuotas]]). Each task emits
+    * its files' candidates tagged with position; `orderBy(pos, fileIdx)
+    * .limit(cap)` plans as a distributed TakeOrdered bounded by `cap`;
+    * the survivors regroup per file for the selective embedding fetch.
+    */
+  private[graft] def cappedWinnersByFiles(
+      spark: SparkSession,
+      files: Seq[String],
+      column: String,
+      query: Seq[Float],
+      nprobe: Int,
+      cap: Int,
+      store: IndexStore,
+      cosine: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(files.nonEmpty, "no parquet files to search")
+    require(cap >= 0, s"maxCandidates must be >= 0, got $cap")
+    val q = query.toArray
+    val sc = spark.sparkContext
+    val slices = math.max(1, math.min(files.size, sc.defaultParallelism))
+    val colName = column
+    val np = nprobe
+    val angular = cosine
+    val positioned = sc.parallelize(files.zipWithIndex, slices).flatMap {
+      case (file, fi) =>
+        val index = IndexManager.loadIndex(store, file, colName)
+        require(
+          index.dim == q.length,
+          s"query dim ${q.length} != index dim ${index.dim} for $file")
+        val cands =
+          if (angular) index.candidateRowsCosine(q, np) else index.candidateRows(q, np)
+        Iterator.tabulate(cands.length)(p => (file, fi, p, cands(p)))
+    }
+    val capped = spark.createDataset(positioned)
+      .toDF("_file", "_fi", "_pos", "_ri")
+      .orderBy(col("_pos"), col("_fi"))
+      .limit(cap)
+      .select(col("_file"), col("_ri"))
+    capped.as[(String, Int)]
+      .groupByKey(_._1)
+      .flatMapGroups { (file, rows) =>
+        val ordinals = rows.map(_._2).toArray.sorted
+        SelectiveFetch.embeddings(file, colName, ordinals).iterator.collect {
+          case (ri, vec) if vec.length == q.length =>
+            val d =
+              if (angular) 1.0f - graft.functions.VectorKernels.cosine(vec, q)
+              else math.sqrt(
+                graft.functions.VectorKernels.squaredL2(vec, q).toDouble).toFloat
+            (file, ri, d)
+        }
+      }
+      .toDF("_file", "_ri", "_dist")
+  }
+
   /** Brute `(_file, _ri, _dist)` over the whole table in ONE vectorized
     * scan pass, distances through [[graft.functions.VectorKernels]] — the
     * kernel-identical full-scan twin of [[rangeWinners]], used when the

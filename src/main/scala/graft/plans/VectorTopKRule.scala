@@ -261,22 +261,24 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => return None
       }
     }
-    // winner-first only without a candidate cap: the cap's fairness quotas
-    // need a distributed counts job, which must not run at OPTIMIZATION
-    // time (a rule fires per action, and the rewrite can still bail)
-    val twoPhaseOk =
-      filterFree && maxCandidates.isEmpty && conf(TwoPhaseKey, "true") == "true"
+    val twoPhaseOk = filterFree && conf(TwoPhaseKey, "true") == "true"
     val candSide = if (twoPhaseOk) {
       // winner-first (two-phase): no Filter sits below the top-k, so the k
       // phase-1 winners ARE the result set — rank candidates on selective
       // single-column reads, then fetch payload for k rows only. The feed
       // is bounded by k, so broadcasting is always safe.
       // for cosine the feed emits 1 − cos as _dist, so the same ascending
-      // winner selection serves both metrics
-      val winners = graft.ivf.VectorTopK
-        .searchByFiles(
+      // winner selection serves both metrics. A candidate cap swaps in the
+      // lazily-capped phase-1 (round-robin fairness computed inside the
+      // plan — a rule must not run jobs at optimization time)
+      val phase1 = maxCandidates match {
+        case Some(cap) => graft.ivf.VectorTopK.cappedWinnersByFiles(
+          spark, files, column, query.toIndexedSeq, nprobe, cap, store, cosine)
+        case None => graft.ivf.VectorTopK.searchByFiles(
           spark, files, column, query.toIndexedSeq,
           graft.ivf.VectorTopK.Options(nprobe), store, cosine)
+      }
+      val winners = phase1
         .orderBy(col("_dist").asc_nulls_last)
         .limit(k)
         .select(col("_file").as("__file"), col("_ri").as("__ri"))

@@ -128,15 +128,45 @@ class VectorTopKRuleSpec extends SparkSpec {
     }
   }
 
-  test("maxCandidates conf caps the fetched candidate set") {
+  test("maxCandidates conf caps the fetched candidate set, winner-first") {
     register()
     withRule(nprobe = 8) {
       spark.conf.set(VectorTopKRule.MaxCandidatesKey, "2")
       try {
         val df = sqlTopk()
         assert(fired(df))
+        // the cap no longer forces one-phase: filter-free keeps the
+        // winner-first feed, with round-robin capping inside the plan
+        val optimized = df.queryExecution.optimizedPlan.toString
+        assert(!optimized.contains("IvfCandidateScan"), optimized)
+        assert(optimized.contains("_pos"), optimized)
         // 200 rows, exhaustive probe, but only 2 candidates survive the cap
         assert(df.collect().length == 2)
+
+        // semantic twin: the one-phase path (twoPhase=false) must select
+        // the SAME round-robin-capped candidate set
+        spark.conf.set(VectorTopKRule.TwoPhaseKey, "false")
+        val onePhase = sqlTopk()
+        assert(onePhase.queryExecution.optimizedPlan.toString
+          .contains("IvfCandidateScan"))
+        assert(df.collect().map(_.getLong(0)).sorted.toSeq ==
+          onePhase.collect().map(_.getLong(0)).sorted.toSeq)
+      } finally {
+        spark.conf.unset(VectorTopKRule.MaxCandidatesKey)
+        spark.conf.unset(VectorTopKRule.TwoPhaseKey)
+      }
+    }
+  }
+
+  test("maxCandidates with a residual WHERE still caps via one-phase") {
+    register()
+    withRule(nprobe = 8) {
+      spark.conf.set(VectorTopKRule.MaxCandidatesKey, "4")
+      try {
+        val df = sqlTopk(extra = "WHERE label >= 0")
+        assert(fired(df))
+        assert(df.queryExecution.optimizedPlan.toString.contains("IvfCandidateScan"))
+        assert(df.collect().length == 4)
       } finally spark.conf.unset(VectorTopKRule.MaxCandidatesKey)
     }
   }
