@@ -132,6 +132,16 @@ object Bench {
     // build their plans directly and never needed it.
     spark.conf.set(graft.plans.VectorTopKRule.EnabledKey, "false")
     spark.conf.unset(graft.plans.VectorTopKRule.NprobeKey)
+    // honesty guard (round-5 lesson, promoted to an assertion): for four
+    // rounds the "brute" baseline silently timed the rewritten indexed
+    // path. The baseline plan must contain none of the rewrite's nodes —
+    // if a future rule change re-contaminates it, fail the bench loudly
+    // instead of reporting a flattering number.
+    val brutePlan = bruteK100().queryExecution.optimizedPlan.toString
+    require(
+      !brutePlan.contains("IvfCandidateScan") && !brutePlan.contains("MeteredFetch") &&
+        !brutePlan.contains("LeftSemi"),
+      s"bench baseline is contaminated by the IVF rewrite:\n$brutePlan")
     materialize(bruteK100()); materialize(indexedK100()); materialize(searchK100()) // warm
     materialize(sq8SearchK100()); materialize(pqSearchK100())
 
@@ -192,6 +202,10 @@ object Bench {
         else (approx intersect exact).size.toDouble / exact.size
       } catch { case _: Throwable => -1.0 }
 
+    // decoded-index LRU effectiveness over the whole run (per-JVM counters;
+    // local mode = one JVM, so this is the full picture)
+    val (cacheHits, cacheMisses) = graft.ivf.IndexManager.decodedCacheStats
+
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -203,7 +217,7 @@ object Bench {
       .mkString("{", ",", "}")
     val headlineTotal = headline.map(resultMap).filter(_ >= 0).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline":$hs,"headline_total":$headlineTotal,"recall_at100_nprobe16":$recall,"cosine_recall_at100_nprobe16":$cosineRecall,"cell_pair_recall_probe4":$cellPairRecall,"knn_join_recall_probe4":$knnJoinRecall}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline":$hs,"headline_total":$headlineTotal,"recall_at100_nprobe16":$recall,"cosine_recall_at100_nprobe16":$cosineRecall,"cell_pair_recall_probe4":$cellPairRecall,"knn_join_recall_probe4":$knnJoinRecall,"index_cache_hits":$cacheHits,"index_cache_misses":$cacheMisses}""")
     spark.stop()
   }
 }

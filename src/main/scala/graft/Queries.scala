@@ -38,18 +38,25 @@ object Queries {
     */
   private def cents(c: Column): Column = round(c * 100).cast("bigint")
 
-  private val corpusRowsCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private val corpusRowsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Long]
 
   /** Oversample making `k·oversample` cover the whole corpus — the
     * covering-exactness gate shared by zq4/zq5/zq6. The row count is
     * derived from the actual table (so the assumption is checked where it
-    * is made, not silently broken at a larger sf) and cached per path:
-    * the bench re-invokes query functions per timed rep, and a count job
-    * per rep would bill setup, not the operator under test.
+    * is made, not silently broken at a larger sf) and cached per
+    * (path, file-list signature): the bench re-invokes query functions per
+    * timed rep, and a count job per rep would bill setup, not the operator
+    * under test — but a table that GROWS within the session (new files)
+    * must not reuse a stale count, or the gate silently goes approximate.
     */
   private def coveringOversample(spark: SparkSession, path: String, k: Int): Int = {
-    val corpusRows =
-      corpusRowsCache.getOrElseUpdate(path, spark.read.parquet(path).count())
+    // driver-side file listing, no scan job; appends to parquet tables
+    // arrive as new files, so (count, name-set hash) catches growth
+    val fileList = spark.read.parquet(path).inputFiles
+    val corpusRows = corpusRowsCache.getOrElseUpdate(
+      (path, fileList.length, fileList.toSeq.sorted.hashCode()),
+      spark.read.parquet(path).count())
     val oversample = math.max(1L, (corpusRows + k - 1) / k)
     require(
       oversample <= Int.MaxValue,

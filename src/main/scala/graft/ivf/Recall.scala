@@ -67,8 +67,22 @@ object Recall {
         graft.functions
           .array_distance(col(column), graft.functions.float_vector(query))
           .asc_nulls_last
-    val exact = base.orderBy(ordering).limit(k)
-      .select(col(idCol)).collect().map(_.getLong(0)).toSet
+    // the exact side is literally the rewrite's match shape
+    // (orderBy(distance).limit(k) over an indexed table) — if the session
+    // has the rule installed and enabled, the "brute" baseline would
+    // silently become the indexed ANN feed and recall would read ~1.0.
+    // Pin the rule off around it (save/restore, so callers' confs survive).
+    val exact = {
+      val key = graft.plans.VectorTopKRule.EnabledKey
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "false")
+      try base.orderBy(ordering).limit(k)
+        .select(col(idCol)).collect().map(_.getLong(0)).toSet
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
 
     val files = IndexManager.listFiles(spark, path)
     val winners = VectorTopK
