@@ -124,14 +124,21 @@ object KMeans {
     // -- Lloyd iterations until stable or maxIters --
     val assignments = new Array[Int](n)
     java.util.Arrays.fill(assignments, -1)
+    val next = new Array[Int](n)
     val sizes = new Array[Int](k)
     var iter = 0
     var converged = false
     while (iter < params.maxIters && !converged) {
       var changed = 0
       java.util.Arrays.fill(sizes, 0)
-      var r = 0
-      while (r < n) {
+      // assignment is the O(n·k·d) hot phase and each row is independent —
+      // parallelize it across cores. Each row's nearest centroid is a pure
+      // function of (data, centroids), and rows write disjoint slots, so
+      // the result is BIT-IDENTICAL to the sequential loop for any thread
+      // schedule (the f32-order-sensitive phases — seeding and centroid
+      // accumulation — stay sequential below, preserving every historical
+      // fixture byte-for-byte).
+      java.util.stream.IntStream.range(0, n).parallel().forEach { r =>
         var best = 0
         var bestDist = Float.PositiveInfinity
         var cc = 0
@@ -140,6 +147,11 @@ object KMeans {
           if (d < bestDist) { bestDist = d; best = cc }
           cc += 1
         }
+        next(r) = best
+      }
+      var r = 0
+      while (r < n) {
+        val best = next(r)
         if (assignments(r) != best) changed += 1
         assignments(r) = best
         sizes(best) += 1
