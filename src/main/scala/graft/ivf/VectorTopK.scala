@@ -567,27 +567,41 @@ object VectorTopK {
     spark.createDataset(results).toDF("_file", "_ri")
   }
 
-  /** First-file estimate of the range query's (candidate rows, total rows)
-    * across the table — the SAME O(1) estimate the SQL rewrite's
-    * selectivity bailout uses (`VectorTopKRule.buildRangePrunedLeaf`):
-    * probe-surviving posting-list sizes of one index scaled by file count.
+  /** Sampled estimate of the range query's (candidate rows, total rows)
+    * across the table — shared by the SQL rewrite's selectivity bailout
+    * (`VectorTopKRule.buildRangePrunedLeaf`) and the API paths: up to
+    * [[RangeEstimateSampleFiles]] evenly-spaced files' indexes are probed
+    * driver-side (cheap: decoded indexes come from the LRU) and scaled to
+    * the file count. A single-file estimate misjudges CLUSTERED layouts,
+    * where one file holds the whole in-range blob and the rest hold none
+    * (measured in the round-6 scale probe); spacing the sample across the
+    * sorted file list averages blob-holding and empty files.
     */
-  private def estimateRangeCandidates(
+  private val RangeEstimateSampleFiles = 4
+  private[graft] def estimateRangeCandidates(
       files: Seq[String],
       column: String,
       query: Array[Float],
       radius: Float,
       store: IndexStore): (Long, Long) = {
-    val first = store.load(files.head, column)
-      .orElse(ParquetFooterIndex.load(files.head, column))
-    val perFile = first.map { idx =>
-      val radii = store.loadRadii(files.head, column, idx.centroidDigest)
-        .filter(_.length == idx.nClusters)
-      idx.rangeProbeCells(query, radius, radii)
-        .map(idx.invertedLists(_).length.toLong).sum
-    }.getOrElse(0L)
-    val total = first.map(_.numRows).getOrElse(0L)
-    (perFile * files.size, total * files.size)
+    val step = math.max(1, files.size / RangeEstimateSampleFiles)
+    val sampled = files.indices.by(step).map(files).take(RangeEstimateSampleFiles)
+    var cand = 0L
+    var total = 0L
+    var seen = 0
+    sampled.foreach { f =>
+      // through the decoded-index LRU — repeated estimates are free
+      scala.util.Try(IndexManager.loadIndex(store, f, column)).toOption.foreach { idx =>
+        val radii = store.loadRadii(f, column, idx.centroidDigest)
+          .filter(_.length == idx.nClusters)
+        cand += idx.rangeProbeCells(query, radius, radii)
+          .map(idx.invertedLists(_).length.toLong).sum
+        total += idx.numRows
+        seen += 1
+      }
+    }
+    if (seen == 0) (0L, 0L)
+    else ((cand * files.size) / seen, (total * files.size) / seen)
   }
 
   /** True when the estimated candidate fraction exceeds

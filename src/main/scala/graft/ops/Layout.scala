@@ -68,6 +68,50 @@ object Layout {
     df.sparkSession.read.parquet(path)
   }
 
+  /** Rewrite an embedding table physically GROUPED BY IVF CELL: assign
+    * each row to its nearest centroid, range-shuffle on the cell id so
+    * each output file holds a contiguous cell span, and sort by cell
+    * within files — then drop the helper column. This is the layout that
+    * makes candidate-proportional index IO real: a probe's posting lists
+    * become contiguous page runs instead of row ordinals scattered across
+    * every page of every file. The round-6 scale probe measured the
+    * difference at 500k × 256: SQ8/PQ search 3.0 s on write-order layout
+    * vs 0.26 s cell-grouped — pruned candidate COUNTS only convert to
+    * pruned IO when rows are physically grouped by cell. At 100 TB this
+    * write-once shuffle is the difference between the index working and
+    * not working. Rebuild the index AFTER relayout (row ordinals change):
+    * `IvfBuilder.build(spark, outPath, Config(column), store)` — pass the
+    * same `centroids` as `warmStart` to keep the cell geometry.
+    * Returns the reread frame.
+    */
+  def writeByCell(
+      df: DataFrame,
+      outPath: String,
+      column: String,
+      centroids: Array[Float],
+      dim: Int,
+      numFiles: Int): DataFrame = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    require(
+      centroids.nonEmpty && centroids.length % dim == 0,
+      s"centroid matrix length ${centroids.length} not a positive multiple of dim $dim")
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(centroids)
+    val d = dim
+    val assign = org.apache.spark.sql.functions.udf { (vec: Seq[Float]) =>
+      if (vec == null || vec.length != d) -1
+      else graft.functions.VectorKernels.nearestCentroid(vec.toArray, bc.value, d)
+    }
+    df.withColumn("_cell", assign(col(column).cast("array<float>")))
+      .repartitionByRange(numFiles, col("_cell"))
+      .sortWithinPartitions("_cell")
+      .drop("_cell")
+      .write
+      .mode("overwrite")
+      .parquet(outPath)
+    spark.read.parquet(outPath)
+  }
+
   /** Compact a parquet directory's small files into ~`targetFileBytes`
     * outputs — the small-files mitigation every long-running ingest needs
     * (each file costs a task + footer read + catalog entry per downstream

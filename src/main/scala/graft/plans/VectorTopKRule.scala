@@ -384,24 +384,14 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val candDf = graft.ivf.VectorTopK
       .rangeCandidatesByFiles(spark, files, column, query.toIndexedSeq, radius, store)
       .toDF("__file", "__ri")
-    // first-file estimate drives (a) the selectivity bailout — when the
-    // radius bound keeps most cells, the vectorized full scan beats the
-    // point-read fetch (index-vs-scan crossover; measured at sf0.1:
-    // a ~10%-selective radius runs 0.2 s brute vs 0.3-0.4 s pruned when
-    // pruning keeps most cells, see BENCHNOTES round-5) and (b) the
-    // broadcast-vs-shuffle choice
-    val (est, totalEst) = {
-      val first = store.load(files.head, column)
-        .orElse(ParquetFooterIndex.load(files.head, column))
-      val perFile = first.map { idx =>
-        val radii = store.loadRadii(files.head, column, idx.centroidDigest)
-          .filter(_.length == idx.nClusters)
-        idx.rangeProbeCells(query, radius, radii)
-          .map(idx.invertedLists(_).length.toLong).sum
-      }.getOrElse(0L)
-      val total = first.map(_.numRows).getOrElse(0L)
-      (perFile * files.size, total * files.size)
-    }
+    // sampled-files estimate (shared with the API paths) drives (a) the
+    // selectivity bailout — when the radius bound keeps most cells, the
+    // vectorized full scan beats the point-read fetch (index-vs-scan
+    // crossover; measured at sf0.1: a ~10%-selective radius runs 0.2 s
+    // brute vs 0.3-0.4 s pruned when pruning keeps most cells, BENCHNOTES
+    // round-5) and (b) the broadcast-vs-shuffle choice
+    val (est, totalEst) = graft.ivf.VectorTopK
+      .estimateRangeCandidates(files, column, query, radius, store)
     val maxSelectivity = conf(RangeMaxSelectivityKey, "0.5").toDouble
     if (totalEst > 0 && est.toDouble / totalEst > maxSelectivity) return None
     val estBytes = est * IvfCandidateScan.estRowBytes(files)

@@ -79,4 +79,39 @@ class LayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_spec_dims")
     }
   }
+
+  test("writeByCell groups rows by IVF cell: content exact, cells file-contiguous") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bycell").toString
+    val dim = 4
+    // 3 well-separated blobs around fixed centroids
+    val centroids = Array[Float](
+      0f, 0f, 0f, 0f,
+      10f, 10f, 10f, 10f,
+      20f, 20f, 20f, 20f)
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 300).map { i =>
+      val c = i % 3
+      (i.toLong, Seq.fill(dim)(c * 10f + rnd.nextFloat()))
+    }
+    val df = rows.toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+      .repartition(7) // scramble: the op must impose the grouping
+    val laid = Layout.writeByCell(df, s"$dir/bycell", "vec", centroids, dim, numFiles = 3)
+    // content is exactly preserved (same ids, same vectors)
+    assert(laid.count() == 300)
+    assert(laid.select("id").as[Long].collect().sorted.toSeq == (0L until 300L))
+    assert(!laid.columns.contains("_cell"), "helper column must not leak")
+    // every cell's rows land in ONE file: cell → set of holding files is 1:1
+    val cellFiles = laid
+      .select(
+        col("_metadata.file_path").as("file"),
+        col("id") % 3 as "cell") // generator cell == nearest centroid by construction
+      .distinct()
+      .collect()
+      .groupBy(_.getLong(1))
+      .view.mapValues(_.map(_.getString(0)).toSet)
+    cellFiles.foreach { case (cell, files) =>
+      assert(files.size == 1, s"cell $cell spread over ${files.size} files")
+    }
+  }
 }
