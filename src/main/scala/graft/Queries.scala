@@ -667,6 +667,26 @@ object Queries {
       |FROM events WHERE user_id >= 50 AND user_id < 100
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Cell-grouped relayout of the embeddings table
+    * ([[ops.Layout.writeByCell]] — the write-once shuffle that converts
+    * candidate-proportional pruning into actual IO savings, measured 12×
+    * on coarse reads in the round-6 scale probe), gated on exact content
+    * preservation: the reread table must hold exactly the source rows.
+    */
+  def lq3ByCellLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/embeddings.parquet"
+    val (ti, centroids) = IndexManager.ensureWithCentroids(spark, path, "embedding")
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_lq3_embeddings"
+    val laid = ops.Layout.writeByCell(
+      spark.read.parquet(path), out, "embedding", centroids, ti.dim, numFiles = 4)
+    laid
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+  }
+
+  val lq3Oracle: String =
+    """SELECT vec_id, label FROM embeddings ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------------------- text / dedup
 
   def dq1ExactDedup(spark: SparkSession, sfDir: String): DataFrame =
@@ -1811,6 +1831,7 @@ object Queries {
     "qe_events_hourly" -> (qeEventsHourly _),
     "lq1_sorted_layout" -> (lq1SortedLayout _),
     "lq2_compact" -> (lq2Compact _),
+    "lq3_bycell_layout" -> (lq3ByCellLayout _),
     "qa1_asof_join" -> (qa1AsofJoin _),
     "dq1_exact_dedup" -> (dq1ExactDedup _),
     "dq2_minhash_neardup" -> (dq2MinhashNearDup _),
@@ -1891,6 +1912,7 @@ object Queries {
     "qe_events_hourly" -> qeOracle,
     "lq1_sorted_layout" -> lq1Oracle,
     "lq2_compact" -> lq2Oracle,
+    "lq3_bycell_layout" -> lq3Oracle,
     "qa1_asof_join" -> qa1Oracle,
     "dq1_exact_dedup" -> dq1Oracle,
     "dq2_minhash_neardup" -> duckNearDupOracle,

@@ -93,21 +93,14 @@ object ScaleBench {
       if (new java.io.File(corpus).exists()) -1.0
       else time(generate(spark, corpus, rows, dim, trueClusters))
 
-    // clustered-LAYOUT twin: same rows, physically grouped by blob
-    // (hash-partition + sort on the generator's cluster id — in production
-    // this is Layout-style sorting by assigned IVF cell). On the random
-    // layout candidates spread over every page of every file, so
-    // candidate-proportional pruning buys no page savings; grouping is
-    // what converts pruned candidate COUNTS into pruned IO.
-    val clustered = s"${corpus}_clustered"
-    val clusterTime =
-      if (new java.io.File(clustered).exists()) -1.0
-      else time {
-        spark.read.parquet(corpus)
-          .repartition(16, col("label"))
-          .sortWithinPartitions("label")
-          .write.mode("overwrite").parquet(clustered)
-      }
+    // clustered-LAYOUT twin: same rows, physically grouped by assigned IVF
+    // cell via the production operator (Layout.writeByCell — range-shuffle
+    // on cell id, sort within files). On the random layout candidates
+    // spread over every page of every file, so candidate-proportional
+    // pruning buys no page savings; grouping is what converts pruned
+    // candidate COUNTS into pruned IO. (The cell assignment uses the
+    // corpus index's centroids, built below.)
+    val clustered = s"${corpus}_bycell"
 
     // query: a jittered point near cluster 7's center — a "natural" query
     // whose true neighborhood is one blob, like production retrieval
@@ -128,6 +121,17 @@ object ScaleBench {
       IvfBuilder.build(spark, corpus, IvfBuilder.Config("embedding"), tmp): Unit
     }
     val store = new IndexStore(s"$baseDir/index")
+    val clusterTime =
+      if (new java.io.File(clustered).exists()) -1.0
+      else {
+        val (ti0, centroids) =
+          IndexManager.ensureWithCentroids(spark, corpus, "embedding", store)
+        time {
+          graft.ops.Layout.writeByCell(
+            spark.read.parquet(corpus), clustered, "embedding",
+            centroids, ti0.dim, numFiles = 16): Unit
+        }
+      }
     // radius ~10: catches most of the query's blob (~rows/64 ≈ 1.5% of the
     // corpus), i.e. a selective, localized neighborhood — the regime the
     // point-read pruned path is FOR
