@@ -32,14 +32,22 @@ object IndexManager {
   /** Decoded-index LRU (per JVM, so per executor in cluster mode): probe
     * paths call [[loadIndex]] once per (task, file), and without a cache
     * every repeated query re-reads and re-decodes the same sidecar —
-    * decode cost × tasks × queries. Indexes are small (centroids + posting
-    * ordinals) and immutable once decoded, so a few hundred entries are
-    * cheap to pin. Entries are keyed by the BACKING file's (path, mtime,
+    * decode cost × tasks × queries. Decoded indexes are immutable, and the
+    * cache is bounded by a BYTE budget (posting lists are 4 bytes/row, so
+    * counting entries would under-bound large files). Entries are keyed by
+    * the BACKING file's (path, mtime,
     * length): a rebuilt sidecar (retrain, streaming ingest) or an in-place
     * footer re-embed changes both and reads as a miss, never a stale hit.
     */
-  private val MaxDecodedEntries =
-    sys.props.getOrElse("graft.index.cacheEntries", "256").toInt
+  // the cache bound is BYTES, not entries: an entry's dominant cost is its
+  // posting lists (4 bytes per row of the file), so a count bound would
+  // let a few million-row files pin gigabytes while a byte budget keeps
+  // the worst case explicit (default 256 MiB per JVM)
+  private val MaxDecodedBytes =
+    sys.props.getOrElse("graft.index.cacheBytes", (256L << 20).toString).toLong
+  private def indexBytes(i: IvfIndex): Long =
+    4L * i.centroids.length +
+      i.invertedLists.iterator.map(l => 4L * l.length + 16L).sum
   // column is part of the key even though a sidecar path already encodes
   // it — a FOOTER-embedded file can hold indexes for several columns under
   // one backing path, and those must not alias. fileKey (inode identity)
@@ -49,11 +57,8 @@ object IndexManager {
   private final case class CacheKey(
       path: String, column: String, fileKey: String, mtime: Long, length: Long)
   private val decodedCache =
-    new java.util.LinkedHashMap[CacheKey, IvfIndex](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[CacheKey, IvfIndex]): Boolean =
-        size() > MaxDecodedEntries
-    }
+    new java.util.LinkedHashMap[CacheKey, IvfIndex](64, 0.75f, true)
+  private var cachedBytes = 0L
   private val hits = new java.util.concurrent.atomic.AtomicLong
   private val misses = new java.util.concurrent.atomic.AtomicLong
 
@@ -103,7 +108,21 @@ object IndexManager {
           // decode twice, but never serializes unrelated files behind IO
           val idx = decode()
           misses.incrementAndGet()
-          decodedCache.synchronized(decodedCache.put(key, idx))
+          decodedCache.synchronized {
+            val old = decodedCache.put(key, idx)
+            if (old != null) cachedBytes -= indexBytes(old)
+            cachedBytes += indexBytes(idx)
+            // evict eldest (LRU order) until under budget; never the entry
+            // just inserted — a single over-budget index still gets served
+            val it = decodedCache.entrySet().iterator()
+            while (cachedBytes > MaxDecodedBytes && it.hasNext) {
+              val e = it.next()
+              if (e.getKey != key) {
+                cachedBytes -= indexBytes(e.getValue)
+                it.remove()
+              }
+            }
+          }
           idx
         }
     }

@@ -197,8 +197,12 @@ object PqSidecar {
       else {
         val files = IndexManager.listFiles(spark, path)
         val digests = files.map { f =>
+          // header-only peek for sidecars; the footer-embedded fallback
+          // goes through the decoded-index LRU so repeated ensure() calls
+          // don't re-decode posting lists driver-side
           f -> store.centroidDigest(f, column)
-            .orElse(ParquetFooterIndex.load(f, column).map(_.centroidDigest))
+            .orElse(scala.util.Try(
+              IndexManager.loadIndex(store, f, column).centroidDigest).toOption)
             .getOrElse(throw new IllegalStateException(
               s"residual PQ needs an IVF index for every file — none for $f"))
         }
@@ -287,7 +291,7 @@ object PqSidecar {
         h.residual == residual && (!residual ||
           store.centroidDigest(f, column)
             .orElse(scala.util.Try(
-              ParquetFooterIndex.load(f, column).map(_.centroidDigest)).toOption.flatten)
+              IndexManager.loadIndex(store, f, column).centroidDigest).toOption)
             .contains(h.centroidDigest))
       }
 

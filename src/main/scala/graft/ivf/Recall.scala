@@ -100,7 +100,7 @@ object Recall {
 
     val q = query.toArray
     val candidates = files.flatMap { f =>
-      store.load(f, column).orElse(ParquetFooterIndex.load(f, column)).map { idx =>
+      scala.util.Try(IndexManager.loadIndex(store, f, column)).toOption.map { idx =>
         if (cosine) idx.candidateRowsCosine(q, nprobe).length.toLong
         else idx.candidateRows(q, nprobe).length.toLong
       }

@@ -148,8 +148,7 @@ object VectorTopK {
       column: String,
       q: Array[Float],
       options: Options): Long = {
-    val first = store.load(files.head, column)
-      .orElse(ParquetFooterIndex.load(files.head, column))
+    val first = scala.util.Try(IndexManager.loadIndex(store, files.head, column)).toOption
     val perFile = first.map(_.candidateCount(q, options.nprobe)).getOrElse(0L)
     val total = perFile * files.size
     options.maxCandidates.fold(total)(c => math.min(c.toLong, total))
@@ -584,7 +583,11 @@ object VectorTopK {
       query: Array[Float],
       radius: Float,
       store: IndexStore): (Long, Long) = {
-    val step = math.max(1, files.size / RangeEstimateSampleFiles)
+    // ceil, not floor: floor turns e.g. 5-7 files into step 1 (a prefix
+    // sample that never sees the tail, exactly the bias this sampling is
+    // meant to avoid on clustered layouts)
+    val step = math.max(
+      1, (files.size + RangeEstimateSampleFiles - 1) / RangeEstimateSampleFiles)
     val sampled = files.indices.by(step).map(files).take(RangeEstimateSampleFiles)
     var cand = 0L
     var total = 0L
@@ -604,26 +607,28 @@ object VectorTopK {
     else ((cand * files.size) / seen, (total * files.size) / seen)
   }
 
-  /** True when the estimated candidate fraction exceeds
-    * `spark.graft.ivf.rangeMaxSelectivity` (default 0.5, shared with the
-    * SQL rewrite): a barely-pruning radius makes the vectorized full scan
-    * cheaper than point-read fetch — the classic index-vs-scan crossover
-    * (measured at sf0.1: a ~10%-in-range radius with cell-wide spread ran
-    * 0.31 s pruned vs 0.14 s brute, BENCHNOTES round-5).
+  /** Candidate estimate plus the bail decision, computed ONCE per call
+    * (callers need both): `bail` is true when the estimated candidate
+    * fraction exceeds `spark.graft.ivf.rangeMaxSelectivity` (default 0.5,
+    * shared with the SQL rewrite) — a barely-pruning radius makes the
+    * vectorized full scan cheaper than point-read fetch, the classic
+    * index-vs-scan crossover (measured at sf0.1: a ~10%-in-range radius
+    * with cell-wide spread ran 0.31 s pruned vs 0.14 s brute, BENCHNOTES
+    * round-5).
     */
-  private def rangeShouldBail(
+  private def rangeEstimate(
       spark: SparkSession,
       files: Seq[String],
       column: String,
       query: Array[Float],
       radius: Float,
-      store: IndexStore): Boolean = {
+      store: IndexStore): (Long, Boolean) = {
     val (est, total) =
       estimateRangeCandidates(files, column, query, radius, store)
     val maxSel = spark.conf
       .getOption(graft.plans.VectorTopKRule.RangeMaxSelectivityKey)
       .getOrElse("0.5").toDouble
-    total > 0 && est.toDouble / total > maxSel
+    (est, total > 0 && est.toDouble / total > maxSel)
   }
 
   /** Programmatic range search ([[SearchResult]] rows, distance ascending):
@@ -643,8 +648,9 @@ object VectorTopK {
     import spark.implicits._
     val files = IndexManager.listFiles(spark, path)
     require(files.nonEmpty, s"no parquet files under $path")
+    val (_, bail) = rangeEstimate(spark, files, column, query.toArray, radius, store)
     val winners =
-      if (rangeShouldBail(spark, files, column, query.toArray, radius, store)) {
+      if (bail) {
         // brute twin through the SAME kernel as the pruned path so both
         // branches agree bit-for-bit at the radius boundary
         bruteDistances(spark, path, column, query)
@@ -677,7 +683,8 @@ object VectorTopK {
       store: IndexStore = IndexStore.default): DataFrame = {
     val files = IndexManager.listFiles(spark, path)
     require(files.nonEmpty, s"no parquet files under $path")
-    if (rangeShouldBail(spark, files, column, query.toArray, radius, store)) {
+    val (est, bail) = rangeEstimate(spark, files, column, query.toArray, radius, store)
+    if (bail) {
       import graft.functions.{array_distance, float_vector}
       return spark.read.parquet(path)
         .where(array_distance(col(column), float_vector(query)) < lit(radius))
@@ -686,8 +693,6 @@ object VectorTopK {
       .select(col("_file"), col("_ri"))
     // stats-driven broadcast like candidateScan: even below the bailout a
     // broad radius can make the key set too large to broadcast safely
-    val (est, _) =
-      estimateRangeCandidates(files, column, query.toArray, radius, store)
     val estBytes = est * graft.plans.IvfCandidateScan.estRowBytes(files)
     val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
     val winnerSide =

@@ -102,10 +102,13 @@ object Layout {
       if (vec == null || vec.length != d) -1
       else graft.functions.VectorKernels.nearestCentroid(vec.toArray, bc.value, d)
     }
-    df.withColumn("_cell", assign(col(column).cast("array<float>")))
-      .repartitionByRange(numFiles, col("_cell"))
-      .sortWithinPartitions("_cell")
-      .drop("_cell")
+    // collision-proof helper name: a user column literally named "_cell"
+    // (our own similarity ops emit one) must survive the round trip intact
+    val cellCol = s"_graft_cell_${java.util.UUID.randomUUID().toString.take(8)}"
+    df.withColumn(cellCol, assign(col(column).cast("array<float>")))
+      .repartitionByRange(numFiles, col(cellCol))
+      .sortWithinPartitions(cellCol)
+      .drop(cellCol)
       .write
       .mode("overwrite")
       .parquet(outPath)

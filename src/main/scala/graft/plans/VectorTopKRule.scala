@@ -288,11 +288,13 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // a candidate cap forced this path) the probe ranks cells by centroid
       // cosine instead of L2, so the angular top-k's candidates are the
       // angular neighborhood; the untouched Sort above re-ranks exactly
-      // one full index load (first file) scaled by file count: O(1)
-      // estimate for stats and broadcast-vs-shuffle selection
+      // first-file index scaled by file count: O(1) estimate for stats and
+      // broadcast-vs-shuffle selection — served by the decoded-index LRU,
+      // since this runs on EVERY optimization pass of a matching query
       val est = {
-        val perFile = store.load(files.head, column)
-          .orElse(ParquetFooterIndex.load(files.head, column))
+        val perFile = scala.util
+          .Try(graft.ivf.IndexManager.loadIndex(store, files.head, column))
+          .toOption
           .map(_.candidateCount(query, nprobe, cosine)).getOrElse(0L)
         maxCandidates.fold(perFile * files.size)(c =>
           math.min(c.toLong, perFile * files.size))

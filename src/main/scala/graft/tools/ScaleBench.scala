@@ -37,6 +37,16 @@ object ScaleBench {
     df.queryExecution.toRdd.count(): Unit
   }
 
+  /** The mixture centers — ONE definition shared by [[generate]] and the
+    * query-vector derivation, so an edit to the seed/scale/fill order can
+    * never silently desynchronize them (the query must sit near a real
+    * blob for the recall/range numbers to mean anything).
+    */
+  private def mixtureCenters(trueClusters: Int, dim: Int): Array[Float] = {
+    val r = new java.util.Random(2026L)
+    Array.fill(trueClusters * dim)(r.nextFloat() * 10f)
+  }
+
   /** Deterministic clustered corpus: `trueClusters` Gaussian blobs, centers
     * uniform in [0,10)^dim, per-element noise σ=0.5 — at dim=256 a member
     * sits ~σ·√dim = 8 from its center while centers sit ~46 apart, so the
@@ -47,10 +57,7 @@ object ScaleBench {
   private def generate(
       spark: SparkSession, dir: String, rows: Long, dim: Int, trueClusters: Int): Unit = {
     import spark.implicits._
-    val centers = {
-      val r = new java.util.Random(2026L)
-      Array.fill(trueClusters * dim)(r.nextFloat() * 10f)
-    }
+    val centers = mixtureCenters(trueClusters, dim)
     val bc = spark.sparkContext.broadcast(centers)
     val d = dim
     val c = trueClusters
@@ -105,8 +112,7 @@ object ScaleBench {
     // query: a jittered point near cluster 7's center — a "natural" query
     // whose true neighborhood is one blob, like production retrieval
     val query: Seq[Float] = {
-      val r = new java.util.Random(2026L)
-      val centers = Array.fill(trueClusters * dim)(r.nextFloat() * 10f)
+      val centers = mixtureCenters(trueClusters, dim)
       val jitter = new java.util.Random(777L)
       Seq.tabulate(dim)(j => centers(7 * dim + j) + (jitter.nextGaussian() * 0.25).toFloat)
     }

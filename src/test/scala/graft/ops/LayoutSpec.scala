@@ -94,13 +94,19 @@ class LayoutSpec extends SparkSpec {
       (i.toLong, Seq.fill(dim)(c * 10f + rnd.nextFloat()))
     }
     val df = rows.toDF("id", "vec")
-      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+      .select(
+        col("id"), col("vec").cast("array<float>").as("vec"),
+        // decoy: a USER column named _cell (our similarity ops emit one)
+        // must survive the relayout byte-for-byte
+        (col("id") * 7).as("_cell"))
       .repartition(7) // scramble: the op must impose the grouping
     val laid = Layout.writeByCell(df, s"$dir/bycell", "vec", centroids, dim, numFiles = 3)
-    // content is exactly preserved (same ids, same vectors)
+    // content is exactly preserved (same ids, same vectors, same _cell)
     assert(laid.count() == 300)
     assert(laid.select("id").as[Long].collect().sorted.toSeq == (0L until 300L))
-    assert(!laid.columns.contains("_cell"), "helper column must not leak")
+    assert(laid.columns.sorted.toSeq == Seq("_cell", "id", "vec"))
+    assert(laid.where(col("_cell") =!= col("id") * 7).count() == 0,
+      "user _cell column must survive the relayout")
     // every cell's rows land in ONE file: cell → set of holding files is 1:1
     val cellFiles = laid
       .select(
