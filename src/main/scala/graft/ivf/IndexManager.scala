@@ -142,6 +142,42 @@ object IndexManager {
     (ti, loadIndex(store, ti.files.head, column).centroids)
   }
 
+  /** Per-cell index statistics as a DataFrame — the operational
+    * introspection surface (what the reference exposes through its CLI
+    * stats): one row per (file, cell) with the posting-list size, the
+    * stored radius bound (NaN when the radius sidecar is absent or from a
+    * dead centroid epoch), and the file's centroid digest. Distributed:
+    * each task describes its own files' indexes; the driver never holds
+    * more than the returned rows.
+    *
+    * Quick health reads: cell-size skew (`max(size)/avg(size)` per file),
+    * dead cells (`size = 0`), epoch splits (`countDistinct(centroid_digest)
+    * > 1` means mixed index generations — rebuild before residual-PQ use).
+    */
+  def describeIndex(
+      spark: SparkSession,
+      path: String,
+      column: String,
+      store: IndexStore = IndexStore.default): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val files = listFiles(spark, path)
+    require(files.nonEmpty, s"no parquet files under $path")
+    val colName = column
+    val slices = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
+    spark.sparkContext
+      .parallelize(files, slices)
+      .flatMap { f =>
+        val idx = loadIndex(store, f, colName)
+        val radii = store.loadRadii(f, colName, idx.centroidDigest)
+          .filter(_.length == idx.nClusters)
+        (0 until idx.nClusters).iterator.map { c =>
+          (f, c, idx.invertedLists(c).length.toLong,
+            radii.fold(Float.NaN)(_(c)), idx.centroidDigest)
+        }
+      }
+      .toDF("file", "cell", "size", "radius", "centroid_digest")
+  }
+
   def ensure(
       spark: SparkSession,
       path: String,

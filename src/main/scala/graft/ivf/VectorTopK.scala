@@ -401,6 +401,11 @@ object VectorTopK {
     * its files' candidates tagged with position; `orderBy(pos, fileIdx)
     * .limit(cap)` plans as a distributed TakeOrdered bounded by `cap`;
     * the survivors regroup per file for the selective embedding fetch.
+    *
+    * The limit funnels `cap` rows through one partition — fine for what
+    * the cap IS (a small-result fairness knob, like the reference's
+    * `max_candidates`); a cap large enough to make that a bottleneck is
+    * equivalent to no cap, where the uncapped winner feed applies.
     */
   private[graft] def cappedWinnersByFiles(
       spark: SparkSession,

@@ -36,6 +36,21 @@ class DecodedIndexCacheSpec extends SparkSpec {
     assert(h1 == h0 + 1, s"expected one more hit, got $h0 -> $h1")
   }
 
+  test("describeIndex: per-cell sizes sum to rows, radii present, one epoch") {
+    val (dir, store) = fixture()
+    val desc = IndexManager.describeIndex(spark, dir, "vec", store).collect()
+    val file = IndexManager.listFiles(spark, dir).head
+    val idx = IndexManager.loadIndex(store, file, "vec")
+    assert(desc.length == idx.nClusters)
+    assert(desc.map(_.getLong(2)).sum == 120L, "cell sizes must sum to the corpus")
+    assert(desc.forall(r => !r.getFloat(3).isNaN), "fresh build writes radii")
+    assert(desc.map(_.getLong(4)).distinct.length == 1, "one centroid epoch")
+    // stale radii surface as NaN, not wrong bounds
+    store.write(file, "vec", idx.copy(centroids = idx.centroids.map(_ + 1.0f)))
+    val after = IndexManager.describeIndex(spark, dir, "vec", store).collect()
+    assert(after.forall(r => r.getFloat(3).isNaN))
+  }
+
   test("a rewritten sidecar reads as a miss, never a stale hit") {
     val (dir, store) = fixture()
     val file = IndexManager.listFiles(spark, dir).head
