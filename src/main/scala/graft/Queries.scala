@@ -255,6 +255,21 @@ object Queries {
        |  ORDER BY list_cosine_similarity(embedding::FLOAT[], $duckVecLit) DESC LIMIT 10)
        |ORDER BY vec_id""".stripMargin
 
+  /** Programmatic twin of vq8: `VectorTopK.indexedCosine` (angular probe +
+    * winner-first payload fetch) at exhaustive probe — exact, so it shares
+    * vq8's DuckDB cosine oracle.
+    */
+  def vq14CosineApi(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/embeddings.parquet"
+    val ti = IndexManager.ensure(spark, path, "embedding")
+    VectorTopK
+      .indexedCosine(
+        spark, path, "embedding", queryVec, 10,
+        VectorTopK.Options(nprobe = ti.nClusters))
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
   // ------------------------------------------------- int8 quantization
 
   /** DuckDB twin of [[graft.functions.Sq8.code]]: the float widens to f64
@@ -1809,6 +1824,7 @@ object Queries {
     "vq7_sql_topk" -> (vq7SqlTopk _),
     "vq8_cosine_ivf" -> (vq8CosineIvf _),
     "vq13_filtered_cosine" -> (vq13FilteredCosine _),
+    "vq14_cosine_api" -> (vq14CosineApi _),
     "vq5_cosine_topk" -> (vq5CosineTopk _),
     "vq6_knn_join" -> (vq6KnnJoin _),
     "vq11_maxsim_topk" -> (vq11MaxsimTopk _),
@@ -1889,6 +1905,8 @@ object Queries {
     "vq7_sql_topk" -> vq7Oracle,
     "vq8_cosine_ivf" -> vq8Oracle,
     "vq13_filtered_cosine" -> vq13Oracle,
+    "vq14_cosine_api" -> vq8Oracle, // exhaustive-probe exact ⇒ same oracle
+
     "vq5_cosine_topk" -> vq5Oracle,
     "vq6_knn_join" -> vq6Oracle,
     "vq11_maxsim_topk" -> vq11Oracle,

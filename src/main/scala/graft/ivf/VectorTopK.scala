@@ -296,6 +296,54 @@ object VectorTopK {
       .as[SearchResult]
   }
 
+  /** Programmatic ANGULAR search — the API twin of the SQL path's
+    * `ORDER BY array_cosine_similarity(col, lit) DESC LIMIT k` rewrite:
+    * cells probed by centroid cosine, candidates selectively read, and
+    * `distance` is `1 − cos(vec, query)` ascending (most similar first),
+    * so the [[SearchResult]] shape carries over unchanged. Exact at
+    * `nprobe >= nClusters` on any index; below that, recall is best over
+    * indexes built on unit-normalized embeddings (angular and L2 cell
+    * geometry coincide there).
+    */
+  def searchCosine(
+      spark: SparkSession,
+      path: String,
+      column: String,
+      query: Seq[Float],
+      k: Int,
+      options: Options = Options(),
+      store: IndexStore = IndexStore.default): Dataset[SearchResult] = {
+    require(k > 0, "k must be > 0")
+    import spark.implicits._
+    val files = IndexManager.listFiles(spark, path)
+    require(files.nonEmpty, s"no parquet files under $path")
+    searchByFiles(spark, files, column, query, options, store, cosine = true)
+      .select(col("_ri").as("row_idx"), col("_dist").as("distance"))
+      .orderBy(col("distance").asc_nulls_last)
+      .limit(k)
+      .as[SearchResult]
+  }
+
+  /** Plan-integrated angular top-k: full payload rows of the k most
+    * cosine-similar vectors — [[indexed]]'s two-phase shape on the
+    * angular winner feed.
+    */
+  def indexedCosine(
+      spark: SparkSession,
+      path: String,
+      column: String,
+      query: Seq[Float],
+      k: Int,
+      options: Options = Options(),
+      store: IndexStore = IndexStore.default): DataFrame = {
+    require(k > 0, "k must be > 0")
+    val files = IndexManager.listFiles(spark, path)
+    require(files.nonEmpty, s"no parquet files under $path")
+    winnersThenFetch(
+      spark, path, column, query, k,
+      searchByFiles(spark, files, column, query, options, store, cosine = true))
+  }
+
   /** The probe + selective-read pipeline as a lazy DataFrame of
     * `(_file, _ri, _dist)`: each executor task probes its files' indexes
     * and reads ONLY the embedding column of only the row groups holding
