@@ -32,6 +32,32 @@ class IvfPropertySpec extends SparkSpec {
     dim, k, centroids.toArray,
     lists.map(_.distinct.sorted.toArray).toArray)
 
+  test("round-robin cap: the (pos, fileIdx) sorted prefix equals the quota water-fill") {
+    // the lazy in-plan cap (VectorTopK.cappedWinnersByFiles sorts candidates
+    // by probe-order position then file index and takes the cap-prefix) must
+    // select exactly the per-file counts the reference-shaped water-fill
+    // (IvfCandidateScan.roundRobinQuotas) hands out — for ANY counts and cap
+    val countsAndCap = for {
+      n <- Gen.choose(1, 12)
+      counts <- Gen.listOfN(n, Gen.choose(0L, 50L))
+      cap <- Gen.choose(0L, 200L)
+    } yield (counts.toArray, cap)
+    forAllSeeded(countsAndCap, 200) { case (counts, cap) =>
+      val quotas = graft.plans.IvfCandidateScan.roundRobinQuotas(counts, cap)
+      // simulate the sorted-prefix selection
+      val tagged = for {
+        fi <- counts.indices
+        pos <- 0L until counts(fi)
+      } yield (pos, fi)
+      val prefix = tagged.sorted.take(math.min(cap, counts.sum).toInt)
+      val perFile = Array.fill(counts.length)(0L)
+      prefix.foreach { case (_, fi) => perFile(fi) += 1L }
+      assert(
+        perFile.toSeq == quotas.toSeq,
+        s"counts=${counts.toSeq} cap=$cap: prefix ${perFile.toSeq} != quotas ${quotas.toSeq}")
+    }
+  }
+
   test("codec roundtrip holds for arbitrary index shapes") {
     forAllSeeded(indexGen, 20) { idx =>
       val restored = IvfIndex.unframe(IvfIndex.frame(idx.toBytes))
