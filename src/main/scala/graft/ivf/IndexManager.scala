@@ -162,14 +162,20 @@ object IndexManager {
     import spark.implicits._
     val files = listFiles(spark, path)
     require(files.nonEmpty, s"no parquet files under $path")
+    // driver-side header peeks, like every other multi-file entry point —
+    // a missing index is a clean immediate error, not a task stacktrace
+    files.foreach { f =>
+      require(
+        store.peek(f, column).orElse(ParquetFooterIndex.peek(f, column)).isDefined,
+        s"no IVF index for file $f column '$column' — build one with IvfBuilder")
+    }
     val colName = column
     val slices = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
     spark.sparkContext
       .parallelize(files, slices)
       .flatMap { f =>
         val idx = loadIndex(store, f, colName)
-        val radii = store.loadRadii(f, colName, idx.centroidDigest)
-          .filter(_.length == idx.nClusters)
+        val radii = validRadii(store, f, colName, idx)
         (0 until idx.nClusters).iterator.map { c =>
           (f, c, idx.invertedLists(c).length.toLong,
             radii.fold(Float.NaN)(_(c)), idx.centroidDigest)
@@ -177,6 +183,18 @@ object IndexManager {
       }
       .toDF("file", "cell", "size", "radius", "centroid_digest")
   }
+
+  /** The radius sidecar iff it is valid for THIS index: present, stamped
+    * with the index's centroid epoch, and sized to its cell count — the
+    * single definition of "usable radii" shared by range pruning, the
+    * selectivity estimate, the drift signal, and [[describeIndex]].
+    */
+  def validRadii(
+      store: IndexStore,
+      file: String,
+      column: String,
+      idx: IvfIndex): Option[Array[Float]] =
+    store.loadRadii(file, column, idx.centroidDigest).filter(_.length == idx.nClusters)
 
   def ensure(
       spark: SparkSession,

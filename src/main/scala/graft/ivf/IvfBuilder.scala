@@ -441,7 +441,7 @@ object IvfBuilder {
           var c = 0
           while (c < k) { counts(c) += idx.invertedLists(c).length; c += 1 }
           files += 1L
-          store.loadRadii(f, column, idx.centroidDigest).filter(_.length == k).foreach { r =>
+          IndexManager.validRadii(store, f, column, idx).foreach { r =>
             filesWithRadii += 1L
             var i = 0
             while (i < k) { if (r(i) > radii(i)) radii(i) = r(i); i += 1 }

@@ -211,7 +211,8 @@ object VectorTopK {
       column: String,
       query: Seq[Float],
       k: Int,
-      winnerFeed: DataFrame): DataFrame = {
+      winnerFeed: DataFrame,
+      cosine: Boolean = false): DataFrame = {
     val winners = winnerFeed
       .orderBy(col("_dist").asc_nulls_last)
       .limit(k)
@@ -219,7 +220,17 @@ object VectorTopK {
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
     val fetched = fetchWinnersPayload(spark, path, winners)
-    bruteForce(meterFetch(spark, fetched), column, query, k)
+    // final re-rank must use the QUERY's metric: an angular winner set
+    // ordered by L2 would hand callers the wrong head row on
+    // non-unit-norm data (the SQL path never hits this — its own Sort
+    // stays above the rewritten leaf)
+    val ordering =
+      if (cosine)
+        graft.functions
+          .array_cosine_similarity(col(column), graft.functions.float_vector(query))
+          .desc_nulls_last
+      else distanceCol(column, query).asc_nulls_last
+    meterFetch(spark, fetched).orderBy(ordering).limit(k)
   }
 
   /** Index-accelerated top-k over a Parquet table.
@@ -315,9 +326,7 @@ object VectorTopK {
       store: IndexStore = IndexStore.default): Dataset[SearchResult] = {
     require(k > 0, "k must be > 0")
     import spark.implicits._
-    val files = IndexManager.listFiles(spark, path)
-    require(files.nonEmpty, s"no parquet files under $path")
-    searchByFiles(spark, files, column, query, options, store, cosine = true)
+    searchByFile(spark, path, column, query, options, store, cosine = true)
       .select(col("_ri").as("row_idx"), col("_dist").as("distance"))
       .orderBy(col("distance").asc_nulls_last)
       .limit(k)
@@ -325,8 +334,8 @@ object VectorTopK {
   }
 
   /** Plan-integrated angular top-k: full payload rows of the k most
-    * cosine-similar vectors — [[indexed]]'s two-phase shape on the
-    * angular winner feed.
+    * cosine-similar vectors, ordered by cosine similarity DESCENDING —
+    * [[indexed]]'s two-phase shape on the angular winner feed.
     */
   def indexedCosine(
       spark: SparkSession,
@@ -337,11 +346,10 @@ object VectorTopK {
       options: Options = Options(),
       store: IndexStore = IndexStore.default): DataFrame = {
     require(k > 0, "k must be > 0")
-    val files = IndexManager.listFiles(spark, path)
-    require(files.nonEmpty, s"no parquet files under $path")
     winnersThenFetch(
       spark, path, column, query, k,
-      searchByFiles(spark, files, column, query, options, store, cosine = true))
+      searchByFile(spark, path, column, query, options, store, cosine = true),
+      cosine = true)
   }
 
   /** The probe + selective-read pipeline as a lazy DataFrame of
@@ -356,10 +364,11 @@ object VectorTopK {
       column: String,
       query: Seq[Float],
       options: Options,
-      store: IndexStore): DataFrame = {
+      store: IndexStore,
+      cosine: Boolean = false): DataFrame = {
     val files = IndexManager.listFiles(spark, path)
     require(files.nonEmpty, s"no parquet files under $path")
-    searchByFiles(spark, files, column, query, options, store)
+    searchByFiles(spark, files, column, query, options, store, cosine)
   }
 
   /** Files-list form of the phase-1 pipeline — also the winner feed for
@@ -569,8 +578,7 @@ object VectorTopK {
     val r = radius
     val results = sc.parallelize(files, slices).flatMap { file =>
       val index = IndexManager.loadIndex(store, file, colName)
-      val radii = store.loadRadii(file, colName, index.centroidDigest)
-        .filter(_.length == index.nClusters)
+      val radii = IndexManager.validRadii(store, file, colName, index)
       val cells = index.rangeProbeCells(q, r, radii)
       val cands = cells.flatMap(index.invertedLists)
       java.util.Arrays.sort(cands)
@@ -610,8 +618,7 @@ object VectorTopK {
     val r = radius
     val results = sc.parallelize(files, slices).flatMap { file =>
       val index = IndexManager.loadIndex(store, file, colName)
-      val radii = store.loadRadii(file, colName, index.centroidDigest)
-        .filter(_.length == index.nClusters)
+      val radii = IndexManager.validRadii(store, file, colName, index)
       index.rangeProbeCells(q, r, radii).iterator.flatMap { c =>
         index.invertedLists(c).iterator.map(ri => (file, ri.toLong))
       }
@@ -648,8 +655,7 @@ object VectorTopK {
     sampled.foreach { f =>
       // through the decoded-index LRU — repeated estimates are free
       scala.util.Try(IndexManager.loadIndex(store, f, column)).toOption.foreach { idx =>
-        val radii = store.loadRadii(f, column, idx.centroidDigest)
-          .filter(_.length == idx.nClusters)
+        val radii = IndexManager.validRadii(store, f, column, idx)
         cand += idx.rangeProbeCells(query, radius, radii)
           .map(idx.invertedLists(_).length.toLong).sum
         total += idx.numRows

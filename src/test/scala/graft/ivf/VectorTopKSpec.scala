@@ -535,4 +535,32 @@ class VectorTopKSpec extends SparkSpec {
       IvfBuilder.build(spark, dir2, IvfBuilder.Config("vec", nClusters = Some(5)), tmpStore)
     }
   }
+
+  test("indexedCosine orders rows by cosine similarity, not L2 distance") {
+    // varying norms so the two metrics DISAGREE: for query (1, 0),
+    // (10, 0) is the cosine winner (cos = 1.0, L2 = 9) while (0.9, 0.1)
+    // is the L2 winner (L2 ~ 0.14, cos ~ 0.994) — the head row tells us
+    // which metric ordered the output
+    val path = writeFixture(Seq(
+      Seq(10.0f, 0.0f),   // id 0: cosine rank 1
+      Seq(0.9f, 0.1f),    // id 1: L2 rank 1, cosine rank 2
+      Seq(0.0f, 5.0f),    // id 2: orthogonal
+      Seq(-3.0f, 0.0f)))  // id 3: opposite
+    val store = tmpStore
+    val build = IvfBuilder.build(
+      spark, path, IvfBuilder.Config("vec", nClusters = Some(2)), store)
+    val q = Seq(1.0f, 0.0f)
+    val got = VectorTopK
+      .indexedCosine(spark, path, "vec", q, 2,
+        VectorTopK.Options(nprobe = build.nClusters), store = store)
+      .select("id").collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(0, 1), s"expected cosine order [0, 1], got $got")
+    // and the SearchResult twin agrees (distance = 1 - cos ascending)
+    val sr = VectorTopK
+      .searchCosine(spark, path, "vec", q, 2,
+        VectorTopK.Options(nprobe = build.nClusters), store = store)
+      .collect()
+    assert(sr.map(_.row_idx).toSeq == Seq(0L, 1L))
+    assert(sr(0).distance < sr(1).distance)
+  }
 }
