@@ -242,6 +242,46 @@ class VectorTopKRuleSpec extends SparkSpec {
     }
   }
 
+  test("capped filtered cosine: angular one-phase feed honors maxCandidates") {
+    register()
+    withRule(nprobe = 8) {
+      spark.conf.set(VectorTopKRule.MaxCandidatesKey, "4")
+      try {
+        val df = sqlCosineTopk(extra = "WHERE label >= 0") // filter keeps all
+        assert(fired(df))
+        val optimized = df.queryExecution.optimizedPlan.toString
+        assert(optimized.contains("metric=cosine"), optimized)
+        // exhaustive probe over 200 rows, but only 4 candidates survive
+        assert(df.collect().length == 4)
+      } finally spark.conf.unset(VectorTopKRule.MaxCandidatesKey)
+    }
+  }
+
+  test("DSv2 filtered cosine also rewrites via the angular one-phase feed") {
+    import graft.functions.{array_cosine_similarity, float_vector}
+    withRule(nprobe = 8) {
+      val prev = spark.conf.get("spark.sql.sources.useV1SourceList")
+      spark.conf.set("spark.sql.sources.useV1SourceList", "")
+      try {
+        def q = spark.read.parquet(dataDir)
+          .where(col("label") >= 2)
+          .orderBy(
+            array_cosine_similarity(col("vec"), float_vector(Seq.fill(8)(0.5f))).desc)
+          .limit(5)
+          .select("id")
+        val df = q
+        assert(fired(df), df.queryExecution.optimizedPlan.toString)
+        assert(df.queryExecution.optimizedPlan.toString.contains("metric=cosine"))
+        spark.conf.set(VectorTopKRule.EnabledKey, "false")
+        val brute = q
+        assert(!fired(brute))
+        spark.conf.set(VectorTopKRule.EnabledKey, "true")
+        assert(df.collect().map(_.getLong(0)).toSeq ==
+          brute.collect().map(_.getLong(0)).toSeq)
+      } finally spark.conf.set("spark.sql.sources.useV1SourceList", prev)
+    }
+  }
+
   test("no rewrite for DESC, multiple sort keys, or unindexed columns") {
     register()
     withRule(nprobe = 8) {
