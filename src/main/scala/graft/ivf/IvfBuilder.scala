@@ -126,9 +126,21 @@ object IvfBuilder {
         config.nClusters.foreach(c => require(
           c == kw, s"n_clusters $c != warm-start centroid count $kw"))
         kw
-      case None => config.nClusters.getOrElse(math.ceil(math.sqrt(n.toDouble)).toInt)
+      // default k = √n (reference index.rs heuristic), capped at 65536:
+      // past n ≈ 4·10⁹ an uncapped √n would exceed the 100k training-sample
+      // bound (k-means would fail deep inside fit with a confusing error)
+      // and the broadcast centroid matrix would grow unboundedly — tables
+      // that large should choose nClusters deliberately (it is also the
+      // per-cell candidate granularity)
+      case None => config.nClusters.getOrElse(
+        math.min(math.ceil(math.sqrt(n.toDouble)).toLong, 65536L).toInt)
     }
     require(k <= n, s"n_clusters $k cannot exceed number of vectors $n")
+    require(
+      k.toLong <= 100000L,
+      s"n_clusters $k exceeds the 100k training-sample bound — at this scale " +
+        "pick nClusters explicitly (candidate granularity and centroid-broadcast " +
+        "size are deliberate choices, not a √n default)")
 
     // Training sample: clamp(5% of n, [k, 100k]) — reference index.rs:172-174.
     val sampleSize = math.min(math.max(math.max(n / 20L, 1L), k.toLong), 100000L)
