@@ -33,7 +33,10 @@ object Bench {
     "vq8_cosine_ivf", "vq9_ivf_range", "dq2_minhash_neardup",
     "dq3_simhash_neardup", "dq8_dup_spans", "sq2_ivf_cell_pairs",
     "sd1_semdedup", "va2_ivf_knn_join", "zq4_ivfsq8_topk",
-    "zq5_ivfpq_topk", "st1_stream_hourly", "cq2_neardup_curation")
+    "zq5_ivfpq_topk", "st1_stream_hourly", "cq2_neardup_curation",
+    // round 6: the filtered-cosine acceleration (adds ~0.18 s to
+    // headline_total vs r5 — account for it in round-over-round reads)
+    "vq13_filtered_cosine")
 
   /** Correctness-gate-only queries the bench skips: sq3 is the exhaustive-
     * probe EXACTNESS gate for the cell-pair machinery — O(n²) by
