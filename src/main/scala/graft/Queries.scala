@@ -1391,6 +1391,99 @@ object Queries {
       |                  FROM documents)))
       |GROUP BY g ORDER BY n DESC, gram LIMIT 20""".stripMargin
 
+  /** BM25 lexical retrieval ([[ops.Lexical]]): rational-idf BM25 (exact
+    * arithmetic, see the module scaladoc) over the documents table for a
+    * fixed 5-term query mixing common terms with the rare "dup" (df 25/500).
+    * Scores are fixed-point nano units summed as BIGINT — the money-column
+    * idiom — so the oracle compare is hash-exact. The oracle SQL mirrors the
+    * Spark expression tree token for token, with the BM25 constants
+    * interpolated from the same Scala doubles so both engines parse
+    * identical literals.
+    */
+  val lexTerms: Seq[String] = Seq("spark", "vector", "window", "dup", "merge")
+
+  def bm1Bm25Topk(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Lexical.bm25TopK(t(spark, sfDir, "documents"), "doc_id", "text", lexTerms, 10)
+
+  /** The `tf`/`stats` CTEs + per-term score expression shared by bm1/hr1 —
+    * generated, not hand-copied, so the two oracles can't drift apart.
+    */
+  private def bm25OracleCtes: String = {
+    val tfCols = lexTerms.zipWithIndex
+      .map { case (t, i) => s"len(list_filter(ws, x -> x = '$t')) AS tf$i" }
+      .mkString(",\n         ")
+    val dfCols = lexTerms.indices
+      .map(i => s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+      .mkString(",\n         ")
+    s"""tok AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents
+       |), tf AS (
+       |  SELECT doc_id, len(ws) AS dl,
+       |         $tfCols
+       |  FROM tok
+       |), stats AS (
+       |  SELECT count(*) AS n, sum(dl) AS sumdl,
+       |         $dfCols
+       |  FROM tf
+       |)""".stripMargin
+  }
+
+  private def bm25OracleScore: String = {
+    val k1 = ops.Lexical.DefaultK1
+    val b = ops.Lexical.DefaultB
+    lexTerms.indices.map { i =>
+      s"CAST(ROUND(((n - df$i + 0.5) / (df$i + 0.5)) * ((tf$i * ${k1 + 1}) / " +
+        s"(tf$i + $k1 * (${1 - b} + $b * (dl / (sumdl / CAST(n AS DOUBLE)))))) * 1e9) AS BIGINT)"
+    }.mkString("(", "\n   + ", ")")
+  }
+
+  val bm1Oracle: String =
+    s"""WITH $bm25OracleCtes
+       |SELECT doc_id, $bm25OracleScore AS score_e9
+       |FROM tf, stats
+       |ORDER BY score_e9 DESC, doc_id LIMIT 10""".stripMargin
+
+  /** Hybrid dense+sparse retrieval: reciprocal-rank fusion (k=60) of the
+    * vector top-10 (brute L2, the vq1 list) and the BM25 top-10 (bm1's
+    * list). Per-list contributions `round(1e12/(60+rank))` are quantized to
+    * BIGINT before the sum — order-independent, cross-engine exact; ranks
+    * are integers from identically tie-broken ORDER BYs.
+    */
+  def hr1HybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    val vtop = t(spark, sfDir, "embeddings")
+      .select(
+        col("vec_id").as("doc_id"),
+        array_distance(col("embedding"), float_vector(queryVec)).as("_d"))
+      .orderBy(col("_d").asc_nulls_last, col("doc_id"))
+      .limit(10)
+    val vRanked = ops.Lexical.ranked(vtop, "doc_id", Seq(col("_d").asc))
+      .select("doc_id", "rank")
+    val ltop = ops.Lexical
+      .bm25TopK(t(spark, sfDir, "documents"), "doc_id", "text", lexTerms, 10)
+    val lRanked = ops.Lexical.ranked(ltop, "doc_id", Seq(col("score_e9").desc))
+      .select("doc_id", "rank")
+    ops.Lexical.rrfFuse(Seq(vRanked, lRanked), "doc_id", "rank")
+      .orderBy(col("rrf_e12").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val hr1Oracle: String =
+    s"""WITH $bm25OracleCtes,
+       |lscore AS (SELECT doc_id, $bm25OracleScore AS s FROM tf, stats),
+       |ltop AS (SELECT doc_id, r FROM
+       |  (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r FROM lscore)
+       |  WHERE r <= 10),
+       |vtop AS (SELECT doc_id, r FROM
+       |  (SELECT vec_id AS doc_id, row_number() OVER
+       |     (ORDER BY list_distance(embedding::FLOAT[], $duckVecLit) ASC, vec_id) AS r
+       |   FROM embeddings)
+       |  WHERE r <= 10)
+       |SELECT COALESCE(v.doc_id, l.doc_id) AS doc_id,
+       |  (COALESCE(CAST(ROUND(1e12 / (60 + v.r)) AS BIGINT), 0)
+       | + COALESCE(CAST(ROUND(1e12 / (60 + l.r)) AS BIGINT), 0)) AS rrf_e12
+       |FROM vtop v FULL OUTER JOIN ltop l ON v.doc_id = l.doc_id
+       |ORDER BY rrf_e12 DESC, doc_id LIMIT 10""".stripMargin
+
   /** JSON column surface (inherited): extract a typed field from the events
     * props JSON.
     */
@@ -1876,6 +1969,8 @@ object Queries {
     "cq1_curation_pipeline" -> (cq1CurationPipeline _),
     "cq2_neardup_curation" -> (cq2NearDupCuration _),
     "vb1_top_ngrams" -> (vb1TopNgrams _),
+    "bm1_bm25_topk" -> (bm1Bm25Topk _),
+    "hr1_hybrid_rrf" -> (hr1HybridRrf _),
     "je1_json_extract" -> (je1JsonExtract _),
     "sq2_ivf_cell_pairs" -> (sq2IvfCellPairs _),
     "sq3_ivf_cell_pairs_exact" -> (sq3IvfCellPairsExact _),
@@ -1960,6 +2055,8 @@ object Queries {
     "cq1_curation_pipeline" -> cq1Oracle,
     "cq2_neardup_curation" -> cq2Oracle,
     "vb1_top_ngrams" -> vb1Oracle,
+    "bm1_bm25_topk" -> bm1Oracle,
+    "hr1_hybrid_rrf" -> hr1Oracle,
     "je1_json_extract" -> je1Oracle,
     // sq2_ivf_cell_pairs intentionally has no oracle (cell-recall ANN)
     "cp1_cluster_profile" -> cp1Oracle,

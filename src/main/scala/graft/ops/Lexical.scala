@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval: BM25 scoring and reciprocal-rank fusion — the
+  * keyword-search half of a hybrid (dense + sparse) retrieval stack. In an
+  * LLM data pipeline these drive corpus search, targeted decontamination
+  * ("find training docs lexically close to this eval item"), and hybrid
+  * ranking next to the IVF vector path ([[graft.ivf.VectorTopK]]).
+  *
+  * BM25 (Robertson & Zaragoza 2009, "The Probabilistic Relevance
+  * Framework") with one deliberate deviation: the idf is the RATIONAL form
+  * `(N - df + 0.5) / (df + 0.5)` — the standard formula without the
+  * surrounding `ln`. Rationale: every input (tf, df, N, doclen) is an exact
+  * integer, so the whole per-term score stays a composition of IEEE-exact
+  * rational ops that a second engine (the DuckDB oracle) reproduces
+  * bit-identically, which `ln` — correctly-rounded nowhere in either
+  * engine's contract — would break. The rational idf is a strictly monotone
+  * transform of the log idf on df, so single-term rankings are identical;
+  * multi-term rankings weight rare terms more aggressively than the log
+  * form (documented, deterministic). It is also positive for every
+  * df ∈ [0, N], sidestepping the negative-idf clamp the log variant needs.
+  *
+  * Scale shape (the 100 TB story): query terms become per-row `size(filter(
+  * tokens, _ == term))` projections — one codegen'd pass over the corpus,
+  * NO explode and NO shuffle for tf. Corpus stats (N, Σdl, per-term df)
+  * are one 1-row aggregate broadcast back into the scoring scan; the only
+  * other exchange is the final top-k (`TakeOrderedAndProject`). Two corpus
+  * scans total; at petabyte scale the stats pass is the thing a production
+  * deployment precomputes once per corpus snapshot and reuses across
+  * queries — [[bm25Stats]] is exposed separately for exactly that.
+  */
+object Lexical {
+
+  /** Lucene-default BM25 parameters. */
+  val DefaultK1 = 1.2
+  val DefaultB = 0.75
+
+  /** Per-term columns are codegen'd projections; past a few hundred the
+    * plan goes wide for no retrieval-quality reason. Real engines switch to
+    * a posting-list join at that point (the [[Decontaminate]] gram-explode
+    * shape); refuse rather than degrade silently.
+    */
+  private val MaxTerms = 256
+
+  /** Whitespace tokens, mirroring the oracle's
+    * `regexp_split_to_array(trim(text), '\s+')`.
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  private def tfCol(ws: Column, term: String): Column =
+    size(filter(ws, _ === lit(term)))
+
+  private def validate(terms: Seq[String]): Unit = {
+    require(terms.nonEmpty, "bm25: empty query")
+    require(terms.size <= MaxTerms,
+      s"bm25: ${terms.size} query terms > $MaxTerms — use a posting-list " +
+        "join (Decontaminate-style gram explode) for bulk term sets")
+    require(terms.distinct.size == terms.size, s"bm25: duplicate query terms")
+  }
+
+  /** Corpus statistics for `terms`: one row with `n` (doc count), `sumdl`
+    * (total token count) and `df0..dfI` (per-term document frequencies).
+    * One aggregate over one corpus scan; precompute and reuse across
+    * queries sharing a corpus snapshot.
+    */
+  def bm25Stats(docs: DataFrame, textCol: String, terms: Seq[String]): DataFrame = {
+    validate(terms)
+    val ws = tokens(col(textCol))
+    val dfs = terms.indices.map { i =>
+      sum((tfCol(ws, terms(i)) > 0).cast("long")).as(s"df$i")
+    }
+    val aggs = count(lit(1)).as("n") +: sum(size(ws)).as("sumdl") +: dfs
+    docs.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** BM25 scores for every document: `(idCol, score_e9)` where `score_e9`
+    * is the score in fixed-point nano units (`BIGINT`). Per-term scores are
+    * quantized to integers BEFORE the cross-term sum, so the total is
+    * order-independent and cross-engine exact (the money-column idiom of
+    * [[graft.Queries]]).
+    *
+    * @param stats optional precomputed [[bm25Stats]] result (must match
+    *              `terms`); recomputed when absent.
+    */
+  def bm25(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k1: Double = DefaultK1,
+      b: Double = DefaultB,
+      stats: Option[DataFrame] = None): DataFrame = {
+    validate(terms)
+    val st = stats.getOrElse(bm25Stats(docs, textCol, terms))
+    val ws = tokens(col(textCol))
+    val tf = docs.select(
+      col(idCol) +: size(ws).as("dl") +:
+        terms.indices.map(i => tfCol(ws, terms(i)).as(s"tf$i")): _*)
+    // 1-row stats side: always broadcast, never a shuffle
+    val joined = tf.crossJoin(broadcast(st))
+    // every sub-expression below is mirrored token-for-token in the oracle
+    // SQL (Queries.bm25OracleScore) — the parenthesization IS the contract
+    val avgdl = col("sumdl") / col("n").cast("double")
+    val scoreE9 = terms.indices.map { i =>
+      val idf = (col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))
+      val num = col(s"tf$i") * lit(k1 + 1)
+      val den = col(s"tf$i") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / avgdl))
+      round(idf * (num / den) * lit(1e9)).cast("bigint")
+    }.reduce(_ + _)
+    joined.select(col(idCol), scoreE9.as("score_e9"))
+  }
+
+  /** Top-k by BM25: `(idCol, score_e9)`, ties broken by id. */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB,
+      stats: Option[DataFrame] = None): DataFrame =
+    bm25(docs, idCol, textCol, terms, k1, b, stats)
+      .orderBy(col("score_e9").desc, col(idCol))
+      .limit(k)
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): fuse ranked
+    * lists `(idCol, rankCol)` (rank 1-based) into `(idCol, rrf_e12)` where
+    * `rrf_e12 = Σ_lists round(1e12 / (kRrf + rank))` — per-list
+    * contributions quantized to `BIGINT` picounits before the sum, same
+    * exactness idiom as [[bm25]]. A document missing from a list
+    * contributes 0 from it.
+    *
+    * Scale shape: inputs are top-k lists (k rows each), so the outer joins
+    * are trivially small; with corpus-sized inputs they become ordinary
+    * shuffle joins on the id — still linear, no special handling needed.
+    */
+  def rrfFuse(
+      lists: Seq[DataFrame],
+      idCol: String,
+      rankCol: String,
+      kRrf: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse: no lists")
+    require(kRrf >= 0, s"rrfFuse: negative kRrf=$kRrf")
+    val parts = lists.zipWithIndex.map { case (l, i) =>
+      l.select(
+        col(idCol),
+        round(lit(1e12) / (lit(kRrf) + col(rankCol))).cast("bigint").as(s"_c$i"))
+    }
+    val joined = parts.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val score = lists.indices
+      .map(i => coalesce(col(s"_c$i"), lit(0L)))
+      .reduce(_ + _)
+    joined.select(col(idCol), score.as("rrf_e12"))
+  }
+
+  /** Attach a 1-based dense rank by `(orderCols, idCol)` — the shape
+    * [[rrfFuse]] consumes. Intended for already-top-k inputs (a global
+    * window); ranking a full corpus through this is a single-partition
+    * sort by construction.
+    */
+  def ranked(topK: DataFrame, idCol: String, orderCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    topK.withColumn(
+      "rank",
+      row_number().over(Window.orderBy(orderCols :+ col(idCol): _*)))
+  }
+}
