@@ -1173,6 +1173,43 @@ object Queries {
       |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 3)) AS i FROM ew))
       |SELECT DISTINCT doc_id FROM dg JOIN eg USING (g) ORDER BY doc_id""".stripMargin
 
+  /** Graded decontamination ([[ops.Decontaminate.overlapStats]]): per-doc
+    * fraction of distinct 3-grams shared with the eval split (PaLM-style
+    * threshold signal, vs dc1's any-gram binary). Counts are integers and
+    * the fraction is an exact rational rounded to 6 — the ratio idiom.
+    */
+  def dc2OverlapFrac(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    ops.Decontaminate
+      .overlapStats(
+        docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  val dc2Oracle: String =
+    """WITH dw AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      |  FROM documents WHERE doc_id % 50 <> 0),
+      |ew AS (
+      |  SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+      |  FROM documents WHERE doc_id % 50 = 0),
+      |dg AS (
+      |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM dw)),
+      |eg AS (
+      |  SELECT DISTINCT array_to_string(ws[i:i+2], ' ') AS g
+      |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM ew)),
+      |m AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS total_grams,
+      |         CAST(sum(CASE WHEN eg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS matched_grams
+      |  FROM dg LEFT JOIN eg ON dg.g = eg.g GROUP BY doc_id)
+      |SELECT doc_id, matched_grams, total_grams,
+      |       round(matched_grams::DOUBLE / total_grams, 6) AS frac_r6
+      |FROM m ORDER BY doc_id""".stripMargin
+
   /** Gopher-rule quality filter: keep/drop decision per document as a
     * single codegen'd boolean projection (no shuffle).
     */
@@ -1963,6 +2000,7 @@ object Queries {
     "tq8_pack" -> (tq8Pack _),
     "tq9_repetition" -> (tq9Repetition _),
     "dc1_decontam" -> (dc1Decontam _),
+    "dc2_overlap_frac" -> (dc2OverlapFrac _),
     "pq1_quality_filter" -> (pq1QualityFilter _),
     "pq2_stratified_sample" -> (pq2StratifiedSample _),
     "pq3_pii_scrub" -> (pq3PiiScrub _),
@@ -2049,6 +2087,7 @@ object Queries {
     "tq8_pack" -> tq8Oracle,
     "tq9_repetition" -> tq9Oracle,
     "dc1_decontam" -> dc1Oracle,
+    "dc2_overlap_frac" -> dc2Oracle,
     "pq1_quality_filter" -> pq1Oracle,
     "pq2_stratified_sample" -> pq2Oracle,
     "pq3_pii_scrub" -> pq3Oracle,

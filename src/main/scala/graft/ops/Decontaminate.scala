@@ -64,4 +64,67 @@ object Decontaminate {
     docs.join(
       contaminatedIds(docs, evalDocs, idCol, textCol, n, hashGrams),
       Seq(idCol), "left_anti")
+
+  /** Per-document overlap FRACTION against the eval corpus — the graded
+    * contamination signal behind threshold rules like PaLM's "≥70% of
+    * 8-grams seen" (vs [[contaminatedIds]]' any-gram binary): one row per
+    * document with ≥1 gram — `(idCol, matched_grams, total_grams, frac_r6)`
+    * where the counts are over the doc's DISTINCT n-grams and `frac_r6 =
+    * round(matched/total, 6)` (exact rational on identical integers — the
+    * oracle-safe ratio idiom). Docs shorter than `n` words have no grams
+    * and no row; [[decontaminateByOverlap]] treats them as 0 overlap.
+    *
+    * Scale shape: same as [[contaminatedIds]] — eval grams broadcast, the
+    * training side is one explode + broadcast LEFT join + per-doc agg
+    * (partial map-side), never a shuffle of the corpus itself.
+    */
+  def overlapStats(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 4,
+      hashGrams: Boolean = true): DataFrame = {
+    val docGrams = docs.select(
+      col(idCol),
+      explode(graft.functions.word_shingles(col(textCol), n)).as("_g"))
+    val evalGrams = evalDocs
+      .select(explode(graft.functions.word_shingles(col(textCol), n)).as("_g"))
+      .distinct()
+    val (dg, eg) =
+      if (hashGrams)
+        (docGrams.select(col(idCol), xxhash64(col("_g")).as("_g")),
+          evalGrams.select(xxhash64(col("_g")).as("_g")))
+      else (docGrams, evalGrams)
+    dg.join(broadcast(eg.withColumn("_hit", lit(1L))), Seq("_g"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("total_grams"),
+        sum(coalesce(col("_hit"), lit(0L))).as("matched_grams"))
+      .select(
+        col(idCol),
+        col("matched_grams"),
+        col("total_grams"),
+        round(col("matched_grams").cast("double") / col("total_grams"), 6)
+          .as("frac_r6"))
+  }
+
+  /** `docs` minus rows whose eval-overlap fraction exceeds `maxFrac`
+    * (gram-less short docs always survive). `maxFrac = 0.0` reproduces
+    * [[decontaminate]]'s any-gram rule.
+    */
+  def decontaminateByOverlap(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxFrac: Double,
+      n: Int = 4,
+      hashGrams: Boolean = true): DataFrame = {
+    require(maxFrac >= 0.0 && maxFrac < 1.0, s"maxFrac=$maxFrac not in [0, 1)")
+    val dropIds = overlapStats(docs, evalDocs, idCol, textCol, n, hashGrams)
+      .where(col("matched_grams").cast("double") / col("total_grams") > maxFrac)
+      .select(idCol)
+    docs.join(dropIds, Seq(idCol), "left_anti")
+  }
 }

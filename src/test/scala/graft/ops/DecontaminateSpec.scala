@@ -45,4 +45,40 @@ class DecontaminateSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(clean == Set(2L))
   }
+
+  test("overlapStats counts distinct-gram overlap; short docs have no row") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps high"), // grams: 4 distinct, 2 shared
+      (2L, "totally different words here now"), // 3 distinct, 0 shared
+      (3L, "tiny")).toDF("doc_id", "text") // < n words: no grams
+    val eval = Seq((100L, "a lazy dog met the quick brown fox")).toDF("doc_id", "text")
+    def stats(hashed: Boolean): Map[Long, (Long, Long, Double)] = Decontaminate
+      .overlapStats(docs, eval, "doc_id", "text", n = 3, hashGrams = hashed)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val raw = stats(hashed = false)
+    assert(raw == Map(
+      1L -> ((2L, 4L, 0.5)),
+      2L -> ((0L, 3L, 0.0))))
+    assert(stats(hashed = true) == raw)
+  }
+
+  test("decontaminateByOverlap thresholds; 0.0 matches the any-gram rule") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps high"), // frac 0.5
+      (2L, "totally different words here now"), // frac 0
+      (3L, "tiny")).toDF("doc_id", "text") // gram-less: always kept
+    val eval = Seq((100L, "a lazy dog met the quick brown fox")).toDF("doc_id", "text")
+    def kept(maxFrac: Double): Set[Long] = Decontaminate
+      .decontaminateByOverlap(docs, eval, "doc_id", "text", maxFrac, n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept(0.6) == Set(1L, 2L, 3L))
+    assert(kept(0.4) == Set(2L, 3L))
+    val anyGram = Decontaminate.decontaminate(docs, eval, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept(0.0) == anyGram)
+    intercept[IllegalArgumentException] {
+      Decontaminate.decontaminateByOverlap(docs, eval, "doc_id", "text", 1.0)
+    }
+  }
 }
