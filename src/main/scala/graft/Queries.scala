@@ -1329,6 +1329,37 @@ object Queries {
       |      < (CASE WHEN lang = 'en' THEN 128 ELSE 192 END)
       |ORDER BY doc_id""".stripMargin
 
+  /** Mixture resampling ([[ops.Corpus.mixToWeights]]): rebalance the corpus
+    * language mix toward target weights by deterministic per-stratum
+    * downsampling. The oracle recomputes the same allowance arithmetic
+    * (counts → budget T = min c/w → floor(w·T/c·256)) from the table, with
+    * weight literals interpolated from the same Scala doubles; membership
+    * is the md5-bucket filter, so the sample sets are bit-identical.
+    */
+  val mixWeights: Map[String, Double] =
+    Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1, "zh" -> 0.1)
+
+  def mx1MixWeights(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Corpus
+      .mixToWeights(
+        t(spark, sfDir, "documents"), col("doc_id"), col("lang"), mixWeights)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  val mx1Oracle: String = {
+    val caseW = mixWeights.toSeq.sortBy(_._1)
+      .map { case (s, w) => s"WHEN '$s' THEN $w" }
+      .mkString("CASE lang ", " ", " END")
+    s"""WITH c AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS c, $caseW AS w
+       |  FROM documents WHERE ($caseW) IS NOT NULL GROUP BY lang),
+       |t AS (SELECT min(c / w) AS t FROM c),
+       |a AS (SELECT lang, CAST(floor(w * t / c * 256) AS INT) AS allow FROM c, t)
+       |SELECT d.doc_id, d.lang FROM documents d JOIN a USING (lang)
+       |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 2))::INT < allow
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** PII scrubbing: the corpus text carries no PII, so both engines append
     * an identical deterministic PII-laden suffix (email/IP derived from
     * doc_id, fixed SSN + phone) and redact it — the full-string compare
@@ -2003,6 +2034,7 @@ object Queries {
     "dc2_overlap_frac" -> (dc2OverlapFrac _),
     "pq1_quality_filter" -> (pq1QualityFilter _),
     "pq2_stratified_sample" -> (pq2StratifiedSample _),
+    "mx1_mix_weights" -> (mx1MixWeights _),
     "pq3_pii_scrub" -> (pq3PiiScrub _),
     "cq1_curation_pipeline" -> (cq1CurationPipeline _),
     "cq2_neardup_curation" -> (cq2NearDupCuration _),
@@ -2090,6 +2122,7 @@ object Queries {
     "dc2_overlap_frac" -> dc2Oracle,
     "pq1_quality_filter" -> pq1Oracle,
     "pq2_stratified_sample" -> pq2Oracle,
+    "mx1_mix_weights" -> mx1Oracle,
     "pq3_pii_scrub" -> pq3Oracle,
     "cq1_curation_pipeline" -> cq1Oracle,
     "cq2_neardup_curation" -> cq2Oracle,

@@ -101,6 +101,56 @@ object Corpus {
     df.where(hashBucket(keyCol) < allowance)
   }
 
+  /** Deterministic mixture resampling: downsample strata so the realized
+    * proportions approximate `weights` (a training-mixture rebalance, e.g.
+    * "40% en / 20% de / …"). No stratum is upsampled: the output total is
+    * maximized subject to every stratum being a downsample — the budget is
+    * `T = min_s count_s / w_s` and stratum `s` keeps `floor(256 · w_s ·
+    * T / count_s)` of the 256 [[hashBucket]] buckets (so realized weights
+    * sit within 1/256 of the smallest stratum's share under the target;
+    * exact-deterministic membership, approximate proportions). Strata
+    * absent from `weights` are dropped; strata in `weights` but absent
+    * from the data simply contribute nothing (their target share is
+    * unachievable without upsampling — callers wanting repetition-based
+    * upsampling should union extra epochs explicitly).
+    *
+    * Scale shape: one groupBy over the stratum column (|strata| rows), a
+    * 1-row budget aggregate, and a broadcast join of the |strata|-row
+    * allowance table back onto the corpus — the corpus itself is never
+    * shuffled, and membership is a pure filter.
+    */
+  def mixToWeights(
+      df: DataFrame,
+      keyCol: Column,
+      strataCol: Column,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty, "mixToWeights: empty weights")
+    weights.foreach { case (s, w) =>
+      require(w > 0 && !w.isInfinite && !w.isNaN,
+        s"mixToWeights: weight for '$s' must be finite positive, got $w")
+    }
+    val entries = weights.toSeq.sortBy(_._1) // deterministic plan
+    def weightOf(s: Column): Column = entries.tail
+      .foldLeft(when(s === entries.head._1, lit(entries.head._2))) {
+        case (acc, (k, w)) => acc.when(s === k, lit(w))
+      } // null for unlisted strata
+    val counts = df
+      .select(strataCol.as("_s"))
+      .where(weightOf(col("_s")).isNotNull)
+      .groupBy(col("_s"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_w", weightOf(col("_s")))
+    val budget = counts.agg(min(col("_c") / col("_w")).as("_t"))
+    val allowance = counts
+      .crossJoin(broadcast(budget))
+      .select(
+        col("_s"),
+        floor(col("_w") * col("_t") / col("_c") * 256).cast("int").as("_allow"))
+    df.join(broadcast(allowance), strataCol === col("_s"))
+      .where(hashBucket(keyCol) < col("_allow"))
+      .drop("_s", "_allow")
+  }
+
   /** Exact token-count distribution stats (count + interpolated
     * percentiles) — the corpus-level summary a filtering pipeline keys off.
     */

@@ -84,4 +84,42 @@ class CorpusSpec extends SparkSpec {
     assert(sample(0, 0).isEmpty)
     assert(sample(256, 256).size == 2000)
   }
+
+  test("mixToWeights rebalances toward the target mixture, no upsampling") {
+    // 1500 en / 300 de / 200 fr; target 1:1:1 — de (count/weight smallest
+    // after fr?) fr is the binding stratum: T = 200/(1/3); keeps ~200 each
+    val docs = spark.range(0, 2000).toDF("id")
+      .withColumn("lang",
+        when(col("id") < 1500, "en").when(col("id") < 1800, "de").otherwise("fr"))
+    val w = Map("en" -> 1.0, "de" -> 1.0, "fr" -> 1.0)
+    val kept = Corpus.mixToWeights(docs, col("id"), col("lang"), w)
+      .select("id", "lang").as[(Long, String)].collect()
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // fr binds: its 200 rows cap each stratum near 200 (floor granularity
+    // and md5-bucket noise allow slack)
+    assert(byLang("fr") > 150 && byLang("fr") <= 200, s"fr=${byLang("fr")}")
+    assert(byLang.values.forall(c => c > 120 && c < 260), s"mix $byLang")
+    // deterministic
+    val again = Corpus.mixToWeights(docs, col("id"), col("lang"), w)
+      .select("id", "lang").as[(Long, String)].collect()
+    assert(kept.toSet == again.toSet)
+  }
+
+  test("mixToWeights drops unlisted strata and validates weights") {
+    val docs = spark.range(0, 300).toDF("id")
+      .withColumn("lang", when(col("id") % 3 === 0, "en")
+        .when(col("id") % 3 === 1, "de").otherwise("xx"))
+    val kept = Corpus
+      .mixToWeights(docs, col("id"), col("lang"), Map("en" -> 0.5, "de" -> 0.5))
+      .select("lang").as[String].collect()
+    assert(!kept.contains("xx"))
+    // balanced targets on balanced strata keep everything (allowance 256)
+    assert(kept.length == 200)
+    intercept[IllegalArgumentException] {
+      Corpus.mixToWeights(docs, col("id"), col("lang"), Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.mixToWeights(docs, col("id"), col("lang"), Map("en" -> 0.0))
+    }
+  }
 }
