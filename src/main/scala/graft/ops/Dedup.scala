@@ -309,6 +309,13 @@ object Dedup {
     * block sit in buckets <= 129 members (small path, 1.55× margin at the
     * default cap), every all-hot pair shares >= 2 blocks (refined path), and
     * candidate join volume drops 6.76M → ~0.9M pairs at sf0.1.
+    *
+    * Corpus-shape caveat (TextScaleBench, 500k docs, Zipf vocabulary):
+    * skewed vocabularies concentrate block values into hot buckets much
+    * harder than the uniform test fixture — the second-block refinement
+    * join dominates and simhash ran 6.4× slower than [[minhashNearDupPairs]]
+    * at identical recall targets. Bounded and correct, but prefer minhash
+    * on heavy-tailed natural-language corpora.
     */
   def simhashNearDupPairs(
       df: DataFrame,

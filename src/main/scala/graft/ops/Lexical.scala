@@ -60,6 +60,17 @@ object Lexical {
     require(terms.distinct.size == terms.size, s"bm25: duplicate query terms")
   }
 
+  /** The scoring plan's working column names ([[bm25Stats]] output plus the
+    * per-doc tf projection) — an id column shadowing one would silently
+    * corrupt the score arithmetic, so refuse it up front.
+    */
+  private def checkIdCol(idCol: String, nTerms: Int): Unit = {
+    val reserved = Set("n", "sumdl", "dl", "score_e9") ++
+      (0 until nTerms).flatMap(i => Seq(s"tf$i", s"df$i"))
+    require(!reserved.contains(idCol),
+      s"bm25: idCol '$idCol' collides with a scoring working column ($reserved)")
+  }
+
   /** Corpus statistics for `terms`: one row with `n` (doc count), `sumdl`
     * (total token count) and `df0..dfI` (per-term document frequencies).
     * One aggregate over one corpus scan; precompute and reuse across
@@ -93,6 +104,7 @@ object Lexical {
       b: Double = DefaultB,
       stats: Option[DataFrame] = None): DataFrame = {
     validate(terms)
+    checkIdCol(idCol, terms.size)
     val st = stats.getOrElse(bm25Stats(docs, textCol, terms))
     val ws = tokens(col(textCol))
     val tf = docs.select(

@@ -1,0 +1,172 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline scale probe: the dedup / lexical / curation headliners on a
+  * corpus 1000× the per-round fixture (the sf documents table is 500 rows at
+  * EVERY sf — the per-round numbers measure per-job fixed cost, not the
+  * operators). Twin of [[ScaleBench]] for the non-vector half of the engine:
+  * generates a seeded 500k-doc corpus with a CONTROLLED duplicate structure
+  * (per 10-doc block: 1 base, 1 exact copy, 1 near-dup with 2 word
+  * substitutions, 7 unique) over a 10k-word Zipf-ish vocabulary, plus
+  * lang/source columns for the sampling operators, then times the
+  * production paths end to end.
+  *
+  * NOT part of the per-round driver bench or its 2× gate (minutes-long);
+  * run manually, record in BENCHNOTES.md:
+  * `sbt "runMain graft.tools.TextScaleBench"` (env: SPARK_GRAFT_TEXTSCALE_ROWS,
+  * _DIR to override). Prints one JSON line like Bench.
+  */
+object TextScaleBench {
+
+  private val Reps = 2
+
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def timeMin(f: => Unit): Double =
+    try Seq.fill(Reps)(time(f)).min
+    catch { case e: Throwable => System.err.println(s"[textscale] FAIL: $e"); -1.0 }
+
+  private def materialize(df: DataFrame): Unit = {
+    df.queryExecution.toRdd.count(): Unit
+  }
+
+  private val Vocab = 10000
+  private val DocWords = 50
+  private val Langs = Array("en", "en", "en", "en", "en", "de", "de", "fr", "fr", "es")
+
+  /** Words of the block-base doc for `baseId`, regenerated (not joined) so
+    * every row is derivable from its id alone — identical under any
+    * partitioning. Zipf-ish: u² concentrates mass on low word indexes.
+    */
+  private def baseWords(baseId: Long): Array[String] = {
+    val rng = new java.util.Random(baseId * 0x9E3779B97F4A7C15L + 7L)
+    Array.fill(DocWords) {
+      val u = rng.nextDouble()
+      s"w${(u * u * Vocab).toInt}"
+    }
+  }
+
+  /** Deterministic corpus: (doc_id, text, lang, source). Block structure per
+    * 10 ids — base (k=0), near-dup of base (k=1, 2 substitutions), exact
+    * copy of base (k=2), unique (k>=3, own seed).
+    */
+  private def generate(spark: SparkSession, dir: String, rows: Long): Unit = {
+    import spark.implicits._
+    spark.range(rows)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val k = (id % 10).toInt
+          val base = id - k
+          val words = k match {
+            case 0 | 2 => baseWords(base)
+            case 1 =>
+              val w = baseWords(base)
+              val rng = new java.util.Random(id * 0x5DEECE66DL + 11L)
+              w(rng.nextInt(DocWords)) = s"w${rng.nextInt(Vocab)}"
+              w(rng.nextInt(DocWords)) = s"w${rng.nextInt(Vocab)}"
+              w
+            case _ => baseWords(id) // unique: own stream
+          }
+          val meta = new java.util.Random(id * 0x2545F4914F6CDD1DL + 3L)
+          (id, words.mkString(" "), Langs(meta.nextInt(Langs.length)),
+            s"src${meta.nextInt(20)}")
+        }
+      }
+      .toDF("doc_id", "text", "lang", "source")
+      .repartition(32)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val rows = sys.env.getOrElse("SPARK_GRAFT_TEXTSCALE_ROWS", "500000").toLong
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_TEXTSCALE_DIR", "/root/repo/.graft/scale")
+    val corpus = s"$baseDir/docs_$rows"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val genTime =
+      if (new java.io.File(corpus).exists()) -1.0
+      else time(generate(spark, corpus, rows))
+
+    def docs = spark.read.parquet(corpus)
+    // eval slice for decontamination: 0.2% of the corpus
+    def evalDocs = docs.where(col("doc_id") % 500 === 0)
+
+    def exactDedup() = docs
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    def minhashPairs() =
+      graft.ops.Dedup.minhashNearDupPairs(docs, "doc_id", "text")
+    def simhashPairs() =
+      graft.ops.Dedup.simhashNearDupPairs(docs, "doc_id", "text")
+    def curation() = {
+      val pairs = graft.ops.Dedup.minhashNearDupPairs(docs, "doc_id", "text")
+      val clusters = graft.ops.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      graft.ops.Dedup.keepRepresentatives(docs, "doc_id", clusters)
+        .where(graft.ops.TextAnalysis.qualityKeep(col("text")))
+        .select(col("doc_id"))
+    }
+    def dupSpans() =
+      graft.ops.Dedup.duplicatedNgramSpans(docs, "doc_id", "text", n = 10)
+    def textSignals() = docs.select(
+      col("doc_id"),
+      graft.ops.TextAnalysis.tokenCount(col("text")).as("toks"),
+      graft.ops.TextAnalysis.langId(col("text")).as("lid"),
+      graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"),
+      graft.ops.TextAnalysis.qualityKeep(col("text")).cast("int").as("keep"))
+    def bm25() = graft.ops.Lexical.bm25TopK(
+      docs, "doc_id", "text",
+      Seq("w1", "w17", "w211", "w1375", "w6021"), k = 100)
+    def decontam() = graft.ops.Decontaminate.overlapStats(
+      docs.where(col("doc_id") % 500 =!= 0), evalDocs, "doc_id", "text", n = 4)
+    def mix() = graft.ops.Corpus.mixToWeights(
+      docs, col("doc_id"), col("lang"),
+      Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.2))
+
+    val suite: Seq[(String, () => DataFrame)] = Seq(
+      "exact_dedup" -> (exactDedup _),
+      "minhash_pairs" -> (minhashPairs _),
+      "simhash_pairs" -> (simhashPairs _),
+      "neardup_curation" -> (curation _),
+      "dup_spans_n10" -> (dupSpans _),
+      "text_signals" -> (textSignals _),
+      "bm25_topk100" -> (bm25 _),
+      "decontam_overlap" -> (decontam _),
+      "mix_to_weights" -> (mix _))
+
+    // warmup pass (JIT/codegen/page cache), then timed min-of-2
+    suite.foreach { case (n, f) =>
+      try materialize(f())
+      catch { case e: Throwable => System.err.println(s"[textscale] warm FAIL $n: $e") }
+    }
+    val results = suite.map { case (n, f) => n -> timeMin(materialize(f())) }
+
+    // structure sanity: the generator promises ~rows/10 exact dups and the
+    // near-dup pairs should recover (base, near) + (base, copy) + (near,
+    // copy) per block — report counts so a generator regression is visible
+    val nDocs = docs.count()
+    val nDistinctText = docs.select("text").distinct().count()
+    val nPairs =
+      try minhashPairs().count()
+      catch { case _: Throwable => -1L }
+
+    val qs = results.map { case (n, v) => "\"" + n + "\":" + v }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"text_scale_probe","rows":$rows,"unit":"sec","queries":$qs,"gen_time":$genTime,"n_docs":$nDocs,"n_distinct_text":$nDistinctText,"neardup_pairs":$nPairs}""")
+    spark.stop()
+  }
+}

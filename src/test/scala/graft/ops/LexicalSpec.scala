@@ -79,6 +79,13 @@ class LexicalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Lexical.bm25(docs, "id", "text", (0 to 256).map(i => s"t$i"))
     }
+    // id column shadowing a scoring working column is refused
+    intercept[IllegalArgumentException] {
+      Lexical.bm25(docs.withColumnRenamed("id", "dl"), "dl", "text", Seq("cat"))
+    }
+    intercept[IllegalArgumentException] {
+      Lexical.bm25(docs.withColumnRenamed("id", "tf0"), "tf0", "text", Seq("cat"))
+    }
   }
 
   test("rrfFuse: overlap sums, misses contribute zero, kRrf honored") {
