@@ -20,7 +20,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bench {
   /** Timed repetitions per query (post-warmup); min is reported. */
-  private val Reps = 2
+  private val Reps = BenchTiming.DefaultReps
 
   /** The structurally interesting queries, reported under a separate
     * `headline` key: at 70+ entries the full-set total is dominated by
@@ -45,20 +45,11 @@ object Bench {
     */
   private val VerifyOnly = Set("sq3_ivf_cell_pairs_exact")
 
-  private def time(f: => Unit): Double = {
-    val t0 = System.nanoTime()
-    f
-    (System.nanoTime() - t0) / 1e9
-  }
-
-  /** Min over [[Reps]] timed runs; -1 marks a failed query. */
-  private def timeMin(f: => Unit): Double =
-    try Seq.fill(Reps)(time(f)).min
-    catch { case _: Throwable => -1.0 }
-
-  private def materialize(df: DataFrame): Unit = {
-    df.queryExecution.toRdd.count(): Unit
-  }
+  // timing methodology lives in ONE place — BenchTiming — shared with the
+  // scale probes so the benches stay comparable
+  private def time(f: => Unit): Double = BenchTiming.time(f)
+  private def timeMin(f: => Unit): Double = BenchTiming.timeMin()(f)
+  private def materialize(df: DataFrame): Unit = BenchTiming.materialize(df)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -30,6 +30,32 @@ object Decontaminate {
     *                  string — the scale default; exact modulo 64-bit hash
     *                  collisions (~2^-64 per gram pair).
     */
+  /** The shared gram extraction of both decontamination rules: per-doc
+    * DISTINCT grams (the codegen'd shingle kernel — one pass, no
+    * interpreted lambdas) exploded as `(idCol, _g)`, plus the eval side's
+    * distinct gram set, both optionally xxhash64'd. ONE definition so the
+    * binary (dc1) and graded (dc2) paths can never diverge on gram
+    * semantics.
+    */
+  private def gramSides(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      hashGrams: Boolean): (DataFrame, DataFrame) = {
+    val docGrams = docs.select(
+      col(idCol),
+      explode(graft.functions.word_shingles(col(textCol), n)).as("_g"))
+    val evalGrams = evalDocs
+      .select(explode(graft.functions.word_shingles(col(textCol), n)).as("_g"))
+      .distinct()
+    if (hashGrams)
+      (docGrams.select(col(idCol), xxhash64(col("_g")).as("_g")),
+        evalGrams.select(xxhash64(col("_g")).as("_g")))
+    else (docGrams, evalGrams)
+  }
+
   def contaminatedIds(
       docs: DataFrame,
       evalDocs: DataFrame,
@@ -37,19 +63,7 @@ object Decontaminate {
       textCol: String,
       n: Int = 4,
       hashGrams: Boolean = true): DataFrame = {
-    // overlap is set-semantics: per-doc DISTINCT grams via the codegen'd
-    // shingle kernel (one pass, no interpreted lambdas) shrink the explode
-    val docGrams = docs.select(
-      col(idCol),
-      explode(graft.functions.word_shingles(col(textCol), n)).as("_g"))
-    val evalGrams = evalDocs
-      .select(explode(graft.functions.word_shingles(col(textCol), n)).as("_g"))
-      .distinct()
-    val (dg, eg) =
-      if (hashGrams)
-        (docGrams.select(col(idCol), xxhash64(col("_g")).as("_g")),
-          evalGrams.select(xxhash64(col("_g")).as("_g")))
-      else (docGrams, evalGrams)
+    val (dg, eg) = gramSides(docs, evalDocs, idCol, textCol, n, hashGrams)
     dg.join(eg, Seq("_g"), "left_semi").select(idCol).distinct()
   }
 
@@ -85,17 +99,7 @@ object Decontaminate {
       textCol: String,
       n: Int = 4,
       hashGrams: Boolean = true): DataFrame = {
-    val docGrams = docs.select(
-      col(idCol),
-      explode(graft.functions.word_shingles(col(textCol), n)).as("_g"))
-    val evalGrams = evalDocs
-      .select(explode(graft.functions.word_shingles(col(textCol), n)).as("_g"))
-      .distinct()
-    val (dg, eg) =
-      if (hashGrams)
-        (docGrams.select(col(idCol), xxhash64(col("_g")).as("_g")),
-          evalGrams.select(xxhash64(col("_g")).as("_g")))
-      else (docGrams, evalGrams)
+    val (dg, eg) = gramSides(docs, evalDocs, idCol, textCol, n, hashGrams)
     dg.join(broadcast(eg.withColumn("_hit", lit(1L))), Seq("_g"), "left")
       .groupBy(col(idCol))
       .agg(

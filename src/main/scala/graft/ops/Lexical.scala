@@ -29,7 +29,12 @@ import org.apache.spark.sql.functions._
   * other exchange is the final top-k (`TakeOrderedAndProject`). Two corpus
   * scans total; at petabyte scale the stats pass is the thing a production
   * deployment precomputes once per corpus snapshot and reuses across
-  * queries — [[bm25Stats]] is exposed separately for exactly that.
+  * queries — [[bm25Stats]] is exposed separately for exactly that, and the
+  * returned [[Bm25Stats]] carries its term list so a stats/query mismatch
+  * is refused instead of silently mis-scoring.
+  *
+  * Tokenization is [[TextAnalysis.tokens]] — the one whitespace tokenizer
+  * every text operator in the engine shares.
   */
 object Lexical {
 
@@ -44,10 +49,13 @@ object Lexical {
     */
   private val MaxTerms = 256
 
-  /** Whitespace tokens, mirroring the oracle's
-    * `regexp_split_to_array(trim(text), '\s+')`.
+  /** Corpus statistics bound to the term list they were computed for:
+    * `df` has one row with `_n` (doc count), `_sumdl` (total token count)
+    * and `_df0.._dfI` (document frequency of `terms(i)`). Reusable across
+    * [[bm25]] calls sharing a corpus snapshot and term list; [[bm25]]
+    * refuses a stats object whose terms differ from the query's.
     */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  final case class Bm25Stats(terms: Seq[String], df: DataFrame)
 
   private def tfCol(ws: Column, term: String): Column =
     size(filter(ws, _ === lit(term)))
@@ -60,30 +68,27 @@ object Lexical {
     require(terms.distinct.size == terms.size, s"bm25: duplicate query terms")
   }
 
-  /** The scoring plan's working column names ([[bm25Stats]] output plus the
-    * per-doc tf projection) — an id column shadowing one would silently
-    * corrupt the score arithmetic, so refuse it up front.
+  /** Working columns are underscore-prefixed, so only an underscore-leading
+    * or output-shadowing id column can collide — refuse those up front
+    * (case-insensitively: Spark resolves column names case-insensitively
+    * by default).
     */
-  private def checkIdCol(idCol: String, nTerms: Int): Unit = {
-    val reserved = Set("n", "sumdl", "dl", "score_e9") ++
-      (0 until nTerms).flatMap(i => Seq(s"tf$i", s"df$i"))
-    require(!reserved.contains(idCol),
-      s"bm25: idCol '$idCol' collides with a scoring working column ($reserved)")
+  private def checkIdCol(idCol: String): Unit = {
+    require(!idCol.startsWith("_") && !idCol.equalsIgnoreCase("score_e9"),
+      s"bm25: idCol '$idCol' collides with a scoring working/output column")
   }
 
-  /** Corpus statistics for `terms`: one row with `n` (doc count), `sumdl`
-    * (total token count) and `df0..dfI` (per-term document frequencies).
-    * One aggregate over one corpus scan; precompute and reuse across
-    * queries sharing a corpus snapshot.
+  /** Compute [[Bm25Stats]] for `terms`: one aggregate over one corpus scan;
+    * precompute and reuse across queries sharing a corpus snapshot.
     */
-  def bm25Stats(docs: DataFrame, textCol: String, terms: Seq[String]): DataFrame = {
+  def bm25Stats(docs: DataFrame, textCol: String, terms: Seq[String]): Bm25Stats = {
     validate(terms)
-    val ws = tokens(col(textCol))
+    val ws = TextAnalysis.tokens(col(textCol))
     val dfs = terms.indices.map { i =>
-      sum((tfCol(ws, terms(i)) > 0).cast("long")).as(s"df$i")
+      sum((tfCol(ws, terms(i)) > 0).cast("long")).as(s"_df$i")
     }
-    val aggs = count(lit(1)).as("n") +: sum(size(ws)).as("sumdl") +: dfs
-    docs.agg(aggs.head, aggs.tail: _*)
+    val aggs = count(lit(1)).as("_n") +: sum(size(ws)).as("_sumdl") +: dfs
+    Bm25Stats(terms, docs.agg(aggs.head, aggs.tail: _*))
   }
 
   /** BM25 scores for every document: `(idCol, score_e9)` where `score_e9`
@@ -92,8 +97,9 @@ object Lexical {
     * order-independent and cross-engine exact (the money-column idiom of
     * [[graft.Queries]]).
     *
-    * @param stats optional precomputed [[bm25Stats]] result (must match
-    *              `terms`); recomputed when absent.
+    * @param stats optional precomputed [[bm25Stats]] result — refused if
+    *              its term list differs from `terms`; recomputed when
+    *              absent.
     */
   def bm25(
       docs: DataFrame,
@@ -102,23 +108,25 @@ object Lexical {
       terms: Seq[String],
       k1: Double = DefaultK1,
       b: Double = DefaultB,
-      stats: Option[DataFrame] = None): DataFrame = {
+      stats: Option[Bm25Stats] = None): DataFrame = {
     validate(terms)
-    checkIdCol(idCol, terms.size)
-    val st = stats.getOrElse(bm25Stats(docs, textCol, terms))
-    val ws = tokens(col(textCol))
+    checkIdCol(idCol)
+    stats.foreach(st => require(st.terms == terms,
+      s"bm25: stats were computed for terms ${st.terms}, query has $terms"))
+    val st = stats.getOrElse(bm25Stats(docs, textCol, terms)).df
+    val ws = TextAnalysis.tokens(col(textCol))
     val tf = docs.select(
-      col(idCol) +: size(ws).as("dl") +:
-        terms.indices.map(i => tfCol(ws, terms(i)).as(s"tf$i")): _*)
+      col(idCol) +: size(ws).as("_dl") +:
+        terms.indices.map(i => tfCol(ws, terms(i)).as(s"_tf$i")): _*)
     // 1-row stats side: always broadcast, never a shuffle
     val joined = tf.crossJoin(broadcast(st))
     // every sub-expression below is mirrored token-for-token in the oracle
     // SQL (Queries.bm25OracleScore) — the parenthesization IS the contract
-    val avgdl = col("sumdl") / col("n").cast("double")
+    val avgdl = col("_sumdl") / col("_n").cast("double")
     val scoreE9 = terms.indices.map { i =>
-      val idf = (col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))
-      val num = col(s"tf$i") * lit(k1 + 1)
-      val den = col(s"tf$i") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / avgdl))
+      val idf = (col("_n") - col(s"_df$i") + lit(0.5)) / (col(s"_df$i") + lit(0.5))
+      val num = col(s"_tf$i") * lit(k1 + 1)
+      val den = col(s"_tf$i") + lit(k1) * (lit(1 - b) + lit(b) * (col("_dl") / avgdl))
       round(idf * (num / den) * lit(1e9)).cast("bigint")
     }.reduce(_ + _)
     joined.select(col(idCol), scoreE9.as("score_e9"))
@@ -133,7 +141,7 @@ object Lexical {
       k: Int,
       k1: Double = DefaultK1,
       b: Double = DefaultB,
-      stats: Option[DataFrame] = None): DataFrame =
+      stats: Option[Bm25Stats] = None): DataFrame =
     bm25(docs, idCol, textCol, terms, k1, b, stats)
       .orderBy(col("score_e9").desc, col(idCol))
       .limit(k)
@@ -168,10 +176,10 @@ object Lexical {
     joined.select(col(idCol), score.as("rrf_e12"))
   }
 
-  /** Attach a 1-based dense rank by `(orderCols, idCol)` — the shape
-    * [[rrfFuse]] consumes. Intended for already-top-k inputs (a global
-    * window); ranking a full corpus through this is a single-partition
-    * sort by construction.
+  /** Attach a 1-based `row_number` rank by `(orderCols, idCol)` — a total
+    * order (the appended id breaks ties), the shape [[rrfFuse]] consumes.
+    * Intended for already-top-k inputs (a global window); ranking a full
+    * corpus through this is a single-partition sort by construction.
     */
   def ranked(topK: DataFrame, idCol: String, orderCols: Seq[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -21,21 +21,10 @@ import graft.ivf.{IndexManager, IndexStore, IvfBuilder, PqSidecar, Recall, Sq8Si
   */
 object ScaleBench {
 
-  private val Reps = 2
-
-  private def time(f: => Unit): Double = {
-    val t0 = System.nanoTime()
-    f
-    (System.nanoTime() - t0) / 1e9
-  }
-
-  private def timeMin(f: => Unit): Double =
-    try Seq.fill(Reps)(time(f)).min
-    catch { case e: Throwable => System.err.println(s"[scale] FAIL: $e"); -1.0 }
-
-  private def materialize(df: DataFrame): Unit = {
-    df.queryExecution.toRdd.count(): Unit
-  }
+  // shared timing harness (graft.BenchTiming) — same methodology as Bench
+  private def time(f: => Unit): Double = graft.BenchTiming.time(f)
+  private def timeMin(f: => Unit): Double = graft.BenchTiming.timeMin("scale")(f)
+  private def materialize(df: DataFrame): Unit = graft.BenchTiming.materialize(df)
 
   /** The mixture centers — ONE definition shared by [[generate]] and the
     * query-vector derivation, so an edit to the seed/scale/fill order can

@@ -20,21 +20,10 @@ import org.apache.spark.sql.functions._
   */
 object TextScaleBench {
 
-  private val Reps = 2
-
-  private def time(f: => Unit): Double = {
-    val t0 = System.nanoTime()
-    f
-    (System.nanoTime() - t0) / 1e9
-  }
-
-  private def timeMin(f: => Unit): Double =
-    try Seq.fill(Reps)(time(f)).min
-    catch { case e: Throwable => System.err.println(s"[textscale] FAIL: $e"); -1.0 }
-
-  private def materialize(df: DataFrame): Unit = {
-    df.queryExecution.toRdd.count(): Unit
-  }
+  // shared timing harness (graft.BenchTiming) — same methodology as Bench
+  private def time(f: => Unit): Double = graft.BenchTiming.time(f)
+  private def timeMin(f: => Unit): Double = graft.BenchTiming.timeMin("textscale")(f)
+  private def materialize(df: DataFrame): Unit = graft.BenchTiming.materialize(df)
 
   private val Vocab = 10000
   private val DocWords = 50
@@ -69,8 +58,13 @@ object TextScaleBench {
             case 1 =>
               val w = baseWords(base)
               val rng = new java.util.Random(id * 0x5DEECE66DL + 11L)
-              w(rng.nextInt(DocWords)) = s"w${rng.nextInt(Vocab)}"
-              w(rng.nextInt(DocWords)) = s"w${rng.nextInt(Vocab)}"
+              // two DISTINCT positions — the documented "2 substitutions"
+              // structure (independent draws collide for ~1/50 of docs)
+              val i1 = rng.nextInt(DocWords)
+              var i2 = rng.nextInt(DocWords)
+              while (i2 == i1) i2 = rng.nextInt(DocWords)
+              w(i1) = s"w${rng.nextInt(Vocab)}"
+              w(i2) = s"w${rng.nextInt(Vocab)}"
               w
             case _ => baseWords(id) // unique: own stream
           }
@@ -87,7 +81,9 @@ object TextScaleBench {
   def main(args: Array[String]): Unit = {
     val rows = sys.env.getOrElse("SPARK_GRAFT_TEXTSCALE_ROWS", "500000").toLong
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_TEXTSCALE_DIR", "/root/repo/.graft/scale")
-    val corpus = s"$baseDir/docs_$rows"
+    // generator-versioned dir: a generator change must never silently reuse
+    // a stale cached corpus
+    val corpus = s"$baseDir/docs_${rows}_v2"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
     val spark = SparkSession.builder()

@@ -67,6 +67,10 @@ class LexicalSpec extends SparkSpec {
     val b = Lexical.bm25(docs, "id", "text", terms, stats = Some(st))
       .as[(Long, Long)].collect().toSet
     assert(a == b)
+    // stats computed for DIFFERENT terms are refused, not silently mis-scored
+    intercept[IllegalArgumentException] {
+      Lexical.bm25(docs, "id", "text", Seq("fish", "bird"), stats = Some(st))
+    }
   }
 
   test("bm25 input validation") {
@@ -79,13 +83,17 @@ class LexicalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Lexical.bm25(docs, "id", "text", (0 to 256).map(i => s"t$i"))
     }
-    // id column shadowing a scoring working column is refused
+    // id column shadowing a scoring working/output column is refused
+    // (internals are _-prefixed, so ordinary names like "n" or "dl" are fine)
     intercept[IllegalArgumentException] {
-      Lexical.bm25(docs.withColumnRenamed("id", "dl"), "dl", "text", Seq("cat"))
+      Lexical.bm25(docs.withColumnRenamed("id", "_dl"), "_dl", "text", Seq("cat"))
     }
     intercept[IllegalArgumentException] {
-      Lexical.bm25(docs.withColumnRenamed("id", "tf0"), "tf0", "text", Seq("cat"))
+      Lexical.bm25(docs.withColumnRenamed("id", "SCORE_E9"), "SCORE_E9", "text", Seq("cat"))
     }
+    val viaN = Lexical.bm25(docs.withColumnRenamed("id", "n"), "n", "text", Seq("cat"))
+      .as[(Long, Long)].collect()
+    assert(viaN.length == 5)
   }
 
   test("rrfFuse: overlap sums, misses contribute zero, kRrf honored") {
