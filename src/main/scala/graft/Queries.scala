@@ -1511,6 +1511,52 @@ object Queries {
        |FROM tf, stats
        |ORDER BY score_e9 DESC, doc_id LIMIT 10""".stripMargin
 
+  /** Bulk BM25 ([[ops.Lexical.bm25BulkTopK]]): top-5 docs for each of three
+    * queries via the posting-list join path (set-semantics query terms; one
+    * query carries an out-of-vocabulary term that must contribute nothing).
+    * Same fixed-point idiom as bm1; the oracle mirrors the posting/df/stats
+    * pipeline with identical arithmetic.
+    */
+  def bq1Bm25Bulk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val queries = Seq(
+      (0L, "spark dup"),
+      (1L, "vector window merge"),
+      (2L, "nosuchword table")).toDF("qid", "qtext")
+    ops.Lexical
+      .bm25BulkTopK(
+        t(spark, sfDir, "documents"), "doc_id", "text", queries, "qid", "qtext",
+        k = 5)
+      .orderBy(col("qid"), col("doc_id"))
+  }
+
+  val bq1Oracle: String = {
+    val k1 = ops.Lexical.DefaultK1
+    val b = ops.Lexical.DefaultB
+    s"""WITH q AS (SELECT * FROM (VALUES (0, 'spark dup'), (1, 'vector window merge'),
+       |                                 (2, 'nosuchword table')) AS t(qid, qtext)),
+       |qt AS (SELECT DISTINCT qid, unnest(regexp_split_to_array(trim(qtext), '\\s+')) AS term FROM q),
+       |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+       |dl AS (SELECT doc_id, len(ws) AS dl FROM tok),
+       |post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |         FROM (SELECT doc_id, unnest(ws) AS term FROM tok) GROUP BY doc_id, term),
+       |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
+       |scored AS (
+       |  SELECT qt.qid, post.doc_id,
+       |    CAST(SUM(CAST(ROUND(((n - df + 0.5) / (df + 0.5)) * ((tf * ${k1 + 1}) /
+       |      (tf + $k1 * (${1 - b} + $b * (dl / (sumdl / CAST(n AS DOUBLE)))))) * 1e9) AS BIGINT)) AS BIGINT)
+       |      AS score_e9
+       |  FROM qt JOIN post USING (term) JOIN dft USING (term)
+       |       JOIN dl ON post.doc_id = dl.doc_id, stats
+       |  GROUP BY qt.qid, post.doc_id)
+       |SELECT qid, doc_id, score_e9 FROM (
+       |  SELECT qid, doc_id, score_e9,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score_e9 DESC, doc_id) AS r
+       |  FROM scored)
+       |WHERE r <= 5 ORDER BY qid, doc_id""".stripMargin
+  }
+
   /** Hybrid dense+sparse retrieval: reciprocal-rank fusion (k=60) of the
     * vector top-10 (brute L2, the vq1 list) and the BM25 top-10 (bm1's
     * list). Per-list contributions `round(1e12/(60+rank))` are quantized to
@@ -2040,6 +2086,7 @@ object Queries {
     "cq2_neardup_curation" -> (cq2NearDupCuration _),
     "vb1_top_ngrams" -> (vb1TopNgrams _),
     "bm1_bm25_topk" -> (bm1Bm25Topk _),
+    "bq1_bm25_bulk" -> (bq1Bm25Bulk _),
     "hr1_hybrid_rrf" -> (hr1HybridRrf _),
     "je1_json_extract" -> (je1JsonExtract _),
     "sq2_ivf_cell_pairs" -> (sq2IvfCellPairs _),
@@ -2128,6 +2175,7 @@ object Queries {
     "cq2_neardup_curation" -> cq2Oracle,
     "vb1_top_ngrams" -> vb1Oracle,
     "bm1_bm25_topk" -> bm1Oracle,
+    "bq1_bm25_bulk" -> bq1Oracle,
     "hr1_hybrid_rrf" -> hr1Oracle,
     "je1_json_extract" -> je1Oracle,
     // sq2_ivf_cell_pairs intentionally has no oracle (cell-recall ANN)

@@ -146,6 +146,73 @@ object Lexical {
       .orderBy(col("score_e9").desc, col(idCol))
       .limit(k)
 
+  /** Bulk BM25 over a QUERY TABLE: top-k docs per query, scored via a
+    * posting-list equi-join — the bulk path for many/large queries that the
+    * per-term-projection scorer ([[bm25]]) deliberately refuses past
+    * [[MaxTerms]], and the basis of doc-as-query similar-document search.
+    * Query terms are the DISTINCT tokens of the query text (set semantics,
+    * matching [[bm25]]'s distinct-terms contract); only (query, doc) pairs
+    * sharing ≥ 1 term get a row (an unmatched doc's score is 0 by the
+    * formula, so top-k is unaffected unless fewer than k docs match —
+    * standard retrieval semantics, unlike [[bm25]] which emits all docs).
+    * Same rational-idf fixed-point arithmetic, so scores equal [[bm25]]'s
+    * for the same terms.
+    *
+    * Scale shape: postings are one explode + (doc, term) partial-agg'd
+    * count; df is one more agg over postings; the query-terms join
+    * broadcasts when the query table is small (Catalyst's stats decide);
+    * scoring is a (qid, doc) aggregate of integer contributions and the
+    * final top-k a per-qid window — every step an equi-join/agg on a key,
+    * nothing quadratic, corpus scanned twice (postings + doc lengths share
+    * the first scan's shuffle).
+    */
+  def bm25BulkTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qtextCol: String,
+      k: Int,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame = {
+    checkIdCol(idCol)
+    require(k > 0, s"bm25BulkTopK: k=$k must be positive")
+    val ws = TextAnalysis.tokens(col(textCol))
+    val tok = docs.select(col(idCol), ws.as("_ws"))
+    val dl = tok.select(col(idCol), size(col("_ws")).as("_dl"))
+    val post = tok
+      .select(col(idCol), explode(col("_ws")).as("_term"))
+      .groupBy(col(idCol), col("_term"))
+      .agg(count(lit(1)).as("_tf"))
+    val dft = post.groupBy(col("_term")).agg(count(lit(1)).as("_df"))
+    val stats = dl.agg(count(lit(1)).as("_n"), sum(col("_dl")).as("_sumdl"))
+    val qt = queries.select(
+      col(qidCol),
+      explode(array_distinct(TextAnalysis.tokens(col(qtextCol)))).as("_term"))
+    // mirrored token-for-token in Queries.bq1Oracle — parenthesization is
+    // the contract, as in bm25
+    val idf = (col("_n") - col("_df") + lit(0.5)) / (col("_df") + lit(0.5))
+    val num = col("_tf") * lit(k1 + 1)
+    val den = col("_tf") +
+      lit(k1) * (lit(1 - b) + lit(b) * (col("_dl") / (col("_sumdl") / col("_n").cast("double"))))
+    val contrib = round(idf * (num / den) * lit(1e9)).cast("bigint")
+    val scored = qt
+      .join(post, "_term")
+      .join(dft, "_term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .groupBy(col(qidCol), col(idCol))
+      .agg(sum(contrib).as("score_e9"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("score_e9").desc, col(idCol))
+    scored
+      .withColumn("_r", row_number().over(w))
+      .where(col("_r") <= k)
+      .select(col(qidCol), col(idCol), col("score_e9"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): fuse ranked
     * lists `(idCol, rankCol)` (rank 1-based) into `(idCol, rrf_e12)` where
     * `rrf_e12 = Σ_lists round(1e12 / (kRrf + rank))` — per-list

@@ -96,6 +96,30 @@ class LexicalSpec extends SparkSpec {
     assert(viaN.length == 5)
   }
 
+  test("bm25BulkTopK matches the per-term scorer on matched pairs") {
+    val queries = Seq((0L, "cat fish"), (1L, "dog"), (2L, "absentterm")).toDF("qid", "qtext")
+    val bulk = Lexical.bm25BulkTopK(docs, "id", "text", queries, "qid", "qtext", k = 10)
+      .as[(Long, Long, Long)].collect()
+    // query 0 == the projection scorer's terms; bulk omits 0-score docs
+    val proj = Lexical.bm25(docs, "id", "text", Seq("cat", "fish"))
+      .as[(Long, Long)].collect().toMap
+    val bulk0 = bulk.filter(_._1 == 0L).map(r => r._2 -> r._3).toMap
+    assert(bulk0 == proj.filter(_._2 > 0L))
+    // query 1: only the dog docs (0 and 2) match
+    assert(bulk.filter(_._1 == 1L).map(_._2).toSet == Set(0L, 2L))
+    // an out-of-vocabulary query matches nothing
+    assert(!bulk.exists(_._1 == 2L))
+  }
+
+  test("bm25BulkTopK honors k with (score desc, id) tie-breaking") {
+    val many = (0L until 20L).map(i => (i, "same words here")).toDF("id", "text")
+    val q = Seq((0L, "same")).toDF("qid", "qtext")
+    val top = Lexical.bm25BulkTopK(many, "id", "text", q, "qid", "qtext", k = 3)
+      .as[(Long, Long, Long)].collect()
+    // all scores tie -> lowest ids win
+    assert(top.map(_._2).sorted.toSeq == Seq(0L, 1L, 2L))
+  }
+
   test("rrfFuse: overlap sums, misses contribute zero, kRrf honored") {
     val l1 = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
     val l2 = Seq((2L, 1), (4L, 2)).toDF("id", "rank")
