@@ -55,7 +55,8 @@ object IndexManager {
   // temp + atomic-rename, so a same-length rewrite within one timestamp
   // tick still changes the inode and reads as a miss.
   private final case class CacheKey(
-      path: String, column: String, fileKey: String, mtime: Long, length: Long)
+      path: String, column: String, fileKey: String, mtime: Long, length: Long,
+      dataFileKey: String, dataMtime: Long, dataLength: Long)
   private val decodedCache =
     new java.util.LinkedHashMap[CacheKey, IvfIndex](64, 0.75f, true)
   private var cachedBytes = 0L
@@ -73,18 +74,25 @@ object IndexManager {
     */
   private def cacheKey(store: IndexStore, file: String, column: String): Option[CacheKey] = {
     val sidecar = java.nio.file.Paths.get(store.indexPath(file, column))
+    val dataPath = java.nio.file.Paths.get(
+      IndexStore.canonicalPath(file).stripPrefix("file:"))
     val backing =
-      if (java.nio.file.Files.exists(sidecar)) sidecar
-      else {
-        val local = IndexStore.canonicalPath(file).stripPrefix("file:")
-        java.nio.file.Paths.get(local)
-      }
+      if (java.nio.file.Files.exists(sidecar)) sidecar else dataPath
     try {
-      val attrs = java.nio.file.Files.readAttributes(
-        backing, classOf[java.nio.file.attribute.BasicFileAttributes])
+      def attrsOf(p: java.nio.file.Path) = java.nio.file.Files.readAttributes(
+        p, classOf[java.nio.file.attribute.BasicFileAttributes])
+      val attrs = attrsOf(backing)
+      // the DATA file's identity is part of the key even on the sidecar
+      // path: a data file replaced at an unchanged path (sidecar untouched)
+      // must read as a miss so decode() re-checks the sidecar binding and
+      // refuses, instead of a stale decoded index serving the old ordinals
+      val dataAttrs = if (backing eq dataPath) attrs else attrsOf(dataPath)
       Some(CacheKey(
         backing.toString, column, String.valueOf(attrs.fileKey()),
-        attrs.lastModifiedTime.to(java.util.concurrent.TimeUnit.NANOSECONDS), attrs.size))
+        attrs.lastModifiedTime.to(java.util.concurrent.TimeUnit.NANOSECONDS), attrs.size,
+        String.valueOf(dataAttrs.fileKey()),
+        dataAttrs.lastModifiedTime.to(java.util.concurrent.TimeUnit.NANOSECONDS),
+        dataAttrs.size))
     } catch { case _: Exception => None }
   }
 

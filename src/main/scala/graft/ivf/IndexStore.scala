@@ -16,6 +16,19 @@ import java.security.MessageDigest
   * Keyed by (data file path, embedding column): `<sha1>.pqvec` + `<sha1>.meta`.
   * Writes are atomic (temp + rename) so speculative/retried executor tasks
   * are safe.
+  *
+  * Every sidecar is BOUND to the data file's content: `write` stamps the
+  * `.meta` with the data file's (length, footer-region digest), and every
+  * read path (`load`/`peek`/`exists`/`centroidDigest`, the codes and radii
+  * sidecars) refuses when the stamp no longer matches — a data file
+  * replaced AT THE SAME PATH (hand-swapped, external compaction output
+  * copied over an input name) reads as "no index" instead of silently
+  * serving the old file's row ordinals. The reference is structurally
+  * immune because its index lives inside the file and a rewrite destroys
+  * it (`/root/reference/src/ivf/parquet.rs:536-611`); sidecars need this
+  * stamp to get the same refuse-don't-guess posture. [[IvfBuilder.extend]]
+  * then self-heals: a stale-bound file classifies as unindexed and is
+  * re-indexed (and re-stamped) under the table's shared centroids.
   */
 final class IndexStore(val dir: String) extends Serializable {
 
@@ -36,14 +49,40 @@ final class IndexStore(val dir: String) extends Serializable {
     val tmp = Paths.get(target.toString + s".tmp-${java.util.UUID.randomUUID()}")
     Files.write(tmp, IvfIndex.frame(index.toBytes))
     Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-    val meta = s"""{"file": ${jsonStr(dataFile)}, "column": ${jsonStr(column)}}"""
+    val (len, digest) = IndexStore.dataStamp(dataFile).getOrElse(throw new IllegalStateException(
+      s"cannot stat data file $dataFile to bind its index sidecar — refusing to " +
+        "write an unbound sidecar (a later file replacement would read as stale ordinals)"))
+    val meta = s"""{"file": ${jsonStr(dataFile)}, "column": ${jsonStr(column)}, """ +
+      s""""dataLen": $len, "dataDigest": $digest}"""
     Files.write(Paths.get(target.toString.stripSuffix(".pqvec") + ".meta"), meta.getBytes("UTF-8"))
     target.toString
   }
 
+  /** True iff the sidecar family for (dataFile, column) is bound to the
+    * CURRENT content of the data file: the `.meta` stamp (written by
+    * [[write]]) matches the file's present (length, footer digest). False
+    * for a replaced/rewritten data file, a missing or legacy stamp-less
+    * `.meta`, or an unstattable data file — all of which must read as "no
+    * sidecar" rather than risk serving another file's row ordinals.
+    */
+  def bound(dataFile: String, column: String): Boolean = {
+    val metaPath = Paths.get(indexPath(dataFile, column).stripSuffix(".pqvec") + ".meta")
+    if (!Files.exists(metaPath)) return false
+    val meta = try new String(Files.readAllBytes(metaPath), "UTF-8") catch {
+      case _: Exception => return false
+    }
+    (IndexStore.MetaLenRe.findFirstMatchIn(meta), IndexStore.MetaDigestRe.findFirstMatchIn(meta)) match {
+      case (Some(lm), Some(dm)) =>
+        IndexStore.dataStamp(dataFile).contains((lm.group(1).toLong, dm.group(1).toLong))
+      case _ => false
+    }
+  }
+
   def load(dataFile: String, column: String): Option[IvfIndex] = {
     val p = Paths.get(indexPath(dataFile, column))
-    if (Files.exists(p)) Some(IvfIndex.unframe(Files.readAllBytes(p))) else None
+    if (Files.exists(p) && bound(dataFile, column))
+      Some(IvfIndex.unframe(Files.readAllBytes(p)))
+    else None
   }
 
   /** Cheap (dim, nClusters) peek — reads only the framed header, so the
@@ -52,7 +91,7 @@ final class IndexStore(val dir: String) extends Serializable {
     */
   def peek(dataFile: String, column: String): Option[(Int, Int)] = {
     val p = Paths.get(indexPath(dataFile, column))
-    if (!Files.exists(p)) return None
+    if (!Files.exists(p) || !bound(dataFile, column)) return None
     val ch = java.nio.channels.FileChannel.open(p)
     try {
       val buf = java.nio.ByteBuffer.allocate(IvfIndex.Magic.length + 16)
@@ -69,7 +108,7 @@ final class IndexStore(val dir: String) extends Serializable {
   }
 
   def exists(dataFile: String, column: String): Boolean =
-    Files.exists(Paths.get(indexPath(dataFile, column)))
+    Files.exists(Paths.get(indexPath(dataFile, column))) && bound(dataFile, column)
 
   /** SQ8 code-sidecar path for (data file, column) — same key scheme as the
     * index sidecar, `.sq8` extension (see [[Sq8Sidecar]] for the codec).
@@ -77,8 +116,10 @@ final class IndexStore(val dir: String) extends Serializable {
   def codesPath(dataFile: String, column: String): String =
     s"$dir/${key(dataFile, column)}.sq8"
 
+  // codes/radii sidecars map rows BY ORDINAL onto the data file, so they
+  // share the index sidecar's binding: a stale stamp hides them all at once
   def existsCodes(dataFile: String, column: String): Boolean =
-    Files.exists(Paths.get(codesPath(dataFile, column)))
+    Files.exists(Paths.get(codesPath(dataFile, column))) && bound(dataFile, column)
 
   /** Per-cell radius sidecar for (data file, column): cell i's value is the
     * max TRUE L2 distance from centroid i to its members — the triangle-
@@ -120,7 +161,7 @@ final class IndexStore(val dir: String) extends Serializable {
   def loadRadii(
       dataFile: String, column: String, expectedDigest: Long): Option[Array[Float]] = {
     val p = Paths.get(radiiPath(dataFile, column))
-    if (!Files.exists(p)) return None
+    if (!Files.exists(p) || !bound(dataFile, column)) return None
     val bytes = Files.readAllBytes(p)
     if (bytes.length < 16) return None
     val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -137,7 +178,7 @@ final class IndexStore(val dir: String) extends Serializable {
   }
 
   def existsRadii(dataFile: String, column: String): Boolean =
-    Files.exists(Paths.get(radiiPath(dataFile, column)))
+    Files.exists(Paths.get(radiiPath(dataFile, column))) && bound(dataFile, column)
 
   /** PQ code-sidecar path for (data file, column) — `.pq` extension, or
     * `.pqr` for the residual (IVF-ADC) variant so both codebooks can
@@ -147,7 +188,7 @@ final class IndexStore(val dir: String) extends Serializable {
     s"$dir/${key(dataFile, column)}.${if (residual) "pqr" else "pq"}"
 
   def existsPq(dataFile: String, column: String, residual: Boolean = false): Boolean =
-    Files.exists(Paths.get(pqPath(dataFile, column, residual)))
+    Files.exists(Paths.get(pqPath(dataFile, column, residual))) && bound(dataFile, column)
 
   def deletePq(dataFile: String, column: String, residual: Boolean): Unit =
     Files.deleteIfExists(Paths.get(pqPath(dataFile, column, residual))): Unit
@@ -158,7 +199,7 @@ final class IndexStore(val dir: String) extends Serializable {
     */
   def centroidDigest(dataFile: String, column: String): Option[Long] = {
     val p = Paths.get(indexPath(dataFile, column))
-    if (!Files.exists(p)) return None
+    if (!Files.exists(p) || !bound(dataFile, column)) return None
     val ch = java.nio.channels.FileChannel.open(p)
     try {
       val head = java.nio.ByteBuffer
@@ -202,6 +243,51 @@ final class IndexStore(val dir: String) extends Serializable {
 
 object IndexStore {
   private[ivf] val RadiiMagic: Array[Byte] = "GQR2".getBytes("US-ASCII")
+
+  private[ivf] val MetaLenRe = """"dataLen":\s*(-?\d+)""".r
+  private[ivf] val MetaDigestRe = """"dataDigest":\s*(-?\d+)""".r
+
+  // digest memo keyed by the file's full identity (path, inode, mtime,
+  // length) — a replaced file changes the key, so a stale digest can never
+  // be served; bounds repeated binding checks (per task, per query) to one
+  // tail read per distinct file version per JVM
+  private val stampMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Long, Long), Long]
+
+  /** Content stamp of a data file: (length, digest of the file's TAIL).
+    * The tail (last ≤64 KiB) covers the parquet footer — row-group
+    * metadata, column stats, offsets, created-by — which changes under any
+    * content rewrite even when the byte length happens to match, and reads
+    * in one cheap pread (no full-file hash at 100 TB). None when the file
+    * cannot be statted/read.
+    */
+  def dataStamp(dataFile: String): Option[(Long, Long)] = {
+    val local = Paths.get(canonicalPath(dataFile).stripPrefix("file:"))
+    try {
+      val attrs = Files.readAttributes(
+        local, classOf[java.nio.file.attribute.BasicFileAttributes])
+      val key = (local.toString, String.valueOf(attrs.fileKey()),
+        attrs.lastModifiedTime.toMillis, attrs.size)
+      val digest = stampMemo.getOrElseUpdate(key, {
+        val len = attrs.size
+        val tail = math.min(len, 65536L).toInt
+        val ch = java.nio.channels.FileChannel.open(local)
+        try {
+          val buf = java.nio.ByteBuffer.allocate(tail)
+          var pos = len - tail
+          while (buf.hasRemaining) {
+            val n = ch.read(buf, pos)
+            if (n < 0) throw new java.io.EOFException(local.toString)
+            pos += n
+          }
+          val md = MessageDigest.getInstance("SHA-1")
+          md.update(buf.array(), 0, tail)
+          java.nio.ByteBuffer.wrap(md.digest()).getLong
+        } finally ch.close()
+      })
+      Some((attrs.size, digest))
+    } catch { case _: Exception => None }
+  }
 
   /** Default writable cache dir (testdata is read-only). */
   def default: IndexStore =
