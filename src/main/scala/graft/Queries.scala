@@ -112,6 +112,10 @@ object Queries {
     val ti = IndexManager.ensure(spark, path, "embedding")
     Graft.install(spark)
     spark.conf.set(plans.VectorTopKRule.NprobeKey, ti.nClusters.toString)
+    // pin the float tier: confs persist across queries in one session (they
+    // must — optimization is lazy), so a tier twin running earlier would
+    // otherwise leak its tier into this entry
+    spark.conf.set(plans.VectorTopKRule.TierKey, "float")
     spark.read.parquet(path).createOrReplaceTempView("graft_embeddings")
     val vecLit = queryVec.map(v => s"${v}F").mkString("array(", ", ", ")")
     // NOTE: the nprobe conf must stay set — optimization (where the rule
@@ -210,6 +214,7 @@ object Queries {
     val ti = IndexManager.ensure(spark, path, "embedding")
     Graft.install(spark)
     spark.conf.set(plans.VectorTopKRule.NprobeKey, ti.nClusters.toString)
+    spark.conf.set(plans.VectorTopKRule.TierKey, "float") // see vq7 note
     spark.read.parquet(path).createOrReplaceTempView("graft_embeddings_cos")
     val vecLit = queryVec.map(v => s"${v}F").mkString("array(", ", ", ")")
     spark.sql(
@@ -239,6 +244,7 @@ object Queries {
     val ti = IndexManager.ensure(spark, path, "embedding")
     Graft.install(spark)
     spark.conf.set(plans.VectorTopKRule.NprobeKey, ti.nClusters.toString)
+    spark.conf.set(plans.VectorTopKRule.TierKey, "float") // see vq7 note
     spark.read.parquet(path).createOrReplaceTempView("graft_embeddings_fcos")
     val vecLit = queryVec.map(v => s"${v}F").mkString("array(", ", ", ")")
     spark.sql(
@@ -268,6 +274,74 @@ object Queries {
         VectorTopK.Options(nprobe = ti.nClusters))
       .select(col("vec_id"))
       .orderBy(col("vec_id"))
+  }
+
+  /** vq7 through the SQL rewrite with `spark.graft.ivf.tier=sq8`: identical
+    * SQL, coarse ranking on the int8 code sidecar instead of float reads.
+    * Exhaustive probe + covering oversample ⇒ the refine sees every
+    * candidate in exact float space ⇒ exact, shares vq7's oracle (the same
+    * gate zq4 uses for the programmatic path — this entry gates the SQL
+    * routing on top of it).
+    */
+  def vq15SqlTopkSq8(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/embeddings.parquet"
+    val ti = IndexManager.ensure(spark, path, "embedding")
+    graft.ivf.Sq8Sidecar.ensure(spark, path, "embedding")
+    Graft.install(spark)
+    spark.conf.set(plans.VectorTopKRule.NprobeKey, ti.nClusters.toString)
+    spark.conf.set(plans.VectorTopKRule.TierKey, "sq8")
+    spark.conf.set(
+      plans.VectorTopKRule.OversampleKey, coveringOversample(spark, path, 10).toString)
+    spark.read.parquet(path).createOrReplaceTempView("graft_embeddings_sq8")
+    val vecLit = queryVec.map(v => s"${v}F").mkString("array(", ", ", ")")
+    spark.sql(
+      s"""SELECT vec_id FROM (
+         |  SELECT vec_id FROM graft_embeddings_sq8
+         |  ORDER BY array_distance(embedding, $vecLit) ASC LIMIT 10)
+         |ORDER BY vec_id""".stripMargin)
+  }
+
+  /** vq7 under `tier=pq` (m=8 product codes, ADC coarse ranking) — same
+    * covering-exactness gate as vq15/zq5; shares vq7's oracle.
+    */
+  def vq16SqlTopkPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/embeddings.parquet"
+    val ti = IndexManager.ensure(spark, path, "embedding")
+    graft.ivf.PqSidecar.ensure(spark, path, "embedding", m = 8)
+    Graft.install(spark)
+    spark.conf.set(plans.VectorTopKRule.NprobeKey, ti.nClusters.toString)
+    spark.conf.set(plans.VectorTopKRule.TierKey, "pq")
+    spark.conf.set(
+      plans.VectorTopKRule.OversampleKey, coveringOversample(spark, path, 10).toString)
+    spark.read.parquet(path).createOrReplaceTempView("graft_embeddings_pq")
+    val vecLit = queryVec.map(v => s"${v}F").mkString("array(", ", ", ")")
+    spark.sql(
+      s"""SELECT vec_id FROM (
+         |  SELECT vec_id FROM graft_embeddings_pq
+         |  ORDER BY array_distance(embedding, $vecLit) ASC LIMIT 10)
+         |ORDER BY vec_id""".stripMargin)
+  }
+
+  /** The vq13 shape (filtered cosine) with `tier=pq` REQUESTED: code
+    * distances are L2 and a residual Filter rules out the winner feed, so
+    * the rule must fall back to the float angular one-phase path and still
+    * answer exactly — this entry hash-gates the fallback, not the tier.
+    */
+  def vq17FilteredTierFallback(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/embeddings.parquet"
+    val ti = IndexManager.ensure(spark, path, "embedding")
+    graft.ivf.PqSidecar.ensure(spark, path, "embedding", m = 8)
+    Graft.install(spark)
+    spark.conf.set(plans.VectorTopKRule.NprobeKey, ti.nClusters.toString)
+    spark.conf.set(plans.VectorTopKRule.TierKey, "pq")
+    spark.read.parquet(path).createOrReplaceTempView("graft_embeddings_ftier")
+    val vecLit = queryVec.map(v => s"${v}F").mkString("array(", ", ", ")")
+    spark.sql(
+      s"""SELECT vec_id FROM (
+         |  SELECT vec_id FROM graft_embeddings_ftier
+         |  WHERE label >= 5
+         |  ORDER BY array_cosine_similarity(embedding, $vecLit) DESC LIMIT 10)
+         |ORDER BY vec_id""".stripMargin)
   }
 
   // ------------------------------------------------- int8 quantization
@@ -2032,6 +2106,9 @@ object Queries {
     "vq8_cosine_ivf" -> (vq8CosineIvf _),
     "vq13_filtered_cosine" -> (vq13FilteredCosine _),
     "vq14_cosine_api" -> (vq14CosineApi _),
+    "vq15_sql_topk_sq8" -> (vq15SqlTopkSq8 _),
+    "vq16_sql_topk_pq" -> (vq16SqlTopkPq _),
+    "vq17_filtered_tier_fallback" -> (vq17FilteredTierFallback _),
     "vq5_cosine_topk" -> (vq5CosineTopk _),
     "vq6_knn_join" -> (vq6KnnJoin _),
     "vq11_maxsim_topk" -> (vq11MaxsimTopk _),
@@ -2118,6 +2195,9 @@ object Queries {
     "vq8_cosine_ivf" -> vq8Oracle,
     "vq13_filtered_cosine" -> vq13Oracle,
     "vq14_cosine_api" -> vq8Oracle, // exhaustive-probe exact ⇒ same oracle
+    "vq15_sql_topk_sq8" -> vq7Oracle, // covering exactness ⇒ same oracle
+    "vq16_sql_topk_pq" -> vq7Oracle, // covering exactness ⇒ same oracle
+    "vq17_filtered_tier_fallback" -> vq13Oracle, // fallback must stay exact
 
     "vq5_cosine_topk" -> vq5Oracle,
     "vq6_knn_join" -> vq6Oracle,

@@ -285,7 +285,7 @@ object PqSidecar {
     * wrong-centroid-epoch file (index retrained since encode) counts as
     * missing and gets rebuilt instead of silently mis-scoring.
     */
-  private def usable(store: IndexStore, f: String, column: String, residual: Boolean): Boolean =
+  private[graft] def usable(store: IndexStore, f: String, column: String, residual: Boolean): Boolean =
     store.existsPq(f, column, residual) &&
       scala.util.Try(readHeader(store.pqPath(f, column, residual))).toOption.exists { h =>
         h.residual == residual && (!residual ||

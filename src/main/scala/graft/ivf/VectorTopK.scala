@@ -785,12 +785,28 @@ object VectorTopK {
       k: Int,
       options: Options,
       oversample: Int,
+      store: IndexStore): DataFrame =
+    quantizedWinnersByFiles(
+      spark, IndexManager.listFiles(spark, path), column, query, k, options,
+      oversample, store)
+
+  /** File-list form of the SQ8 winner feed — the SQL rewrite rule calls this
+    * directly with the scan's (already enumerated) file set when
+    * `spark.graft.ivf.tier=sq8`.
+    */
+  private[graft] def quantizedWinnersByFiles(
+      spark: SparkSession,
+      files: Seq[String],
+      column: String,
+      query: Seq[Float],
+      k: Int,
+      options: Options,
+      oversample: Int,
       store: IndexStore): DataFrame = {
     import spark.implicits._
     require(k > 0, "k must be > 0")
     require(oversample >= 1, "oversample must be >= 1")
-    val files = IndexManager.listFiles(spark, path)
-    require(files.nonEmpty, s"no parquet files under $path")
+    require(files.nonEmpty, "no parquet files to search")
     val q = query.toArray
     files.foreach { file =>
       val (dim, _) = store.peek(file, column)
@@ -882,12 +898,28 @@ object VectorTopK {
       options: Options,
       oversample: Int,
       store: IndexStore,
+      residual: Boolean): DataFrame =
+    pqWinnersByFiles(
+      spark, IndexManager.listFiles(spark, path), column, query, k, options,
+      oversample, store, residual)
+
+  /** File-list form of the PQ/ADC winner feed — the SQL rewrite rule calls
+    * this directly when `spark.graft.ivf.tier=pq` (or `pqr`).
+    */
+  private[graft] def pqWinnersByFiles(
+      spark: SparkSession,
+      files: Seq[String],
+      column: String,
+      query: Seq[Float],
+      k: Int,
+      options: Options,
+      oversample: Int,
+      store: IndexStore,
       residual: Boolean): DataFrame = {
     import spark.implicits._
     require(k > 0, "k must be > 0")
     require(oversample >= 1, "oversample must be >= 1")
-    val files = IndexManager.listFiles(spark, path)
-    require(files.nonEmpty, s"no parquet files under $path")
+    require(files.nonEmpty, "no parquet files to search")
     val q = query.toArray
     files.foreach { file =>
       val (dim, _) = store.peek(file, column)

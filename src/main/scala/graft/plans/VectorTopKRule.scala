@@ -61,9 +61,10 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case sort @ Sort(Seq(order), true, child, _)
               if sort.getTagValue(RewrittenTag).isEmpty =>
             tryRewrite(k, order, child) match {
-              case Some(newChild) =>
+              case Some((newChild, tier)) =>
                 val newSort = sort.copy(child = newChild)
                 newSort.setTagValue(RewrittenTag, ())
+                newSort.setTagValue(TierTag, tier)
                 val rebuilt = projects.foldRight(newSort: LogicalPlan) {
                   (pr, acc) => pr.copy(child = acc)
                 }
@@ -214,7 +215,7 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def tryRewrite(
-      k: Int, order: SortOrder, child: LogicalPlan): Option[LogicalPlan] = {
+      k: Int, order: SortOrder, child: LogicalPlan): Option[(LogicalPlan, String)] = {
     for {
       (attr, query, cosine) <- extractDistanceArgs(order.child)
       // L2 accelerates ASC (nearest first), cosine DESC (most similar
@@ -225,10 +226,10 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       leaf <- findSingleParquetLeaf(child)
       // the sorted attribute must be a physical column of the scan
       column <- leaf.output.find(_.exprId == attr.exprId).map(_.name)
-      rewritten <- buildPrunedLeaf(leaf, column, query, k, filterFree(child), cosine)
-    } yield MeteredFetch(child.transformUp {
+      (rewritten, tier) <- buildPrunedLeaf(leaf, column, query, k, filterFree(child), cosine)
+    } yield (MeteredFetch(child.transformUp {
       case l if l.eq(leaf.node) => rewritten
-    })
+    }), tier)
   }
 
   /** Header-peek every file's index (cheap, driver-side) and graft
@@ -243,7 +244,7 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       query: Array[Float],
       k: Int,
       filterFree: Boolean,
-      cosine: Boolean = false): Option[LogicalPlan] = {
+      cosine: Boolean = false): Option[(LogicalPlan, String)] = {
     // canonical form matches `_metadata.file_path`, which the semi-join
     // compares against
     val files = leaf.inputFiles.map(IndexStore.canonicalPath).sorted
@@ -271,18 +272,19 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // winner selection serves both metrics. A candidate cap swaps in the
       // lazily-capped phase-1 (round-robin fairness computed inside the
       // plan — a rule must not run jobs at optimization time)
-      val phase1 = maxCandidates match {
-        case Some(cap) => graft.ivf.VectorTopK.cappedWinnersByFiles(
-          spark, files, column, query.toIndexedSeq, nprobe, cap, store, cosine)
-        case None => graft.ivf.VectorTopK.searchByFiles(
-          spark, files, column, query.toIndexedSeq,
-          graft.ivf.VectorTopK.Options(nprobe), store, cosine)
-      }
+      val (phase1, tierUsed) = tierFeed(files, column, query, k, nprobe, store, cosine)
+        .getOrElse((maxCandidates match {
+          case Some(cap) => graft.ivf.VectorTopK.cappedWinnersByFiles(
+            spark, files, column, query.toIndexedSeq, nprobe, cap, store, cosine)
+          case None => graft.ivf.VectorTopK.searchByFiles(
+            spark, files, column, query.toIndexedSeq,
+            graft.ivf.VectorTopK.Options(nprobe), store, cosine)
+        }, "float"))
       val winners = phase1
         .orderBy(col("_dist").asc_nulls_last)
         .limit(k)
         .select(col("_file").as("__file"), col("_ri").as("__ri"))
-      broadcast(winners)
+      (broadcast(winners), tierUsed)
     } else {
       // one-phase candidate feed — for cosine queries (a residual Filter or
       // a candidate cap forced this path) the probe ranks cells by centroid
@@ -307,9 +309,61 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // threshold < 0 means the user DISABLED auto-broadcast — honor it
       // (the candidate feed can be huge at high nprobe / no cap); the 2x
       // safety factor covers the first-file-scaled estimate under-counting
-      if (threshold >= 0 && estBytes * 2 <= threshold) broadcast(candDf) else candDf
+      // (tier is always float here: a quantized one-phase feed would not
+      // hand the residual Filter its candidate rows any cheaper — the
+      // payload fetch, not candidate ranking, dominates this shape)
+      (if (threshold >= 0 && estBytes * 2 <= threshold) broadcast(candDf) else candDf,
+        "float")
     }
-    graftSemiJoin(leaf, candSide)
+    val (candDf, tier) = candSide
+    graftSemiJoin(leaf, candDf).map(p => (p, tier))
+  }
+
+  /** The quantized phase-1 winner feed for `spark.graft.ivf.tier` ∈
+    * {sq8, pq, pqr}, or None to use the float feed. Falls back to float
+    * (None) when ANY file lacks a usable code sidecar (absent, stale
+    * data-file binding, or — for the residual variant — a dead centroid
+    * epoch), when the query is angular (code distances are L2), or when a
+    * candidate cap is set (the fairness cap is a float-feed construct).
+    * Unknown tier names are refused loudly — a typo silently running float
+    * would defeat the point of asking for a tier.
+    *
+    * The feed's `k·oversample` survivors carry EXACT refined distances, so
+    * the winner selection and the untouched Sort above rank consistently;
+    * the tier governs COARSE ranking IO only (dim bytes/candidate for sq8,
+    * m bytes for pq vs 4·dim for float). Reference seam:
+    * `/root/reference/src/df_vector/physical.rs:134-177` (same guard
+    * matrix, different candidate feed).
+    */
+  private def tierFeed(
+      files: Seq[String],
+      column: String,
+      query: Array[Float],
+      k: Int,
+      nprobe: Int,
+      store: IndexStore,
+      cosine: Boolean): Option[(org.apache.spark.sql.DataFrame, String)] = {
+    val tier = conf(TierKey, "float").trim.toLowerCase
+    require(
+      Set("float", "sq8", "pq", "pqr").contains(tier),
+      s"$TierKey must be one of float|sq8|pq|pqr, got '$tier'")
+    if (tier == "float" || cosine || conf(MaxCandidatesKey, "").toIntOption.nonEmpty)
+      return None
+    val oversample = conf(OversampleKey, if (tier == "sq8") "4" else "8").toInt
+    val opts = graft.ivf.VectorTopK.Options(nprobe)
+    tier match {
+      case "sq8" if files.forall(store.existsCodes(_, column)) =>
+        Some((graft.ivf.VectorTopK.quantizedWinnersByFiles(
+          spark, files, column, query.toIndexedSeq, k, opts, oversample, store), tier))
+      case "pq" | "pqr" =>
+        val residual = tier == "pqr"
+        if (files.forall(f => graft.ivf.PqSidecar.usable(store, f, column, residual)))
+          Some((graft.ivf.VectorTopK.pqWinnersByFiles(
+            spark, files, column, query.toIndexedSeq, k, opts, oversample, store,
+            residual), tier))
+        else None
+      case _ => None
+    }
   }
 
   /** Extract `(vector attribute, query literal, true-L2 radius)` from a
@@ -469,6 +523,21 @@ object VectorTopKRule {
   val MaxCandidatesKey = "spark.graft.ivf.maxCandidates"
   val IndexDirKey = "spark.graft.ivf.indexDir"
 
+  /** Coarse-ranking tier for the winner-first feed: `float` (default) ranks
+    * candidates on selective float reads; `sq8` / `pq` / `pqr` rank on the
+    * code sidecars (int8 scalar / product / residual-product quantization)
+    * and exact-refine `k·oversample` survivors — same SQL, byte-
+    * proportional coarse IO. Falls back to float per-query when a scan
+    * file lacks a usable sidecar; unknown values are refused.
+    */
+  val TierKey = "spark.graft.ivf.tier"
+
+  /** Refine width for the quantized tiers (`k·oversample` survivors get
+    * exact float re-ranking); defaults: 4 for sq8, 8 for pq/pqr — the
+    * programmatic APIs' defaults.
+    */
+  val OversampleKey = "spark.graft.ivf.oversample"
+
   /** Filter-free queries use the winner-first two-phase feed (rank on
     * selective reads, fetch k payload rows); set false to force the
     * one-phase candidate semi-join everywhere.
@@ -489,6 +558,12 @@ object VectorTopKRule {
 
   /** Prevents re-matching the rewritten Sort on later rule iterations. */
   private[plans] val RewrittenTag = TreeNodeTag[Unit]("graft.ivf.rewritten")
+
+  /** Which coarse tier the rewrite actually used for this Sort ("float",
+    * "sq8", "pq", "pqr") — observable on the optimized plan, so specs and
+    * users can confirm a requested tier really engaged (vs fell back).
+    */
+  val TierTag = TreeNodeTag[String]("graft.ivf.tierUsed")
 
   /** Prevents re-matching a rewritten range Filter. */
   private[plans] val RangeRewrittenTag = TreeNodeTag[Unit]("graft.ivf.rangeRewritten")
