@@ -196,6 +196,27 @@ object Bench {
         else (approx intersect exact).size.toDouble / exact.size
       } catch { case _: Throwable => -1.0 }
 
+    // PLAID-shape quality gate: top-20 group overlap of the accelerated
+    // MaxSim at probes=4 vs the exact flat aggregation (vq18/vq19 gate
+    // EXACTNESS at exhaustive probe; this tracks the operating point)
+    val maxsimRecall =
+      try {
+        val (ti, centroids) =
+          graft.ivf.IndexManager.ensureWithCentroids(spark, path, "embedding")
+        val grouped = spark.read.parquet(path).withColumn(
+          "group_id",
+          (org.apache.spark.sql.functions.col("vec_id") / 10).cast("bigint"))
+        def top(df: org.apache.spark.sql.DataFrame): Set[Long] =
+          df.select("group_id").collect().map(_.getLong(0)).toSet
+        val exact = top(graft.ops.Similarity
+          .maxSimTopK(grouped, "group_id", "embedding", query, 20))
+        val approx = top(graft.ops.Similarity
+          .maxSimTopKIvf(grouped, "group_id", "embedding", query, 20,
+            centroids, ti.dim, probes = 4))
+        if (exact.isEmpty) -1.0
+        else (approx intersect exact).size.toDouble / exact.size
+      } catch { case _: Throwable => -1.0 }
+
     // decoded-index LRU effectiveness over the whole run (per-JVM counters;
     // local mode = one JVM, so this is the full picture)
     val (cacheHits, cacheMisses) = graft.ivf.IndexManager.decodedCacheStats
@@ -211,7 +232,7 @@ object Bench {
       .mkString("{", ",", "}")
     val headlineTotal = headline.map(resultMap).filter(_ >= 0).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline":$hs,"headline_total":$headlineTotal,"recall_at100_nprobe16":$recall,"cosine_recall_at100_nprobe16":$cosineRecall,"cell_pair_recall_probe4":$cellPairRecall,"knn_join_recall_probe4":$knnJoinRecall,"index_cache_hits":$cacheHits,"index_cache_misses":$cacheMisses}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline":$hs,"headline_total":$headlineTotal,"recall_at100_nprobe16":$recall,"cosine_recall_at100_nprobe16":$cosineRecall,"cell_pair_recall_probe4":$cellPairRecall,"knn_join_recall_probe4":$knnJoinRecall,"maxsim_recall_probe4":$maxsimRecall,"index_cache_hits":$cacheHits,"index_cache_misses":$cacheMisses}""")
     spark.stop()
   }
 }

@@ -528,6 +528,41 @@ object Queries {
        |ORDER BY group_id""".stripMargin
   }
 
+  /** Index-accelerated MaxSim (the PLAID candidate shape): probe per query
+    * token, union candidate docs via a map-side cell filter, exact
+    * sum-of-max on survivors only. Exhaustive probes admit every cell ⇒
+    * identical to vq11's flat aggregation ⇒ shares its oracle; the ANN
+    * operating point is recall-gated in the bench (maxsim_recall_probe4).
+    */
+  def vq18MaxsimIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/embeddings.parquet"
+    val (ti, centroids) = IndexManager.ensureWithCentroids(spark, path, "embedding")
+    ops.Similarity
+      .maxSimTopKIvf(
+        t(spark, sfDir, "embeddings")
+          .withColumn("group_id", (col("vec_id") / 10).cast("bigint")),
+        "group_id", "embedding", queryVec, 5,
+        centroids, ti.dim, probes = ti.nClusters)
+      .select(col("group_id"))
+      .orderBy(col("group_id"))
+  }
+
+  /** vq12 through the PLAID shape — 3-token query, exhaustive probes ⇒
+    * exact ⇒ shares vq12's oracle.
+    */
+  def vq19ColbertIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/embeddings.parquet"
+    val (ti, centroids) = IndexManager.ensureWithCentroids(spark, path, "embedding")
+    ops.Similarity
+      .colbertTopKIvf(
+        t(spark, sfDir, "embeddings")
+          .withColumn("group_id", (col("vec_id") / 10).cast("bigint")),
+        "group_id", "embedding", (0 until 3).map(tokenVec), 5,
+        centroids, ti.dim, probes = ti.nClusters)
+      .select(col("group_id"))
+      .orderBy(col("group_id"))
+  }
+
   /** Brute-force k-NN join: for each query vector (vec_id < 5), its top-3
     * neighbors. The query side is tiny => broadcast; the big side streams.
     */
@@ -2113,6 +2148,8 @@ object Queries {
     "vq6_knn_join" -> (vq6KnnJoin _),
     "vq11_maxsim_topk" -> (vq11MaxsimTopk _),
     "vq12_colbert_topk" -> (vq12ColbertTopk _),
+    "vq18_maxsim_ivf" -> (vq18MaxsimIvf _),
+    "vq19_colbert_ivf" -> (vq19ColbertIvf _),
     "zq1_sq8_coarse_topk" -> (zq1Sq8CoarseTopk _),
     "zq2_sq8_roundtrip" -> (zq2Sq8Roundtrip _),
     "zq3_sq8_refined_topk" -> (zq3Sq8RefinedTopk _),
@@ -2203,6 +2240,8 @@ object Queries {
     "vq6_knn_join" -> vq6Oracle,
     "vq11_maxsim_topk" -> vq11Oracle,
     "vq12_colbert_topk" -> vq12Oracle,
+    "vq18_maxsim_ivf" -> vq11Oracle, // exhaustive-probe exact ⇒ same oracle
+    "vq19_colbert_ivf" -> vq12Oracle, // exhaustive-probe exact ⇒ same oracle
     "zq1_sq8_coarse_topk" -> zq1Oracle,
     "zq2_sq8_roundtrip" -> zq2Oracle,
     "zq3_sq8_refined_topk" -> vq1Oracle, // sq8 refine must recover exact top-k

@@ -71,6 +71,95 @@ object Similarity {
       .select(col(groupCol), col("max_sim"))
   }
 
+  /** Index-accelerated MaxSim — single-token form of [[colbertTopKIvf]]. */
+  def maxSimTopKIvf(
+      df: DataFrame,
+      groupCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      centroids: Array[Float],
+      dim: Int,
+      probes: Int): DataFrame =
+    colbertTopKIvf(df, groupCol, vecCol, Seq(query), k, centroids, dim, probes)
+
+  /** Index-accelerated late-interaction top-k — the PLAID candidate shape
+    * (Santhanam et al., 2022) over the flat one-row-per-vector layout:
+    *
+    *  1. PROBE per query token, driver-side (queries are a handful of
+    *     vectors; ranking ≤ a few thousand centroids is microseconds):
+    *     each token takes its `probes` nearest cells BY COSINE (the
+    *     scoring metric — an L2 probe would rank cells for the wrong
+    *     geometry on non-unit-norm data); the union over tokens is the
+    *     admitted cell set.
+    *  2. CANDIDATES: member vectors falling in an admitted cell nominate
+    *     their document — a codegen'd map-side `_cell IN (...)` filter
+    *     over the corpus (NO join), then one |candidate docs| distinct.
+    *  3. EXACT re-rank: survivors' member rows semi-join back and the
+    *     full [[colbertTopK]] sum-of-max aggregation runs on them alone —
+    *     scoring work ∝ candidate volume (≈ probes/nClusters of the
+    *     corpus), never corpus size.
+    *
+    * `probes >= nClusters` admits every cell, so the result EQUALS
+    * [[colbertTopK]] — the exhaustive-probe exactness gate (how vq18/vq19
+    * are oracled); below that, recall follows the probe curve per token
+    * (a doc is found if ANY of its member vectors lands in ANY token's
+    * probed cells — the PLAID union). The semi-join build side is the
+    * distinct candidate-doc id set; it is deliberately un-hinted (its size
+    * is probe-dependent — Spark/AQE picks broadcast when it is small).
+    */
+  def colbertTopKIvf(
+      df: DataFrame,
+      groupCol: String,
+      vecCol: String,
+      queries: Seq[Seq[Float]],
+      k: Int,
+      centroids: Array[Float],
+      dim: Int,
+      probes: Int): DataFrame = {
+    require(k > 0, "k must be > 0")
+    require(queries.nonEmpty, "at least one query vector required")
+    require(probes >= 1, s"probes must be >= 1, got $probes")
+    require(
+      centroids.nonEmpty && centroids.length % dim == 0,
+      s"centroid matrix length ${centroids.length} is not a multiple of dim $dim")
+    val nClusters = centroids.length / dim
+    val admitted = queries
+      .flatMap(q => probeCellsCosine(q.toArray, centroids, dim, math.min(probes, nClusters)))
+      .distinct
+    val candGroups = withCell(df, vecCol, centroids, dim)
+      .where(col("_cell").isInCollection(admitted))
+      .select(col(groupCol))
+      .distinct()
+    colbertTopK(
+      df.join(candGroups, Seq(groupCol), "left_semi"),
+      groupCol, vecCol, queries, k)
+  }
+
+  /** The `probes` cells nearest to `q` by centroid COSINE similarity,
+    * descending (ties by cell id): the angular probe ranking
+    * [[graft.ivf.IvfIndex]] uses for cosine search, computed locally for a
+    * single query vector. Zero-norm queries/centroids score 0 (no signal,
+    * never NaN).
+    */
+  private[graft] def probeCellsCosine(
+      q: Array[Float], centroids: Array[Float], dim: Int, probes: Int): Array[Int] = {
+    val k = centroids.length / dim
+    val qn = math.sqrt(q.map(x => x.toDouble * x).sum)
+    val scored = Array.tabulate(k) { c =>
+      var dot = 0.0; var cn = 0.0
+      var j = 0
+      while (j < dim) {
+        val cv = centroids(c * dim + j).toDouble
+        dot += q(j) * cv; cn += cv * cv
+        j += 1
+      }
+      val denom = qn * math.sqrt(cn)
+      (if (denom == 0) 0.0 else dot / denom, c)
+    }
+    scored.sortBy { case (s, c) => (-s, c) }.take(probes).map(_._2)
+  }
+
   /** One scored neighbor candidate; ranked by (dist, id) ascending. */
   final case class Neighbor(neighbor_id: Long, dist: Float)
 

@@ -196,4 +196,41 @@ class SimilaritySpec extends SparkSpec {
       .select("id").as[Long].collect()
     assert(top.forall(_ < 10))
   }
+
+  test("colbertTopKIvf at exhaustive probes equals the flat aggregation exactly") {
+    val centroids = Array(1f, 1f, 1f, 1f, -1f, -1f, -1f, -1f)
+    val grouped = clustered.withColumn("g", (col("id") / 5).cast("bigint"))
+    val tokens = Seq(Seq(1f, 1f, 1f, 1f), Seq(-1f, -1f, 1f, 1f))
+    val exact = Similarity.colbertTopK(grouped, "g", "v", tokens, 3)
+      .as[(Long, Double)].collect().toSeq
+    val plaid = Similarity
+      .colbertTopKIvf(grouped, "g", "v", tokens, 3, centroids, 4, probes = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(plaid == exact)
+  }
+
+  test("colbertTopKIvf at 1 probe only scores docs with a member in a probed cell") {
+    val centroids = Array(1f, 1f, 1f, 1f, -1f, -1f, -1f, -1f)
+    val grouped = clustered.withColumn("g", (col("id") / 5).cast("bigint"))
+    // one token aligned with cluster A: probing 1 cell admits only groups
+    // 0 and 1 (ids 0-9); groups 2/3 are never scored — the probe trade
+    val out = Similarity
+      .maxSimTopKIvf(grouped, "g", "v", Seq(1f, 1f, 1f, 1f), 4, centroids, 4, probes = 1)
+      .select("g").as[Long].collect().toSet
+    assert(out == Set(0L, 1L))
+    // the multi-token union admits both clusters: token 2 probes cell B
+    val both = Similarity
+      .colbertTopKIvf(grouped, "g", "v",
+        Seq(Seq(1f, 1f, 1f, 1f), Seq(-1f, -1f, -1f, -1f)), 4, centroids, 4, probes = 1)
+      .select("g").as[Long].collect().toSet
+    assert(both == Set(0L, 1L, 2L, 3L))
+  }
+
+  test("probeCellsCosine ranks cells by centroid cosine, deterministic ties") {
+    val centroids = Array(1f, 0f, 0f, 1f, -1f, 0f)
+    assert(Similarity.probeCellsCosine(Array(1f, 0f), centroids, 2, 2).toSeq == Seq(0, 1))
+    assert(Similarity.probeCellsCosine(Array(-1f, 0f), centroids, 2, 1).toSeq == Seq(2))
+    // zero-norm query: all scores 0, ties break by cell id
+    assert(Similarity.probeCellsCosine(Array(0f, 0f), centroids, 2, 2).toSeq == Seq(0, 1))
+  }
 }
