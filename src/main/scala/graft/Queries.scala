@@ -1639,6 +1639,26 @@ object Queries {
       .orderBy(col("qid"), col("doc_id"))
   }
 
+  /** bq1 over the PERSISTED posting-list artifact
+    * ([[ops.Lexical.writePostings]] → bucketed managed tables): identical
+    * scoring pipeline from identical artifacts, so it shares bq1's oracle —
+    * what this entry gates is the persist/reread path (bucketed layout,
+    * schema round-trip, stats snapshot), the repeated-query-batch shape a
+    * production corpus snapshot serves.
+    */
+  def bq2Bm25Postings(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val snap = ops.Lexical.writePostings(
+      t(spark, sfDir, "documents"), "doc_id", "text", "graft_bq2", buckets = 8)
+    val queries = Seq(
+      (0L, "spark dup"),
+      (1L, "vector window merge"),
+      (2L, "nosuchword table")).toDF("qid", "qtext")
+    ops.Lexical
+      .bm25BulkTopK(spark, snap, queries, "qid", "qtext", k = 5)
+      .orderBy(col("qid"), col("doc_id"))
+  }
+
   val bq1Oracle: String = {
     val k1 = ops.Lexical.DefaultK1
     val b = ops.Lexical.DefaultB
@@ -2201,6 +2221,7 @@ object Queries {
     "vb1_top_ngrams" -> (vb1TopNgrams _),
     "bm1_bm25_topk" -> (bm1Bm25Topk _),
     "bq1_bm25_bulk" -> (bq1Bm25Bulk _),
+    "bq2_bm25_postings" -> (bq2Bm25Postings _),
     "hr1_hybrid_rrf" -> (hr1HybridRrf _),
     "je1_json_extract" -> (je1JsonExtract _),
     "sq2_ivf_cell_pairs" -> (sq2IvfCellPairs _),
@@ -2295,6 +2316,7 @@ object Queries {
     "vb1_top_ngrams" -> vb1Oracle,
     "bm1_bm25_topk" -> bm1Oracle,
     "bq1_bm25_bulk" -> bq1Oracle,
+    "bq2_bm25_postings" -> bq1Oracle, // same pipeline over persisted artifacts
     "hr1_hybrid_rrf" -> hr1Oracle,
     "je1_json_extract" -> je1Oracle,
     // sq2_ivf_cell_pairs intentionally has no oracle (cell-recall ANN)

@@ -177,7 +177,39 @@ object Lexical {
       k1: Double = DefaultK1,
       b: Double = DefaultB): DataFrame = {
     checkIdCol(idCol)
+    checkQueryCols(idCol, qidCol, qtextCol)
     require(k > 0, s"bm25BulkTopK: k=$k must be positive")
+    val (post, dft, dl, stats) = corpusArtifacts(docs, idCol, textCol)
+    scoreBulk(post, dft, dl, stats, idCol, queries, qidCol, qtextCol, k, k1, b)
+  }
+
+  /** The working-column/collision guard for the query side of the bulk
+    * scorer — same refuse-don't-guess posture as [[checkIdCol]]. The
+    * doc-as-query use (similar-document search, both sides carrying
+    * `doc_id`) must rename the query side's id first: a qidCol equal to
+    * idCol would hit an ambiguous-column AnalysisException deep inside the
+    * join pipeline instead of an actionable error here.
+    */
+  private def checkQueryCols(idCol: String, qidCol: String, qtextCol: String): Unit = {
+    for (c <- Seq(qidCol, qtextCol)) {
+      require(!c.startsWith("_") && !c.equalsIgnoreCase("score_e9"),
+        s"bm25BulkTopK: query column '$c' collides with a scoring working/output column")
+    }
+    require(!qidCol.equalsIgnoreCase(idCol),
+      s"bm25BulkTopK: qidCol '$qidCol' equals the corpus idCol — rename the query " +
+        "side's id (e.g. .withColumnRenamed) for doc-as-query search")
+  }
+
+  /** The corpus-derived tables the bulk scorer consumes: postings
+    * `(id, _term, _tf)`, document frequencies `(_term, _df)`, doc lengths
+    * `(id, _dl)`, and the 1-row `(_n, _sumdl)` stats — one tokenizing scan,
+    * one explode, shared by the per-call path ([[bm25BulkTopK]]) and the
+    * persisted artifact ([[writePostings]]).
+    */
+  private def corpusArtifacts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val ws = TextAnalysis.tokens(col(textCol))
     val tok = docs.select(col(idCol), ws.as("_ws"))
     val dl = tok.select(col(idCol), size(col("_ws")).as("_dl"))
@@ -187,6 +219,21 @@ object Lexical {
       .agg(count(lit(1)).as("_tf"))
     val dft = post.groupBy(col("_term")).agg(count(lit(1)).as("_df"))
     val stats = dl.agg(count(lit(1)).as("_n"), sum(col("_dl")).as("_sumdl"))
+    (post, dft, dl, stats)
+  }
+
+  private def scoreBulk(
+      post: DataFrame,
+      dft: DataFrame,
+      dl: DataFrame,
+      stats: DataFrame,
+      idCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qtextCol: String,
+      k: Int,
+      k1: Double,
+      b: Double): DataFrame = {
     val qt = queries.select(
       col(qidCol),
       explode(array_distinct(TextAnalysis.tokens(col(qtextCol)))).as("_term"))
@@ -212,6 +259,87 @@ object Lexical {
       .where(col("_r") <= k)
       .select(col(qidCol), col(idCol), col("score_e9"))
   }
+
+  /** Handle to a persisted postings artifact: four managed tables under
+    * `prefix` (see [[writePostings]]). Serializable metadata only — reread
+    * via [[bm25BulkTopK]]'s snapshot overload.
+    */
+  final case class PostingsSnapshot(prefix: String, idCol: String, buckets: Int)
+
+  /** Persist the corpus side of the bulk scorer ONCE per corpus snapshot —
+    * the artifact a production deployment reuses across query batches
+    * (per-call [[bm25BulkTopK]] re-tokenizes and re-aggregates the whole
+    * corpus every time; at 100 TB that is the dominant cost of every
+    * batch after the first). Four managed tables:
+    *
+    *  - `{prefix}_postings` `(id, _term, _tf)` — BUCKETED by `_term`;
+    *  - `{prefix}_df`       `(_term, _df)`     — bucketed by `_term` with
+    *    the SAME bucket count, so the postings⋈df term join plans with NO
+    *    exchange on either side (asserted by LexicalSpec);
+    *  - `{prefix}_dl`       `(id, _dl)`        — bucketed by the id;
+    *  - `{prefix}_stats`    1 row `(_n, _sumdl)`.
+    *
+    * Bucket count is a corpus-level choice (per-bucket bytes that fit an
+    * executor at full scale), like [[Layout.writeBucketed]] documents.
+    */
+  def writePostings(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      prefix: String,
+      buckets: Int): PostingsSnapshot = {
+    checkIdCol(idCol)
+    require(buckets >= 1, s"writePostings: buckets=$buckets must be >= 1")
+    val (post, dft, dl, stats) = corpusArtifacts(docs, idCol, textCol)
+    Layout.writeBucketed(post, s"${prefix}_postings", "_term", buckets)
+    Layout.writeBucketed(dft, s"${prefix}_df", "_term", buckets)
+    Layout.writeBucketed(dl, s"${prefix}_dl", idCol, buckets)
+    // same drop-table-and-stale-location dance as Layout.writeBucketed: a
+    // managed table's files outlive the in-memory catalog across sessions
+    val spark = docs.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `${prefix}_stats`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(s"${prefix}_stats")))
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true): Unit
+    stats.write.format("parquet").mode("overwrite").saveAsTable(s"${prefix}_stats")
+    PostingsSnapshot(prefix, idCol, buckets)
+  }
+
+  /** Bulk BM25 over a persisted [[PostingsSnapshot]]: identical scores to
+    * the per-call path (same pipeline from the same artifacts — how bq2 is
+    * oracled against bq1), but the corpus is never re-tokenized and the
+    * term join consumes the bucketed layout shuffle-free.
+    */
+  def bm25BulkTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      snapshot: PostingsSnapshot,
+      queries: DataFrame,
+      qidCol: String,
+      qtextCol: String,
+      k: Int,
+      k1: Double,
+      b: Double): DataFrame = {
+    checkQueryCols(snapshot.idCol, qidCol, qtextCol)
+    require(k > 0, s"bm25BulkTopK: k=$k must be positive")
+    scoreBulk(
+      spark.table(s"${snapshot.prefix}_postings"),
+      spark.table(s"${snapshot.prefix}_df"),
+      spark.table(s"${snapshot.prefix}_dl"),
+      spark.table(s"${snapshot.prefix}_stats"),
+      snapshot.idCol, queries, qidCol, qtextCol, k, k1, b)
+  }
+
+  /** Snapshot overload with default BM25 parameters. */
+  def bm25BulkTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      snapshot: PostingsSnapshot,
+      queries: DataFrame,
+      qidCol: String,
+      qtextCol: String,
+      k: Int): DataFrame =
+    bm25BulkTopK(spark, snapshot, queries, qidCol, qtextCol, k, DefaultK1, DefaultB)
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): fuse ranked
     * lists `(idCol, rankCol)` (rank 1-based) into `(idCol, rrf_e12)` where

@@ -138,4 +138,49 @@ class LexicalSpec extends SparkSpec {
       .select("id", "rank").as[(Long, Int)].collect().toMap
     assert(r == Map(5L -> 1, 9L -> 2, 1L -> 3))
   }
+
+  test("persisted postings snapshot scores identically to the per-call path") {
+    val queries = Seq((0L, "cat fish"), (1L, "dog")).toDF("qid", "qtext")
+    val direct = Lexical.bm25BulkTopK(docs, "id", "text", queries, "qid", "qtext", k = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    val snap = Lexical.writePostings(docs, "id", "text", "graft_spec_post", buckets = 4)
+    val persisted = Lexical.bm25BulkTopK(spark, snap, queries, "qid", "qtext", k = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(persisted == direct)
+  }
+
+  test("snapshot term join is shuffle-free (both sides bucketed on _term)") {
+    val snap = Lexical.writePostings(docs, "id", "text", "graft_spec_shuf", buckets = 4)
+    // on a toy fixture the planner prefers broadcasting the tiny df side
+    // (also shuffle-free); disable it to expose the bucketed join the
+    // layout buys at corpus scale, where neither side broadcasts
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table(s"${snap.prefix}_postings")
+        .join(spark.table(s"${snap.prefix}_df"), "_term")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("bulk query-side columns are validated up front") {
+    val queries = Seq((0L, "cat")).toDF("qid", "qtext")
+    // qidCol == corpus idCol: the doc-as-query case must rename, not AnalysisException
+    val sameId = queries.withColumnRenamed("qid", "id")
+    val e1 = intercept[IllegalArgumentException](
+      Lexical.bm25BulkTopK(docs, "id", "text", sameId, "id", "qtext", k = 3))
+    assert(e1.getMessage.contains("rename"), e1.getMessage)
+    // underscore-leading query columns collide with working columns
+    val under = queries.withColumnRenamed("qid", "_term")
+    val e2 = intercept[IllegalArgumentException](
+      Lexical.bm25BulkTopK(docs, "id", "text", under, "_term", "qtext", k = 3))
+    assert(e2.getMessage.contains("collides"), e2.getMessage)
+    // the snapshot overload applies the same guard
+    val snap = Lexical.PostingsSnapshot("graft_spec_guard", "id", 4)
+    val e3 = intercept[IllegalArgumentException](
+      Lexical.bm25BulkTopK(spark, snap, sameId, "id", "qtext", k = 3))
+    assert(e3.getMessage.contains("rename"), e3.getMessage)
+  }
 }
