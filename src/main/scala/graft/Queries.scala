@@ -1441,7 +1441,8 @@ object Queries {
   /** Mixture resampling ([[ops.Corpus.mixToWeights]]): rebalance the corpus
     * language mix toward target weights by deterministic per-stratum
     * downsampling. The oracle recomputes the same allowance arithmetic
-    * (counts → budget T = min c/w → floor(w·T/c·256)) from the table, with
+    * (counts → budget T = min c/w → max(floor(w·T/c·256), 1)) from the
+    * table, with
     * weight literals interpolated from the same Scala doubles; membership
     * is the md5-bucket filter, so the sample sets are bit-identical.
     */
@@ -1463,7 +1464,7 @@ object Queries {
        |  SELECT lang, CAST(count(*) AS BIGINT) AS c, $caseW AS w
        |  FROM documents WHERE ($caseW) IS NOT NULL GROUP BY lang),
        |t AS (SELECT min(c / w) AS t FROM c),
-       |a AS (SELECT lang, CAST(floor(w * t / c * 256) AS INT) AS allow FROM c, t)
+       |a AS (SELECT lang, CAST(greatest(floor(w * t / c * 256), 1) AS INT) AS allow FROM c, t)
        |SELECT d.doc_id, d.lang FROM documents d JOIN a USING (lang)
        |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 2))::INT < allow
        |ORDER BY d.doc_id""".stripMargin

@@ -215,8 +215,15 @@ final class IndexStore(val dir: String) extends Serializable {
       val dim = head.getInt
       val k = head.getInt
       if (dim <= 0 || k <= 0) return None
+      // long-math shape check: a corrupt header with dim*k > ~536M would
+      // overflow 4*dim*k to a negative allocate size and THROW instead of
+      // reading as corruption; the centroid matrix also can't exceed what
+      // the file actually holds past the header
+      val centBytes = 4L * dim * k
+      if (centBytes > Int.MaxValue ||
+        centBytes > ch.size() - (IvfIndex.Magic.length + 16)) return None
       val cents = java.nio.ByteBuffer
-        .allocate(4 * dim * k)
+        .allocate(centBytes.toInt)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       var pos = (IvfIndex.Magic.length + 16).toLong
       while (cents.hasRemaining) {

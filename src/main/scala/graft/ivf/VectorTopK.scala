@@ -462,8 +462,11 @@ object VectorTopK {
     * The limit funnels `cap` rows through one partition — fine for what
     * the cap IS (a small-result fairness knob, like the reference's
     * `max_candidates`); a cap large enough to make that a bottleneck is
-    * equivalent to no cap, where the uncapped winner feed applies.
+    * equivalent to no cap, where the uncapped winner feed applies — caps
+    * past [[CapFunnelWarnRows]] log a warning to that effect.
     */
+  private[graft] val CapFunnelWarnRows = 1000000
+
   private[graft] def cappedWinnersByFiles(
       spark: SparkSession,
       files: Seq[String],
@@ -476,6 +479,13 @@ object VectorTopK {
     import spark.implicits._
     require(files.nonEmpty, "no parquet files to search")
     require(cap >= 0, s"maxCandidates must be >= 0, got $cap")
+    if (cap > CapFunnelWarnRows) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"maxCandidates=$cap funnels the cap-prefix through a single " +
+          s"partition (fairness-cap semantics); caps past ~$CapFunnelWarnRows " +
+          "rows approximate no cap — consider dropping maxCandidates to use " +
+          "the uncapped winner feed instead")
+    }
     val q = query.toArray
     val sc = spark.sparkContext
     val slices = math.max(1, math.min(files.size, sc.defaultParallelism))

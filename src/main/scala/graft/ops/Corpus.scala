@@ -106,9 +106,11 @@ object Corpus {
     * "40% en / 20% de / …"). No stratum is upsampled: the output total is
     * maximized subject to every stratum being a downsample — the budget is
     * `T = min_s count_s / w_s` and stratum `s` keeps `floor(256 · w_s ·
-    * T / count_s)` of the 256 [[hashBucket]] buckets (so realized weights
-    * sit within 1/256 of the smallest stratum's share under the target;
-    * exact-deterministic membership, approximate proportions). Strata
+    * T / count_s)` of the 256 [[hashBucket]] buckets, floored at 1 bucket
+    * (so realized weights sit within 1/256 of the smallest stratum's share
+    * under the target, and a stratum >256× over-represented keeps ~1/256
+    * of its rows instead of silently vanishing; exact-deterministic
+    * membership, approximate proportions). Strata
     * absent from `weights` are dropped; strata in `weights` but absent
     * from the data simply contribute nothing (their target share is
     * unachievable without upsampling — callers wanting repetition-based
@@ -145,7 +147,13 @@ object Corpus {
       .crossJoin(broadcast(budget))
       .select(
         col("_s"),
-        floor(col("_w") * col("_t") / col("_c") * 256).cast("int").as("_allow"))
+        // floored at 1 bucket: a stratum >256× over-represented relative to
+        // its target would otherwise round to allowance 0 and silently
+        // vanish — a cliff past the documented 1/256 granularity. Keeping
+        // ≥1/256 over-keeps such a stratum (~1/256 instead of <1/256); the
+        // alternative (dropping it entirely) contradicts a positive weight.
+        greatest(floor(col("_w") * col("_t") / col("_c") * 256), lit(1L))
+          .cast("int").as("_allow"))
     df.join(broadcast(allowance), strataCol === col("_s"))
       .where(hashBucket(keyCol) < col("_allow"))
       .drop("_s", "_allow")

@@ -88,9 +88,12 @@ object Decontaminate {
     * oracle-safe ratio idiom). Docs shorter than `n` words have no grams
     * and no row; [[decontaminateByOverlap]] treats them as 0 overlap.
     *
-    * Scale shape: same as [[contaminatedIds]] — eval grams broadcast, the
-    * training side is one explode + broadcast LEFT join + per-doc agg
-    * (partial map-side), never a shuffle of the corpus itself.
+    * Scale shape: same as [[contaminatedIds]] — the eval gram set joins
+    * the exploded training side (broadcast when stats say it fits, shuffle
+    * when a huge eval corpus wouldn't — no forced hint, so an eval set
+    * past the broadcast limit degrades to a working shuffle join instead
+    * of failing) + per-doc agg (partial map-side); the corpus itself is
+    * never shuffled on the broadcast path.
     */
   def overlapStats(
       docs: DataFrame,
@@ -100,7 +103,7 @@ object Decontaminate {
       n: Int = 4,
       hashGrams: Boolean = true): DataFrame = {
     val (dg, eg) = gramSides(docs, evalDocs, idCol, textCol, n, hashGrams)
-    dg.join(broadcast(eg.withColumn("_hit", lit(1L))), Seq("_g"), "left")
+    dg.join(eg.withColumn("_hit", lit(1L)), Seq("_g"), "left")
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("total_grams"),

@@ -310,12 +310,33 @@ object Dedup {
     * default cap), every all-hot pair shares >= 2 blocks (refined path), and
     * candidate join volume drops 6.76M → ~0.9M pairs at sf0.1.
     *
-    * Corpus-shape caveat (TextScaleBench, 500k docs, Zipf vocabulary):
-    * skewed vocabularies concentrate block values into hot buckets much
-    * harder than the uniform test fixture — the second-block refinement
-    * join dominates and simhash ran 6.4× slower than [[minhashNearDupPairs]]
-    * at identical recall targets. Bounded and correct, but prefer minhash
-    * on heavy-tailed natural-language corpora.
+    * Pair generation is group-then-enumerate, not a bucket self-join: bucket
+    * members group once (`groupByKey` on the bucket key) and a single
+    * `flatMapGroups` enumerates the intra-bucket pairs in a JVM loop — the
+    * hamming prefilter is a `Long.bitCount` per pair at memory speed, where
+    * the equivalent 4-key self-join paid join machinery per raw pair (the
+    * round-6 500k-doc Zipf probe measured the join form at 22 s against
+    * ~109M raw sub-bucket pairs; stage profiling attributed ~80% to the
+    * self-joins and their recomputed lineages). The buffer per group is
+    * bounded by `maxBucketSize`.
+    *
+    * Sub-buckets over the cap even after the second-block refinement are a
+    * degenerate near-identical mass no block key can split. The enumeration
+    * pass handles them in-group with bounded memory: members past the cap
+    * spill to a task-local temp file (sequential IO, deleted on task
+    * completion), and the mass emits member × pivot STAR pairs against a
+    * deterministic ~`starPivots`-member hash-selected pivot sample (the
+    * same `xxhash64`-mod rule bit-for-bit, via Spark's `XXH64`; the
+    * min-hash member is always a pivot so no mass is pivot-less) —
+    * O(m·pivots) instead of O(m²), the same bound
+    * [[Similarity.ivfCellPairs]] uses for degenerate IVF cells. Every
+    * emitted pair is still jaccard-verified (precision exact), and
+    * clustering consumers ([[nearDupClusters]]) see the mass as one
+    * component through the pivots; direct non-pivot-to-non-pivot pairs
+    * inside such a mass are the documented recall concession. On
+    * heavy-tailed natural-language corpora [[minhashNearDupPairs]] remains
+    * the recommended default (one hash family, no banding correlation with
+    * token skew).
     */
   def simhashNearDupPairs(
       df: DataFrame,
@@ -325,16 +346,22 @@ object Dedup {
       threshold: Double = 0.5,
       numBlocks: Int = 8,
       hammingMax: Int = 12,
-      maxBucketSize: Long = 200L): DataFrame = {
+      maxBucketSize: Long = 200L,
+      starPivots: Int = 16): DataFrame = {
+    require(starPivots >= 1, s"starPivots must be >= 1, got $starPivots")
     require(64 % numBlocks == 0, "numBlocks must divide 64")
+    val spark = df.sparkSession
+    import spark.implicits._
     val blockBits = 64 / numBlocks
     val blockMask = if (blockBits == 64) -1L else (1L << blockBits) - 1L
+    val bufCap = math.min(maxBucketSize, Int.MaxValue - 8L).toInt
     val docs = df
       .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
       .where(size(col("sh")) > 0)
-    // persist: the hashed side feeds both branches of the self-join, and
-    // recomputing simhash per branch doubles the dominant cost (the same
-    // pattern Spark ML uses for LSH similarity self-joins). O(rows × 16B).
+    // persist: the hashed side feeds the bucket-size agg and both candidate
+    // paths, and recomputing simhash per branch doubles the dominant cost
+    // (the same pattern Spark ML uses for LSH similarity self-joins).
+    // O(rows × 16B).
     val hashed = df
       .select(
         col(idCol).as("id"),
@@ -356,35 +383,54 @@ object Dedup {
     val sizes = blocks
       .groupBy(col("block"), col("val"))
       .agg(count(lit(1)).as("n"))
-    // small path: pairable, non-degenerate buckets self-join directly
+    // Group-then-enumerate over (bucket key → members): ONE shuffle, pairs
+    // emitted from a bounded JVM loop. Rows: (_b1, _v1, _b2, _v2, id, sim);
+    // level-1 buckets pass _b2 = -1.
+    val pivotCount = starPivots // stable capture for the closure
+    def groupPairs(side: DataFrame): DataFrame = side
+      .select(
+        col("_b1").cast("int"), col("_v1").cast("long"),
+        col("_b2").cast("int"), col("_v2").cast("long"),
+        col("id").cast("long"), col("sim").cast("long"))
+      .as[(Int, Long, Int, Long, Long, Long)]
+      .groupByKey(r => (r._1, r._2, r._3, r._4))
+      .flatMapGroups { (_, it) =>
+        SimhashGroupPairs.enumerate(
+          it.map(r => (r._5, r._6)), bufCap, hammingMax, pivotCount)
+      }
+      .toDF("doc_a", "doc_b")
+    // small path: pairable, non-degenerate level-1 buckets enumerate
+    // directly (membership is size-gated, so no group can overflow)
     val small = blocks.join(
       sizes.where(col("n") >= 2 && col("n") <= maxBucketSize)
         .select(col("block"), col("val")),
       Seq("block", "val"))
-    def pairJoin(side: DataFrame, keys: Seq[String]): DataFrame =
-      side.as("a")
-        .join(side.as("b"),
-          keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
-            col("a.id") < col("b.id") &&
-            // hamming prefilter kills the (overwhelmingly random) same-key
-            // collisions before the array-based jaccard verify
-            bit_count(col("a.sim").bitwiseXOR(col("b.sim"))) <= hammingMax)
-        .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-    // hot path: members of over-cap buckets re-key on a second block
+    val smallPairs = groupPairs(small.select(
+      col("block").as("_b1"), col("val").as("_v1"),
+      lit(-1).as("_b2"), lit(0L).as("_v2"), col("id"), col("sim")))
+    // hot path: members of over-cap buckets re-key on a second HOT block
+    // (higher-indexed, so a pair meets once under its lowest shared hot
+    // block; pairs sharing any small block are the small path's already)
     val hot = blocks.join(
       sizes.where(col("n") > maxBucketSize).select(col("block"), col("val")),
       Seq("block", "val"))
+    val hotKeys2 = sizes.where(col("n") > maxBucketSize).select(
+      col("block").as("block2"), col("val").as("val2"))
     val refined = hot.select(
       col("id"), col("sim"), col("block"), col("val"),
       explode(blockStructs(col("sim"), Some(col("block")))).as("blk2"))
       .select(
         col("id"), col("sim"), col("block"), col("val"),
         col("blk2.block").as("block2"), col("blk2.val").as("val2"))
+      .join(hotKeys2, Seq("block2", "val2"))
+    val subPairs = groupPairs(refined.select(
+      col("block").as("_b1"), col("val").as("_v1"),
+      col("block2").as("_b2"), col("val2").as("_v2"), col("id"), col("sim")))
     // distinct BEFORE the verify joins: a pair can surface from several
     // buckets, and deduping candidates first was measured faster than
     // verifying duplicate instances (the attach joins dominate otherwise)
-    val cands = pairJoin(small, Seq("block", "val"))
-      .union(pairJoin(refined, Seq("block", "val", "block2", "val2")))
+    val cands = smallPairs
+      .union(subPairs)
       .distinct()
     verifyJaccard(cands, docs, threshold)
   }
@@ -616,4 +662,123 @@ object Dedup {
       .withColumn(textCol, array_join(transform(col("_kept"), _.getField("t")), " "))
       .drop("_span_id", "_spans", "_kept")
   }
+}
+
+/** Per-group pair enumeration for [[Dedup.simhashNearDupPairs]]: exact
+  * all-pairs for buckets within the cap, bounded star pairs for degenerate
+  * masses. Runs inside `flatMapGroups` on executors; memory is O(cap +
+  * pivots) regardless of group size — members past the cap spill to a
+  * task-local temp file (sequential write, two sequential re-reads, deleted
+  * on task completion).
+  */
+private[ops] object SimhashGroupPairs {
+
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  /** Spark's `xxhash64(...)` default seed — pivot selection here is
+    * bit-identical to the former expression-based star branch.
+    */
+  private val Seed = 42L
+
+  def enumerate(
+      members: Iterator[(Long, Long)],
+      cap: Int,
+      hammingMax: Int,
+      starPivots: Int): Iterator[(Long, Long)] = {
+    val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    while (members.hasNext && buf.length <= cap) buf += members.next()
+    if (buf.length <= cap) {
+      // small bucket: exact all-pairs with the hamming prefilter (kills the
+      // overwhelmingly random same-key collisions before the array-based
+      // jaccard verify) — a Long.bitCount per pair at memory speed
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var i = 0
+      while (i < buf.length) {
+        val (ia, sa) = buf(i)
+        var j = i + 1
+        while (j < buf.length) {
+          val (ib, sb) = buf(j)
+          if (java.lang.Long.bitCount(sa ^ sb) <= hammingMax) {
+            out += ((math.min(ia, ib), math.max(ia, ib)))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out.iterator
+    } else {
+      massPairs(buf, members, hammingMax, starPivots)
+    }
+  }
+
+  /** Degenerate mass (n > cap): stream the remainder to a spill file while
+    * folding count and min member hash, then emit member × pivot pairs with
+    * pivots = members whose hash ≡ 0 (mod max(n/starPivots, 1)) plus the
+    * min-hash member (so no mass is pivot-less) — deterministic under any
+    * partitioning, O(m·pivots) pairs, O(cap + pivots) heap.
+    */
+  private def massPairs(
+      buf: scala.collection.mutable.ArrayBuffer[(Long, Long)],
+      rest: Iterator[(Long, Long)],
+      hammingMax: Int,
+      starPivots: Int): Iterator[(Long, Long)] = {
+    var n: Long = buf.length
+    var minHash = Long.MaxValue
+    buf.foreach { m =>
+      val h = XXH64.hashLong(m._1, Seed)
+      if (h < minHash) minHash = h
+    }
+    var spillFile: java.io.File = null
+    var out: java.io.DataOutputStream = null
+    while (rest.hasNext) {
+      if (out == null) {
+        spillFile = java.io.File.createTempFile("graft-simhash-mass", ".bin")
+        val sf = spillFile
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => { sf.delete(); () }))
+        out = new java.io.DataOutputStream(
+          new java.io.BufferedOutputStream(new java.io.FileOutputStream(sf)))
+      }
+      val (id, sim) = rest.next()
+      out.writeLong(id)
+      out.writeLong(sim)
+      val h = XXH64.hashLong(id, Seed)
+      if (h < minHash) minHash = h
+      n += 1
+    }
+    if (out != null) out.close()
+    val p = math.max(n / starPivots, 1L)
+    def isPivot(id: Long): Boolean = {
+      val h = XXH64.hashLong(id, Seed)
+      h % p == 0 || h == minHash // pmod(h, p) == 0 ⟺ h % p == 0, any sign
+    }
+    def allMembers(): Iterator[(Long, Long)] =
+      buf.iterator ++ spillIterator(spillFile)
+    val pivots = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    allMembers().foreach { m => if (isPivot(m._1)) pivots += m }
+    for {
+      m <- allMembers()
+      pv <- pivots.iterator
+      if m._1 != pv._1 &&
+        java.lang.Long.bitCount(m._2 ^ pv._2) <= hammingMax
+    } yield (math.min(m._1, pv._1), math.max(m._1, pv._1))
+  }
+
+  private def spillIterator(f: java.io.File): Iterator[(Long, Long)] =
+    if (f == null) Iterator.empty
+    else
+      new Iterator[(Long, Long)] {
+        private val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(new java.io.FileInputStream(f)))
+        private var nextItem: (Long, Long) = advance()
+        private def advance(): (Long, Long) =
+          try { (in.readLong(), in.readLong()) }
+          catch { case _: java.io.EOFException => in.close(); null }
+        def hasNext: Boolean = nextItem != null
+        def next(): (Long, Long) = {
+          val r = nextItem
+          nextItem = advance()
+          r
+        }
+      }
 }

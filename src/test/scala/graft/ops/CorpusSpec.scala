@@ -105,6 +105,21 @@ class CorpusSpec extends SparkSpec {
     assert(kept.toSet == again.toSet)
   }
 
+  test("mixToWeights floors a >256x over-represented stratum at 1 bucket") {
+    // 30000 en / 10 de, target 50/50: de binds (T = 20), en's raw allowance
+    // floor(0.5 * 20 / 30000 * 256) = 0 — the floor keeps ~1/256 of en
+    // instead of silently dropping the whole stratum
+    val docs = spark.range(0, 30010).toDF("id")
+      .withColumn("lang", when(col("id") < 30000, "en").otherwise("de"))
+    val kept = Corpus
+      .mixToWeights(docs, col("id"), col("lang"), Map("en" -> 0.5, "de" -> 0.5))
+      .select("lang").as[String].collect()
+    val en = kept.count(_ == "en")
+    assert(en > 0, "positive-weight stratum was eliminated")
+    assert(en < 1000, s"1-bucket floor should keep ~117 en rows, got $en")
+    assert(kept.count(_ == "de") > 0)
+  }
+
   test("mixToWeights drops unlisted strata and validates weights") {
     val docs = spark.range(0, 300).toDF("id")
       .withColumn("lang", when(col("id") % 3 === 0, "en")

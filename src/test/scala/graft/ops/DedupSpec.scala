@@ -50,6 +50,29 @@ class DedupSpec extends SparkSpec {
     assert(inv == expected)
   }
 
+  test("simhash degenerate mass: star pivots bound pairs, clustering still connects it") {
+    // 30 identical docs = one mass every block key maps together (every
+    // sub-bucket over a cap of 8 — the Zipf-corpus shape), + the base corpus
+    val mass = (100L until 130L).map(i => (i, "template template body repeated exactly " +
+      "alpha beta gamma delta epsilon zeta eta theta"))
+    val df = docs.union(mass.toDF("doc_id", "text"))
+    val pairs = Dedup.simhashNearDupPairs(
+      df, "doc_id", "text", maxBucketSize = 8, starPivots = 2)
+    val collected = pairs.as[(Long, Long)].collect().toSet
+    // precision stays exact: mass pairs only within the mass, base pairs as before
+    val (massPairs, basePairs) = collected.partition { case (a, b) => a >= 100L }
+    assert(basePairs == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+    assert(massPairs.forall { case (a, b) => a >= 100L && b >= 100L })
+    // star cap engaged: far fewer than the 435 all-pairs of a 30-doc mass
+    assert(massPairs.size < 200, s"star cap did not bound: ${massPairs.size} pairs")
+    // the clustering consumer sees ONE component covering the whole mass
+    val clusters = Dedup.connectedComponents(pairs.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    val massClusters = clusters.filter(_._1 >= 100L).map(_._2).distinct
+    assert(massClusters.toSeq == Seq(100L), s"mass split into $massClusters")
+    assert(clusters.count(_._1 >= 100L) == 30)
+  }
+
   test("simhash64 is deterministic and insensitive to small perturbation") {
     val h = docs.select(Dedup.simhash64(split(col("text"), " ")).as("h"))
       .as[Long].collect()
