@@ -90,6 +90,17 @@ object Dedup {
     * `threshold`. Candidates come from LSH buckets; the verify step computes
     * exact jaccard over the shingle sets, so precision is exact and only
     * recall depends on (numHashes, bands).
+    *
+    * Candidate pairs are group-then-enumerate (one `groupByKey` +
+    * `flatMapGroups` shuffle on the bucket key; pairs from a JVM loop), not
+    * a bucket self-join, and a bucket past `maxBucketSize` — a
+    * near-identical mass that hashes every band together, e.g. a template
+    * family — emits bounded member × pivot star pairs instead of m²
+    * (members past the cap spill to a task-local file; the same concession
+    * as [[simhashNearDupPairs]]: precision stays exact via the verify,
+    * the mass stays one component for [[nearDupClusters]] through its
+    * ~`starPivots` pivots, and only direct non-pivot pairs inside the mass
+    * are conceded).
     */
   def minhashNearDupPairs(
       df: DataFrame,
@@ -98,18 +109,28 @@ object Dedup {
       shingleSize: Int = 3,
       threshold: Double = 0.5,
       numHashes: Int = 128,
-      bands: Int = 16): DataFrame = {
+      bands: Int = 16,
+      maxBucketSize: Long = 200L,
+      starPivots: Int = 16): DataFrame = {
+    require(starPivots >= 1, s"starPivots must be >= 1, got $starPivots")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bufCap = math.min(maxBucketSize, Int.MaxValue - 8L).toInt
+    val pivotCount = starPivots // stable capture for the closure
     val docs = prepDocs(df, idCol, textCol, shingleSize)
-    // persist: both sides of the candidate self-join read this, and the
-    // signature computation is the dominant per-row cost
-    val buckets = bandedBuckets(docs, numHashes, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+    val cands = bandedBuckets(docs, numHashes, bands)
+      .select(
+        col("band").cast("int"), col("bucket").cast("long"),
+        col("id").cast("long"))
+      .as[(Int, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_, it) =>
+        // no prefilter between bucketing and the jaccard verify → the
+        // always-true hamming bound (64 bits differ at most)
+        GroupPairEnumerator.enumerate(
+          it.map(r => (r._3, 0L)), bufCap, 64, pivotCount)
+      }
+      .toDF("doc_a", "doc_b")
       .distinct()
     verifyJaccard(cands, docs, threshold)
   }
@@ -395,7 +416,7 @@ object Dedup {
       .as[(Int, Long, Int, Long, Long, Long)]
       .groupByKey(r => (r._1, r._2, r._3, r._4))
       .flatMapGroups { (_, it) =>
-        SimhashGroupPairs.enumerate(
+        GroupPairEnumerator.enumerate(
           it.map(r => (r._5, r._6)), bufCap, hammingMax, pivotCount)
       }
       .toDF("doc_a", "doc_b")
@@ -671,7 +692,7 @@ object Dedup {
   * task-local temp file (sequential write, two sequential re-reads, deleted
   * on task completion).
   */
-private[ops] object SimhashGroupPairs {
+private[ops] object GroupPairEnumerator {
 
   import org.apache.spark.sql.catalyst.expressions.XXH64
 
@@ -685,7 +706,13 @@ private[ops] object SimhashGroupPairs {
       cap: Int,
       hammingMax: Int,
       starPivots: Int): Iterator[(Long, Long)] = {
+    // singleton fast path: the overwhelming majority of LSH buckets hold
+    // one member — skip the buffer machinery for them entirely
+    if (!members.hasNext) return Iterator.empty
+    val first = members.next()
+    if (!members.hasNext) return Iterator.empty
     val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    buf += first
     while (members.hasNext && buf.length <= cap) buf += members.next()
     if (buf.length <= cap) {
       // small bucket: exact all-pairs with the hamming prefilter (kills the

@@ -50,6 +50,26 @@ class DedupSpec extends SparkSpec {
     assert(inv == expected)
   }
 
+  test("minhash degenerate mass: star pivots bound pairs, clustering still connects it") {
+    // 30 identical docs share every band bucket — the unbounded m² hazard
+    // for a template family; the cap routes them through star pairs
+    val mass = (100L until 130L).map(i => (i, "template template body repeated exactly " +
+      "alpha beta gamma delta epsilon zeta eta theta"))
+    val df = docs.union(mass.toDF("doc_id", "text"))
+    val pairs = Dedup.minhashNearDupPairs(
+      df, "doc_id", "text", maxBucketSize = 8, starPivots = 2)
+    val collected = pairs.as[(Long, Long)].collect().toSet
+    val (massPairs, basePairs) = collected.partition { case (a, b) => a >= 100L }
+    assert(basePairs == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+    assert(massPairs.forall { case (a, b) => a >= 100L && b >= 100L })
+    assert(massPairs.size < 200, s"star cap did not bound: ${massPairs.size} pairs")
+    val clusters = Dedup.connectedComponents(pairs.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    val massClusters = clusters.filter(_._1 >= 100L).map(_._2).distinct
+    assert(massClusters.toSeq == Seq(100L), s"mass split into $massClusters")
+    assert(clusters.count(_._1 >= 100L) == 30)
+  }
+
   test("simhash degenerate mass: star pivots bound pairs, clustering still connects it") {
     // 30 identical docs = one mass every block key maps together (every
     // sub-bucket over a cap of 8 — the Zipf-corpus shape), + the base corpus
