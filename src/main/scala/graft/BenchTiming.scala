@@ -24,9 +24,24 @@ private[graft] object BenchTiming {
 
   /** Min over `reps` timed runs; -1 marks a failed query, logged under
     * `label` when one is given.
+    *
+    * The DataFrame cache is cleared before EVERY timed run: an operator
+    * that `persist`s an intermediate builds an identical plan on the next
+    * invocation and Spark's CacheManager serves it from cache, silently
+    * excluding the persisted computation from the timed reps (measured:
+    * the old minhash banded-signature persist hid ~2.5 s/rep at 500k
+    * docs). Clearing keeps every rep a full per-call cost. Deliberate
+    * cross-call caches that are NOT DataFrame persists — the decoded-index
+    * LRU, OS page cache, JIT — stay warm, as they would for a production
+    * repeat query.
     */
   def timeMin(label: String = "", reps: Int = DefaultReps)(f: => Unit): Double =
-    try Seq.fill(reps)(time(f)).min
+    try
+      Seq.fill(reps) {
+        org.apache.spark.sql.SparkSession.getActiveSession
+          .foreach(_.catalog.clearCache())
+        time(f)
+      }.min
     catch {
       case e: Throwable =>
         if (label.nonEmpty) System.err.println(s"[$label] FAIL: $e")

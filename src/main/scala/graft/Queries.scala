@@ -1499,6 +1499,54 @@ object Queries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Fixed seeded weights for the model-based quality classifier gate
+    * (pq4): 256 md5-derived buckets, integer fixed-point weights (1e-6
+    * units, range ±250250 ≈ ±0.25) from a data-free formula so the oracle
+    * interpolates the SAME values as SQL literals — the semCentroids trick
+    * for a linear model. Exact BIGINT arithmetic on both engines, so the
+    * gate is a hash match with no epsilon.
+    */
+  private val bowD = 256
+  private val bowWeights: Array[Long] =
+    Array.tabulate(bowD)(i => (((i * 2654435761L) % 2003L) - 1001L) * 250L)
+  private val bowBiasFp = 5000L
+
+  /** Model-based quality filter ([[ops.TextAnalysis.linearScore]]): keep
+    * docs whose mean-pooled linear bag-of-words logit is >= 0, reporting
+    * the exact integer logit. The fastText/CCNet-style classifier stage of
+    * a curation pipeline, with deterministic stand-in weights (real
+    * deployments would train them; the Spark-side plumbing — hashed
+    * features, codegen'd scoring pass, BIGINT exactness — is what is being
+    * gated).
+    */
+  def pq4LinearQuality(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        ops.TextAnalysis.linearLogitFp(col("text"), bowWeights, bowBiasFp)
+          .as("logit_fp"))
+      .where(col("logit_fp") >= 0)
+      .orderBy(col("doc_id"))
+
+  val pq4Oracle: String = {
+    val values = bowWeights.zipWithIndex
+      .map { case (w, b) => s"($b, ${w}::BIGINT)" }
+      .mkString(", ")
+    s"""WITH wts(b, wt) AS (VALUES $values),
+       |toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') tk
+       |  FROM documents),
+       |tok AS (SELECT doc_id, len(tk) AS n, unnest(tk) AS t FROM toks),
+       |scored AS (
+       |  SELECT tok.doc_id, any_value(tok.n) AS n, sum(wts.wt) AS s
+       |  FROM tok JOIN wts
+       |    ON wts.b = ('0x' || substr(md5(tok.t), 1, 8))::BIGINT % $bowD
+       |  GROUP BY tok.doc_id)
+       |SELECT doc_id, CAST(n * $bowBiasFp + s AS BIGINT) AS logit_fp
+       |FROM scored
+       |WHERE n * $bowBiasFp + s >= 0 ORDER BY doc_id""".stripMargin
+  }
+
   /** End-to-end curation pipeline — the operators composed the way a real
     * training-data job chains them: exact dedup (keep min id per identical
     * text) → benchmark decontamination (4-gram overlap vs the held-out
@@ -2217,6 +2265,7 @@ object Queries {
     "pq2_stratified_sample" -> (pq2StratifiedSample _),
     "mx1_mix_weights" -> (mx1MixWeights _),
     "pq3_pii_scrub" -> (pq3PiiScrub _),
+    "pq4_linear_quality" -> (pq4LinearQuality _),
     "cq1_curation_pipeline" -> (cq1CurationPipeline _),
     "cq2_neardup_curation" -> (cq2NearDupCuration _),
     "vb1_top_ngrams" -> (vb1TopNgrams _),
@@ -2312,6 +2361,7 @@ object Queries {
     "pq2_stratified_sample" -> pq2Oracle,
     "mx1_mix_weights" -> mx1Oracle,
     "pq3_pii_scrub" -> pq3Oracle,
+    "pq4_linear_quality" -> pq4Oracle,
     "cq1_curation_pipeline" -> cq1Oracle,
     "cq2_neardup_curation" -> cq2Oracle,
     "vb1_top_ngrams" -> vb1Oracle,

@@ -170,6 +170,32 @@ object TextHash {
     max.toDouble / total.toDouble
   }
 
+  /** Kernel behind `linear_bow_score` (also called from generated code):
+    * fixed-point linear bag-of-words logit contribution. Tokenizes exactly
+    * like `split(trim(text), "\\s+")` (space-only trim, limit −1), buckets
+    * each token by the first 4 bytes of its MD5 (== the first 8 hex chars,
+    * so a SQL oracle reproduces it as
+    * `('0x' || substr(md5(t), 1, 8))::BIGINT % D`), and sums the bucket's
+    * integer weight — BIGINT arithmetic, order-independent, bit-identical
+    * across engines. One MessageDigest reused across the row's tokens.
+    */
+  def linearBowScore(text: UTF8String, weights: Array[Long]): Long = {
+    val toks = text.trim.toString.split("\\s+", -1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = weights.length
+    var sum = 0L
+    var i = 0
+    while (i < toks.length) {
+      md.reset()
+      val h = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val b = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      sum += weights((b % d).toInt)
+      i += 1
+    }
+    sum
+  }
+
   /** Kernel behind `simhash64` (also called from generated code). */
   def simhash64(arr: ArrayData): Long = {
     val m = arr.numElements()
@@ -283,6 +309,29 @@ case class SortedArrayJaccard(left: Expression, right: Expression)
   * interpreted per element and re-splits the text per language; this runs
   * the whole profile in a single codegen'd call.
   */
+/** `linear_bow_score(text)`: fixed-point hashed bag-of-words logit — the
+  * sum over whitespace tokens of `weights[md5_bucket(token) mod D]`. The
+  * scoring half of a fastText/CCNet-style linear quality classifier; see
+  * [[TextHash.linearBowScore]] for the oracle-reproducible bucket rule.
+  */
+case class LinearBowScore(child: Expression, weights: Array[Long])
+    extends UnaryExpression {
+  require(weights.nonEmpty, "weights must be non-empty")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "linear_bow_score"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.linearBowScore(input.asInstanceOf[UTF8String], weights)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("bowWeights", weights, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHash.linearBowScore($c, $w);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class MarkerCounts(child: Expression, vocabularies: Seq[Seq[String]])
     extends UnaryExpression {
   require(vocabularies.nonEmpty, "at least one vocabulary required")

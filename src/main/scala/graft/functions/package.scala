@@ -49,6 +49,9 @@ package object functions {
     col(SortedArrayJaccard(expr(a), expr(b)))
 
   /** Per-vocabulary marker-word counts in one tokenization pass. */
+  def linear_bow_score(text: Column, weights: Array[Long]): Column =
+    col(LinearBowScore(expr(text), weights))
+
   def marker_counts(text: Column, vocabularies: Seq[Seq[String]]): Column =
     col(MarkerCounts(expr(text), vocabularies))
 

@@ -177,11 +177,23 @@ object Dedup {
         col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + lit(1) &&
           col("df") <= maxDocFreq && col("df") >= 2)
       .select(col("id"), col("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = prefix.as("a")
-      .join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+    // group-then-enumerate on the posting key — one shuffle, JVM-loop pair
+    // emission, no self-join and no persist. The df <= maxDocFreq filter
+    // already bounds every bucket, so the enumerator's mass path can never
+    // fire (cap = maxDocFreq) and prefix-filter EXACT recall is preserved
+    // (the key is the shingle string itself — a hashed key could merge two
+    // buckets past the cap on a collision and silently break exactness).
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bufCap = math.min(maxDocFreq, Int.MaxValue - 8L).toInt
+    val cands = prefix
+      .select(col("shingle"), col("id").cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        GroupPairEnumerator.enumerate(it.map(r => (r._2, 0L)), bufCap, 64, 1)
+      }
+      .toDF("doc_a", "doc_b")
       .distinct()
     verifyJaccard(cands, docs, threshold)
   }
@@ -685,12 +697,13 @@ object Dedup {
   }
 }
 
-/** Per-group pair enumeration for [[Dedup.simhashNearDupPairs]]: exact
-  * all-pairs for buckets within the cap, bounded star pairs for degenerate
-  * masses. Runs inside `flatMapGroups` on executors; memory is O(cap +
-  * pivots) regardless of group size — members past the cap spill to a
-  * task-local temp file (sequential write, two sequential re-reads, deleted
-  * on task completion).
+/** Per-group candidate-pair enumeration shared by the bucketed near-dup
+  * paths ([[Dedup.minhashNearDupPairs]], [[Dedup.simhashNearDupPairs]],
+  * [[Dedup.invertedIndexNearDupPairs]]): exact all-pairs for buckets within
+  * the cap, bounded star pairs for degenerate masses. Runs inside
+  * `flatMapGroups` on executors; memory is O(cap + pivots) regardless of
+  * group size — members past the cap spill to a task-local temp file
+  * (sequential write, two sequential re-reads, deleted on task completion).
   */
 private[ops] object GroupPairEnumerator {
 

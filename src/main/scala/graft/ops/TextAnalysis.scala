@@ -62,6 +62,30 @@ object TextAnalysis {
       minDistinctRatio: Double = 0.32,
       maxTopBigramRatio: Double = 0.07)
 
+  /** Model-based quality scoring: a linear bag-of-words classifier in
+    * fixed-point integer arithmetic (the fastText/CCNet shape — hashed
+    * token features, one weight per bucket, mean-pooled logit). `weights`
+    * are integer fixed-point (caller picks the scale; 1e-6 units by
+    * convention) over `weights.length` md5-derived buckets; the score is
+    * the raw BIGINT sum over tokens — exact, order-independent, and
+    * reproducible in a SQL oracle (`('0x' || substr(md5(t), 1, 8))::BIGINT
+    * % D` is the same bucket rule). One codegen'd pass, no shuffle.
+    */
+  def linearScore(text: Column, weights: Array[Long]): Column =
+    graft.functions.linear_bow_score(text, weights)
+
+  /** Mean-pooled fixed-point logit as an integer: `n·biasFp + Σ w[b(tᵢ)]`,
+    * which is `n ×` the mean-pooled logit `biasFp + (1/n)·Σ` — the sign
+    * (the classifier decision) is identical for n > 0 and the arithmetic
+    * stays exact BIGINT.
+    */
+  def linearLogitFp(text: Column, weights: Array[Long], biasFp: Long): Column =
+    tokenCount(text).cast("long") * lit(biasFp) + linearScore(text, weights)
+
+  /** The classifier keep decision: mean-pooled logit >= 0. */
+  def linearKeep(text: Column, weights: Array[Long], biasFp: Long): Column =
+    linearLogitFp(text, weights, biasFp) >= 0
+
   /** Keep/drop decision as one codegen'd boolean column — the filter stage
     * of a curation pipeline (no shuffle; composes with any scan).
     */

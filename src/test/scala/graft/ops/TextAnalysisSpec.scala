@@ -88,6 +88,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Int]("n_punct") == 1)
   }
 
+  test("linearScore matches an independent SQL md5-bucket derivation; keep rule is the logit sign") {
+    val weights = Array.tabulate(64)(i => (((i * 2654435761L) % 1003L) - 501L) * 100L)
+    val bias = 700L
+    val df = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "a b a b a b"),
+      (3L, "  padded   whitespace text  "),
+      (4L, "solo")).toDF("id", "text")
+    // independent derivation of the same bucket rule through Spark SQL's
+    // md5/conv built-ins (the oracle's formula), summed per doc
+    val viaSql = df
+      .select(col("id"), explode(split(trim(col("text")), "\\s+")).as("t"))
+      .withColumn("b", (conv(substring(md5(col("t")), 1, 8), 16, 10)
+        .cast("long") % weights.length).cast("int"))
+      .withColumn("w", element_at(
+        array(weights.map(lit): _*), col("b") + 1))
+      .groupBy("id").agg(sum("w").as("s"))
+      .as[(Long, Long)].collect().toMap
+    val native = df.select(col("id"),
+      TextAnalysis.linearScore(col("text"), weights).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(native == viaSql, s"native $native != sql $viaSql")
+    val logit = df.select(col("id"),
+      TextAnalysis.linearLogitFp(col("text"), weights, bias).as("l"),
+      TextAnalysis.linearKeep(col("text"), weights, bias).as("k"))
+      .as[(Long, Long, Boolean)].collect()
+    logit.foreach { case (_, l, k) => assert(k == (l >= 0)) }
+    // deterministic across invocations
+    val again = df.select(col("id"),
+      TextAnalysis.linearScore(col("text"), weights).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(again == native)
+  }
+
   test("piiScrub redacts emails, SSNs, phones, IPs and leaves clean text") {
     val cases = Seq(
       "mail a.b+c_1%d@sub.example.org now" -> "mail <EMAIL> now",
