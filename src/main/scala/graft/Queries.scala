@@ -1438,6 +1438,25 @@ object Queries {
       |      < (CASE WHEN lang = 'en' THEN 128 ELSE 192 END)
       |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic exact-k per-stratum sample
+    * ([[ops.Corpus.stratifiedExactK]]): exactly 7 docs per language by the
+    * content-addressed (md5(id), id) order — the oracle runs the identical
+    * window rule, so membership is bit-equal.
+    */
+  def pq5StratifiedExactK(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Corpus
+      .stratifiedExactK(
+        t(spark, sfDir, "documents"), col("doc_id"), col("lang"), 7)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  val pq5Oracle: String =
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang, row_number() OVER (
+      |    PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 7 ORDER BY doc_id""".stripMargin
+
   /** Mixture resampling ([[ops.Corpus.mixToWeights]]): rebalance the corpus
     * language mix toward target weights by deterministic per-stratum
     * downsampling. The oracle recomputes the same allowance arithmetic
@@ -2197,6 +2216,32 @@ object Queries {
       .select(col("vec_id"))
   }
 
+  /** Streaming postings ingestion ([[streaming.PostingsIngest]]): the
+    * documents table replayed as a 4-file stream, each micro-batch
+    * appending its postings/df/dl/stats deltas into the bucketed snapshot
+    * tables, then bq1's query batch scored OFF THE SNAPSHOT — hash-gated
+    * against bq1's oracle, so the whole incremental pipeline (bucketed
+    * appends, log-structured df/stats fold, checkpointed replay) must
+    * reproduce the one-shot batch scores exactly.
+    */
+  def st8StreamPostingsIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, sfDir, "documents")
+    val stage = java.nio.file.Files.createTempDirectory("graft-st8-stage").toString
+    docs.repartition(4).write.mode("overwrite").parquet(stage)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val (snap, _) = streaming.PostingsIngest.ingest(
+      spark, stream, "doc_id", "text", "graft_st8", buckets = 8)
+    val queries = Seq(
+      (0L, "spark dup"),
+      (1L, "vector window merge"),
+      (2L, "nosuchword table")).toDF("qid", "qtext")
+    ops.Lexical
+      .bm25BulkTopK(spark, snap, queries, "qid", "qtext", k = 5)
+      .orderBy(col("qid"), col("doc_id"))
+  }
+
   // -------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2266,6 +2311,7 @@ object Queries {
     "mx1_mix_weights" -> (mx1MixWeights _),
     "pq3_pii_scrub" -> (pq3PiiScrub _),
     "pq4_linear_quality" -> (pq4LinearQuality _),
+    "pq5_stratified_exactk" -> (pq5StratifiedExactK _),
     "cq1_curation_pipeline" -> (cq1CurationPipeline _),
     "cq2_neardup_curation" -> (cq2NearDupCuration _),
     "vb1_top_ngrams" -> (vb1TopNgrams _),
@@ -2290,6 +2336,7 @@ object Queries {
     "st5_stream_dedup" -> (st5StreamDedup _),
     "st6_stream_cross_dedup" -> (st6StreamCrossDedup _),
     "st7_stream_index_ingest" -> (st7StreamIndexIngest _),
+    "st8_stream_postings_ingest" -> (st8StreamPostingsIngest _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2362,6 +2409,7 @@ object Queries {
     "mx1_mix_weights" -> mx1Oracle,
     "pq3_pii_scrub" -> pq3Oracle,
     "pq4_linear_quality" -> pq4Oracle,
+    "pq5_stratified_exactk" -> pq5Oracle,
     "cq1_curation_pipeline" -> cq1Oracle,
     "cq2_neardup_curation" -> cq2Oracle,
     "vb1_top_ngrams" -> vb1Oracle,
@@ -2385,6 +2433,7 @@ object Queries {
     "st5_stream_dedup" -> st5Oracle,
     "st6_stream_cross_dedup" -> dx1Oracle,
     "st7_stream_index_ingest" -> vq1Oracle, // exhaustive search == brute
+    "st8_stream_postings_ingest" -> bq1Oracle, // replayed snapshot == batch scores
 
   )
 }

@@ -101,6 +101,33 @@ object Corpus {
     df.where(hashBucket(keyCol) < allowance)
   }
 
+  /** Deterministic EXACT-k per-stratum sample: the k rows of each stratum
+    * whose (md5(key), key) order is smallest — a content-addressed draw, so
+    * membership is reproducible across engines, runs, and partitionings
+    * (the eval-set construction shape: "exactly 1000 docs per language,
+    * stable under corpus append ONLY for strata whose selected prefix is
+    * untouched"). Strata with fewer than k rows keep everything.
+    *
+    * Scale shape: one hash-partitioned window sort per stratum (the price
+    * of EXACT k; row_number needs a stratum order). For proportional
+    * sampling without the sort, use [[stratifiedSample]] /
+    * [[mixToWeights]] — this operator is for small-k draws where exactness
+    * matters, and k rows per stratum is the output bound.
+    */
+  def stratifiedExactK(
+      df: DataFrame,
+      keyCol: Column,
+      strataCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"stratifiedExactK: k=$k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strataCol)
+      .orderBy(md5(keyCol.cast("string")), keyCol)
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .drop("_rn")
+  }
+
   /** Deterministic mixture resampling: downsample strata so the realized
     * proportions approximate `weights` (a training-mixture rebalance, e.g.
     * "40% en / 20% de / …"). No stratum is upsampled: the output total is

@@ -307,10 +307,41 @@ object Lexical {
     PostingsSnapshot(prefix, idCol, buckets)
   }
 
+  /** Append a batch of NEW documents to a persisted postings artifact —
+    * the incremental-maintenance half of [[writePostings]]. The postings
+    * and doc-length rows append into the bucketed tables (same bucket
+    * spec, so the shuffle-free join plan survives); the df and stats
+    * tables are LOG-STRUCTURED — each batch appends per-term df deltas and
+    * one (n, sumdl) delta row, and the snapshot reader sums them at read
+    * (a term-bucketed partial aggregation, exchange-free). Assumes batch
+    * ids are new to the corpus (append-only ingest) — re-appending an id
+    * double-counts it, the standard at-least-once caveat; dedup upstream
+    * (e.g. [[Dedup.exact]] or a `dropDuplicates` on the id).
+    */
+  def appendPostings(
+      batch: DataFrame, snapshot: PostingsSnapshot, textCol: String): Unit = {
+    val (post, dft, dl, stats) = corpusArtifacts(batch, snapshot.idCol, textCol)
+    def app(df: DataFrame, table: String, key: String): Unit =
+      df.write
+        .format("parquet")
+        .bucketBy(snapshot.buckets, key)
+        .sortBy(key)
+        .mode("append")
+        .saveAsTable(table)
+    app(post, s"${snapshot.prefix}_postings", "_term")
+    app(dft, s"${snapshot.prefix}_df", "_term")
+    app(dl, s"${snapshot.prefix}_dl", snapshot.idCol)
+    stats.write.format("parquet").mode("append")
+      .saveAsTable(s"${snapshot.prefix}_stats")
+  }
+
   /** Bulk BM25 over a persisted [[PostingsSnapshot]]: identical scores to
     * the per-call path (same pipeline from the same artifacts — how bq2 is
     * oracled against bq1), but the corpus is never re-tokenized and the
-    * term join consumes the bucketed layout shuffle-free.
+    * term join consumes the bucketed layout shuffle-free. The df and stats
+    * sides fold the log-structured deltas [[appendPostings]] may have
+    * added (for a one-shot snapshot the fold is a no-op aggregation over
+    * one row per key, planned exchange-free on the bucketed layout).
     */
   def bm25BulkTopK(
       spark: org.apache.spark.sql.SparkSession,
@@ -325,9 +356,11 @@ object Lexical {
     require(k > 0, s"bm25BulkTopK: k=$k must be positive")
     scoreBulk(
       spark.table(s"${snapshot.prefix}_postings"),
-      spark.table(s"${snapshot.prefix}_df"),
+      spark.table(s"${snapshot.prefix}_df")
+        .groupBy(col("_term")).agg(sum(col("_df")).as("_df")),
       spark.table(s"${snapshot.prefix}_dl"),
-      spark.table(s"${snapshot.prefix}_stats"),
+      spark.table(s"${snapshot.prefix}_stats")
+        .agg(sum(col("_n")).as("_n"), sum(col("_sumdl")).as("_sumdl")),
       snapshot.idCol, queries, qidCol, qtextCol, k, k1, b)
   }
 

@@ -120,6 +120,30 @@ class CorpusSpec extends SparkSpec {
     assert(kept.count(_ == "de") > 0)
   }
 
+  test("stratifiedExactK draws exactly k per stratum, deterministic, under-k strata kept whole") {
+    val docs = spark.range(0, 300).toDF("id")
+      .withColumn("lang", when(col("id") % 3 === 0, "en")
+        .when(col("id") % 3 === 1, "de").otherwise("fr"))
+      .union(Seq((9000L, "xx")).toDF("id", "lang")) // 1-row stratum < k
+    val kept = Corpus.stratifiedExactK(docs, col("id"), col("lang"), 5)
+      .select("id", "lang").as[(Long, String)].collect()
+    val byLang = kept.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byLang("en").size == 5 && byLang("de").size == 5 && byLang("fr").size == 5)
+    assert(byLang("xx") == Set(9000L))
+    // deterministic: same draw on a reshuffled input
+    val again = Corpus
+      .stratifiedExactK(docs.repartition(7, col("id")), col("id"), col("lang"), 5)
+      .select("id", "lang").as[(Long, String)].collect()
+    assert(again.toSet == kept.toSet)
+    // content-addressed: the en draw is the 5 smallest (md5, id) keys
+    val enExpected = (0L until 300L by 3)
+      .sortBy(i => (java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, i))
+      .take(5).toSet
+    assert(byLang("en") == enExpected)
+  }
+
   test("mixToWeights drops unlisted strata and validates weights") {
     val docs = spark.range(0, 300).toDF("id")
       .withColumn("lang", when(col("id") % 3 === 0, "en")

@@ -149,6 +149,42 @@ class LexicalSpec extends SparkSpec {
     assert(persisted == direct)
   }
 
+  test("incremental appendPostings reproduces the one-shot snapshot scores") {
+    val queries = Seq((0L, "cat fish"), (1L, "dog")).toDF("qid", "qtext")
+    val direct = Lexical.bm25BulkTopK(docs, "id", "text", queries, "qid", "qtext", k = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    // seed an EMPTY snapshot, then append the corpus in three uneven
+    // batches — df/stats accumulate as log-structured deltas
+    val empty = docs.where(lit(false))
+    val snap = Lexical.writePostings(empty, "id", "text", "graft_spec_inc", buckets = 4)
+    Lexical.appendPostings(docs.where(col("id") <= 1), snap, "text")
+    Lexical.appendPostings(docs.where(col("id") === 2), snap, "text")
+    Lexical.appendPostings(docs.where(col("id") >= 3), snap, "text")
+    val incremental = Lexical.bm25BulkTopK(spark, snap, queries, "qid", "qtext", k = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(incremental == direct)
+    // the df side really is multi-row per term now (deltas, not a rewrite)
+    val dfRows = spark.table("graft_spec_inc_df")
+      .groupBy("_term").count().where(col("count") > 1).count()
+    assert(dfRows > 0, "expected log-structured df deltas across batches")
+  }
+
+  test("streaming PostingsIngest replays to the same snapshot scores") {
+    val queries = Seq((0L, "cat fish"), (1L, "dog")).toDF("qid", "qtext")
+    val direct = Lexical.bm25BulkTopK(docs, "id", "text", queries, "qid", "qtext", k = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    val stage = java.nio.file.Files.createTempDirectory("graft-postings-stage").toString
+    docs.repartition(3).write.mode("overwrite").parquet(stage)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val (snap, batches) = graft.streaming.PostingsIngest.ingest(
+      spark, stream, "id", "text", "graft_spec_stream_post", buckets = 4)
+    assert(batches >= 1)
+    val streamed = Lexical.bm25BulkTopK(spark, snap, queries, "qid", "qtext", k = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == direct)
+  }
+
   test("snapshot term join is shuffle-free (both sides bucketed on _term)") {
     val snap = Lexical.writePostings(docs, "id", "text", "graft_spec_shuf", buckets = 4)
     // on a toy fixture the planner prefers broadcasting the tiny df side
