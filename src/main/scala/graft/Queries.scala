@@ -2031,6 +2031,40 @@ object Queries {
     t(spark, sfDir, "events")
   }
 
+  /** Interval overlap join ([[ops.Intervals.overlapJoin]]): even events as
+    * 1-7-minute windows vs odd events as 1-5-minute windows, 5-minute
+    * bins, integer-nanos arithmetic end to end — the oracle is DuckDB's
+    * native range join over the identical intervals, so the bin-bucketed
+    * equi-join re-expression is hash-gated exact.
+    */
+  def iq1IntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val minuteNs = 60000000000L
+    val e = eventsRaw(spark, sfDir).select(col("event_id"), col("ts"))
+    val a = e.where(col("event_id") % 2 === 0).select(
+      col("event_id").as("a_id"),
+      col("ts").as("a_s"),
+      (col("ts") + (col("event_id") % 7 + 1) * minuteNs).as("a_e"))
+    val b = e.where(col("event_id") % 2 === 1).select(
+      col("event_id").as("b_id"),
+      col("ts").as("b_s"),
+      (col("ts") + (col("event_id") % 5 + 1) * minuteNs).as("b_e"))
+    ops.Intervals
+      .overlapJoin(
+        a, col("a_s"), col("a_e"), b, col("b_s"), col("b_e"),
+        binWidth = 5L * minuteNs)
+      .select(col("a_id"), col("b_id"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val iq1Oracle: String =
+    """WITH e AS (SELECT event_id, epoch_ns(ts) AS s FROM events),
+      |a AS (SELECT event_id a_id, s a_s, s + (event_id % 7 + 1) * 60000000000 a_e
+      |      FROM e WHERE event_id % 2 = 0),
+      |b AS (SELECT event_id b_id, s b_s, s + (event_id % 5 + 1) * 60000000000 b_e
+      |      FROM e WHERE event_id % 2 = 1)
+      |SELECT a_id, b_id FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
+      |ORDER BY a_id, b_id""".stripMargin
+
   /** As-of join over the event stream: each purchase gets the user's latest
     * preceding view event (point-in-time attribution — the canonical
     * time-series join). One keyed window pass; DuckDB's native ASOF JOIN is
@@ -2284,6 +2318,7 @@ object Queries {
     "lq2_compact" -> (lq2Compact _),
     "lq3_bycell_layout" -> (lq3ByCellLayout _),
     "qa1_asof_join" -> (qa1AsofJoin _),
+    "iq1_interval_join" -> (iq1IntervalJoin _),
     "dq1_exact_dedup" -> (dq1ExactDedup _),
     "dq2_minhash_neardup" -> (dq2MinhashNearDup _),
     "dq3_simhash_neardup" -> (dq3SimhashNearDup _),
@@ -2381,6 +2416,7 @@ object Queries {
     "lq2_compact" -> lq2Oracle,
     "lq3_bycell_layout" -> lq3Oracle,
     "qa1_asof_join" -> qa1Oracle,
+    "iq1_interval_join" -> iq1Oracle,
     "dq1_exact_dedup" -> dq1Oracle,
     "dq2_minhash_neardup" -> duckNearDupOracle,
     "dq3_simhash_neardup" -> duckNearDupOracle,

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval (range-overlap) join — a whole-operator semantic Spark's
+  * built-ins only express as a theta join (BroadcastNestedLoop / cartesian
+  * at scale). Re-expressed as an equi-join on fixed-width bins, the
+  * standard distributed range-join shape (cf. DuckDB's IEJoin and Spark
+  * range-join hints in other engines): work is proportional to
+  * bins-per-interval + true candidate pairs, never |A|×|B|.
+  */
+object Intervals {
+
+  /** Pairs (a, b) whose CLOSED intervals [aStart, aEnd] and
+    * [bStart, bEnd] overlap. Start/end columns must be integral (cast
+    * timestamps to epoch nanos/micros first); rows with end < start match
+    * nothing and are dropped by construction.
+    *
+    * Plan shape: each interval explodes into the `binWidth`-wide bins it
+    * covers (exact `floorDiv`, negative-safe), candidates equi-join on the
+    * bin, and a pair is emitted ONLY in the bin containing
+    * `greatest(aStart, bStart)` — each overlapping pair appears in exactly
+    * one bin, so there is no distinct/dedup step and no per-row key
+    * requirement; the exact overlap predicate then makes the result
+    * precise. Both sides shuffle once on the bin key (or broadcast when
+    * one side is small — the planner's choice).
+    *
+    * Tuning: `binWidth` ~ the typical interval length keeps
+    * bins-per-interval ~2. Intervals covering more than
+    * `maxBinsPerInterval` bins fail fast with a clear error (an interval
+    * 10⁶ × wider than the bin is a mis-set binWidth, and exploding it
+    * would quietly dominate the job — refuse, don't guess). A single
+    * popular bin (many concurrent intervals) is ordinary join skew: AQE's
+    * skew-join split applies, or salt the bin key upstream.
+    *
+    * Column names of `a` and `b` must be disjoint (the output carries
+    * both sides' columns).
+    */
+  def overlapJoin(
+      a: DataFrame,
+      aStart: Column,
+      aEnd: Column,
+      b: DataFrame,
+      bStart: Column,
+      bEnd: Column,
+      binWidth: Long,
+      maxBinsPerInterval: Int = 4096): DataFrame = {
+    require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be > 0")
+    val dup = a.columns.toSet.intersect(b.columns.toSet)
+    require(dup.isEmpty, s"column names must be disjoint, both sides have: $dup")
+
+    // exact floor division on longs: subtract the non-negative pmod then
+    // IntegralDivide (the SQL `div`) — Column's `/` is DOUBLE division,
+    // which rounds past 2^53 and nano timestamps are 1e18; long `div`
+    // alone truncates toward zero, wrong for negative epochs
+    def floorDiv(c: Column): Column = {
+      import org.apache.spark.sql.graft.Bridge
+      val cl = c.cast("long")
+      Bridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          Bridge.expression(cl - pmod(cl, lit(binWidth))),
+          Bridge.expression(lit(binWidth))))
+    }
+
+    def binned(df: DataFrame, s: Column, e: Column, binCol: String): DataFrame = {
+      val lo = floorDiv(s)
+      val hi = floorDiv(e)
+      // the guard is folded INTO the sequence bound (hi + 0) so column
+      // pruning can't silently drop the raise_error; the where() keeps
+      // empty/inverted intervals out of sequence(), which would otherwise
+      // generate a DESCENDING bin range for end < start
+      val hiGuarded = hi + when(
+        hi - lo < lit(maxBinsPerInterval.toLong), lit(0L))
+        .otherwise(raise_error(concat(
+          lit(s"interval covers more than $maxBinsPerInterval bins of width " +
+            s"$binWidth — raise binWidth or maxBinsPerInterval (interval start "),
+          s.cast("string"), lit(" end "), e.cast("string"), lit(")")))
+          .cast("long"))
+      df.where(e >= s).withColumn(binCol, explode(sequence(lo, hiGuarded)))
+    }
+
+    val ab = binned(a, aStart, aEnd, "_bin_a")
+    val bb = binned(b, bStart, bEnd, "_bin_b")
+    ab.join(
+      bb,
+      col("_bin_a") === col("_bin_b") &&
+        // pair-once rule: only the bin holding the later start emits
+        col("_bin_a") === floorDiv(greatest(aStart, bStart)) &&
+        // exact closed-interval overlap
+        aStart <= bEnd && bStart <= aEnd)
+      .drop("_bin_a", "_bin_b")
+  }
+}

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class IntervalsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val a = Seq(
+    (1L, 0L, 10L), // overlaps b10 (touch at 10? closed: [0,10] vs [10,20] -> yes)
+    (2L, 15L, 18L), // inside b10
+    (3L, 100L, 101L), // overlaps nothing
+    (4L, -25L, -5L) // negative range, overlaps b40
+  ).toDF("a_id", "a_s", "a_e")
+
+  private lazy val b = Seq(
+    (10L, 10L, 20L),
+    (40L, -10L, -1L),
+    (50L, 300L, 280L) // inverted: matches nothing, must not blow up
+  ).toDF("b_id", "b_s", "b_e")
+
+  test("overlapJoin: closed-interval semantics, negatives, inverted intervals, pair-once") {
+    val got = Intervals
+      .overlapJoin(a, col("a_s"), col("a_e"), b, col("b_s"), col("b_e"), binWidth = 7L)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    // no duplicates even though intervals span several 7-wide bins
+    assert(got.length == got.distinct.length, s"duplicate pairs: ${got.toSeq}")
+    assert(got.toSet == Set((1L, 10L), (2L, 10L), (4L, 40L)))
+  }
+
+  test("overlapJoin matches a brute-force cross join on random intervals") {
+    val rng = new scala.util.Random(7)
+    val xs = Seq.tabulate(120) { i =>
+      val s = rng.nextInt(1000).toLong - 500
+      (i.toLong, s, s + rng.nextInt(60))
+    }
+    val ys = Seq.tabulate(120) { i =>
+      val s = rng.nextInt(1000).toLong - 500
+      (1000L + i, s, s + rng.nextInt(60))
+    }
+    val l = xs.toDF("a_id", "a_s", "a_e")
+    val r = ys.toDF("b_id", "b_s", "b_e")
+    val got = Intervals
+      .overlapJoin(l, col("a_s"), col("a_e"), r, col("b_s"), col("b_e"), binWidth = 25L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+    val expected = (for {
+      (xi, xs_, xe) <- xs
+      (yi, ys_, ye) <- ys
+      if xs_ <= ye && ys_ <= xe
+    } yield (xi, yi)).sorted
+    assert(got == expected)
+  }
+
+  test("overlapJoin refuses an interval overflowing maxBinsPerInterval") {
+    val wide = Seq((1L, 0L, 1000000L)).toDF("a_id", "a_s", "a_e")
+    val narrow = Seq((2L, 5L, 6L)).toDF("b_id", "b_s", "b_e")
+    val ex = intercept[Exception] {
+      Intervals.overlapJoin(
+        wide, col("a_s"), col("a_e"), narrow, col("b_s"), col("b_e"),
+        binWidth = 10L, maxBinsPerInterval = 100).collect()
+    }
+    assert(ex.getMessage != null)
+    // and succeeds once binWidth is sized to the data
+    val ok = Intervals.overlapJoin(
+      wide, col("a_s"), col("a_e"), narrow, col("b_s"), col("b_e"),
+      binWidth = 100000L).select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(ok.toSet == Set((1L, 2L)))
+  }
+
+  test("overlapJoin validates disjoint column names and binWidth") {
+    val l = Seq((1L, 0L, 1L)).toDF("id", "s", "e")
+    intercept[IllegalArgumentException] {
+      Intervals.overlapJoin(l, col("s"), col("e"), l, col("s"), col("e"), 10L)
+    }
+    val r = Seq((2L, 0L, 1L)).toDF("id2", "s2", "e2")
+    intercept[IllegalArgumentException] {
+      Intervals.overlapJoin(l, col("s"), col("e"), r, col("s2"), col("e2"), 0L)
+    }
+  }
+}
