@@ -209,6 +209,30 @@ object Queries {
     * production operating point (nprobe ≪ nClusters) is the same code on
     * the recall curve.
     */
+  /** The ANGULAR quantized tier: `tier=sq8` under `ORDER BY
+    * array_cosine_similarity DESC LIMIT k` — code-grid integer dot/norm
+    * coarse ranking over the angular cell probe, exact 1 − cos float
+    * refine. Exhaustive probe + covering oversample ⇒ exact, so it shares
+    * vq8's oracle (the vq15/zq4 gate argument on the angular metric).
+    */
+  def vq20CosineTierSq8(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/embeddings.parquet"
+    val ti = IndexManager.ensure(spark, path, "embedding")
+    graft.ivf.Sq8Sidecar.ensure(spark, path, "embedding")
+    Graft.install(spark)
+    spark.conf.set(plans.VectorTopKRule.NprobeKey, ti.nClusters.toString)
+    spark.conf.set(plans.VectorTopKRule.TierKey, "sq8")
+    spark.conf.set(
+      plans.VectorTopKRule.OversampleKey, coveringOversample(spark, path, 10).toString)
+    spark.read.parquet(path).createOrReplaceTempView("graft_embeddings_cos_sq8")
+    val vecLit = queryVec.map(v => s"${v}F").mkString("array(", ", ", ")")
+    spark.sql(
+      s"""SELECT vec_id FROM (
+         |  SELECT vec_id FROM graft_embeddings_cos_sq8
+         |  ORDER BY array_cosine_similarity(embedding, $vecLit) DESC LIMIT 10)
+         |ORDER BY vec_id""".stripMargin)
+  }
+
   def vq8CosineIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val path = s"$sfDir/embeddings.parquet"
     val ti = IndexManager.ensure(spark, path, "embedding")
@@ -2292,6 +2316,7 @@ object Queries {
     "vq15_sql_topk_sq8" -> (vq15SqlTopkSq8 _),
     "vq16_sql_topk_pq" -> (vq16SqlTopkPq _),
     "vq17_filtered_tier_fallback" -> (vq17FilteredTierFallback _),
+    "vq20_cosine_tier_sq8" -> (vq20CosineTierSq8 _),
     "vq5_cosine_topk" -> (vq5CosineTopk _),
     "vq6_knn_join" -> (vq6KnnJoin _),
     "vq11_maxsim_topk" -> (vq11MaxsimTopk _),
@@ -2388,6 +2413,7 @@ object Queries {
     "vq15_sql_topk_sq8" -> vq7Oracle, // covering exactness ⇒ same oracle
     "vq16_sql_topk_pq" -> vq7Oracle, // covering exactness ⇒ same oracle
     "vq17_filtered_tier_fallback" -> vq13Oracle, // fallback must stay exact
+    "vq20_cosine_tier_sq8" -> vq8Oracle, // covering exactness, angular metric
 
     "vq5_cosine_topk" -> vq5Oracle,
     "vq6_knn_join" -> vq6Oracle,

@@ -71,6 +71,29 @@ object Sq8 {
     }
     sum
   }
+
+  /** Approximate angular distance (1 − cos) between two code vectors —
+    * exact integer dot/norms on the grid points, one sqrt at the end. A
+    * COARSE ranking key only (the quantized tier re-ranks survivors with
+    * exact float cosine); zero-norm codes rank last (2.0, the angular
+    * maximum), matching the float kernel's zero-vector convention.
+    */
+  def angularDist(a: Array[Byte], b: Array[Byte]): Double = {
+    var dot = 0L
+    var na = 0L
+    var nb = 0L
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toLong
+      val y = b(i).toLong
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0L || nb == 0L) 2.0
+    else 1.0 - dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+  }
 }
 
 /** `sq8_encode(vec)`: array<float> → 1-byte-per-element binary codes.

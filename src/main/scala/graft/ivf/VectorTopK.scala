@@ -812,7 +812,8 @@ object VectorTopK {
       k: Int,
       options: Options,
       oversample: Int,
-      store: IndexStore): DataFrame = {
+      store: IndexStore,
+      cosine: Boolean = false): DataFrame = {
     import spark.implicits._
     require(k > 0, "k must be > 0")
     require(oversample >= 1, "oversample must be >= 1")
@@ -832,6 +833,7 @@ object VectorTopK {
     val slices = math.max(1, math.min(files.size, sc.defaultParallelism))
     val colName = column
     val nprobe = options.nprobe
+    val angular = cosine
     val qCodes = graft.functions.Sq8.encode(q)
     val keep = math.min(k.toLong * oversample, Int.MaxValue.toLong).toInt
 
@@ -841,21 +843,28 @@ object VectorTopK {
       // ascending at nprobe > 1. readRows requires ascending ordinals (its
       // bounds check and run-coalescing depend on it), and the heap below is
       // order-independent, so sorting here is free of semantic effect.
-      val cands = index.candidateRows(q, nprobe)
+      val cands =
+        if (angular) index.candidateRowsCosine(q, nprobe)
+        else index.candidateRows(q, nprobe)
       java.util.Arrays.sort(cands)
       val codes = Sq8Sidecar.readRows(store.codesPath(file, colName), cands)
       // bounded max-heap of the keep smallest (idist, ri) — deterministic
-      // tie-break on ordinal, like coarseTopK's id tie-break
-      val heap = new java.util.PriorityQueue[(Long, Int)](
+      // tie-break on ordinal, like coarseTopK's id tie-break. L2 keys are
+      // integer distanceSq values (exact in a Double far below 2^53);
+      // angular keys are the code-grid 1 − cos — coarse either way, the
+      // float refine below restores the exact metric.
+      val heap = new java.util.PriorityQueue[(Double, Int)](
         math.max(1, math.min(keep, cands.length)),
-        (a: (Long, Int), b: (Long, Int)) => {
-          val c = java.lang.Long.compare(b._1, a._1)
+        (a: (Double, Int), b: (Double, Int)) => {
+          val c = java.lang.Double.compare(b._1, a._1)
           if (c != 0) c else Integer.compare(b._2, a._2)
         })
       var i = 0
       while (i < cands.length) {
         if (codes(i).length == qCodes.length) {
-          val d = graft.functions.Sq8.distanceSq(qCodes, codes(i))
+          val d =
+            if (angular) graft.functions.Sq8.angularDist(qCodes, codes(i))
+            else graft.functions.Sq8.distanceSq(qCodes, codes(i)).toDouble
           if (heap.size < keep) heap.add((d, cands(i)))
           else {
             val worst = heap.peek()
@@ -866,7 +875,7 @@ object VectorTopK {
         }
         i += 1
       }
-      val out = new scala.collection.mutable.ArrayBuffer[(String, Long, Long)](heap.size)
+      val out = new scala.collection.mutable.ArrayBuffer[(String, Long, Double)](heap.size)
       while (!heap.isEmpty) {
         val (d, ri) = heap.poll()
         out += ((file, ri.toLong, d))
@@ -876,18 +885,22 @@ object VectorTopK {
     val survivors = spark.createDataset(coarse).toDF("_file", "_ri", "_idist")
       .orderBy(col("_idist"), col("_file"), col("_ri"))
       .limit(keep)
-      .as[(String, Long, Long)]
+      .as[(String, Long, Double)]
 
     // refine: re-group survivors per file, selectively read ONLY their
-    // floats, emit exact distances
+    // floats, emit exact distances in the query's metric (1 − cos for
+    // angular, like the float winner feed)
     val refined = survivors
       .groupByKey(_._1)
       .flatMapGroups { (file, rows) =>
         val ordinals = rows.map(_._2.toInt).toArray.sorted
         SelectiveFetch.embeddings(file, colName, ordinals).iterator.collect {
           case (ri, vec) if vec.length == q.length =>
-            (file, ri,
-              math.sqrt(graft.functions.VectorKernels.squaredL2(vec, q).toDouble).toFloat)
+            val d =
+              if (angular) 1.0f - graft.functions.VectorKernels.cosine(vec, q)
+              else math.sqrt(
+                graft.functions.VectorKernels.squaredL2(vec, q).toDouble).toFloat
+            (file, ri, d)
         }
       }
     refined.toDF("_file", "_ri", "_dist")

@@ -291,12 +291,26 @@ object Lexical {
     checkIdCol(idCol)
     require(buckets >= 1, s"writePostings: buckets=$buckets must be >= 1")
     val (post, dft, dl, stats) = corpusArtifacts(docs, idCol, textCol)
+    writeArtifacts(docs.sparkSession, post, dft, dl, stats, prefix, idCol, buckets)
+  }
+
+  /** The table-writing half of [[writePostings]], shared with
+    * [[compactPostings]].
+    */
+  private def writeArtifacts(
+      spark: org.apache.spark.sql.SparkSession,
+      post: DataFrame,
+      dft: DataFrame,
+      dl: DataFrame,
+      stats: DataFrame,
+      prefix: String,
+      idCol: String,
+      buckets: Int): PostingsSnapshot = {
     Layout.writeBucketed(post, s"${prefix}_postings", "_term", buckets)
     Layout.writeBucketed(dft, s"${prefix}_df", "_term", buckets)
     Layout.writeBucketed(dl, s"${prefix}_dl", idCol, buckets)
     // same drop-table-and-stale-location dance as Layout.writeBucketed: a
     // managed table's files outlive the in-memory catalog across sessions
-    val spark = docs.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `${prefix}_stats`")
     val loc = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.defaultTablePath(
@@ -305,6 +319,32 @@ object Lexical {
     if (fs.exists(loc)) fs.delete(loc, true): Unit
     stats.write.format("parquet").mode("overwrite").saveAsTable(s"${prefix}_stats")
     PostingsSnapshot(prefix, idCol, buckets)
+  }
+
+  /** Fold a snapshot's log-structured df/stats deltas (accumulated by
+    * [[appendPostings]]) into a fresh one-row-per-key snapshot under
+    * `newPrefix` — the LSM compaction step, run on a schedule when batch
+    * counts grow. Reads artifacts only (never re-tokenizes the corpus) and
+    * writes to a NEW prefix because the source tables are being read
+    * (blue/green swap: point readers at the new handle, then drop the old
+    * tables).
+    */
+  def compactPostings(
+      spark: org.apache.spark.sql.SparkSession,
+      snapshot: PostingsSnapshot,
+      newPrefix: String): PostingsSnapshot = {
+    require(newPrefix != snapshot.prefix,
+      "compactPostings: newPrefix must differ from the snapshot's prefix — " +
+        "the source tables are being read (blue/green swap)")
+    writeArtifacts(
+      spark,
+      spark.table(s"${snapshot.prefix}_postings"),
+      spark.table(s"${snapshot.prefix}_df")
+        .groupBy(col("_term")).agg(sum(col("_df")).as("_df")),
+      spark.table(s"${snapshot.prefix}_dl"),
+      spark.table(s"${snapshot.prefix}_stats")
+        .agg(sum(col("_n")).as("_n"), sum(col("_sumdl")).as("_sumdl")),
+      newPrefix, snapshot.idCol, snapshot.buckets)
   }
 
   /** Append a batch of NEW documents to a persisted postings artifact —

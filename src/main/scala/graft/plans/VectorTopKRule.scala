@@ -323,8 +323,10 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * {sq8, pq, pqr}, or None to use the float feed. Falls back to float
     * (None) when ANY file lacks a usable code sidecar (absent, stale
     * data-file binding, or — for the residual variant — a dead centroid
-    * epoch), when the query is angular (code distances are L2), or when a
-    * candidate cap is set (the fairness cap is a float-feed construct).
+    * epoch), when a candidate cap is set (the fairness cap is a float-feed
+    * construct), or for ANGULAR queries on the pq/pqr tiers (their ADC
+    * tables are L2; sq8 serves angular queries — code-grid integer
+    * dot/norm coarse ranking, angular cell probe, exact 1 − cos refine).
     * Unknown tier names are refused loudly — a typo silently running float
     * would defeat the point of asking for a tier.
     *
@@ -347,15 +349,16 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     require(
       Set("float", "sq8", "pq", "pqr").contains(tier),
       s"$TierKey must be one of float|sq8|pq|pqr, got '$tier'")
-    if (tier == "float" || cosine || conf(MaxCandidatesKey, "").toIntOption.nonEmpty)
+    if (tier == "float" || conf(MaxCandidatesKey, "").toIntOption.nonEmpty)
       return None
     val oversample = conf(OversampleKey, if (tier == "sq8") "4" else "8").toInt
     val opts = graft.ivf.VectorTopK.Options(nprobe)
     tier match {
       case "sq8" if files.forall(store.existsCodes(_, column)) =>
         Some((graft.ivf.VectorTopK.quantizedWinnersByFiles(
-          spark, files, column, query.toIndexedSeq, k, opts, oversample, store), tier))
-      case "pq" | "pqr" =>
+          spark, files, column, query.toIndexedSeq, k, opts, oversample, store,
+          cosine), tier))
+      case "pq" | "pqr" if !cosine =>
         val residual = tier == "pqr"
         if (files.forall(f => graft.ivf.PqSidecar.usable(store, f, column, residual)))
           Some((graft.ivf.VectorTopK.pqWinnersByFiles(

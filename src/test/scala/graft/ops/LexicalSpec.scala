@@ -169,6 +169,27 @@ class LexicalSpec extends SparkSpec {
     assert(dfRows > 0, "expected log-structured df deltas across batches")
   }
 
+  test("compactPostings folds deltas to one row per key, scores unchanged") {
+    val queries = Seq((0L, "cat fish"), (1L, "dog")).toDF("qid", "qtext")
+    val empty = docs.where(lit(false))
+    val snap = Lexical.writePostings(empty, "id", "text", "graft_spec_cmp", buckets = 4)
+    Lexical.appendPostings(docs.where(col("id") <= 2), snap, "text")
+    Lexical.appendPostings(docs.where(col("id") > 2), snap, "text")
+    val before = Lexical.bm25BulkTopK(spark, snap, queries, "qid", "qtext", k = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    val compacted = Lexical.compactPostings(spark, snap, "graft_spec_cmp2")
+    val after = Lexical.bm25BulkTopK(spark, compacted, queries, "qid", "qtext", k = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(after == before)
+    // folded: exactly one df row per term, one stats row
+    assert(spark.table("graft_spec_cmp2_df")
+      .groupBy("_term").count().where(col("count") > 1).count() == 0)
+    assert(spark.table("graft_spec_cmp2_stats").count() == 1)
+    intercept[IllegalArgumentException] {
+      Lexical.compactPostings(spark, snap, snap.prefix)
+    }
+  }
+
   test("streaming PostingsIngest replays to the same snapshot scores") {
     val queries = Seq((0L, "cat fish"), (1L, "dog")).toDF("qid", "qtext")
     val direct = Lexical.bm25BulkTopK(docs, "id", "text", queries, "qid", "qtext", k = 10)
