@@ -233,6 +233,28 @@ object Queries {
          |ORDER BY vec_id""".stripMargin)
   }
 
+  /** The angular pq tier: reconstruction-cosine coarse ranking from
+    * per-(subspace, entry) dot/norm tables; same covering-exactness gate
+    * as vq20, same oracle as vq8.
+    */
+  def vq21CosineTierPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/embeddings.parquet"
+    val ti = IndexManager.ensure(spark, path, "embedding")
+    graft.ivf.PqSidecar.ensure(spark, path, "embedding", m = 8)
+    Graft.install(spark)
+    spark.conf.set(plans.VectorTopKRule.NprobeKey, ti.nClusters.toString)
+    spark.conf.set(plans.VectorTopKRule.TierKey, "pq")
+    spark.conf.set(
+      plans.VectorTopKRule.OversampleKey, coveringOversample(spark, path, 10).toString)
+    spark.read.parquet(path).createOrReplaceTempView("graft_embeddings_cos_pq")
+    val vecLit = queryVec.map(v => s"${v}F").mkString("array(", ", ", ")")
+    spark.sql(
+      s"""SELECT vec_id FROM (
+         |  SELECT vec_id FROM graft_embeddings_cos_pq
+         |  ORDER BY array_cosine_similarity(embedding, $vecLit) DESC LIMIT 10)
+         |ORDER BY vec_id""".stripMargin)
+  }
+
   def vq8CosineIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val path = s"$sfDir/embeddings.parquet"
     val ti = IndexManager.ensure(spark, path, "embedding")
@@ -2317,6 +2339,7 @@ object Queries {
     "vq16_sql_topk_pq" -> (vq16SqlTopkPq _),
     "vq17_filtered_tier_fallback" -> (vq17FilteredTierFallback _),
     "vq20_cosine_tier_sq8" -> (vq20CosineTierSq8 _),
+    "vq21_cosine_tier_pq" -> (vq21CosineTierPq _),
     "vq5_cosine_topk" -> (vq5CosineTopk _),
     "vq6_knn_join" -> (vq6KnnJoin _),
     "vq11_maxsim_topk" -> (vq11MaxsimTopk _),
@@ -2414,6 +2437,7 @@ object Queries {
     "vq16_sql_topk_pq" -> vq7Oracle, // covering exactness ⇒ same oracle
     "vq17_filtered_tier_fallback" -> vq13Oracle, // fallback must stay exact
     "vq20_cosine_tier_sq8" -> vq8Oracle, // covering exactness, angular metric
+    "vq21_cosine_tier_pq" -> vq8Oracle, // covering exactness, angular metric
 
     "vq5_cosine_topk" -> vq5Oracle,
     "vq6_knn_join" -> vq6Oracle,

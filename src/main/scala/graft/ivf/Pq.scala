@@ -141,6 +141,64 @@ object Pq {
     table
   }
 
+  /** Per-(subspace, entry) inner products `dot(x_sub_s, centroid_{s,c})` —
+    * the ANGULAR twin of [[adcTable]]: summed over a code via
+    * [[adcDistanceSq]] it yields `dot(x, decode(code))` exactly (subspaces
+    * partition the coordinates, so cross terms are zero). Used with the
+    * query for the dot half of code-space cosine, and with a CELL centroid
+    * for the residual variant's cross term.
+    */
+  def dotTable(x: Array[Float], cb: Codebook): Array[Float] = {
+    require(x.length == cb.dim, s"vector dim ${x.length} != codebook dim ${cb.dim}")
+    val table = new Array[Float](cb.m * cb.ksub)
+    var s = 0
+    while (s < cb.m) {
+      val base = s * cb.ksub * cb.dsub
+      var c = 0
+      while (c < cb.ksub) {
+        val off = base + c * cb.dsub
+        var d = 0.0f
+        var j = 0
+        while (j < cb.dsub) {
+          d += x(s * cb.dsub + j) * cb.centroids(off + j)
+          j += 1
+        }
+        table(s * cb.ksub + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    table
+  }
+
+  /** Per-(subspace, entry) squared norms `‖centroid_{s,c}‖²`: summed over a
+    * code via [[adcDistanceSq]] it yields `‖decode(code)‖²` exactly — the
+    * reconstruction-norm half of code-space cosine. Query-independent
+    * (one pass per codebook per task).
+    */
+  def normTable(cb: Codebook): Array[Float] = {
+    val table = new Array[Float](cb.m * cb.ksub)
+    var s = 0
+    while (s < cb.m) {
+      val base = s * cb.ksub * cb.dsub
+      var c = 0
+      while (c < cb.ksub) {
+        val off = base + c * cb.dsub
+        var d = 0.0f
+        var j = 0
+        while (j < cb.dsub) {
+          val v = cb.centroids(off + j)
+          d += v * v
+          j += 1
+        }
+        table(s * cb.ksub + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    table
+  }
+
   /** Approximate squared distance query→code: `m` lookups + adds. Equals
     * the exact squared L2 between the query and [[decode]](code) up to f32
     * summation order.

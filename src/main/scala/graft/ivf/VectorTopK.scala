@@ -938,7 +938,8 @@ object VectorTopK {
       options: Options,
       oversample: Int,
       store: IndexStore,
-      residual: Boolean): DataFrame = {
+      residual: Boolean,
+      cosine: Boolean = false): DataFrame = {
     import spark.implicits._
     require(k > 0, "k must be > 0")
     require(oversample >= 1, "oversample must be >= 1")
@@ -961,6 +962,8 @@ object VectorTopK {
     val nprobe = options.nprobe
     val keep = math.min(k.toLong * oversample, Int.MaxValue.toLong).toInt
     val wantResidual = residual
+    val angular = cosine
+    val qNorm = math.sqrt(graft.functions.VectorKernels.dot(q, q).toDouble)
 
     val coarse = sc.parallelize(files, slices).flatMap { file =>
       val index = IndexManager.loadIndex(store, file, colName)
@@ -1003,6 +1006,13 @@ object VectorTopK {
           }
         }
       }
+      // code-space 1 − cos from per-(subspace, entry) tables: dot(q, x̂) and
+      // ‖x̂‖² are EXACT sums over the code (subspaces partition coordinates),
+      // so the only approximation is x̂ itself — coarse ranking, the float
+      // refine restores the true metric
+      def angularKey(dot: Double, normSq: Double): Float =
+        if (qNorm == 0.0 || normSq <= 0.0) 2.0f
+        else (1.0 - dot / (qNorm * math.sqrt(normSq))).toFloat
       try {
         if (header.residual) {
           // IVF-ADC: codes quantize vec − cellCentroid, so the ADC table is
@@ -1010,29 +1020,65 @@ object VectorTopK {
           // ‖q − x‖² = ‖(q − c) − (x − c)‖² — no approximation added); each
           // posting list is ascending, so the per-cell read still coalesces
           val dim = index.dim
-          index.findClosestCentroids(q, nprobe).foreach { cell =>
+          val normT = if (angular) Pq.normTable(cb) else null
+          val dotT = if (angular) Pq.dotTable(q, cb) else null
+          val cells =
+            if (angular) index.findClosestCentroidsCosine(q, nprobe)
+            else index.findClosestCentroids(q, nprobe)
+          cells.foreach { cell =>
             val ords = index.invertedLists(cell)
             if (ords.nonEmpty) {
               val codes = reader.rows(ords)
               val cent = java.util.Arrays
                 .copyOfRange(index.centroids, cell * dim, (cell + 1) * dim)
-              val table = Pq.adcTable(Pq.residual(q, cent), cb)
-              var i = 0
-              while (i < ords.length) {
-                push(Pq.adcDistanceSq(table, codes(i), cb.ksub), ords(i))
-                i += 1
+              if (angular) {
+                // x̂ = cell + r̂: dot(q, x̂) = dot(q, cell) + Σ dotT[code];
+                // ‖x̂‖² = ‖cell‖² + 2·Σ crossT[code] + Σ normT[code]
+                val qDotCell = graft.functions.VectorKernels.dot(q, cent).toDouble
+                val cellNormSq = graft.functions.VectorKernels.dot(cent, cent).toDouble
+                val crossT = Pq.dotTable(cent, cb)
+                var i = 0
+                while (i < ords.length) {
+                  val dot = qDotCell + Pq.adcDistanceSq(dotT, codes(i), cb.ksub)
+                  val n2 = cellNormSq +
+                    2.0 * Pq.adcDistanceSq(crossT, codes(i), cb.ksub) +
+                    Pq.adcDistanceSq(normT, codes(i), cb.ksub)
+                  push(angularKey(dot, n2), ords(i))
+                  i += 1
+                }
+              } else {
+                val table = Pq.adcTable(Pq.residual(q, cent), cb)
+                var i = 0
+                while (i < ords.length) {
+                  push(Pq.adcDistanceSq(table, codes(i), cb.ksub), ords(i))
+                  i += 1
+                }
               }
             }
           }
         } else {
-          val cands = index.candidateRows(q, nprobe)
+          val cands =
+            if (angular) index.candidateRowsCosine(q, nprobe)
+            else index.candidateRows(q, nprobe)
           java.util.Arrays.sort(cands)
           val codes = reader.rows(cands)
-          val table = Pq.adcTable(q, cb)
-          var i = 0
-          while (i < cands.length) {
-            push(Pq.adcDistanceSq(table, codes(i), cb.ksub), cands(i))
-            i += 1
+          if (angular) {
+            val dotT = Pq.dotTable(q, cb)
+            val normT = Pq.normTable(cb)
+            var i = 0
+            while (i < cands.length) {
+              val dot = Pq.adcDistanceSq(dotT, codes(i), cb.ksub).toDouble
+              val n2 = Pq.adcDistanceSq(normT, codes(i), cb.ksub).toDouble
+              push(angularKey(dot, n2), cands(i))
+              i += 1
+            }
+          } else {
+            val table = Pq.adcTable(q, cb)
+            var i = 0
+            while (i < cands.length) {
+              push(Pq.adcDistanceSq(table, codes(i), cb.ksub), cands(i))
+              i += 1
+            }
           }
         }
       } finally reader.close()
@@ -1054,8 +1100,11 @@ object VectorTopK {
         val ordinals = rows.map(_._2.toInt).toArray.sorted
         SelectiveFetch.embeddings(file, colName, ordinals).iterator.collect {
           case (ri, vec) if vec.length == q.length =>
-            (file, ri,
-              math.sqrt(graft.functions.VectorKernels.squaredL2(vec, q).toDouble).toFloat)
+            val d =
+              if (angular) 1.0f - graft.functions.VectorKernels.cosine(vec, q)
+              else math.sqrt(
+                graft.functions.VectorKernels.squaredL2(vec, q).toDouble).toFloat
+            (file, ri, d)
         }
       }
     refined.toDF("_file", "_ri", "_dist")

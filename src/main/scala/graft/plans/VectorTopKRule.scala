@@ -323,12 +323,14 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * {sq8, pq, pqr}, or None to use the float feed. Falls back to float
     * (None) when ANY file lacks a usable code sidecar (absent, stale
     * data-file binding, or — for the residual variant — a dead centroid
-    * epoch), when a candidate cap is set (the fairness cap is a float-feed
-    * construct), or for ANGULAR queries on the pq/pqr tiers (their ADC
-    * tables are L2; sq8 serves angular queries — code-grid integer
-    * dot/norm coarse ranking, angular cell probe, exact 1 − cos refine).
-    * Unknown tier names are refused loudly — a typo silently running float
-    * would defeat the point of asking for a tier.
+    * epoch), or when a candidate cap is set (the fairness cap is a
+    * float-feed construct). ANGULAR queries ride every tier: sq8 ranks by
+    * code-grid integer dot/norms, pq/pqr by per-(subspace, entry)
+    * dot/norm/cross tables (`Pq.dotTable`/`normTable` — exact
+    * reconstruction cosine of x̂), all over the angular cell probe with an
+    * exact 1 − cos float refine. Unknown tier names are refused loudly —
+    * a typo silently running float would defeat the point of asking for a
+    * tier.
     *
     * The feed's `k·oversample` survivors carry EXACT refined distances, so
     * the winner selection and the untouched Sort above rank consistently;
@@ -358,12 +360,12 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
         Some((graft.ivf.VectorTopK.quantizedWinnersByFiles(
           spark, files, column, query.toIndexedSeq, k, opts, oversample, store,
           cosine), tier))
-      case "pq" | "pqr" if !cosine =>
+      case "pq" | "pqr" =>
         val residual = tier == "pqr"
         if (files.forall(f => graft.ivf.PqSidecar.usable(store, f, column, residual)))
           Some((graft.ivf.VectorTopK.pqWinnersByFiles(
             spark, files, column, query.toIndexedSeq, k, opts, oversample, store,
-            residual), tier))
+            residual, cosine), tier))
         else None
       case _ => None
     }

@@ -131,11 +131,11 @@ class QuantizedTierSpec extends SparkSpec {
     }
   }
 
-  test("cosine queries fall back to float on the pq/pqr tiers (ADC tables are L2)") {
+  test("cosine queries ride the pq/pqr tiers (reconstruction-cosine coarse), exact at covering settings") {
     register()
     for (tier <- Seq("pq", "pqr")) withTier(tier) {
       val df = sqlTopk("tier_vecs", order = "DESC", fn = "array_cosine_similarity")
-      assert(tierOf(df).contains("float"), s"tier=$tier tag: ${tierOf(df)}")
+      assert(tierOf(df).contains(tier), s"tier=$tier tag: ${tierOf(df)}")
       assert(df.collect().map(_.getLong(0)).toSeq ==
         bruteIds("tier_vecs", "DESC", "array_cosine_similarity"))
     }
