@@ -943,6 +943,54 @@ object Queries {
       .simhashNearDupPairs(t(spark, sfDir, "documents"), "doc_id", "text")
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Dedup-scheme evaluation ([[ops.Dedup.pairQuality]]): exact-text dup
+    * pairs scored against the near-dup truth set — how much near-duplicate
+    * mass exact dedup misses, as one (counts, precision, recall, f1) row.
+    * The Spark truth side is the minhash pair set, which dq2 proves equals
+    * the all-pairs jaccard set on this corpus; the oracle recomputes both
+    * sides from scratch (text self-join; all-pairs jaccard) with the same
+    * ratio arithmetic, so the gate is exact.
+    */
+  def dq10PairQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val found = docs.as("a")
+      .join(
+        docs.as("b"),
+        col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val truth = ops.Dedup.minhashNearDupPairs(docs, "doc_id", "text")
+    ops.Dedup.pairQuality(found, truth)
+  }
+
+  val dq10Oracle: String =
+    s"""$duckShingleCte,
+       |truth AS (
+       |  SELECT DISTINCT a.doc_id pa, b.doc_id pb
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+       |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5),
+       |found AS (
+       |  SELECT DISTINCT a.doc_id pa, b.doc_id pb
+       |  FROM documents a JOIN documents b
+       |    ON a.text = b.text AND a.doc_id < b.doc_id),
+       |counts AS (
+       |  SELECT
+       |    (SELECT CAST(count(*) AS BIGINT) FROM found) n_found,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM truth) n_truth,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM found JOIN truth
+       |       ON found.pa = truth.pa AND found.pb = truth.pb) n_hit),
+       |ratios AS (
+       |  SELECT n_found, n_truth, n_hit,
+       |    CASE WHEN n_found = 0 THEN 0.0
+       |         ELSE n_hit::DOUBLE / n_found END AS precision,
+       |    CASE WHEN n_truth = 0 THEN 0.0
+       |         ELSE n_hit::DOUBLE / n_truth END AS recall
+       |  FROM counts)
+       |SELECT n_found, n_truth, n_hit, precision, recall,
+       |  CASE WHEN precision + recall = 0.0 THEN 0.0
+       |       ELSE 2.0 * precision * recall / (precision + recall) END AS f1
+       |FROM ratios""".stripMargin
+
   def dq4InvIndexNearDup(spark: SparkSession, sfDir: String): DataFrame =
     ops.Dedup
       .invertedIndexNearDupPairs(t(spark, sfDir, "documents"), "doc_id", "text")
@@ -2371,6 +2419,7 @@ object Queries {
     "dq2_minhash_neardup" -> (dq2MinhashNearDup _),
     "dq3_simhash_neardup" -> (dq3SimhashNearDup _),
     "dq4_invindex_neardup" -> (dq4InvIndexNearDup _),
+    "dq10_pair_quality" -> (dq10PairQuality _),
     "dq5_embed_neardup" -> (dq5EmbedNearDup _),
     "sd1_semdedup" -> (sd1SemDedup _),
     "dq6_hash_split" -> (dq6HashSplit _),
@@ -2471,6 +2520,7 @@ object Queries {
     "dq2_minhash_neardup" -> duckNearDupOracle,
     "dq3_simhash_neardup" -> duckNearDupOracle,
     "dq4_invindex_neardup" -> duckNearDupOracle,
+    "dq10_pair_quality" -> dq10Oracle,
     "dq5_embed_neardup" -> dq5Oracle,
     "sd1_semdedup" -> sd1Oracle,
     "sq3_ivf_cell_pairs_exact" -> sq3Oracle,

@@ -542,6 +542,51 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Candidate-scheme evaluation: precision / recall / F1 of a found pair
+    * set against a truth pair set — the harness for judging a dedup
+    * strategy's recall on a labeled (or exhaustively computed) sample, the
+    * dedup twin of [[graft.ivf.Recall]] for ANN. Pairs are canonicalized
+    * to (min, max) and deduplicated on both sides first, so orientation
+    * and duplicate emissions don't skew counts. One row:
+    * `(n_found, n_truth, n_hit, precision, recall, f1)` — counts are
+    * exact; the ratios are 0.0 when their denominator is 0 (empty side),
+    * and F1 is 0.0 when precision + recall is 0.
+    *
+    * Scale shape: two distincts + one equi-join on the pair key — run it
+    * on a sampled stratum at 100 TB, which is how recall is estimated in
+    * practice anyway.
+    */
+  def pairQuality(
+      found: DataFrame,
+      truth: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b"): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df.select(
+      least(col(aCol), col(bCol)).as("_pa"),
+      greatest(col(aCol), col(bCol)).as("_pb"))
+      .distinct()
+    val f = canon(found)
+    val t = canon(truth)
+    val hits = f.join(t, Seq("_pa", "_pb")).agg(count(lit(1)).as("n_hit"))
+    val nf = f.agg(count(lit(1)).as("n_found"))
+    val nt = t.agg(count(lit(1)).as("n_truth"))
+    nf.crossJoin(nt).crossJoin(hits)
+      .withColumn(
+        "precision",
+        when(col("n_found") === 0, 0.0)
+          .otherwise(col("n_hit").cast("double") / col("n_found")))
+      .withColumn(
+        "recall",
+        when(col("n_truth") === 0, 0.0)
+          .otherwise(col("n_hit").cast("double") / col("n_truth")))
+      .withColumn(
+        "f1",
+        when(col("precision") + col("recall") === 0.0, 0.0)
+          .otherwise(
+            lit(2.0) * col("precision") * col("recall") /
+              (col("precision") + col("recall"))))
+  }
+
   /** Corpus minus non-representative cluster members: drops every doc whose
     * `cluster_id` differs from its own id (anti-join — docs in no cluster
     * pass through untouched). The end-to-end near-dup dedup is
@@ -774,6 +819,7 @@ private[ops] object GroupPairEnumerator {
       if (out == null) {
         spillFile = java.io.File.createTempFile("graft-simhash-mass", ".bin")
         val sf = spillFile
+        sf.deleteOnExit() // fallback when no TaskContext (direct JVM use)
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ => { sf.delete(); () }))
         out = new java.io.DataOutputStream(

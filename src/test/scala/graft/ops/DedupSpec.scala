@@ -93,6 +93,21 @@ class DedupSpec extends SparkSpec {
     assert(clusters.count(_._1 >= 100L) == 30)
   }
 
+  test("pairQuality: canonicalization, exact counts, zero-denominator conventions") {
+    val found = Seq((2L, 1L), (1L, 2L), (3L, 4L), (9L, 8L)).toDF("doc_a", "doc_b")
+    val truth = Seq((1L, 2L), (4L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val r = Dedup.pairQuality(found, truth)
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    // found canonicalizes+dedups to {(1,2),(3,4),(8,9)}; hits = {(1,2),(3,4)}
+    assert(r._1 == 3 && r._2 == 3 && r._3 == 2)
+    assert(r._4 == 2.0 / 3 && r._5 == 2.0 / 3)
+    assert(math.abs(r._6 - 2.0 / 3) < 1e-15)
+    val empty = found.where(lit(false))
+    val z = Dedup.pairQuality(empty, truth)
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(z._1 == 0 && z._3 == 0 && z._4 == 0.0 && z._5 == 0.0 && z._6 == 0.0)
+  }
+
   test("simhash64 is deterministic and insensitive to small perturbation") {
     val h = docs.select(Dedup.simhash64(split(col("text"), " ")).as("h"))
       .as[Long].collect()
