@@ -1381,6 +1381,30 @@ object Queries {
     * threshold signal, vs dc1's any-gram binary). Counts are integers and
     * the fraction is an exact rational rounded to 6 — the ratio idiom.
     */
+  /** Semantic decontamination
+    * ([[ops.Decontaminate.semanticContaminatedIds]]): training embeddings
+    * within cosine 0.3 of any eval-slice embedding — the paraphrase-leakage
+    * guard. Broadcast nested-loop exact form (the dq5-style bounded-input
+    * oracle shape; [[ops.Similarity.ivfKnnJoin]] is the documented scale
+    * path); min boundary margin on this fixture is 1.3e-4, orders above
+    * float32 cross-engine noise.
+    */
+  def dc3SemanticDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    ops.Decontaminate
+      .semanticContaminatedIds(
+        emb.where(col("vec_id") % 50 =!= 0),
+        emb.where(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", threshold = 0.3)
+      .orderBy(col("vec_id"))
+  }
+
+  val dc3Oracle: String =
+    """SELECT DISTINCT a.vec_id FROM embeddings a JOIN embeddings b
+      |  ON a.vec_id % 50 <> 0 AND b.vec_id % 50 = 0
+      | AND list_cosine_similarity(a.embedding::FLOAT[], b.embedding::FLOAT[]) >= 0.3
+      |ORDER BY a.vec_id""".stripMargin
+
   def dc2OverlapFrac(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents")
     ops.Decontaminate
@@ -2438,6 +2462,7 @@ object Queries {
     "tq9_repetition" -> (tq9Repetition _),
     "dc1_decontam" -> (dc1Decontam _),
     "dc2_overlap_frac" -> (dc2OverlapFrac _),
+    "dc3_semantic_decontam" -> (dc3SemanticDecontam _),
     "pq1_quality_filter" -> (pq1QualityFilter _),
     "pq2_stratified_sample" -> (pq2StratifiedSample _),
     "mx1_mix_weights" -> (mx1MixWeights _),
@@ -2540,6 +2565,7 @@ object Queries {
     "tq9_repetition" -> tq9Oracle,
     "dc1_decontam" -> dc1Oracle,
     "dc2_overlap_frac" -> dc2Oracle,
+    "dc3_semantic_decontam" -> dc3Oracle,
     "pq1_quality_filter" -> pq1Oracle,
     "pq2_stratified_sample" -> pq2Oracle,
     "mx1_mix_weights" -> mx1Oracle,

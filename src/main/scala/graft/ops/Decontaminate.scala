@@ -134,4 +134,47 @@ object Decontaminate {
       .select(idCol)
     docs.join(dropIds, Seq(idCol), "left_anti")
   }
+
+  /** SEMANTIC contamination: training rows whose embedding is within
+    * cosine `threshold` of ANY eval embedding — the paraphrase-leakage
+    * guard n-gram rules miss (reworded eval questions share no 8-grams but
+    * sit next to the eval set in embedding space). Exact form: the eval
+    * side broadcasts (eval sets are small next to a training corpus) into
+    * a nested-loop SEMI join — |train| × |eval| cosine evaluations, the
+    * right exact shape when eval is thousands of rows, and the form the
+    * oracle gates (dc3).
+    *
+    * At 100 TB with a large eval set, generate candidates with the
+    * existing index machinery instead: [[Similarity.ivfKnnJoin]] with the
+    * eval side as queries (cell-bucketed equi-join candidates), filter
+    * `cosine >= threshold`, anti-join the ids — the same
+    * exact-at-exhaustive-probe trade documented there.
+    */
+  def semanticContaminatedIds(
+      train: DataFrame,
+      evalDf: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > -1.0 && threshold <= 1.0, s"threshold=$threshold not in (-1, 1]")
+    train
+      .join(
+        broadcast(evalDf.select(col(vecCol).as("_evec"))),
+        graft.functions.array_cosine_similarity(col(vecCol), col("_evec"))
+          >= threshold,
+        "left_semi")
+      .select(idCol)
+      .distinct()
+  }
+
+  /** `train` minus semantically contaminated rows. */
+  def semanticDecontaminate(
+      train: DataFrame,
+      evalDf: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame =
+    train.join(
+      semanticContaminatedIds(train, evalDf, idCol, vecCol, threshold),
+      Seq(idCol), "left_anti")
 }
