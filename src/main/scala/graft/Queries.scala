@@ -2368,6 +2368,91 @@ object Queries {
       .select(col("vec_id"))
   }
 
+  /** The FULL curation pipeline, round-7 edition — six stages composed the
+    * way a production training-data job chains them, each stage
+    * individually oracled elsewhere: exact dedup (dq1) → n-gram
+    * decontamination vs the held-out eval slice (dc1) → Gopher rule
+    * filter (pq1) → linear-classifier filter (pq4) → mixture rebalance to
+    * target language weights computed on the SURVIVORS (mx1) →
+    * deterministic exact-k eval draw per language (pq5). One oracled
+    * query; the oracle recomputes all six stages in one SQL chain, so any
+    * drift in stage order or semantics breaks the hash.
+    */
+  def cq3FullCuration(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val train = docs.where(col("doc_id") % 50 =!= 0)
+    val evalDocs = docs.where(col("doc_id") % 50 === 0)
+    val deduped = train
+      .groupBy(col("text"))
+      .agg(
+        min(col("doc_id")).as("doc_id"),
+        min_by(col("lang"), col("doc_id")).as("lang"))
+    val clean = ops.Decontaminate
+      .decontaminate(deduped, evalDocs, "doc_id", "text", n = 4)
+    val q = clean.where(
+      ops.TextAnalysis.qualityKeep(col("text")) &&
+        ops.TextAnalysis.linearKeep(col("text"), bowWeights, bowBiasFp))
+    val mixed = ops.Corpus.mixToWeights(q, col("doc_id"), col("lang"), mixWeights)
+    ops.Corpus
+      .stratifiedExactK(mixed, col("doc_id"), col("lang"), 5)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val cq3Oracle: String = {
+    val caseW = mixWeights.toSeq.sortBy(_._1)
+      .map { case (s, w) => s"WHEN '$s' THEN $w" }
+      .mkString("CASE lang ", " ", " END")
+    val values = bowWeights.zipWithIndex
+      .map { case (w, b) => s"($b, ${w}::BIGINT)" }
+      .mkString(", ")
+    s"""WITH train AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+       |ev AS (SELECT * FROM documents WHERE doc_id % 50 = 0),
+       |dedup AS (SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
+       |                 text FROM train GROUP BY text),
+       |dw AS (SELECT doc_id, lang,
+       |              regexp_split_to_array(trim(text), '\\s+') AS ws FROM dedup),
+       |ew AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS ws FROM ev),
+       |dg AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+3], ' ') AS g
+       |       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 3)) AS i FROM dw)),
+       |eg AS (SELECT DISTINCT array_to_string(ws[i:i+3], ' ') AS g
+       |       FROM (SELECT ws, unnest(generate_series(1, len(ws) - 3)) AS i FROM ew)),
+       |cont AS (SELECT DISTINCT doc_id FROM dg JOIN eg USING (g)),
+       |clean AS (SELECT dw.doc_id, dw.lang, dw.ws FROM dw
+       |          WHERE dw.doc_id NOT IN (SELECT doc_id FROM cont)),
+       |bc AS (
+       |  SELECT doc_id, g, count(*) AS c
+       |  FROM (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS g
+       |        FROM (SELECT doc_id, ws,
+       |                unnest(generate_series(1, len(ws) - 1)) AS i FROM clean))
+       |  GROUP BY 1, 2),
+       |br AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS r FROM bc GROUP BY 1),
+       |wts(b, wt) AS (VALUES $values),
+       |tok AS (SELECT doc_id, len(ws) AS n, unnest(ws) AS t FROM clean),
+       |cls AS (SELECT tok.doc_id, any_value(tok.n) AS n, sum(wts.wt) AS s
+       |        FROM tok JOIN wts
+       |          ON wts.b = ('0x' || substr(md5(tok.t), 1, 8))::BIGINT % $bowD
+       |        GROUP BY tok.doc_id),
+       |q AS (SELECT c.doc_id, c.lang FROM clean c
+       |      LEFT JOIN br USING (doc_id) JOIN cls USING (doc_id)
+       |      WHERE len(c.ws) BETWEEN 20 AND 90
+       |        AND len(list_distinct(c.ws))::DOUBLE / len(c.ws) >= 0.32
+       |        AND coalesce(br.r, 0) <= 0.07
+       |        AND cls.n * $bowBiasFp + cls.s >= 0),
+       |c2 AS (SELECT lang, CAST(count(*) AS BIGINT) AS c, $caseW AS w
+       |       FROM q WHERE ($caseW) IS NOT NULL GROUP BY lang),
+       |t2 AS (SELECT min(c / w) AS t FROM c2),
+       |a2 AS (SELECT lang, CAST(greatest(floor(w * t / c * 256), 1) AS INT) AS allow
+       |       FROM c2, t2),
+       |mixed AS (SELECT q.doc_id, q.lang FROM q JOIN a2 USING (lang)
+       |          WHERE ('0x' || substr(md5(q.doc_id::VARCHAR), 1, 2))::INT < allow)
+       |SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang, row_number() OVER (
+       |    PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+       |  FROM mixed)
+       |WHERE rn <= 5 ORDER BY doc_id""".stripMargin
+  }
+
   /** Streaming postings ingestion ([[streaming.PostingsIngest]]): the
     * documents table replayed as a 4-file stream, each micro-batch
     * appending its postings/df/dl/stats deltas into the bucketed snapshot
@@ -2471,6 +2556,7 @@ object Queries {
     "pq5_stratified_exactk" -> (pq5StratifiedExactK _),
     "cq1_curation_pipeline" -> (cq1CurationPipeline _),
     "cq2_neardup_curation" -> (cq2NearDupCuration _),
+    "cq3_full_curation" -> (cq3FullCuration _),
     "vb1_top_ngrams" -> (vb1TopNgrams _),
     "bm1_bm25_topk" -> (bm1Bm25Topk _),
     "bq1_bm25_bulk" -> (bq1Bm25Bulk _),
@@ -2574,6 +2660,7 @@ object Queries {
     "pq5_stratified_exactk" -> pq5Oracle,
     "cq1_curation_pipeline" -> cq1Oracle,
     "cq2_neardup_curation" -> cq2Oracle,
+    "cq3_full_curation" -> cq3Oracle,
     "vb1_top_ngrams" -> vb1Oracle,
     "bm1_bm25_topk" -> bm1Oracle,
     "bq1_bm25_bulk" -> bq1Oracle,
