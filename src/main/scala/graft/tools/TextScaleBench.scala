@@ -159,10 +159,22 @@ object TextScaleBench {
     val nPairs =
       try minhashPairs().count()
       catch { case _: Throwable => -1L }
+    // candidate-scheme quality at scale: simhash's verified pairs scored
+    // against the minhash set (both jaccard-verified, so this measures the
+    // CANDIDATE recall difference — e.g. the degenerate-mass star-pair
+    // concession) via the Dedup.pairQuality harness
+    val (shP, shR) =
+      try {
+        val r = graft.ops.Dedup
+          .pairQuality(simhashPairs(), minhashPairs())
+          .select("precision", "recall")
+          .head()
+        (r.getDouble(0), r.getDouble(1))
+      } catch { case _: Throwable => (-1.0, -1.0) }
 
     val qs = results.map { case (n, v) => "\"" + n + "\":" + v }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"text_scale_probe","rows":$rows,"unit":"sec","queries":$qs,"gen_time":$genTime,"n_docs":$nDocs,"n_distinct_text":$nDistinctText,"neardup_pairs":$nPairs}""")
+      s"""{"metric":"text_scale_probe","rows":$rows,"unit":"sec","queries":$qs,"gen_time":$genTime,"n_docs":$nDocs,"n_distinct_text":$nDistinctText,"neardup_pairs":$nPairs,"simhash_vs_minhash_precision":$shP,"simhash_vs_minhash_recall":$shR}""")
     spark.stop()
   }
 }
