@@ -311,6 +311,37 @@ object Queries {
     * winner-first payload fetch) at exhaustive probe — exact, so it shares
     * vq8's DuckDB cosine oracle.
     */
+  /** Programmatic angular quantized twins ([[VectorTopK
+    * .indexedQuantizedCosine]] / [[VectorTopK.indexedPqCosine]]): the API
+    * forms of the vq20/vq21 SQL tiers, exhaustive probe + covering
+    * oversample ⇒ exact, sharing vq8's oracle.
+    */
+  def vq22QuantizedCosineApi(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/embeddings.parquet"
+    val ti = IndexManager.ensure(spark, path, "embedding")
+    graft.ivf.Sq8Sidecar.ensure(spark, path, "embedding")
+    VectorTopK
+      .indexedQuantizedCosine(
+        spark, path, "embedding", queryVec, 10,
+        VectorTopK.Options(nprobe = ti.nClusters),
+        oversample = coveringOversample(spark, path, 10))
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  def vq23PqCosineApi(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/embeddings.parquet"
+    val ti = IndexManager.ensure(spark, path, "embedding")
+    graft.ivf.PqSidecar.ensure(spark, path, "embedding", m = 8)
+    VectorTopK
+      .indexedPqCosine(
+        spark, path, "embedding", queryVec, 10,
+        VectorTopK.Options(nprobe = ti.nClusters),
+        oversample = coveringOversample(spark, path, 10))
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
   def vq14CosineApi(spark: SparkSession, sfDir: String): DataFrame = {
     val path = s"$sfDir/embeddings.parquet"
     val ti = IndexManager.ensure(spark, path, "embedding")
@@ -2497,6 +2528,8 @@ object Queries {
     "vq17_filtered_tier_fallback" -> (vq17FilteredTierFallback _),
     "vq20_cosine_tier_sq8" -> (vq20CosineTierSq8 _),
     "vq21_cosine_tier_pq" -> (vq21CosineTierPq _),
+    "vq22_quantized_cosine_api" -> (vq22QuantizedCosineApi _),
+    "vq23_pq_cosine_api" -> (vq23PqCosineApi _),
     "vq5_cosine_topk" -> (vq5CosineTopk _),
     "vq6_knn_join" -> (vq6KnnJoin _),
     "vq11_maxsim_topk" -> (vq11MaxsimTopk _),
@@ -2598,6 +2631,8 @@ object Queries {
     "vq17_filtered_tier_fallback" -> vq13Oracle, // fallback must stay exact
     "vq20_cosine_tier_sq8" -> vq8Oracle, // covering exactness, angular metric
     "vq21_cosine_tier_pq" -> vq8Oracle, // covering exactness, angular metric
+    "vq22_quantized_cosine_api" -> vq8Oracle, // covering exactness, angular metric
+    "vq23_pq_cosine_api" -> vq8Oracle, // covering exactness, angular metric
 
     "vq5_cosine_topk" -> vq5Oracle,
     "vq6_knn_join" -> vq6Oracle,

@@ -795,10 +795,11 @@ object VectorTopK {
       k: Int,
       options: Options,
       oversample: Int,
-      store: IndexStore): DataFrame =
+      store: IndexStore,
+      cosine: Boolean = false): DataFrame =
     quantizedWinnersByFiles(
       spark, IndexManager.listFiles(spark, path), column, query, k, options,
-      oversample, store)
+      oversample, store, cosine)
 
   /** File-list form of the SQ8 winner feed — the SQL rewrite rule calls this
     * directly with the scan's (already enumerated) file set when
@@ -921,10 +922,11 @@ object VectorTopK {
       options: Options,
       oversample: Int,
       store: IndexStore,
-      residual: Boolean): DataFrame =
+      residual: Boolean,
+      cosine: Boolean = false): DataFrame =
     pqWinnersByFiles(
       spark, IndexManager.listFiles(spark, path), column, query, k, options,
-      oversample, store, residual)
+      oversample, store, residual, cosine)
 
   /** File-list form of the PQ/ADC winner feed — the SQL rewrite rule calls
     * this directly when `spark.graft.ivf.tier=pq` (or `pqr`).
@@ -1193,5 +1195,89 @@ object VectorTopK {
     winnersThenFetch(
       spark, path, column, query, k,
       quantizedWinners(spark, path, column, query, k, options, oversample, store))
+  }
+
+  /** Angular twin of [[searchQuantized]] ([[searchCosine]]'s result
+    * convention: `distance` = 1 − cos, ascending): angular cell probe,
+    * code-grid integer dot/norm coarse ranking, exact float 1 − cos
+    * re-rank of the `k·oversample` survivors — the programmatic form of
+    * the SQL tier's vq20 path, same exactness argument.
+    */
+  def searchQuantizedCosine(
+      spark: SparkSession,
+      path: String,
+      column: String,
+      query: Seq[Float],
+      k: Int,
+      options: Options = Options(),
+      oversample: Int = 4,
+      store: IndexStore = IndexStore.default): Dataset[SearchResult] = {
+    import spark.implicits._
+    quantizedWinners(
+      spark, path, column, query, k, options, oversample, store, cosine = true)
+      .select(col("_ri").as("row_idx"), col("_dist").as("distance"))
+      .orderBy(col("distance").asc_nulls_last)
+      .limit(k)
+      .as[SearchResult]
+  }
+
+  /** Angular twin of [[indexedQuantized]]: payload rows of the k most
+    * cosine-similar vectors via the quantized angular winner feed.
+    */
+  def indexedQuantizedCosine(
+      spark: SparkSession,
+      path: String,
+      column: String,
+      query: Seq[Float],
+      k: Int,
+      options: Options = Options(),
+      oversample: Int = 4,
+      store: IndexStore = IndexStore.default): DataFrame = {
+    winnersThenFetch(
+      spark, path, column, query, k,
+      quantizedWinners(
+        spark, path, column, query, k, options, oversample, store, cosine = true))
+  }
+
+  /** Angular twin of [[searchPq]]: reconstruction-cosine coarse ranking
+    * from per-(subspace, entry) dot/norm(/cross) tables, exact float
+    * 1 − cos re-rank — the programmatic form of the SQL tier's vq21 path.
+    */
+  def searchPqCosine(
+      spark: SparkSession,
+      path: String,
+      column: String,
+      query: Seq[Float],
+      k: Int,
+      options: Options = Options(),
+      oversample: Int = 8,
+      store: IndexStore = IndexStore.default,
+      residual: Boolean = false): Dataset[SearchResult] = {
+    import spark.implicits._
+    pqWinners(
+      spark, path, column, query, k, options, oversample, store, residual,
+      cosine = true)
+      .select(col("_ri").as("row_idx"), col("_dist").as("distance"))
+      .orderBy(col("distance").asc_nulls_last)
+      .limit(k)
+      .as[SearchResult]
+  }
+
+  /** Angular twin of [[indexedPq]]. */
+  def indexedPqCosine(
+      spark: SparkSession,
+      path: String,
+      column: String,
+      query: Seq[Float],
+      k: Int,
+      options: Options = Options(),
+      oversample: Int = 8,
+      store: IndexStore = IndexStore.default,
+      residual: Boolean = false): DataFrame = {
+    winnersThenFetch(
+      spark, path, column, query, k,
+      pqWinners(
+        spark, path, column, query, k, options, oversample, store, residual,
+        cosine = true))
   }
 }
