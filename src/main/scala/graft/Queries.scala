@@ -1687,6 +1687,24 @@ object Queries {
     * features, codegen'd scoring pass, BIGINT exactness — is what is being
     * gated).
     */
+  /** Unicode normalization ([[ops.TextAnalysis.normalizeText]]): NFC +
+    * ROOT lowercase over the corpus, oracled against DuckDB's
+    * `lower(nfc_normalize(...))`. The fixture is ASCII, so the oracle
+    * gates the plumbing + engine agreement on it; the Unicode semantics
+    * (composition forms, accent stripping) are pinned by the spec's
+    * non-ASCII fixtures.
+    */
+  def tq10Normalize(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        ops.TextAnalysis.normalizeText(col("text")).as("norm"))
+      .orderBy(col("doc_id"))
+
+  val tq10Oracle: String =
+    """SELECT doc_id, lower(nfc_normalize(text)) AS norm
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def pq4LinearQuality(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "documents")
       .select(
@@ -2578,6 +2596,7 @@ object Queries {
     "tq7_token_stats" -> (tq7TokenStats _),
     "tq8_pack" -> (tq8Pack _),
     "tq9_repetition" -> (tq9Repetition _),
+    "tq10_normalize" -> (tq10Normalize _),
     "dc1_decontam" -> (dc1Decontam _),
     "dc2_overlap_frac" -> (dc2OverlapFrac _),
     "dc3_semantic_decontam" -> (dc3SemanticDecontam _),
@@ -2684,6 +2703,7 @@ object Queries {
     "tq7_token_stats" -> tq7Oracle,
     "tq8_pack" -> tq8Oracle,
     "tq9_repetition" -> tq9Oracle,
+    "tq10_normalize" -> tq10Oracle,
     "dc1_decontam" -> dc1Oracle,
     "dc2_overlap_frac" -> dc2Oracle,
     "dc3_semantic_decontam" -> dc3Oracle,

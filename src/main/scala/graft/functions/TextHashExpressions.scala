@@ -99,6 +99,30 @@ object TextHash {
   /** Kernel behind `marker_counts` (also called from generated code): one
     * tokenization pass, one membership probe per (token, vocabulary).
     */
+  private val CombiningMarks = java.util.regex.Pattern.compile("\\p{M}+")
+
+  /** Kernel behind `normalize_text` (also called from generated code):
+    * Unicode NFC normalization, optional accent stripping (NFD → drop
+    * combining marks → NFC recompose), optional ROOT-locale lowercasing —
+    * the standard text-preprocessing normal form (CCNet-style), applied
+    * BEFORE hashing/shingling so byte-different encodings of the same
+    * text dedup together. SQL-oracle counterpart:
+    * `lower(nfc_normalize(text))` (accent stripping is engine-variant,
+    * spec-gated on Unicode fixtures instead).
+    */
+  def normalizeText(
+      text: UTF8String, lower: Boolean, stripAccents: Boolean): UTF8String = {
+    var s = java.text.Normalizer.normalize(
+      text.toString, java.text.Normalizer.Form.NFC)
+    if (stripAccents) {
+      s = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+      s = CombiningMarks.matcher(s).replaceAll("")
+      s = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    }
+    if (lower) s = s.toLowerCase(java.util.Locale.ROOT)
+    UTF8String.fromString(s)
+  }
+
   def markerCounts(text: UTF8String, sets: Array[java.util.HashSet[String]]): ArrayData = {
     val counts = new Array[Int](sets.length)
     val toks = text.toString.trim.split("\\s+")
@@ -328,6 +352,24 @@ case class LinearBowScore(child: Expression, weights: Array[Long])
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.TextHash.linearBowScore($c, $w);")
   }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `normalize_text(text)`: Unicode NFC + optional accent strip + optional
+  * ROOT-locale lowercase; see [[TextHash.normalizeText]].
+  */
+case class NormalizeText(child: Expression, lower: Boolean, stripAccents: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_text"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.normalizeText(input.asInstanceOf[UTF8String], lower, stripAccents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHash.normalizeText($c, $lower, $stripAccents);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

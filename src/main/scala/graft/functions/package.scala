@@ -52,6 +52,10 @@ package object functions {
   def linear_bow_score(text: Column, weights: Array[Long]): Column =
     col(LinearBowScore(expr(text), weights))
 
+  def normalize_text(
+      text: Column, lower: Boolean = true, stripAccents: Boolean = false): Column =
+    col(NormalizeText(expr(text), lower, stripAccents))
+
   def marker_counts(text: Column, vocabularies: Seq[Seq[String]]): Column =
     col(MarkerCounts(expr(text), vocabularies))
 

@@ -62,6 +62,20 @@ object TextAnalysis {
       minDistinctRatio: Double = 0.32,
       maxTopBigramRatio: Double = 0.07)
 
+  /** Unicode text normalization — the preprocessing normal form applied
+    * BEFORE hashing/shingling so byte-different encodings of the same text
+    * dedup together: NFC composition, optional accent stripping
+    * (NFD → drop combining marks → NFC), optional ROOT-locale lowercase.
+    * One codegen'd projection; SQL-oracle counterpart
+    * `lower(nfc_normalize(text))` (accent-strip semantics are
+    * engine-variant and spec-gated on Unicode fixtures instead).
+    */
+  def normalizeText(
+      text: Column,
+      lower: Boolean = true,
+      stripAccents: Boolean = false): Column =
+    graft.functions.normalize_text(text, lower, stripAccents)
+
   /** Model-based quality scoring: a linear bag-of-words classifier in
     * fixed-point integer arithmetic (the fastText/CCNet shape — hashed
     * token features, one weight per bucket, mean-pooled logit). `weights`

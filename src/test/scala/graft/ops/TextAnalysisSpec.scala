@@ -88,6 +88,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Int]("n_punct") == 1)
   }
 
+  test("normalizeText: NFC composition, accent strip, ROOT lowercase on Unicode fixtures") {
+    // "Café" with a precomposed é vs e + COMBINING ACUTE — NFC unifies them
+    val composed = "Café"
+    val decomposed = "Cafe\u0301" // e + COMBINING ACUTE ACCENT
+    val df = Seq(
+      (1L, composed),
+      (2L, decomposed),
+      (3L, "STRASSE ß"), // ROOT lower keeps ß (no locale expansion)
+      (4L, "naïve ÉCOLE")).toDF("id", "text")
+    val norm = df.select(col("id"),
+      TextAnalysis.normalizeText(col("text")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(norm(1L) == norm(2L), "NFC must unify composition forms")
+    assert(norm(1L) == "café")
+    assert(norm(3L) == "strasse ß")
+    val stripped = df.select(col("id"),
+      TextAnalysis.normalizeText(col("text"), stripAccents = true).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(stripped(1L) == "cafe" && stripped(2L) == "cafe")
+    assert(stripped(4L) == "naive ecole")
+    // case-preserving variant
+    val kept = df.select(
+      TextAnalysis.normalizeText(col("text"), lower = false).as("n"))
+      .as[String].collect()
+    assert(kept.contains(composed))
+  }
+
   test("linearScore matches an independent SQL md5-bucket derivation; keep rule is the logit sign") {
     val weights = Array.tabulate(64)(i => (((i * 2654435761L) % 1003L) - 501L) * 100L)
     val bias = 700L
