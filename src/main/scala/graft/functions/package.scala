@@ -124,9 +124,20 @@ package object functions {
         (cs: Seq[Expression]) => Sq8Codes(cs(0))),
       ("sq8_distance_sq", "Integer squared L2 between two SQ8 code vectors",
         (cs: Seq[Expression]) => Sq8DistanceSq(cs(0), cs(1))),
+      ("normalize_text", "Unicode NFC + optional accent strip + ROOT lowercase",
+        (cs: Seq[Expression]) => NormalizeText(
+          cs(0),
+          lower = if (cs.length > 1) boolArg(cs, 1, "normalize_text") else true,
+          stripAccents = if (cs.length > 2) boolArg(cs, 2, "normalize_text") else false)),
     ).map { case (name, _, builder) =>
       (FunctionIdentifier(name), new ExpressionInfo("graft.functions", name), builder)
     }
+
+  private def boolArg(cs: Seq[Expression], i: Int, fn: String): Boolean = cs(i) match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn argument ${i + 1} must be a boolean literal, got $other")
+  }
 
   private def intArg(cs: Seq[Expression], i: Int, fn: String): Int = cs(i) match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v

@@ -113,6 +113,15 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.normalizeText(col("text"), lower = false).as("n"))
       .as[String].collect()
     assert(kept.contains(composed))
+    // registered SQL form agrees (defaults and explicit literals)
+    graft.functions.registerAll(spark)
+    df.createOrReplaceTempView("norm_docs")
+    val viaSql = spark.sql(
+      "SELECT id, normalize_text(text), normalize_text(text, true, true) " +
+        "FROM norm_docs ORDER BY id")
+      .as[(Long, String, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(viaSql(1L) == (("café", "cafe")))
   }
 
   test("linearScore matches an independent SQL md5-bucket derivation; keep rule is the logit sign") {
