@@ -1587,6 +1587,49 @@ object Queries {
       |      < (CASE WHEN lang = 'en' THEN 128 ELSE 192 END)
       |ORDER BY doc_id""".stripMargin
 
+  /** Group-wise best-k ([[ops.Corpus.topKByGroup]]): the 4 highest-scoring
+    * docs per language under the pq4 classifier logit (doc_id tie-break) —
+    * "keep the best documents per domain", with the oracle recomputing the
+    * classifier sum and the same window rule. Exact BIGINT scores make the
+    * ordering engine-identical.
+    */
+  def pq6TopKByGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    ops.Corpus
+      .topKByGroup(
+        docs.select(
+          col("doc_id"), col("lang"),
+          ops.TextAnalysis.linearLogitFp(col("text"), bowWeights, bowBiasFp)
+            .as("logit_fp")),
+        col("lang"), col("logit_fp"), col("doc_id"), 4)
+      .select(col("doc_id"), col("lang"), col("logit_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val pq6Oracle: String = {
+    val values = bowWeights.zipWithIndex
+      .map { case (w, b) => s"($b, ${w}::BIGINT)" }
+      .mkString(", ")
+    s"""WITH wts(b, wt) AS (VALUES $values),
+       |toks AS (
+       |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') tk
+       |  FROM documents),
+       |tok AS (SELECT doc_id, len(tk) AS n, unnest(tk) AS t FROM toks),
+       |scored AS (
+       |  SELECT tok.doc_id, any_value(tok.n) AS n, sum(wts.wt) AS s
+       |  FROM tok JOIN wts
+       |    ON wts.b = ('0x' || substr(md5(tok.t), 1, 8))::BIGINT % $bowD
+       |  GROUP BY tok.doc_id),
+       |lg AS (SELECT toks.doc_id, toks.lang,
+       |              CAST(scored.n * $bowBiasFp + scored.s AS BIGINT) AS logit_fp
+       |       FROM toks JOIN scored USING (doc_id))
+       |SELECT doc_id, lang, logit_fp FROM (
+       |  SELECT doc_id, lang, logit_fp, row_number() OVER (
+       |    PARTITION BY lang ORDER BY logit_fp DESC, doc_id ASC) AS rn
+       |  FROM lg)
+       |WHERE rn <= 4 ORDER BY doc_id""".stripMargin
+  }
+
   /** Deterministic exact-k per-stratum sample
     * ([[ops.Corpus.stratifiedExactK]]): exactly 7 docs per language by the
     * content-addressed (md5(id), id) order — the oracle runs the identical
@@ -2606,6 +2649,7 @@ object Queries {
     "pq3_pii_scrub" -> (pq3PiiScrub _),
     "pq4_linear_quality" -> (pq4LinearQuality _),
     "pq5_stratified_exactk" -> (pq5StratifiedExactK _),
+    "pq6_topk_per_group" -> (pq6TopKByGroup _),
     "cq1_curation_pipeline" -> (cq1CurationPipeline _),
     "cq2_neardup_curation" -> (cq2NearDupCuration _),
     "cq3_full_curation" -> (cq3FullCuration _),
@@ -2713,6 +2757,7 @@ object Queries {
     "pq3_pii_scrub" -> pq3Oracle,
     "pq4_linear_quality" -> pq4Oracle,
     "pq5_stratified_exactk" -> pq5Oracle,
+    "pq6_topk_per_group" -> pq6Oracle,
     "cq1_curation_pipeline" -> cq1Oracle,
     "cq2_neardup_curation" -> cq2Oracle,
     "cq3_full_curation" -> cq3Oracle,

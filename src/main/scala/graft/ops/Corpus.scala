@@ -128,6 +128,27 @@ object Corpus {
       .drop("_rn")
   }
 
+  /** Group-wise top-k selection: the k rows of each group with the LARGEST
+    * `scoreCol`, ties broken by ascending `keyCol` — "keep the best k
+    * documents per source/domain by quality score", the score-ordered twin
+    * of [[stratifiedExactK]] (same one-window-sort-per-group shape and the
+    * same determinism argument: total order ⇒ identical draw under any
+    * partitioning).
+    */
+  def topKByGroup(
+      df: DataFrame,
+      groupCol: Column,
+      scoreCol: Column,
+      keyCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"topKByGroup: k=$k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(scoreCol.desc, keyCol.asc)
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .drop("_rn")
+  }
+
   /** Deterministic mixture resampling: downsample strata so the realized
     * proportions approximate `weights` (a training-mixture rebalance, e.g.
     * "40% en / 20% de / …"). No stratum is upsampled: the output total is

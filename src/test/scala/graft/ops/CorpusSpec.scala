@@ -144,6 +144,21 @@ class CorpusSpec extends SparkSpec {
     assert(byLang("en") == enExpected)
   }
 
+  test("topKByGroup keeps the k best per group with deterministic tie-break") {
+    val docs = Seq(
+      (1L, "en", 50L), (2L, "en", 90L), (3L, "en", 90L), (4L, "en", 10L),
+      (5L, "de", 7L), (6L, "de", 3L)).toDF("id", "lang", "score")
+    val kept = Corpus
+      .topKByGroup(docs, col("lang"), col("score"), col("id"), 2)
+      .select("id").as[Long].collect().toSet
+    // en: scores 90,90,50,10 -> ids 2,3 (tie at 90 keeps smaller ids first)
+    assert(kept == Set(2L, 3L, 5L, 6L))
+    val one = Corpus
+      .topKByGroup(docs.repartition(5), col("lang"), col("score"), col("id"), 1)
+      .select("id").as[Long].collect().toSet
+    assert(one == Set(2L, 5L))
+  }
+
   test("mixToWeights drops unlisted strata and validates weights") {
     val docs = spark.range(0, 300).toDF("id")
       .withColumn("lang", when(col("id") % 3 === 0, "en")
