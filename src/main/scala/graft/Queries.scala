@@ -2545,6 +2545,43 @@ object Queries {
        |WHERE rn <= 5 ORDER BY doc_id""".stripMargin
   }
 
+  /** Stream-static interval join: the odd-event interval table is STATIC,
+    * even events arrive as a stream, and [[ops.Intervals.overlapJoin]]
+    * runs UNCHANGED on the streaming side — the bin explode is a pure
+    * projection and the bin-key equi-join is a supported stream-static
+    * inner join, so the pair-once rule and exact overlap predicate carry
+    * over (no dedup state needed). Replayed to completion it must equal
+    * the batch result — shares iq1's oracle.
+    */
+  def st9StreamIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val minuteNs = 60000000000L
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = t(spark, sfDir, "events").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .where(col("event_id") % 2 === 0)
+      .select(
+        col("event_id").as("a_id"),
+        col("ts").as("a_s"),
+        (col("ts") + (col("event_id") % 7 + 1) * minuteNs).as("a_e"))
+    val b = eventsRaw(spark, sfDir)
+      .where(col("event_id") % 2 === 1)
+      .select(
+        col("event_id").as("b_id"),
+        col("ts").as("b_s"),
+        (col("ts") + (col("event_id") % 5 + 1) * minuteNs).as("b_e"))
+    val joined = ops.Intervals
+      .overlapJoin(
+        stream, col("a_s"), col("a_e"), b, col("b_s"), col("b_e"),
+        binWidth = 5L * minuteNs)
+      .select(col("a_id"), col("b_id"))
+    streaming.EventStreams
+      .replayToTable(spark, joined, OutputMode.Append(),
+        statePartitions = Some(ReplayStatePartitions))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Streaming postings ingestion ([[streaming.PostingsIngest]]): the
     * documents table replayed as a 4-file stream, each micro-batch
     * appending its postings/df/dl/stats deltas into the bucketed snapshot
@@ -2676,6 +2713,7 @@ object Queries {
     "st6_stream_cross_dedup" -> (st6StreamCrossDedup _),
     "st7_stream_index_ingest" -> (st7StreamIndexIngest _),
     "st8_stream_postings_ingest" -> (st8StreamPostingsIngest _),
+    "st9_stream_interval_join" -> (st9StreamIntervalJoin _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2783,6 +2821,7 @@ object Queries {
     "st6_stream_cross_dedup" -> dx1Oracle,
     "st7_stream_index_ingest" -> vq1Oracle, // exhaustive search == brute
     "st8_stream_postings_ingest" -> bq1Oracle, // replayed snapshot == batch scores
+    "st9_stream_interval_join" -> iq1Oracle, // replay == batch interval join
 
   )
 }
