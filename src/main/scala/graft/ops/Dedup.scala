@@ -113,6 +113,7 @@ object Dedup {
       maxBucketSize: Long = 200L,
       starPivots: Int = 16): DataFrame = {
     require(starPivots >= 1, s"starPivots must be >= 1, got $starPivots")
+    requireIntegralId(df, idCol, "minhashNearDupPairs")
     val spark = df.sparkSession
     import spark.implicits._
     val bufCap = math.min(maxBucketSize, Int.MaxValue - 8L).toInt
@@ -160,6 +161,7 @@ object Dedup {
       threshold: Double = 0.5,
       maxDocFreq: Long = 1000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    requireIntegralId(df, idCol, "invertedIndexNearDupPairs")
     val docs = df
       .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
       .where(size(col("sh")) > 0)
@@ -383,6 +385,7 @@ object Dedup {
       starPivots: Int = 16): DataFrame = {
     require(starPivots >= 1, s"starPivots must be >= 1, got $starPivots")
     require(64 % numBlocks == 0, "numBlocks must divide 64")
+    requireIntegralId(df, idCol, "simhashNearDupPairs")
     val spark = df.sparkSession
     import spark.implicits._
     val blockBits = 64 / numBlocks
@@ -740,6 +743,23 @@ object Dedup {
       .withColumn(textCol, array_join(transform(col("_kept"), _.getField("t")), " "))
       .drop("_span_id", "_spans", "_kept")
   }
+
+  /** The group-then-enumerate candidate paths key [[GroupPairEnumerator]]
+    * on `idCol` cast to long, so the id must be integral: a string/UUID id
+    * would cast to null (opaque NPE in the tuple encoder), a float/decimal
+    * would silently truncate and could collide distinct ids into wrong
+    * pairs. Fail at plan time with an actionable message instead.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(idCol).dataType
+    require(
+      Set[org.apache.spark.sql.types.DataType](
+        ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$op: id column '$idCol' must be an integral type (byte/short/int/long), " +
+        s"got ${dt.simpleString}; hash or zip non-numeric ids to a long first " +
+        "(e.g. xxhash64(id), or monotonically_increasing_id with a mapping table)")
+  }
 }
 
 /** Per-group candidate-pair enumeration shared by the bucketed near-dup
@@ -753,6 +773,9 @@ object Dedup {
 private[ops] object GroupPairEnumerator {
 
   import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Spark's `xxhash64(...)` default seed — pivot selection here is
     * bit-identical to the former expression-based star branch.
@@ -783,7 +806,10 @@ private[ops] object GroupPairEnumerator {
         var j = i + 1
         while (j < buf.length) {
           val (ib, sb) = buf(j)
-          if (java.lang.Long.bitCount(sa ^ sb) <= hammingMax) {
+          // ia != ib: duplicate-id input rows must not become (x, x)
+          // self-pairs (the mass path and the former strict-< join both
+          // guard this; the verify would score them 1.0 and emit them)
+          if (ia != ib && java.lang.Long.bitCount(sa ^ sb) <= hammingMax) {
             out += ((math.min(ia, ib), math.max(ia, ib)))
           }
           j += 1
@@ -819,9 +845,14 @@ private[ops] object GroupPairEnumerator {
       if (out == null) {
         spillFile = java.io.File.createTempFile("graft-simhash-mass", ".bin")
         val sf = spillFile
-        sf.deleteOnExit() // fallback when no TaskContext (direct JVM use)
-        Option(org.apache.spark.TaskContext.get()).foreach(
-          _.addTaskCompletionListener[Unit](_ => { sf.delete(); () }))
+        org.apache.spark.TaskContext.get() match {
+          case null => sf.deleteOnExit() // direct JVM use: no task lifecycle
+          case tc =>
+            // deleteOnExit entries are JVM-lifetime and never removable — a
+            // long-running executor would accumulate one per mass. The task
+            // listener alone covers the Spark path.
+            tc.addTaskCompletionListener[Unit](_ => { sf.delete(); () }): Unit
+        }
         out = new java.io.DataOutputStream(
           new java.io.BufferedOutputStream(new java.io.FileOutputStream(sf)))
       }
@@ -833,6 +864,16 @@ private[ops] object GroupPairEnumerator {
       n += 1
     }
     if (out != null) out.close()
+    // surface the recall concession instead of capping silently: a caller
+    // watching executor logs sees WHICH run conceded and how big the mass
+    // was (review advice, round 7 — the cap is default-on for all three
+    // near-dup paths, so its firing must be observable)
+    log.warn(
+      s"degenerate bucket of $n members exceeds the all-pairs cap " +
+        s"(${buf.length - 1}); emitting member×pivot star pairs " +
+        s"(~$starPivots pivots) — direct non-pivot pair recall inside " +
+        "this mass is conceded (precision unaffected; the mass stays one " +
+        "component for clustering through its pivots)")
     val p = math.max(n / starPivots, 1L)
     def isPivot(id: Long): Boolean = {
       val h = XXH64.hashLong(id, Seed)

@@ -40,6 +40,40 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 2L || b == 2L })
   }
 
+  test("non-integral id columns fail fast with an actionable message") {
+    // the group-then-enumerate paths key on the id cast to long: a string
+    // id would cast to null (encoder NPE), a double would truncate and
+    // could merge distinct ids — the contract is validated at plan time
+    val stringIds = docs.withColumn("doc_id", concat(lit("d"), col("doc_id")))
+    val doubleIds = docs.withColumn("doc_id", col("doc_id").cast("double"))
+    for (bad <- Seq(stringIds, doubleIds)) {
+      val e1 = intercept[IllegalArgumentException](
+        Dedup.minhashNearDupPairs(bad, "doc_id", "text"))
+      assert(e1.getMessage.contains("must be an integral type"))
+      val e2 = intercept[IllegalArgumentException](
+        Dedup.simhashNearDupPairs(bad, "doc_id", "text"))
+      assert(e2.getMessage.contains("doc_id"))
+      val e3 = intercept[IllegalArgumentException](
+        Dedup.invertedIndexNearDupPairs(bad, "doc_id", "text"))
+      assert(e3.getMessage.contains("integral"))
+    }
+    // int ids remain accepted (widening cast is lossless)
+    val intIds = docs.withColumn("doc_id", col("doc_id").cast("int"))
+    assert(Dedup.minhashNearDupPairs(intIds, "doc_id", "text", bands = 64)
+      .count() > 0)
+  }
+
+  test("duplicate id rows do not emit self-pairs") {
+    // the same doc ingested twice (dup ROWS, same id) must not surface as
+    // a (x, x) near-dup pair from the small-bucket enumeration path
+    val dupRows = docs.union(docs.where(col("doc_id") === 0L))
+    val pairs = Dedup
+      .minhashNearDupPairs(dupRows, "doc_id", "text", threshold = 0.5, bands = 64)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.forall { case (a, b) => a != b })
+    assert(pairs.contains((0L, 3L)))
+  }
+
   test("simhash and inverted-index pairs agree with minhash on this corpus") {
     val expected = Set((0L, 1L), (0L, 3L), (1L, 3L))
     val sim = Dedup.simhashNearDupPairs(docs, "doc_id", "text")

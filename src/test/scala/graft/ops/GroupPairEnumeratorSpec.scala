@@ -60,4 +60,17 @@ class GroupPairEnumeratorSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(pairs(Nil, cap = 10).isEmpty)
     assert(pairs(Seq((7L, 1L)), cap = 10).isEmpty)
   }
+
+  test("duplicate-id rows never emit a (x, x) self-pair on either path") {
+    // small-bucket path: the same id twice (duplicate input rows) must be
+    // skipped, matching the mass path's m != pivot guard and the former
+    // strict-< join (review advice, round 7)
+    assert(pairs(Seq((5L, 0L), (5L, 0L)), cap = 10).isEmpty)
+    assert(
+      pairs(Seq((5L, 0L), (5L, 0L), (9L, 0L)), cap = 10) == Set((5L, 9L)))
+    // mass path: duplicates across the spill boundary
+    val dup = Seq.tabulate(300)(i => ((i % 150).toLong, 0L))
+    val got = pairs(dup, cap = 50, starPivots = 2)
+    assert(got.forall { case (a, b) => a != b })
+  }
 }
