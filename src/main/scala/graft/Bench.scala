@@ -233,6 +233,23 @@ object Bench {
     val headlineTotal = headline.map(resultMap).filter(_ >= 0).sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline":$hs,"headline_total":$headlineTotal,"recall_at100_nprobe16":$recall,"cosine_recall_at100_nprobe16":$cosineRecall,"cell_pair_recall_probe4":$cellPairRecall,"knn_join_recall_probe4":$knnJoinRecall,"maxsim_recall_probe4":$maxsimRecall,"index_cache_hits":$cacheHits,"index_cache_misses":$cacheMisses}""")
+
+    // Quality floors for the two no-oracle ANN operating points (sq2 /
+    // va1): their recall is a deterministic function of the fixture and the
+    // index (no RNG at a fixed corpus), so a dip below floor is a code
+    // regression, not noise. Floors sit just under the stable measured
+    // bands (0.64 / 0.475 across rounds 6-7) the way the judge's 2× rule
+    // sits over the baseline timings. The bench prints its JSON first —
+    // the driver always gets the numbers — then fails loudly.
+    val gateFailures = Seq(
+      ("cell_pair_recall_probe4", cellPairRecall, 0.55),
+      ("knn_join_recall_probe4", knnJoinRecall, 0.40)).collect {
+      case (name, v, floor) if v >= 0 && v < floor =>
+        f"$name=$v%.3f below floor $floor"
+    }
+    require(
+      gateFailures.isEmpty,
+      s"recall floor gate FAILED: ${gateFailures.mkString("; ")}")
     spark.stop()
   }
 }

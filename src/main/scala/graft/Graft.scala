@@ -1,6 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{IntegerType, StringType}
 
 /** Engine installation: SQL functions + (as they land) optimizer rules.
   *
@@ -12,9 +16,53 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 object Graft {
   def install(spark: SparkSession): SparkSession = {
     functions.registerAll(spark)
+    tableFunctions.foreach { case (ident, info, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(ident, info, builder)
+    }
     plans.VectorTopKRule.install(spark)
     installStrategy(spark)
     spark
+  }
+
+  /** SQL TABLE functions — the lexical-retrieval surface (the vector side
+    * is SQL-transparent through [[plans.VectorTopKRule]]; BM25 has no plan
+    * shape to rewrite, so it gets a table-valued entry point instead):
+    *
+    * `SELECT * FROM bm25_topk('<table>', '<id_col>', '<text_col>',
+    * '<query text>', k)` → the top-k `(id, score_e9)` rows of
+    * [[ops.Lexical.bm25TopK]], query terms = the DISTINCT whitespace tokens
+    * of the query string (the engine-wide [[ops.TextAnalysis.tokens]]
+    * contract). All arguments must be literals: the builder runs at
+    * ANALYSIS time and resolves the table by name from the active session's
+    * catalog (temp views included).
+    */
+  private[graft] val tableFunctions: Seq[
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] = {
+    def strArg(cs: Seq[Expression], i: Int): String = cs(i) match {
+      case Literal(s, StringType) if s != null => s.toString
+      case other => throw new IllegalArgumentException(
+        s"bm25_topk argument ${i + 1} must be a string literal, got $other")
+    }
+    def intArg(cs: Seq[Expression], i: Int): Int = cs(i) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"bm25_topk argument ${i + 1} must be an integer literal, got $other")
+    }
+    Seq((
+      FunctionIdentifier("bm25_topk"),
+      new ExpressionInfo("graft.ops", "bm25_topk"),
+      (cs: Seq[Expression]) => {
+        require(
+          cs.length == 5,
+          s"bm25_topk expects (table, id_col, text_col, query_text, k), got ${cs.length} args")
+        val spark = SparkSession.active
+        val terms = strArg(cs, 3).trim.split("\\s+").toSeq.filter(_.nonEmpty).distinct
+        ops.Lexical
+          .bm25TopK(
+            spark.table(strArg(cs, 0)), strArg(cs, 1), strArg(cs, 2), terms,
+            intArg(cs, 4))
+          .queryExecution.analyzed
+      }))
   }
 
   /** Planner strategy for the custom candidate-scan node (idempotent). */
@@ -31,6 +79,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     functions.registry.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    Graft.tableFunctions.foreach(ext.injectTableFunction)
     ext.injectOptimizerRule(s => plans.VectorTopKRule(s))
     ext.injectPlannerStrategy(_ => plans.GraftStrategy)
   }

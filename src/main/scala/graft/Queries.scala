@@ -411,11 +411,74 @@ object Queries {
     Graft.install(spark)
     spark.conf.set(plans.VectorTopKRule.NprobeKey, ti.nClusters.toString)
     spark.conf.set(plans.VectorTopKRule.TierKey, "pq")
+    // pin the opt-in OFF: this entry gates the fallback (tier ignored
+    // under a Filter), and vq24/vq25 set the key true earlier in a shared
+    // session
+    spark.conf.set(plans.VectorTopKRule.FilteredTierKey, "false")
     spark.read.parquet(path).createOrReplaceTempView("graft_embeddings_ftier")
     val vecLit = queryVec.map(v => s"${v}F").mkString("array(", ", ", ")")
     spark.sql(
       s"""SELECT vec_id FROM (
          |  SELECT vec_id FROM graft_embeddings_ftier
+         |  WHERE label >= 5
+         |  ORDER BY array_cosine_similarity(embedding, $vecLit) DESC LIMIT 10)
+         |ORDER BY vec_id""".stripMargin)
+  }
+
+  /** The FILTERED quantized shape's exactness gate: vq3's query (predicate
+    * + L2 top-k) served SQL-transparently with `tier=sq8` under the
+    * `filteredTier` opt-in — the k·oversample coarse-ranked survivors feed
+    * the semi-join, the untouched Filter re-applies the predicate, the
+    * untouched Sort re-ranks exactly. Exhaustive nprobe + covering
+    * oversample make the survivor feed ALL candidates, so the result is
+    * exact and shares vq3's oracle (the same gate construction as
+    * vq15/vq16).
+    */
+  def vq24FilteredTierSq8(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/embeddings.parquet"
+    val ti = IndexManager.ensure(spark, path, "embedding")
+    graft.ivf.Sq8Sidecar.ensure(spark, path, "embedding")
+    Graft.install(spark)
+    spark.conf.set(plans.VectorTopKRule.NprobeKey, ti.nClusters.toString)
+    spark.conf.set(plans.VectorTopKRule.TierKey, "sq8")
+    spark.conf.set(plans.VectorTopKRule.FilteredTierKey, "true")
+    spark.conf.set(
+      plans.VectorTopKRule.OversampleKey, coveringOversample(spark, path, 10).toString)
+    spark.read.parquet(path).createOrReplaceTempView("graft_embeddings_fsq8")
+    val vecLit = queryVec.map(v => s"${v}F").mkString("array(", ", ", ")")
+    spark.sql(
+      s"""SELECT vec_id FROM (
+         |  SELECT vec_id FROM graft_embeddings_fsq8
+         |  WHERE label >= 5
+         |  ORDER BY array_distance(embedding, $vecLit) ASC LIMIT 10)
+         |ORDER BY vec_id""".stripMargin)
+  }
+
+  val vq24Oracle: String =
+    s"""SELECT vec_id FROM (
+       |  SELECT vec_id FROM embeddings WHERE label >= 5
+       |  ORDER BY list_distance(embedding::FLOAT[], $duckVecLit) ASC LIMIT 10)
+       |ORDER BY vec_id""".stripMargin
+
+  /** vq17's query (filtered angular top-k) under `tier=pq` WITH the
+    * `filteredTier` opt-in — the filtered+cosine+quantized corner of the
+    * matrix; covering settings ⇒ exact, shares vq13's oracle.
+    */
+  def vq25FilteredTierPqCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/embeddings.parquet"
+    val ti = IndexManager.ensure(spark, path, "embedding")
+    graft.ivf.PqSidecar.ensure(spark, path, "embedding", m = 8)
+    Graft.install(spark)
+    spark.conf.set(plans.VectorTopKRule.NprobeKey, ti.nClusters.toString)
+    spark.conf.set(plans.VectorTopKRule.TierKey, "pq")
+    spark.conf.set(plans.VectorTopKRule.FilteredTierKey, "true")
+    spark.conf.set(
+      plans.VectorTopKRule.OversampleKey, coveringOversample(spark, path, 10).toString)
+    spark.read.parquet(path).createOrReplaceTempView("graft_embeddings_fpq")
+    val vecLit = queryVec.map(v => s"${v}F").mkString("array(", ", ", ")")
+    spark.sql(
+      s"""SELECT vec_id FROM (
+         |  SELECT vec_id FROM graft_embeddings_fpq
          |  WHERE label >= 5
          |  ORDER BY array_cosine_similarity(embedding, $vecLit) DESC LIMIT 10)
          |ORDER BY vec_id""".stripMargin)
@@ -1937,6 +2000,22 @@ object Queries {
       .orderBy(col("qid"), col("doc_id"))
   }
 
+  /** bm1 through the SQL surface: the `bm25_topk` TABLE function
+    * ([[Graft.tableFunctions]]) — same terms (as one whitespace query
+    * string), same k, so it shares bm1's oracle. What this entry gates is
+    * the analysis-time TVF plumbing: literal-arg extraction, catalog
+    * lookup of the doc table (a temp view here), and the injected plan
+    * producing bit-identical fixed-point scores to the programmatic path.
+    */
+  def bq3Bm25Sql(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.install(spark)
+    t(spark, sfDir, "documents").createOrReplaceTempView("graft_docs_bm25")
+    spark.sql(
+      s"""SELECT doc_id, score_e9
+         |FROM bm25_topk('graft_docs_bm25', 'doc_id', 'text',
+         |               '${lexTerms.mkString(" ")}', 10)""".stripMargin)
+  }
+
   val bq1Oracle: String = {
     val k1 = ops.Lexical.DefaultK1
     val b = ops.Lexical.DefaultB
@@ -2624,6 +2703,8 @@ object Queries {
     "vq15_sql_topk_sq8" -> (vq15SqlTopkSq8 _),
     "vq16_sql_topk_pq" -> (vq16SqlTopkPq _),
     "vq17_filtered_tier_fallback" -> (vq17FilteredTierFallback _),
+    "vq24_filtered_tier_sq8" -> (vq24FilteredTierSq8 _),
+    "vq25_filtered_tier_pq_cos" -> (vq25FilteredTierPqCosine _),
     "vq20_cosine_tier_sq8" -> (vq20CosineTierSq8 _),
     "vq21_cosine_tier_pq" -> (vq21CosineTierPq _),
     "vq22_quantized_cosine_api" -> (vq22QuantizedCosineApi _),
@@ -2694,6 +2775,7 @@ object Queries {
     "bm1_bm25_topk" -> (bm1Bm25Topk _),
     "bq1_bm25_bulk" -> (bq1Bm25Bulk _),
     "bq2_bm25_postings" -> (bq2Bm25Postings _),
+    "bq3_bm25_sql" -> (bq3Bm25Sql _),
     "hr1_hybrid_rrf" -> (hr1HybridRrf _),
     "je1_json_extract" -> (je1JsonExtract _),
     "sq2_ivf_cell_pairs" -> (sq2IvfCellPairs _),
@@ -2730,6 +2812,8 @@ object Queries {
     "vq15_sql_topk_sq8" -> vq7Oracle, // covering exactness ⇒ same oracle
     "vq16_sql_topk_pq" -> vq7Oracle, // covering exactness ⇒ same oracle
     "vq17_filtered_tier_fallback" -> vq13Oracle, // fallback must stay exact
+    "vq24_filtered_tier_sq8" -> vq24Oracle, // covering exactness ⇒ vq3's answer
+    "vq25_filtered_tier_pq_cos" -> vq13Oracle, // covering exactness ⇒ vq13's answer
     "vq20_cosine_tier_sq8" -> vq8Oracle, // covering exactness, angular metric
     "vq21_cosine_tier_pq" -> vq8Oracle, // covering exactness, angular metric
     "vq22_quantized_cosine_api" -> vq8Oracle, // covering exactness, angular metric
@@ -2803,6 +2887,7 @@ object Queries {
     "bm1_bm25_topk" -> bm1Oracle,
     "bq1_bm25_bulk" -> bq1Oracle,
     "bq2_bm25_postings" -> bq1Oracle, // same pipeline over persisted artifacts
+    "bq3_bm25_sql" -> bm1Oracle, // SQL TVF == programmatic bm25TopK
     "hr1_hybrid_rrf" -> hr1Oracle,
     "je1_json_extract" -> je1Oracle,
     // sq2_ivf_cell_pairs intentionally has no oracle (cell-recall ANN)

@@ -37,6 +37,55 @@ object Intervals {
     * Column names of `a` and `b` must be disjoint (the output carries
     * both sides' columns).
     */
+  /** [[overlapJoin]] with the bin width derived from the DATA: the p99
+    * span length over a bounded sample of both sides (max of the two).
+    * At that width ≥99% of sampled intervals cover ≤2 bins — bins-per-
+    * interval stays ~2 and the [[overlapJoin]] explosion guard only trips
+    * on intervals thousands of times longer than the observed tail, not
+    * "often on first use" when a caller guesses a width in the wrong unit
+    * (the mean would do exactly that on long-tailed spans: a 1% tail of
+    * million-unit intervals explodes a mean-width binning, while the p99
+    * just coarsens the bins).
+    *
+    * Runs one small driver-blocking sampling job per side at CALL time
+    * (first ~[[SpanSampleRows]] valid rows in scan order — cheap: the local
+    * limit stops the scan early). Batch-only by construction; the
+    * stream-static form keeps its explicit width (a streaming side cannot
+    * run a sampling job at plan time).
+    */
+  def overlapJoin(
+      a: DataFrame,
+      aStart: Column,
+      aEnd: Column,
+      b: DataFrame,
+      bStart: Column,
+      bEnd: Column): DataFrame = {
+    val width = math.max(
+      sampledP99Span(a, aStart, aEnd).getOrElse(1L),
+      sampledP99Span(b, bStart, bEnd).getOrElse(1L))
+    overlapJoin(a, aStart, aEnd, b, bStart, bEnd, binWidth = width)
+  }
+
+  /** Sample bound for [[sampledP99Span]] — enough mass for a stable p99,
+    * small enough that the sampling scan stops after a few partitions.
+    */
+  val SpanSampleRows: Int = 100000
+
+  /** p99 of `end - start + 1` over the first [[SpanSampleRows]] valid
+    * intervals in scan order; None when the side has no valid interval.
+    * Scan order makes this deterministic for a fixed file layout (the
+    * usual parquet case); it is an auto-DEFAULT, not a semantic input —
+    * any width yields the same join result, only the plan's fan-out
+    * changes.
+    */
+  private def sampledP99Span(df: DataFrame, s: Column, e: Column): Option[Long] =
+    df.where(e >= s)
+      .select((e.cast("long") - s.cast("long") + 1L).as("_span"))
+      .limit(SpanSampleRows)
+      .agg(percentile_approx(col("_span"), lit(0.99), lit(10000)).cast("long"))
+      .collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      .map(math.max(_, 1L))
+
   def overlapJoin(
       a: DataFrame,
       aStart: Column,

@@ -285,7 +285,27 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
         .limit(k)
         .select(col("_file").as("__file"), col("_ri").as("__ri"))
       (broadcast(winners), tierUsed)
-    } else {
+    } else filteredTierFeed(files, column, query, k, nprobe, store, cosine) match {
+      case Some((phase1, tierUsed)) =>
+      // FILTERED quantized shape (opt-in): the whole k·oversample survivor
+      // feed — coarse-ranked on code sidecars, exact-refined — grafts as
+      // the semi-join side, the untouched Filter re-applies its predicate
+      // to the fetched rows, and the untouched Sort re-ranks them exactly.
+      // Post-FILTER semantics are preserved by construction (every emitted
+      // row passed the original predicate — the reference's composition
+      // seam, `/root/reference/src/df_vector/access.rs:65-105`); what the
+      // tier narrows is the CANDIDATE set handed to the filter: k·oversample
+      // nearest rows instead of every probed-cell member. That is an extra
+      // approximation knob on top of nprobe — if the predicate is selective,
+      // survivors thin and fewer than k rows can come back — which is why
+      // this path requires FilteredTierKey instead of riding TierKey alone;
+      // oversample doubles as the filter-headroom control. Exactness gate:
+      // exhaustive nprobe + covering oversample make the feed ALL candidate
+      // rows, collapsing this to the float one-phase semantics (vq24/vq25).
+      // bounded by k·oversample rows of (file, ordinal) — broadcast-safe
+      (broadcast(phase1.select(col("_file").as("__file"), col("_ri").as("__ri"))),
+        tierUsed)
+      case None =>
       // one-phase candidate feed — for cosine queries (a residual Filter or
       // a candidate cap forced this path) the probe ranks cells by centroid
       // cosine instead of L2, so the angular top-k's candidates are the
@@ -309,15 +329,32 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // threshold < 0 means the user DISABLED auto-broadcast — honor it
       // (the candidate feed can be huge at high nprobe / no cap); the 2x
       // safety factor covers the first-file-scaled estimate under-counting
-      // (tier is always float here: a quantized one-phase feed would not
-      // hand the residual Filter its candidate rows any cheaper — the
-      // payload fetch, not candidate ranking, dominates this shape)
+      // (tier is float here: either none was requested, FilteredTierKey is
+      // unset — the exact default — or a sidecar was unusable and the
+      // quantized filtered shape fell back to the full candidate feed)
       (if (threshold >= 0 && estBytes * 2 <= threshold) broadcast(candDf) else candDf,
         "float")
     }
     val (candDf, tier) = candSide
     graftSemiJoin(leaf, candDf).map(p => (p, tier))
   }
+
+  /** [[tierFeed]] gated for the FILTERED (one-phase) shape: engages only
+    * under the explicit `spark.graft.ivf.filteredTier=true` opt-in and
+    * without a candidate cap, because here the tier narrows the row set the
+    * residual Filter gets to see (an approximation knob, not just a coarse-
+    * ranking speedup — see the call site). None = exact float fallback.
+    */
+  private def filteredTierFeed(
+      files: Seq[String],
+      column: String,
+      query: Array[Float],
+      k: Int,
+      nprobe: Int,
+      store: IndexStore,
+      cosine: Boolean): Option[(org.apache.spark.sql.DataFrame, String)] =
+    if (conf(FilteredTierKey, "false") != "true") None
+    else tierFeed(files, column, query, k, nprobe, store, cosine)
 
   /** The quantized phase-1 winner feed for `spark.graft.ivf.tier` ∈
     * {sq8, pq, pqr}, or None to use the float feed. Falls back to float
@@ -542,6 +579,19 @@ object VectorTopKRule {
     * programmatic APIs' defaults.
     */
   val OversampleKey = "spark.graft.ivf.oversample"
+
+  /** Opt-in: let a non-`float` [[TierKey]] serve FILTERED top-k queries
+    * too (`WHERE … ORDER BY dist LIMIT k`). The k·oversample coarse-ranked,
+    * exact-refined survivors become the semi-join feed; the untouched
+    * Filter and Sort then apply exact semantics to those rows. Off by
+    * default because under a filter the tier caps how many candidate rows
+    * the predicate gets to see — k·oversample nearest instead of every
+    * probed-cell member — so a selective predicate can return fewer than k
+    * rows; raise [[OversampleKey]] for filter headroom. With exhaustive
+    * nprobe and covering oversample the feed holds every candidate and the
+    * result is exact (the vq24/vq25 gate).
+    */
+  val FilteredTierKey = "spark.graft.ivf.filteredTier"
 
   /** Filter-free queries use the winner-first two-phase feed (rank on
     * selective reads, fetch k payload rows); set false to force the

@@ -68,6 +68,42 @@ class IntervalsSpec extends SparkSpec {
     assert(ok.toSet == Set((1L, 2L)))
   }
 
+  test("auto bin width: p99-sized bins survive a long-tailed fixture the mean would explode") {
+    // 990 short spans (~10 units) + 10 giant spans (1e6 units): mean span
+    // ~10k would still leave the giants at ~100 bins, but a naive
+    // typical-span guess of 10 would put them at 1e5 bins — over the 4096
+    // guard. The p99 default lands near the tail (~1e6), so the guard
+    // cannot trip and the result still matches an explicitly-sized run.
+    val rng = new scala.util.Random(11)
+    val tailA = Seq.tabulate(1000) { i =>
+      val s = rng.nextInt(100000).toLong
+      val span = if (i % 100 == 99) 1000000L else rng.nextInt(10).toLong + 1
+      (i.toLong, s, s + span)
+    }
+    val shortB = Seq.tabulate(200) { i =>
+      val s = rng.nextInt(100000).toLong
+      (2000L + i, s, s + rng.nextInt(20))
+    }
+    val l = tailA.toDF("a_id", "a_s", "a_e")
+    val r = shortB.toDF("b_id", "b_s", "b_e")
+    val auto = Intervals
+      .overlapJoin(l, col("a_s"), col("a_e"), r, col("b_s"), col("b_e"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+    val explicit = Intervals
+      .overlapJoin(l, col("a_s"), col("a_e"), r, col("b_s"), col("b_e"),
+        binWidth = 1000000L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(auto == explicit)
+    assert(auto.nonEmpty)
+    // the guess-of-10 width really does trip the guard on this fixture —
+    // the failure mode the auto default exists to avoid
+    intercept[Exception] {
+      Intervals.overlapJoin(
+        l, col("a_s"), col("a_e"), r, col("b_s"), col("b_e"), binWidth = 10L)
+        .collect()
+    }
+  }
+
   test("overlapJoin validates disjoint column names and binWidth") {
     val l = Seq((1L, 0L, 1L)).toDF("id", "s", "e")
     intercept[IllegalArgumentException] {

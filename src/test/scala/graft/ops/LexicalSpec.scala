@@ -240,4 +240,32 @@ class LexicalSpec extends SparkSpec {
       Lexical.bm25BulkTopK(spark, snap, sameId, "id", "qtext", k = 3))
     assert(e3.getMessage.contains("rename"), e3.getMessage)
   }
+
+  test("bm25_topk SQL table function matches the programmatic path") {
+    graft.Graft.install(spark)
+    docs.createOrReplaceTempView("lex_tvf_docs")
+    val sql = spark
+      .sql("SELECT * FROM bm25_topk('lex_tvf_docs', 'id', 'text', 'cat fish', 3)")
+      .as[(Long, Long)].collect().toSeq
+    val api = Lexical.bm25TopK(docs, "id", "text", Seq("cat", "fish"), 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(sql == api)
+    assert(sql.nonEmpty)
+    // duplicate tokens in the query string collapse (distinct-terms contract)
+    val dup = spark
+      .sql("SELECT * FROM bm25_topk('lex_tvf_docs', 'id', 'text', 'cat cat fish', 3)")
+      .as[(Long, Long)].collect().toSeq
+    assert(dup == api)
+  }
+
+  test("bm25_topk SQL table function refuses non-literal and missing args") {
+    graft.Graft.install(spark)
+    docs.createOrReplaceTempView("lex_tvf_docs")
+    val e1 = intercept[Exception](
+      spark.sql("SELECT * FROM bm25_topk('lex_tvf_docs', 'id', 'text', 'cat')"))
+    assert(e1.getMessage.contains("bm25_topk"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT * FROM bm25_topk('lex_tvf_docs', 'id', 'text', 'cat', id)"))
+    assert(e2.getMessage.contains("bm25_topk"), e2.getMessage)
+  }
 }

@@ -141,6 +141,62 @@ class QuantizedTierSpec extends SparkSpec {
     }
   }
 
+  private def withFilteredTier[T](tier: String)(body: => T): T = {
+    spark.conf.set(VectorTopKRule.FilteredTierKey, "true")
+    try withTier(tier)(body)
+    finally spark.conf.unset(VectorTopKRule.FilteredTierKey)
+  }
+
+  private def sqlTopkFiltered(
+      view: String, order: String = "ASC", fn: String = "array_distance"): DataFrame =
+    spark.sql(
+      s"""SELECT id FROM $view
+         |WHERE id % 3 = 0
+         |ORDER BY $fn(vec, array(${Seq.fill(8)("0.5F").mkString(",")})) $order
+         |LIMIT 5""".stripMargin)
+
+  private def bruteFilteredIds(
+      view: String, order: String = "ASC", fn: String = "array_distance"): Seq[Long] = {
+    spark.conf.set(VectorTopKRule.EnabledKey, "false")
+    try sqlTopkFiltered(view, order, fn).collect().map(_.getLong(0)).toSeq
+    finally spark.conf.set(VectorTopKRule.EnabledKey, "true")
+  }
+
+  test("a residual Filter ignores the tier unless filteredTier opts in (exact float fallback)") {
+    register()
+    withTier("sq8") {
+      val df = sqlTopkFiltered("tier_vecs")
+      assert(tierOf(df).contains("float"), s"tier tag: ${tierOf(df)}")
+      assert(df.collect().map(_.getLong(0)).toSeq == bruteFilteredIds("tier_vecs"))
+    }
+  }
+
+  test("filteredTier=true engages the tiers under a Filter, exact at covering settings") {
+    register()
+    for (tier <- Seq("sq8", "pq", "pqr")) withFilteredTier(tier) {
+      val df = sqlTopkFiltered("tier_vecs")
+      assert(tierOf(df).contains(tier), s"tier=$tier tag: ${tierOf(df)}")
+      assert(df.collect().map(_.getLong(0)).toSeq == bruteFilteredIds("tier_vecs"),
+        s"tier=$tier filtered result diverged at covering settings")
+    }
+    // angular twin: the filtered cosine staple rides the tier too
+    withFilteredTier("sq8") {
+      val df = sqlTopkFiltered("tier_vecs", "DESC", "array_cosine_similarity")
+      assert(tierOf(df).contains("sq8"), s"tier tag: ${tierOf(df)}")
+      assert(df.collect().map(_.getLong(0)).toSeq ==
+        bruteFilteredIds("tier_vecs", "DESC", "array_cosine_similarity"))
+    }
+  }
+
+  test("filteredTier=true with no code sidecars falls back to the full candidate feed, exact") {
+    register()
+    withFilteredTier("pq") {
+      val df = sqlTopkFiltered("tier_bare")
+      assert(tierOf(df).contains("float"), s"tier tag: ${tierOf(df)}")
+      assert(df.collect().map(_.getLong(0)).toSeq == bruteFilteredIds("tier_bare"))
+    }
+  }
+
   test("an unknown tier name is refused, not silently float") {
     register()
     withTier("pq16") {
