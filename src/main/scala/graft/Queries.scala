@@ -411,9 +411,8 @@ object Queries {
     Graft.install(spark)
     spark.conf.set(plans.VectorTopKRule.NprobeKey, ti.nClusters.toString)
     spark.conf.set(plans.VectorTopKRule.TierKey, "pq")
-    // pin the opt-in OFF: this entry gates the fallback (tier ignored
-    // under a Filter), and vq24/vq25 set the key true earlier in a shared
-    // session
+    // the scenario under test: tier REQUESTED but the filtered-shape
+    // opt-in OFF, so the rule must ignore the tier under a Filter
     spark.conf.set(plans.VectorTopKRule.FilteredTierKey, "false")
     spark.read.parquet(path).createOrReplaceTempView("graft_embeddings_ftier")
     val vecLit = queryVec.map(v => s"${v}F").mkString("array(", ", ", ")")
@@ -890,17 +889,15 @@ object Queries {
       .select(col("vec_id"))
   }
 
-  def qeEventsHourly(spark: SparkSession, sfDir: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS); Spark has no nanos timestamp type —
-    // read as long nanos and truncate to micros (UTC session).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def qeEventsHourly(spark: SparkSession, sfDir: String): DataFrame =
+    // events.ts is TIMESTAMP(MICROS) without tz — Spark reads TIMESTAMP_NTZ,
+    // which date_format renders directly (no session-tz shift).
     t(spark, sfDir, "events")
       .groupBy(
-        date_format(expr("timestamp_micros(ts div 1000)"), "yyyy-MM-dd HH").as("hour"),
+        date_format(col("ts"), "yyyy-MM-dd HH").as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("hour"), col("event_type"))
-  }
 
   val qeOracle: String =
     """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type, COUNT(*) AS n
@@ -913,16 +910,17 @@ object Queries {
     * range off the laid-out copy against the plain-table oracle.
     */
   def lq1SortedLayout(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_lq1_events"
     val laid = ops.Layout.writeSortedBy(
       t(spark, sfDir, "events"), dir, Seq("user_id", "ts"), numFiles = 8)
     laid
       .where(col("user_id") >= 50 && col("user_id") < 100)
       .groupBy(col("user_id"))
-      // min commutes with the monotone nanos→micros truncation, and DuckDB
-      // only surfaces micros from TIMESTAMP(NANOS) parquet
-      .agg(count(lit(1)).as("n"), expr("min(ts) div 1000").as("first_ts_us"))
+      // UTC session: NTZ→TIMESTAMP cast is instant-preserving, so
+      // unix_micros matches DuckDB's epoch_us
+      .agg(
+        count(lit(1)).as("n"),
+        unix_micros(min(col("ts")).cast("timestamp")).as("first_ts_us"))
       .orderBy(col("user_id"))
   }
 
@@ -1564,7 +1562,6 @@ object Queries {
     * plain-table oracle.
     */
   def lq2Compact(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_lq2_events"
     ops.Layout
       .compact(spark, s"$sfDir/events.parquet", out, targetFileBytes = 1L << 20)
@@ -2088,7 +2085,6 @@ object Queries {
     * props JSON.
     */
   def je1JsonExtract(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(spark, sfDir, "events")
       .select(
         col("event_id"),
@@ -2315,41 +2311,45 @@ object Queries {
       |FROM (SELECT doc_id, octet_length(encode(text)) AS len FROM documents)
       |ORDER BY doc_id""".stripMargin
 
-  private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "events")
-  }
+
+  /** Epoch micros from the NTZ ts column — UTC session makes the
+    * NTZ→TIMESTAMP cast instant-preserving, matching DuckDB's epoch_us.
+    */
+  private def tsUs(c: Column): Column = unix_micros(c.cast("timestamp"))
 
   /** Interval overlap join ([[ops.Intervals.overlapJoin]]): even events as
     * 1-7-minute windows vs odd events as 1-5-minute windows, 5-minute
-    * bins, integer-nanos arithmetic end to end — the oracle is DuckDB's
+    * bins, integer-micros arithmetic end to end — the oracle is DuckDB's
     * native range join over the identical intervals, so the bin-bucketed
     * equi-join re-expression is hash-gated exact.
     */
   def iq1IntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val minuteNs = 60000000000L
-    val e = eventsRaw(spark, sfDir).select(col("event_id"), col("ts"))
+    val minuteUs = 60000000L
+    val e = eventsRaw(spark, sfDir)
+      .select(col("event_id"), tsUs(col("ts")).as("s"))
     val a = e.where(col("event_id") % 2 === 0).select(
       col("event_id").as("a_id"),
-      col("ts").as("a_s"),
-      (col("ts") + (col("event_id") % 7 + 1) * minuteNs).as("a_e"))
+      col("s").as("a_s"),
+      (col("s") + (col("event_id") % 7 + 1) * minuteUs).as("a_e"))
     val b = e.where(col("event_id") % 2 === 1).select(
       col("event_id").as("b_id"),
-      col("ts").as("b_s"),
-      (col("ts") + (col("event_id") % 5 + 1) * minuteNs).as("b_e"))
+      col("s").as("b_s"),
+      (col("s") + (col("event_id") % 5 + 1) * minuteUs).as("b_e"))
     ops.Intervals
       .overlapJoin(
         a, col("a_s"), col("a_e"), b, col("b_s"), col("b_e"),
-        binWidth = 5L * minuteNs)
+        binWidth = 5L * minuteUs)
       .select(col("a_id"), col("b_id"))
       .orderBy(col("a_id"), col("b_id"))
   }
 
   val iq1Oracle: String =
-    """WITH e AS (SELECT event_id, epoch_ns(ts) AS s FROM events),
-      |a AS (SELECT event_id a_id, s a_s, s + (event_id % 7 + 1) * 60000000000 a_e
+    """WITH e AS (SELECT event_id, epoch_us(ts) AS s FROM events),
+      |a AS (SELECT event_id a_id, s a_s, s + (event_id % 7 + 1) * 60000000 a_e
       |      FROM e WHERE event_id % 2 = 0),
-      |b AS (SELECT event_id b_id, s b_s, s + (event_id % 5 + 1) * 60000000000 b_e
+      |b AS (SELECT event_id b_id, s b_s, s + (event_id % 5 + 1) * 60000000 b_e
       |      FROM e WHERE event_id % 2 = 1)
       |SELECT a_id, b_id FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
       |ORDER BY a_id, b_id""".stripMargin
@@ -2387,8 +2387,8 @@ object Queries {
       |FROM (
       |  SELECT user_id,
       |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-      |      OR epoch_ns(ts) - epoch_ns(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
-      |         > 1800000000000 AS new_session
+      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+      |         > 1800000000 AS new_session
       |  FROM events)
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
@@ -2634,26 +2634,25 @@ object Queries {
     */
   def st9StreamIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.OutputMode
-    val minuteNs = 60000000000L
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val minuteUs = 60000000L
     val schema = t(spark, sfDir, "events").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
       .where(col("event_id") % 2 === 0)
       .select(
         col("event_id").as("a_id"),
-        col("ts").as("a_s"),
-        (col("ts") + (col("event_id") % 7 + 1) * minuteNs).as("a_e"))
+        tsUs(col("ts")).as("a_s"),
+        (tsUs(col("ts")) + (col("event_id") % 7 + 1) * minuteUs).as("a_e"))
     val b = eventsRaw(spark, sfDir)
       .where(col("event_id") % 2 === 1)
       .select(
         col("event_id").as("b_id"),
-        col("ts").as("b_s"),
-        (col("ts") + (col("event_id") % 5 + 1) * minuteNs).as("b_e"))
+        tsUs(col("ts")).as("b_s"),
+        (tsUs(col("ts")) + (col("event_id") % 5 + 1) * minuteUs).as("b_e"))
     val joined = ops.Intervals
       .overlapJoin(
         stream, col("a_s"), col("a_e"), b, col("b_s"), col("b_e"),
-        binWidth = 5L * minuteNs)
+        binWidth = 5L * minuteUs)
       .select(col("a_id"), col("b_id"))
     streaming.EventStreams
       .replayToTable(spark, joined, OutputMode.Append(),

@@ -15,11 +15,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Conf hygiene: queries that exercise session-conf-driven behavior
+    // (spark.graft.* tier/nprobe/oversample keys) must not leak state into
+    // whichever query the Map's iteration order puts next — snapshot the
+    // graft keys once and restore after every entry.
+    val graftConf0 = spark.conf.getAll.filter(_._1.startsWith("spark.graft."))
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        spark.conf.getAll.keys.filter(_.startsWith("spark.graft."))
+          .foreach(spark.conf.unset)
+        graftConf0.foreach { case (k, v) => spark.conf.set(k, v) }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

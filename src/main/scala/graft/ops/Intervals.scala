@@ -37,15 +37,19 @@ object Intervals {
     * Column names of `a` and `b` must be disjoint (the output carries
     * both sides' columns).
     */
-  /** [[overlapJoin]] with the bin width derived from the DATA: the p99
-    * span length over a bounded sample of both sides (max of the two).
-    * At that width ≥99% of sampled intervals cover ≤2 bins — bins-per-
-    * interval stays ~2 and the [[overlapJoin]] explosion guard only trips
-    * on intervals thousands of times longer than the observed tail, not
-    * "often on first use" when a caller guesses a width in the wrong unit
-    * (the mean would do exactly that on long-tailed spans: a 1% tail of
-    * million-unit intervals explodes a mean-width binning, while the p99
-    * just coarsens the bins).
+  /** [[overlapJoin]] with the bin width derived from the DATA: the larger
+    * of (a) the p99 span length over a bounded sample of both sides — at
+    * that width ≥99% of sampled intervals cover ≤2 bins — and (b) the
+    * sampled MAX span divided by half the explosion-guard budget, which
+    * clamps the width UP so that even the longest sampled interval covers
+    * ≤ maxBins/2 bins. The p99 alone is NOT enough on long-tailed spans:
+    * a top-1% tail thousands of times longer than the p99 would trip the
+    * [[overlapJoin]] guard at p99 width (the exact failure the guard
+    * exists to catch — but an auto default must not walk into it). The
+    * half-budget margin additionally tolerates unsampled intervals up to
+    * 2× the sampled max before the guard fires; beyond that the guard's
+    * fail-fast error is the correct outcome (a span that dwarfs everything
+    * sampled is a data bug, not a tuning issue).
     *
     * Runs one small driver-blocking sampling job per side at CALL time
     * (first ~[[SpanSampleRows]] valid rows in scan order — cheap: the local
@@ -60,31 +64,45 @@ object Intervals {
       b: DataFrame,
       bStart: Column,
       bEnd: Column): DataFrame = {
-    val width = math.max(
-      sampledP99Span(a, aStart, aEnd).getOrElse(1L),
-      sampledP99Span(b, bStart, bEnd).getOrElse(1L))
+    val (p99A, maxA) = sampledSpan(a, aStart, aEnd).getOrElse((1L, 1L))
+    val (p99B, maxB) = sampledSpan(b, bStart, bEnd).getOrElse((1L, 1L))
+    val maxSpan = math.max(maxA, maxB)
+    // ceil(maxSpan / (maxBins/2)): longest sampled interval ≤ maxBins/2 bins
+    val guardFloor = (maxSpan + DefaultMaxBinsPerInterval / 2 - 1) /
+      (DefaultMaxBinsPerInterval / 2)
+    val width = math.max(math.max(p99A, p99B), math.max(guardFloor, 1L))
     overlapJoin(a, aStart, aEnd, b, bStart, bEnd, binWidth = width)
   }
 
-  /** Sample bound for [[sampledP99Span]] — enough mass for a stable p99,
+  /** Default for `maxBinsPerInterval` — shared by the explicit overload's
+    * guard and the auto-width clamp that must stay under it.
+    */
+  val DefaultMaxBinsPerInterval: Int = 4096
+
+  /** Sample bound for [[sampledSpan]] — enough mass for a stable p99,
     * small enough that the sampling scan stops after a few partitions.
     */
   val SpanSampleRows: Int = 100000
 
-  /** p99 of `end - start + 1` over the first [[SpanSampleRows]] valid
-    * intervals in scan order; None when the side has no valid interval.
-    * Scan order makes this deterministic for a fixed file layout (the
-    * usual parquet case); it is an auto-DEFAULT, not a semantic input —
-    * any width yields the same join result, only the plan's fan-out
-    * changes.
+  /** (p99, max) of `end - start + 1` over the first [[SpanSampleRows]]
+    * valid intervals in scan order; None when the side has no valid
+    * interval. Scan order makes this deterministic for a fixed file layout
+    * (the usual parquet case); it is an auto-DEFAULT, not a semantic
+    * input — any width yields the same join result, only the plan's
+    * fan-out changes. The max rides the same single aggregate as the p99
+    * sketch, so the sample costs one job either way.
     */
-  private def sampledP99Span(df: DataFrame, s: Column, e: Column): Option[Long] =
+  private def sampledSpan(df: DataFrame, s: Column, e: Column): Option[(Long, Long)] =
     df.where(e >= s)
       .select((e.cast("long") - s.cast("long") + 1L).as("_span"))
       .limit(SpanSampleRows)
-      .agg(percentile_approx(col("_span"), lit(0.99), lit(10000)).cast("long"))
-      .collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
-      .map(math.max(_, 1L))
+      .agg(
+        percentile_approx(col("_span"), lit(0.99), lit(10000)).cast("long"),
+        max(col("_span")))
+      .collect().headOption.flatMap { r =>
+        if (r.isNullAt(0)) None
+        else Some((math.max(r.getLong(0), 1L), math.max(r.getLong(1), 1L)))
+      }
 
   def overlapJoin(
       a: DataFrame,
@@ -94,7 +112,7 @@ object Intervals {
       bStart: Column,
       bEnd: Column,
       binWidth: Long,
-      maxBinsPerInterval: Int = 4096): DataFrame = {
+      maxBinsPerInterval: Int = DefaultMaxBinsPerInterval): DataFrame = {
     require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
     require(maxBinsPerInterval > 0, "maxBinsPerInterval must be > 0")
     val dup = a.columns.toSet.intersect(b.columns.toSet)

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
@@ -13,20 +13,20 @@ import org.apache.spark.sql.types._
   * static events parquet with `Trigger.AvailableNow` into a memory sink and
   * compare against the batch/oracle answer.
   *
-  * events.ts is TIMESTAMP(NANOS), which Spark only reads as long — the
-  * schema below carries nanos and converts to TimestampType (micros) where
-  * event-time semantics (watermarks, windows) need it.
+  * events.ts is TIMESTAMP(MICROS) without timezone, which Spark reads as
+  * TIMESTAMP_NTZ; gap/session arithmetic converts to epoch-micros longs via
+  * `unix_micros` (UTC session, so the NTZ→TIMESTAMP cast is
+  * instant-preserving), and event-time semantics (watermarks, windows) use
+  * the TimestampType cast directly.
   */
 object EventStreams {
 
   private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** events schema with ts as raw nanos (matches
-    * spark.sql.legacy.parquet.nanosAsLong reads).
-    */
+  /** events schema: ts is TIMESTAMP_NTZ (parquet timestamp[us], no tz). */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -36,16 +36,19 @@ object EventStreams {
     * file(s) inside it.
     */
   def readStream(
-      spark: SparkSession, dir: String, glob: String = "events.parquet"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark: SparkSession, dir: String, glob: String = "events.parquet"): DataFrame =
     spark.readStream
       .schema(eventsSchema)
       .option("pathGlobFilter", glob)
       .parquet(dir)
-  }
+
+  /** Epoch micros from any timestamp-like ts column (UTC session makes the
+    * NTZ→TIMESTAMP cast instant-preserving, matching DuckDB's epoch_us).
+    */
+  private def tsMicros(c: Column): Column = unix_micros(c.cast("timestamp"))
 
   private def withEventTime(df: DataFrame): DataFrame =
-    df.withColumn("event_time", timestamp_micros(col("ts") / lit(1000L) cast LongType))
+    df.withColumn("event_time", col("ts").cast("timestamp"))
 
   /** Streaming hourly counts per event type: watermarked tumbling window.
     * Complete output mode so a bounded replay emits every window.
@@ -192,13 +195,14 @@ object EventStreams {
     */
   def sessionCounts(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val gapNanos = gapMinutes.toLong * 60L * 1000000000L
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val gapMicros = gapMinutes.toLong * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
     events
-      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("ts_us", tsMicros(col("ts")))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
       .withColumn(
         "new_session",
-        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNanos, 1L)
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapMicros, 1L)
           .otherwise(0L))
       .groupBy(col("user_id"))
       .agg(sum(col("new_session")).cast("bigint").as("n_sessions"))
@@ -215,9 +219,9 @@ object EventStreams {
   def sessionize(
       spark: SparkSession, events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
-    val gapNanos = gapMinutes.toLong * 60L * 1000000000L
+    val gapMicros = gapMinutes.toLong * 60L * 1000000L
     events
-      .select(col("user_id"), col("ts"))
+      .select(col("user_id"), tsMicros(col("ts")).as("ts_us"))
       .as[(Long, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
@@ -225,7 +229,7 @@ object EventStreams {
           val sorted = rows.map(_._2).toArray.sorted
           var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
           sorted.foreach { ts =>
-            if (st.lastTs == Long.MinValue || ts - st.lastTs > gapNanos) {
+            if (st.lastTs == Long.MinValue || ts - st.lastTs > gapMicros) {
               st = SessionState(ts, st.sessions + 1L)
             } else {
               st = SessionState(ts, st.sessions)

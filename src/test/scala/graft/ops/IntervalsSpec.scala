@@ -68,12 +68,15 @@ class IntervalsSpec extends SparkSpec {
     assert(ok.toSet == Set((1L, 2L)))
   }
 
-  test("auto bin width: p99-sized bins survive a long-tailed fixture the mean would explode") {
-    // 990 short spans (~10 units) + 10 giant spans (1e6 units): mean span
-    // ~10k would still leave the giants at ~100 bins, but a naive
-    // typical-span guess of 10 would put them at 1e5 bins — over the 4096
-    // guard. The p99 default lands near the tail (~1e6), so the guard
-    // cannot trip and the result still matches an explicitly-sized run.
+  test("auto bin width survives a long-tailed fixture the mean or raw p99 would explode") {
+    // 990 short spans (~10 units) + 10 giant spans (1e6 units): a naive
+    // typical-span guess of 10 puts the giants at 1e5 bins — over the 4096
+    // guard — and a raw p99 can land anywhere in [10, 1e6] depending on
+    // where the sketch's 99th percentile falls relative to the 1% tail.
+    // The auto width additionally clamps by sampledMax/(maxBins/2), so the
+    // giants cover ≤ 2048 bins whatever the sketch says: the guard cannot
+    // trip regardless of partitioning, and the result matches an
+    // explicitly-sized run (bin width never changes join semantics).
     val rng = new scala.util.Random(11)
     val tailA = Seq.tabulate(1000) { i =>
       val s = rng.nextInt(100000).toLong
@@ -84,22 +87,29 @@ class IntervalsSpec extends SparkSpec {
       val s = rng.nextInt(100000).toLong
       (2000L + i, s, s + rng.nextInt(20))
     }
-    val l = tailA.toDF("a_id", "a_s", "a_e")
-    val r = shortB.toDF("b_id", "b_s", "b_e")
-    val auto = Intervals
-      .overlapJoin(l, col("a_s"), col("a_e"), r, col("b_s"), col("b_e"))
-      .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
     val explicit = Intervals
-      .overlapJoin(l, col("a_s"), col("a_e"), r, col("b_s"), col("b_e"),
+      .overlapJoin(
+        tailA.toDF("a_id", "a_s", "a_e"), col("a_s"), col("a_e"),
+        shortB.toDF("b_id", "b_s", "b_e"), col("b_s"), col("b_e"),
         binWidth = 1000000L)
       .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
-    assert(auto == explicit)
-    assert(auto.nonEmpty)
+    assert(explicit.nonEmpty)
+    // partition-invariance: the percentile sketch (and thus the raw p99)
+    // shifts with partitioning; the clamped width must hold either way
+    for (parts <- Seq(1, 7)) {
+      val l = tailA.toDF("a_id", "a_s", "a_e").repartition(parts)
+      val r = shortB.toDF("b_id", "b_s", "b_e").repartition(parts)
+      val auto = Intervals
+        .overlapJoin(l, col("a_s"), col("a_e"), r, col("b_s"), col("b_e"))
+        .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+      assert(auto == explicit, s"parts=$parts")
+    }
     // the guess-of-10 width really does trip the guard on this fixture —
     // the failure mode the auto default exists to avoid
     intercept[Exception] {
       Intervals.overlapJoin(
-        l, col("a_s"), col("a_e"), r, col("b_s"), col("b_e"), binWidth = 10L)
+        tailA.toDF("a_id", "a_s", "a_e"), col("a_s"), col("a_e"),
+        shortB.toDF("b_id", "b_s", "b_e"), col("b_s"), col("b_e"), binWidth = 10L)
         .collect()
     }
   }

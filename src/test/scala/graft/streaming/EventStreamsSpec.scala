@@ -9,21 +9,22 @@ import graft.SparkSpec
 class EventStreamsSpec extends SparkSpec {
   import spark.implicits._
 
-  private val H = 3600L * 1000000000L // one hour in nanos
+  private val H = 3600L * 1000000L // one hour in micros
 
   test("stateful session count carries state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long)]
-    val events = input.toDF().toDF("user_id", "ts")
+    val events = input.toDF().toDF("user_id", "ts_us")
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"))
     val sessions = EventStreams.sessionize(spark, events)
     val query = sessions.writeStream
       .format("memory").queryName("sess_test").outputMode(OutputMode.Update())
       .start()
     // batch 1: user 1 has two events 10min apart (one session)
-    input.addData((1L, 0L), (1L, 600L * 1000000000L))
+    input.addData((1L, 0L), (1L, 600L * 1000000L))
     query.processAllAvailable()
     // batch 2: user 1 returns 2 hours later (second session); user 2 appears
-    input.addData((1L, 2L * H + 600L * 1000000000L), (2L, 0L))
+    input.addData((1L, 2L * H + 600L * 1000000L), (2L, 0L))
     query.processAllAvailable()
     query.stop()
     val last = spark.table("sess_test")
@@ -57,10 +58,9 @@ class EventStreamsSpec extends SparkSpec {
       .replayToTable(spark, EventStreams.hourlyCounts(stream), OutputMode.Complete())
       .orderBy("hour", "event_type")
       .collect()
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .groupBy(
-        date_format(expr("timestamp_micros(ts div 1000)"), "yyyy-MM-dd HH").as("hour"),
+        date_format(col("ts"), "yyyy-MM-dd HH").as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("n"))
       .orderBy("hour", "event_type")
@@ -70,10 +70,11 @@ class EventStreamsSpec extends SparkSpec {
 
   test("batch sessionization matches a hand-computed fixture") {
     val df = Seq(
-      (1L, 0L), (1L, 10L * 60L * 1000000000L), // same session (10 min gap)
+      (1L, 0L), (1L, 10L * 60L * 1000000L), // same session (10 min gap)
       (1L, 2L * H), // new session
       (2L, 0L))
-      .toDF("user_id", "ts")
+      .toDF("user_id", "ts_us")
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"))
     val result = EventStreams.sessionCounts(df)
       .as[(Long, Long)].collect().toMap
     assert(result == Map(1L -> 2L, 2L -> 1L))
