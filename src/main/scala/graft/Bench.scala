@@ -241,9 +241,16 @@ object Bench {
     // bands (0.64 / 0.475 across rounds 6-7) the way the judge's 2× rule
     // sits over the baseline timings. The bench prints its JSON first —
     // the driver always gets the numbers — then fails loudly.
+    // maxsim's operating point is validated on the CLUSTERED 500k probe
+    // (tools.MaxsimProbe: recall 1.0 at probes=4 on both layouts, round 9
+    // BENCHNOTES) — the sf fixture's uniform random vectors carry no
+    // neighborhood structure, so its absolute number is fixture-bound
+    // (0.1 at sf0.1, 0.75 at sf0.001) and only gates catastrophic
+    // candidate-rule breakage, not quality.
     val gateFailures = Seq(
       ("cell_pair_recall_probe4", cellPairRecall, 0.55),
-      ("knn_join_recall_probe4", knnJoinRecall, 0.40)).collect {
+      ("knn_join_recall_probe4", knnJoinRecall, 0.40),
+      ("maxsim_recall_probe4", maxsimRecall, 0.05)).collect {
       case (name, v, floor) if v >= 0 && v < floor =>
         f"$name=$v%.3f below floor $floor"
     }

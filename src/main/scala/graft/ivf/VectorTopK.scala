@@ -696,7 +696,7 @@ object VectorTopK {
       estimateRangeCandidates(files, column, query, radius, store)
     val maxSel = spark.conf
       .getOption(graft.plans.VectorTopKRule.RangeMaxSelectivityKey)
-      .getOrElse("0.5").toDouble
+      .getOrElse(graft.plans.VectorTopKRule.RangeMaxSelectivityDefault).toDouble
     (est, total > 0 && est.toDouble / total > maxSel)
   }
 

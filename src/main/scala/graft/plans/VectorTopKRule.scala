@@ -490,7 +490,7 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // round-5) and (b) the broadcast-vs-shuffle choice
     val (est, totalEst) = graft.ivf.VectorTopK
       .estimateRangeCandidates(files, column, query, radius, store)
-    val maxSelectivity = conf(RangeMaxSelectivityKey, "0.5").toDouble
+    val maxSelectivity = conf(RangeMaxSelectivityKey, RangeMaxSelectivityDefault).toDouble
     if (totalEst > 0 && est.toDouble / totalEst > maxSelectivity) return None
     val estBytes = est * IvfCandidateScan.estRowBytes(files)
     val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
@@ -607,9 +607,19 @@ object VectorTopKRule {
   /** Bail out of the range rewrite when the estimated candidate fraction
     * exceeds this (first-file estimate): a barely-pruning radius makes the
     * vectorized full scan cheaper than point-read fetch — the classic
-    * index-vs-scan selectivity crossover (BENCHNOTES round-5 measurement).
+    * index-vs-scan selectivity crossover.
     */
   val RangeMaxSelectivityKey = "spark.graft.ivf.rangeMaxSelectivity"
+
+  /** Default crossover, set from measurement, not theory: on the 5M × 256
+    * scale probe a range whose RESULT was 1.6% of the corpus (candidate
+    * fraction ~8%) ran 26× SLOWER pruned than scanned (32.7 s vs 1.2 s,
+    * round-9 BENCHNOTES) — local-storage scan bandwidth beats scattered
+    * page reads until the candidate set is genuinely tiny. Pruning must
+    * clear that bar before it is allowed to fire; raise the conf on
+    * high-latency remote storage where point reads regain ground.
+    */
+  val RangeMaxSelectivityDefault = "0.05"
 
   /** Prevents re-matching the rewritten Sort on later rule iterations. */
   private[plans] val RewrittenTag = TreeNodeTag[Unit]("graft.ivf.rewritten")
