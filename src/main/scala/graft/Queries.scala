@@ -1709,6 +1709,45 @@ object Queries {
       |  FROM documents)
       |WHERE rn <= 7 ORDER BY doc_id""".stripMargin
 
+  /** Domain dominance cap ([[ops.Corpus.capGroupShare]]): no source may
+    * exceed 10% of the corpus; over-represented sources are cut to the
+    * budget by the deterministic md5-order draw, under-cap sources pass
+    * through untouched — the web-curation anti-dominance rule (distinct
+    * from mx1's target-mix rebalance, which touches every stratum). The
+    * fixture's sources are uniform, so the query first merges 8 of them
+    * into one dominant pseudo-domain (40% share) to exercise BOTH
+    * branches; the oracle recomputes the identical budget + window rule,
+    * so membership is bit-equal.
+    */
+  def dm1SourceCap(spark: SparkSession, sfDir: String): DataFrame = {
+    val dom = when(
+      regexp_extract(col("source"), "^src([0-7])$", 1) =!= "", lit("srcA"))
+      .otherwise(col("source"))
+    val docs = t(spark, sfDir, "documents")
+      .select(col("doc_id"), dom.as("source"))
+    ops.Corpus
+      .capGroupShare(docs, col("doc_id"), col("source"), maxShare = 0.10)
+      .orderBy(col("doc_id"))
+  }
+
+  val dm1Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN regexp_matches(source, '^src[0-7]$') THEN 'srcA'
+      |         ELSE source END AS source
+      |  FROM documents),
+      |c AS (SELECT source, count(*) AS n FROM d GROUP BY source),
+      |t AS (SELECT sum(n) AS total FROM c),
+      |b AS (SELECT source, n,
+      |             greatest(CAST(floor(0.10 * total) AS BIGINT), 1) AS budget
+      |      FROM c, t),
+      |r AS (SELECT doc_id, source, row_number() OVER (
+      |        PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+      |      FROM d)
+      |SELECT r.doc_id, r.source FROM r JOIN b USING (source)
+      |WHERE b.n <= b.budget OR r.rn <= b.budget
+      |ORDER BY doc_id""".stripMargin
+
   /** Mixture resampling ([[ops.Corpus.mixToWeights]]): rebalance the corpus
     * language mix toward target weights by deterministic per-stratum
     * downsampling. The oracle recomputes the same allowance arithmetic
@@ -2767,6 +2806,7 @@ object Queries {
     "pq4_linear_quality" -> (pq4LinearQuality _),
     "pq5_stratified_exactk" -> (pq5StratifiedExactK _),
     "pq6_topk_per_group" -> (pq6TopKByGroup _),
+    "dm1_source_cap" -> (dm1SourceCap _),
     "cq1_curation_pipeline" -> (cq1CurationPipeline _),
     "cq2_neardup_curation" -> (cq2NearDupCuration _),
     "cq3_full_curation" -> (cq3FullCuration _),
@@ -2879,6 +2919,7 @@ object Queries {
     "pq4_linear_quality" -> pq4Oracle,
     "pq5_stratified_exactk" -> pq5Oracle,
     "pq6_topk_per_group" -> pq6Oracle,
+    "dm1_source_cap" -> dm1Oracle,
     "cq1_curation_pipeline" -> cq1Oracle,
     "cq2_neardup_curation" -> cq2Oracle,
     "cq3_full_curation" -> cq3Oracle,

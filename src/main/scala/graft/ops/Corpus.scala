@@ -149,6 +149,54 @@ object Corpus {
       .drop("_rn")
   }
 
+  /** Dominance cap (the web-curation anti-dominance rule, cf. per-domain
+    * caps in RefinedWeb-style pipelines): no group may exceed `maxShare`
+    * of the TOTAL corpus. Groups over the budget are downsampled to
+    * exactly `floor(maxShare · total)` rows by the deterministic md5-order
+    * draw (same total-order argument as [[stratifiedExactK]]: identical
+    * membership under any partitioning); groups under the budget pass
+    * through UNTOUCHED — unlike [[mixToWeights]], which rebalances every
+    * stratum toward a target mix, this only cuts over-represented groups.
+    *
+    * Scale shape: one groupBy over the group column (|groups| rows) + a
+    * 1-row total, broadcast of the overweight-groups-only budget table,
+    * then a single window sort restricted to rows of OVERWEIGHT groups
+    * (the under-cap majority of a skewed corpus takes the broadcast
+    * anti-join fork and is never shuffled); one dominant group's window
+    * partition is the largest sort, bounded by that group's own rows.
+    */
+  def capGroupShare(
+      df: DataFrame,
+      keyCol: Column,
+      groupCol: Column,
+      maxShare: Double): DataFrame = {
+    require(
+      maxShare > 0 && maxShare <= 1,
+      s"capGroupShare: maxShare=$maxShare must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(groupCol.as("_g")).agg(count(lit(1)).as("_c"))
+    val total = counts.agg(sum(col("_c")).as("_total"))
+    val overweight = counts
+      .crossJoin(broadcast(total))
+      .select(
+        col("_g"),
+        greatest(floor(lit(maxShare) * col("_total")), lit(1L))
+          .cast("bigint").as("_budget"),
+        col("_c"))
+      .where(col("_c") > col("_budget"))
+      .select(col("_g"), col("_budget"))
+    val w = Window.partitionBy(col("_g"))
+      .orderBy(md5(keyCol.cast("string")), keyCol)
+    val keptOver = df
+      .join(broadcast(overweight), groupCol === col("_g"))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= col("_budget"))
+      .drop("_g", "_budget", "_rn")
+    val under = df.join(
+      broadcast(overweight.select(col("_g"))), groupCol === col("_g"), "left_anti")
+    under.unionByName(keptOver)
+  }
+
   /** Deterministic mixture resampling: downsample strata so the realized
     * proportions approximate `weights` (a training-mixture rebalance, e.g.
     * "40% en / 20% de / …"). No stratum is upsampled: the output total is

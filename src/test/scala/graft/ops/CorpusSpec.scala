@@ -144,6 +144,39 @@ class CorpusSpec extends SparkSpec {
     assert(byLang("en") == enExpected)
   }
 
+  test("capGroupShare cuts only overweight groups, exactly to budget, deterministically") {
+    // 400 rows: "big" holds 250 (62.5%), small0..small5 hold 25 each
+    val docs = spark.range(0, 400).toDF("id")
+      .withColumn("src", when(col("id") < 250, "big")
+        .otherwise(concat(lit("small"), ((col("id") - 250) / 25).cast("int"))))
+    // cap at 20% of 400 -> budget 80: big cut 250 -> 80, smalls untouched
+    val kept = Corpus.capGroupShare(docs, col("id"), col("src"), 0.20)
+      .select("id", "src").as[(Long, String)].collect()
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(bySrc("big").size == 80)
+    (0 until 6).foreach(i => assert(bySrc(s"small$i").size == 25, s"small$i"))
+    // the cut is the content-addressed (md5, id) prefix of the big group
+    val bigExpected = (0L until 250L)
+      .sortBy(i => (java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, i))
+      .take(80).toSet
+    assert(bySrc("big") == bigExpected)
+    // deterministic under reshuffle
+    val again = Corpus
+      .capGroupShare(docs.repartition(7, col("id")), col("id"), col("src"), 0.20)
+      .select("id", "src").as[(Long, String)].collect()
+    assert(again.toSet == kept.toSet)
+    // maxShare = 1.0 keeps everything; invalid shares refuse
+    assert(Corpus.capGroupShare(docs, col("id"), col("src"), 1.0).count() == 400)
+    intercept[IllegalArgumentException] {
+      Corpus.capGroupShare(docs, col("id"), col("src"), 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.capGroupShare(docs, col("id"), col("src"), 1.5)
+    }
+  }
+
   test("topKByGroup keeps the k best per group with deterministic tie-break") {
     val docs = Seq(
       (1L, "en", 50L), (2L, "en", 90L), (3L, "en", 90L), (4L, "en", 10L),
