@@ -87,10 +87,21 @@ object Bench {
     graft.ivf.PqSidecar.ensure(spark, s"$sfDir/embeddings.parquet", "embedding", m = 8)
 
     val names = SparkEntry.queries.keys.toSeq.filterNot(VerifyOnly).sorted
+    // Conf hygiene (same rule as Verify): entries that pin spark.graft.*
+    // tier/nprobe/oversample keys must not leak them into whichever entry
+    // the sorted order runs next — a leaked tier conf would silently time
+    // a different plan. Snapshot once, restore after every entry.
+    val graftConf0 = spark.conf.getAll.filter(_._1.startsWith("spark.graft."))
+    def restoreGraftConf(): Unit = {
+      spark.conf.getAll.keys.filter(_.startsWith("spark.graft."))
+        .foreach(spark.conf.unset)
+      graftConf0.foreach { case (k, v) => spark.conf.set(k, v) }
+    }
     // warmup pass: steady-state JIT/codegen/page-cache
     names.foreach { name =>
       try materialize(SparkEntry.queries(name)(spark, sfDir))
       catch { case _: Throwable => () }
+      finally restoreGraftConf()
     }
     // BASELINE.md protocol metrics (k=100, nprobe=16), directly comparable
     // to the self-measured baseline table
@@ -114,16 +125,18 @@ object Bench {
         graft.ivf.VectorTopK.Options(nprobe = 16), oversample = 4)
       .toDF()
     val queryResults: Seq[(String, Double)] = names.map { name =>
-      name -> timeMin(materialize(SparkEntry.queries(name)(spark, sfDir)))
+      try name -> timeMin(materialize(SparkEntry.queries(name)(spark, sfDir)))
+      finally restoreGraftConf()
     }
 
-    // The query pass installed the SQL rewrite rule and left NprobeKey
-    // pinned session-wide (vq7/vq8 set it) — with the rule live,
-    // bruteK100's orderBy+limit is EXACTLY its match shape, so "brute"
-    // would silently time the indexed winner feed (and Recall.atK's brute
-    // side would go approximate, corrupting recall_at100). Disable the
-    // rewrite for the baseline + recall sections: the API paths below
-    // build their plans directly and never needed it.
+    // The query pass installed the SQL rewrite rule (Graft.install) —
+    // with the rule live, bruteK100's orderBy+limit is EXACTLY its match
+    // shape, so "brute" would silently time the indexed winner feed (and
+    // Recall.atK's brute side would go approximate, corrupting
+    // recall_at100). Disable the rewrite for the baseline + recall
+    // sections: the API paths below build their plans directly and never
+    // needed it. (Per-entry conf restore above already cleared any pinned
+    // NprobeKey; the unset is belt-and-braces.)
     spark.conf.set(graft.plans.VectorTopKRule.EnabledKey, "false")
     spark.conf.unset(graft.plans.VectorTopKRule.NprobeKey)
     // honesty guard (round-5 lesson, promoted to an assertion): for four
