@@ -1246,6 +1246,34 @@ object Queries {
        |    ON a.doc_id % 10 = 0 AND b.doc_id % 10 != 0)
        |WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Bloom-pruned exact novelty filter ([[ops.Dedup.exactNovelAgainst]]):
+    * which batch rows are NEW to the corpus? Corpus = the doc_id % 3 == 0
+    * slice, batch = doc_id % 10 == 0 — overlapping at % 30 == 0, the
+    * re-crawl-containing-known-docs scenario, so both the definitely-novel
+    * fork (bloom negative) and the verify fork (bloom positive: 17 true
+    * dups + fpp sliver) carry rows. The sharded bloom prunes, the
+    * broadcast verify semi-join restores exactness, so the result is
+    * bit-equal to the plain NOT EXISTS the oracle runs — the corpus is
+    * never shuffled on either fork.
+    */
+  def dx2BloomNovel(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    ops.Dedup
+      .exactNovelAgainst(
+        docs.where(col("doc_id") % 3 === 0),
+        docs.where(col("doc_id") % 10 === 0),
+        col("text"),
+        expectedItems = 4096L)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dx2Oracle: String =
+    """SELECT doc_id FROM documents i
+      |WHERE doc_id % 10 = 0 AND NOT EXISTS (
+      |  SELECT 1 FROM documents c WHERE c.doc_id % 3 = 0 AND c.text = i.text)
+      |ORDER BY doc_id""".stripMargin
+
   /** Near-dup CLUSTERING: minhash pairs → connected components → one
     * `(doc_id, cluster_id)` row per clustered doc, cluster_id = min member
     * id. The oracle recomputes the exact-jaccard pair graph and walks its
@@ -1690,6 +1718,31 @@ object Queries {
        |WHERE rn <= 4 ORDER BY doc_id""".stripMargin
   }
 
+  /** Deterministic global shuffle ([[ops.Corpus.globalShuffle]]): every doc
+    * gets a (shard, pos) under the seeded-md5 permutation — pretraining's
+    * "shuffle once, stream forever" step, reproducible across engines.
+    * The oracle recomputes the identical shard rule and per-shard
+    * row_number, so the full assignment (not just membership) is
+    * bit-equal.
+    */
+  def pq7GlobalShuffle(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Corpus
+      .globalShuffle(
+        t(spark, sfDir, "documents").select(col("doc_id")),
+        col("doc_id"), shards = 8, seed = "ep1")
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+
+  val pq7Oracle: String =
+    """WITH s AS (
+      |  SELECT doc_id, md5('ep1' || doc_id::VARCHAR) AS h,
+      |         CAST(('0x' || substr(md5('ep1' || doc_id::VARCHAR), 1, 8))::BIGINT % 8
+      |              AS INT) AS shard
+      |  FROM documents)
+      |SELECT doc_id, shard,
+      |       row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+      |FROM s ORDER BY doc_id""".stripMargin
+
   /** Deterministic exact-k per-stratum sample
     * ([[ops.Corpus.stratifiedExactK]]): exactly 7 docs per language by the
     * content-addressed (md5(id), id) order — the oracle runs the identical
@@ -1846,6 +1899,34 @@ object Queries {
   val tq10Oracle: String =
     """SELECT doc_id, lower(nfc_normalize(text)) AS norm
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Corpus-relative bigram novelty ([[ops.TextAnalysis.bigramNovelty]]):
+    * per doc, how many of its bigram positions are RARE corpus-wide
+    * (count < 25 — ~20% of the fixture's bigram vocabulary) — the
+    * exact-integer surrogate of an LM perplexity filter, hash-gateable
+    * because no log/double ever enters the result. The oracle re-derives
+    * the corpus bigram table and the per-doc join with vb1's tokenization
+    * CTE, so the gate covers the count pass AND the re-join.
+    */
+  def tq11BigramNovelty(spark: SparkSession, sfDir: String): DataFrame =
+    ops.TextAnalysis
+      .bigramNovelty(t(spark, sfDir, "documents"), "doc_id", "text", minCount = 25L)
+      .orderBy(col("doc_id"))
+
+  val tq11Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |g AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS gram
+      |      FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+      |            FROM t)),
+      |c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram),
+      |p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |             CAST(sum(CASE WHEN cnt < 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+      |      FROM g JOIN c USING (gram) GROUP BY doc_id)
+      |SELECT t.doc_id, COALESCE(p.n_bigrams, 0) AS n_bigrams,
+      |       COALESCE(p.n_rare, 0) AS n_rare
+      |FROM t LEFT JOIN p USING (doc_id) ORDER BY t.doc_id""".stripMargin
 
   def pq4LinearQuality(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "documents")
@@ -2786,6 +2867,7 @@ object Queries {
     "dq8_dup_spans" -> (dq8DupSpans _),
     "dq9_span_scrub" -> (dq9SpanScrub _),
     "dx1_cross_dedup" -> (dx1CrossDedup _),
+    "dx2_bloom_novel" -> (dx2BloomNovel _),
     "tq1_token_count" -> (tq1TokenCount _),
     "tq2_text_stats" -> (tq2TextStats _),
     "tq3_lang_id" -> (tq3LangId _),
@@ -2796,6 +2878,7 @@ object Queries {
     "tq8_pack" -> (tq8Pack _),
     "tq9_repetition" -> (tq9Repetition _),
     "tq10_normalize" -> (tq10Normalize _),
+    "tq11_bigram_novelty" -> (tq11BigramNovelty _),
     "dc1_decontam" -> (dc1Decontam _),
     "dc2_overlap_frac" -> (dc2OverlapFrac _),
     "dc3_semantic_decontam" -> (dc3SemanticDecontam _),
@@ -2806,6 +2889,7 @@ object Queries {
     "pq4_linear_quality" -> (pq4LinearQuality _),
     "pq5_stratified_exactk" -> (pq5StratifiedExactK _),
     "pq6_topk_per_group" -> (pq6TopKByGroup _),
+    "pq7_global_shuffle" -> (pq7GlobalShuffle _),
     "dm1_source_cap" -> (dm1SourceCap _),
     "cq1_curation_pipeline" -> (cq1CurationPipeline _),
     "cq2_neardup_curation" -> (cq2NearDupCuration _),
@@ -2899,6 +2983,7 @@ object Queries {
     "dq8_dup_spans" -> dq8Oracle,
     "dq9_span_scrub" -> dq9Oracle,
     "dx1_cross_dedup" -> dx1Oracle,
+    "dx2_bloom_novel" -> dx2Oracle,
     "tq1_token_count" -> tq1Oracle,
     "tq2_text_stats" -> tq2Oracle,
     "tq3_lang_id" -> tq3Oracle,
@@ -2909,6 +2994,7 @@ object Queries {
     "tq8_pack" -> tq8Oracle,
     "tq9_repetition" -> tq9Oracle,
     "tq10_normalize" -> tq10Oracle,
+    "tq11_bigram_novelty" -> tq11Oracle,
     "dc1_decontam" -> dc1Oracle,
     "dc2_overlap_frac" -> dc2Oracle,
     "dc3_semantic_decontam" -> dc3Oracle,
@@ -2919,6 +3005,7 @@ object Queries {
     "pq4_linear_quality" -> pq4Oracle,
     "pq5_stratified_exactk" -> pq5Oracle,
     "pq6_topk_per_group" -> pq6Oracle,
+    "pq7_global_shuffle" -> pq7Oracle,
     "dm1_source_cap" -> dm1Oracle,
     "cq1_curation_pipeline" -> cq1Oracle,
     "cq2_neardup_curation" -> cq2Oracle,

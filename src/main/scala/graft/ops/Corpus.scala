@@ -255,6 +255,35 @@ object Corpus {
       .drop("_s", "_allow")
   }
 
+  /** Deterministic global shuffle for training-data sharding: assigns every
+    * row a `(shard, pos)` — shard by a seeded md5 of the key, position by
+    * md5 order within the shard — so the corpus reads back in a fixed
+    * pseudo-random order that is reproducible across runs, partitionings,
+    * and engines (pretraining's "shuffle once, then stream" step; `seed`
+    * gives a fresh permutation per epoch without touching the data).
+    *
+    * This is the ONE operator in the module that intentionally performs a
+    * full-corpus shuffle — that is its job. Scale shape: `shards` bounds
+    * each window sort to `n / shards` rows (shards map to output files; at
+    * 100 TB pick shards so a shard's keys fit an executor's sort spill
+    * budget), and the sort key is the 128-bit md5, so placement is uniform
+    * regardless of input skew. Writers consume it as
+    * `.repartition(col("shard")).sortWithinPartitions("pos")`.
+    */
+  def globalShuffle(
+      df: DataFrame,
+      keyCol: Column,
+      shards: Int,
+      seed: String = ""): DataFrame = {
+    require(shards >= 1, s"globalShuffle: shards=$shards must be >= 1")
+    val h = md5(concat(lit(seed), keyCol.cast("string")))
+    val shard = pmod(conv(substring(h, 1, 8), 16, 10).cast("bigint"), lit(shards))
+      .cast("int")
+    val w = Window.partitionBy(col("shard")).orderBy(h, keyCol)
+    df.withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("bigint"))
+  }
+
   /** Exact token-count distribution stats (count + interpolated
     * percentiles) — the corpus-level summary a filtering pipeline keys off.
     */

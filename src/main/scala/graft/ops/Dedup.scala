@@ -744,6 +744,155 @@ object Dedup {
       .drop("_span_id", "_spans", "_kept")
   }
 
+  /** Sharded Bloom filters over a key column — the broadcastable corpus
+    * membership sketch behind [[exactNovelAgainst]]. Returns `shards`
+    * serialized filters; a key's shard is `pmod(xxhash64(key), shards)`,
+    * so each filter only answers for its shard and total sketch size is
+    * what bounds driver/broadcast memory, not corpus size: at 100 TB the
+    * corpus is represented by `shards × bitsPerFilter` bytes, built in one
+    * column-pruned scan with per-partition partial filters OR-merged per
+    * shard (bytes shuffled ∝ partitions × shards × filter size — never the
+    * keys themselves).
+    *
+    * The inserted value is `xxhash64(key)` (Spark's own runtime-row-filter
+    * convention), so the probe side can be a codegen'd
+    * `BloomFilterMightContain` over the same hash — no UDF per row.
+    */
+  def shardedBloom(
+      corpus: DataFrame,
+      keyCol: Column,
+      expectedItems: Long,
+      fpp: Double = 0.01,
+      shards: Int = 4): Array[Array[Byte]] = {
+    require(expectedItems > 0, s"shardedBloom: expectedItems=$expectedItems must be > 0")
+    require(fpp > 0 && fpp < 1, s"shardedBloom: fpp=$fpp must be in (0, 1)")
+    require(shards >= 1, s"shardedBloom: shards=$shards must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val perShard = math.max(expectedItems / shards, 64L)
+    val hashed = corpus
+      .select(xxhash64(keyCol).as("h"))
+      .select(pmod(col("h"), lit(shards)).cast("int").as("s"), col("h"))
+      .as[(Int, Long)]
+    def ser(b: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      b.writeTo(out)
+      out.toByteArray
+    }
+    def deser(bytes: Array[Byte]): org.apache.spark.util.sketch.BloomFilter =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+    val partials = hashed.mapPartitions { it =>
+      val local = new Array[org.apache.spark.util.sketch.BloomFilter](shards)
+      it.foreach { case (s, h) =>
+        if (local(s) == null)
+          local(s) = org.apache.spark.util.sketch.BloomFilter.create(perShard, fpp)
+        local(s).putLong(h)
+      }
+      local.iterator.zipWithIndex.collect { case (b, i) if b != null => (i, ser(b)) }
+    }
+    val merged = partials
+      .groupByKey(_._1)
+      .reduceGroups { (a, b) =>
+        val fa = deser(a._2); fa.mergeInPlace(deser(b._2)); (a._1, ser(fa))
+      }
+      .map(_._2)
+      .collect()
+    val out = new Array[Array[Byte]](shards)
+    merged.foreach { case (i, bytes) => out(i) = bytes }
+    // shards no corpus key landed in still need a (trivial, empty) filter so
+    // the probe expression stays total
+    (0 until shards).foreach { i =>
+      if (out(i) == null)
+        out(i) = ser(org.apache.spark.util.sketch.BloomFilter.create(64L, fpp))
+    }
+    out
+  }
+
+  /** Codegen'd probe predicate for [[shardedBloom]] filters: true when the
+    * key MIGHT be in the corpus (false positives possible at the filter's
+    * fpp), false when it is DEFINITELY absent. A CASE over the key's shard
+    * routes to that shard's `BloomFilterMightContain` literal — whole-stage
+    * codegen, no UDF, no broadcast variable plumbing (the filter bytes ride
+    * in the plan as binary literals).
+    */
+  def mightContain(blooms: Array[Array[Byte]], keyCol: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    require(blooms.nonEmpty && blooms.forall(_ != null), "mightContain: empty bloom set")
+    val h = xxhash64(keyCol)
+    val shard = pmod(h, lit(blooms.length)).cast("int")
+    def probe(i: Int): Column =
+      org.apache.spark.sql.graft.Bridge.column(
+        BloomFilterMightContain(
+          Literal(blooms(i), org.apache.spark.sql.types.BinaryType),
+          org.apache.spark.sql.graft.Bridge.expression(h)))
+    (1 until blooms.length)
+      .foldLeft(when(shard === 0, probe(0))) { (acc, i) =>
+        acc.when(shard === i, probe(i))
+      }
+      .otherwise(lit(false))
+  }
+
+  /** EXACT "which incoming rows are new?" against a huge corpus — the
+    * Bloom-pruned exact-key novelty filter (the 100 TB shape of exact
+    * cross-corpus dedup). Three steps, none of which ever shuffles the
+    * corpus:
+    *
+    *  1. [[shardedBloom]] sketches the corpus keys in one column-pruned
+    *     scan (or the caller passes a persisted sketch via the overload —
+    *     the standing-ingest pipeline builds it once and filters every
+    *     batch against it).
+    *  2. Bloom-NEGATIVE incoming rows are DEFINITELY novel (no false
+    *     negatives) and pass through as a pure codegen'd filter — at a
+    *     typical novel-heavy batch this is most rows, with zero join work.
+    *  3. Bloom-POSITIVE rows (true dups + the fpp sliver) are verified
+    *     exactly: their distinct keys broadcast to a semi-join against the
+    *     corpus (map-side, corpus stays un-shuffled), and confirmed-present
+    *     keys anti-join the candidates. Result: exactly the rows whose key
+    *     equals no corpus key — bit-identical to the plain anti-join, at a
+    *     fraction of its shuffle.
+    *
+    * The broadcast is bounded by the candidate-key count (dups + fpp ·
+    * novel); for batches expected to be MOSTLY duplicate, set
+    * `broadcastCandidates = false` to use shuffle joins for step 3.
+    */
+  def exactNovelAgainst(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      keyCol: Column,
+      expectedItems: Long,
+      fpp: Double = 0.01,
+      shards: Int = 4,
+      broadcastCandidates: Boolean = true): DataFrame =
+    exactNovelAgainst(
+      corpus, incoming, keyCol,
+      shardedBloom(corpus, keyCol, expectedItems, fpp, shards),
+      broadcastCandidates)
+
+  /** [[exactNovelAgainst]] with a pre-built [[shardedBloom]] sketch — the
+    * standing-pipeline form (sketch built once, reused per batch).
+    */
+  def exactNovelAgainst(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      keyCol: Column,
+      blooms: Array[Array[Byte]],
+      broadcastCandidates: Boolean): DataFrame = {
+    val might = mightContain(blooms, keyCol)
+    val definiteNovel = incoming.where(!might)
+    val candidates = incoming.where(might)
+    val candKeys = candidates.select(keyCol.as("_k")).distinct()
+    val candSide = if (broadcastCandidates) broadcast(candKeys) else candKeys
+    val present = corpus
+      .join(candSide, keyCol === col("_k"), "left_semi")
+      .select(keyCol.as("_k"))
+      .distinct()
+    val presentSide = if (broadcastCandidates) broadcast(present) else present
+    val verifiedNovel = candidates
+      .join(presentSide, keyCol === col("_k"), "left_anti")
+    definiteNovel.unionByName(verifiedNovel)
+  }
+
   /** The group-then-enumerate candidate paths key [[GroupPairEnumerator]]
     * on `idCol` cast to long, so the id must be integral: a string/UUID id
     * would cast to null (opaque NPE in the tuple encoder), a float/decimal

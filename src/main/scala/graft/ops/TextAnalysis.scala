@@ -156,6 +156,49 @@ object TextAnalysis {
 
   def langId(text: Column): Column = langIdFromCounts(allMarkerCounts(text))
 
+  /** Corpus-relative n-gram LM novelty signal — the exact-integer surrogate
+    * of the CCNet/KenLM perplexity filter: a document whose bigrams are
+    * mostly RARE in the corpus-wide bigram table is "high-perplexity under
+    * the corpus's own bigram LM" (boilerplate scores low, anomalous/noisy
+    * text scores high). Exact counts instead of log-probabilities keep the
+    * result BIGINT-reproducible in any engine — no transcendental-function
+    * last-ulp drift in the oracle compare; callers threshold on the
+    * `n_rare / n_bigrams` ratio.
+    *
+    * Output: one row per input doc — `(id, n_bigrams, n_rare)` where
+    * `n_rare` counts bigram POSITIONS (multiplicity kept — a doc repeating
+    * one rare bigram is all-rare) whose corpus-wide occurrence count is
+    * below `minCount`. Docs with < 2 tokens emit (0, 0).
+    *
+    * Plan shape (both stages the vb1 aggregation tree): explode the
+    * multiplicity-preserving [[graft.functions.word_ngrams]] kernel →
+    * map-side partial count shuffled by gram (the LM "training" pass) →
+    * re-join the exploded grams to their counts on the gram key → per-doc
+    * partial-aggregated count. Work is linear in corpus token count and
+    * every shuffle is keyed (gram, then id) — no broadcast of the gram
+    * table (the rare tail IS most of the vocabulary at scale).
+    */
+  def bigramNovelty(
+      df: DataFrame, idCol: String, textCol: String, minCount: Long): DataFrame = {
+    require(minCount >= 1, s"bigramNovelty: minCount=$minCount must be >= 1")
+    val grams = df.select(
+      col(idCol),
+      explode(graft.functions.word_ngrams(col(textCol), 2)).as("_gram"))
+    val counts = grams.groupBy(col("_gram")).agg(count(lit(1)).as("_c"))
+    val perDoc = grams
+      .join(counts, "_gram")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("_c") < minCount, 1L).otherwise(0L)).as("n_rare"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+  }
+
   /** PII redaction patterns, ordered: email first (its local part can
     * contain digits/dots that the later numeric patterns would mangle),
     * then SSN (3-2-4 grouping) before the generic 3-3-4 phone, then IPv4.

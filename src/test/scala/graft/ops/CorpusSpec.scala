@@ -192,6 +192,33 @@ class CorpusSpec extends SparkSpec {
     assert(one == Set(2L, 5L))
   }
 
+  test("globalShuffle: dense per-shard positions, partition-invariant, seeded") {
+    val docs = spark.range(0, 500).toDF("id")
+    val out = Corpus.globalShuffle(docs, col("id"), shards = 8, seed = "s1")
+      .select("id", "shard", "pos")
+      .as[(Long, Int, Long)].collect()
+    assert(out.length == 500)
+    // positions within each shard are exactly 1..n_shard
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length))
+    }
+    // every shard of 8 gets rows under a uniform hash at n=500
+    assert(out.map(_._2).distinct.length == 8)
+    // identical assignment under a different physical partitioning
+    val again = Corpus
+      .globalShuffle(docs.repartition(13), col("id"), shards = 8, seed = "s1")
+      .select("id", "shard", "pos")
+      .as[(Long, Int, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // a different seed yields a different permutation
+    val other = Corpus.globalShuffle(docs, col("id"), shards = 8, seed = "s2")
+      .select("id", "shard", "pos")
+      .as[(Long, Int, Long)].collect()
+    assert(out.sortBy(_._1).toSeq != other.sortBy(_._1).toSeq)
+    intercept[IllegalArgumentException](
+      Corpus.globalShuffle(docs, col("id"), shards = 0))
+  }
+
   test("mixToWeights drops unlisted strata and validates weights") {
     val docs = spark.range(0, 300).toDF("id")
       .withColumn("lang", when(col("id") % 3 === 0, "en")

@@ -158,6 +158,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again == native)
   }
 
+  test("bigramNovelty counts rare-bigram positions with multiplicity") {
+    val docs = Seq(
+      (1L, "a b a b"),       // bigrams: "a b", "b a", "a b" — "a b" ×2
+      (2L, "a b c"),         // "a b", "b c"
+      (3L, "x y x y x y"),   // "x y" ×3, "y x" ×2
+      (4L, "solo"),          // single token — 0 bigrams
+      (5L, "a b q r"))       // "a b", "b q", "q r"
+      .toDF("id", "text")
+    // corpus counts: "a b"=4, "b a"=1, "b c"=1, "x y"=3, "y x"=2,
+    //                "b q"=1, "q r"=1
+    val out = TextAnalysis.bigramNovelty(docs, "id", "text", minCount = 2L)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ((3L, 1L)))  // "b a" rare
+    assert(out(2L) == ((2L, 1L)))  // "b c" rare
+    assert(out(3L) == ((5L, 0L)))  // both bigrams frequent
+    assert(out(4L) == ((0L, 0L)))  // no bigrams at all
+    assert(out(5L) == ((3L, 2L)))  // "b q", "q r" rare
+    intercept[IllegalArgumentException](
+      TextAnalysis.bigramNovelty(docs, "id", "text", minCount = 0L))
+  }
+
   test("piiScrub redacts emails, SSNs, phones, IPs and leaves clean text") {
     val cases = Seq(
       "mail a.b+c_1%d@sub.example.org now" -> "mail <EMAIL> now",
