@@ -1743,6 +1743,31 @@ object Queries {
       |       row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Deterministic weighted sampling ([[ops.Corpus.weightedSample]]): keep
+    * each doc with probability ~ its token-count-derived quality weight
+    * (`least(1, n_tokens/60)`) — the soft quality filter. The oracle
+    * recomputes the identical weight in double arithmetic and the same
+    * md5-bucket draw, so membership is bit-equal.
+    */
+  def pq8WeightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val weight = least(
+      lit(1.0), ops.TextAnalysis.tokenCount(col("text")).cast("double") / lit(60))
+    ops.Corpus
+      .weightedSample(docs, col("doc_id"), weight)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val pq8Oracle: String =
+    """SELECT doc_id FROM (
+      |  SELECT doc_id,
+      |    least(CAST(1 AS DOUBLE),
+      |          len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE / 60) AS w
+      |  FROM documents)
+      |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INT < w * 256
+      |ORDER BY doc_id""".stripMargin
+
   /** Deterministic exact-k per-stratum sample
     * ([[ops.Corpus.stratifiedExactK]]): exactly 7 docs per language by the
     * content-addressed (md5(id), id) order — the oracle runs the identical
@@ -2752,6 +2777,29 @@ object Queries {
     * over (no dedup state needed). Replayed to completion it must equal
     * the batch result — shares iq1's oracle.
     */
+  /** Streaming bloom-pruned exact novelty ([[ops.Dedup.
+    * exactNovelAgainstStream]]): dx2's batch-vs-corpus novelty filter with
+    * the batch slice arriving as a stream — bloom-negative rows pass a
+    * stateless codegen'd filter, bloom-positive rows verify through a
+    * stream-static anti-join; no state at all, so replay == batch and the
+    * query shares dx2's oracle.
+    */
+  def st10StreamBloomNovel(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val schema = t(spark, sfDir, "documents").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .where(col("doc_id") % 10 === 0)
+    val corpus = t(spark, sfDir, "documents").where(col("doc_id") % 3 === 0)
+    val novel = ops.Dedup
+      .exactNovelAgainstStream(corpus, stream, col("text"), expectedItems = 4096L)
+    streaming.EventStreams
+      .replayToTable(spark, novel, OutputMode.Append(),
+        statePartitions = Some(ReplayStatePartitions))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   def st9StreamIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.OutputMode
     val minuteUs = 60000000L
@@ -2890,6 +2938,7 @@ object Queries {
     "pq5_stratified_exactk" -> (pq5StratifiedExactK _),
     "pq6_topk_per_group" -> (pq6TopKByGroup _),
     "pq7_global_shuffle" -> (pq7GlobalShuffle _),
+    "pq8_weighted_sample" -> (pq8WeightedSample _),
     "dm1_source_cap" -> (dm1SourceCap _),
     "cq1_curation_pipeline" -> (cq1CurationPipeline _),
     "cq2_neardup_curation" -> (cq2NearDupCuration _),
@@ -2919,6 +2968,7 @@ object Queries {
     "st7_stream_index_ingest" -> (st7StreamIndexIngest _),
     "st8_stream_postings_ingest" -> (st8StreamPostingsIngest _),
     "st9_stream_interval_join" -> (st9StreamIntervalJoin _),
+    "st10_stream_bloom_novel" -> (st10StreamBloomNovel _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -3006,6 +3056,7 @@ object Queries {
     "pq5_stratified_exactk" -> pq5Oracle,
     "pq6_topk_per_group" -> pq6Oracle,
     "pq7_global_shuffle" -> pq7Oracle,
+    "pq8_weighted_sample" -> pq8Oracle,
     "dm1_source_cap" -> dm1Oracle,
     "cq1_curation_pipeline" -> cq1Oracle,
     "cq2_neardup_curation" -> cq2Oracle,
@@ -3034,6 +3085,7 @@ object Queries {
     "st7_stream_index_ingest" -> vq1Oracle, // exhaustive search == brute
     "st8_stream_postings_ingest" -> bq1Oracle, // replayed snapshot == batch scores
     "st9_stream_interval_join" -> iq1Oracle, // replay == batch interval join
+    "st10_stream_bloom_novel" -> dx2Oracle, // stateless replay == batch novelty
 
   )
 }

@@ -255,6 +255,20 @@ object Corpus {
       .drop("_s", "_allow")
   }
 
+  /** Deterministic per-row weighted sampling: keep each row with
+    * probability ~`weightCol` (clamped to [0, 1], 1/256 granularity via
+    * [[hashBucket]]) — the "soft quality filter" (keep high-quality docs
+    * always, low-quality ones proportionally) that replaces a hard
+    * threshold cliff with a graded keep rate. Content-hash based, not
+    * `rand()`: membership is exact-deterministic and reproduces in any
+    * engine, re-run, or partitioning. A pure codegen'd filter — no
+    * shuffle, composes with any scan at any scale.
+    */
+  def weightedSample(df: DataFrame, keyCol: Column, weightCol: Column): DataFrame =
+    df.where(
+      hashBucket(keyCol) <
+        least(greatest(weightCol.cast("double"), lit(0.0)), lit(1.0)) * 256)
+
   /** Deterministic global shuffle for training-data sharding: assigns every
     * row a `(shard, pos)` — shard by a seeded md5 of the key, position by
     * md5 order within the shard — so the corpus reads back in a fixed

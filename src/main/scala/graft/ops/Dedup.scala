@@ -893,6 +893,93 @@ object Dedup {
     definiteNovel.unionByName(verifiedNovel)
   }
 
+  /** Streaming form of [[exactNovelAgainst]]: `incoming` is an UNBOUNDED
+    * stream filtered to its corpus-novel rows as they arrive. The batch
+    * form's broadcast-the-candidates verify cannot stream (a stream-side
+    * distinct + static-left semi-join is unsupported), so the stream
+    * restructures to the two supported stateless forks:
+    *
+    *  - bloom-NEGATIVE rows pass through a pure codegen'd filter — no
+    *    join, no state, most of a novel-heavy stream;
+    *  - bloom-POSITIVE rows verify via a stream-static LEFT ANTI join
+    *    against the corpus key table, which is persisted (the
+    *    stream-static trap: an unpersisted static side re-scans the
+    *    corpus every micro-batch).
+    *
+    * Both forks are stateless, so replay == batch and the result is
+    * bit-equal to [[exactNovelAgainst]]. A standing pipeline passes a
+    * persisted sketch (and its own cached key table) instead of
+    * rebuilding per query.
+    */
+  def exactNovelAgainstStream(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      keyCol: Column,
+      expectedItems: Long,
+      fpp: Double = 0.01,
+      shards: Int = 4): DataFrame = {
+    val blooms = shardedBloom(corpus, keyCol, expectedItems, fpp, shards)
+    val might = mightContain(blooms, keyCol)
+    // session-lifetime cache by design (see minhashNearDupStreamStatic):
+    // CacheManager dedupes by plan, so repeat invocations share the entry
+    val corpusKeys = corpus.select(keyCol.as("_k")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    incoming.where(!might).unionByName(
+      incoming.where(might).join(corpusKeys, keyCol === col("_k"), "left_anti"))
+  }
+
+  /** Persist a [[shardedBloom]] sketch as a tiny parquet table
+    * `(shard, filter)` — the standing-ingest artifact: build once over the
+    * corpus, [[readBloom]] it back per batch, [[extendBloom]] it with each
+    * ingested batch's keys (bloom filters OR losslessly, so the sketch
+    * stays exact-no-false-negative under append; deletes need a rebuild).
+    */
+  def writeBloom(
+      spark: org.apache.spark.sql.SparkSession,
+      blooms: Array[Array[Byte]],
+      path: String): Unit = {
+    import spark.implicits._
+    blooms.zipWithIndex.map { case (b, i) => (i, b) }.toSeq
+      .toDF("shard", "filter")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def readBloom(spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Byte]] = {
+    val rows = spark.read.parquet(path)
+      .select(col("shard").cast("int"), col("filter"))
+      .collect()
+    require(rows.nonEmpty, s"readBloom: no filters at $path")
+    val out = new Array[Array[Byte]](rows.length)
+    rows.foreach(r => out(r.getInt(0)) = r.getAs[Array[Byte]](1))
+    require(out.forall(_ != null), s"readBloom: missing shards at $path")
+    out
+  }
+
+  /** OR-merge a batch's keys into an existing sketch (same shard count; the
+    * per-shard expectedItems/fpp geometry must match, which holding the
+    * sketch-building parameters constant guarantees — mergeInPlace refuses
+    * incompatible filters).
+    */
+  def extendBloom(
+      existing: Array[Array[Byte]],
+      batch: DataFrame,
+      keyCol: Column,
+      expectedItems: Long,
+      fpp: Double = 0.01): Array[Array[Byte]] = {
+    val add = shardedBloom(batch, keyCol, expectedItems, fpp, existing.length)
+    def deser(bytes: Array[Byte]) =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+    existing.zip(add).map { case (a, b) =>
+      val fa = deser(a)
+      fa.mergeInPlace(deser(b))
+      val out = new java.io.ByteArrayOutputStream()
+      fa.writeTo(out)
+      out.toByteArray
+    }
+  }
+
   /** The group-then-enumerate candidate paths key [[GroupPairEnumerator]]
     * on `idCol` cast to long, so the id must be integral: a string/UUID id
     * would cast to null (opaque NPE in the tuple encoder), a float/decimal

@@ -65,6 +65,52 @@ class BloomDedupSpec extends SparkSpec {
     assert(novel == batch.count())
   }
 
+  test("streaming novelty filter over micro-batches equals the batch answer") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("id", "text")
+    val novel = Dedup
+      .exactNovelAgainstStream(corpus, stream, col("text"), expectedItems = 256L)
+    val query = novel.writeStream
+      .format("memory").queryName("bloom_novel_test")
+      .outputMode(OutputMode.Append()).start()
+    // split the batch across two micro-batches — dups and novels in both
+    val rows = batch.as[(Long, String)].collect().sortBy(_._1)
+    val (first, second) = rows.splitAt(rows.length / 2)
+    input.addData(first.toSeq)
+    query.processAllAvailable()
+    input.addData(second.toSeq)
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("bloom_novel_test")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(streamed == (2000L until 2020L))
+  }
+
+  test("bloom sketch persists, reads back, and extends losslessly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    val blooms = Dedup.shardedBloom(
+      corpus, col("text"), expectedItems = 256L, shards = 4)
+    Dedup.writeBloom(spark, blooms, s"$dir/bloom")
+    val back = Dedup.readBloom(spark, s"$dir/bloom")
+    assert(back.length == 4)
+    assert(back.zip(blooms).forall { case (a, b) => a.sameElements(b) })
+    // extend with the batch: every batch key must now might-contain
+    val extended = Dedup.extendBloom(back, batch, col("text"), expectedItems = 256L)
+    val misses = batch
+      .where(!Dedup.mightContain(extended, col("text")))
+      .count()
+    assert(misses == 0L)
+    // and the original corpus keys are still present (no-false-negative
+    // survives the merge)
+    val corpusMisses = corpus
+      .where(!Dedup.mightContain(extended, col("text")))
+      .count()
+    assert(corpusMisses == 0L)
+  }
+
   test("parameter validation fails fast") {
     intercept[IllegalArgumentException](
       Dedup.shardedBloom(corpus, col("text"), expectedItems = 0L))

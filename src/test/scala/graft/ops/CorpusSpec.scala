@@ -192,6 +192,27 @@ class CorpusSpec extends SparkSpec {
     assert(one == Set(2L, 5L))
   }
 
+  test("weightedSample keeps weight-1 rows, drops weight-0 rows, is deterministic") {
+    val docs = spark.range(0, 600).toDF("id")
+      .withColumn("w", when(col("id") < 200, 1.0)
+        .when(col("id") < 400, 0.0).otherwise(0.5))
+    val kept = Corpus.weightedSample(docs, col("id"), col("w"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert((0L until 200L).forall(kept.contains))       // w=1 always kept
+    assert(!kept.exists(id => id >= 200 && id < 400))   // w=0 always dropped
+    val mid = kept.count(id => id >= 400)
+    assert(mid > 50 && mid < 150, s"w=0.5 kept $mid of 200") // ~half
+    // deterministic under repartitioning; out-of-range weights clamp
+    val again = Corpus
+      .weightedSample(docs.repartition(7), col("id"), col("w"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == again)
+    val clamped = Corpus
+      .weightedSample(docs, col("id"), col("w") * 100 - lit(25.0))
+      .count() // w*100-25: {75, -25, 25} → clamps to {1, 0, 1}
+    assert(clamped == 400L)
+  }
+
   test("globalShuffle: dense per-shard positions, partition-invariant, seeded") {
     val docs = spark.range(0, 500).toDF("id")
     val out = Corpus.globalShuffle(docs, col("id"), shards = 8, seed = "s1")
