@@ -1953,6 +1953,36 @@ object Queries {
       |       COALESCE(p.n_rare, 0) AS n_rare
       |FROM t LEFT JOIN p USING (doc_id) ORDER BY t.doc_id""".stripMargin
 
+  /** Sliding token-window chunking ([[ops.TextAnalysis.chunkByTokens]]):
+    * 12-token chunks stepping by 8 (4-token overlap) — the context-window
+    * splitter. The oracle recomputes the identical start-sequence + slice
+    * rule in DuckDB list arithmetic, so chunk boundaries, text, and counts
+    * are all bit-equal.
+    */
+  def tq12Chunk(spark: SparkSession, sfDir: String): DataFrame =
+    ops.TextAnalysis
+      .chunkByTokens(
+        t(spark, sfDir, "documents"), "doc_id", "text",
+        maxTokens = 12, overlap = 4)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val tq12Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |s AS (SELECT doc_id, ws,
+      |             unnest(generate_series(0, greatest(len(ws) - 1, 0), 8)) AS st
+      |      FROM t WHERE len(ws) > 0),
+      |c AS (SELECT doc_id, st,
+      |             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY st) - 1
+      |                  AS INT) AS chunk_idx,
+      |             array_to_string(ws[st + 1 : st + 12], ' ') AS chunk_text
+      |      FROM s WHERE st = 0 OR st + 4 < len(ws))
+      |SELECT doc_id, chunk_idx, chunk_text,
+      |       CAST(len(regexp_split_to_array(trim(chunk_text), '\s+')) AS INT)
+      |         AS chunk_tokens
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   def pq4LinearQuality(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "documents")
       .select(
@@ -2368,6 +2398,44 @@ object Queries {
        |      FROM (SELECT *, $least AS m FROM d))
        |SELECT cell, count(*) AS n, CAST(sum(label) AS BIGINT) AS label_sum
        |FROM a GROUP BY cell ORDER BY cell""".stripMargin
+  }
+
+  /** Embedding outlier detection ([[ops.Similarity.quantizedOutliers]]):
+    * rows whose SQ8-code-space distance to every cp1 profile centroid
+    * exceeds 395000 (≈ the fixture's p95 — ~5% flagged at both sf0.01 and
+    * sf0.1). All-integer arithmetic end to end, so the min-distance VALUES
+    * are gated, not just membership; the oracle recomputes the code grid,
+    * the per-centroid integer distance (‖c‖² + ‖q‖² − 2c·q over
+    * exactly-representable integer-valued doubles), and the min.
+    */
+  val oq1Threshold = 395000L
+
+  def oq1EmbedOutliers(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Similarity
+      .quantizedOutliers(
+        t(spark, sfDir, "embeddings"), "vec_id", "embedding",
+        cp1Centroids, 64, oq1Threshold)
+      .orderBy(col("vec_id"))
+
+  val oq1Oracle: String = {
+    val terms = (0 until 8).map { c =>
+      val codes = graft.functions.Sq8
+        .encode(cp1Centroids.slice(c * 64, (c + 1) * 64)).map(_.toLong)
+      val sumQ = codes.map(q => q * q).sum
+      val qLit = codes.mkString("[", ", ", "]")
+      s"(sq + $sumQ - 2 * CAST(list_dot_product(cd, ${qLit}::DOUBLE[]) AS BIGINT))"
+    }
+    s"""WITH z AS (
+       |  SELECT vec_id, list_transform(embedding, $duckSq8) AS ci
+       |  FROM embeddings),
+       |w AS (SELECT vec_id,
+       |             list_transform(ci, x -> x::DOUBLE) AS cd,
+       |             CAST(list_sum(list_transform(ci, x -> x * x)) AS BIGINT) AS sq
+       |      FROM z)
+       |SELECT vec_id, min_code_dist FROM (
+       |  SELECT vec_id, least(${terms.mkString(",\n    ")}) AS min_code_dist
+       |  FROM w)
+       |WHERE min_code_dist > $oq1Threshold ORDER BY vec_id""".stripMargin
   }
 
   /** Drift-probe histogram over the same FIXED literal centroid grid as
@@ -2927,6 +2995,7 @@ object Queries {
     "tq9_repetition" -> (tq9Repetition _),
     "tq10_normalize" -> (tq10Normalize _),
     "tq11_bigram_novelty" -> (tq11BigramNovelty _),
+    "tq12_chunk" -> (tq12Chunk _),
     "dc1_decontam" -> (dc1Decontam _),
     "dc2_overlap_frac" -> (dc2OverlapFrac _),
     "dc3_semantic_decontam" -> (dc3SemanticDecontam _),
@@ -2953,6 +3022,7 @@ object Queries {
     "sq2_ivf_cell_pairs" -> (sq2IvfCellPairs _),
     "sq3_ivf_cell_pairs_exact" -> (sq3IvfCellPairsExact _),
     "cp1_cluster_profile" -> (cp1ClusterProfile _),
+    "oq1_embed_outliers" -> (oq1EmbedOutliers _),
     "vd1_drift_profile" -> (vd1DriftProfile _),
     "bj1_bucketed_join" -> (bj1BucketedJoin _),
     "sk1_salted_join" -> (sk1SaltedJoin _),
@@ -3045,6 +3115,7 @@ object Queries {
     "tq9_repetition" -> tq9Oracle,
     "tq10_normalize" -> tq10Oracle,
     "tq11_bigram_novelty" -> tq11Oracle,
+    "tq12_chunk" -> tq12Oracle,
     "dc1_decontam" -> dc1Oracle,
     "dc2_overlap_frac" -> dc2Oracle,
     "dc3_semantic_decontam" -> dc3Oracle,
@@ -3070,6 +3141,7 @@ object Queries {
     "je1_json_extract" -> je1Oracle,
     // sq2_ivf_cell_pairs intentionally has no oracle (cell-recall ANN)
     "cp1_cluster_profile" -> cp1Oracle,
+    "oq1_embed_outliers" -> oq1Oracle,
     "vd1_drift_profile" -> vd1Oracle,
     "bj1_bucketed_join" -> bj1Oracle,
     "sk1_salted_join" -> sk1Oracle,

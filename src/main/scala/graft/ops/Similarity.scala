@@ -539,4 +539,46 @@ object Similarity {
       }
     all
   }
+
+  /** Embedding-space outlier detection in EXACT integer arithmetic: rows
+    * whose SQ8-code-space squared distance to EVERY profile centroid
+    * exceeds `maxCodeDistSq` — the embedding sanity filter (corrupt
+    * decodes, out-of-distribution junk, and zero/NaN-damaged vectors sit
+    * far from every centroid of a corpus profile). Distances run on the
+    * [[graft.functions.Sq8]] integer grid (the engine's money-column
+    * idiom), so the flagged set is bit-reproducible in any engine — no
+    * float-threshold boundary risk, ever.
+    *
+    * One codegen'd projection + filter: `k · dim` integer multiply-adds
+    * per row against literal encoded centroids, no shuffle, no index —
+    * composes with any scan at any scale. For data-driven centroids, pass
+    * the trained k-means set from [[graft.ivf.IndexManager]]; the gate
+    * stays exact because the arithmetic, not the centroid provenance, is
+    * what is quantized.
+    *
+    * Output: `(idCol, min_code_dist)` for flagged rows only.
+    */
+  def quantizedOutliers(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Float],
+      dim: Int,
+      maxCodeDistSq: Long): DataFrame = {
+    require(dim >= 1, s"quantizedOutliers: dim=$dim must be >= 1")
+    require(
+      centroids.nonEmpty && centroids.length % dim == 0,
+      s"quantizedOutliers: centroids length ${centroids.length} not a multiple of dim=$dim")
+    require(maxCodeDistSq >= 0, "quantizedOutliers: maxCodeDistSq must be >= 0")
+    val k = centroids.length / dim
+    val codes = graft.functions.sq8_encode(col(vecCol).cast("array<float>"))
+    val dists = (0 until k).map { c =>
+      graft.functions.sq8_distance_sq(
+        codes,
+        lit(graft.functions.Sq8.encode(centroids.slice(c * dim, (c + 1) * dim))))
+    }
+    val minDist = if (dists.length == 1) dists.head else least(dists: _*)
+    df.select(col(idCol), minDist.as("min_code_dist"))
+      .where(col("min_code_dist") > maxCodeDistSq)
+  }
 }

@@ -199,6 +199,48 @@ object TextAnalysis {
         coalesce(col("n_rare"), lit(0L)).as("n_rare"))
   }
 
+  /** Sliding token-window chunking — the context-window/RAG chunker: split
+    * each document into `maxTokens`-token chunks that step by `maxTokens -
+    * overlap`, so consecutive chunks share `overlap` tokens. Chunk starts
+    * are `0, stride, 2·stride, …` while they begin new content (a start
+    * whose window the previous chunk already fully covered — `start +
+    * overlap >= n` — is dropped); docs with no tokens emit no chunks.
+    *
+    * One codegen'd explode — a pure projection, no shuffle, linear in
+    * corpus tokens (each token appears in at most
+    * `ceil(maxTokens / stride)` chunks).
+    *
+    * Output: `(id, chunk_idx, chunk_text, chunk_tokens)` with chunk_idx
+    * counting from 0 in document order.
+    */
+  def chunkByTokens(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxTokens: Int,
+      overlap: Int = 0): DataFrame = {
+    require(maxTokens >= 1, s"chunkByTokens: maxTokens=$maxTokens must be >= 1")
+    require(
+      overlap >= 0 && overlap < maxTokens,
+      s"chunkByTokens: overlap=$overlap must be in [0, maxTokens)")
+    val stride = maxTokens - overlap
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val starts = filter(
+      sequence(lit(0), greatest(n - 1, lit(0)), lit(stride)),
+      s => s === 0 || s + overlap < n)
+    df.where(tokenCount(col(textCol)) > 0)
+      .select(
+        col(idCol),
+        posexplode(
+          transform(starts, s => array_join(slice(toks, s + 1, lit(maxTokens)), " "))))
+      .select(
+        col(idCol),
+        col("pos").cast("int").as("chunk_idx"),
+        col("col").as("chunk_text"),
+        tokenCount(col("col")).as("chunk_tokens"))
+  }
+
   /** PII redaction patterns, ordered: email first (its local part can
     * contain digits/dots that the later numeric patterns would mangle),
     * then SSN (3-2-4 grouping) before the generic 3-3-4 phone, then IPv4.

@@ -133,6 +133,36 @@ object TextScaleBench {
       docs, col("doc_id"), col("lang"),
       Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.2))
 
+    // Bloom novelty A/B: batch = blocks' k ∈ {2, 5, 6} (the k=2 exact
+    // copies duplicate the corpus's k=0 bases → 1/3 of the batch is dup),
+    // corpus = the rest. Three arms answer "what does the sketch buy over
+    // the plain anti-join?": standing sketch (built once, the per-batch
+    // production shape), cold sketch (build + filter, the one-shot shape),
+    // and the plain anti-join both replace.
+    def novelCorpus = docs.where(!(col("doc_id") % 10).isin(2, 5, 6))
+    def novelBatch = docs.where((col("doc_id") % 10).isin(2, 5, 6))
+    lazy val standingSketch = graft.ops.Dedup.shardedBloom(
+      novelCorpus, col("text"), expectedItems = rows * 7 / 10, shards = 8)
+    def bloomNovelStanding() = graft.ops.Dedup
+      .exactNovelAgainst(
+        novelCorpus, novelBatch, col("text"), standingSketch,
+        broadcastCandidates = true)
+      .select(col("doc_id"))
+    def bloomNovelCold() = graft.ops.Dedup
+      .exactNovelAgainst(
+        novelCorpus, novelBatch, col("text"), expectedItems = rows * 7 / 10,
+        shards = 8)
+      .select(col("doc_id"))
+    def plainAntiNovel() = novelBatch
+      .join(novelCorpus.select(col("text")), Seq("text"), "left_anti")
+      .select(col("doc_id"))
+    // the zero-corpus-access approximate mode: definitely-novel rows only
+    // (drops the fpp sliver of novels; never admits a dup) — the form a
+    // stream uses when the corpus is too big to even scan per batch
+    def bloomFilterOnly() = novelBatch
+      .where(!graft.ops.Dedup.mightContain(standingSketch, col("text")))
+      .select(col("doc_id"))
+
     val suite: Seq[(String, () => DataFrame)] = Seq(
       "exact_dedup" -> (exactDedup _),
       "minhash_pairs" -> (minhashPairs _),
@@ -142,7 +172,11 @@ object TextScaleBench {
       "text_signals" -> (textSignals _),
       "bm25_topk100" -> (bm25 _),
       "decontam_overlap" -> (decontam _),
-      "mix_to_weights" -> (mix _))
+      "mix_to_weights" -> (mix _),
+      "bloom_novel_standing" -> (bloomNovelStanding _),
+      "bloom_filter_only" -> (bloomFilterOnly _),
+      "bloom_novel_cold" -> (bloomNovelCold _),
+      "plain_antijoin_novel" -> (plainAntiNovel _))
 
     // warmup pass (JIT/codegen/page cache), then timed min-of-2
     suite.foreach { case (n, f) =>
@@ -172,9 +206,15 @@ object TextScaleBench {
         (r.getDouble(0), r.getDouble(1))
       } catch { case _: Throwable => (-1.0, -1.0) }
 
+    // bloom exactness sanity at scale: the pruned path must return exactly
+    // the anti-join's rows
+    val (bloomNovelRows, plainNovelRows) =
+      try (bloomNovelStanding().count(), plainAntiNovel().count())
+      catch { case _: Throwable => (-1L, -1L) }
+
     val qs = results.map { case (n, v) => "\"" + n + "\":" + v }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"text_scale_probe","rows":$rows,"unit":"sec","queries":$qs,"gen_time":$genTime,"n_docs":$nDocs,"n_distinct_text":$nDistinctText,"neardup_pairs":$nPairs,"simhash_vs_minhash_precision":$shP,"simhash_vs_minhash_recall":$shR}""")
+      s"""{"metric":"text_scale_probe","rows":$rows,"unit":"sec","queries":$qs,"gen_time":$genTime,"n_docs":$nDocs,"n_distinct_text":$nDistinctText,"neardup_pairs":$nPairs,"simhash_vs_minhash_precision":$shP,"simhash_vs_minhash_recall":$shR,"bloom_novel_rows":$bloomNovelRows,"plain_antijoin_rows":$plainNovelRows}""")
     spark.stop()
   }
 }

@@ -226,6 +226,30 @@ class SimilaritySpec extends SparkSpec {
     assert(both == Set(0L, 1L, 2L, 3L))
   }
 
+  test("quantizedOutliers flags exactly the far-from-every-centroid rows") {
+    // centroids at (1,0,0,0) and (-1,0,0,0); codes ±127 on dim 0
+    val centroids = Array(1f, 0f, 0f, 0f, -1f, 0f, 0f, 0f)
+    val rows = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),    // on centroid 0 → dist 0
+      (2L, Seq(-1f, 0f, 0f, 0f)),   // on centroid 1 → dist 0
+      (3L, Seq(0f, 1f, 1f, 1f)),    // 127² + 3·127² vs both → 4·127² = 64516
+      (4L, Seq(0.5f, 0f, 0f, 0f)))  // code 64: (127-64)² = 3969 to c0
+      .toDF("id", "v")
+    val flagged = Similarity
+      .quantizedOutliers(rows, "id", "v", centroids, 4, maxCodeDistSq = 10000L)
+      .as[(Long, Long)].collect().toMap
+    assert(flagged == Map(3L -> 64516L))
+    // threshold 0 keeps rows strictly above zero only
+    val all = Similarity
+      .quantizedOutliers(rows, "id", "v", centroids, 4, maxCodeDistSq = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(all == Map(3L -> 64516L, 4L -> 3969L))
+    intercept[IllegalArgumentException](
+      Similarity.quantizedOutliers(rows, "id", "v", centroids, 3, 1L))
+    intercept[IllegalArgumentException](
+      Similarity.quantizedOutliers(rows, "id", "v", Array.empty[Float], 4, 1L))
+  }
+
   test("probeCellsCosine ranks cells by centroid cosine, deterministic ties") {
     val centroids = Array(1f, 0f, 0f, 1f, -1f, 0f)
     assert(Similarity.probeCellsCosine(Array(1f, 0f), centroids, 2, 2).toSeq == Seq(0, 1))

@@ -179,6 +179,39 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.bigramNovelty(docs, "id", "text", minCount = 0L))
   }
 
+  test("chunkByTokens: boundaries, overlap, tail handling, degenerate sizes") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens
+      (2L, "a b c"),                           // fits one chunk
+      (3L, "x"))                               // single token
+      .toDF("id", "text")
+    // maxTokens=4, overlap=2 → stride 2; doc 1 starts: 0,2,4,6 (8 dropped:
+    // 8+2 >= 10 — chunk [t9..t10] is fully inside [t7..t10])
+    val out = TextAnalysis.chunkByTokens(docs, "id", "text", 4, 2)
+      .orderBy(col("id"), col("chunk_idx"))
+      .as[(Long, Int, String, Int)].collect().toSeq
+    val doc1 = out.filter(_._1 == 1L)
+    assert(doc1.map(_._3) == Seq(
+      "t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8", "t7 t8 t9 t10"))
+    assert(doc1.map(_._2) == Seq(0, 1, 2, 3))
+    assert(doc1.forall(_._4 == 4))
+    assert(out.filter(_._1 == 2L).map(_._3) == Seq("a b c"))
+    assert(out.filter(_._1 == 3L).map(_._3) == Seq("x"))
+    // every token of doc 1 is covered by at least one chunk
+    val covered = doc1.flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+    // no-overlap chunking partitions exactly
+    val flat = TextAnalysis.chunkByTokens(docs, "id", "text", 4, 0)
+      .where(col("id") === 1L).orderBy(col("chunk_idx"))
+      .as[(Long, Int, String, Int)].collect().toSeq
+    assert(flat.map(_._3) == Seq("t1 t2 t3 t4", "t5 t6 t7 t8", "t9 t10"))
+    assert(flat.last._4 == 2)
+    intercept[IllegalArgumentException](
+      TextAnalysis.chunkByTokens(docs, "id", "text", 0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.chunkByTokens(docs, "id", "text", 4, 4))
+  }
+
   test("piiScrub redacts emails, SSNs, phones, IPs and leaves clean text") {
     val cases = Seq(
       "mail a.b+c_1%d@sub.example.org now" -> "mail <EMAIL> now",
