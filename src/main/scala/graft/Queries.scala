@@ -1858,6 +1858,43 @@ object Queries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Repetition-based mixture upsampling ([[ops.Corpus.epochsToWeights]]):
+    * every doc repeats enough epochs that the language mix approaches the
+    * mx1 target weights WITHOUT dropping anything — the data-constrained
+    * complement of mx1's downsampling. The oracle recomputes the identical
+    * budget (max c/w), per-stratum epoch count, fractional md5 draw, and
+    * the epoch explode, so the full (doc, epoch) multiset is bit-equal.
+    */
+  def mx2EpochMix(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Corpus
+      .epochsToWeights(
+        t(spark, sfDir, "documents").select(col("doc_id"), col("lang")),
+        col("doc_id"), col("lang"), mixWeights)
+      .select(col("doc_id"), col("lang"), col("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+
+  val mx2Oracle: String = {
+    val caseW = mixWeights.toSeq.sortBy(_._1)
+      .map { case (s, w) => s"WHEN '$s' THEN $w" }
+      .mkString("CASE lang ", " ", " END")
+    s"""WITH c AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS c, $caseW AS w
+       |  FROM documents WHERE ($caseW) IS NOT NULL GROUP BY lang),
+       |t AS (SELECT max(c / w) AS t FROM c),
+       |p AS (SELECT lang,
+       |             CAST(greatest(floor(w * t / c), 1) AS BIGINT) AS e,
+       |             CAST(floor((w * t / c - floor(w * t / c)) * 256) AS INT)
+       |               AS allow
+       |      FROM c, t)
+       |SELECT doc_id, lang, epoch FROM (
+       |  SELECT d.doc_id, d.lang,
+       |         unnest(generate_series(0, p.e - 1 +
+       |           CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 2))::INT
+       |                     < p.allow THEN 1 ELSE 0 END)) AS epoch
+       |  FROM documents d JOIN p USING (lang))
+       |ORDER BY doc_id, epoch""".stripMargin
+  }
+
   /** PII scrubbing: the corpus text carries no PII, so both engines append
     * an identical deterministic PII-laden suffix (email/IP derived from
     * doc_id, fixed SSN + phone) and redact it — the full-string compare
@@ -3002,6 +3039,7 @@ object Queries {
     "pq1_quality_filter" -> (pq1QualityFilter _),
     "pq2_stratified_sample" -> (pq2StratifiedSample _),
     "mx1_mix_weights" -> (mx1MixWeights _),
+    "mx2_epoch_mix" -> (mx2EpochMix _),
     "pq3_pii_scrub" -> (pq3PiiScrub _),
     "pq4_linear_quality" -> (pq4LinearQuality _),
     "pq5_stratified_exactk" -> (pq5StratifiedExactK _),
@@ -3122,6 +3160,7 @@ object Queries {
     "pq1_quality_filter" -> pq1Oracle,
     "pq2_stratified_sample" -> pq2Oracle,
     "mx1_mix_weights" -> mx1Oracle,
+    "mx2_epoch_mix" -> mx2Oracle,
     "pq3_pii_scrub" -> pq3Oracle,
     "pq4_linear_quality" -> pq4Oracle,
     "pq5_stratified_exactk" -> pq5Oracle,

@@ -298,6 +298,68 @@ object Corpus {
       .withColumn("pos", row_number().over(w).cast("bigint"))
   }
 
+  /** Repetition-based UPSAMPLING to target mixture weights — the
+    * complement of [[mixToWeights]] (which only downsamples): every doc is
+    * emitted `epochs` times so the realized stratum proportions approach
+    * `weights` with NO document dropped (the data-constrained mixture
+    * recipe: repeat the under-represented strata rather than cut the
+    * over-represented ones). The budget is `T = max_s count_s / w_s`, so
+    * the most over-represented stratum runs one epoch and stratum `s`
+    * repeats `r_s = w_s · T / count_s ≥ 1` times: `floor(r_s)` full epochs
+    * for every doc, plus one extra epoch for the deterministic
+    * [[hashBucket]] draw of the fractional remainder (1/256 granularity,
+    * same engine-reproducibility argument as [[mixToWeights]]).
+    *
+    * Output: the input columns plus `epoch` (0-based). Strata absent from
+    * `weights` are dropped; training consumers interleave epochs via
+    * [[globalShuffle]] over `(key, epoch)`.
+    *
+    * Scale shape: one groupBy over the stratum column (|strata| rows), a
+    * 1-row budget aggregate, a broadcast plan join, and a projection-only
+    * explode — the corpus is never shuffled, and output size is
+    * `Σ c_s · r_s ≈ T` rows by construction.
+    */
+  def epochsToWeights(
+      df: DataFrame,
+      keyCol: Column,
+      strataCol: Column,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty, "epochsToWeights: empty weights")
+    weights.foreach { case (s, w) =>
+      require(w > 0 && !w.isInfinite && !w.isNaN,
+        s"epochsToWeights: weight for '$s' must be finite positive, got $w")
+    }
+    val entries = weights.toSeq.sortBy(_._1) // deterministic plan
+    def weightOf(s: Column): Column = entries.tail
+      .foldLeft(when(s === entries.head._1, lit(entries.head._2))) {
+        case (acc, (k, w)) => acc.when(s === k, lit(w))
+      } // null for unlisted strata
+    val counts = df
+      .select(strataCol.as("_s"))
+      .where(weightOf(col("_s")).isNotNull)
+      .groupBy(col("_s"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_w", weightOf(col("_s")))
+    val budget = counts.agg(max(col("_c") / col("_w")).as("_t"))
+    val r = col("_w") * col("_t") / col("_c")
+    val plan = counts
+      .crossJoin(broadcast(budget))
+      .select(
+        col("_s"),
+        // greatest(…, 1): r_s ≥ 1 mathematically; the floor guards the
+        // max stratum against a last-ulp 0.999… from double rounding
+        greatest(floor(r), lit(1L)).cast("bigint").as("_e"),
+        floor((r - floor(r)) * 256).cast("int").as("_allow"))
+    df.join(broadcast(plan), strataCol === col("_s"))
+      .withColumn(
+        "epoch",
+        explode(sequence(
+          lit(0L),
+          col("_e") - 1 + when(hashBucket(keyCol) < col("_allow"), 1L)
+            .otherwise(0L))))
+      .drop("_s", "_e", "_allow")
+  }
+
   /** Exact token-count distribution stats (count + interpolated
     * percentiles) — the corpus-level summary a filtering pipeline keys off.
     */

@@ -192,6 +192,41 @@ class CorpusSpec extends SparkSpec {
     assert(one == Set(2L, 5L))
   }
 
+  test("epochsToWeights upsamples by repetition toward target weights") {
+    // 300 en / 100 de, target 50/50 → T = 300/0.5 = 600; en r=1 (1 epoch),
+    // de r=3 (3 epochs each)
+    val docs = spark.range(0, 400).toDF("id")
+      .withColumn("lang", when(col("id") < 300, "en").otherwise("de"))
+    val out = Corpus
+      .epochsToWeights(docs, col("id"), col("lang"),
+        Map("en" -> 0.5, "de" -> 0.5))
+      .select("id", "lang", "epoch")
+      .as[(Long, String, Long)].collect()
+    val byLang = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang == Map("en" -> 300, "de" -> 300))
+    // every doc present, epochs dense from 0
+    assert(out.filter(_._2 == "de").groupBy(_._1).forall {
+      case (_, rows) => rows.map(_._3).sorted.toSeq == Seq(0L, 1L, 2L)
+    })
+    assert(out.filter(_._2 == "en").forall(_._3 == 0L))
+    // fractional remainders draw deterministically: 250 en / 100 de at
+    // 50/50 → de r=2.5 → 2 or 3 epochs per doc, ~250 total
+    val frac = Corpus
+      .epochsToWeights(
+        spark.range(0, 350).toDF("id")
+          .withColumn("lang", when(col("id") < 250, "en").otherwise("de")),
+        col("id"), col("lang"), Map("en" -> 0.5, "de" -> 0.5))
+      .where(col("lang") === "de").count()
+    assert(frac > 220 && frac < 280, s"de epochs $frac not ~250")
+    // unlisted strata drop; invalid weights fail fast
+    val dropped = Corpus
+      .epochsToWeights(docs, col("id"), col("lang"), Map("en" -> 1.0))
+      .select("lang").distinct().as[String].collect().toSeq
+    assert(dropped == Seq("en"))
+    intercept[IllegalArgumentException](
+      Corpus.epochsToWeights(docs, col("id"), col("lang"), Map.empty))
+  }
+
   test("weightedSample keeps weight-1 rows, drops weight-0 rows, is deterministic") {
     val docs = spark.range(0, 600).toDF("id")
       .withColumn("w", when(col("id") < 200, 1.0)
