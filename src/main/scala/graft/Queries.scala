@@ -2874,6 +2874,75 @@ object Queries {
        |WHERE rn <= 5 ORDER BY doc_id""".stripMargin
   }
 
+  /** Contrastive training-pair generation, composed from existing
+    * operators (no new machinery): for each anchor (vec_id % 25 == 0),
+    * 3 POSITIVES = exact k-NN by embedding ([[ops.Similarity.knnJoin]] —
+    * vq6's oracled shape; `ivfKnnJoin` is the documented scale path on
+    * the same contract) and 3 NEGATIVES = deterministic pseudo-random
+    * draws via [[ops.Corpus.globalShuffle]]: the corpus is laid out once
+    * in the seeded md5 order and each anchor reads the 3 rows at
+    * `(md5-hash(anchor) + i) mod n` positions — an equi-join on the
+    * position key, so negatives cost one broadcast-plan join per batch
+    * instead of an anchors × corpus window (the embedding-training
+    * convention: in-batch/shuffled-order negatives, reproducible across
+    * runs and engines). Self-draws are filtered (mirrored in the oracle).
+    */
+  def cq4ContrastivePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = t(spark, sfDir, "embeddings")
+    val anchors = e.where(col("vec_id") % 25 === 0)
+    val pos = ops.Similarity
+      .knnJoin(anchors, e, "vec_id", "vec_id", "embedding", 3)
+      .select(
+        col("query_id").as("anchor_id"), col("neighbor_id").as("pair_id"),
+        lit("pos").as("kind"))
+    val shuffled = ops.Corpus
+      .globalShuffle(e.select(col("vec_id")), col("vec_id"), shards = 1, seed = "neg")
+      .select(col("vec_id").as("pair_id"), col("pos"))
+    val total = shuffled.agg(max(col("pos")).as("_n"))
+    val anchorHash = conv(
+      substring(md5(concat(lit("neg"), col("anchor_id").cast("string"))), 1, 8),
+      16, 10).cast("bigint")
+    val targets = anchors.select(col("vec_id").as("anchor_id"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("anchor_id"),
+        explode(sequence(lit(1L), lit(3L))).as("_i"), col("_n"))
+      .select(
+        col("anchor_id"),
+        (pmod(anchorHash + col("_i"), col("_n")) + 1).as("pos"))
+    val neg = targets
+      .join(shuffled, "pos")
+      .where(col("pair_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("pair_id"), lit("neg").as("kind"))
+    pos.unionByName(neg)
+      .orderBy(col("anchor_id"), col("kind"), col("pair_id"))
+  }
+
+  val cq4Oracle: String =
+    """WITH s AS (
+      |  SELECT vec_id AS pair_id,
+      |         row_number() OVER (
+      |           ORDER BY md5('neg' || vec_id::VARCHAR), vec_id) AS pos
+      |  FROM embeddings),
+      |nn AS (SELECT max(pos) AS n FROM s),
+      |a AS (SELECT vec_id AS anchor_id FROM embeddings WHERE vec_id % 25 = 0),
+      |tgt AS (SELECT anchor_id,
+      |          ((('0x' || substr(md5('neg' || anchor_id::VARCHAR), 1, 8))::BIGINT
+      |            + i) % nn.n) + 1 AS pos
+      |        FROM a, nn, unnest(generate_series(1, 3)) AS t(i)),
+      |neg AS (SELECT anchor_id, pair_id, 'neg' AS kind
+      |        FROM tgt JOIN s USING (pos) WHERE pair_id != anchor_id),
+      |pos AS (SELECT q.vec_id AS anchor_id, x.vec_id AS pair_id, 'pos' AS kind
+      |        FROM embeddings q JOIN embeddings x ON x.vec_id != q.vec_id
+      |        WHERE q.vec_id % 25 = 0
+      |        QUALIFY row_number() OVER (PARTITION BY q.vec_id
+      |          ORDER BY list_distance(x.embedding::FLOAT[],
+      |                                 q.embedding::FLOAT[]) ASC,
+      |                   x.vec_id ASC) <= 3)
+      |SELECT anchor_id, pair_id, kind FROM (
+      |  SELECT * FROM pos UNION ALL SELECT * FROM neg)
+      |ORDER BY anchor_id, kind, pair_id""".stripMargin
+
   /** Stream-static interval join: the odd-event interval table is STATIC,
     * even events arrive as a stream, and [[ops.Intervals.overlapJoin]]
     * runs UNCHANGED on the streaming side — the bin explode is a pure
@@ -3050,6 +3119,7 @@ object Queries {
     "cq1_curation_pipeline" -> (cq1CurationPipeline _),
     "cq2_neardup_curation" -> (cq2NearDupCuration _),
     "cq3_full_curation" -> (cq3FullCuration _),
+    "cq4_contrastive_pairs" -> (cq4ContrastivePairs _),
     "vb1_top_ngrams" -> (vb1TopNgrams _),
     "bm1_bm25_topk" -> (bm1Bm25Topk _),
     "bq1_bm25_bulk" -> (bq1Bm25Bulk _),
@@ -3171,6 +3241,7 @@ object Queries {
     "cq1_curation_pipeline" -> cq1Oracle,
     "cq2_neardup_curation" -> cq2Oracle,
     "cq3_full_curation" -> cq3Oracle,
+    "cq4_contrastive_pairs" -> cq4Oracle,
     "vb1_top_ngrams" -> vb1Oracle,
     "bm1_bm25_topk" -> bm1Oracle,
     "bq1_bm25_bulk" -> bq1Oracle,
