@@ -1883,7 +1883,8 @@ object Queries {
        |t AS (SELECT max(c / w) AS t FROM c),
        |p AS (SELECT lang,
        |             CAST(greatest(floor(w * t / c), 1) AS BIGINT) AS e,
-       |             CAST(floor((w * t / c - floor(w * t / c)) * 256) AS INT)
+       |             CAST(greatest(floor((w * t / c
+       |                    - greatest(floor(w * t / c), 1)) * 256), 0) AS INT)
        |               AS allow
        |      FROM c, t)
        |SELECT doc_id, lang, epoch FROM (
@@ -2898,7 +2899,9 @@ object Queries {
     val shuffled = ops.Corpus
       .globalShuffle(e.select(col("vec_id")), col("vec_id"), shards = 1, seed = "neg")
       .select(col("vec_id").as("pair_id"), col("pos"))
-    val total = shuffled.agg(max(col("pos")).as("_n"))
+    // corpus size as a plain count — max(pos) would force the full
+    // single-partition shuffle sort just to learn n (review finding)
+    val total = e.agg(count(lit(1)).as("_n"))
     val anchorHash = conv(
       substring(md5(concat(lit("neg"), col("anchor_id").cast("string"))), 1, 8),
       16, 10).cast("bigint")
@@ -2924,7 +2927,7 @@ object Queries {
       |         row_number() OVER (
       |           ORDER BY md5('neg' || vec_id::VARCHAR), vec_id) AS pos
       |  FROM embeddings),
-      |nn AS (SELECT max(pos) AS n FROM s),
+      |nn AS (SELECT count(*) AS n FROM embeddings),
       |a AS (SELECT vec_id AS anchor_id FROM embeddings WHERE vec_id % 25 = 0),
       |tgt AS (SELECT anchor_id,
       |          ((('0x' || substr(md5('neg' || anchor_id::VARCHAR), 1, 8))::BIGINT

@@ -342,14 +342,19 @@ object Corpus {
       .withColumn("_w", weightOf(col("_s")))
     val budget = counts.agg(max(col("_c") / col("_w")).as("_t"))
     val r = col("_w") * col("_t") / col("_c")
+    // greatest(…, 1): r_s ≥ 1 mathematically; the clamp guards the max
+    // stratum against a last-ulp 0.999… from double rounding. The
+    // fractional allowance is taken against the SAME clamped base (and
+    // floored at 0), so a clamped stratum draws no extra epoch — computing
+    // it from the raw floor(r) would hand a 0.999…-rounded stratum a
+    // ~255/256 extra-epoch draw (≈2× its contracted single epoch).
+    val base = greatest(floor(r), lit(1L))
     val plan = counts
       .crossJoin(broadcast(budget))
       .select(
         col("_s"),
-        // greatest(…, 1): r_s ≥ 1 mathematically; the floor guards the
-        // max stratum against a last-ulp 0.999… from double rounding
-        greatest(floor(r), lit(1L)).cast("bigint").as("_e"),
-        floor((r - floor(r)) * 256).cast("int").as("_allow"))
+        base.cast("bigint").as("_e"),
+        greatest(floor((r - base) * 256), lit(0L)).cast("int").as("_allow"))
     df.join(broadcast(plan), strataCol === col("_s"))
       .withColumn(
         "epoch",

@@ -801,10 +801,12 @@ object Dedup {
     val out = new Array[Array[Byte]](shards)
     merged.foreach { case (i, bytes) => out(i) = bytes }
     // shards no corpus key landed in still need a (trivial, empty) filter so
-    // the probe expression stays total
+    // the probe expression stays total — created at the SAME (perShard,
+    // fpp) geometry as the populated shards, so extendBloom's mergeInPlace
+    // accepts it (a differently-sized filler throws IncompatibleMerge)
     (0 until shards).foreach { i =>
       if (out(i) == null)
-        out(i) = ser(org.apache.spark.util.sketch.BloomFilter.create(64L, fpp))
+        out(i) = ser(org.apache.spark.util.sketch.BloomFilter.create(perShard, fpp))
     }
     out
   }

@@ -26,11 +26,20 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.Graft.install(spark)
+    // same per-entry conf hygiene as Verify/VerifySubset: an entry that
+    // pins spark.graft.* keys at plan-construction time must not leak them
+    // into the next entry's audited plan
+    val graftConf0 = spark.conf.getAll.filter(_._1.startsWith("spark.graft."))
     only.foreach { name =>
       val fn = graft.SparkEntry.queries.getOrElse(
         name, sys.error(s"unknown query: $name"))
       println(s"========== $name ==========")
-      fn(spark, sfDir).explain("formatted")
+      try fn(spark, sfDir).explain("formatted")
+      finally {
+        spark.conf.getAll.keys.filter(_.startsWith("spark.graft."))
+          .foreach(spark.conf.unset)
+        graftConf0.foreach { case (k, v) => spark.conf.set(k, v) }
+      }
     }
     spark.stop()
   }

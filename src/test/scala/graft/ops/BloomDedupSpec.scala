@@ -111,6 +111,18 @@ class BloomDedupSpec extends SparkSpec {
     assert(corpusMisses == 0L)
   }
 
+  test("extendBloom merges past empty-shard fillers at real sketch sizes") {
+    // perShard = 100000/4 = 25000 > the 64 floor: a filler created at the
+    // wrong (64-item) geometry would throw IncompatibleMergeException here
+    val one = Seq((1L, "lonely corpus doc")).toDF("id", "text")
+    val sketch = Dedup.shardedBloom(
+      one, col("text"), expectedItems = 100000L, shards = 4)
+    val extended = Dedup.extendBloom(
+      sketch, batch, col("text"), expectedItems = 100000L)
+    assert(batch.where(!Dedup.mightContain(extended, col("text"))).count() == 0L)
+    assert(one.where(!Dedup.mightContain(extended, col("text"))).count() == 0L)
+  }
+
   test("parameter validation fails fast") {
     intercept[IllegalArgumentException](
       Dedup.shardedBloom(corpus, col("text"), expectedItems = 0L))
