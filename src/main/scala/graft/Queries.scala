@@ -2875,6 +2875,34 @@ object Queries {
        |WHERE rn <= 5 ORDER BY doc_id""".stripMargin
   }
 
+  /** Cross-table integrity audit ([[ops.Corpus.integrityReport]]): the
+    * documents↔embeddings consistency gate, with the embedding side
+    * deliberately damaged (every 7th key dropped → left orphans; every
+    * 50th-≡1 key doubled → right dup keys) so all six counters carry
+    * signal. The oracle recomputes the identical per-side key aggregates
+    * and full-outer fold.
+    */
+  def ir1Integrity(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val emb = t(spark, sfDir, "embeddings")
+    val damaged = emb.where(col("vec_id") % 7 =!= 0)
+      .unionByName(emb.where(col("vec_id") % 50 === 1))
+    ops.Corpus.integrityReport(docs, col("doc_id"), damaged, col("vec_id"))
+  }
+
+  val ir1Oracle: String =
+    """WITH l AS (SELECT doc_id AS k, count(*) AS ln FROM documents GROUP BY doc_id),
+      |r0 AS (SELECT vec_id FROM embeddings WHERE vec_id % 7 != 0
+      |       UNION ALL SELECT vec_id FROM embeddings WHERE vec_id % 50 = 1),
+      |r AS (SELECT vec_id AS k, count(*) AS rn FROM r0 GROUP BY vec_id)
+      |SELECT CAST(coalesce(sum(ln), 0) AS BIGINT) AS n_left,
+      |       CAST(coalesce(sum(rn), 0) AS BIGINT) AS n_right,
+      |       CAST(count(CASE WHEN rn IS NULL THEN 1 END) AS BIGINT) AS left_orphans,
+      |       CAST(count(CASE WHEN ln IS NULL THEN 1 END) AS BIGINT) AS right_orphans,
+      |       CAST(count(CASE WHEN ln > 1 THEN 1 END) AS BIGINT) AS dup_left_keys,
+      |       CAST(count(CASE WHEN rn > 1 THEN 1 END) AS BIGINT) AS dup_right_keys
+      |FROM l FULL OUTER JOIN r USING (k)""".stripMargin
+
   /** Contrastive training-pair generation, composed from existing
     * operators (no new machinery): for each anchor (vec_id % 25 == 0),
     * 3 POSITIVES = exact k-NN by embedding ([[ops.Similarity.knnJoin]] —
@@ -3123,6 +3151,7 @@ object Queries {
     "cq2_neardup_curation" -> (cq2NearDupCuration _),
     "cq3_full_curation" -> (cq3FullCuration _),
     "cq4_contrastive_pairs" -> (cq4ContrastivePairs _),
+    "ir1_integrity" -> (ir1Integrity _),
     "vb1_top_ngrams" -> (vb1TopNgrams _),
     "bm1_bm25_topk" -> (bm1Bm25Topk _),
     "bq1_bm25_bulk" -> (bq1Bm25Bulk _),
@@ -3245,6 +3274,7 @@ object Queries {
     "cq2_neardup_curation" -> cq2Oracle,
     "cq3_full_curation" -> cq3Oracle,
     "cq4_contrastive_pairs" -> cq4Oracle,
+    "ir1_integrity" -> ir1Oracle,
     "vb1_top_ngrams" -> vb1Oracle,
     "bm1_bm25_topk" -> bm1Oracle,
     "bq1_bm25_bulk" -> bq1Oracle,

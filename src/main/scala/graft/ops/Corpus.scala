@@ -365,6 +365,37 @@ object Corpus {
       .drop("_s", "_e", "_allow")
   }
 
+  /** Cross-table integrity audit — the pipeline-consistency gate run
+    * between stages (documents ↔ embeddings, corpus ↔ index rows,
+    * postings ↔ docs): one row of exact counts answering "do these two
+    * tables agree on keys?". `left_orphans`/`right_orphans` count DISTINCT
+    * keys present on one side only; `dup_left_keys`/`dup_right_keys`
+    * count keys appearing more than once on their side (a join fan-out
+    * hazard). Null keys count as orphans on their own side (they join
+    * nothing).
+    *
+    * Plan shape: one groupBy per side on the key (map-side combined),
+    * then a full outer join of the two |distinct-keys| aggregates and a
+    * 1-row fold — shuffle-bounded by distinct key counts, no broadcast
+    * assumption, safe at any scale.
+    */
+  def integrityReport(
+      left: DataFrame,
+      leftKey: Column,
+      right: DataFrame,
+      rightKey: Column): DataFrame = {
+    val l = left.groupBy(leftKey.as("_k")).agg(count(lit(1)).as("_ln"))
+    val r = right.groupBy(rightKey.as("_k")).agg(count(lit(1)).as("_rn"))
+    l.join(r, Seq("_k"), "full_outer")
+      .agg(
+        coalesce(sum(col("_ln")), lit(0L)).cast("bigint").as("n_left"),
+        coalesce(sum(col("_rn")), lit(0L)).cast("bigint").as("n_right"),
+        count(when(col("_rn").isNull, 1)).cast("bigint").as("left_orphans"),
+        count(when(col("_ln").isNull, 1)).cast("bigint").as("right_orphans"),
+        count(when(col("_ln") > 1, 1)).cast("bigint").as("dup_left_keys"),
+        count(when(col("_rn") > 1, 1)).cast("bigint").as("dup_right_keys"))
+  }
+
   /** Exact token-count distribution stats (count + interpolated
     * percentiles) — the corpus-level summary a filtering pipeline keys off.
     */

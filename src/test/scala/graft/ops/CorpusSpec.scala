@@ -192,6 +192,20 @@ class CorpusSpec extends SparkSpec {
     assert(one == Set(2L, 5L))
   }
 
+  test("integrityReport counts orphans and duplicate keys exactly") {
+    val left = Seq(1L, 2L, 3L, 3L, 4L).toDF("k")   // dup key 3, orphan 4
+    val right = Seq(1L, 2L, 2L, 2L, 5L).toDF("k")  // dup key 2, orphan 5
+    val r = Corpus.integrityReport(left, col("k"), right, col("k"))
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(r == ((5L, 5L, 2L, 1L, 1L, 1L)))
+    // null keys are orphans on their own side, never joined
+    val ln = Seq(Some(1L), None).toDF("k")
+    val rn = Seq(Some(1L), None, None).toDF("k")
+    val r2 = Corpus.integrityReport(ln, col("k"), rn, col("k"))
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(r2 == ((2L, 3L, 1L, 1L, 0L, 1L)))
+  }
+
   test("epochsToWeights upsamples by repetition toward target weights") {
     // 300 en / 100 de, target 50/50 → T = 300/0.5 = 600; en r=1 (1 epoch),
     // de r=3 (3 epochs each)
