@@ -290,6 +290,10 @@ object Corpus {
       shards: Int,
       seed: String = ""): DataFrame = {
     require(shards >= 1, s"globalShuffle: shards=$shards must be >= 1")
+    Seq("shard", "pos").foreach(c =>
+      require(!df.columns.contains(c),
+        s"globalShuffle: input already has a '$c' column — rename it first " +
+          "(the operator's output contract adds shard/pos)"))
     val h = md5(concat(lit(seed), keyCol.cast("string")))
     val shard = pmod(conv(substring(h, 1, 8), 16, 10).cast("bigint"), lit(shards))
       .cast("int")
@@ -325,6 +329,9 @@ object Corpus {
       strataCol: Column,
       weights: Map[String, Double]): DataFrame = {
     require(weights.nonEmpty, "epochsToWeights: empty weights")
+    require(!df.columns.contains("epoch"),
+      "epochsToWeights: input already has an 'epoch' column — rename it " +
+        "first (the operator's output contract adds epoch)")
     weights.foreach { case (s, w) =>
       require(w > 0 && !w.isInfinite && !w.isNaN,
         s"epochsToWeights: weight for '$s' must be finite positive, got $w")

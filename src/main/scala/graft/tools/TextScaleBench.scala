@@ -163,6 +163,18 @@ object TextScaleBench {
       .where(!graft.ops.Dedup.mightContain(standingSketch, col("text")))
       .select(col("doc_id"))
 
+    // round-9 session-2 operators at 1000× fixture scale
+    def chunk() = graft.ops.TextAnalysis
+      .chunkByTokens(docs, "doc_id", "text", maxTokens = 32, overlap = 8)
+    def bigramNov() = graft.ops.TextAnalysis
+      .bigramNovelty(docs, "doc_id", "text", minCount = 25L)
+    def gShuffle() = graft.ops.Corpus
+      .globalShuffle(docs.select(col("doc_id")), col("doc_id"), shards = 32, seed = "ep")
+    def wSample() = graft.ops.Corpus.weightedSample(
+      docs, col("doc_id"),
+      least(lit(1.0),
+        graft.ops.TextAnalysis.tokenCount(col("text")).cast("double") / lit(60)))
+
     val suite: Seq[(String, () => DataFrame)] = Seq(
       "exact_dedup" -> (exactDedup _),
       "minhash_pairs" -> (minhashPairs _),
@@ -176,7 +188,11 @@ object TextScaleBench {
       "bloom_novel_standing" -> (bloomNovelStanding _),
       "bloom_filter_only" -> (bloomFilterOnly _),
       "bloom_novel_cold" -> (bloomNovelCold _),
-      "plain_antijoin_novel" -> (plainAntiNovel _))
+      "plain_antijoin_novel" -> (plainAntiNovel _),
+      "chunk_tokens_32" -> (chunk _),
+      "bigram_novelty" -> (bigramNov _),
+      "global_shuffle_32" -> (gShuffle _),
+      "weighted_sample" -> (wSample _))
 
     // warmup pass (JIT/codegen/page cache), then timed min-of-2
     suite.foreach { case (n, f) =>

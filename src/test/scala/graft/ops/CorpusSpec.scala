@@ -287,6 +287,13 @@ class CorpusSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq != other.sortBy(_._1).toSeq)
     intercept[IllegalArgumentException](
       Corpus.globalShuffle(docs, col("id"), shards = 0))
+    // output-name collisions fail fast instead of silently overwriting
+    intercept[IllegalArgumentException](
+      Corpus.globalShuffle(docs.withColumn("pos", lit(1)), col("id"), 2))
+    intercept[IllegalArgumentException](
+      Corpus.epochsToWeights(
+        docs.withColumn("epoch", lit(1)).withColumn("lang", lit("en")),
+        col("id"), col("lang"), Map("en" -> 1.0)))
   }
 
   test("mixToWeights drops unlisted strata and validates weights") {
