@@ -2982,6 +2982,87 @@ object Queries {
     * over (no dedup state needed). Replayed to completion it must equal
     * the batch result — shares iq1's oracle.
     */
+  /** Late-data semantics under the event-time watermark — the one
+    * streaming behavior a bounded same-order replay never exercises (st1
+    * runs Complete mode, where the watermark evicts nothing). Events are
+    * staged as TWO files with pinned mtimes so the file source replays
+    * them as deterministic micro-batches: batch 1 = the on-time slice
+    * (event_id % 4 != 0), batch 2 = the held-back slice. After batch 1
+    * the watermark stands at `max(on-time ts) − 1h`, so batch-2 rows
+    * whose HOUR WINDOW has fallen below it are dropped from the Update-
+    * mode aggregation (Spark's state-eviction rule: a key is late when
+    * `window.end <= watermark`, both in MILLISECOND precision — the
+    * oracle mirrors exactly that, epoch_ms floor included). Output =
+    * final hourly counts, i.e. on-time counts plus only the surviving
+    * late rows.
+    */
+  def st11StreamLateData(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val ev = eventsRaw(spark, sfDir)
+    val stage = java.nio.file.Files.createTempDirectory("graft-st11").toString
+    def writeOne(df: DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-st11-w").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file in $tmp"))
+      java.nio.file.Files.move(part.toPath, new java.io.File(stage, name).toPath): Unit
+    }
+    // the on-time slice is present at start; the held-back slice arrives
+    // only AFTER the first drain, so batch 2 runs under the watermark the
+    // on-time slice established (back-to-back batches in one drain would
+    // all run under the INITIAL watermark — Spark advances it per
+    // committed trigger, which is why a plain AvailableNow replay of
+    // pre-staged files demonstrates nothing)
+    writeOne(ev.where(col("event_id") % 4 =!= 0), "a.parquet")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val counts = streaming.EventStreams.hourlyCounts(stream)
+    val sinkName = "graft_st11_sink"
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", ReplayStatePartitions.toString)
+    try {
+      val query = counts.writeStream
+        .format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-st11-ckpt").toString)
+        .start()
+      query.processAllAvailable()
+      writeOne(ev.where(col("event_id") % 4 === 0), "b.parquet")
+      query.processAllAvailable()
+      query.processAllAvailable() // no-data batch finalizes windows <= final wm
+      query.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    spark.table(sinkName)
+      .select(col("hour"), col("event_type"), col("n").cast("bigint").as("n"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  /** Append mode emits a window exactly once, when the watermark passes
+    * its end. Two watermarks govern the result, both at Spark's MILLISECOND
+    * floor: `wmB` (on-time max − 1h) is in force while the late slice
+    * processes — its rows are DROPPED when window end ≤ wmB — and `wmF`
+    * (global max − 1h, reached by the closing no-data batch) decides which
+    * windows finalize at all. Emitted counts: on-time rows in windows with
+    * end ≤ wmF, plus late rows that both survived (end > wmB) and
+    * finalized (end ≤ wmF).
+    */
+  val st11Oracle: String =
+    """WITH a AS (SELECT * FROM events WHERE event_id % 4 != 0),
+      |wmb AS (SELECT epoch_ms(max(ts)) - 3600000 AS w FROM a),
+      |wmf AS (SELECT epoch_ms(max(ts)) - 3600000 AS w FROM events),
+      |kept AS (
+      |  SELECT ts, event_type FROM a, wmf
+      |  WHERE epoch_ms(date_trunc('hour', ts)) + 3600000 <= wmf.w
+      |  UNION ALL
+      |  SELECT e.ts, e.event_type FROM events e, wmb, wmf
+      |  WHERE e.event_id % 4 = 0
+      |    AND epoch_ms(date_trunc('hour', e.ts)) + 3600000 > wmb.w
+      |    AND epoch_ms(date_trunc('hour', e.ts)) + 3600000 <= wmf.w)
+      |SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type, COUNT(*) AS n
+      |FROM kept GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
   /** Streaming bloom-pruned exact novelty ([[ops.Dedup.
     * exactNovelAgainstStream]]): dx2's batch-vs-corpus novelty filter with
     * the batch slice arriving as a stream — bloom-negative rows pass a
@@ -3179,6 +3260,7 @@ object Queries {
     "st8_stream_postings_ingest" -> (st8StreamPostingsIngest _),
     "st9_stream_interval_join" -> (st9StreamIntervalJoin _),
     "st10_stream_bloom_novel" -> (st10StreamBloomNovel _),
+    "st11_stream_late_data" -> (st11StreamLateData _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -3301,6 +3383,7 @@ object Queries {
     "st8_stream_postings_ingest" -> bq1Oracle, // replayed snapshot == batch scores
     "st9_stream_interval_join" -> iq1Oracle, // replay == batch interval join
     "st10_stream_bloom_novel" -> dx2Oracle, // stateless replay == batch novelty
+    "st11_stream_late_data" -> st11Oracle,
 
   )
 }
