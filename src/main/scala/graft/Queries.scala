@@ -3086,6 +3086,48 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Stream-STREAM inner join — the dual-sided state machinery st6/st9's
+    * stream-static joins never touch: both sides are unbounded streams,
+    * every row is buffered in join state until the other side's matches
+    * arrive, and the event-time range condition (±10 min on the same
+    * user) plus both-side watermarks are what bound that state in
+    * production. A bounded replay drains each side in one batch under the
+    * initial watermark (see st11's trap note), so no state is evicted and
+    * the emitted pairs are EXACTLY the batch join — which is the oracle.
+    */
+  def st12StreamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val schema = t(spark, sfDir, "events").schema
+    def side(parity: Int, idName: String, uName: String, tName: String) =
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+        .where(col("event_id") % 2 === parity)
+        .select(
+          col("event_id").as(idName), col("user_id").as(uName),
+          col("ts").cast("timestamp").as(tName))
+        .withWatermark(tName, "30 minutes")
+    val a = side(0, "a_id", "a_u", "a_time")
+    val b = side(1, "b_id", "b_u", "b_time")
+    val joined = a.join(
+        b,
+        col("a_u") === col("b_u") &&
+          col("b_time") >= col("a_time") - expr("INTERVAL 10 MINUTES") &&
+          col("b_time") <= col("a_time") + expr("INTERVAL 10 MINUTES"))
+      .select(col("a_id"), col("b_id"))
+    streaming.EventStreams
+      .replayToTable(spark, joined, OutputMode.Append(),
+        statePartitions = Some(ReplayStatePartitions))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val st12Oracle: String =
+    """SELECT a.event_id AS a_id, b.event_id AS b_id
+      |FROM events a JOIN events b
+      |  ON a.event_id % 2 = 0 AND b.event_id % 2 = 1
+      | AND a.user_id = b.user_id
+      | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 600000000
+      |ORDER BY a_id, b_id""".stripMargin
+
   def st9StreamIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.OutputMode
     val minuteUs = 60000000L
@@ -3261,6 +3303,7 @@ object Queries {
     "st9_stream_interval_join" -> (st9StreamIntervalJoin _),
     "st10_stream_bloom_novel" -> (st10StreamBloomNovel _),
     "st11_stream_late_data" -> (st11StreamLateData _),
+    "st12_stream_stream_join" -> (st12StreamStreamJoin _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -3384,6 +3427,7 @@ object Queries {
     "st9_stream_interval_join" -> iq1Oracle, // replay == batch interval join
     "st10_stream_bloom_novel" -> dx2Oracle, // stateless replay == batch novelty
     "st11_stream_late_data" -> st11Oracle,
+    "st12_stream_stream_join" -> st12Oracle,
 
   )
 }
