@@ -2903,6 +2903,104 @@ object Queries {
       |       CAST(count(CASE WHEN rn > 1 THEN 1 END) AS BIGINT) AS dup_right_keys
       |FROM l FULL OUTER JOIN r USING (k)""".stripMargin
 
+  /** BPE merge training ([[ops.Bpe.trainMerges]]): the first 8 merges of
+    * the corpus's word-internal BPE vocabulary — rank, symbol pair, and
+    * winning weighted count. The oracle re-runs the ENTIRE trainer in
+    * DuckDB as an unrolled 8-iteration CTE chain over the same
+    * double-separator string representation (pair counts → argmax with
+    * the lexicographic tie-break → left-to-right `replace` merge), so
+    * the learned vocabulary is engine-bit-equal.
+    */
+  val bpeNMerges = 8
+
+  // SQL fragments shared by bp1/bp2: S = the  separator, B = the
+  // double-separator boundary
+  private val bpeS = "chr(31)"
+  private val bpeB = "(chr(31) || chr(31))"
+
+  /** CTE chain `wf, w0, p0, b0, w1, … b{n-1}` reproducing the trainer. */
+  private def bpeCtes(n: Int): String = {
+    val head =
+      s"""wf AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+         |        FROM documents)
+         |  WHERE word != '' GROUP BY word),
+         |w0 AS (
+         |  SELECT $bpeB || regexp_replace(word, '(.)', '\\1' || $bpeB, 'g') AS w,
+         |         freq
+         |  FROM wf)""".stripMargin
+    val iters = (0 until n).map { i =>
+      val merge =
+        if (i == n - 1) "" // the last iteration's merge output is unused
+        else
+          s""",
+             |w${i + 1} AS (
+             |  SELECT replace(w.w, $bpeS || b.sym_a || $bpeB || b.sym_b || $bpeS,
+             |                 $bpeS || b.sym_a || b.sym_b || $bpeS) AS w, w.freq
+             |  FROM w$i w, b$i b)""".stripMargin
+      s""",
+         |p$i AS (
+         |  SELECT syms[k] AS sym_a, syms[k + 1] AS sym_b,
+         |         CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS k
+         |        FROM (SELECT freq,
+         |                     list_filter(str_split(w, chr(31)), s -> s != '') AS syms
+         |              FROM w$i)
+         |        WHERE len(syms) >= 2)
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT sym_a, sym_b, cnt FROM p$i
+         |        ORDER BY cnt DESC, sym_a, sym_b LIMIT 1)""".stripMargin + merge
+    }.mkString
+    head + iters
+  }
+
+  def bp1BpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    ops.Bpe.trainMerges(t(spark, sfDir, "documents"), "text", bpeNMerges)
+      .map(m => (m.rank, m.symA, m.symB, m.cnt))
+      .toDF("merge_rank", "sym_a", "sym_b", "cnt")
+      .orderBy(col("merge_rank"))
+  }
+
+  val bp1Oracle: String = {
+    val union = (0 until bpeNMerges)
+      .map(i => s"SELECT CAST($i AS INT) AS merge_rank, sym_a, sym_b, cnt FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"WITH ${bpeCtes(bpeNMerges)}\n$union\nORDER BY merge_rank"
+  }
+
+  /** BPE encoding ([[ops.Bpe.tokenCount]]): per-doc token counts under the
+    * 8 trained merges — the chained-`replace` encoder. The oracle re-trains
+    * the merges (same CTE chain as bp1) and applies the identical
+    * replace chain to the identically-delimited text, so the counts are
+    * bit-equal end to end — trainer AND encoder.
+    */
+  def bp2BpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val merges = ops.Bpe.trainMerges(docs, "text", bpeNMerges)
+    docs
+      .select(
+        col("doc_id"),
+        ops.Bpe.tokenCount(col("text"), merges).as("n_bpe"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bp2Oracle: String = {
+    val delim =
+      s"$bpeB || regexp_replace(regexp_replace(text, '([^\\s])', '\\1' || $bpeB, 'g'), " +
+        s"'(\\s)', '\\1' || $bpeB, 'g')"
+    val applied = (0 until bpeNMerges).foldLeft(delim) { (acc, i) =>
+      s"replace($acc,\n  $bpeS || (SELECT sym_a FROM b$i) || $bpeB || (SELECT sym_b FROM b$i) || $bpeS,\n" +
+        s"  $bpeS || (SELECT sym_a FROM b$i) || (SELECT sym_b FROM b$i) || $bpeS)"
+    }
+    s"""WITH ${bpeCtes(bpeNMerges)}
+       |SELECT doc_id,
+       |       CAST(len(list_filter(str_split($applied, chr(31)),
+       |                            s -> trim(s) != '')) AS INT) AS n_bpe
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** Contrastive training-pair generation, composed from existing
     * operators (no new machinery): for each anchor (vec_id % 25 == 0),
     * 3 POSITIVES = exact k-NN by embedding ([[ops.Similarity.knnJoin]] —
@@ -3276,6 +3374,8 @@ object Queries {
     "cq4_contrastive_pairs" -> (cq4ContrastivePairs _),
     "ir1_integrity" -> (ir1Integrity _),
     "vb1_top_ngrams" -> (vb1TopNgrams _),
+    "bp1_bpe_merges" -> (bp1BpeMerges _),
+    "bp2_bpe_encode" -> (bp2BpeEncode _),
     "bm1_bm25_topk" -> (bm1Bm25Topk _),
     "bq1_bm25_bulk" -> (bq1Bm25Bulk _),
     "bq2_bm25_postings" -> (bq2Bm25Postings _),
@@ -3401,6 +3501,8 @@ object Queries {
     "cq4_contrastive_pairs" -> cq4Oracle,
     "ir1_integrity" -> ir1Oracle,
     "vb1_top_ngrams" -> vb1Oracle,
+    "bp1_bpe_merges" -> bp1Oracle,
+    "bp2_bpe_encode" -> bp2Oracle,
     "bm1_bm25_topk" -> bm1Oracle,
     "bq1_bm25_bulk" -> bq1Oracle,
     "bq2_bm25_postings" -> bq1Oracle, // same pipeline over persisted artifacts

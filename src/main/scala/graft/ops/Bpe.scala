@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary training and encoding over a distributed
+  * corpus — the tokenizer-construction workload of an LLM data pipeline
+  * (Sennrich et al. 2016's merge loop, word-internal variant: symbols
+  * start as characters and never merge across whitespace; no end-of-word
+  * marker).
+  *
+  * Scale shape: the corpus is tokenized and aggregated ONCE into a
+  * word-frequency table (one shuffle, |vocabulary| rows — orders of
+  * magnitude smaller than the corpus and the only distributed state the
+  * loop touches). Each merge iteration is one map-side-combined pair
+  * count over that table plus a 1-row argmax to the driver; the driver
+  * holds only the merge list. At 100 TB the word vocabulary is ~10⁸ rows
+  * — still a small distributed table — and `nMerges` bounds the
+  * iteration count exactly like any trainer.
+  *
+  * Representation: a word's symbol sequence is a string with a DOUBLE
+  * `\u001F` separator at every boundary (`"␟␟a␟␟b␟␟"`); merging pair
+  * (a, b) is the plain string replacement `"␟a␟␟b␟" → "␟ab␟"` — the
+  * pattern consumes only the INNER half of each outer boundary, so the
+  * halves it leaves recombine into full boundaries for the neighboring
+  * pairs, and one left-to-right non-overlapping `replace()` pass merges
+  * every occurrence exactly like BPE's canonical scan ("aaaa" → [aa, aa];
+  * a single-separator scheme would eat the shared boundary and miss
+  * every second occurrence). `replace()` is reproducible verbatim in any
+  * engine, which is what makes the whole trainer AND encoder oracle-able
+  * in SQL. Pair COUNTS include overlapping occurrences ("aaa" counts
+  * (a,a) twice), the common counting convention.
+  */
+object Bpe {
+
+  val Sep = "\u001F"
+  private val Bnd = Sep + Sep // full symbol boundary
+
+  /** One merge: rank order, the two symbols joined, and the weighted pair
+    * count that won the iteration.
+    */
+  final case class Merge(rank: Int, symA: String, symB: String, cnt: Long)
+
+  /** Word-frequency table of a corpus in delimited-symbol form:
+    * `(w = "␟c₁␟c₂␟…␟", freq)`.
+    */
+  def delimitedWordFreqs(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+      .select(
+        concat(lit(Bnd), regexp_replace(col("word"), "(.)", "$1" + Bnd)).as("w"),
+        col("freq"))
+
+  private def symsOf(w: Column): Column =
+    filter(split(w, Sep), s => s =!= "")
+
+  private def pairCounts(words: DataFrame): DataFrame = {
+    val syms = symsOf(col("w"))
+    words
+      .select(col("freq"), syms.as("_s"))
+      .where(size(col("_s")) >= 2)
+      .select(
+        col("freq"),
+        explode(transform(
+          sequence(lit(0), size(col("_s")) - 2),
+          i => struct(
+            element_at(col("_s"), i + 1).as("sym_a"),
+            element_at(col("_s"), i + 2).as("sym_b")))).as("p"))
+      .groupBy(col("p.sym_a"), col("p.sym_b"))
+      .agg(sum(col("freq")).as("cnt"))
+  }
+
+  /** Train `nMerges` BPE merges. Deterministic: the winning pair each
+    * iteration is max by (weighted count, sym_a, sym_b) — the
+    * lexicographic tie-break makes the vocabulary engine-reproducible.
+    * Fails fast if the corpus runs out of distinct pairs before
+    * `nMerges` (train less, or on more data).
+    */
+  def trainMerges(df: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
+    require(nMerges >= 1, s"trainMerges: nMerges=$nMerges must be >= 1")
+    // the ONE corpus-sized job; every iteration after this runs over the
+    // cached |vocabulary|-row table (re-applying the accumulated replace
+    // chain per iteration — vocab-sized work, not corpus-sized)
+    val base = delimitedWordFreqs(df, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var words = base
+      val out = Seq.newBuilder[Merge]
+      for (r <- 0 until nMerges) {
+        val best = pairCounts(words)
+          .orderBy(col("cnt").desc, col("sym_a"), col("sym_b"))
+          .limit(1)
+          .collect()
+        require(best.nonEmpty,
+          s"trainMerges: corpus exhausted after $r merges (asked for $nMerges)")
+        val row = best.head
+        val (a, b, c) = (row.getString(0), row.getString(1), row.getLong(2))
+        out += Merge(r, a, b, c)
+        words = words.select(
+          replace(
+            col("w"),
+            lit(Sep + a + Bnd + b + Sep),
+            lit(Sep + a + b + Sep)).as("w"),
+          col("freq"))
+      }
+      out.result()
+    } finally base.unpersist(): Unit
+  }
+
+  /** The whole text in delimited-symbol form: every non-whitespace char
+    * followed by `Sep`, plus a `Sep` at the start and after every
+    * whitespace char — so merge patterns (which begin and end with `Sep`)
+    * can never span a word boundary.
+    */
+  private def delimited(text: Column): Column =
+    concat(
+      lit(Bnd),
+      regexp_replace(
+        regexp_replace(text, "([^\\s])", "$1" + Bnd),
+        "(\\s)", "$1" + Bnd))
+
+  /** Apply trained merges (in rank order) to a text column and return its
+    * BPE token count — `nMerges` chained codegen'd `replace` passes plus
+    * one split/filter, a pure projection (the [[TextAnalysis.piiScrub]]
+    * plan shape: no shuffle, linear in corpus bytes).
+    */
+  def tokenCount(text: Column, merges: Seq[Merge]): Column = {
+    val applied = merges.sortBy(_.rank).foldLeft(delimited(text)) { (c, m) =>
+      replace(
+        c,
+        lit(Sep + m.symA + Bnd + m.symB + Sep),
+        lit(Sep + m.symA + m.symB + Sep))
+    }
+    size(filter(split(applied, Sep), s => trim(s) =!= ""))
+  }
+}
