@@ -174,6 +174,16 @@ object TextScaleBench {
       docs, col("doc_id"),
       least(lit(1.0),
         graft.ops.TextAnalysis.tokenCount(col("text")).cast("double") / lit(60)))
+    // BPE at 1000× fixture scale: 16 merges trained on the 500k corpus,
+    // then the encoder applied corpus-wide (timed as one suite arm each;
+    // the trainer's corpus-sized cost is the single word-freq shuffle)
+    lazy val bpeMerges = graft.ops.Bpe.trainMerges(docs, "text", 16)
+    def bpeTrain() = {
+      graft.ops.Bpe.trainMerges(docs, "text", 16): Unit
+      docs.select(col("doc_id")).limit(1) // timed body is the trainer
+    }
+    def bpeEncode() = docs.select(
+      col("doc_id"), graft.ops.Bpe.tokenCount(col("text"), bpeMerges).as("n"))
 
     val suite: Seq[(String, () => DataFrame)] = Seq(
       "exact_dedup" -> (exactDedup _),
@@ -192,7 +202,9 @@ object TextScaleBench {
       "chunk_tokens_32" -> (chunk _),
       "bigram_novelty" -> (bigramNov _),
       "global_shuffle_32" -> (gShuffle _),
-      "weighted_sample" -> (wSample _))
+      "weighted_sample" -> (wSample _),
+      "bpe_train_16" -> (bpeTrain _),
+      "bpe_encode_16" -> (bpeEncode _))
 
     // warmup pass (JIT/codegen/page cache), then timed min-of-2
     suite.foreach { case (n, f) =>
