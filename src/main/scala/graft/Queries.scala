@@ -2903,6 +2903,54 @@ object Queries {
       |       CAST(count(CASE WHEN rn > 1 THEN 1 END) AS BIGINT) AS dup_right_keys
       |FROM l FULL OUTER JOIN r USING (k)""".stripMargin
 
+  /** The pretraining data-prep chain chunk → pack as one composed query:
+    * split every doc into 12-token/4-overlap windows
+    * ([[ops.TextAnalysis.chunkByTokens]], tq12's shape), then fill
+    * 64-token context budgets with consecutive chunks
+    * ([[ops.Corpus.packByBudget]], tq8's shape) under a 50-doc shard key.
+    * The oracle recomputes both stages (chunk CTE + running-sum window),
+    * so the full (chunk → pack) assignment is bit-equal.
+    */
+  def cq5ChunkPack(spark: SparkSession, sfDir: String): DataFrame = {
+    val chunks = ops.TextAnalysis
+      .chunkByTokens(
+        t(spark, sfDir, "documents"), "doc_id", "text",
+        maxTokens = 12, overlap = 4)
+      .select(
+        (col("doc_id") * 1000 + col("chunk_idx")).as("chunk_id"),
+        col("chunk_tokens"))
+    ops.Corpus
+      .packByBudget(
+        chunks, "chunk_id", col("chunk_tokens").cast("bigint"),
+        budget = 64L, shardSize = 50000L)
+      .select(col("chunk_id"), col("pack_id"))
+      .orderBy(col("chunk_id"))
+  }
+
+  val cq5Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |s AS (SELECT doc_id, ws,
+      |             unnest(generate_series(0, greatest(len(ws) - 1, 0), 8)) AS st
+      |      FROM t WHERE len(ws) > 0),
+      |c AS (SELECT doc_id, st,
+      |             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY st) - 1
+      |                  AS INT) AS chunk_idx,
+      |             array_to_string(ws[st + 1 : st + 12], ' ') AS chunk_text
+      |      FROM s WHERE st = 0 OR st + 4 < len(ws)),
+      |x AS (SELECT doc_id * 1000 + chunk_idx AS chunk_id,
+      |             len(regexp_split_to_array(trim(chunk_text), '\s+')) AS n
+      |      FROM c)
+      |SELECT chunk_id,
+      |  CAST((chunk_id // 50000) * 1000000 + (prev // 64) AS BIGINT) AS pack_id
+      |FROM (
+      |  SELECT chunk_id,
+      |    COALESCE(SUM(n) OVER (PARTITION BY chunk_id // 50000 ORDER BY chunk_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      |  FROM x)
+      |ORDER BY chunk_id""".stripMargin
+
   /** BPE merge training ([[ops.Bpe.trainMerges]]): the first 8 merges of
     * the corpus's word-internal BPE vocabulary — rank, symbol pair, and
     * winning weighted count. The oracle re-runs the ENTIRE trainer in
@@ -3372,6 +3420,7 @@ object Queries {
     "cq2_neardup_curation" -> (cq2NearDupCuration _),
     "cq3_full_curation" -> (cq3FullCuration _),
     "cq4_contrastive_pairs" -> (cq4ContrastivePairs _),
+    "cq5_chunk_pack" -> (cq5ChunkPack _),
     "ir1_integrity" -> (ir1Integrity _),
     "vb1_top_ngrams" -> (vb1TopNgrams _),
     "bp1_bpe_merges" -> (bp1BpeMerges _),
@@ -3499,6 +3548,7 @@ object Queries {
     "cq2_neardup_curation" -> cq2Oracle,
     "cq3_full_curation" -> cq3Oracle,
     "cq4_contrastive_pairs" -> cq4Oracle,
+    "cq5_chunk_pack" -> cq5Oracle,
     "ir1_integrity" -> ir1Oracle,
     "vb1_top_ngrams" -> vb1Oracle,
     "bp1_bpe_merges" -> bp1Oracle,
