@@ -609,6 +609,47 @@ object Queries {
       .select(col("vec_id"))
   }
 
+  // ------------------------------------------------- 1-bit binary quantization
+
+  private def duckQBitsLit: String =
+    queryVec.map(v => if (!v.isNaN && v > 0f) "1" else "0").mkString("[", ", ", "]")
+
+  /** Coarse top-k in packed sign-code space ([[ops.Quantize.binCoarseTopK]]):
+    * exact integer Hamming distance on the 32×-smaller codes, so the
+    * DISTANCES themselves are gated, not just the ids. The oracle reproduces
+    * the bit rule verbatim (`bit = x > 0`, NaN → 0 explicitly — DuckDB's
+    * `NaN > 0` is TRUE under its total float order, Java's is false, so the
+    * isnan branch is load-bearing cross-engine).
+    */
+  def zq7BinCoarseTopk(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Quantize.binCoarseTopK(
+      ops.Quantize.binCompress(t(spark, sfDir, "embeddings"), "embedding"),
+      "vec_id", "bin1", queryVec, 10)
+
+  val zq7Oracle: String =
+    s"""WITH z AS (
+       |  SELECT vec_id,
+       |         unnest(list_transform(embedding, x -> CASE WHEN isnan(x::DOUBLE) THEN 0 WHEN x > 0 THEN 1 ELSE 0 END)) AS b,
+       |         unnest($duckQBitsLit) AS q
+       |  FROM embeddings)
+       |SELECT vec_id, CAST(sum(CASE WHEN b != q THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+       |FROM z GROUP BY vec_id
+       |ORDER BY hamming, vec_id LIMIT 10""".stripMargin
+
+  /** Two-phase binary-quantized search ([[ops.Quantize.binTopK]]): Hamming
+    * coarse rank, exact float re-rank — covering oversample makes the
+    * pipeline exactly brute force (the zq3/zq4 gate trick); the coarse
+    * ranking itself is gated by zq7's exact integer distances.
+    */
+  def zq8BinRefinedTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/embeddings.parquet"
+    val k = 10
+    val oversample = coveringOversample(spark, path, k)
+    ops.Quantize
+      .binTopK(t(spark, sfDir, "embeddings"), "vec_id", "embedding", queryVec, k, oversample)
+      .select(col("vec_id"))
+  }
+
   /** Late-interaction MaxSim top-k ([[ops.Similarity.maxSimTopK]]): vectors
     * grouped into multi-vector "documents" (vec_id div 10), each scoring as
     * its best member's cosine to the query, top-5 groups win. Output is the
@@ -1221,6 +1262,44 @@ object Queries {
        |FROM toks t LEFT JOIN agg a USING (doc_id)
        |ORDER BY t.doc_id""".stripMargin
 
+  /** Segment-level (paragraph) dedup ([[ops.Dedup.blockDedup]]): drop every
+    * repeated 16-word block occurrence except its first `(doc_id, idx)`
+    * sighting corpus-wide, stitch documents back from survivors — the
+    * RefinedWeb paragraph-dedup shape on this structureless fixture (the
+    * block grid stands in for paragraph boundaries). Full reassembled
+    * strings are hash-gated; the oracle re-derives the whole pipeline as
+    * window SQL.
+    */
+  def dq11SegmentDedup(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Dedup
+      .blockDedup(
+        t(spark, sfDir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", 16)
+      .select(col("doc_id"), col("dedup_text"))
+      .orderBy(col("doc_id"))
+
+  val dq11Oracle: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |idx AS (
+       |  SELECT doc_id, words,
+       |         unnest(range(CAST((len(words) + 15) // 16 AS BIGINT))) AS seg_idx
+       |  FROM w),
+       |segs AS (
+       |  SELECT doc_id, seg_idx,
+       |         array_to_string(words[CAST(seg_idx*16+1 AS BIGINT):CAST(seg_idx*16+16 AS BIGINT)], ' ') AS seg
+       |  FROM idx),
+       |keep AS (
+       |  SELECT doc_id, seg_idx, seg,
+       |         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+       |  FROM segs)
+       |SELECT d.doc_id,
+       |       coalesce(k.t, '') AS dedup_text
+       |FROM documents d LEFT JOIN (
+       |  SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS t
+       |  FROM keep WHERE rn = 1 GROUP BY doc_id) k USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Cross-corpus (incremental-ingest) dedup: the doc_id % 10 == 0 slice
     * plays the incoming batch, the rest the existing corpus; emit every
     * (incoming, corpus) near-dup pair. Exercises the asymmetric bucket
@@ -1767,6 +1846,67 @@ object Queries {
       |  FROM documents)
       |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INT < w * 256
       |ORDER BY doc_id""".stripMargin
+
+  /** Exact global top-fraction selection ([[ops.Corpus.topFraction]]):
+    * keep exactly ceil(0.25·n) documents by (n_chars DESC, doc_id ASC) —
+    * the distributed exact-rank cut (range-partition the rank keys, count
+    * partitions, extract the k-th key from ONE partition, filter). The
+    * oracle is the global window form of the same rule; membership is
+    * bit-equal because the rank order is total.
+    */
+  def pq9TopFraction(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Corpus
+      .topFraction(
+        t(spark, sfDir, "documents"), col("n_chars"), col("doc_id"), 0.25)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
+  val pq9Oracle: String =
+    """SELECT doc_id FROM (
+      |  SELECT doc_id,
+      |    row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn,
+      |    count(*) OVER () AS n
+      |  FROM documents)
+      |WHERE rn <= ceil(0.25 * n)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Snapshot diff ([[ops.Corpus.diffSnapshots]]): old = doc_id % 7 != 0,
+    * new = doc_id % 5 != 0 with % 11 == 0 texts edited — added, removed,
+    * and changed keys (never the unchanged corpus). Signatures are md5
+    * chains, so the oracle rebuilds the identical diff bit-for-bit.
+    */
+  def ds1SnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val old = docs.where(col("doc_id") % 7 =!= 0)
+    val neu = docs
+      .where(col("doc_id") % 5 =!= 0)
+      .withColumn(
+        "text",
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    ops.Corpus
+      .diffSnapshots(old, col("doc_id"), col("text"), neu, col("doc_id"), col("text"))
+      .orderBy(col("key"))
+  }
+
+  val ds1Oracle: String =
+    """WITH old AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0),
+      |new AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 5 != 0),
+      |l AS (SELECT doc_id AS k, md5(string_agg(md5(text), ',' ORDER BY md5(text))) AS s
+      |      FROM old GROUP BY 1),
+      |r AS (SELECT doc_id AS k, md5(string_agg(md5(text), ',' ORDER BY md5(text))) AS s
+      |      FROM new GROUP BY 1)
+      |SELECT coalesce(l.k, r.k) AS key,
+      |       CASE WHEN r.s IS NULL THEN 'removed'
+      |            WHEN l.s IS NULL THEN 'added'
+      |            ELSE 'changed' END AS status
+      |FROM l FULL OUTER JOIN r ON l.k = r.k
+      |WHERE r.s IS NULL OR l.s IS NULL OR l.s != r.s
+      |ORDER BY key""".stripMargin
 
   /** Deterministic exact-k per-stratum sample
     * ([[ops.Corpus.stratifiedExactK]]): exactly 7 docs per language by the
@@ -3362,6 +3502,8 @@ object Queries {
     "zq4_ivfsq8_topk" -> (zq4IvfSq8Topk _),
     "zq5_ivfpq_topk" -> (zq5IvfPqTopk _),
     "zq6_ivfpq_residual_topk" -> (zq6IvfPqResidualTopk _),
+    "zq7_bin_coarse_topk" -> (zq7BinCoarseTopk _),
+    "zq8_bin_refined_topk" -> (zq8BinRefinedTopk _),
     "q1_agg" -> (q1Agg _),
     "q3_join" -> (q3Join _),
     "q5_region_revenue" -> (q5RegionRevenue _),
@@ -3388,6 +3530,7 @@ object Queries {
     "dq7_dup_clusters" -> (dq7DupClusters _),
     "dq8_dup_spans" -> (dq8DupSpans _),
     "dq9_span_scrub" -> (dq9SpanScrub _),
+    "dq11_segment_dedup" -> (dq11SegmentDedup _),
     "dx1_cross_dedup" -> (dx1CrossDedup _),
     "dx2_bloom_novel" -> (dx2BloomNovel _),
     "tq1_token_count" -> (tq1TokenCount _),
@@ -3415,6 +3558,8 @@ object Queries {
     "pq6_topk_per_group" -> (pq6TopKByGroup _),
     "pq7_global_shuffle" -> (pq7GlobalShuffle _),
     "pq8_weighted_sample" -> (pq8WeightedSample _),
+    "pq9_top_fraction" -> (pq9TopFraction _),
+    "ds1_snapshot_diff" -> (ds1SnapshotDiff _),
     "dm1_source_cap" -> (dm1SourceCap _),
     "cq1_curation_pipeline" -> (cq1CurationPipeline _),
     "cq2_neardup_curation" -> (cq2NearDupCuration _),
@@ -3488,6 +3633,8 @@ object Queries {
     "zq4_ivfsq8_topk" -> vq1Oracle, // exhaustive probe + covering oversample
     "zq5_ivfpq_topk" -> vq1Oracle, // same covering-exactness argument as zq4
     "zq6_ivfpq_residual_topk" -> vq1Oracle, // covering exactness, residual path
+    "zq7_bin_coarse_topk" -> zq7Oracle,
+    "zq8_bin_refined_topk" -> vq1Oracle, // covering oversample == brute force
 
     "va2_ivf_knn_join" -> vq6Oracle,
     "q1_agg" -> q1Oracle,
@@ -3516,6 +3663,7 @@ object Queries {
     "dq7_dup_clusters" -> dq7Oracle,
     "dq8_dup_spans" -> dq8Oracle,
     "dq9_span_scrub" -> dq9Oracle,
+    "dq11_segment_dedup" -> dq11Oracle,
     "dx1_cross_dedup" -> dx1Oracle,
     "dx2_bloom_novel" -> dx2Oracle,
     "tq1_token_count" -> tq1Oracle,
@@ -3543,6 +3691,8 @@ object Queries {
     "pq6_topk_per_group" -> pq6Oracle,
     "pq7_global_shuffle" -> pq7Oracle,
     "pq8_weighted_sample" -> pq8Oracle,
+    "pq9_top_fraction" -> pq9Oracle,
+    "ds1_snapshot_diff" -> ds1Oracle,
     "dm1_source_cap" -> dm1Oracle,
     "cq1_curation_pipeline" -> cq1Oracle,
     "cq2_neardup_curation" -> cq2Oracle,

@@ -87,6 +87,13 @@ package object functions {
   def sq8_distance_sq(a: Column, b: Column): Column =
     col(Sq8DistanceSq(expr(a), expr(b)))
 
+  /** 1-bit sign-quantize a float vector to packed binary codes (32× smaller). */
+  def bin1_encode(vec: Column): Column = col(Bin1Encode(expr(vec)))
+
+  /** Exact Hamming distance between two packed sign-code vectors. */
+  def bin1_hamming(a: Column, b: Column): Column =
+    col(Bin1Hamming(expr(a), expr(b)))
+
   /** Spark SQL has no `[...]` array literal — helper for query vectors. */
   def float_vector(values: Seq[Float]): Column = {
     import org.apache.spark.sql.functions.{array, lit}
@@ -124,6 +131,10 @@ package object functions {
         (cs: Seq[Expression]) => Sq8Codes(cs(0))),
       ("sq8_distance_sq", "Integer squared L2 between two SQ8 code vectors",
         (cs: Seq[Expression]) => Sq8DistanceSq(cs(0), cs(1))),
+      ("bin1_encode", "1-bit sign-quantize a float vector to packed binary codes",
+        (cs: Seq[Expression]) => Bin1Encode(cs(0))),
+      ("bin1_hamming", "Hamming distance between two packed sign-code vectors",
+        (cs: Seq[Expression]) => Bin1Hamming(cs(0), cs(1))),
       ("normalize_text", "Unicode NFC + optional accent strip + ROOT lowercase",
         (cs: Seq[Expression]) => NormalizeText(
           cs(0),

@@ -403,6 +403,117 @@ object Corpus {
         count(when(col("_rn") > 1, 1)).cast("bigint").as("dup_right_keys"))
   }
 
+  /** Diff two corpus snapshots by key + content: one row per key whose
+    * membership or content changed — `added` (key only in `newDf`),
+    * `removed` (only in `oldDf`), `changed` (both sides, different
+    * content) — the audit primitive between pipeline versions or crawl
+    * epochs. Unchanged keys are NOT emitted (at 100 TB the diff must be
+    * proportional to the CHANGE, not the corpus).
+    *
+    * Per-key content signature: md5 over the comma-joined SORTED md5s of
+    * the key's content values — multiset-exact (duplicate keys compare as
+    * a bag: different copy counts concatenate different block counts, so
+    * signatures differ), order-insensitive, and engine-portable (md5 is
+    * bit-identical everywhere, so the diff is reproducible outside Spark).
+    *
+    * Plan shape: one map-side-combined groupBy per side, then a full
+    * outer join of the two |distinct-keys| aggregates — shuffle bounded
+    * by distinct keys, content strings leave the map side only as 32-char
+    * hashes.
+    */
+  def diffSnapshots(
+      oldDf: DataFrame,
+      oldKey: Column,
+      oldContent: Column,
+      newDf: DataFrame,
+      newKey: Column,
+      newContent: Column): DataFrame = {
+    def sig(df: DataFrame, k: Column, c: Column, sigName: String) =
+      df.groupBy(k.as("_k"))
+        .agg(md5(concat_ws(",", sort_array(collect_list(md5(c.cast("string"))))))
+          .as(sigName))
+    val l = sig(oldDf, oldKey, oldContent, "_ls")
+    val r = sig(newDf, newKey, newContent, "_rs")
+    l.join(r, Seq("_k"), "full_outer")
+      .withColumn(
+        "status",
+        when(col("_rs").isNull, "removed")
+          .when(col("_ls").isNull, "added")
+          .when(col("_ls") =!= col("_rs"), "changed"))
+      .where(col("status").isNotNull)
+      .select(col("_k").as("key"), col("status"))
+  }
+
+  /** Keep EXACTLY `ceil(frac · n)` rows — the globally best by
+    * `(scoreCol DESC, idCol ASC)` — without a global window or a
+    * driver-side top-k. This is the exact form of "keep the top 25% by
+    * classifier score": [[weightedSample]] keeps a random
+    * weight-proportional subset, [[topKByGroup]] a per-group k; this one
+    * is the corpus-global exact rank cut.
+    *
+    * Algorithm (distributed exact selection): range-partition the
+    * `(−score, id)` rank keys (Spark samples split bounds — one pass),
+    * count each partition (counts only reach the driver, O(partitions)),
+    * locate the partition holding global rank k by prefix sum, sort THAT
+    * partition alone executor-side to extract the k-th key, then keep the
+    * corpus rows at-or-above the threshold with a codegen'd filter. No
+    * step materializes more than one range partition in memory and
+    * nothing corpus-sized reaches the driver or any single task — the
+    * failure mode of `ORDER BY … LIMIT k` at large k (a k-row
+    * single-partition shuffle) is avoided.
+    *
+    * `idCol` must be integral and unique per row — it makes the rank
+    * order total, so exactly k rows satisfy the threshold predicate.
+    */
+  def topFraction(
+      df: DataFrame,
+      scoreCol: Column,
+      idCol: Column,
+      frac: Double): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0, 1], got $frac")
+    if (frac == 0.0) return df.limit(0)
+    if (frac == 1.0) return df
+    val keyed = df.select(scoreCol.cast("double").as("_s"), idCol.cast("long").as("_i"))
+    val n = keyed.count()
+    if (n == 0) return df
+    val k = math.ceil(frac * n).toLong
+    if (k >= n) return df
+    // ascending rank key = (−score, id): rank 1 is the best row
+    val ranged = keyed
+      .select(negate(col("_s")).as("_ns"), col("_i"))
+      .repartitionByRange(col("_ns"), col("_i"))
+    val counts = ranged.rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect()
+      .sortBy(_._1)
+      .map(_._2)
+    var prefix = 0L
+    var target = -1
+    var localRank = 0L
+    var i = 0
+    while (i < counts.length && target < 0) {
+      if (prefix + counts(i) >= k) { target = i; localRank = k - prefix }
+      else prefix += counts(i)
+      i += 1
+    }
+    require(target >= 0, s"rank $k not found in $n rows — internal error")
+    val t = target
+    val lr = localRank
+    val Array((thrNs, thrId)) = ranged.rdd
+      .mapPartitionsWithIndex { (idx, it) =>
+        if (idx != t) Iterator.empty
+        else {
+          val arr = it.map(r => (r.getDouble(0), r.getLong(1))).toArray
+          java.util.Arrays.sort(arr, Ordering.Tuple2[Double, Long])
+          Iterator(arr((lr - 1).toInt))
+        }
+      }
+      .collect()
+    df.where(
+      negate(scoreCol.cast("double")) < lit(thrNs) ||
+        (negate(scoreCol.cast("double")) === lit(thrNs) && idCol.cast("long") <= lit(thrId)))
+  }
+
   /** Exact token-count distribution stats (count + interpolated
     * percentiles) — the corpus-level summary a filtering pipeline keys off.
     */

@@ -58,6 +58,120 @@ object Dedup {
       .agg(min(idCol).as("doc_id"))
       .drop("_key")
 
+  // ------------------------------------------------ segment-level dedup
+
+  /** Corpus-wide exact SEGMENT dedup — the "paragraph dedup" of
+    * RefinedWeb/Dolma-class pipelines (Penedo et al. 2306.01116): instead
+    * of dropping whole near-duplicate documents, drop every repeated
+    * segment occurrence except its FIRST (min `(id, idx)` lexicographic)
+    * and stitch each document back together from its surviving segments.
+    * Boilerplate that recurs across thousands of pages (headers, footers,
+    * license blocks) disappears everywhere but its first sighting while
+    * the unique prose around it survives.
+    *
+    * Input is the exploded form `(id, idx, seg)` — one row per segment
+    * occurrence; [[paragraphDedup]] / [[blockDedup]] produce it from a raw
+    * text column. Output is the surviving subset, same three columns.
+    *
+    * Plan shape (scale): one `groupBy(seg)` with map-side-combined
+    * `min(struct(id, idx))` — partial aggregation makes a
+    * million-occurrence boilerplate segment cost one row per input
+    * partition at the shuffle, where a `row_number() OVER (PARTITION BY
+    * seg)` window would sort the whole hot partition — then one semi-join
+    * of the occurrence table against the winner set on `(seg, id, idx)`.
+    * No driver state, no window skew.
+    */
+  def dedupSegments(
+      segments: DataFrame,
+      idCol: String,
+      idxCol: String,
+      segCol: String): DataFrame = {
+    val winners = segments
+      .groupBy(col(segCol))
+      .agg(min(struct(col(idCol), col(idxCol))).as("_w"))
+      .select(
+        col(segCol),
+        col(s"_w.$idCol").as(idCol),
+        col(s"_w.$idxCol").as(idxCol))
+    segments
+      .join(winners, Seq(segCol, idCol, idxCol), "left_semi")
+      // a using-columns join fronts the join keys; restore the input order
+      .select(segments.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Paragraph-level dedup over a text column with a real paragraph
+    * structure: split on `splitRegex` (default: blank lines), dedup
+    * segments corpus-wide ([[dedupSegments]]), reassemble survivors in
+    * original order joined by `joinSep`. Every input row survives with all
+    * its columns; `outCol` holds the deduped text ('' when every segment
+    * of a document was seen earlier).
+    */
+  def paragraphDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      splitRegex: String = "\\n{2,}",
+      joinSep: String = "\n\n",
+      outCol: String = "dedup_text"): DataFrame = {
+    require(!df.columns.contains(outCol), s"paragraphDedup: column '$outCol' already exists")
+    val segments = df
+      .select(col(idCol), posexplode(split(col(textCol), splitRegex)).as(Seq("_idx", "_seg")))
+    reassemble(df, dedupSegments(segments, idCol, "_idx", "_seg"), idCol, joinSep, outCol)
+  }
+
+  /** [[paragraphDedup]] for STRUCTURELESS corpora (no newlines/punctuation
+    * to split on): the segment unit is a non-overlapping block of
+    * `wordsPerBlock` whitespace-split words (final block may be shorter).
+    * The block grid is per-document and position-based, so this catches
+    * aligned repetition (shared prefixes/templates, whole-document dups —
+    * every block of an exact dup doc drops); for arbitrary-offset repeated
+    * substrings use [[duplicatedNgramSpans]], which is the
+    * position-invariant (and costlier) form.
+    */
+  def blockDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      wordsPerBlock: Int,
+      outCol: String = "dedup_text"): DataFrame = {
+    require(wordsPerBlock > 0, "wordsPerBlock must be > 0")
+    require(!df.columns.contains(outCol), s"blockDedup: column '$outCol' already exists")
+    val n = wordsPerBlock
+    val words = split(col(textCol), " ")
+    // ceil(size/n): Spark's `/` is true division, so floor the double —
+    // exact below 2^52, far above any document's word count
+    val nBlocks = floor((size(words) + lit(n - 1)) / lit(n)).cast("int")
+    val segs = transform(
+      sequence(lit(0), nBlocks - 1),
+      i => array_join(slice(words, i * n + 1, lit(n)), " "))
+    val segments = df
+      .select(col(idCol), posexplode(segs).as(Seq("_idx", "_seg")))
+    reassemble(df, dedupSegments(segments, idCol, "_idx", "_seg"), idCol, " ", outCol)
+  }
+
+  /** Stitch surviving segments back onto the input: order by position,
+    * join with `joinSep`, '' for documents that lost everything. The
+    * per-doc collect is bounded by document size (segments of ONE doc),
+    * not corpus size.
+    */
+  private def reassemble(
+      df: DataFrame,
+      kept: DataFrame,
+      idCol: String,
+      joinSep: String,
+      outCol: String): DataFrame = {
+    val stitched = kept
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("_idx"), col("_seg")))),
+            s => s.getField("_seg")),
+          joinSep).as(outCol))
+    df.join(stitched, Seq(idCol), "left")
+      .withColumn(outCol, coalesce(col(outCol), lit("")))
+  }
+
   /** Exact jaccard similarity of two pre-distinct shingle arrays; an
     * integer-ratio expression, so it is bit-identical across engines.
     */

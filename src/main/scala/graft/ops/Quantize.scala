@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{array_distance, float_vector, sq8_decode, sq8_distance_sq, sq8_encode, Sq8}
+import graft.functions.{array_distance, bin1_encode, bin1_hamming, float_vector, sq8_decode, sq8_distance_sq, sq8_encode, Bin1, Sq8}
 
 /** Int8 scalar-quantized (SQ8) storage and search over embedding columns.
   *
@@ -66,6 +66,65 @@ object Quantize {
     val survivors = df
       .select(col(idCol), sq8_distance_sq(codes, lit(qCodes)).as("code_dist"))
       .orderBy(col("code_dist").asc_nulls_last, col(idCol))
+      .limit(k * oversample)
+      .select(col(idCol))
+    df.join(broadcast(survivors), idCol)
+      .orderBy(
+        array_distance(col(vecCol), float_vector(query)).asc_nulls_last,
+        col(idCol))
+      .limit(k)
+  }
+
+  /** Add a packed sign-bit (1-bit) code column for `vecCol` — the deepest
+    * flat compression tier (32× under f32; 8 B for a 64-dim vector).
+    */
+  def binCompress(df: DataFrame, vecCol: String, codeCol: String = "bin1"): DataFrame =
+    df.withColumn(codeCol, bin1_encode(col(vecCol)))
+
+  /** Coarse top-k directly on packed sign codes: exact integer Hamming
+    * ranking (xor + popcount — the cheapest coarse key the engine has),
+    * `TakeOrderedAndProject`. Hamming over dim bits is massively tied, so
+    * the `idCol` tie-break carries most of the determinism here — which is
+    * also why this tier only ever feeds a refine phase in practice.
+    */
+  def binCoarseTopK(
+      df: DataFrame,
+      idCol: String,
+      codeCol: String,
+      query: Seq[Float],
+      k: Int): DataFrame = {
+    val qCodes = Bin1.encode(query.toArray)
+    df.select(
+        col(idCol),
+        bin1_hamming(col(codeCol), lit(qCodes)).as("hamming"))
+      .orderBy(col("hamming").asc_nulls_last, col(idCol))
+      .limit(k)
+  }
+
+  /** Two-phase binary-quantized top-k: Hamming coarse rank over the packed
+    * sign codes (IO per candidate = dim/8 BYTES — 32× under the float
+    * column), exact float re-rank of the `k·oversample` survivors. The
+    * sign sketch is a coarse angular surrogate, so binary needs a larger
+    * oversample than SQ8/PQ for the same recall — it buys the steepest IO
+    * cut in exchange (the classic recall/IO frontier point; at covering
+    * oversample the result is exactly brute force, which is how the
+    * correctness gate pins the machinery).
+    */
+  def binTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      oversample: Int = 16,
+      codeCol: Option[String] = None): DataFrame = {
+    require(k > 0, "k must be > 0")
+    require(oversample >= 1, "oversample must be >= 1")
+    val codes: Column = codeCol.map(col).getOrElse(bin1_encode(col(vecCol)))
+    val qCodes = Bin1.encode(query.toArray)
+    val survivors = df
+      .select(col(idCol), bin1_hamming(codes, lit(qCodes)).as("hamming"))
+      .orderBy(col("hamming").asc_nulls_last, col(idCol))
       .limit(k * oversample)
       .select(col(idCol))
     df.join(broadcast(survivors), idCol)
