@@ -990,6 +990,36 @@ object Queries {
   val lq3Oracle: String =
     """SELECT vec_id, label FROM embeddings ORDER BY vec_id""".stripMargin
 
+  /** Z-order layout ([[ops.Layout.writeZOrder]]): events rewritten
+    * Morton-interleaved on (user_id, value) so BOX predicates over both
+    * dims prune row groups — the multi-dimensional selective-scan layout
+    * ([[lq1SortedLayout]] only prunes on its leading column; LayoutSpec
+    * proves the per-file bounding boxes and trailing-dim pruning). This
+    * query gates that the relayout never changes results: a 2-D box
+    * aggregate off the z-ordered copy against the plain-table oracle,
+    * integer-exact via the milli-cents pattern.
+    */
+  def lq4ZOrderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_lq4_events"
+    val laid = ops.Layout.writeZOrder(
+      t(spark, sfDir, "events"), dir, Seq("user_id", "value"), numFiles = 8)
+    laid
+      .where(col("user_id") >= 50 && col("user_id") < 200 &&
+        col("value") >= 10.0 && col("value") < 60.0)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 1000).cast("bigint")).as("value_millis"))
+      .orderBy(col("event_type"))
+  }
+
+  val lq4Oracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_millis
+      |FROM events
+      |WHERE user_id >= 50 AND user_id < 200 AND value >= 10.0 AND value < 60.0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------- text / dedup
 
   def dq1ExactDedup(spark: SparkSession, sfDir: String): DataFrame =
@@ -3517,6 +3547,7 @@ object Queries {
     "lq1_sorted_layout" -> (lq1SortedLayout _),
     "lq2_compact" -> (lq2Compact _),
     "lq3_bycell_layout" -> (lq3ByCellLayout _),
+    "lq4_zorder_layout" -> (lq4ZOrderLayout _),
     "qa1_asof_join" -> (qa1AsofJoin _),
     "iq1_interval_join" -> (iq1IntervalJoin _),
     "dq1_exact_dedup" -> (dq1ExactDedup _),
@@ -3649,6 +3680,7 @@ object Queries {
     "lq1_sorted_layout" -> lq1Oracle,
     "lq2_compact" -> lq2Oracle,
     "lq3_bycell_layout" -> lq3Oracle,
+    "lq4_zorder_layout" -> lq4Oracle,
     "qa1_asof_join" -> qa1Oracle,
     "iq1_interval_join" -> iq1Oracle,
     "dq1_exact_dedup" -> dq1Oracle,

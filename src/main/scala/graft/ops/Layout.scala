@@ -115,6 +115,68 @@ object Layout {
     spark.read.parquet(outPath)
   }
 
+  /** Write `df` Z-ORDERED on `cols`: each layout column is ranked into
+    * `2^bits` equi-depth buckets (quantile boundaries from ONE
+    * `percentile_approx` aggregate — equi-depth, so skewed columns still
+    * spread over the full bucket range), the per-column bucket ranks are
+    * Morton-interleaved MSB-first into a single long, and rows
+    * range-shuffle + sort on that code. Every output file (and row group)
+    * then spans a narrow HYPER-RECTANGLE of the key space instead of a
+    * narrow slice of one column — range predicates on ANY subset of
+    * `cols` prune row groups via footer min/max stats, where
+    * [[writeSortedBy]] only prunes on its leading column. This is the
+    * multi-dimensional twin of [[writeSortedBy]] (the Delta/Iceberg
+    * OPTIMIZE ZORDER layout) and, like it, a write-once shuffle: one
+    * quantile aggregate + one range exchange, no driver loop, no
+    * collect beyond the O(cols × 2^bits) boundary array. Rank lookup is a
+    * codegen'd sorted-boundary count (`size(filter(bounds, b <= v))`),
+    * O(2^bits) comparisons per row per column — compute-bounded and
+    * vectorized, the right trade for a layout job whose payoff is every
+    * subsequent scan. Nulls rank 0 (sort first, like SQL NULLS FIRST).
+    * Returns the reread frame.
+    */
+  def writeZOrder(
+      df: DataFrame,
+      path: String,
+      cols: Seq[String],
+      numFiles: Int,
+      bits: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(cols.size >= 2, s"z-order needs >= 2 columns, got ${cols.size}")
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    require(bits >= 1 && cols.size * bits <= 62,
+      s"need 1 <= bits and cols*bits <= 62, got ${cols.size} x $bits")
+    val buckets = 1 << bits
+    // one pass: equi-depth boundaries for every layout column at once
+    val pcts = typedLit((1 until buckets).map(_.toDouble / buckets))
+    val boundsRow = df
+      .select(cols.map(c =>
+        percentile_approx(col(c).cast("double"), pcts, lit(10000)).as(c)): _*)
+      .head()
+    val zcol = s"_graft_z_${java.util.UUID.randomUUID().toString.take(8)}"
+    val code: Column = cols.zipWithIndex.map { case (c, ci) =>
+      val bounds = Option(boundsRow.getSeq[Double](ci)).getOrElse(Seq.empty)
+      val v = col(c).cast("double")
+      // rank = #boundaries <= v, in [0, buckets-1]; null → 0 (sort first)
+      val rank = coalesce(
+        size(filter(typedLit(bounds), b => b <= v)), lit(0)).cast("long")
+      // spread rank's bits MSB-first into every cols.size-th output bit
+      (0 until bits).map { i =>
+        val srcBit = bits - 1 - i                       // MSB first
+        val dstBit = cols.size * bits - 1 - (i * cols.size + ci)
+        shiftleft(shiftright(rank, srcBit).bitwiseAND(lit(1L)), dstBit)
+      }.reduce(_.bitwiseOR(_))
+    }.reduce(_.bitwiseOR(_))
+    df.withColumn(zcol, code)
+      .repartitionByRange(numFiles, col(zcol))
+      .sortWithinPartitions(zcol)
+      .drop(zcol)
+      .write
+      .mode("overwrite")
+      .parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
   /** Compact a parquet directory's small files into ~`targetFileBytes`
     * outputs — the small-files mitigation every long-running ingest needs
     * (each file costs a task + footer read + catalog entry per downstream

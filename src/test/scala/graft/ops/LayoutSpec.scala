@@ -80,6 +80,59 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("z-order bounds every layout dimension per file; trailing-column predicates prune") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hc.get("parquet.block.size")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    try {
+      hc.setInt("parquet.block.size", 64 * 1024)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val n = 100000L
+      // two INDEPENDENT uniform dims: sorting by k alone leaves v unbounded
+      val df = spark.range(n).select(
+        col("id").as("k"), ((col("id") * 40503L) % n).as("v"))
+      val scrambled = df.repartition(7)
+      // 32 files over a 16-bit code: each file fixes the top 5 interleaved
+      // bits → per-file box ~ (n/8)x(n/4) = full/32
+      val z = Layout.writeZOrder(scrambled, s"$dir/z", Seq("k", "v"), 32, bits = 8)
+      // content preserved exactly
+      assert(z.count() == n)
+      assert(z.agg(sum(col("k") + col("v"))).head().getLong(0) ==
+        df.agg(sum(col("k") + col("v"))).head().getLong(0))
+      // every file spans a narrow box in BOTH dims: mean per-file area is a
+      // small fraction of the full square (a k-sorted layout has full-range
+      // v in every file; round-robin has full range in both)
+      val area = z
+        .groupBy(col("_metadata.file_path"))
+        .agg(((max(col("k")) - min(col("k"))) *
+             (max(col("v")) - min(col("v")))).as("area"))
+        .agg(avg(col("area"))).head().getDouble(0)
+      // full/32 in perfect prefix alignment; range-partition boundaries
+      // straddle bit boundaries and can double one dim, so gate at full/8
+      val full = n.toDouble * n.toDouble
+      assert(area < full / 8.0,
+        s"expected tight per-file boxes, mean area $area vs full $full")
+      // a predicate on the TRAILING dim alone prunes row groups too
+      val q = z.where(col("v") >= 1000 && col("v") < 2000)
+      assert(q.count() == 1000)
+      val scanned = q.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+      assert(scanned < n / 2, s"expected row-group pruning on v, scanned $scanned of $n")
+      // degenerate inputs refused
+      intercept[IllegalArgumentException] {
+        Layout.writeZOrder(df, s"$dir/bad", Seq("k"), 2)
+      }
+      intercept[IllegalArgumentException] {
+        Layout.writeZOrder(df, s"$dir/bad", Seq("k", "v"), 2, bits = 40)
+      }
+    } finally {
+      if (prevBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", prevBlock)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("writeByCell groups rows by IVF cell: content exact, cells file-contiguous") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bycell").toString
     val dim = 4
