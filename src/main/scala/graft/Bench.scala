@@ -124,6 +124,11 @@ object Bench {
       .searchPq(spark, path, "embedding", query, 100,
         graft.ivf.VectorTopK.Options(nprobe = 16), oversample = 4)
       .toDF()
+    // MRL operating point: coarse rank on the leading 16 of 64 dims
+    // (vq26 gates exactness at covering oversample; this times os=4)
+    def mrlK100() = graft.ops.Similarity
+      .mrlTopK(spark.read.parquet(path), "vec_id", "embedding", query, 100,
+        prefixDim = 16, oversample = 4)
     val queryResults: Seq[(String, Double)] = names.map { name =>
       try name -> timeMin(materialize(SparkEntry.queries(name)(spark, sfDir)))
       finally restoreGraftConf()
@@ -150,7 +155,7 @@ object Bench {
         !brutePlan.contains("LeftSemi"),
       s"bench baseline is contaminated by the IVF rewrite:\n$brutePlan")
     materialize(bruteK100()); materialize(indexedK100()); materialize(searchK100()) // warm
-    materialize(sq8SearchK100()); materialize(pqSearchK100())
+    materialize(sq8SearchK100()); materialize(pqSearchK100()); materialize(mrlK100())
 
     val results: Seq[(String, Double)] = queryResults ++ Seq(
       "baseline_brute_topk100" -> timeMin(materialize(bruteK100())),
@@ -158,6 +163,7 @@ object Bench {
       "baseline_search_selective_topk100_nprobe16" -> timeMin(materialize(searchK100())),
       "baseline_sq8_search_topk100_nprobe16" -> timeMin(materialize(sq8SearchK100())),
       "baseline_pq_search_topk100_nprobe16" -> timeMin(materialize(pqSearchK100())),
+      "baseline_mrl_topk100_prefix16_os4" -> timeMin(materialize(mrlK100())),
       "index_build" -> indexBuild)
 
     // BASELINE.md protocol quality metric: Recall@100 vs brute force at
@@ -230,6 +236,20 @@ object Bench {
         else (approx intersect exact).size.toDouble / exact.size
       } catch { case _: Throwable => -1.0 }
 
+    // MRL quality at the benched operating point: top-100 overlap of the
+    // prefix-16/os-4 two-phase vs brute force (vq26 gates exactness at
+    // covering oversample; this tracks the production point)
+    val mrlRecall =
+      try {
+        def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+          df.select("vec_id").collect().map(_.getLong(0)).toSet
+        val exact = ids(graft.ivf.VectorTopK
+          .bruteForce(spark.read.parquet(path), "embedding", query, 100))
+        val approx = ids(mrlK100())
+        if (exact.isEmpty) -1.0
+        else (approx intersect exact).size.toDouble / exact.size
+      } catch { case _: Throwable => -1.0 }
+
     // decoded-index LRU effectiveness over the whole run (per-JVM counters;
     // local mode = one JVM, so this is the full picture)
     val (cacheHits, cacheMisses) = graft.ivf.IndexManager.decodedCacheStats
@@ -245,7 +265,7 @@ object Bench {
       .mkString("{", ",", "}")
     val headlineTotal = headline.map(resultMap).filter(_ >= 0).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline":$hs,"headline_total":$headlineTotal,"recall_at100_nprobe16":$recall,"cosine_recall_at100_nprobe16":$cosineRecall,"cell_pair_recall_probe4":$cellPairRecall,"knn_join_recall_probe4":$knnJoinRecall,"maxsim_recall_probe4":$maxsimRecall,"index_cache_hits":$cacheHits,"index_cache_misses":$cacheMisses}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline":$hs,"headline_total":$headlineTotal,"recall_at100_nprobe16":$recall,"cosine_recall_at100_nprobe16":$cosineRecall,"cell_pair_recall_probe4":$cellPairRecall,"knn_join_recall_probe4":$knnJoinRecall,"maxsim_recall_probe4":$maxsimRecall,"mrl_recall_prefix16_os4":$mrlRecall,"index_cache_hits":$cacheHits,"index_cache_misses":$cacheMisses}""")
 
     // Quality floors for the two no-oracle ANN operating points (sq2 /
     // va1): their recall is a deterministic function of the fixture and the

@@ -545,6 +545,23 @@ object Queries {
       .sq8TopK(t(spark, sfDir, "embeddings"), "vec_id", "embedding", queryVec, 10)
       .select(col("vec_id"))
 
+  /** Matryoshka prefix-dim two-phase top-k ([[ops.Similarity.mrlTopK]]):
+    * coarse rank on the first 16 of 64 dims, exact full-dim refine.
+    * Covering oversample (k·oversample >= corpus) makes the pipeline
+    * exactly brute force — the zq3/zq4 exactness-gate trick; the ANN
+    * operating point (small oversample, stored prefix column) is
+    * spec-gated in SimilaritySpec and benched.
+    */
+  def vq26MrlTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/embeddings.parquet"
+    val k = 10
+    ops.Similarity
+      .mrlTopK(
+        spark.read.parquet(path), "vec_id", "embedding", queryVec, k,
+        prefixDim = 16, oversample = coveringOversample(spark, path, k))
+      .select(col("vec_id"))
+  }
+
   /** IVF-SQ8 two-phase search over the code SIDECAR (coarse integer ranking
     * on point-read codes, float re-rank of survivors). Exhaustive probe +
     * covering oversample (k·oversample >= corpus at every tested sf) makes
@@ -3528,6 +3545,7 @@ object Queries {
     "vq19_colbert_ivf" -> (vq19ColbertIvf _),
     "zq1_sq8_coarse_topk" -> (zq1Sq8CoarseTopk _),
     "zq2_sq8_roundtrip" -> (zq2Sq8Roundtrip _),
+    "vq26_mrl_topk" -> (vq26MrlTopk _),
     "zq3_sq8_refined_topk" -> (zq3Sq8RefinedTopk _),
     "zq4_ivfsq8_topk" -> (zq4IvfSq8Topk _),
     "zq5_ivfpq_topk" -> (zq5IvfPqTopk _),
@@ -3660,6 +3678,7 @@ object Queries {
     "vq19_colbert_ivf" -> vq12Oracle, // exhaustive-probe exact ⇒ same oracle
     "zq1_sq8_coarse_topk" -> zq1Oracle,
     "zq2_sq8_roundtrip" -> zq2Oracle,
+    "vq26_mrl_topk" -> vq1Oracle, // covering oversample: MRL refine is exact
     "zq3_sq8_refined_topk" -> vq1Oracle, // sq8 refine must recover exact top-k
     "zq4_ivfsq8_topk" -> vq1Oracle, // exhaustive probe + covering oversample
     "zq5_ivfpq_topk" -> vq1Oracle, // same covering-exactness argument as zq4

@@ -71,6 +71,50 @@ object Similarity {
       .select(col(groupCol), col("max_sim"))
   }
 
+  /** Matryoshka (MRL) prefix-dimension two-phase top-k (Kusupati et al.,
+    * NeurIPS 2022): embeddings trained with matryoshka loss rank almost as
+    * well on their first `prefixDim` coordinates, so phase 1 ranks the
+    * corpus by L2 distance on `slice(vec, 1, prefixDim)` and keeps
+    * `k·oversample` survivors (a `TakeOrderedAndProject` bounded heap —
+    * reading `prefixDim/dim` of the float bytes when the prefix is stored
+    * as its own column, the `prefixCol` fast path a 100 TB layout should
+    * use), and phase 2 re-ranks ONLY the broadcast survivors with the
+    * exact full-dimension distance. Same two-phase shape as
+    * [[Quantize.sq8TopK]], but the coarse key is a dimension slice instead
+    * of a code — no codebook to train, and the coarse phase is itself an
+    * exact float ranking, so `oversample` covering the corpus makes the
+    * whole pipeline exactly brute force (the hash-gate used by the oracle
+    * query; so does `prefixDim = dim` at any oversample).
+    * Deterministic: distance then id tie-break in both phases.
+    */
+  def mrlTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      prefixDim: Int,
+      oversample: Int = 4,
+      prefixCol: Option[String] = None): DataFrame = {
+    require(k > 0, "k must be > 0")
+    require(oversample >= 1, "oversample must be >= 1")
+    require(prefixDim >= 1 && prefixDim <= query.length,
+      s"prefixDim must be in [1, ${query.length}], got $prefixDim")
+    val prefix: org.apache.spark.sql.Column =
+      prefixCol.map(col).getOrElse(slice(col(vecCol), 1, prefixDim))
+    val qPrefix = graft.functions.float_vector(query.take(prefixDim))
+    val survivors = df
+      .select(col(idCol), array_distance(prefix, qPrefix).as("_prefix_dist"))
+      .orderBy(col("_prefix_dist").asc_nulls_last, col(idCol))
+      .limit(k * oversample)
+      .select(col(idCol))
+    df.join(broadcast(survivors), idCol)
+      .orderBy(
+        array_distance(col(vecCol), graft.functions.float_vector(query)).asc_nulls_last,
+        col(idCol))
+      .limit(k)
+  }
+
   /** Index-accelerated MaxSim — single-token form of [[colbertTopKIvf]]. */
   def maxSimTopKIvf(
       df: DataFrame,

@@ -250,6 +250,54 @@ class SimilaritySpec extends SparkSpec {
       Similarity.quantizedOutliers(rows, "id", "v", Array.empty[Float], 4, 1L))
   }
 
+  test("mrlTopK: full-prefix and covering-oversample forms are exactly brute force") {
+    val rnd = new scala.util.Random(11)
+    val dim = 8
+    val n = 200
+    val df = (0 until n).map(i => (i.toLong, Seq.fill(dim)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "v").select(col("id"), col("v").cast("array<float>").as("v"))
+    val q = Seq.fill(dim)(rnd.nextFloat() * 2 - 1)
+    val brute = df
+      .orderBy(
+        graft.functions.array_distance(col("v"), graft.functions.float_vector(q)),
+        col("id"))
+      .limit(10).select("id").as[Long].collect().toSeq
+    // prefixDim = dim → coarse ranking IS the exact ranking, any oversample
+    val full = Similarity.mrlTopK(df, "id", "v", q, 10, prefixDim = dim, oversample = 1)
+      .select("id").as[Long].collect().toSeq
+    assert(full == brute)
+    // covering oversample → exact regardless of prefix quality
+    val covering = Similarity.mrlTopK(df, "id", "v", q, 10, prefixDim = 2, oversample = n / 10)
+      .select("id").as[Long].collect().toSeq
+    assert(covering == brute)
+    // MRL-shaped data (information concentrated in the leading dims): a
+    // small oversample already recovers most of the true top-k
+    val mrl = (0 until n).map { i =>
+      val lead = Seq.fill(4)(rnd.nextFloat() * 2 - 1)
+      (i.toLong, lead ++ Seq.fill(dim - 4)(rnd.nextFloat() * 0.01f))
+    }.toDF("id", "v").select(col("id"), col("v").cast("array<float>").as("v"))
+    val bruteMrl = mrl
+      .orderBy(
+        graft.functions.array_distance(col("v"), graft.functions.float_vector(q)),
+        col("id"))
+      .limit(10).select("id").as[Long].collect().toSet
+    val approx = Similarity.mrlTopK(mrl, "id", "v", q, 10, prefixDim = 4, oversample = 3)
+      .select("id").as[Long].collect().toSet
+    assert((approx intersect bruteMrl).size >= 8,
+      s"prefix-dim recall too low: ${(approx intersect bruteMrl).size}/10")
+    // a stored prefix column is honored (the 100 TB IO fast path)
+    val withPrefix = mrl.withColumn("v16",
+      org.apache.spark.sql.functions.slice(col("v"), 1, 4))
+    val viaCol = Similarity.mrlTopK(withPrefix, "id", "v", q, 10, prefixDim = 4,
+      oversample = 3, prefixCol = Some("v16"))
+      .select("id").as[Long].collect().toSet
+    assert(viaCol == approx)
+    intercept[IllegalArgumentException](
+      Similarity.mrlTopK(df, "id", "v", q, 0, prefixDim = 4))
+    intercept[IllegalArgumentException](
+      Similarity.mrlTopK(df, "id", "v", q, 10, prefixDim = dim + 1))
+  }
+
   test("probeCellsCosine ranks cells by centroid cosine, deterministic ties") {
     val centroids = Array(1f, 0f, 0f, 1f, -1f, 0f)
     assert(Similarity.probeCellsCosine(Array(1f, 0f), centroids, 2, 2).toSeq == Seq(0, 1))
