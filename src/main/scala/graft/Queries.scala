@@ -1431,6 +1431,33 @@ object Queries {
        |SELECT id AS doc_id, min(reach) AS cluster_id
        |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** Leakage-safe split ([[ops.Corpus.leakageSafeSplit]]): near-dup
+    * clusters (minhash pairs → connected components) split as a unit by
+    * the cluster id, singletons by their own id — val/test can never hold
+    * a near-dup of a train doc. The oracle re-derives the clusters with
+    * the dq7 recursive-CTE transitive closure and applies the identical
+    * md5-bucket rule, so the assignment is gated end to end.
+    */
+  def cq6LeakageSafeSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val pairs = ops.Dedup.minhashNearDupPairs(docs, "doc_id", "text")
+    ops.Corpus.leakageSafeSplit(docs, "doc_id", pairs)
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val cq6Oracle: String =
+    s"""${dq7Oracle.split("\n").dropRight(2).mkString("\n")},
+       |clusters AS (
+       |  SELECT id AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY id)
+       |SELECT d.doc_id,
+       |  CASE WHEN b < 204 THEN 'train' WHEN b < 230 THEN 'val' ELSE 'test' END AS split
+       |FROM (
+       |  SELECT d.doc_id,
+       |    ('0x' || substr(md5(CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 2))::INT AS b
+       |  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id) d
+       |ORDER BY d.doc_id""".stripMargin
+
   def tq3LangId(spark: SparkSession, sfDir: String): DataFrame = {
     // one native marker_counts pass feeds both outputs
     val en = ops.TextAnalysis.LangMarkers.indexWhere(_._1 == "en")
@@ -1955,6 +1982,39 @@ object Queries {
       |WHERE r.s IS NULL OR l.s IS NULL OR l.s != r.s
       |ORDER BY key""".stripMargin
 
+  /** CDC merge ([[ops.Corpus.mergeUpsert]]): base = doc_id % 7 != 0;
+    * the update batch touches doc_id % 5 == 0 (text edited), with
+    * doc_id % 20 == 0 as tombstones. Updates win, tombstones delete,
+    * untouched keys pass through — the full merged content is gated
+    * row-for-row against the oracle's anti-join + union form.
+    */
+  def ds2MergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val base = docs.where(col("doc_id") % 7 =!= 0).select(col("doc_id"), col("text"))
+    val updates = docs
+      .where(col("doc_id") % 5 === 0)
+      .select(
+        col("doc_id"),
+        concat(col("text"), lit(" v2")).as("text"),
+        (col("doc_id") % 20 === 0).as("_deleted"))
+    ops.Corpus
+      .mergeUpsert(base, updates, "doc_id", tombstoneCol = Some("_deleted"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ds2Oracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0),
+      |upd AS (
+      |  SELECT doc_id, text || ' v2' AS text, (doc_id % 20 = 0) AS del
+      |  FROM documents WHERE doc_id % 5 = 0)
+      |SELECT doc_id, text FROM (
+      |  SELECT b.doc_id, b.text FROM base b
+      |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.doc_id = b.doc_id)
+      |  UNION ALL
+      |  SELECT doc_id, text FROM upd WHERE NOT del)
+      |ORDER BY doc_id""".stripMargin
+
   /** Deterministic exact-k per-stratum sample
     * ([[ops.Corpus.stratifiedExactK]]): exactly 7 docs per language by the
     * content-addressed (md5(id), id) order — the oracle runs the identical
@@ -2305,6 +2365,24 @@ object Queries {
       |            FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS ws
       |                  FROM documents)))
       |GROUP BY g ORDER BY n DESC, gram LIMIT 20""".stripMargin
+
+  /** Exact heavy-hitter bigrams via the count-min-sketch candidate pass
+    * ([[ops.TextAnalysis.heavyHitterNgrams]]): the sketch bounds the
+    * shuffle to candidate grams, the exact re-count makes the result
+    * identical to plain GROUP BY/HAVING — which is exactly how the oracle
+    * states it.
+    */
+  def vb2HeavyHitters(spark: SparkSession, sfDir: String): DataFrame =
+    ops.TextAnalysis.heavyHitterNgrams(
+      t(spark, sfDir, "documents"), "text", n = 2, minCount = 20L)
+
+  val vb2Oracle: String =
+    """SELECT g AS gram, CAST(count(*) AS BIGINT) AS n
+      |FROM (SELECT array_to_string(ws[i:i+1], ' ') AS g
+      |      FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+      |            FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+      |                  FROM documents)))
+      |GROUP BY g HAVING count(*) >= 20 ORDER BY n DESC, gram""".stripMargin
 
   /** BM25 lexical retrieval ([[ops.Lexical]]): rational-idf BM25 (exact
     * arithmetic, see the module scaladoc) over the documents table for a
@@ -3577,6 +3655,7 @@ object Queries {
     "sd1_semdedup" -> (sd1SemDedup _),
     "dq6_hash_split" -> (dq6HashSplit _),
     "dq7_dup_clusters" -> (dq7DupClusters _),
+    "cq6_leakage_safe_split" -> (cq6LeakageSafeSplit _),
     "dq8_dup_spans" -> (dq8DupSpans _),
     "dq9_span_scrub" -> (dq9SpanScrub _),
     "dq11_segment_dedup" -> (dq11SegmentDedup _),
@@ -3609,6 +3688,7 @@ object Queries {
     "pq8_weighted_sample" -> (pq8WeightedSample _),
     "pq9_top_fraction" -> (pq9TopFraction _),
     "ds1_snapshot_diff" -> (ds1SnapshotDiff _),
+    "ds2_merge_upsert" -> (ds2MergeUpsert _),
     "dm1_source_cap" -> (dm1SourceCap _),
     "cq1_curation_pipeline" -> (cq1CurationPipeline _),
     "cq2_neardup_curation" -> (cq2NearDupCuration _),
@@ -3617,6 +3697,7 @@ object Queries {
     "cq5_chunk_pack" -> (cq5ChunkPack _),
     "ir1_integrity" -> (ir1Integrity _),
     "vb1_top_ngrams" -> (vb1TopNgrams _),
+    "vb2_heavy_hitters" -> (vb2HeavyHitters _),
     "bp1_bpe_merges" -> (bp1BpeMerges _),
     "bp2_bpe_encode" -> (bp2BpeEncode _),
     "bm1_bm25_topk" -> (bm1Bm25Topk _),
@@ -3712,6 +3793,7 @@ object Queries {
     "sq3_ivf_cell_pairs_exact" -> sq3Oracle,
     "dq6_hash_split" -> dq6Oracle,
     "dq7_dup_clusters" -> dq7Oracle,
+    "cq6_leakage_safe_split" -> cq6Oracle,
     "dq8_dup_spans" -> dq8Oracle,
     "dq9_span_scrub" -> dq9Oracle,
     "dq11_segment_dedup" -> dq11Oracle,
@@ -3744,6 +3826,7 @@ object Queries {
     "pq8_weighted_sample" -> pq8Oracle,
     "pq9_top_fraction" -> pq9Oracle,
     "ds1_snapshot_diff" -> ds1Oracle,
+    "ds2_merge_upsert" -> ds2Oracle,
     "dm1_source_cap" -> dm1Oracle,
     "cq1_curation_pipeline" -> cq1Oracle,
     "cq2_neardup_curation" -> cq2Oracle,
@@ -3752,6 +3835,7 @@ object Queries {
     "cq5_chunk_pack" -> cq5Oracle,
     "ir1_integrity" -> ir1Oracle,
     "vb1_top_ngrams" -> vb1Oracle,
+    "vb2_heavy_hitters" -> vb2Oracle,
     "bp1_bpe_merges" -> bp1Oracle,
     "bp2_bpe_encode" -> bp2Oracle,
     "bm1_bm25_topk" -> bm1Oracle,

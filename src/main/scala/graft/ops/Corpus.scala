@@ -38,6 +38,39 @@ object Corpus {
       .otherwise("test")
   }
 
+  /** Leakage-safe train/val/test split: NEAR-duplicate documents must not
+    * straddle split boundaries (a val doc whose near-dup sits in train is
+    * contamination [[hashSplit]]'s content hash only catches EXACT dups).
+    * Near-dup clusters come from [[Dedup.connectedComponents]] over any
+    * candidate pair set (minhash, simhash, embedding — caller's choice);
+    * every member of a cluster splits by the CLUSTER id, singletons by
+    * their own id, through the same md5-bucket rule as [[hashSplit]] so
+    * fractions stay ~train/val/test and assignment is engine-reproducible.
+    * Scale shape: CC (sparse pair graph, O(log diameter) rounds) + one
+    * left join of the corpus against the O(dup-cluster-members) label
+    * table — broadcastable in practice, shuffle-bounded otherwise.
+    */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      trainBuckets: Int = 204,
+      valBuckets: Int = 26): DataFrame = {
+    require(trainBuckets > 0 && valBuckets >= 0, "bucket counts must be positive")
+    require(trainBuckets + valBuckets <= 256, "train+val buckets exceed 256")
+    val labels = Dedup.connectedComponents(pairs, aCol, bCol)
+      .select(col("doc_id").as("_lss_id"), col("cluster_id").as("_lss_cluster"))
+    val key = coalesce(col("_lss_cluster"), col(idCol).cast("long"))
+    val bucket = conv(substring(md5(key.cast("string")), 1, 2), 16, 10).cast("int")
+    df.join(labels, col(idCol) === col("_lss_id"), "left")
+      .select(df.columns.map(col) :+
+        when(bucket < trainBuckets, "train")
+          .when(bucket < trainBuckets + valBuckets, "val")
+          .otherwise("test").as("split"): _*)
+  }
+
   /** Greedy sequence packing by cumulative token budget: documents are
     * chunked, in id order, into packs of ~`budget` tokens (a document whose
     * tokens straddle a boundary starts the next pack's budget — the
@@ -442,6 +475,53 @@ object Corpus {
           .when(col("_ls") =!= col("_rs"), "changed"))
       .where(col("status").isNotNull)
       .select(col("_k").as("key"), col("status"))
+  }
+
+  /** CDC-style MERGE: apply an update batch onto a base snapshot by key —
+    * the maintenance primitive that keeps a curated corpus current between
+    * full rebuilds (crawl refreshes, takedown/deletion requests, re-scored
+    * documents). Per key, the update wins over the base row; an update
+    * flagged in `tombstoneCol` (if given) DELETES the key; keys untouched
+    * by the batch pass through. When a batch carries SEVERAL ops for one
+    * key, `seqCol` must be given and the highest sequence wins (the SQL
+    * MERGE multiple-match rule, resolved deterministically instead of
+    * erroring); without `seqCol`, update keys are assumed unique — the
+    * caller's CDC feed contract.
+    *
+    * Plan shape: (optional) per-key latest-op window over the UPDATE batch
+    * (shuffles the batch, never the base), then one left-anti join of the
+    * base against the batch's distinct keys + a union of the surviving
+    * upserts — base rows shuffle once on the key (or not at all when the
+    * batch broadcasts, the common case: batches are days, bases are
+    * years). Nothing corpus-sized aggregates or sorts globally.
+    */
+  def mergeUpsert(
+      base: DataFrame,
+      updates: DataFrame,
+      keyCol: String,
+      seqCol: Option[String] = None,
+      tombstoneCol: Option[String] = None): DataFrame = {
+    val dataCols = base.columns.toSeq
+    require(dataCols.contains(keyCol), s"base has no key column '$keyCol'")
+    val missing = dataCols.filterNot(updates.columns.contains)
+    require(missing.isEmpty, s"updates missing base columns: ${missing.mkString(", ")}")
+    val latest = seqCol match {
+      case Some(sc) =>
+        require(updates.columns.contains(sc), s"updates have no seq column '$sc'")
+        val w = Window.partitionBy(col(keyCol)).orderBy(col(sc).desc)
+        updates.withColumn("_mu_rn", row_number().over(w))
+          .where(col("_mu_rn") === 1).drop("_mu_rn")
+      case None => updates
+    }
+    val alive = tombstoneCol match {
+      case Some(tc) =>
+        require(updates.columns.contains(tc), s"updates have no tombstone column '$tc'")
+        latest.where(!coalesce(col(tc).cast("boolean"), lit(false)))
+      case None => latest
+    }
+    base
+      .join(latest.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      .unionByName(alive.select(dataCols.map(col): _*))
   }
 
   /** Keep EXACTLY `ceil(frac · n)` rows — the globally best by

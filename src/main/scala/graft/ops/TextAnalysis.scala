@@ -262,4 +262,46 @@ object TextAnalysis {
     PiiPatterns.foldLeft(text) { case (c, (pat, tag)) =>
       regexp_replace(c, pat, tag)
     }
+
+  /** EXACT heavy-hitter n-grams via a count-min sketch candidate pass
+    * (Cormode & Muthukrishnan 2005): pass 1 folds every gram occurrence
+    * into ONE driver-merged CMS (an aggregate — no shuffle of the gram
+    * table, sketch size is eps/confidence-bounded and corpus-independent);
+    * pass 2 re-derives grams, keeps only those whose broadcast-sketch
+    * estimate reaches `minCount`, exactly counts the survivors, and
+    * re-applies the threshold on the exact counts. CMS never
+    * UNDER-estimates, so the candidate set is a superset of the true heavy
+    * hitters and the final exact filter makes the result identical to the
+    * plain `GROUP BY gram HAVING count >= minCount` — hash-gateable — while
+    * the shuffle carries candidate grams only (∝ heavy hitters + sketch
+    * false positives) instead of the full distinct-gram vocabulary. At
+    * 100 TB the vocabulary is billions of tail grams and that shuffle is
+    * the dominant cost of the exact form; here it disappears into two scan
+    * passes. The sketch lookup runs in a UDF (a few hash probes; no
+    * builtin expression exists for CMS), confined to the filter pass.
+    * Deterministic output: count desc, gram asc.
+    */
+  def heavyHitterNgrams(
+      df: DataFrame,
+      textCol: String,
+      n: Int,
+      minCount: Long,
+      eps: Double = 1e-4,
+      confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    def grams = df.select(explode(Decontaminate.ngrams(col(textCol), n)).as("gram"))
+    val cms = grams.stat.countMinSketch("gram", eps, confidence, seed)
+    val bc = df.sparkSession.sparkContext.broadcast(cms)
+    val mc = minCount
+    val mightBeHeavy =
+      udf((g: String) => g != null && bc.value.estimateCount(g) >= mc)
+    grams
+      .where(mightBeHeavy(col("gram")))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= mc)
+      .orderBy(col("n").desc, col("gram"))
+  }
 }

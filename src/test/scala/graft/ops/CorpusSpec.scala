@@ -24,6 +24,54 @@ class CorpusSpec extends SparkSpec {
     assert(out == again)
   }
 
+  test("leakageSafeSplit keeps near-dup clusters in one split; fractions hold") {
+    val n = 3000
+    val docs = (0 until n).map(i => (i.toLong, s"doc body $i")).toDF("doc_id", "text")
+    // chain 0-1-2 is one cluster (transitively), 10-11 another
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = Corpus.leakageSafeSplit(docs, "doc_id", pairs)
+      .as[(Long, String, String)].collect()
+    val split = out.map(r => r._1 -> r._3).toMap
+    // every corpus row present, original columns preserved
+    assert(out.length == n && out.forall(r => r._2 == s"doc body ${r._1}"))
+    // cluster members agree — including the transitive chain
+    assert(split(0L) == split(1L) && split(1L) == split(2L))
+    assert(split(10L) == split(11L))
+    // singletons still spread across all three splits at ~shares
+    val counts = out.groupBy(_._3).view.mapValues(_.length.toDouble).toMap
+    assert(math.abs(counts("train") / n - 204.0 / 256) < 0.05)
+    assert(counts.getOrElse("val", 0.0) > 0 && counts.getOrElse("test", 0.0) > 0)
+    // deterministic
+    val again = Corpus.leakageSafeSplit(docs, "doc_id", pairs)
+      .as[(Long, String, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(split == again)
+    intercept[IllegalArgumentException](
+      Corpus.leakageSafeSplit(docs, "doc_id", pairs, trainBuckets = 300))
+  }
+
+  test("mergeUpsert: updates win, tombstones delete, seq resolves multi-op keys") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    // k=2 updated twice (seq 1 then 2), k=3 deleted, k=5 inserted
+    val updates = Seq(
+      (2L, "b1", 1L, false),
+      (2L, "b2", 2L, false),
+      (3L, "dead", 1L, true),
+      (5L, "e", 1L, false)).toDF("k", "v", "seq", "del")
+    val out = Corpus
+      .mergeUpsert(base, updates, "k", seqCol = Some("seq"), tombstoneCol = Some("del"))
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(out == Seq((1L, "a"), (2L, "b2"), (4L, "d"), (5L, "e")))
+    // without seq/tombstone: plain upsert, unique keys
+    val plain = Corpus
+      .mergeUpsert(base, Seq((2L, "x")).toDF("k", "v"), "k")
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(plain == Seq((1L, "a"), (2L, "x"), (3L, "c"), (4L, "d")))
+    intercept[IllegalArgumentException](
+      Corpus.mergeUpsert(base, Seq((1L, 2L)).toDF("k", "other"), "k"))
+    intercept[IllegalArgumentException](
+      Corpus.mergeUpsert(base, updates, "nope"))
+  }
+
   test("hashSplit fractions approximate the bucket shares") {
     val docs = (0 until 2000).map(i => (i.toLong, s"document number $i with body"))
       .toDF("doc_id", "text")

@@ -227,4 +227,34 @@ class TextAnalysisSpec extends SparkSpec {
       .as[String].collect()
     cases.map(_._2).zip(out).foreach { case (want, got) => assert(got == want) }
   }
+
+  test("heavyHitterNgrams equals the exact GROUP BY/HAVING on a long-tailed corpus") {
+    val rnd = new scala.util.Random(7)
+    // 3 heavy bigrams repeated massively + a long tail of singletons
+    val heavy = Seq("alpha beta", "beta gamma", "gamma delta")
+    val docs =
+      (0 until 200).map(i => (i.toLong, heavy(i % 3))) ++
+        (200 until 1200).map(i =>
+          (i.toLong, s"t${rnd.nextInt(1000000)}x$i t${rnd.nextInt(1000000)}y$i"))
+    val df = docs.toDF("id", "text")
+    def exact(minCount: Long) = df
+      .select(explode(Decontaminate.ngrams(col("text"), 2)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+      .orderBy(col("n").desc, col("gram"))
+      .as[(String, Long)].collect().toSeq
+    val got = TextAnalysis.heavyHitterNgrams(df, "text", 2, minCount = 10L)
+      .as[(String, Long)].collect().toSeq
+    assert(got == exact(10L))
+    assert(got.map(_._1).toSet == heavy.toSet)
+    // threshold is inclusive and exact-count-based (sketch overestimates
+    // must not admit a gram whose true count is below minCount)
+    val edge = TextAnalysis.heavyHitterNgrams(df, "text", 2, minCount = 67L)
+      .as[(String, Long)].collect().toSeq
+    assert(edge == exact(67L))
+    intercept[IllegalArgumentException](
+      TextAnalysis.heavyHitterNgrams(df, "text", 0, 1L))
+    intercept[IllegalArgumentException](
+      TextAnalysis.heavyHitterNgrams(df, "text", 2, 0L))
+  }
 }
