@@ -1944,6 +1944,22 @@ object Queries {
       |WHERE rn <= ceil(0.25 * n)
       |ORDER BY doc_id""".stripMargin
 
+  /** Curriculum binning ([[ops.Corpus.quantileBuckets]]): exact global
+    * ntile(4) by (n_chars, doc_id) via the range-partition rank-boundary
+    * machinery — no global sort, no window. The oracle IS ntile, so the
+    * equal-count contract is gated row for row.
+    */
+  def pq10CurriculumBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Corpus
+      .quantileBuckets(
+        t(spark, sfDir, "documents"), col("n_chars"), col("doc_id"), 4)
+      .select(col("doc_id"), col("bucket"))
+      .orderBy(col("doc_id"))
+
+  val pq10Oracle: String =
+    """SELECT doc_id, CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS INT) AS bucket
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Snapshot diff ([[ops.Corpus.diffSnapshots]]): old = doc_id % 7 != 0,
     * new = doc_id % 5 != 0 with % 11 == 0 texts edited — added, removed,
     * and changed keys (never the unchanged corpus). Signatures are md5
@@ -3531,6 +3547,38 @@ object Queries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Streaming CDC apply ([[streaming.MergeIngest]]): the ds2 update set
+    * staged as two KEY-DISJOINT files replayed one per micro-batch, each
+    * merging into the versioned snapshot table — disjoint batches make
+    * sequential merges equal the one-shot batch merge, so st13 shares
+    * ds2's oracle (the st6/st10 replay-equivalence trick). Gates the
+    * whole foreachBatch pipeline: v0 seeding, latest≤batchId version
+    * selection, per-batch mergeUpsert, snapshot swap.
+    */
+  def st13StreamMergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val base = docs.where(col("doc_id") % 7 =!= 0).select(col("doc_id"), col("text"))
+    val updates = docs
+      .where(col("doc_id") % 5 === 0)
+      .select(
+        col("doc_id"),
+        concat(col("text"), lit(" v2")).as("text"),
+        (col("doc_id") % 20 === 0).as("_deleted"))
+    val stage = java.nio.file.Files.createTempDirectory("graft-st13-stage").toString
+    updates.where(col("doc_id") % 10 === 0)
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    updates.where(col("doc_id") % 10 === 5)
+      .coalesce(1).write.mode("append").parquet(stage)
+    val tableDir =
+      java.nio.file.Files.createTempDirectory("graft-st13-table").toString + "/t"
+    val stream = spark.readStream.schema(updates.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    streaming.MergeIngest.ingest(
+      spark, stream, base, tableDir, "doc_id", tombstoneCol = Some("_deleted")): Unit
+    spark.read.parquet(streaming.MergeIngest.latestDir(spark, tableDir))
+      .orderBy(col("doc_id"))
+  }
+
   val st12Oracle: String =
     """SELECT a.event_id AS a_id, b.event_id AS b_id
       |FROM events a JOIN events b
@@ -3687,6 +3735,7 @@ object Queries {
     "pq7_global_shuffle" -> (pq7GlobalShuffle _),
     "pq8_weighted_sample" -> (pq8WeightedSample _),
     "pq9_top_fraction" -> (pq9TopFraction _),
+    "pq10_curriculum_buckets" -> (pq10CurriculumBuckets _),
     "ds1_snapshot_diff" -> (ds1SnapshotDiff _),
     "ds2_merge_upsert" -> (ds2MergeUpsert _),
     "dm1_source_cap" -> (dm1SourceCap _),
@@ -3728,6 +3777,7 @@ object Queries {
     "st10_stream_bloom_novel" -> (st10StreamBloomNovel _),
     "st11_stream_late_data" -> (st11StreamLateData _),
     "st12_stream_stream_join" -> (st12StreamStreamJoin _),
+    "st13_stream_merge_upsert" -> (st13StreamMergeUpsert _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -3825,6 +3875,7 @@ object Queries {
     "pq7_global_shuffle" -> pq7Oracle,
     "pq8_weighted_sample" -> pq8Oracle,
     "pq9_top_fraction" -> pq9Oracle,
+    "pq10_curriculum_buckets" -> pq10Oracle,
     "ds1_snapshot_diff" -> ds1Oracle,
     "ds2_merge_upsert" -> ds2Oracle,
     "dm1_source_cap" -> dm1Oracle,
@@ -3865,6 +3916,7 @@ object Queries {
     "st10_stream_bloom_novel" -> dx2Oracle, // stateless replay == batch novelty
     "st11_stream_late_data" -> st11Oracle,
     "st12_stream_stream_join" -> st12Oracle,
+    "st13_stream_merge_upsert" -> ds2Oracle, // key-disjoint batches: replay == one merge
 
   )
 }

@@ -594,6 +594,86 @@ object Corpus {
         (negate(scoreCol.cast("double")) === lit(thrNs) && idCol.cast("long") <= lit(thrId)))
   }
 
+  /** EXACT global ntile — equal-count quantile buckets over the total
+    * order `(scoreCol ASC, idCol ASC)` — without a global sort: the
+    * curriculum-binning / difficulty-tiering primitive ("shard the corpus
+    * into k equal slices by quality score, feed easy→hard"). Matches SQL
+    * `ntile(k) OVER (ORDER BY score, id)` row for row (first `n % k`
+    * buckets one row larger), which is how the oracle states it.
+    *
+    * Algorithm (the [[topFraction]] machinery generalized to k−1 ranks):
+    * range-partition the rank keys once, count partitions (O(partitions)
+    * to the driver), locate each ntile boundary rank's partition by
+    * prefix sum, sort ONLY the partitions holding boundaries to extract
+    * the k−1 boundary KEYS, then assign buckets with a codegen'd
+    * comparison chain against the broadcast boundaries — `1 + #{boundary
+    * keys < row key}`. No global window, no single-partition shuffle;
+    * nothing corpus-sized reaches the driver or any one task. Empty
+    * buckets (n < k) come out exactly as ntile's: rows take buckets
+    * `1..n`. `idCol` must be integral and unique (total order).
+    */
+  def quantileBuckets(
+      df: DataFrame,
+      scoreCol: Column,
+      idCol: Column,
+      buckets: Int,
+      bucketName: String = "bucket"): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    if (buckets == 1) return df.withColumn(bucketName, lit(1))
+    val keyed = df.select(scoreCol.cast("double").as("_s"), idCol.cast("long").as("_i"))
+    val n = keyed.count()
+    if (n == 0) return df.withColumn(bucketName, lit(1))
+    val q = n / buckets
+    val r = n % buckets
+    // end rank of bucket b; duplicates (n < k) mean empty trailing buckets
+    val targets: Seq[Long] = (1L until buckets.toLong).map(b => b * q + math.min(b, r))
+    val ranged = keyed.repartitionByRange(col("_s"), col("_i"))
+    val counts = ranged.rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect()
+      .sortBy(_._1)
+      .map(_._2)
+    val prefixes = counts.scanLeft(0L)(_ + _) // prefixes(i) = rows before partition i
+    // partition → the local ranks of the boundary targets it holds
+    val byPartition: Map[Int, Seq[Long]] = targets.distinct
+      .filter(_ >= 1L)
+      .map { t =>
+        val p = prefixes.lastIndexWhere(_ < t) // t ∈ (prefixes(p), prefixes(p+1)]
+        (p, t - prefixes(p))
+      }
+      .groupBy(_._1)
+      .map { case (p, xs) => (p, xs.map(_._2)) }
+    val bcWanted = df.sparkSession.sparkContext.broadcast(byPartition)
+    // one sort per boundary-holding partition, emitting (partition,
+    // localRank) → key; everything else streams through untouched
+    val extracted: Map[(Int, Long), (Double, Long)] = ranged.rdd
+      .mapPartitionsWithIndex { (idx, it) =>
+        bcWanted.value.get(idx) match {
+          case None => Iterator.empty
+          case Some(localRanks) =>
+            val arr = it.map(row => (row.getDouble(0), row.getLong(1))).toArray
+            java.util.Arrays.sort(arr, Ordering.Tuple2[Double, Long])
+            localRanks.iterator.map(lr => ((idx, lr), arr((lr - 1).toInt)))
+        }
+      }
+      .collect()
+      .toMap
+    // per-target boundary key (duplicate targets resolve to the same key)
+    val boundaries: Seq[(Double, Long)] = targets.map { t =>
+      val p = prefixes.lastIndexWhere(_ < t)
+      extracted((p, t - prefixes(p)))
+    }
+    val s = scoreCol.cast("double")
+    val id = idCol.cast("long")
+    // bucket = 1 + #{boundaries strictly below this row's key}
+    val bucket = boundaries
+      .map { case (bs, bi) =>
+        when(s > lit(bs) || (s === lit(bs) && id > lit(bi)), 1).otherwise(0)
+      }
+      .reduce(_ + _) + lit(1)
+    df.withColumn(bucketName, bucket)
+  }
+
   /** Exact token-count distribution stats (count + interpolated
     * percentiles) — the corpus-level summary a filtering pipeline keys off.
     */

@@ -49,6 +49,37 @@ class CorpusSpec extends SparkSpec {
       Corpus.leakageSafeSplit(docs, "doc_id", pairs, trainBuckets = 300))
   }
 
+  test("quantileBuckets equals window ntile on ties, skew, and n < k") {
+    import org.apache.spark.sql.expressions.Window
+    def check(df: org.apache.spark.sql.DataFrame, k: Int): Unit = {
+      val got = Corpus.quantileBuckets(df, col("s"), col("id"), k)
+        .select(col("id"), col("bucket")).as[(Long, Int)].collect().toMap
+      val want = df.select(
+        col("id"),
+        ntile(k).over(Window.orderBy(col("s"), col("id"))).as("bucket"))
+        .as[(Long, Int)].collect().toMap
+      assert(got == want, s"k=$k mismatch")
+    }
+    val rnd = new scala.util.Random(3)
+    // heavy ties (only 5 distinct scores) + scrambled partitioning
+    val ties = (0 until 997).map(i => (i.toLong, (i % 5).toDouble))
+      .toDF("id", "s").repartition(7)
+    check(ties, 4)
+    check(ties, 10)
+    // skewed continuous scores
+    val skew = (0 until 500).map(i => (i.toLong, math.pow(rnd.nextDouble(), 8)))
+      .toDF("id", "s").repartition(5)
+    check(skew, 3)
+    // n < k: rows take buckets 1..n
+    val tiny = Seq((7L, 1.0), (3L, 2.0), (9L, 0.5)).toDF("id", "s")
+    check(tiny, 5)
+    // k = 1 and empty input
+    check(ties, 1)
+    assert(Corpus.quantileBuckets(ties.limit(0), col("s"), col("id"), 4).count() == 0)
+    intercept[IllegalArgumentException](
+      Corpus.quantileBuckets(ties, col("s"), col("id"), 0))
+  }
+
   test("mergeUpsert: updates win, tombstones delete, seq resolves multi-op keys") {
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
     // k=2 updated twice (seq 1 then 2), k=3 deleted, k=5 inserted
