@@ -483,6 +483,44 @@ object Queries {
          |ORDER BY vec_id""".stripMargin)
   }
 
+  /** MMR diverse top-k ([[ops.Similarity.mmrTopK]]): k=5 from a pool of
+    * 50, λ=0.7. The oracle UNROLLS the greedy selection — five chained
+    * CTE steps, each an argmax of `0.7·simq − (1−0.7)·max cos-to-selected`
+    * over the remaining pool with the id tie-break — so the sequential
+    * algorithm itself is gated, not just its output shape.
+    */
+  def vq27MmrTopk(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Similarity
+      .mmrTopK(
+        t(spark, sfDir, "embeddings"), "vec_id", "embedding", queryVec,
+        k = 5, lambda = 0.7, poolSize = 50)
+      .select(col("vec_id"), col("rank"))
+      .orderBy(col("rank"))
+
+  val vq27Oracle: String = {
+    val steps = (2 to 5).map { i =>
+      s"""s$i AS (
+         |  SELECT p.vec_id, p.emb, p.simq, $i AS rank FROM pool p
+         |  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+         |  ORDER BY 0.7 * p.simq -
+         |    (1 - 0.7) * (SELECT max(list_cosine_similarity(p.emb, s.emb)) FROM sel${i - 1} s)
+         |    DESC, p.vec_id
+         |  LIMIT 1),
+         |sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pool AS (
+       |  SELECT vec_id, embedding::FLOAT[] AS emb,
+       |         list_cosine_similarity(embedding::FLOAT[], $duckVecLit) AS simq
+       |  FROM embeddings
+       |  ORDER BY simq DESC, vec_id LIMIT 50),
+       |s1 AS (
+       |  SELECT vec_id, emb, simq, 1 AS rank FROM pool
+       |  ORDER BY 0.7 * simq DESC, vec_id LIMIT 1),
+       |sel1 AS (SELECT * FROM s1),
+       |$steps
+       |SELECT vec_id, CAST(rank AS INT) AS rank FROM sel5 ORDER BY rank""".stripMargin
+  }
+
   // ------------------------------------------------- int8 quantization
 
   /** DuckDB twin of [[graft.functions.Sq8.code]]: the float widens to f64
@@ -3672,6 +3710,7 @@ object Queries {
     "zq1_sq8_coarse_topk" -> (zq1Sq8CoarseTopk _),
     "zq2_sq8_roundtrip" -> (zq2Sq8Roundtrip _),
     "vq26_mrl_topk" -> (vq26MrlTopk _),
+    "vq27_mmr_topk" -> (vq27MmrTopk _),
     "zq3_sq8_refined_topk" -> (zq3Sq8RefinedTopk _),
     "zq4_ivfsq8_topk" -> (zq4IvfSq8Topk _),
     "zq5_ivfpq_topk" -> (zq5IvfPqTopk _),
@@ -3810,6 +3849,7 @@ object Queries {
     "zq1_sq8_coarse_topk" -> zq1Oracle,
     "zq2_sq8_roundtrip" -> zq2Oracle,
     "vq26_mrl_topk" -> vq1Oracle, // covering oversample: MRL refine is exact
+    "vq27_mmr_topk" -> vq27Oracle,
     "zq3_sq8_refined_topk" -> vq1Oracle, // sq8 refine must recover exact top-k
     "zq4_ivfsq8_topk" -> vq1Oracle, // exhaustive probe + covering oversample
     "zq5_ivfpq_topk" -> vq1Oracle, // same covering-exactness argument as zq4

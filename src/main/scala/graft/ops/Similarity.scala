@@ -115,6 +115,75 @@ object Similarity {
       .limit(k)
   }
 
+  /** Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein,
+    * SIGIR 1998): greedily select `k` results maximizing
+    * `λ·cos(d, q) − (1−λ)·max_{s∈selected} cos(d, s)` — relevance traded
+    * against redundancy, the standard de-duplicating reranker for
+    * retrieval results and diverse exemplar selection. Two phases:
+    * (1) DISTRIBUTED candidate pool — top `poolSize` by query cosine
+    * (`TakeOrderedAndProject`, the vq5 shape; ties break on id);
+    * (2) greedy MMR over the pool on the driver — a BOUNDED
+    * O(k·poolSize·dim) loop over ≤ poolSize rows (the documented
+    * bounded-collect pattern, same class as the k-means sample; MMR's
+    * sequential argmax is inherently iterative, and poolSize is a
+    * reranker knob — hundreds, not corpus-sized). Scores use the same
+    * f32 cosine kernel as `array_cosine_similarity`, combined in f64, so
+    * the selection is reproducible against a SQL re-derivation. Ties
+    * break on smaller id. Returns (id, rank, score), rank 1-based in
+    * selection order.
+    */
+  def mmrTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      lambda: Double = 0.7,
+      poolSize: Int = 100): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(poolSize >= k, s"poolSize ($poolSize) must be >= k ($k)")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0, 1], got $lambda")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qArr = query.toArray
+    val qlit = graft.functions.float_vector(query)
+    val pool: Array[(Long, Array[Float])] = df
+      .select(
+        col(idCol).cast("long").as("_id"),
+        col(vecCol).cast("array<float>").as("_v"),
+        array_cosine_similarity(col(vecCol), qlit).as("_simq"))
+      .where(col("_v").isNotNull)
+      .orderBy(col("_simq").desc_nulls_last, col("_id"))
+      .limit(poolSize)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val mu = 1.0 - lambda
+    val simq: Map[Long, Float] =
+      pool.map { case (id, v) => id -> graft.functions.VectorKernels.cosine(v, qArr) }.toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double)]
+    val selectedVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    val remaining = scala.collection.mutable.LinkedHashMap(pool.toSeq: _*)
+    var rank = 1
+    while (rank <= k && remaining.nonEmpty) {
+      var bestId = -1L
+      var bestScore = Double.NegativeInfinity
+      remaining.foreach { case (id, v) =>
+        val maxSel =
+          if (selectedVecs.isEmpty) 0.0f
+          else selectedVecs.map(graft.functions.VectorKernels.cosine(v, _)).max
+        val score = lambda * simq(id) - mu * maxSel
+        if (score > bestScore || (score == bestScore && (bestId < 0 || id < bestId))) {
+          bestScore = score; bestId = id
+        }
+      }
+      selected += ((bestId, rank, bestScore))
+      selectedVecs += remaining(bestId)
+      remaining.remove(bestId): Unit
+      rank += 1
+    }
+    selected.toSeq.toDF(idCol, "rank", "mmr_score")
+  }
+
   /** Index-accelerated MaxSim — single-token form of [[colbertTopKIvf]]. */
   def maxSimTopKIvf(
       df: DataFrame,

@@ -298,6 +298,35 @@ class SimilaritySpec extends SparkSpec {
       Similarity.mrlTopK(df, "id", "v", q, 10, prefixDim = dim + 1))
   }
 
+  test("mmrTopK trades relevance against redundancy; lambda=1 is plain top-k") {
+    // two near-identical docs at +24° from the query and one equally
+    // relevant doc at −24°: relevance-only picks the twins, MMR swaps the
+    // redundant twin for the mirror doc (cos(twin, mirror) ≈ 0.62 vs
+    // cos(twin, twin) ≈ 1 — the penalty term is what differs)
+    val df = Seq(
+      (1L, Seq(0.9f, 0.435f, 0f, 0f)),  // twin a (marginally closer)
+      (2L, Seq(0.9f, 0.436f, 0f, 0f)),  // twin b (~identical to a)
+      (3L, Seq(0.9f, -0.436f, 0f, 0f)), // mirror of twin b: equal relevance, distinct
+      (4L, Seq(0f, 0f, 1f, 0f)))        // irrelevant
+      .toDF("id", "v").select(col("id"), col("v").cast("array<float>").as("v"))
+    val q = Seq(1f, 0f, 0f, 0f)
+    val diverse = Similarity.mmrTopK(df, "id", "v", q, k = 2, lambda = 0.7, poolSize = 4)
+      .select("id").as[Long].collect().toSeq
+    assert(diverse == Seq(1L, 3L), s"expected twin+mirror, got $diverse")
+    // lambda = 1: pure relevance — both twins win
+    val relevance = Similarity.mmrTopK(df, "id", "v", q, k = 2, lambda = 1.0, poolSize = 4)
+      .select("id").as[Long].collect().toSeq
+    assert(relevance == Seq(1L, 2L))
+    // rank is selection order, k > pool truncates gracefully
+    val all = Similarity.mmrTopK(df, "id", "v", q, k = 10, lambda = 0.7, poolSize = 10)
+      .select("rank").as[Int].collect().toSeq
+    assert(all == Seq(1, 2, 3, 4))
+    intercept[IllegalArgumentException](
+      Similarity.mmrTopK(df, "id", "v", q, k = 5, poolSize = 4))
+    intercept[IllegalArgumentException](
+      Similarity.mmrTopK(df, "id", "v", q, k = 1, lambda = 1.5))
+  }
+
   test("probeCellsCosine ranks cells by centroid cosine, deterministic ties") {
     val centroids = Array(1f, 0f, 0f, 1f, -1f, 0f)
     assert(Similarity.probeCellsCosine(Array(1f, 0f), centroids, 2, 2).toSeq == Seq(0, 1))
