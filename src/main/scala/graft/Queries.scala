@@ -999,6 +999,29 @@ object Queries {
     """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type, COUNT(*) AS n
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** Per-user event sequences ([[ops.Corpus.assembleSequences]]): the
+    * first 20 event types per user in (ts, event_id) order, joined to one
+    * string for the cross-engine gate. The window cap runs BEFORE the
+    * aggregation — the hot-key-bounded sequence-assembly primitive.
+    */
+  def qe2UserSequences(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Corpus
+      .assembleSequences(
+        t(spark, sfDir, "events"),
+        col("user_id"), Seq(col("ts"), col("event_id")), col("event_type"),
+        maxLen = 20)
+      .select(
+        col("key").as("user_id"),
+        concat_ws(">", col("seq")).as("seq_str"),
+        col("n"))
+      .orderBy(col("user_id"))
+
+  val qe2Oracle: String =
+    """SELECT user_id,
+      |  array_to_string((list(event_type ORDER BY ts, event_id))[1:20], '>') AS seq_str,
+      |  CAST(least(count(*), 20) AS INTEGER) AS n
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Range-sorted layout: events rewritten range-partitioned + sorted on
     * (user_id, ts) so per-user time-range scans prune at the row-group
     * level (zone-map skipping — LayoutSpec proves the pruning; this query
@@ -3727,6 +3750,7 @@ object Queries {
     "va1_ann_nprobe4" -> (va1AnnNprobe4 _),
     "va2_ivf_knn_join" -> (va2IvfKnnJoin _),
     "qe_events_hourly" -> (qeEventsHourly _),
+    "qe2_user_sequences" -> (qe2UserSequences _),
     "lq1_sorted_layout" -> (lq1SortedLayout _),
     "lq2_compact" -> (lq2Compact _),
     "lq3_bycell_layout" -> (lq3ByCellLayout _),
@@ -3867,6 +3891,7 @@ object Queries {
     "qg_rollup" -> qgOracle,
     // va1_ann_nprobe4 intentionally has no oracle (ANN subset)
     "qe_events_hourly" -> qeOracle,
+    "qe2_user_sequences" -> qe2Oracle,
     "lq1_sorted_layout" -> lq1Oracle,
     "lq2_compact" -> lq2Oracle,
     "lq3_bycell_layout" -> lq3Oracle,

@@ -477,6 +477,45 @@ object Corpus {
       .select(col("_k").as("key"), col("status"))
   }
 
+  /** Ordered per-key sequence assembly — the grouping primitive that turns
+    * row-per-event tables into model-ready sequences (multi-turn
+    * conversation assembly, per-user behavior sequences, per-document
+    * chunk reassembly). Per `keyCol`, the first `maxLen` values of
+    * `valueCol` in `(orderCols, then value)` order, as an array plus its
+    * length. `maxLen` is applied BEFORE aggregation (a window row-number
+    * cap), so a pathological hot key bounds the aggregation buffer and
+    * the output row width at `maxLen` instead of materializing millions
+    * of events in one collect_list buffer — the difference between
+    * surviving and OOMing on a bot account at 100 TB. One hash shuffle on
+    * the key: the window's sort is per-partition spill-safe, and the
+    * groupBy reuses the window's partitioning (no second exchange).
+    * Deterministic when `orderCols` + value are a per-key total order —
+    * ties beyond that break on the value itself (sort_array over the
+    * rank-keyed structs).
+    */
+  def assembleSequences(
+      df: DataFrame,
+      keyCol: Column,
+      orderCols: Seq[Column],
+      valueCol: Column,
+      maxLen: Int): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+    val w = Window.partitionBy(keyCol).orderBy(orderCols :+ valueCol: _*)
+    // group on the RAW key expression (an alias here would defeat the
+    // window-partitioning reuse and buy a second exchange); rename after
+    val grouped = df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= maxLen)
+      .groupBy(keyCol)
+      .agg(
+        transform(
+          sort_array(collect_list(struct(col("_rn").as("r"), valueCol.as("v")))),
+          x => x.getField("v")).as("seq"))
+    grouped
+      .withColumnRenamed(grouped.columns.head, "key")
+      .withColumn("n", size(col("seq")).cast("int"))
+  }
+
   /** CDC-style MERGE: apply an update batch onto a base snapshot by key —
     * the maintenance primitive that keeps a curated corpus current between
     * full rebuilds (crawl refreshes, takedown/deletion requests, re-scored

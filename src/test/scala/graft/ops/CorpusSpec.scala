@@ -49,6 +49,31 @@ class CorpusSpec extends SparkSpec {
       Corpus.leakageSafeSplit(docs, "doc_id", pairs, trainBuckets = 300))
   }
 
+  test("assembleSequences orders per key, caps hot keys pre-aggregation, one exchange") {
+    val rows = Seq(
+      (1L, 3L, "c"), (1L, 1L, "a"), (1L, 2L, "b"),
+      (2L, 5L, "x"), (2L, 4L, "y")) ++
+      (0 until 100).map(i => (3L, 100L + i, s"e$i")) // hot key
+    val df = rows.toDF("k", "t", "v").repartition(5)
+    val out = Corpus
+      .assembleSequences(df, col("k"), Seq(col("t")), col("v"), maxLen = 10)
+    val m = out.select("key", "seq", "n")
+      .as[(Long, Seq[String], Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(1L) == ((Seq("a", "b", "c"), 3)))
+    assert(m(2L) == ((Seq("y", "x"), 2)))
+    // hot key capped to the FIRST maxLen in order
+    assert(m(3L) == (((0 until 10).map(i => s"e$i"), 10)))
+    // window and groupBy share ONE hash exchange on the key (the second
+    // exchange in the plan is this test's own repartition(5) scramble)
+    val exchanges = out.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 2, s"expected scramble + one key exchange, got $exchanges")
+    intercept[IllegalArgumentException](
+      Corpus.assembleSequences(df, col("k"), Seq(col("t")), col("v"), 0))
+    intercept[IllegalArgumentException](
+      Corpus.assembleSequences(df, col("k"), Nil, col("v"), 5))
+  }
+
   test("quantileBuckets equals window ntile on ties, skew, and n < k") {
     import org.apache.spark.sql.expressions.Window
     def check(df: org.apache.spark.sql.DataFrame, k: Int): Unit = {
