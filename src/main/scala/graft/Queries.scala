@@ -2005,6 +2005,63 @@ object Queries {
       |WHERE rn <= ceil(0.25 * n)
       |ORDER BY doc_id""".stripMargin
 
+  /** Winnowing fingerprints ([[ops.TextAnalysis.winnowingFingerprints]],
+    * k=3, w=4): the oracle re-runs the whole algorithm in SQL — k-gram
+    * md5-prefix hashes, per-window rightmost-min selection, positional
+    * dedup — so selection rule AND positions are gated bit-exact.
+    */
+  def tq13Winnowing(spark: SparkSession, sfDir: String): DataFrame =
+    ops.TextAnalysis
+      .winnowingFingerprints(t(spark, sfDir, "documents"), "doc_id", "text", k = 3, w = 4)
+      .orderBy(col("doc_id"), col("pos"), col("fp"))
+
+  val tq13Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    list_transform(
+      |      [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)],
+      |      g -> ('0x' || substr(md5(g), 1, 8))::BIGINT) hs
+      |  FROM t WHERE len(ws) >= 3),
+      |w AS (
+      |  SELECT doc_id, hs,
+      |    unnest(generate_series(1, greatest(1, len(hs) - 3))) i
+      |  FROM h),
+      |sel AS (
+      |  SELECT DISTINCT doc_id,
+      |    i + len(hs[i:i+3])
+      |      - list_position(list_reverse(hs[i:i+3]), list_min(hs[i:i+3])) AS pos,
+      |    list_min(hs[i:i+3]) AS fp
+      |  FROM w)
+      |SELECT doc_id, CAST(pos AS INT) AS pos, fp
+      |FROM sel ORDER BY doc_id, pos, fp""".stripMargin
+
+  /** Blocklist screen ([[ops.TextAnalysis.blocklistHits]]): hit counts +
+    * keep verdict over an RE2-safe pattern list, one codegen'd projection
+    * pass — the safety-filter primitive, gated byte-exact.
+    */
+  private val blockPatterns = Seq("\\bslow\\b", "\\berror\\b", "big\\s+table")
+
+  def pq11Blocklist(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        ops.TextAnalysis.blocklistHits(col("text"), blockPatterns)
+          .cast("int").as("n_hits"),
+        ops.TextAnalysis.blocklistKeep(col("text"), blockPatterns).as("keep"))
+      .orderBy(col("doc_id"))
+
+  val pq11Oracle: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '\bslow\b'))
+      |     + len(regexp_extract_all(text, '\berror\b'))
+      |     + len(regexp_extract_all(text, 'big\s+table')) AS INTEGER) AS n_hits,
+      |  (len(regexp_extract_all(text, '\bslow\b'))
+      |     + len(regexp_extract_all(text, '\berror\b'))
+      |     + len(regexp_extract_all(text, 'big\s+table'))) = 0 AS keep
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Curriculum binning ([[ops.Corpus.quantileBuckets]]): exact global
     * ntile(4) by (n_chars, doc_id) via the range-partition rank-boundary
     * machinery — no global sort, no window. The oracle IS ntile, so the
@@ -3784,6 +3841,7 @@ object Queries {
     "tq10_normalize" -> (tq10Normalize _),
     "tq11_bigram_novelty" -> (tq11BigramNovelty _),
     "tq12_chunk" -> (tq12Chunk _),
+    "tq13_winnowing" -> (tq13Winnowing _),
     "dc1_decontam" -> (dc1Decontam _),
     "dc2_overlap_frac" -> (dc2OverlapFrac _),
     "dc3_semantic_decontam" -> (dc3SemanticDecontam _),
@@ -3799,6 +3857,7 @@ object Queries {
     "pq8_weighted_sample" -> (pq8WeightedSample _),
     "pq9_top_fraction" -> (pq9TopFraction _),
     "pq10_curriculum_buckets" -> (pq10CurriculumBuckets _),
+    "pq11_blocklist" -> (pq11Blocklist _),
     "ds1_snapshot_diff" -> (ds1SnapshotDiff _),
     "ds2_merge_upsert" -> (ds2MergeUpsert _),
     "dm1_source_cap" -> (dm1SourceCap _),
@@ -3926,6 +3985,7 @@ object Queries {
     "tq10_normalize" -> tq10Oracle,
     "tq11_bigram_novelty" -> tq11Oracle,
     "tq12_chunk" -> tq12Oracle,
+    "tq13_winnowing" -> tq13Oracle,
     "dc1_decontam" -> dc1Oracle,
     "dc2_overlap_frac" -> dc2Oracle,
     "dc3_semantic_decontam" -> dc3Oracle,
@@ -3941,6 +4001,7 @@ object Queries {
     "pq8_weighted_sample" -> pq8Oracle,
     "pq9_top_fraction" -> pq9Oracle,
     "pq10_curriculum_buckets" -> pq10Oracle,
+    "pq11_blocklist" -> pq11Oracle,
     "ds1_snapshot_diff" -> ds1Oracle,
     "ds2_merge_upsert" -> ds2Oracle,
     "dm1_source_cap" -> dm1Oracle,

@@ -263,6 +263,71 @@ object TextAnalysis {
       regexp_replace(c, pat, tag)
     }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    * the MOSS algorithm): positional local fingerprints with the
+    * guarantee that any shared run of ≥ `w + k − 1` tokens between two
+    * documents shares at least one selected fingerprint. Word-k-gram
+    * hashes (32-bit md5 prefix — engine-portable, like every hash the
+    * oracle re-derives); per window of `w` consecutive hashes select the
+    * MINIMUM, ties to the RIGHTMOST occurrence (the paper's robust
+    * winnowing rule); identical (position, hash) selections across
+    * overlapping windows dedupe. Documents shorter than `k` tokens emit
+    * nothing; shorter than `w` grams form one whole-array window.
+    *
+    * Everything is codegen'd array HOFs in ONE projection pass —
+    * O(grams·w) per document, no shuffle, no UDF; output rows
+    * (id, pos, fp) are join keys for containment/overlap detection
+    * (the positional complement of [[Dedup]]'s set-similarity paths:
+    * winnowing localizes WHERE the shared run is).
+    */
+  def winnowingFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      w: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(w >= 1, s"w must be >= 1, got $w")
+    val grams = graft.functions.word_ngrams(col(textCol), k)
+    val hashes = transform(
+      grams, g => conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
+    val n = size(col("_hs"))
+    val starts = sequence(lit(1), greatest(lit(1), n - w + 1))
+    val fps = transform(starts, i => {
+      val win = slice(col("_hs"), i, lit(w))
+      val m = array_min(win)
+      // rightmost occurrence of the min within the window
+      val posrev = array_position(reverse(win), m)
+      struct(
+        (i + size(win) - posrev).cast("int").as("pos"),
+        m.as("fp"))
+    })
+    df.select(col(idCol), hashes.as("_hs"))
+      .where(n >= 1)
+      .select(col(idCol), explode(array_distinct(fps)).as("_sel"))
+      .select(
+        col(idCol),
+        col("_sel.pos").as("pos"),
+        col("_sel.fp").as("fp"))
+  }
+
+  /** Blocklist screening — the safety-filter primitive: per document, the
+    * total match count across a pattern list (chained codegen'd
+    * `regexp_count` — one projection pass, no shuffle) and the keep/flag
+    * verdict. Patterns must stay in the RE2-safe subset ([[PiiPatterns]]'
+    * rule: `\b`, `\d`, bounded repetition, no lookaround) so oracle
+    * engines byte-match the counts. For blocklists far beyond regex
+    * alternation scale (~10⁴+ literal terms), route through the postings
+    * machinery ([[Lexical]]) instead — term-match-as-join.
+    */
+  def blocklistHits(text: Column, patterns: Seq[String]): Column = {
+    require(patterns.nonEmpty, "need at least one blocklist pattern")
+    patterns.map(p => regexp_count(text, lit(p))).reduce(_ + _)
+  }
+
+  def blocklistKeep(text: Column, patterns: Seq[String]): Column =
+    blocklistHits(text, patterns) === 0
+
   /** EXACT heavy-hitter n-grams via a count-min sketch candidate pass
     * (Cormode & Muthukrishnan 2005): pass 1 folds every gram occurrence
     * into ONE driver-merged CMS (an aggregate — no shuffle of the gram

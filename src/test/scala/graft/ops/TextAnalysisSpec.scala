@@ -228,6 +228,41 @@ class TextAnalysisSpec extends SparkSpec {
     cases.map(_._2).zip(out).foreach { case (want, got) => assert(got == want) }
   }
 
+  test("winnowing: window coverage, shared-run guarantee, short-doc edge cases") {
+    val rnd = new scala.util.Random(13)
+    def words(n: Int) = Seq.fill(n)(s"w${rnd.nextInt(100000)}").mkString(" ")
+    val shared = "alpha beta gamma delta epsilon zeta eta" // 7 >= w+k-1 = 6 tokens
+    val df = Seq(
+      (1L, words(30) + " " + shared + " " + words(30)),
+      (2L, words(25) + " " + shared + " " + words(25)),
+      (3L, words(40)),         // unrelated
+      (4L, "only two"),        // < k tokens → no grams → no fingerprints
+      (5L, "just three words") // exactly k → 1 gram, n < w → one window
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowingFingerprints(df, "doc_id", "text", k = 3, w = 4)
+      .as[(Long, Int, Long)].collect()
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3))).toMap
+    // the winnowing guarantee: a shared token run of >= w+k-1 shares a fp
+    val f1 = byDoc(1L).map(_._2).toSet
+    val f2 = byDoc(2L).map(_._2).toSet
+    assert((f1 intersect f2).nonEmpty, "shared 7-token run must share a fingerprint")
+    assert((byDoc(3L).map(_._2).toSet intersect f1).isEmpty)
+    // every window of doc 1 is covered by some selected position
+    val positions = byDoc(1L).map(_._1).toSet
+    val nGrams = df.where(col("doc_id") === 1)
+      .select(size(graft.functions.word_ngrams(col("text"), 3))).as[Int].head()
+    (1 to (nGrams - 4 + 1)).foreach { i =>
+      assert(positions.exists(p => p >= i && p < i + 4), s"window $i uncovered")
+    }
+    // doc 4 emits nothing; doc 5's single gram is its own fingerprint at pos 1
+    assert(!byDoc.contains(4L))
+    assert(byDoc(5L).map(_._1).toSeq == Seq(1))
+    intercept[IllegalArgumentException](
+      TextAnalysis.winnowingFingerprints(df, "doc_id", "text", k = 0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.winnowingFingerprints(df, "doc_id", "text", w = 0))
+  }
+
   test("heavyHitterNgrams equals the exact GROUP BY/HAVING on a long-tailed corpus") {
     val rnd = new scala.util.Random(7)
     // 3 heavy bigrams repeated massively + a long tail of singletons
