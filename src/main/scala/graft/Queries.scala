@@ -2037,6 +2037,30 @@ object Queries {
       |SELECT doc_id, CAST(pos AS INT) AS pos, fp
       |FROM sel ORDER BY doc_id, pos, fp""".stripMargin
 
+  /** Winnowing overlap pairs ([[ops.TextAnalysis.winnowingOverlapPairs]]):
+    * pairs sharing ≥ 2 distinct fingerprints under the hot-fp cap — the
+    * oracle extends tq13's full SQL re-derivation with the identical
+    * frequency prune + self-join, so the pair semantics are gated, not
+    * just the fingerprints.
+    */
+  def dq12WinnowPairs(spark: SparkSession, sfDir: String): DataFrame =
+    ops.TextAnalysis
+      .winnowingOverlapPairs(
+        t(spark, sfDir, "documents"), "doc_id", "text",
+        k = 3, w = 4, minShared = 2, maxDocsPerFp = 64)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val dq12Oracle: String =
+    s"""${tq13Oracle.split("\n").dropRight(2).mkString("\n")},
+       |fp1 AS (SELECT DISTINCT doc_id, fp FROM sel),
+       |keep AS (SELECT fp FROM fp1 GROUP BY fp HAVING count(*) BETWEEN 2 AND 64),
+       |pr AS (SELECT f.doc_id, f.fp FROM fp1 f JOIN keep USING (fp))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(count(*) AS BIGINT) AS shared_fps
+       |FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Blocklist screen ([[ops.TextAnalysis.blocklistHits]]): hit counts +
     * keep verdict over an RE2-safe pattern list, one codegen'd projection
     * pass — the safety-filter primitive, gated byte-exact.
@@ -3842,6 +3866,7 @@ object Queries {
     "tq11_bigram_novelty" -> (tq11BigramNovelty _),
     "tq12_chunk" -> (tq12Chunk _),
     "tq13_winnowing" -> (tq13Winnowing _),
+    "dq12_winnow_pairs" -> (dq12WinnowPairs _),
     "dc1_decontam" -> (dc1Decontam _),
     "dc2_overlap_frac" -> (dc2OverlapFrac _),
     "dc3_semantic_decontam" -> (dc3SemanticDecontam _),
@@ -3986,6 +4011,7 @@ object Queries {
     "tq11_bigram_novelty" -> tq11Oracle,
     "tq12_chunk" -> tq12Oracle,
     "tq13_winnowing" -> tq13Oracle,
+    "dq12_winnow_pairs" -> dq12Oracle,
     "dc1_decontam" -> dc1Oracle,
     "dc2_overlap_frac" -> dc2Oracle,
     "dc3_semantic_decontam" -> dc3Oracle,

@@ -311,6 +311,47 @@ object TextAnalysis {
         col("_sel.fp").as("fp"))
   }
 
+  /** Winnowing overlap pairs: document pairs sharing at least `minShared`
+    * DISTINCT winnowing fingerprints, with the shared count — the
+    * positional containment detector built on
+    * [[winnowingFingerprints]]' guarantee (any shared token run of
+    * ≥ w+k−1 shares a fingerprint, so real containment can't be missed
+    * at that granularity). Plan: fingerprint both sides in one pass
+    * each, equi-join on the fp VALUE (positions localize matches but
+    * pair identity only needs the hash), count distinct shared fps per
+    * pair, threshold. Shuffle is bounded by fingerprint rows (~1/(w+1)
+    * of grams — winnowing's expected density), and hot fingerprints
+    * (boilerplate shared by thousands of docs) are capped at
+    * `maxDocsPerFp` by frequency pre-filter — the same hot-bucket
+    * discipline as the minhash band join; dropped fps are the
+    * boilerplate a containment detector WANTS to ignore.
+    */
+  def winnowingOverlapPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxDocsPerFp: Int = 64): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDocsPerFp >= 2, s"maxDocsPerFp must be >= 2, got $maxDocsPerFp")
+    val fps = winnowingFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("_id"), col("fp"))
+      .distinct()
+    val keep = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("_n"))
+      .where(col("_n") <= maxDocsPerFp && col("_n") >= 2)
+      .select(col("fp"))
+    val pruned = fps.join(keep, "fp")
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.fp") === col("b.fp") && col("a._id") < col("b._id"))
+      .groupBy(col("a._id").as("doc_a"), col("b._id").as("doc_b"))
+      .agg(count(lit(1)).cast("bigint").as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+  }
+
   /** Blocklist screening — the safety-filter primitive: per document, the
     * total match count across a pattern list (chained codegen'd
     * `regexp_count` — one projection pass, no shuffle) and the keep/flag

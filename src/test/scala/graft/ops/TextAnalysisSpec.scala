@@ -263,6 +263,26 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.winnowingFingerprints(df, "doc_id", "text", w = 0))
   }
 
+  test("winnowingOverlapPairs detects shared runs; the hot-fp cap drops boilerplate") {
+    val rnd = new scala.util.Random(17)
+    def words(n: Int) = Seq.fill(n)(s"u${rnd.nextInt(1000000)}").mkString(" ")
+    val shared = (1 to 12).map(i => s"common$i").mkString(" ")
+    val boiler = "standard footer text appears everywhere always"
+    val df = (Seq(
+      (1L, words(20) + " " + shared + " " + boiler),
+      (2L, shared + " " + words(20) + " " + boiler)) ++
+      (3L to 80L).map(i => (i, words(15) + " " + boiler))).toDF("doc_id", "text")
+    val pairs = TextAnalysis
+      .winnowingOverlapPairs(df, "doc_id", "text", minShared = 2, maxDocsPerFp = 10)
+      .as[(Long, Long, Long)].collect()
+    // docs 1-2 share the 12-token run (>= 2 fps); boilerplate fps appear in
+    // 80 docs > cap so they can't create the all-pairs clique
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)), s"got ${pairs.toSeq}")
+    assert(pairs.head._3 >= 2)
+    intercept[IllegalArgumentException](
+      TextAnalysis.winnowingOverlapPairs(df, "doc_id", "text", minShared = 0))
+  }
+
   test("heavyHitterNgrams equals the exact GROUP BY/HAVING on a long-tailed corpus") {
     val rnd = new scala.util.Random(7)
     // 3 heavy bigrams repeated massively + a long tail of singletons
