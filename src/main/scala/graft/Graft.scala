@@ -38,17 +38,38 @@ object Graft {
     */
   private[graft] val tableFunctions: Seq[
       (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] = {
-    def strArg(cs: Seq[Expression], i: Int): String = cs(i) match {
+    def strArg(fn: String, cs: Seq[Expression], i: Int): String = cs(i) match {
       case Literal(s, StringType) if s != null => s.toString
       case other => throw new IllegalArgumentException(
-        s"bm25_topk argument ${i + 1} must be a string literal, got $other")
+        s"$fn argument ${i + 1} must be a string literal, got $other")
     }
-    def intArg(cs: Seq[Expression], i: Int): Int = cs(i) match {
+    def intArg(fn: String, cs: Seq[Expression], i: Int): Int = cs(i) match {
       case Literal(v: Int, IntegerType) => v
       case other => throw new IllegalArgumentException(
-        s"bm25_topk argument ${i + 1} must be an integer literal, got $other")
+        s"$fn argument ${i + 1} must be an integer literal, got $other")
     }
     Seq((
+      // `SELECT * FROM graft_index_info('<parquet path>', '<column>')` —
+      // one row per (file, cell): posting size, radius bound, centroid
+      // digest (IndexManager.describeIndex — the reference's CLI stats
+      // surface, SQL-reachable). Path + column must be literals: the
+      // builder resolves at analysis time.
+      FunctionIdentifier("graft_index_info"),
+      new ExpressionInfo("graft.ivf", "graft_index_info"),
+      (cs: Seq[Expression]) => {
+        require(
+          cs.length == 2,
+          s"graft_index_info expects (path, column), got ${cs.length} args")
+        val spark = SparkSession.active
+        // honor the rule's configured sidecar store (falls back to default)
+        val store = new ivf.IndexStore(
+          spark.conf.get(plans.VectorTopKRule.IndexDirKey, ivf.IndexStore.default.dir))
+        ivf.IndexManager
+          .describeIndex(
+            spark, strArg("graft_index_info", cs, 0), strArg("graft_index_info", cs, 1),
+            store)
+          .queryExecution.analyzed
+      }), (
       FunctionIdentifier("bm25_topk"),
       new ExpressionInfo("graft.ops", "bm25_topk"),
       (cs: Seq[Expression]) => {
@@ -56,11 +77,12 @@ object Graft {
           cs.length == 5,
           s"bm25_topk expects (table, id_col, text_col, query_text, k), got ${cs.length} args")
         val spark = SparkSession.active
-        val terms = strArg(cs, 3).trim.split("\\s+").toSeq.filter(_.nonEmpty).distinct
+        val terms = strArg("bm25_topk", cs, 3).trim
+          .split("\\s+").toSeq.filter(_.nonEmpty).distinct
         ops.Lexical
           .bm25TopK(
-            spark.table(strArg(cs, 0)), strArg(cs, 1), strArg(cs, 2), terms,
-            intArg(cs, 4))
+            spark.table(strArg("bm25_topk", cs, 0)), strArg("bm25_topk", cs, 1),
+            strArg("bm25_topk", cs, 2), terms, intArg("bm25_topk", cs, 4))
           .queryExecution.analyzed
       }))
   }

@@ -185,6 +185,30 @@ object TextScaleBench {
     def bpeEncode() = docs.select(
       col("doc_id"), graft.ops.Bpe.tokenCount(col("text"), bpeMerges).as("n"))
 
+    // round-9 session-3 operators at 1000× fixture scale
+    def winnowFps() = graft.ops.TextAnalysis
+      .winnowingFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+    def winnowFpsFast() = graft.ops.TextAnalysis
+      .winnowingFingerprints(docs, "doc_id", "text", k = 3, w = 4,
+        portableHash = false)
+    def winnowPairs() = graft.ops.TextAnalysis
+      .winnowingOverlapPairs(docs, "doc_id", "text", k = 3, w = 4,
+        minShared = 2, maxDocsPerFp = 64, portableHash = false)
+    def heavyHitters() = graft.ops.TextAnalysis
+      .heavyHitterNgrams(docs, "text", n = 2, minCount = 500L)
+    def blocklist() = docs.select(
+      col("doc_id"),
+      graft.ops.TextAnalysis
+        .blocklistHits(col("text"), Seq("\\bw17\\b", "\\bw211\\b", "w1\\s+w2"))
+        .as("n_hits"))
+    def curriculum() = graft.ops.Corpus.quantileBuckets(
+      docs, length(col("text")), col("doc_id"), buckets = 8)
+    def cdcMerge() = graft.ops.Corpus.mergeUpsert(
+      docs.where(col("doc_id") % 7 =!= 0),
+      docs.where(col("doc_id") % 5 === 0)
+        .withColumn("_del", col("doc_id") % 20 === 0),
+      "doc_id", tombstoneCol = Some("_del"))
+
     val suite: Seq[(String, () => DataFrame)] = Seq(
       "exact_dedup" -> (exactDedup _),
       "minhash_pairs" -> (minhashPairs _),
@@ -204,7 +228,14 @@ object TextScaleBench {
       "global_shuffle_32" -> (gShuffle _),
       "weighted_sample" -> (wSample _),
       "bpe_train_16" -> (bpeTrain _),
-      "bpe_encode_16" -> (bpeEncode _))
+      "bpe_encode_16" -> (bpeEncode _),
+      "winnow_fps" -> (winnowFps _),
+      "winnow_fps_fast" -> (winnowFpsFast _),
+      "winnow_pairs" -> (winnowPairs _),
+      "heavy_hitters_cms" -> (heavyHitters _),
+      "blocklist_screen" -> (blocklist _),
+      "curriculum_ntile8" -> (curriculum _),
+      "cdc_merge" -> (cdcMerge _))
 
     // warmup pass (JIT/codegen/page cache), then timed min-of-2
     suite.foreach { case (n, f) =>

@@ -52,6 +52,41 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_index_info table function surfaces per-cell index stats in SQL") {
+    withExtSession { spark =>
+      import java.nio.file.Files
+      import org.apache.spark.sql.functions.col
+      val dir = Files.createTempDirectory("graft-info-data").toString
+      val storeDir = Files.createTempDirectory("graft-info-store").toString
+      val rnd = new scala.util.Random(23)
+      spark.createDataFrame((0 until 120).map(i => (i.toLong, Seq.fill(4)(rnd.nextFloat()))))
+        .toDF("id", "vec")
+        .select(col("id"), col("vec").cast("array<float>").as("vec"))
+        .coalesce(2).write.mode("overwrite").parquet(dir)
+      val store = new graft.ivf.IndexStore(storeDir)
+      graft.ivf.IvfBuilder.build(spark, dir,
+        graft.ivf.IvfBuilder.Config("vec", nClusters = Some(3)), store)
+      // the TVF resolves against the rule's configured sidecar store
+      spark.conf.set(plans.VectorTopKRule.IndexDirKey, storeDir)
+      try {
+        val rows = spark
+          .sql(s"SELECT file, cell, size FROM graft_index_info('$dir', 'vec')")
+          .collect()
+          .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+        assert(rows.length == 6, s"expected 2 files x 3 cells, got ${rows.length}")
+        assert(rows.map(_._3).sum == 120L)
+        // SQL aggregation over the TVF — the operational health query
+        val skew = spark
+          .sql(s"""SELECT max(size) FROM graft_index_info('$dir', 'vec')""")
+          .head().getLong(0)
+        assert(skew >= 120L / 6)
+        val e = intercept[Exception](
+          spark.sql("SELECT * FROM graft_index_info('/nope', vec)"))
+        assert(e.getMessage.contains("graft_index_info"), e.getMessage)
+      } finally spark.conf.unset(plans.VectorTopKRule.IndexDirKey)
+    }
+  }
+
   test("extensions session runs the indexed SQL rewrite end to end") {
     withExtSession { spark =>
       import java.nio.file.Files

@@ -75,6 +75,34 @@ class PipelinePropertySpec extends SparkSpec {
     }
   }
 
+  test("quantileBuckets is an order-respecting equal-count partition on random data") {
+    val scoreGen = Gen.oneOf(
+      Gen.choose(0.0, 1.0),                    // continuous
+      Gen.choose(0, 4).map(_.toDouble),        // heavy ties
+      Gen.choose(0.0, 1.0).map(x => x * x * x)) // skew
+    for (i <- 0 until 3) {
+      val n = 150 + 101 * i
+      val k = 3 + i * 2
+      val rows = (0 until n).map(j => (j.toLong, seeded(scoreGen, i * 10000 + j)))
+      val out = Corpus
+        .quantileBuckets(rows.toDF("id", "s").repartition(5), col("s"), col("id"), k)
+        .select("id", "s", "bucket").as[(Long, Double, Int)].collect()
+      assert(out.length == n)
+      val sizes = out.groupBy(_._3).view.mapValues(_.length).toMap
+      // ntile contract: sizes differ by at most 1, buckets 1..k used
+      assert(sizes.keySet == (1 to k).toSet)
+      assert(sizes.values.max - sizes.values.min <= 1)
+      // order-respecting: every row in bucket b sorts <= every row in b+1
+      // under the (score, id) total order
+      val byBucket = out.groupBy(_._3).view
+        .mapValues(_.map(r => (r._2, r._1)).sorted).toMap
+      (1 until k).foreach { b =>
+        assert(Ordering[(Double, Long)].lteq(byBucket(b).last, byBucket(b + 1).head),
+          s"bucket $b overlaps bucket ${b + 1}")
+      }
+    }
+  }
+
   test("sharded bloom never false-negatives on random corpora") {
     val textGen = Gen.listOfN(6, Gen.alphaNumChar).map(_.mkString)
     for (i <- 0 until 3) {
