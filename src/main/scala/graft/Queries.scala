@@ -2192,6 +2192,35 @@ object Queries {
       |  FROM documents)
       |WHERE rn <= 7 ORDER BY doc_id""".stripMargin
 
+  /** Per-source robust profile ([[ops.Corpus.groupProfile]]): count,
+    * exact median n_chars, MAD, and the 3-MAD outlier count per source —
+    * the per-domain quality monitor. Integer inputs make the interpolated
+    * medians exactly representable, so the unrounded 3·MAD threshold
+    * compares identically cross-engine.
+    */
+  def dm2SourceProfile(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Corpus
+      .groupProfile(
+        t(spark, sfDir, "documents"), col("source"), col("n_chars"), nMads = 3.0)
+      .orderBy(col("group"))
+
+  val dm2Oracle: String =
+    """WITH meds AS (
+      |  SELECT source AS g, count(*) AS n,
+      |         quantile_cont(n_chars::DOUBLE, 0.5) AS med
+      |  FROM documents GROUP BY 1),
+      |dev AS (
+      |  SELECT d.source AS g, m.n, m.med, abs(d.n_chars::DOUBLE - m.med) AS ad
+      |  FROM documents d JOIN meds m ON m.g = d.source),
+      |mads AS (SELECT g, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1)
+      |SELECT dev.g AS "group", dev.n, round(dev.med, 6) AS median,
+      |       round(mads.mad, 6) AS mad,
+      |       CAST(count(CASE WHEN dev.ad > 3.0 * mads.mad THEN 1 END) AS BIGINT)
+      |         AS n_outliers
+      |FROM dev JOIN mads ON mads.g = dev.g
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY "group"""".stripMargin
+
   /** Domain dominance cap ([[ops.Corpus.capGroupShare]]): no source may
     * exceed 10% of the corpus; over-represented sources are cut to the
     * budget by the deterministic md5-order draw, under-cap sources pass
@@ -3886,6 +3915,7 @@ object Queries {
     "ds1_snapshot_diff" -> (ds1SnapshotDiff _),
     "ds2_merge_upsert" -> (ds2MergeUpsert _),
     "dm1_source_cap" -> (dm1SourceCap _),
+    "dm2_source_profile" -> (dm2SourceProfile _),
     "cq1_curation_pipeline" -> (cq1CurationPipeline _),
     "cq2_neardup_curation" -> (cq2NearDupCuration _),
     "cq3_full_curation" -> (cq3FullCuration _),
@@ -4031,6 +4061,7 @@ object Queries {
     "ds1_snapshot_diff" -> ds1Oracle,
     "ds2_merge_upsert" -> ds2Oracle,
     "dm1_source_cap" -> dm1Oracle,
+    "dm2_source_profile" -> dm2Oracle,
     "cq1_curation_pipeline" -> cq1Oracle,
     "cq2_neardup_curation" -> cq2Oracle,
     "cq3_full_curation" -> cq3Oracle,

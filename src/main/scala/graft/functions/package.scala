@@ -36,6 +36,12 @@ package object functions {
   def word_ngrams(text: Column, n: Int): Column =
     col(WordNgrams(expr(text), n))
 
+  /** Winnowing fingerprint selection — array<struct<pos,fp>> (native
+    * expression; see [[TextHash.winnowFingerprints]]).
+    */
+  def winnow_fps(text: Column, k: Int, w: Int, portable: Boolean = true): Column =
+    col(WinnowFingerprints(expr(text), k, w, portable))
+
   /** k-slot MinHash signature of a shingle array (native expression). */
   def minhash_signature(shingleCol: Column, numHashes: Int): Column =
     col(MinHashSignature(expr(shingleCol), numHashes))
@@ -117,6 +123,10 @@ package object functions {
         (cs: Seq[Expression]) => WordNgrams(cs(0), intArg(cs, 1, "word_ngrams"))),
       ("minhash_signature", "k-slot MinHash signature of a shingle array",
         (cs: Seq[Expression]) => MinHashSignature(cs(0), intArg(cs, 1, "minhash_signature"))),
+      ("winnow_fps", "Winnowing fingerprint selection of a string",
+        (cs: Seq[Expression]) => WinnowFingerprints(
+          cs(0), intArg(cs, 1, "winnow_fps"), intArg(cs, 2, "winnow_fps"),
+          portable = true)),
       ("simhash64", "64-bit SimHash of a token array",
         (cs: Seq[Expression]) => SimHash64(cs(0))),
       ("sorted_jaccard", "Jaccard similarity of two ascending long arrays",

@@ -713,6 +713,47 @@ object Corpus {
     df.withColumn(bucketName, bucket)
   }
 
+  /** Per-group robust distribution profile — the data-quality monitor for
+    * heterogeneous corpora: per `groupCol`, the count, exact median of
+    * `valueCol`, and the MAD (median absolute deviation — the robust
+    * spread a handful of garbage rows can't inflate the way stddev can),
+    * plus the group's outlier count at `|v − median| > nMads · MAD`.
+    * Two passes (medians need a first pass before deviations exist): both
+    * are per-group `percentile` aggregates — map-side partial, one
+    * shuffle of |groups| rows each; group sizes bound the percentile
+    * buffers (the per-DOMAIN profile of a web corpus has thousands of
+    * rows per group, not billions — for corpus-GLOBAL exact cuts use
+    * [[topFraction]]/[[quantileBuckets]], which never buffer a group).
+    * Exact interpolated percentiles cross-check against `quantile_cont`
+    * (the tq7 precedent), rounded to 6 decimals for the float gate.
+    */
+  def groupProfile(
+      df: DataFrame,
+      groupCol: Column,
+      valueCol: Column,
+      nMads: Double = 3.0): DataFrame = {
+    require(nMads > 0.0, s"nMads must be > 0, got $nMads")
+    val meds = df
+      .groupBy(groupCol.as("_g"))
+      .agg(
+        count(lit(1)).as("n"),
+        percentile(valueCol.cast("double"), lit(0.5)).as("_med"))
+    val dev = df.select(groupCol.as("_g"), valueCol.cast("double").as("_v"))
+      .join(meds, "_g") // |groups|-row side broadcasts
+      .select(col("_g"), col("n"), col("_med"), abs(col("_v") - col("_med")).as("_ad"))
+    val mads = dev.groupBy(col("_g").as("_g2"))
+      .agg(percentile(col("_ad"), lit(0.5)).as("_mad"))
+    dev.join(mads, col("_g") === col("_g2"))
+      .groupBy(col("_g"), col("n"), col("_med"), col("_mad"))
+      .agg(count(when(col("_ad") > lit(nMads) * col("_mad"), 1)).as("n_outliers"))
+      .select(
+        col("_g").as("group"),
+        col("n"),
+        round(col("_med"), 6).as("median"),
+        round(col("_mad"), 6).as("mad"),
+        col("n_outliers").cast("bigint").as("n_outliers"))
+  }
+
   /** Exact token-count distribution stats (count + interpolated
     * percentiles) — the corpus-level summary a filtering pipeline keys off.
     */

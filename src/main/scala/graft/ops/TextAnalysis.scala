@@ -289,29 +289,16 @@ object TextAnalysis {
       portableHash: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(w >= 1, s"w must be >= 1, got $w")
-    val grams = graft.functions.word_ngrams(col(textCol), k)
-    // portable (md5-prefix — any oracle engine re-derives it) vs fast
-    // (xxhash64 — ~4× cheaper; the hash only needs min-selection
-    // uniformity, so production runs should prefer it). The 500k probe
-    // measured the gap: 20.7 s md5 vs the xxhash64 arm (BENCHNOTES).
-    val hashes =
-      if (portableHash)
-        transform(grams, g => conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
-      else transform(grams, g => xxhash64(g))
-    val n = size(col("_hs"))
-    val starts = sequence(lit(1), greatest(lit(1), n - w + 1))
-    val fps = transform(starts, i => {
-      val win = slice(col("_hs"), i, lit(w))
-      val m = array_min(win)
-      // rightmost occurrence of the min within the window
-      val posrev = array_position(reverse(win), m)
-      struct(
-        (i + size(win) - posrev).cast("int").as("pos"),
-        m.as("fp"))
-    })
-    df.select(col(idCol), hashes.as("_hs"))
-      .where(n >= 1)
-      .select(col(idCol), explode(array_distinct(fps)).as("_sel"))
+    // one codegen'd kernel call per document ([[graft.functions.winnow_fps]]
+    // — monotonic-deque window minima, O(grams) amortized; the original
+    // HOF formulation was allocation-bound at ~21 s/500k docs regardless
+    // of hash choice, the kernel runs the same selection in one pass).
+    // `portableHash` keeps the md5-prefix value the oracle re-derives;
+    // production runs can pass false for xxhash64.
+    df.select(
+        col(idCol),
+        explode(graft.functions.winnow_fps(col(textCol), k, w, portableHash))
+          .as("_sel"))
       .select(
         col(idCol),
         col("_sel.pos").as("pos"),

@@ -237,12 +237,17 @@ object TextScaleBench {
       "curriculum_ntile8" -> (curriculum _),
       "cdc_merge" -> (cdcMerge _))
 
+    // SPARK_GRAFT_TEXTSCALE_ONLY=name1,name2 narrows a re-probe to the
+    // arms under study (full suite ~10 min)
+    val only = sys.env.getOrElse("SPARK_GRAFT_TEXTSCALE_ONLY", "")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSet
+    val active = if (only.isEmpty) suite else suite.filter(s => only(s._1))
     // warmup pass (JIT/codegen/page cache), then timed min-of-2
-    suite.foreach { case (n, f) =>
+    active.foreach { case (n, f) =>
       try materialize(f())
       catch { case e: Throwable => System.err.println(s"[textscale] warm FAIL $n: $e") }
     }
-    val results = suite.map { case (n, f) => n -> timeMin(materialize(f())) }
+    val results = active.map { case (n, f) => n -> timeMin(materialize(f())) }
 
     // structure sanity: the generator promises ~rows/10 exact dups and the
     // near-dup pairs should recover (base, near) + (base, copy) + (near,

@@ -74,6 +74,23 @@ class CorpusSpec extends SparkSpec {
       Corpus.assembleSequences(df, col("k"), Nil, col("v"), 5))
   }
 
+  test("groupProfile: robust median/MAD per group, outliers flagged, stddev-proof") {
+    // group a: tight around 100 with one wild outlier (MAD ignores it);
+    // group b: clean spread, no outliers
+    val rows = Seq.tabulate(21)(i => ("a", 90L + i)) ++ Seq(("a", 100000L)) ++
+      Seq.tabulate(11)(i => ("b", 10L * i))
+    val out = Corpus.groupProfile(rows.toDF("g", "v"), col("g"), col("v"), nMads = 3.0)
+      .as[(String, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // a: 22 rows, median of 90..110 ∪ {100000} = 100.5, MAD = 5.5,
+    // only the planted 100000 exceeds 3 MADs
+    assert(out("a") == ((22L, 100.5, 5.5, 1L)))
+    // b: 0,10,...,100 → median 50, MAD 30, max dev 50 < 90
+    assert(out("b") == ((11L, 50.0, 30.0, 0L)))
+    intercept[IllegalArgumentException](
+      Corpus.groupProfile(rows.toDF("g", "v"), col("g"), col("v"), nMads = 0.0))
+  }
+
   test("quantileBuckets equals window ntile on ties, skew, and n < k") {
     import org.apache.spark.sql.expressions.Window
     def check(df: org.apache.spark.sql.DataFrame, k: Int): Unit = {
