@@ -2054,11 +2054,18 @@ object Queries {
     s"""${tq13Oracle.split("\n").dropRight(2).mkString("\n")},
        |fp1 AS (SELECT DISTINCT doc_id, fp FROM sel),
        |keep AS (SELECT fp FROM fp1 GROUP BY fp HAVING count(*) BETWEEN 2 AND 64),
-       |pr AS (SELECT f.doc_id, f.fp FROM fp1 f JOIN keep USING (fp))
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |       CAST(count(*) AS BIGINT) AS shared_fps
-       |FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
-       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |pr AS (SELECT f.doc_id, f.fp FROM fp1 f JOIN keep USING (fp)),
+       |tot AS (SELECT doc_id, count(*) AS nfp FROM fp1 GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(count(*) AS BIGINT) AS shared_fps
+       |  FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 2)
+       |SELECT p.doc_a, p.doc_b, p.shared_fps,
+       |       round(p.shared_fps::DOUBLE / least(ta.nfp, tb.nfp), 6) AS containment
+       |FROM pairs p
+       |JOIN tot ta ON ta.doc_id = p.doc_a
+       |JOIN tot tb ON tb.doc_id = p.doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Blocklist screen ([[ops.TextAnalysis.blocklistHits]]): hit counts +

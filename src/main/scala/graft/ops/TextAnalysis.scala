@@ -345,12 +345,23 @@ object TextAnalysis {
       .where(col("_n") <= maxDocsPerFp && col("_n") >= 2)
       .select(col("fp"))
     val pruned = fps.join(keep, "fp")
+    // per-doc fingerprint totals (pre-prune — the containment denominator
+    // is the document's real fingerprint mass, not the post-prune subset)
+    val totals = fps.groupBy(col("_id")).agg(count(lit(1)).as("_nfp"))
     pruned.as("a")
       .join(pruned.as("b"),
         col("a.fp") === col("b.fp") && col("a._id") < col("b._id"))
       .groupBy(col("a._id").as("doc_a"), col("b._id").as("doc_b"))
       .agg(count(lit(1)).cast("bigint").as("shared_fps"))
       .where(col("shared_fps") >= minShared)
+      .join(totals.select(col("_id").as("doc_a"), col("_nfp").as("_na")), "doc_a")
+      .join(totals.select(col("_id").as("doc_b"), col("_nfp").as("_nb")), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"), col("shared_fps"),
+        // containment of the smaller doc in the larger — 1.0 means every
+        // fingerprint of the smaller doc also appears in the other
+        round(col("shared_fps") / least(col("_na"), col("_nb")), 6)
+          .as("containment"))
   }
 
   /** Blocklist screening — the safety-filter primitive: per document, the

@@ -196,6 +196,14 @@ object TextScaleBench {
         minShared = 2, maxDocsPerFp = 64, portableHash = false)
     def heavyHitters() = graft.ops.TextAnalysis
       .heavyHitterNgrams(docs, "text", n = 2, minCount = 500L)
+    // A/B control: the plain exact form the CMS path must beat — only
+    // when the vocabulary outgrows memory-cheap groupBy (honest note:
+    // this corpus's 10k-word vocab keeps the exact form competitive)
+    def heavyHittersExact() = docs
+      .select(explode(graft.ops.Decontaminate.ngrams(col("text"), 2)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 500L)
+      .orderBy(col("n").desc, col("gram"))
     def blocklist() = docs.select(
       col("doc_id"),
       graft.ops.TextAnalysis
@@ -233,6 +241,7 @@ object TextScaleBench {
       "winnow_fps_fast" -> (winnowFpsFast _),
       "winnow_pairs" -> (winnowPairs _),
       "heavy_hitters_cms" -> (heavyHitters _),
+      "heavy_hitters_exact" -> (heavyHittersExact _),
       "blocklist_screen" -> (blocklist _),
       "curriculum_ntile8" -> (curriculum _),
       "cdc_merge" -> (cdcMerge _))

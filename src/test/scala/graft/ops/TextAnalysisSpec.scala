@@ -274,11 +274,22 @@ class TextAnalysisSpec extends SparkSpec {
       (3L to 80L).map(i => (i, words(15) + " " + boiler))).toDF("doc_id", "text")
     val pairs = TextAnalysis
       .winnowingOverlapPairs(df, "doc_id", "text", minShared = 2, maxDocsPerFp = 10)
-      .as[(Long, Long, Long)].collect()
+      .as[(Long, Long, Long, Double)].collect()
     // docs 1-2 share the 12-token run (>= 2 fps); boilerplate fps appear in
     // 80 docs > cap so they can't create the all-pairs clique
     assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)), s"got ${pairs.toSeq}")
     assert(pairs.head._3 >= 2)
+    // containment = shared / min(total fps) — partial overlap sits in (0, 1)
+    assert(pairs.head._4 > 0.0 && pairs.head._4 <= 1.0)
+    // a full-containment pair: tiny doc embedded verbatim in a larger one
+    val sub = Seq(
+      (100L, shared),
+      (101L, words(30) + " " + shared + " " + words(30))).toDF("doc_id", "text")
+    val contained = TextAnalysis
+      .winnowingOverlapPairs(sub, "doc_id", "text", minShared = 1, maxDocsPerFp = 10)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(contained.length == 1 && contained.head._4 == 1.0,
+      s"verbatim-contained doc must score containment 1.0, got ${contained.toSeq}")
     intercept[IllegalArgumentException](
       TextAnalysis.winnowingOverlapPairs(df, "doc_id", "text", minShared = 0))
   }
