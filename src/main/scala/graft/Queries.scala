@@ -2068,6 +2068,78 @@ object Queries {
        |JOIN tot tb ON tb.doc_id = p.doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Cross-corpus winnowing containment
+    * ([[ops.TextAnalysis.winnowingContainsAgainst]]): batch docs
+    * (doc_id % 7 = 1, outside the corpus slice) checked for runs already
+    * in the corpus slice (doc_id % 3 = 0) — directional containment, the
+    * ingest-time contamination probe. Oracle = tq13's full SQL
+    * re-derivation sliced two ways + the identical cap/join/threshold.
+    */
+  def dx3WinnowCross(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    ops.TextAnalysis
+      .winnowingContainsAgainst(
+        docs.where(col("doc_id") % 3 === 0),
+        docs.where(col("doc_id") % 7 === 1 && col("doc_id") % 3 =!= 0),
+        "doc_id", "text", k = 3, w = 4, minShared = 2, maxDocsPerFp = 64)
+      .orderBy(col("doc_id"), col("corpus_doc"))
+  }
+
+  val dx3Oracle: String =
+    s"""${tq13Oracle.split("\n").dropRight(2).mkString("\n")},
+       |allfp AS (SELECT DISTINCT doc_id, fp FROM sel),
+       |cfp AS (SELECT * FROM allfp WHERE doc_id % 3 = 0),
+       |keep2 AS (SELECT fp FROM cfp GROUP BY fp HAVING count(*) <= 64),
+       |pc AS (SELECT c.doc_id, c.fp FROM cfp c JOIN keep2 USING (fp)),
+       |bfp AS (SELECT * FROM allfp WHERE doc_id % 7 = 1 AND doc_id % 3 != 0),
+       |bt AS (SELECT doc_id, count(*) AS nb FROM bfp GROUP BY doc_id),
+       |cpairs AS (
+       |  SELECT b.doc_id, p.doc_id AS corpus_doc,
+       |         CAST(count(*) AS BIGINT) AS shared_fps
+       |  FROM bfp b JOIN pc p ON p.fp = b.fp
+       |  GROUP BY 1, 2 HAVING count(*) >= 2)
+       |SELECT p.doc_id, p.corpus_doc, p.shared_fps,
+       |       round(p.shared_fps::DOUBLE / bt.nb, 6) AS containment
+       |FROM cpairs p JOIN bt ON bt.doc_id = p.doc_id
+       |ORDER BY p.doc_id, corpus_doc""".stripMargin
+
+  /** Streaming twin of dx3 via foreachBatch (the IndexIngest/MergeIngest
+    * pattern — the containment pipeline aggregates per batch doc, which a
+    * single streaming plan can't chain in Append mode, but every batch
+    * doc's pairs are computed entirely from its own row + the static
+    * corpus, so per-micro-batch application of the BATCH operator unions
+    * to exactly the batch result). Two staged key-disjoint files → two
+    * micro-batches; shares dx3's oracle.
+    */
+  def st14StreamWinnowCross(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = t(spark, sfDir, "documents")
+    val corpus = docs.where(col("doc_id") % 3 === 0)
+    val batch = docs.where(col("doc_id") % 7 === 1 && col("doc_id") % 3 =!= 0)
+    val stage = java.nio.file.Files.createTempDirectory("graft-st14-stage").toString
+    batch.where(col("doc_id") % 2 === 0).coalesce(1).write.mode("overwrite").parquet(stage)
+    batch.where(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(stage)
+    val work = java.nio.file.Files.createTempDirectory("graft-st14-out").toString
+    val outDir = s"$work/out"
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!b.isEmpty) {
+          ops.TextAnalysis
+            .winnowingContainsAgainst(
+              corpus, b, "doc_id", "text",
+              k = 3, w = 4, minShared = 2, maxDocsPerFp = 64)
+            .write.mode("append").parquet(outDir): Unit
+        }
+      }
+      .option("checkpointLocation", s"$work/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).orderBy(col("doc_id"), col("corpus_doc"))
+  }
+
   /** Blocklist screen ([[ops.TextAnalysis.blocklistHits]]): hit counts +
     * keep verdict over an RE2-safe pattern list, one codegen'd projection
     * pass — the safety-filter primitive, gated byte-exact.
@@ -3889,6 +3961,7 @@ object Queries {
     "dq11_segment_dedup" -> (dq11SegmentDedup _),
     "dx1_cross_dedup" -> (dx1CrossDedup _),
     "dx2_bloom_novel" -> (dx2BloomNovel _),
+    "dx3_winnow_cross" -> (dx3WinnowCross _),
     "tq1_token_count" -> (tq1TokenCount _),
     "tq2_text_stats" -> (tq2TextStats _),
     "tq3_lang_id" -> (tq3LangId _),
@@ -3962,6 +4035,7 @@ object Queries {
     "st11_stream_late_data" -> (st11StreamLateData _),
     "st12_stream_stream_join" -> (st12StreamStreamJoin _),
     "st13_stream_merge_upsert" -> (st13StreamMergeUpsert _),
+    "st14_stream_winnow_cross" -> (st14StreamWinnowCross _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -4035,6 +4109,7 @@ object Queries {
     "dq11_segment_dedup" -> dq11Oracle,
     "dx1_cross_dedup" -> dx1Oracle,
     "dx2_bloom_novel" -> dx2Oracle,
+    "dx3_winnow_cross" -> dx3Oracle,
     "tq1_token_count" -> tq1Oracle,
     "tq2_text_stats" -> tq2Oracle,
     "tq3_lang_id" -> tq3Oracle,
@@ -4107,6 +4182,7 @@ object Queries {
     "st11_stream_late_data" -> st11Oracle,
     "st12_stream_stream_join" -> st12Oracle,
     "st13_stream_merge_upsert" -> ds2Oracle, // key-disjoint batches: replay == one merge
+    "st14_stream_winnow_cross" -> dx3Oracle, // row-local batch side: replay == batch
 
   )
 }

@@ -364,6 +364,58 @@ object TextAnalysis {
           .as("containment"))
   }
 
+  /** Cross-corpus winnowing containment — the DIRECTIONAL form of
+    * [[winnowingOverlapPairs]] for incremental ingest and contamination
+    * checks: which batch documents contain runs already present in the
+    * corpus, and where. Per (batch doc, corpus doc) with ≥ `minShared`
+    * shared fingerprints: the shared count and `containment` = shared /
+    * batch doc's fingerprint mass (1.0 ⇒ every batch fingerprint already
+    * exists in that corpus doc — verbatim inclusion at winnowing
+    * granularity). Never a corpus self-join: corpus fingerprints are
+    * computed once (re-usable as a persisted artifact by writing the
+    * [[winnowingFingerprints]] frame), the hot-fp cap is corpus-side
+    * frequency (boilerplate suppression), and the join is
+    * batch-fps × capped-corpus-fps on the hash value. Stream-safe: the
+    * batch side is stateless row-local work, so a micro-batch replay
+    * equals the batch form (the dx1/st6 pattern).
+    */
+  def winnowingContainsAgainst(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxDocsPerFp: Int = 64,
+      portableHash: Boolean = true): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDocsPerFp >= 1, s"maxDocsPerFp must be >= 1, got $maxDocsPerFp")
+    val corpusFps = winnowingFingerprints(corpus, idCol, textCol, k, w, portableHash)
+      .select(col(idCol).as("_cid"), col("fp"))
+      .distinct()
+    val keep = corpusFps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("_n"))
+      .where(col("_n") <= maxDocsPerFp)
+      .select(col("fp"))
+    val prunedCorpus = corpusFps.join(keep, "fp")
+    val batchFps = winnowingFingerprints(batch, idCol, textCol, k, w, portableHash)
+      .select(col(idCol).as("_bid"), col("fp"))
+      .distinct()
+    val batchTotals = batchFps.groupBy(col("_bid")).agg(count(lit(1)).as("_nb"))
+    batchFps
+      .join(prunedCorpus, "fp")
+      .groupBy(col("_bid"), col("_cid"))
+      .agg(count(lit(1)).cast("bigint").as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+      .join(batchTotals, "_bid")
+      .select(
+        col("_bid").as("doc_id"),
+        col("_cid").as("corpus_doc"),
+        col("shared_fps"),
+        round(col("shared_fps") / col("_nb"), 6).as("containment"))
+  }
+
   /** Blocklist screening — the safety-filter primitive: per document, the
     * total match count across a pattern list (chained codegen'd
     * `regexp_count` — one projection pass, no shuffle) and the keep/flag

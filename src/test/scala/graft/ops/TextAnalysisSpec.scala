@@ -294,6 +294,27 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.winnowingOverlapPairs(df, "doc_id", "text", minShared = 0))
   }
 
+  test("winnowingContainsAgainst: directional containment vs a static corpus") {
+    val rnd = new scala.util.Random(29)
+    def words(n: Int) = Seq.fill(n)(s"c${rnd.nextInt(1000000)}").mkString(" ")
+    val run = (1 to 10).map(i => s"shared$i").mkString(" ")
+    val corpus = Seq(
+      (100L, words(20) + " " + run + " " + words(20)),
+      (101L, words(40))).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, run),                          // fully contained in corpus 100
+      (2L, words(10) + " " + run),        // partially contained
+      (3L, words(25))).toDF("doc_id", "text") // novel
+    val out = TextAnalysis
+      .winnowingContainsAgainst(corpus, batch, "doc_id", "text", minShared = 1)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._4))).toMap
+    assert(out(1L)._1 == 100L && out(1L)._2 == 1.0,
+      s"verbatim batch doc must have containment 1.0, got $out")
+    assert(out(2L)._1 == 100L && out(2L)._2 > 0.0 && out(2L)._2 < 1.0)
+    assert(!out.contains(3L), "novel doc must not pair")
+  }
+
   test("heavyHitterNgrams equals the exact GROUP BY/HAVING on a long-tailed corpus") {
     val rnd = new scala.util.Random(7)
     // 3 heavy bigrams repeated massively + a long tail of singletons
