@@ -3580,6 +3580,47 @@ object Queries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Tokenized-dataset export ([[ops.Bpe.tokenIdRows]]): one row per
+    * (doc, position) with the BPE token id under the corpus's own
+    * lexicographic vocabulary — the materialization step between
+    * curation and shard writing. The oracle re-runs the trainer CTE
+    * chain, re-encodes every document, re-derives the vocabulary with
+    * the identical ordering rule, and re-joins — training, encoding,
+    * vocabulary, and id assignment all gated in one query.
+    */
+  def bp3TokenIds(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val merges = ops.Bpe.trainMerges(docs, "text", bpeNMerges)
+    ops.Bpe
+      .tokenIdRows(docs, "doc_id", "text", merges)
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  val bp3Oracle: String = {
+    val delim =
+      s"$bpeB || regexp_replace(regexp_replace(text, '([^\\s])', '\\1' || $bpeB, 'g'), " +
+        s"'(\\s)', '\\1' || $bpeB, 'g')"
+    val applied = (0 until bpeNMerges).foldLeft(delim) { (acc, i) =>
+      s"replace($acc,\n  $bpeS || (SELECT sym_a FROM b$i) || $bpeB || (SELECT sym_b FROM b$i) || $bpeS,\n" +
+        s"  $bpeS || (SELECT sym_a FROM b$i) || (SELECT sym_b FROM b$i) || $bpeS)"
+    }
+    s"""WITH ${bpeCtes(bpeNMerges)},
+       |enc AS (
+       |  SELECT doc_id,
+       |         list_filter(str_split($applied, chr(31)), s -> trim(s) != '') AS syms
+       |  FROM documents),
+       |vocab AS (
+       |  SELECT sym, row_number() OVER (ORDER BY sym) AS id
+       |  FROM (SELECT DISTINCT unnest(syms) AS sym FROM enc)),
+       |ex AS (
+       |  SELECT doc_id, unnest(syms) AS sym,
+       |         unnest(range(1, len(syms) + 1)) AS pos
+       |  FROM enc)
+       |SELECT e.doc_id, CAST(e.pos AS INT) AS pos, CAST(v.id AS BIGINT) AS token_id
+       |FROM ex e JOIN vocab v USING (sym)
+       |ORDER BY e.doc_id, pos""".stripMargin
+  }
+
   /** Contrastive training-pair generation, composed from existing
     * operators (no new machinery): for each anchor (vec_id % 25 == 0),
     * 3 POSITIVES = exact k-NN by embedding ([[ops.Similarity.knnJoin]] —
@@ -4006,6 +4047,7 @@ object Queries {
     "vb2_heavy_hitters" -> (vb2HeavyHitters _),
     "bp1_bpe_merges" -> (bp1BpeMerges _),
     "bp2_bpe_encode" -> (bp2BpeEncode _),
+    "bp3_token_ids" -> (bp3TokenIds _),
     "bm1_bm25_topk" -> (bm1Bm25Topk _),
     "bq1_bm25_bulk" -> (bq1Bm25Bulk _),
     "bq2_bm25_postings" -> (bq2Bm25Postings _),
@@ -4154,6 +4196,7 @@ object Queries {
     "vb2_heavy_hitters" -> vb2Oracle,
     "bp1_bpe_merges" -> bp1Oracle,
     "bp2_bpe_encode" -> bp2Oracle,
+    "bp3_token_ids" -> bp3Oracle,
     "bm1_bm25_topk" -> bm1Oracle,
     "bq1_bm25_bulk" -> bq1Oracle,
     "bq2_bm25_postings" -> bq1Oracle, // same pipeline over persisted artifacts

@@ -121,18 +121,63 @@ object Bpe {
         regexp_replace(text, "([^\\s])", "$1" + Bnd),
         "(\\s)", "$1" + Bnd))
 
-  /** Apply trained merges (in rank order) to a text column and return its
-    * BPE token count — `nMerges` chained codegen'd `replace` passes plus
-    * one split/filter, a pure projection (the [[TextAnalysis.piiScrub]]
-    * plan shape: no shuffle, linear in corpus bytes).
+  /** The encoded symbol array of a text column under trained merges —
+    * `nMerges` chained codegen'd `replace` passes plus one split/filter,
+    * a pure projection (the [[TextAnalysis.piiScrub]] plan shape: no
+    * shuffle, linear in corpus bytes).
     */
-  def tokenCount(text: Column, merges: Seq[Merge]): Column = {
+  def encodedSymbols(text: Column, merges: Seq[Merge]): Column = {
     val applied = merges.sortBy(_.rank).foldLeft(delimited(text)) { (c, m) =>
       replace(
         c,
         lit(Sep + m.symA + Bnd + m.symB + Sep),
         lit(Sep + m.symA + m.symB + Sep))
     }
-    size(filter(split(applied, Sep), s => trim(s) =!= ""))
+    filter(split(applied, Sep), s => trim(s) =!= "")
+  }
+
+  /** BPE token count of a text column under trained merges. */
+  def tokenCount(text: Column, merges: Seq[Merge]): Column =
+    size(encodedSymbols(text, merges))
+
+  /** The corpus vocabulary under trained merges: one row per DISTINCT
+    * encoded symbol with a dense 1-based id in LEXICOGRAPHIC symbol order
+    * — deterministic, partition-invariant, and re-derivable in plain SQL
+    * (frequency-ranked ids would also work but tie-break on counts is
+    * where cross-engine drift creeps in). One distinct over the encoded
+    * corpus + a |vocab|-row sort: the vocab table is tiny (base chars +
+    * one entry per merge) no matter the corpus size.
+    */
+  def vocabulary(df: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(explode(encodedSymbols(col(textCol), merges)).as("sym"))
+      .distinct()
+      .withColumn("id", row_number().over(Window.orderBy(col("sym"))).cast("bigint"))
+  }
+
+  /** Tokenized-dataset export: one row per (doc, position) with the BPE
+    * token id under `vocab` (default: the corpus's own [[vocabulary]]) —
+    * the materialization step between corpus curation and training-shard
+    * writing. Encoding is the projection-only chained-replace pass;
+    * ids come from ONE broadcast join against the tiny vocab table;
+    * unknown symbols (encoding with a foreign vocab) get id −1 rather
+    * than dropping positions. `pos` is 1-based.
+    */
+  def tokenIdRows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[Merge],
+      vocab: Option[DataFrame] = None): DataFrame = {
+    val v = vocab.getOrElse(vocabulary(df, textCol, merges))
+      .select(col("sym").as("_vsym"), col("id").as("_vid"))
+    df.select(
+        col(idCol),
+        posexplode(encodedSymbols(col(textCol), merges)).as(Seq("_p", "_sym")))
+      .join(broadcast(v), col("_sym") === col("_vsym"), "left")
+      .select(
+        col(idCol),
+        (col("_p") + 1).cast("int").as("pos"),
+        coalesce(col("_vid"), lit(-1L)).as("token_id"))
   }
 }

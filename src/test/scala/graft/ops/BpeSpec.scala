@@ -42,6 +42,31 @@ class BpeSpec extends SparkSpec {
     assert(chars == Seq(9, 6, 4, 0))
   }
 
+  test("tokenIdRows: ids are the lexicographic vocab, counts agree, OOV is -1") {
+    val docs = Seq((1L, "abab abc"), (2L, "cc")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, "text", 2)
+    val vocab = Bpe.vocabulary(docs, "text", merges)
+      .as[(String, Long)].collect().toMap
+    // vocab ids are dense 1..V in lexicographic symbol order
+    assert(vocab.values.toSeq.sorted == (1L to vocab.size))
+    assert(vocab.keys.toSeq.sorted.zipWithIndex.forall { case (s, i) => vocab(s) == i + 1 })
+    val rows = Bpe.tokenIdRows(docs, "doc_id", "text", merges)
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    // positions are dense 1..n per doc; every id resolves (no -1 here)
+    val byDoc = rows.groupBy(_._1)
+    byDoc.foreach { case (_, rs) => assert(rs.map(_._2).sorted.toSeq == (1 to rs.length)) }
+    assert(rows.forall(_._3 >= 1))
+    // per-doc row count == tokenCount under the same merges
+    val counts = docs.select(col("doc_id"), Bpe.tokenCount(col("text"), merges))
+      .as[(Long, Int)].collect().toMap
+    byDoc.foreach { case (d, rs) => assert(rs.length == counts(d)) }
+    // encoding with a FOREIGN vocab marks unknown symbols -1, keeps positions
+    val tiny = Bpe.vocabulary(Seq((9L, "zz")).toDF("doc_id", "text"), "text", Nil)
+    val oov = Bpe.tokenIdRows(docs, "doc_id", "text", merges, vocab = Some(tiny))
+      .as[(Long, Int, Long)].collect()
+    assert(oov.length == rows.length && oov.forall(_._3 == -1L))
+  }
+
   test("merged token counts never exceed character counts and shrink monotonically") {
     val docs = spark.read
       .option("pathGlobFilter", "documents.parquet")
