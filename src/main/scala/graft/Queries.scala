@@ -2140,6 +2140,45 @@ object Queries {
     spark.read.parquet(outDir).orderBy(col("doc_id"), col("corpus_doc"))
   }
 
+  /** Classifier-training sufficient statistics ([[ops.Linear.bowMoments]]):
+    * the normal-equation moments for ridge-regressing `lang = 'en'` on
+    * 16 hashed-BOW buckets — the 100 TB-distributed HALF of quality-
+    * classifier training, BIGINT-exact so the whole Gram/moment job
+    * hash-gates; the driver-side 17×17 solve and fixed-point deployment
+    * are spec-gated end to end (LinearSpec).
+    */
+  def lr1BowMoments(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Linear
+      .bowMoments(
+        t(spark, sfDir, "documents"), col("doc_id"), col("text"),
+        (col("lang") === "en").cast("int"), dim = 16)
+      .orderBy(col("kind"), col("i"), col("j"))
+
+  val lr1Oracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+      |  FROM documents WHERE trim(text) != ''),
+      |cnt AS (
+      |  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT % 16 AS i,
+      |         CAST(count(*) AS BIGINT) AS x
+      |  FROM tok GROUP BY 1, 2),
+      |lab AS (SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS y FROM documents)
+      |SELECT * FROM (
+      |  SELECT 'xx' AS kind, a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS v
+      |  FROM cnt a JOIN cnt b ON a.doc_id = b.doc_id AND a.i <= b.i GROUP BY 2, 3
+      |  UNION ALL
+      |  SELECT 'xy', c.i, -1, CAST(sum(c.x * l.y) AS BIGINT)
+      |  FROM cnt c JOIN lab l USING (doc_id) GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'x', i, -1, CAST(sum(x) AS BIGINT) FROM cnt GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'y', -1, -1, CAST(sum(y) AS BIGINT) FROM lab
+      |  UNION ALL
+      |  SELECT 'yy', -1, -1, CAST(sum(y * y) AS BIGINT) FROM lab
+      |  UNION ALL
+      |  SELECT 'n', -1, -1, CAST(count(*) AS BIGINT) FROM lab)
+      |ORDER BY kind, i, j""".stripMargin
+
   /** Blocklist screen ([[ops.TextAnalysis.blocklistHits]]): hit counts +
     * keep verdict over an RE2-safe pattern list, one codegen'd projection
     * pass — the safety-filter primitive, gated byte-exact.
@@ -4033,6 +4072,7 @@ object Queries {
     "pq9_top_fraction" -> (pq9TopFraction _),
     "pq10_curriculum_buckets" -> (pq10CurriculumBuckets _),
     "pq11_blocklist" -> (pq11Blocklist _),
+    "lr1_bow_moments" -> (lr1BowMoments _),
     "ds1_snapshot_diff" -> (ds1SnapshotDiff _),
     "ds2_merge_upsert" -> (ds2MergeUpsert _),
     "dm1_source_cap" -> (dm1SourceCap _),
@@ -4182,6 +4222,7 @@ object Queries {
     "pq9_top_fraction" -> pq9Oracle,
     "pq10_curriculum_buckets" -> pq10Oracle,
     "pq11_blocklist" -> pq11Oracle,
+    "lr1_bow_moments" -> lr1Oracle,
     "ds1_snapshot_diff" -> ds1Oracle,
     "ds2_merge_upsert" -> ds2Oracle,
     "dm1_source_cap" -> dm1Oracle,
