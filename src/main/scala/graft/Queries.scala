@@ -2140,6 +2140,26 @@ object Queries {
     spark.read.parquet(outDir).orderBy(col("doc_id"), col("corpus_doc"))
   }
 
+  /** Size-balanced shards ([[ops.Corpus.balancedShards]]): serpentine
+    * deal over the distributed global (n_chars DESC, doc_id) rank —
+    * per-shard byte totals equalized without a global window. The oracle
+    * is the window form of the identical rank + serpentine rule.
+    */
+  def sh1BalancedShards(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Corpus
+      .balancedShards(
+        t(spark, sfDir, "documents"), col("doc_id"), col("n_chars"), shards = 5)
+      .orderBy(col("id"))
+
+  val sh1Oracle: String =
+    """SELECT doc_id AS id,
+      |  CAST(CASE WHEN (rk // 5) % 2 = 0 THEN rk % 5 ELSE 4 - rk % 5 END AS INT)
+      |    AS shard
+      |FROM (SELECT doc_id,
+      |        row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rk
+      |      FROM documents)
+      |ORDER BY id""".stripMargin
+
   /** Classifier-training sufficient statistics ([[ops.Linear.bowMoments]]):
     * the normal-equation moments for ridge-regressing `lang = 'en'` on
     * 16 hashed-BOW buckets — the 100 TB-distributed HALF of quality-
@@ -4073,6 +4093,7 @@ object Queries {
     "pq10_curriculum_buckets" -> (pq10CurriculumBuckets _),
     "pq11_blocklist" -> (pq11Blocklist _),
     "lr1_bow_moments" -> (lr1BowMoments _),
+    "sh1_balanced_shards" -> (sh1BalancedShards _),
     "ds1_snapshot_diff" -> (ds1SnapshotDiff _),
     "ds2_merge_upsert" -> (ds2MergeUpsert _),
     "dm1_source_cap" -> (dm1SourceCap _),
@@ -4223,6 +4244,7 @@ object Queries {
     "pq10_curriculum_buckets" -> pq10Oracle,
     "pq11_blocklist" -> pq11Oracle,
     "lr1_bow_moments" -> lr1Oracle,
+    "sh1_balanced_shards" -> sh1Oracle,
     "ds1_snapshot_diff" -> ds1Oracle,
     "ds2_merge_upsert" -> ds2Oracle,
     "dm1_source_cap" -> dm1Oracle,

@@ -713,6 +713,53 @@ object Corpus {
     df.withColumn(bucketName, bucket)
   }
 
+  /** Size-balanced shard assignment — the shard-writer's bin packing:
+    * rows rank globally by `(sizeCol DESC, idCol ASC)` and deal into
+    * `shards` in SERPENTINE order (shard s, then back from shard
+    * shards−1 — the longest-processing-time heuristic on a sorted
+    * stream), so per-shard byte totals stay within ~one max item of each
+    * other where hash or round-robin assignment can skew by the size
+    * distribution. The global rank is distributed (the [[topFraction]]
+    * machinery): range-partition the rank keys, count partitions
+    * (O(partitions) to the driver), then each partition computes its
+    * rows' ranks from its prefix offset — no global window, no
+    * single-partition sort. Returns (id, shard); join back on the id for
+    * the full rows (one key shuffle — or broadcast when assigning a
+    * dimension-sized table).
+    */
+  def balancedShards(
+      df: DataFrame,
+      idCol: Column,
+      sizeCol: Column,
+      shards: Int): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(idCol.cast("long").as("_id"), sizeCol.cast("long").as("_sz"))
+    val ranged = keyed
+      .select(negate(col("_sz")).as("_nsz"), col("_id"))
+      .repartitionByRange(col("_nsz"), col("_id"))
+      .sortWithinPartitions(col("_nsz"), col("_id"))
+    val counts = ranged.rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val prefixes = counts.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(prefixes)
+    val s = shards.toLong
+    ranged.rdd
+      .mapPartitionsWithIndex { (p, it) =>
+        var rank = bc.value(p) // 0-based global rank in (size desc, id) order
+        it.map { row =>
+          val round = rank / s
+          val off = rank % s
+          val shard = if (round % 2 == 0L) off else s - 1 - off
+          rank += 1
+          (row.getLong(1), shard.toInt)
+        }
+      }
+      .toDF("id", "shard")
+  }
+
   /** Per-group robust distribution profile — the data-quality monitor for
     * heterogeneous corpora: per `groupCol`, the count, exact median of
     * `valueCol`, and the MAD (median absolute deviation — the robust

@@ -211,6 +211,9 @@ object TextScaleBench {
         .as("n_hits"))
     def curriculum() = graft.ops.Corpus.quantileBuckets(
       docs, length(col("text")), col("doc_id"), buckets = 8)
+    def lrMoments() = graft.ops.Linear.bowMoments(
+      docs, col("doc_id"), col("text"),
+      (col("lang") === "en").cast("int"), dim = 16)
     def cdcMerge() = graft.ops.Corpus.mergeUpsert(
       docs.where(col("doc_id") % 7 =!= 0),
       docs.where(col("doc_id") % 5 === 0)
@@ -244,6 +247,7 @@ object TextScaleBench {
       "heavy_hitters_exact" -> (heavyHittersExact _),
       "blocklist_screen" -> (blocklist _),
       "curriculum_ntile8" -> (curriculum _),
+      "lr_moments_d16" -> (lrMoments _),
       "cdc_merge" -> (cdcMerge _))
 
     // SPARK_GRAFT_TEXTSCALE_ONLY=name1,name2 narrows a re-probe to the

@@ -74,6 +74,31 @@ class CorpusSpec extends SparkSpec {
       Corpus.assembleSequences(df, col("k"), Nil, col("v"), 5))
   }
 
+  test("balancedShards: serpentine over global size rank equalizes shard bytes") {
+    val rnd = new scala.util.Random(41)
+    // lognormal-ish sizes: the skew that breaks hash/round-robin sharding
+    val rows = (0 until 997).map(i =>
+      (i.toLong, math.exp(rnd.nextGaussian() * 1.5 + 5).toLong max 1L))
+    val df = rows.toDF("id", "sz").repartition(7)
+    val shards = 6
+    val assign = Corpus.balancedShards(df, col("id"), col("sz"), shards)
+      .as[(Long, Int)].collect().toMap
+    assert(assign.size == 997)
+    assert(assign.values.forall(s => s >= 0 && s < shards))
+    val size = rows.toMap
+    val totals = assign.groupBy(_._2).view.mapValues(_.keys.map(size).sum).toMap
+    val maxItem = size.values.max
+    assert(totals.size == shards)
+    // serpentine on the sorted stream: spread bounded by ~one max item
+    assert(totals.values.max - totals.values.min <= maxItem,
+      s"imbalance ${totals.values.max - totals.values.min} vs max item $maxItem")
+    // per-shard counts differ by at most one full round
+    val counts = assign.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(counts.values.max - counts.values.min <= 1)
+    intercept[IllegalArgumentException](
+      Corpus.balancedShards(df, col("id"), col("sz"), 0))
+  }
+
   test("groupProfile: robust median/MAD per group, outliers flagged, stddev-proof") {
     // group a: tight around 100 with one wild outlier (MAD ignores it);
     // group b: clean spread, no outliers
