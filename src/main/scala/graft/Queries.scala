@@ -574,6 +574,27 @@ object Queries {
        |FROM (SELECT vec_id, list_transform(embedding, $duckSq8) AS c FROM embeddings)
        |ORDER BY vec_id""".stripMargin
 
+  /** Quantized mean-pooling ([[ops.Quantize.sq8MeanPool]]): 10-vector
+    * groups reduced to one SQ8 embedding each in exact integer
+    * arithmetic (floor-div of code sums) — hash-gated per (group, dim).
+    */
+  def zq9Sq8MeanPool(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Quantize
+      .sq8MeanPool(
+        t(spark, sfDir, "embeddings"),
+        floor(col("vec_id") / 10).cast("bigint"), "embedding")
+      .orderBy(col("group_id"), col("dim"))
+
+  val zq9Oracle: String =
+    s"""WITH z AS (
+       |  SELECT vec_id // 10 AS group_id,
+       |         unnest(list_transform(embedding, $duckSq8)) AS c,
+       |         unnest(range(0, len(embedding))) AS dim
+       |  FROM embeddings)
+       |SELECT group_id, CAST(dim AS INT) AS dim,
+       |       CAST(floor(sum(c)::DOUBLE / count(*)) AS BIGINT) AS code
+       |FROM z GROUP BY 1, 2 ORDER BY group_id, dim""".stripMargin
+
   /** Two-phase compressed search: coarse rank on codes, exact re-rank of
     * the oversampled survivors — gated against the exact brute-force top-k
     * (the refine step must recover it).
@@ -1021,6 +1042,32 @@ object Queries {
       |  array_to_string((list(event_type ORDER BY ts, event_id))[1:20], '>') AS seq_str,
       |  CAST(least(count(*), 20) AS INTEGER) AS n
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Sequence-context features ([[ops.Features.lagFeatures]]): per-user
+    * event rank, inter-event gap, and 1-hour rolling count — the
+    * behavioral-model feature pass, gated against DuckDB's identical
+    * window chain (rank/lag tie-broken on event_id; the rolling count is
+    * time-RANGE framed, so tied timestamps share a frame in both
+    * engines).
+    */
+  def qe3LagFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Features
+      .lagFeatures(
+        t(spark, sfDir, "events"),
+        col("user_id"), col("ts"), col("event_id"), windowUs = 3600L * 1000000L)
+      .select(col("event_id"), col("user_id"), col("seq"), col("gap_us"), col("rolling_n"))
+      .orderBy(col("event_id"))
+
+  val qe3Oracle: String =
+    """SELECT event_id, user_id,
+      |  CAST(row_number() OVER w AS INT) AS seq,
+      |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
+      |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS rolling_n
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |ORDER BY event_id""".stripMargin
 
   /** Range-sorted layout: events rewritten range-partitioned + sorted on
     * (user_id, ts) so per-user time-range scans prune at the row-group
@@ -4029,6 +4076,7 @@ object Queries {
     "zq6_ivfpq_residual_topk" -> (zq6IvfPqResidualTopk _),
     "zq7_bin_coarse_topk" -> (zq7BinCoarseTopk _),
     "zq8_bin_refined_topk" -> (zq8BinRefinedTopk _),
+    "zq9_sq8_mean_pool" -> (zq9Sq8MeanPool _),
     "q1_agg" -> (q1Agg _),
     "q3_join" -> (q3Join _),
     "q5_region_revenue" -> (q5RegionRevenue _),
@@ -4040,6 +4088,7 @@ object Queries {
     "va2_ivf_knn_join" -> (va2IvfKnnJoin _),
     "qe_events_hourly" -> (qeEventsHourly _),
     "qe2_user_sequences" -> (qe2UserSequences _),
+    "qe3_lag_features" -> (qe3LagFeatures _),
     "lq1_sorted_layout" -> (lq1SortedLayout _),
     "lq2_compact" -> (lq2Compact _),
     "lq3_bycell_layout" -> (lq3ByCellLayout _),
@@ -4178,6 +4227,7 @@ object Queries {
     "zq6_ivfpq_residual_topk" -> vq1Oracle, // covering exactness, residual path
     "zq7_bin_coarse_topk" -> zq7Oracle,
     "zq8_bin_refined_topk" -> vq1Oracle, // covering oversample == brute force
+    "zq9_sq8_mean_pool" -> zq9Oracle,
 
     "va2_ivf_knn_join" -> vq6Oracle,
     "q1_agg" -> q1Oracle,
@@ -4190,6 +4240,7 @@ object Queries {
     // va1_ann_nprobe4 intentionally has no oracle (ANN subset)
     "qe_events_hourly" -> qeOracle,
     "qe2_user_sequences" -> qe2Oracle,
+    "qe3_lag_features" -> qe3Oracle,
     "lq1_sorted_layout" -> lq1Oracle,
     "lq2_compact" -> lq2Oracle,
     "lq3_bycell_layout" -> lq3Oracle,

@@ -133,4 +133,25 @@ object Quantize {
         col(idCol))
       .limit(k)
   }
+
+  /** Mean-pool member vectors into one quantized embedding per group IN
+    * CODE SPACE — the multi-vector → single-vector reduction (token
+    * embeddings → document embedding, patch embeddings → image
+    * embedding) done on the 4×-smaller SQ8 codes with EXACT integer
+    * arithmetic: per (group, dim), `floor(Σ code / n)` — floor, not
+    * truncate, so negative sums round identically everywhere (the
+    * hash-gate detail; code sums stay far under 2⁵³ so the double
+    * division is exact). One map-side-combined groupBy of |groups|·dim
+    * rows; output (group_id, dim, code) composes directly with
+    * [[coarseTopK]]-style integer scoring or [[graft.functions.sq8_decode]]
+    * for float use.
+    */
+  def sq8MeanPool(df: DataFrame, groupCol: Column, vecCol: String): DataFrame =
+    df.select(
+        groupCol.as("group_id"),
+        posexplode(graft.functions.sq8_codes(sq8_encode(col(vecCol))))
+          .as(Seq("dim", "c")))
+      .groupBy(col("group_id"), col("dim"))
+      .agg(
+        floor(sum(col("c")).cast("double") / count(lit(1))).cast("bigint").as("code"))
 }
