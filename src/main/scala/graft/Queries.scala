@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{array_cosine_similarity, array_distance, float_vector}
@@ -1068,6 +1068,37 @@ object Queries {
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
       |ORDER BY event_id""".stripMargin
+
+  /** Streaming lag features ([[streaming.EventStreams.lagFeaturesStream]]):
+    * the events table staged as two TIME-SPLIT files replayed one per
+    * micro-batch — the second batch's first event per user needs the
+    * state carried from the first (seq counter, last timestamp, rolling
+    * window), so this gates genuine cross-batch state, not just replay
+    * plumbing. Shares qe3's batch oracle.
+    */
+  def st15StreamLagFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val events = t(spark, sfDir, "events")
+    val Row(lo: Long, hi: Long) = events
+      .agg(
+        unix_micros(min(col("ts")).cast("timestamp")),
+        unix_micros(max(col("ts")).cast("timestamp")))
+      .head()
+    val cutoff = lo + (hi - lo) / 2
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val stage = java.nio.file.Files.createTempDirectory("graft-st15-stage").toString
+    events.where(us < cutoff).coalesce(1).write.mode("overwrite").parquet(stage)
+    events.where(us >= cutoff).coalesce(1).write.mode("append").parquet(stage)
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    streaming.EventStreams
+      .replayToTable(
+        spark,
+        streaming.EventStreams.lagFeaturesStream(spark, stream, 3600L * 1000000L),
+        OutputMode.Append(), statePartitions = Some(ReplayStatePartitions))
+      .select(col("event_id"), col("user_id"), col("seq"), col("gap_us"), col("rolling_n"))
+      .orderBy(col("event_id"))
+  }
 
   /** Range-sorted layout: events rewritten range-partitioned + sorted on
     * (user_id, ts) so per-user time-range scans prune at the row-group
@@ -4188,6 +4219,7 @@ object Queries {
     "st12_stream_stream_join" -> (st12StreamStreamJoin _),
     "st13_stream_merge_upsert" -> (st13StreamMergeUpsert _),
     "st14_stream_winnow_cross" -> (st14StreamWinnowCross _),
+    "st15_stream_lag_features" -> (st15StreamLagFeatures _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -4340,6 +4372,7 @@ object Queries {
     "st12_stream_stream_join" -> st12Oracle,
     "st13_stream_merge_upsert" -> ds2Oracle, // key-disjoint batches: replay == one merge
     "st14_stream_winnow_cross" -> dx3Oracle, // row-local batch side: replay == batch
+    "st15_stream_lag_features" -> qe3Oracle, // cross-batch state == batch windows
 
   )
 }

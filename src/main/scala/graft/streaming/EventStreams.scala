@@ -240,4 +240,64 @@ object EventStreams {
       }
       .toDF()
   }
+
+  final case class LagState(seq: Int, lastUs: Long, recent: Seq[Long])
+  final case class LagRow(
+      event_id: Long, user_id: Long, seq: Int, gap_us: Option[Long], rolling_n: Long)
+
+  /** Streaming sequence-context features — the feature-store shape of
+    * [[graft.ops.Features.lagFeatures]]: per-user event rank, inter-event
+    * gap, and time-range rolling count maintained ACROSS micro-batches
+    * via flatMapGroupsWithState (state = seq counter, last timestamp,
+    * and the timestamps inside the rolling window — bounded by the
+    * window span per key). Emits one feature row per input event.
+    *
+    * Tie semantics match the batch RANGE frame: events sharing a
+    * timestamp are processed as one peer group, and each peer's
+    * rolling count includes the whole group (SQL RANGE counts peers).
+    * Batches must arrive in per-key event-time order, with tie groups
+    * unsplit — the staged-replay contract (production fronts this with
+    * a watermark + per-trigger sort).
+    */
+  def lagFeaturesStream(
+      spark: SparkSession, events: DataFrame, windowUs: Long): DataFrame = {
+    import spark.implicits._
+    require(windowUs >= 0, s"windowUs must be >= 0, got $windowUs")
+    events
+      .select(col("user_id"), col("event_id"), tsMicros(col("ts")).as("ts_us"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[LagState]) =>
+          val sorted = rows.toArray.sortBy(r => (r._3, r._2))
+          var st = state.getOption.getOrElse(LagState(0, Long.MinValue, Vector.empty))
+          val out = Vector.newBuilder[LagRow]
+          var i = 0
+          while (i < sorted.length) {
+            val ts = sorted(i)._3
+            var j = i
+            while (j < sorted.length && sorted(j)._3 == ts) j += 1
+            // peer group [i, j): rolling count includes every peer
+            val kept = st.recent.filter(_ >= ts - windowUs)
+            val rolling = kept.length.toLong + (j - i)
+            var k = i
+            while (k < j) {
+              val (_, id, _) = sorted(k)
+              val seq = st.seq + (k - i) + 1
+              val gap =
+                if (st.seq + (k - i) == 0) None
+                else if (k == i) Some(ts - st.lastUs)
+                else Some(0L)
+              out += LagRow(id, user, seq, gap, rolling)
+              k += 1
+            }
+            st = LagState(st.seq + (j - i), ts, kept ++ Seq.fill(j - i)(ts))
+            i = j
+          }
+          state.update(st)
+          out.result().iterator
+      }
+      .toDF()
+  }
 }

@@ -33,6 +33,40 @@ class EventStreamsSpec extends SparkSpec {
     assert(last == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("streaming lag features carry seq/gap/rolling state across batches; ties are peers") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long)]
+    val events = input.toDF().toDF("user_id", "event_id", "ts_us")
+      .select(
+        col("user_id"), col("event_id"), timestamp_micros(col("ts_us")).as("ts"))
+    val feats = EventStreams.lagFeaturesStream(spark, events, H)
+    val query = feats.writeStream
+      .format("memory").queryName("lag_test").outputMode(OutputMode.Append())
+      .start()
+    // batch 1: user 1 at t=0 and two TIED events at t=10min
+    input.addData((1L, 1L, 0L), (1L, 2L, 600L * H / 3600), (1L, 3L, 600L * H / 3600))
+    query.processAllAvailable()
+    // batch 2: user 1 at t=30min (gap must use batch-1 state; rolling
+    // window still holds all three earlier events)
+    input.addData((1L, 4L, 1800L * H / 3600))
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("lag_test")
+      .select("event_id", "seq", "gap_us", "rolling_n")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3))))
+      .toMap
+    val tenMin = 600L * 1000000L
+    assert(out(1L) == ((1, None, 1L)))
+    // tied peers: both count the full peer group in rolling_n; the second
+    // peer's gap is 0 (same timestamp)
+    assert(out(2L) == ((2, Some(tenMin), 3L)))
+    assert(out(3L) == ((3, Some(0L), 3L)))
+    // cross-batch: gap from the last batch-1 event, window holds all 4
+    assert(out(4L) == ((4, Some(2L * tenMin), 4L)))
+  }
+
   test("streaming user counts accumulate across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Long]
