@@ -2115,6 +2115,37 @@ object Queries {
       |SELECT doc_id, CAST(pos AS INT) AS pos, fp
       |FROM sel ORDER BY doc_id, pos, fp""".stripMargin
 
+  /** Fuzzy-key pairs ([[ops.Dedup.editDistance1Pairs]]): documents whose
+    * 12-char text prefixes sit within edit distance 1, via the FastSS
+    * deletion-neighborhood join — complete for ed ≤ 1, no n² cross join.
+    * The oracle re-derives the variants, the hot-variant cap, the
+    * candidate join, and the levenshtein verify in SQL.
+    */
+  def dq13FuzzyPairs(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Dedup
+      .editDistance1Pairs(
+        t(spark, sfDir, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 12).as("key")),
+        "doc_id", "key", maxBucket = 64)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val dq13Oracle: String =
+    """WITH k AS (SELECT doc_id, substr(text, 1, 12) AS key FROM documents),
+      |vt AS (
+      |  SELECT DISTINCT doc_id, key,
+      |    unnest(list_prepend(key,
+      |      [key[1:i-1] || key[i+1:] for i in range(1, len(key) + 1)])) AS v
+      |  FROM k),
+      |keepv AS (SELECT v FROM vt GROUP BY v HAVING count(*) <= 64),
+      |pv AS (SELECT t.* FROM vt t JOIN keepv USING (v)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         a.key AS ka, b.key AS kb
+      |  FROM pv a JOIN pv b ON a.v = b.v AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, CAST(levenshtein(ka, kb) AS INT) AS dist
+      |FROM cand WHERE levenshtein(ka, kb) <= 1
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Winnowing overlap pairs ([[ops.TextAnalysis.winnowingOverlapPairs]]):
     * pairs sharing ≥ 2 distinct fingerprints under the hot-fp cap — the
     * oracle extends tq13's full SQL re-derivation with the identical
@@ -4156,6 +4187,7 @@ object Queries {
     "tq12_chunk" -> (tq12Chunk _),
     "tq13_winnowing" -> (tq13Winnowing _),
     "dq12_winnow_pairs" -> (dq12WinnowPairs _),
+    "dq13_fuzzy_pairs" -> (dq13FuzzyPairs _),
     "dc1_decontam" -> (dc1Decontam _),
     "dc2_overlap_frac" -> (dc2OverlapFrac _),
     "dc3_semantic_decontam" -> (dc3SemanticDecontam _),
@@ -4310,6 +4342,7 @@ object Queries {
     "tq12_chunk" -> tq12Oracle,
     "tq13_winnowing" -> tq13Oracle,
     "dq12_winnow_pairs" -> dq12Oracle,
+    "dq13_fuzzy_pairs" -> dq13Oracle,
     "dc1_decontam" -> dc1Oracle,
     "dc2_overlap_frac" -> dc2Oracle,
     "dc3_semantic_decontam" -> dc3Oracle,

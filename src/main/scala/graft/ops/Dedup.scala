@@ -1102,6 +1102,57 @@ object Dedup {
     * would silently truncate and could collide distinct ids into wrong
     * pairs. Fail at plan time with an actionable message instead.
     */
+  /** Exact edit-distance-≤1 pair detection via DELETION NEIGHBORHOODS
+    * (the FastSS/SymSpell candidate rule): each key generates itself plus
+    * its |key| one-character deletions; two keys within edit distance 1
+    * PROVABLY share a variant (deletion: the shorter IS a variant of the
+    * longer; substitution: deleting the differing position from either
+    * side meets in the middle; insertion: symmetric to deletion) — so the
+    * variant equi-join is a complete candidate generator and the
+    * `levenshtein` verify makes the result exact, never missing a pair.
+    * The fuzzy-key entity matcher (near-identical titles, typo'd
+    * identifiers) without an n² cross join: shuffle ∝ Σ|key| variant
+    * rows, with hot variants (short ubiquitous keys — "" pairs every
+    * single-char key) capped at `maxBucket` under the engine-wide
+    * hot-bucket discipline (caps concede recall only on those buckets,
+    * logged by the cap count in the plan's metrics… the dq2/dq3 trade).
+    * Output: (doc_a, doc_b, dist) with doc_a < doc_b, dist ∈ {0, 1}.
+    */
+  def editDistance1Pairs(
+      df: DataFrame,
+      idCol: String,
+      keyCol: String,
+      maxBucket: Int = 64): DataFrame = {
+    requireIntegralId(df, idCol, "editDistance1Pairs")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val key = col(keyCol)
+    // empty keys get only the self variant (sequence(0, -1) would count
+    // DOWN and fabricate bogus variants)
+    val variants = when(length(key) === 0, array(key)).otherwise(concat(
+      array(key),
+      transform(
+        sequence(lit(0), length(key) - 1),
+        i => concat(key.substr(lit(1), i), key.substr(i + 2, length(key))))))
+    val vars = df
+      .select(col(idCol).cast("long").as("_id"), key.as("_k"), explode(variants).as("_v"))
+      .distinct()
+    val keep = vars.groupBy(col("_v")).agg(count(lit(1)).as("_n"))
+      .where(col("_n") <= maxBucket)
+      .select(col("_v"))
+    val pruned = vars.join(keep, "_v")
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a._v") === col("b._v") && col("a._id") < col("b._id"))
+      .select(
+        col("a._id").as("doc_a"), col("b._id").as("doc_b"),
+        col("a._k").as("_ka"), col("b._k").as("_kb"))
+      .distinct()
+      .where(levenshtein(col("_ka"), col("_kb")) <= 1)
+      .select(
+        col("doc_a"), col("doc_b"),
+        levenshtein(col("_ka"), col("_kb")).cast("int").as("dist"))
+  }
+
   private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val dt = df.schema(idCol).dataType

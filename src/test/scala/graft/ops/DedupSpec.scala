@@ -237,4 +237,33 @@ class DedupSpec extends SparkSpec {
       4L -> "m n",
       5L -> "s1 s2 s3 s4"))
   }
+
+  test("editDistance1Pairs: complete for every ed<=1 shape, exact verify, cap bites") {
+    val df = Seq(
+      (1L, "table"),
+      (2L, "fable"),   // substitution of 1
+      (3L, "tble"),    // deletion from 1
+      (4L, "stable"),  // insertion into 1
+      (5L, "table"),   // exact dup of 1
+      (6L, "chair"),   // unrelated
+      (7L, "")).toDF("doc_id", "key") // empty key: self-variant only
+    val pairs = Dedup.editDistance1Pairs(df, "doc_id", "key")
+      .as[(Long, Long, Int)].collect().toSet
+    // all four ed<=1 shapes vs doc 1 found; transitives only where true
+    assert(pairs.contains((1L, 2L, 1)) && pairs.contains((1L, 3L, 1)) &&
+      pairs.contains((1L, 4L, 1)) && pairs.contains((1L, 5L, 0)))
+    assert(pairs.contains((2L, 5L, 1)) && pairs.contains((3L, 5L, 1)))
+    // "fable"~"tble" is ed 2 — candidates may collide but verify kills it
+    assert(!pairs.exists(p => Set((2L, 3L), (2L, 4L)).contains((p._1, p._2))))
+    assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L || p._1 == 7L || p._2 == 7L))
+    // hot-variant cap: 100 single-char keys all share the "" variant;
+    // cap 2 suppresses the clique entirely
+    val hot = (0 until 100).map(i => (i.toLong, ('a' + i % 26).toChar.toString))
+      .toDF("doc_id", "key")
+    val capped = Dedup.editDistance1Pairs(hot, "doc_id", "key", maxBucket = 2)
+    // only exact-dup pairs (same letter share their self variant too) survive
+    assert(capped.as[(Long, Long, Int)].collect().forall(_._3 == 0))
+    intercept[IllegalArgumentException](
+      Dedup.editDistance1Pairs(df, "doc_id", "key", maxBucket = 1))
+  }
 }
