@@ -3295,6 +3295,40 @@ object Queries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Point-in-interval join — [[ops.Intervals.overlapJoin]] with a
+    * ZERO-LENGTH right side (a point is the interval [t, t]): odd
+    * events' timestamps against even events' sessions. Gates that the
+    * bin arithmetic holds at the degenerate span (the off-by-one
+    * hotspot) against the plain BETWEEN oracle.
+    */
+  def iq2PointInterval(spark: SparkSession, sfDir: String): DataFrame = {
+    val minuteUs = 60000000L
+    val e = eventsRaw(spark, sfDir)
+      .select(col("event_id"), tsUs(col("ts")).as("s"))
+    val intervals = e.where(col("event_id") % 2 === 0).select(
+      col("event_id").as("a_id"),
+      col("s").as("a_s"),
+      (col("s") + (col("event_id") % 7 + 1) * minuteUs).as("a_e"))
+    val points = e.where(col("event_id") % 2 === 1).select(
+      col("event_id").as("p_id"),
+      col("s").as("p_t"))
+    ops.Intervals
+      .overlapJoin(
+        intervals, col("a_s"), col("a_e"), points, col("p_t"), col("p_t"),
+        binWidth = 5L * minuteUs)
+      .select(col("a_id"), col("p_id"))
+      .orderBy(col("a_id"), col("p_id"))
+  }
+
+  val iq2Oracle: String =
+    """WITH e AS (SELECT event_id, epoch_us(ts) AS s FROM events),
+      |a AS (SELECT event_id AS a_id, s AS a_s,
+      |             s + (event_id % 7 + 1) * 60000000 AS a_e
+      |      FROM e WHERE event_id % 2 = 0),
+      |p AS (SELECT event_id AS p_id, s AS p_t FROM e WHERE event_id % 2 = 1)
+      |SELECT a_id, p_id FROM a JOIN p ON p_t BETWEEN a_s AND a_e
+      |ORDER BY a_id, p_id""".stripMargin
+
   val iq1Oracle: String =
     """WITH e AS (SELECT event_id, epoch_us(ts) AS s FROM events),
       |a AS (SELECT event_id a_id, s a_s, s + (event_id % 7 + 1) * 60000000 a_e
@@ -4157,6 +4191,7 @@ object Queries {
     "lq4_zorder_layout" -> (lq4ZOrderLayout _),
     "qa1_asof_join" -> (qa1AsofJoin _),
     "iq1_interval_join" -> (iq1IntervalJoin _),
+    "iq2_point_interval" -> (iq2PointInterval _),
     "dq1_exact_dedup" -> (dq1ExactDedup _),
     "dq2_minhash_neardup" -> (dq2MinhashNearDup _),
     "dq3_simhash_neardup" -> (dq3SimhashNearDup _),
@@ -4311,6 +4346,7 @@ object Queries {
     "lq4_zorder_layout" -> lq4Oracle,
     "qa1_asof_join" -> qa1Oracle,
     "iq1_interval_join" -> iq1Oracle,
+    "iq2_point_interval" -> iq2Oracle,
     "dq1_exact_dedup" -> dq1Oracle,
     "dq2_minhash_neardup" -> duckNearDupOracle,
     "dq3_simhash_neardup" -> duckNearDupOracle,

@@ -114,6 +114,21 @@ class IntervalsSpec extends SparkSpec {
     }
   }
 
+  test("zero-length intervals (points) hit exactly their containing intervals") {
+    val intervals = Seq((1L, 0L, 10L), (2L, 20L, 30L)).toDF("a_id", "a_s", "a_e")
+    // points at: inside, left boundary, right boundary, bin boundary,
+    // between intervals, far outside
+    val points = Seq(
+      (10L, 5L), (11L, 0L), (12L, 10L), (13L, 8L), (14L, 15L), (15L, 100L))
+      .toDF("p_id", "p_s")
+    val out = Intervals
+      .overlapJoin(
+        intervals, col("a_s"), col("a_e"),
+        points, col("p_s"), col("p_s"), binWidth = 8L)
+      .select("a_id", "p_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L)))
+  }
+
   test("overlapJoin validates disjoint column names and binWidth") {
     val l = Seq((1L, 0L, 1L)).toDF("id", "s", "e")
     intercept[IllegalArgumentException] {
