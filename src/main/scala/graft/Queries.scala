@@ -2146,6 +2146,33 @@ object Queries {
       |FROM cand WHERE levenshtein(ka, kb) <= 1
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Fuzzy-key dup clusters: [[ops.Dedup.connectedComponents]] over the
+    * dq13 edit-distance-1 pair graph — typo'd identifier variants
+    * resolve to one canonical cluster. Oracle = the dq13 chain extended
+    * with the dq7 recursive-CTE transitive closure.
+    */
+  def dq14FuzzyClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val keyed = t(spark, sfDir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 12).as("key"))
+    val pairs = ops.Dedup.editDistance1Pairs(keyed, "doc_id", "key")
+    ops.Dedup.connectedComponents(pairs, "doc_a", "doc_b").orderBy(col("doc_id"))
+  }
+
+  val dq14Oracle: String =
+    s"""${dq13Oracle.split("\n").dropRight(3).mkString("\n")
+        .replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |fpairs AS (
+       |  SELECT doc_a, doc_b FROM cand WHERE levenshtein(ka, kb) <= 1),
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM fpairs
+       |  UNION SELECT doc_b, doc_a FROM fpairs),
+       |walk(id, reach) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT w.id, e.d FROM walk w JOIN edges e ON e.s = w.reach)
+       |SELECT id AS doc_id, min(reach) AS cluster_id
+       |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
+
   /** Winnowing overlap pairs ([[ops.TextAnalysis.winnowingOverlapPairs]]):
     * pairs sharing ≥ 2 distinct fingerprints under the hot-fp cap — the
     * oracle extends tq13's full SQL re-derivation with the identical
@@ -3361,6 +3388,29 @@ object Queries {
       |  ON p.user_id = v.user_id AND p.ts >= v.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** FORWARD as-of join ([[ops.AsOf.asofJoin]] direction="forward"):
+    * each purchase matched to the EARLIEST view at-or-after it — the
+    * "next event after" lookup (time-to-conversion shape). Oracle:
+    * DuckDB ASOF with the inequality flipped.
+    */
+  def qa2AsofForward(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = eventsRaw(spark, sfDir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_event_id"))
+    ops.AsOf.asofJoin(purchases, views, Seq("user_id"), "ts", direction = "forward")
+      .select(col("event_id"), col("asof_view_event_id").as("view_event_id"))
+      .orderBy(col("event_id"))
+  }
+
+  val qa2Oracle: String =
+    """SELECT p.event_id, v.event_id AS view_event_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND p.ts <= v.ts
+      |ORDER BY p.event_id""".stripMargin
+
   def sq1Sessionize(spark: SparkSession, sfDir: String): DataFrame =
     streaming.EventStreams
       .sessionCounts(eventsRaw(spark, sfDir))
@@ -4190,6 +4240,7 @@ object Queries {
     "lq3_bycell_layout" -> (lq3ByCellLayout _),
     "lq4_zorder_layout" -> (lq4ZOrderLayout _),
     "qa1_asof_join" -> (qa1AsofJoin _),
+    "qa2_asof_forward" -> (qa2AsofForward _),
     "iq1_interval_join" -> (iq1IntervalJoin _),
     "iq2_point_interval" -> (iq2PointInterval _),
     "dq1_exact_dedup" -> (dq1ExactDedup _),
@@ -4223,6 +4274,7 @@ object Queries {
     "tq13_winnowing" -> (tq13Winnowing _),
     "dq12_winnow_pairs" -> (dq12WinnowPairs _),
     "dq13_fuzzy_pairs" -> (dq13FuzzyPairs _),
+    "dq14_fuzzy_clusters" -> (dq14FuzzyClusters _),
     "dc1_decontam" -> (dc1Decontam _),
     "dc2_overlap_frac" -> (dc2OverlapFrac _),
     "dc3_semantic_decontam" -> (dc3SemanticDecontam _),
@@ -4345,6 +4397,7 @@ object Queries {
     "lq3_bycell_layout" -> lq3Oracle,
     "lq4_zorder_layout" -> lq4Oracle,
     "qa1_asof_join" -> qa1Oracle,
+    "qa2_asof_forward" -> qa2Oracle,
     "iq1_interval_join" -> iq1Oracle,
     "iq2_point_interval" -> iq2Oracle,
     "dq1_exact_dedup" -> dq1Oracle,
@@ -4379,6 +4432,7 @@ object Queries {
     "tq13_winnowing" -> tq13Oracle,
     "dq12_winnow_pairs" -> dq12Oracle,
     "dq13_fuzzy_pairs" -> dq13Oracle,
+    "dq14_fuzzy_clusters" -> dq14Oracle,
     "dc1_decontam" -> dc1Oracle,
     "dc2_overlap_frac" -> dc2Oracle,
     "dc3_semantic_decontam" -> dc3Oracle,

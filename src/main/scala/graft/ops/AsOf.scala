@@ -28,13 +28,24 @@ object AsOf {
     *              output as `asof_<name>` (null when no right row precedes).
     *              For deterministic results right (key, ts) pairs should be
     *              unique — pre-aggregate otherwise.
+    * @param direction `"backward"` (default): latest right with
+    *              `right.ts <= left.ts` — the classic point-in-time
+    *              lookup. `"forward"`: EARLIEST right with
+    *              `right.ts >= left.ts` — "next event after" semantics
+    *              (time-to-conversion, next-maintenance lookups). Same
+    *              single keyed window pass, traversed in the opposite
+    *              time order; equal timestamps match in both directions.
     */
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
       keyCols: Seq[String],
-      tsCol: String): DataFrame = {
+      tsCol: String,
+      direction: String = "backward"): DataFrame = {
     require(keyCols.nonEmpty, "at least one key column required")
+    require(
+      direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got '$direction'")
     val rPayload = right.columns.filterNot(c => keyCols.contains(c) || c == tsCol)
     require(rPayload.nonEmpty, "right side has no payload columns")
     val lPassthrough = left.columns.filterNot(c => keyCols.contains(c) || c == tsCol)
@@ -50,9 +61,10 @@ object AsOf {
         lPassthrough.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         Seq(lit(0).as("_side"), struct(rPayload.map(col): _*).as("_payload"))
 
+    val tsOrder = if (direction == "backward") col(tsCol).asc else col(tsCol).desc
     val w = Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol).asc, col("_side").asc)
+      .orderBy(tsOrder, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     left.select(lSel: _*).unionByName(right.select(rSel: _*))
       .withColumn("_payload", last(col("_payload"), ignoreNulls = true).over(w))

@@ -29,6 +29,26 @@ class AsOfSpec extends SparkSpec {
     assert(out(30L) == None) // key absent on the right
   }
 
+  test("asofJoin forward direction attaches the earliest following right row") {
+    val left = Seq(
+      (1L, 100L, 10L),
+      (1L, 250L, 11L),
+      (2L, 70L, 20L)).toDF("k", "ts", "lid")
+    val right = Seq(
+      (1L, 90L, "a"),   // before both left rows → never matches forward
+      (1L, 100L, "b"),  // equal ts matches (>= semantics)
+      (1L, 200L, "c"),
+      (2L, 60L, "d")).toDF("k", "ts", "payload")
+    val out = AsOf.asofJoin(left, right, Seq("k"), "ts", direction = "forward")
+      .select(col("lid"), col("asof_payload"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(10L) == Some("b")) // earliest of {100, 200} >= 100
+    assert(out(11L) == None)      // nothing at-or-after 250
+    assert(out(20L) == None)      // key 2's only right row precedes
+    intercept[IllegalArgumentException](
+      AsOf.asofJoin(left, right, Seq("k"), "ts", direction = "nearest"))
+  }
+
   test("asofJoin takes ALL payload values from the matched row, nulls included") {
     // the latest right row carries a NULL in one payload column: per-column
     // carry would stitch the stale non-null 'a' from ts=100 with 'b' from
