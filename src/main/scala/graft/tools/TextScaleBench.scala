@@ -211,6 +211,14 @@ object TextScaleBench {
         .as("n_hits"))
     def curriculum() = graft.ops.Corpus.quantileBuckets(
       docs, length(col("text")), col("doc_id"), buckets = 8)
+    // detection-quality A/B: winnowing pairs (positional containment
+    // candidates) scored against the exact-jaccard near-dup truth the
+    // minhash path verifies — one row of precision/recall/F1
+    def winnowQuality() = graft.ops.Dedup.pairQuality(
+      graft.ops.TextAnalysis.winnowingOverlapPairs(
+        docs, "doc_id", "text", minShared = 2, maxDocsPerFp = 64,
+        portableHash = false).select(col("doc_a"), col("doc_b")),
+      graft.ops.Dedup.minhashNearDupPairs(docs, "doc_id", "text"))
     def lrMoments() = graft.ops.Linear.bowMoments(
       docs, col("doc_id"), col("text"),
       (col("lang") === "en").cast("int"), dim = 16)
@@ -248,6 +256,7 @@ object TextScaleBench {
       "blocklist_screen" -> (blocklist _),
       "curriculum_ntile8" -> (curriculum _),
       "lr_moments_d16" -> (lrMoments _),
+      "winnow_vs_jaccard_quality" -> (winnowQuality _),
       "cdc_merge" -> (cdcMerge _))
 
     // SPARK_GRAFT_TEXTSCALE_ONLY=name1,name2 narrows a re-probe to the
@@ -283,6 +292,17 @@ object TextScaleBench {
         (r.getDouble(0), r.getDouble(1))
       } catch { case _: Throwable => (-1.0, -1.0) }
 
+    // winnowing detection quality at scale: positional-containment pairs
+    // scored against the same exact-jaccard truth (precision here is
+    // "of winnow pairs, how many are jaccard-0.5 near-dups" — winnowing
+    // detects CONTAINMENT, a different relation, so precision reads as
+    // overlap of the two relations, recall as coverage of the truth)
+    val (wnP, wnR) =
+      try {
+        val r = winnowQuality().select("precision", "recall").head()
+        (r.getDouble(0), r.getDouble(1))
+      } catch { case _: Throwable => (-1.0, -1.0) }
+
     // bloom exactness sanity at scale: the pruned path must return exactly
     // the anti-join's rows
     val (bloomNovelRows, plainNovelRows) =
@@ -291,7 +311,7 @@ object TextScaleBench {
 
     val qs = results.map { case (n, v) => "\"" + n + "\":" + v }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"text_scale_probe","rows":$rows,"unit":"sec","queries":$qs,"gen_time":$genTime,"n_docs":$nDocs,"n_distinct_text":$nDistinctText,"neardup_pairs":$nPairs,"simhash_vs_minhash_precision":$shP,"simhash_vs_minhash_recall":$shR,"bloom_novel_rows":$bloomNovelRows,"plain_antijoin_rows":$plainNovelRows}""")
+      s"""{"metric":"text_scale_probe","rows":$rows,"unit":"sec","queries":$qs,"gen_time":$genTime,"n_docs":$nDocs,"n_distinct_text":$nDistinctText,"neardup_pairs":$nPairs,"simhash_vs_minhash_precision":$shP,"simhash_vs_minhash_recall":$shR,"winnow_vs_jaccard_precision":$wnP,"winnow_vs_jaccard_recall":$wnR,"bloom_novel_rows":$bloomNovelRows,"plain_antijoin_rows":$plainNovelRows}""")
     spark.stop()
   }
 }
