@@ -2566,6 +2566,33 @@ object Queries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Temperature mixture ([[ops.Corpus.temperatureWeights]] α=0.5 →
+    * [[ops.Corpus.mixToWeights]]): stratum weights ∝ √count — the
+    * UNIMAX-style tail upsampling. The driver's Math.sqrt and SQL's sqrt
+    * are both correctly rounded, and the budget rule is scale-invariant
+    * in the weights, so the oracle recomputes the whole chain
+    * (counts → √ → budget → allowances → md5 draw) bit-exactly.
+    */
+  def mx3TemperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val w = ops.Corpus.temperatureWeights(docs, col("lang"), alpha = 0.5)
+    ops.Corpus
+      .mixToWeights(docs, col("doc_id"), col("lang"), w)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mx3Oracle: String =
+    """WITH c AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS c, sqrt(count(*)) AS w
+      |  FROM documents GROUP BY lang),
+      |t AS (SELECT min(c / w) AS t FROM c),
+      |a AS (SELECT lang, CAST(greatest(floor(w * t / c * 256), 1) AS INT) AS allow
+      |      FROM c, t)
+      |SELECT d.doc_id, d.lang FROM documents d JOIN a USING (lang)
+      |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 2))::INT < allow
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Repetition-based mixture upsampling ([[ops.Corpus.epochsToWeights]]):
     * every doc repeats enough epochs that the language mix approaches the
     * mx1 target weights WITHOUT dropping anything — the data-constrained
@@ -4282,6 +4309,7 @@ object Queries {
     "pq2_stratified_sample" -> (pq2StratifiedSample _),
     "mx1_mix_weights" -> (mx1MixWeights _),
     "mx2_epoch_mix" -> (mx2EpochMix _),
+    "mx3_temperature_mix" -> (mx3TemperatureMix _),
     "pq3_pii_scrub" -> (pq3PiiScrub _),
     "pq4_linear_quality" -> (pq4LinearQuality _),
     "pq5_stratified_exactk" -> (pq5StratifiedExactK _),
@@ -4440,6 +4468,7 @@ object Queries {
     "pq2_stratified_sample" -> pq2Oracle,
     "mx1_mix_weights" -> mx1Oracle,
     "mx2_epoch_mix" -> mx2Oracle,
+    "mx3_temperature_mix" -> mx3Oracle,
     "pq3_pii_scrub" -> pq3Oracle,
     "pq4_linear_quality" -> pq4Oracle,
     "pq5_stratified_exactk" -> pq5Oracle,

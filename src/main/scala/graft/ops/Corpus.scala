@@ -250,6 +250,35 @@ object Corpus {
     * allowance table back onto the corpus — the corpus itself is never
     * shuffled, and membership is a pure filter.
     */
+  /** Temperature-based mixture weights — the multilingual-sampling
+    * standard (UNIMAX/mT5 style): stratum weight ∝ count^alpha, so
+    * `alpha = 1` preserves the natural mix, `alpha → 0` flattens toward
+    * uniform, and `alpha = 0.5` (the common default) upsamples tails
+    * without drowning heads. Weights are returned UN-normalized —
+    * [[mixToWeights]]' budget rule is scale-invariant in the weights, and
+    * skipping the normalizing sum keeps the values bit-reproducible in
+    * SQL (IEEE sqrt is correctly rounded everywhere; a float SUM's order
+    * is not). One exact count aggregate; O(|strata|) to the driver.
+    */
+  def temperatureWeights(
+      df: DataFrame,
+      strataCol: Column,
+      alpha: Double = 0.5): Map[String, Double] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    df.groupBy(strataCol.as("_s")).agg(count(lit(1)).as("_c"))
+      .collect()
+      .map { r =>
+        val c = r.getLong(1).toDouble
+        val w =
+          if (alpha == 0.5) math.sqrt(c) // correctly-rounded everywhere
+          else if (alpha == 1.0) c
+          else math.pow(c, alpha) // pow is NOT guaranteed correctly rounded —
+                                  // cross-engine gates should stick to 0.5/1
+        r.getString(0) -> w
+      }
+      .toMap
+  }
+
   def mixToWeights(
       df: DataFrame,
       keyCol: Column,

@@ -74,6 +74,21 @@ class CorpusSpec extends SparkSpec {
       Corpus.assembleSequences(df, col("k"), Nil, col("v"), 5))
   }
 
+  test("temperatureWeights: sqrt flattening, natural mix at alpha=1, bounds") {
+    val df = (Seq.fill(900)("big") ++ Seq.fill(100)("small")).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    val w5 = Corpus.temperatureWeights(df, col("s"), alpha = 0.5)
+    assert(w5("big") == 30.0 && w5("small") == 10.0) // sqrt of exact counts
+    // alpha 0.5 compresses the ratio: 9:1 natural → 3:1 weights
+    assert(w5("big") / w5("small") == 3.0)
+    val w1 = Corpus.temperatureWeights(df, col("s"), alpha = 1.0)
+    assert(w1("big") / w1("small") == 9.0) // natural mix preserved
+    intercept[IllegalArgumentException](
+      Corpus.temperatureWeights(df, col("s"), alpha = 0.0))
+    intercept[IllegalArgumentException](
+      Corpus.temperatureWeights(df, col("s"), alpha = 1.5))
+  }
+
   test("balancedShards: serpentine over global size rank equalizes shard bytes") {
     val rnd = new scala.util.Random(41)
     // lognormal-ish sizes: the skew that breaks hash/round-robin sharding
