@@ -42,8 +42,14 @@ object Bench {
     * probe EXACTNESS gate for the cell-pair machinery — O(n²) by
     * construction (like dq5's oracle, but with the full probe explode on
     * top), so timing it benches the oracle, not the production path (sq2).
+    * sq2/va1 became gated RECORDS in round 10 (their registry entries now
+    * compute the quality contract against the exact twin, so timing them
+    * would bench the oracle too); their raw production paths are timed
+    * directly below under the same names, keeping the r1-r9 series
+    * comparable.
     */
-  private val VerifyOnly = Set("sq3_ivf_cell_pairs_exact")
+  private val VerifyOnly = Set(
+    "sq3_ivf_cell_pairs_exact", "sq2_ivf_cell_pairs", "va1_ann_nprobe4")
 
   // timing methodology lives in ONE place — BenchTiming — shared with the
   // scale probes so the benches stay comparable
@@ -129,9 +135,29 @@ object Bench {
     def mrlK100() = graft.ops.Similarity
       .mrlTopK(spark.read.parquet(path), "vec_id", "embedding", query, 100,
         prefixDim = 16, oversample = 4)
+    // raw production-point paths for the round-10 gated records (VerifyOnly
+    // above): same shapes the r1-r9 series timed under these names
+    def sq2Raw() = {
+      val (ti, centroids) =
+        graft.ivf.IndexManager.ensureWithCentroids(spark, path, "embedding")
+      graft.ops.Similarity
+        .ivfCellPairs(spark.read.parquet(path), "vec_id", "embedding",
+          centroids, ti.dim, threshold = 0.3)
+        .orderBy(org.apache.spark.sql.functions.col("id_a"),
+          org.apache.spark.sql.functions.col("id_b"))
+    }
+    def va1Raw() = graft.ivf.VectorTopK
+      .indexed(spark, path, "embedding", query, 10,
+        graft.ivf.VectorTopK.Options(nprobe = 4))
+      .select("vec_id")
     val queryResults: Seq[(String, Double)] = names.map { name =>
       try name -> timeMin(materialize(SparkEntry.queries(name)(spark, sfDir)))
       finally restoreGraftConf()
+    } ++ {
+      materialize(sq2Raw()); materialize(va1Raw()) // warm, like the loop
+      Seq(
+        "sq2_ivf_cell_pairs" -> timeMin(materialize(sq2Raw())),
+        "va1_ann_nprobe4" -> timeMin(materialize(va1Raw())))
     }
 
     // The query pass installed the SQL rewrite rule (Graft.install) —

@@ -995,16 +995,52 @@ object Queries {
       |INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
       |ORDER BY o_custkey""".stripMargin
 
-  /** True-ANN configuration (nprobe << nClusters) for the bench: no oracle —
-    * the driver records a rows-only check; exactness is gated by vq2/vq7.
+  /** The ANN production operating point (nprobe=4 ≪ nClusters) made
+    * CORRECTNESS-verifiable (round-10 verdict item #1). Recall at this
+    * point is a fixture property — 0/10 on sf0.1's uniform-random vectors,
+    * which carry no neighborhood structure to recover (GateProbe, round-10
+    * BENCHNOTES) — so a recall oracle would gate the fixture, not the code.
+    * Instead this gates the EXACT IVF contract (reference
+    * `src/ivf/index.rs:57-63`): the indexed result must equal the
+    * brute-force top-k over exactly the probed cells' members. The expected
+    * set is re-derived independently of the index's stored inverted lists
+    * (home cells recomputed with the nearest_centroid kernel), so a broken
+    * build-time assignment, probe, selective fetch, or rank all flip
+    * `n_mismatch` and fail the hash against the constant oracle. Quality at
+    * the operating point stays tracked by the bench recall metrics, where
+    * floors belong; the raw path's timing stays in Bench under this name.
     */
   def va1AnnNprobe4(spark: SparkSession, sfDir: String): DataFrame = {
     val path = s"$sfDir/embeddings.parquet"
-    IndexManager.ensure(spark, path, "embedding")
-    VectorTopK.indexed(spark, path, "embedding", queryVec, 10,
-      VectorTopK.Options(nprobe = 4))
+    val (ti, centroids) = IndexManager.ensureWithCentroids(spark, path, "embedding")
+    require(ti.files.size == 1,
+      s"va1 gate assumes the single-file fixture layout; got ${ti.files.size} files")
+    val k = 10
+    val idx = IndexManager
+      .loadIndex(graft.ivf.IndexStore.default, ti.files.head, "embedding")
+    val probed = idx.findClosestCentroids(queryVec.toArray, 4).map(Int.box)
+    val members = ops.Similarity
+      .withCell(t(spark, sfDir, "embeddings"), "embedding", centroids, ti.dim)
+      .where(col("_cell").isin(probed: _*))
+    val expect = VectorTopK.bruteForce(members, "embedding", queryVec, k)
+      .select(col("vec_id").as("_eid"))
+    VectorTopK
+      .indexed(spark, path, "embedding", queryVec, k,
+        VectorTopK.Options(nprobe = 4))
       .select(col("vec_id"))
+      .join(expect, col("vec_id") === col("_eid"), "full")
+      .agg(
+        count(col("vec_id")).as("n_results"),
+        count(when(col("vec_id").isNull || col("_eid").isNull, 1)).as("n_mismatch"))
+      .select(
+        lit(10L).as("k"),
+        col("n_results").cast("bigint").as("n_results"),
+        col("n_mismatch").cast("bigint").as("n_mismatch"))
   }
+
+  val va1Oracle: String =
+    """SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
+      |  CAST(0 AS BIGINT) AS n_mismatch""".stripMargin
 
   def qeEventsHourly(spark: SparkSession, sfDir: String): DataFrame =
     // events.ts is TIMESTAMP(MICROS) without tz — Spark reads TIMESTAMP_NTZ,
@@ -3063,17 +3099,46 @@ object Queries {
       |FROM events ORDER BY event_id""".stripMargin
 
   /** IVF-cell bucketed similarity pairs — the 100 TB-safe candidate path
-    * (equi-join on cell id). Rows-only check: recall vs the exact pair join
-    * is bounded by cell co-location, so no oracle.
+    * (equi-join on cell id) — at the probes=4 production point, made
+    * CORRECTNESS-verifiable (round-10 verdict item #1): the emitted record
+    * is the operator's own quality contract, computed in-Spark against the
+    * exact O(n²) pair join and pinned by a constant oracle. Gates:
+    * canonical orientation (id_a < id_b), no duplicate emissions, EXACT
+    * precision (`n_false_pairs = 0` — every emitted pair must truly pass
+    * the cosine threshold, the operator's fixture-independent hard
+    * invariant), and recall ≥ 0.5 (measured band 0.64–0.80 across
+    * sf0.001/0.01/0.1 — GateProbe, round-10 BENCHNOTES; the bench floors
+    * the same metric at 0.55 at sf0.1). A regression anywhere in
+    * assignment, probe explode, verify, or dedup flips a count and fails
+    * the hash. The raw pair path's timing stays in Bench under this name.
     */
   def sq2IvfCellPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val path = s"$sfDir/embeddings.parquet"
     val (ti, centroids) = IndexManager.ensureWithCentroids(spark, path, "embedding")
-    ops.Similarity
-      .ivfCellPairs(t(spark, sfDir, "embeddings"), "vec_id", "embedding",
-        centroids, ti.dim, threshold = 0.3)
-      .orderBy(col("id_a"), col("id_b"))
+    val emb = t(spark, sfDir, "embeddings")
+    val pairs = ops.Similarity
+      .ivfCellPairs(emb, "vec_id", "embedding", centroids, ti.dim,
+        threshold = 0.3, probes = 4)
+    val exact = ops.Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.3)
+    val shape = pairs.agg(
+      count(lit(1)).as("_n"),
+      count(when(col("id_a") >= col("id_b"), 1)).as("n_noncanon"))
+    val distinctN = pairs.select(col("id_a"), col("id_b")).distinct()
+      .agg(count(lit(1)).as("_nd"))
+    ops.Dedup.pairQuality(pairs, exact, "id_a", "id_b")
+      .crossJoin(shape).crossJoin(distinctN)
+      .select(
+        col("n_noncanon").cast("bigint").as("n_noncanon"),
+        (col("_n") - col("_nd")).cast("bigint").as("n_dupe_pairs"),
+        (col("n_found") - col("n_hit")).cast("bigint").as("n_false_pairs"),
+        when(col("recall") >= 0.5, 1L).otherwise(0L).as("recall_floor_met"),
+        when(col("n_found") > 0, 1L).otherwise(0L).as("nonempty"))
   }
+
+  val sq2Oracle: String =
+    """SELECT CAST(0 AS BIGINT) AS n_noncanon, CAST(0 AS BIGINT) AS n_dupe_pairs,
+      |  CAST(0 AS BIGINT) AS n_false_pairs, CAST(1 AS BIGINT) AS recall_floor_met,
+      |  CAST(1 AS BIGINT) AS nonempty""".stripMargin
 
   /** The cell-pair machinery made EXACT: probing every cell (probes =
     * nClusters) means each pair meets in the home cell of either member, so
@@ -4416,7 +4481,7 @@ object Queries {
     "qs_setop" -> qsOracle,
     "qs2_intersect" -> qs2Oracle,
     "qg_rollup" -> qgOracle,
-    // va1_ann_nprobe4 intentionally has no oracle (ANN subset)
+    "va1_ann_nprobe4" -> va1Oracle, // gated record: probed-cell exactness contract
     "qe_events_hourly" -> qeOracle,
     "qe2_user_sequences" -> qe2Oracle,
     "qe3_lag_features" -> qe3Oracle,
@@ -4501,7 +4566,7 @@ object Queries {
     "bq3_bm25_sql" -> bm1Oracle, // SQL TVF == programmatic bm25TopK
     "hr1_hybrid_rrf" -> hr1Oracle,
     "je1_json_extract" -> je1Oracle,
-    // sq2_ivf_cell_pairs intentionally has no oracle (cell-recall ANN)
+    "sq2_ivf_cell_pairs" -> sq2Oracle, // gated record: precision-exact + recall floor
     "cp1_cluster_profile" -> cp1Oracle,
     "oq1_embed_outliers" -> oq1Oracle,
     "vd1_drift_profile" -> vd1Oracle,
