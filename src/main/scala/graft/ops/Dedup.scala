@@ -598,8 +598,10 @@ object Dedup {
     * through themselves (`label := label(label)`), which is what makes
     * long chains converge in O(log diameter) rounds instead of
     * O(diameter). Rounds are driver-coordinated (like GraphX/GraphFrames
-    * CC) with each round's labels persisted and the previous round's
-    * freed, so lineage and memory stay O(1) per round. Scale: every step
+    * CC) with each round's labels locally checkpointed — materialized AND
+    * lineage-truncated — so plan size, planning time, and memory stay O(1)
+    * per round (persist alone caches blocks but leaves the logical plan
+    * nesting every prior round). Scale: every step
     * is an equi-join/agg on the id — shuffle-partitioned, no driver
     * materialization; near-dup graphs are sparse (|edges| ~ |dup pairs|)
     * and shallow, so this converges in 2-3 rounds on real corpora.
@@ -639,6 +641,17 @@ object Dedup {
           col("id"),
           col("label").as("_old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // localCheckpoint (not persist): each round's labels become a
+      // LogicalRDD leaf, so the NEXT round's plan is O(1) nodes instead of
+      // nesting every prior round — without it the analyzer/planner cost
+      // grows linearly per round (a 472-node physical plan by round 3 on
+      // dq14, round-9 verdict) and quadratically over a deep graph. The
+      // checkpoint job doubles as the round's materializing action; blocks
+      // from dropped rounds are reclaimed by the context cleaner. Caveat at
+      // cluster scale: localCheckpoint blocks die with their executor — CC
+      // rounds are few and the whole loop is deterministic/idempotent, so
+      // a lost-executor failure reruns the job; pin a reliable checkpoint
+      // dir instead if that trade is wrong for the deployment.
       val jumped = propagated.as("x")
         .join(
           propagated.select(col("id").as("lid"), col("label").as("llabel")).as("y"),
@@ -647,7 +660,7 @@ object Dedup {
           col("x.id").as("id"),
           col("x._old").as("_old"),
           least(col("x.label"), coalesce(col("y.llabel"), col("x.label"))).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       converged = jumped
         .agg(count(when(col("label") =!= col("_old"), 1)).as("chg"))
         .first().getLong(0) == 0L
