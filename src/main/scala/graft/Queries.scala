@@ -1124,7 +1124,16 @@ object Queries {
     val us = unix_micros(col("ts").cast("timestamp"))
     val stage = java.nio.file.Files.createTempDirectory("graft-st15-stage").toString
     events.where(us < cutoff).coalesce(1).write.mode("overwrite").parquet(stage)
+    // lagFeaturesStream's state is order-sensitive (unlike st13/st14's
+    // order-free replays): pin the replay order explicitly — equal mtimes
+    // would leave FileStreamSource's (mtime, path) order to random
+    // part-file names (round-10 advice item)
+    def parts() = new java.io.File(stage).listFiles()
+      .filter(_.getName.startsWith("part-")).toSet
+    val firstBatch = parts()
     events.where(us >= cutoff).coalesce(1).write.mode("append").parquet(stage)
+    firstBatch.foreach(_.setLastModified(1000000L): Unit)
+    (parts() -- firstBatch).foreach(_.setLastModified(2000000L): Unit)
     val stream = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", "1").parquet(stage)
     streaming.EventStreams

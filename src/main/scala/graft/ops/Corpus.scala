@@ -265,9 +265,14 @@ object Corpus {
       strataCol: Column,
       alpha: Double = 0.5): Map[String, Double] = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
-    df.groupBy(strataCol.as("_s")).agg(count(lit(1)).as("_c"))
+    // cast to string in the aggregate: the signature accepts any Column, and
+    // getString on a non-string stratum would ClassCastException (round-10
+    // advice item); null strata have no weighable identity — fail loudly
+    df.groupBy(strataCol.cast("string").as("_s")).agg(count(lit(1)).as("_c"))
       .collect()
       .map { r =>
+        require(!r.isNullAt(0),
+          "temperatureWeights: null stratum value — filter or fill the strata column first")
         val c = r.getLong(1).toDouble
         val w =
           if (alpha == 0.5) math.sqrt(c) // correctly-rounded everywhere
@@ -612,6 +617,18 @@ object Corpus {
     *
     * `idCol` must be integral and unique per row — it makes the rank
     * order total, so exactly k rows satisfy the threshold predicate.
+    *
+    * DETERMINISM REQUIREMENT (shared by every consumer of this two-pass
+    * machinery — [[quantileBuckets]], [[balancedShards]]): the per-partition
+    * counts from pass 1 are reused as prefix offsets in pass 2 over the
+    * SAME `repartitionByRange` lineage, which is only valid when `df`
+    * re-executes to identical rows (parquet scans and deterministic
+    * transforms — the normal case). A nondeterministic upstream
+    * (`sample`, `rand`, a `first`-style agg) must be materialized first
+    * (`localCheckpoint()`/a written table); re-sampled rows would silently
+    * shift boundary ranks. Not persisted here by design — pinning a
+    * corpus-sized frame to storage costs more at 100 TB than the contract
+    * costs the caller.
     */
   def topFraction(
       df: DataFrame,
@@ -678,7 +695,9 @@ object Corpus {
     * keys < row key}`. No global window, no single-partition shuffle;
     * nothing corpus-sized reaches the driver or any one task. Empty
     * buckets (n < k) come out exactly as ntile's: rows take buckets
-    * `1..n`. `idCol` must be integral and unique (total order).
+    * `1..n`. `idCol` must be integral and unique (total order). `df` must
+    * re-execute deterministically — see [[topFraction]]'s DETERMINISM
+    * REQUIREMENT (this runs two passes over one ranged lineage).
     */
   def quantileBuckets(
       df: DataFrame,
@@ -754,7 +773,8 @@ object Corpus {
     * rows' ranks from its prefix offset — no global window, no
     * single-partition sort. Returns (id, shard); join back on the id for
     * the full rows (one key shuffle — or broadcast when assigning a
-    * dimension-sized table).
+    * dimension-sized table). `df` must re-execute deterministically — see
+    * [[topFraction]]'s DETERMINISM REQUIREMENT.
     */
   def balancedShards(
       df: DataFrame,

@@ -100,8 +100,16 @@ object Similarity {
     require(oversample >= 1, "oversample must be >= 1")
     require(prefixDim >= 1 && prefixDim <= query.length,
       s"prefixDim must be in [1, ${query.length}], got $prefixDim")
+    // a stored prefix of the wrong width would make array_distance NULL on
+    // every row, and asc_nulls_last would then silently "select" arbitrary
+    // survivors — assert the width in-plan so a mismatch fails loudly at
+    // the first row instead (round-10 advice item; no extra job)
     val prefix: org.apache.spark.sql.Column =
-      prefixCol.map(col).getOrElse(slice(col(vecCol), 1, prefixDim))
+      prefixCol.map { pc =>
+        when(size(col(pc)) === prefixDim, col(pc)).otherwise(raise_error(concat(
+          lit(s"mrlTopK: prefix column '$pc' must have exactly $prefixDim elements, got "),
+          size(col(pc)).cast("string"))))
+      }.getOrElse(slice(col(vecCol), 1, prefixDim))
     val qPrefix = graft.functions.float_vector(query.take(prefixDim))
     val survivors = df
       .select(col(idCol), array_distance(prefix, qPrefix).as("_prefix_dist"))

@@ -241,16 +241,73 @@ object EventStreams {
       .toDF()
   }
 
-  final case class LagState(seq: Int, lastUs: Long, recent: Seq[Long])
+  /** Per-key state for [[lagFeaturesStream]]: event rank, last timestamp,
+    * and the rolling window's timestamps RUN-LENGTH ENCODED as ascending
+    * `(ts, count)` pairs with a running in-window total — a key emitting
+    * millions of events at few distinct timestamps (bot bursts, exactly
+    * what this feature detects) holds one entry per distinct ts, not one
+    * per event (round-10 verdict item: the per-event Seq[Long] state was
+    * unbounded for a hot key).
+    */
+  final case class LagState(
+      seq: Int, lastUs: Long, recent: Seq[(Long, Long)], inWindow: Long)
   final case class LagRow(
       event_id: Long, user_id: Long, seq: Int, gap_us: Option[Long], rolling_n: Long)
+
+  /** Hard cap on RLE entries (distinct in-window timestamps) per key —
+    * ~1 MiB of state at the default. See [[advanceLag]] for the saturation
+    * semantics when a key exceeds it.
+    */
+  val DefaultMaxDistinctTs: Int = 65536
+
+  /** One peer-group transition of the lag-feature state: prune entries
+    * older than `ts - windowUs` (subtracting their mass from the running
+    * total), count the rolling window including the `peers` arriving at
+    * `ts`, and append/merge the new RLE entry. Returns (new state,
+    * rolling_n).
+    *
+    * SATURATION: past `maxDistinctTs` entries the two OLDEST merge onto
+    * the newer of their timestamps — count mass is conserved, so state
+    * stays ≤ cap entries and `rolling_n` degrades to an UPPER bound for
+    * that key only (the merged older mass expires later than it should).
+    * Overcount is the safe direction for the feature's consumers (burst
+    * flags stay raised); keys under the cap — everything the batch twin's
+    * RANGE frame gates — are exact. Pure and driver-testable; the spec
+    * drives 200k-event keys through it and pins the state bound.
+    */
+  private[graft] def advanceLag(
+      st: LagState,
+      ts: Long,
+      peers: Int,
+      windowUs: Long,
+      maxDistinctTs: Int): (LagState, Long) = {
+    val cut = ts - windowUs
+    var rec = st.recent
+    var dropped = 0L
+    while (rec.nonEmpty && rec.head._1 < cut) {
+      dropped += rec.head._2
+      rec = rec.tail
+    }
+    val rolling = st.inWindow - dropped + peers
+    val appended =
+      if (rec.nonEmpty && rec.last._1 == ts)
+        rec.init :+ ((ts, rec.last._2 + peers))
+      else rec :+ ((ts, peers.toLong))
+    // at most one entry was added, so one oldest-pair merge restores the cap
+    val bounded =
+      if (appended.length <= maxDistinctTs) appended
+      else ((appended(1)._1, appended.head._2 + appended(1)._2)) +: appended.drop(2)
+    (LagState(st.seq + peers, ts, bounded, rolling), rolling)
+  }
 
   /** Streaming sequence-context features — the feature-store shape of
     * [[graft.ops.Features.lagFeatures]]: per-user event rank, inter-event
     * gap, and time-range rolling count maintained ACROSS micro-batches
     * via flatMapGroupsWithState (state = seq counter, last timestamp,
-    * and the timestamps inside the rolling window — bounded by the
-    * window span per key). Emits one feature row per input event.
+    * and the rolling window's timestamps run-length encoded — bounded by
+    * min(distinct in-window timestamps, `maxDistinctTs`) entries per key,
+    * with conserved-mass saturation above the cap; see [[advanceLag]]).
+    * Emits one feature row per input event.
     *
     * Tie semantics match the batch RANGE frame: events sharing a
     * timestamp are processed as one peer group, and each peer's
@@ -260,9 +317,13 @@ object EventStreams {
     * a watermark + per-trigger sort).
     */
   def lagFeaturesStream(
-      spark: SparkSession, events: DataFrame, windowUs: Long): DataFrame = {
+      spark: SparkSession,
+      events: DataFrame,
+      windowUs: Long,
+      maxDistinctTs: Int = DefaultMaxDistinctTs): DataFrame = {
     import spark.implicits._
     require(windowUs >= 0, s"windowUs must be >= 0, got $windowUs")
+    require(maxDistinctTs >= 2, s"maxDistinctTs must be >= 2, got $maxDistinctTs")
     events
       .select(col("user_id"), col("event_id"), tsMicros(col("ts")).as("ts_us"))
       .as[(Long, Long, Long)]
@@ -271,7 +332,7 @@ object EventStreams {
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[LagState]) =>
           val sorted = rows.toArray.sortBy(r => (r._3, r._2))
-          var st = state.getOption.getOrElse(LagState(0, Long.MinValue, Vector.empty))
+          var st = state.getOption.getOrElse(LagState(0, Long.MinValue, Vector.empty, 0L))
           val out = Vector.newBuilder[LagRow]
           var i = 0
           while (i < sorted.length) {
@@ -279,20 +340,21 @@ object EventStreams {
             var j = i
             while (j < sorted.length && sorted(j)._3 == ts) j += 1
             // peer group [i, j): rolling count includes every peer
-            val kept = st.recent.filter(_ >= ts - windowUs)
-            val rolling = kept.length.toLong + (j - i)
+            val prevSeq = st.seq
+            val prevLast = st.lastUs
+            val (next, rolling) = advanceLag(st, ts, j - i, windowUs, maxDistinctTs)
             var k = i
             while (k < j) {
               val (_, id, _) = sorted(k)
-              val seq = st.seq + (k - i) + 1
+              val seq = prevSeq + (k - i) + 1
               val gap =
-                if (st.seq + (k - i) == 0) None
-                else if (k == i) Some(ts - st.lastUs)
+                if (prevSeq + (k - i) == 0) None
+                else if (k == i) Some(ts - prevLast)
                 else Some(0L)
               out += LagRow(id, user, seq, gap, rolling)
               k += 1
             }
-            st = LagState(st.seq + (j - i), ts, kept ++ Seq.fill(j - i)(ts))
+            st = next
             i = j
           }
           state.update(st)

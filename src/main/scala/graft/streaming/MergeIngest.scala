@@ -31,14 +31,25 @@ object MergeIngest {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** Latest committed snapshot directory (max `v<N>`). */
+  /** A version dir is committed only once its `_SUCCESS` marker exists —
+    * parquet directory writes are not atomic, so a max-`v<N>` pick without
+    * this check could hand a reader (or a post-crash merge) a mid-write or
+    * half-written snapshot (round-10 advice item). The marker is the
+    * FileOutputCommitter's own commit record, written after every part
+    * file lands.
+    */
+  private def isCommitted(
+      f: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): Boolean =
+    f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+
+  /** Latest COMMITTED snapshot directory (max `v<N>` bearing `_SUCCESS`). */
   def latestDir(spark: SparkSession, tableDir: String): String = {
     val p = new org.apache.hadoop.fs.Path(tableDir)
-    val versions = fs(spark, tableDir).listStatus(p).toSeq
-      .map(_.getPath.getName)
-      .filter(_.matches("v\\d+"))
-      .map(_.drop(1).toLong)
-    require(versions.nonEmpty, s"no snapshot versions under $tableDir")
+    val f = fs(spark, tableDir)
+    val versions = f.listStatus(p).toSeq
+      .filter(s => s.getPath.getName.matches("v\\d+") && isCommitted(f, s.getPath))
+      .map(_.getPath.getName.drop(1).toLong)
+    require(versions.nonEmpty, s"no committed snapshot versions under $tableDir")
     s"$tableDir/v${versions.max}"
   }
 
@@ -74,20 +85,23 @@ object MergeIngest {
     val root = new org.apache.hadoop.fs.Path(tableDir)
     val f = fs(spark, tableDir)
     val hasVersions = f.exists(root) &&
-      f.listStatus(root).exists(_.getPath.getName.matches("v\\d+"))
+      f.listStatus(root).exists(s =>
+        s.getPath.getName.matches("v\\d+") && isCommitted(f, s.getPath))
     if (!hasVersions) base.write.mode("overwrite").parquet(s"$tableDir/v0")
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val query = updates.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         if (!batch.isEmpty) {
-          // read the newest version ≤ batchId — NOT latestDir: a batch
-          // replayed after a crash-between-write-and-commit would
+          // read the newest COMMITTED version ≤ batchId — NOT latestDir: a
+          // batch replayed after a crash-between-write-and-commit would
           // otherwise read the half-written v{batchId+1} it is about to
-          // overwrite (empty batches may skip versions, hence ≤)
+          // overwrite (empty batches may skip versions, hence ≤); the
+          // _SUCCESS filter shields against a crash mid-write of any
+          // earlier version too
           val readable = f.listStatus(root).toSeq
-            .map(_.getPath.getName)
-            .filter(_.matches("v\\d+"))
-            .map(_.drop(1).toLong)
+            .filter(s =>
+              s.getPath.getName.matches("v\\d+") && isCommitted(f, s.getPath))
+            .map(_.getPath.getName.drop(1).toLong)
             .filter(_ <= batchId)
           require(readable.nonEmpty, s"no snapshot version <= $batchId under $tableDir")
           val merged = graft.ops.Corpus.mergeUpsert(

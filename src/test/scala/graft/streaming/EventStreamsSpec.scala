@@ -113,4 +113,70 @@ class EventStreamsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(result == Map(1L -> 2L, 2L -> 1L))
   }
+
+  test("lag-feature state is RLE-bounded for a hot key (100k tied events)") {
+    // bot burst: 200k events across only 100 distinct timestamps inside one
+    // window — the r9 per-event state would hold 200k longs; RLE holds 100
+    var st = EventStreams.LagState(0, Long.MinValue, Vector.empty, 0L)
+    var seen = 0L
+    for (g <- 0 until 100) {
+      val (next, rolling) =
+        EventStreams.advanceLag(st, g.toLong, 2000, windowUs = H,
+          maxDistinctTs = EventStreams.DefaultMaxDistinctTs)
+      seen += 2000
+      assert(rolling == seen) // nothing expired inside the window: exact
+      st = next
+    }
+    assert(st.recent.length == 100)
+    assert(st.inWindow == 200000L)
+    assert(st.seq == 200000)
+    // advancing past the window expires the whole burst
+    val (aged, rollingAfter) =
+      EventStreams.advanceLag(st, 100L + H, 1, H, EventStreams.DefaultMaxDistinctTs)
+    assert(rollingAfter == 1L + st.recent.count(_._1 >= 100L)) // entries at ts>=100: none
+    assert(aged.recent.length == 1)
+  }
+
+  test("lag-feature saturation cap conserves count mass and upper-bounds rolling") {
+    // adversarial key: every event at a DISTINCT timestamp, cap at 64 —
+    // state must stay <= 64 entries with the total count conserved, and
+    // rolling_n must never undercount the true window population
+    val cap = 64
+    var st = EventStreams.LagState(0, Long.MinValue, Vector.empty, 0L)
+    val n = 10000
+    for (t <- 0 until n) {
+      val (next, rolling) = EventStreams.advanceLag(st, t.toLong, 1, H, cap)
+      assert(next.recent.length <= cap)
+      assert(next.recent.map(_._2).sum == next.inWindow) // mass conserved
+      assert(rolling >= math.min(t + 1, cap).toLong) // never undercounts
+      assert(rolling == t + 1L) // window spans all: exact regardless of cap
+      st = next
+    }
+    assert(st.recent.length == cap)
+    assert(st.inWindow == n.toLong)
+    // merged-oldest semantics: expiry past the window still drains to empty
+    val (drained, _) = EventStreams.advanceLag(st, n.toLong + H + 1, 1, H, cap)
+    assert(drained.recent.length == 1 && drained.inWindow == 1L)
+  }
+
+  test("streaming lag features under a tiny cap still match on sub-cap keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long)]
+    val events = input.toDF().toDF("user_id", "event_id", "ts_us")
+      .select(
+        col("user_id"), col("event_id"),
+        timestamp_micros(col("ts_us")).as("ts"))
+    val feats = EventStreams.lagFeaturesStream(spark, events, H, maxDistinctTs = 2)
+    val query = feats.writeStream
+      .format("memory").queryName("lag_cap_test").outputMode(OutputMode.Append())
+      .start()
+    // 3 distinct timestamps within one window: entries 1+2 merge onto ts2
+    // under cap=2; rolling at ts3 still counts all three (mass conserved)
+    input.addData((1L, 1L, 0L), (1L, 2L, 10L), (1L, 3L, 20L))
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("lag_cap_test")
+      .select("event_id", "rolling_n").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
 }

@@ -47,4 +47,17 @@ class MergeIngestSpec extends SparkSpec {
       spark, again, base, table, "k", tombstoneCol = Some("del")) == 0)
     assert(versions() == Seq("v2"))
   }
+
+  test("latestDir skips uncommitted (no _SUCCESS) version dirs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mi-commit").toString
+    Seq((1L, "a")).toDF("k", "v").write.parquet(s"$dir/v0")
+    // simulate a crash mid-write of v1: dir exists, part file present, no
+    // _SUCCESS marker — readers must keep resolving v0
+    Seq((1L, "half")).toDF("k", "v").write.parquet(s"$dir/v1")
+    assert(new java.io.File(s"$dir/v1/_SUCCESS").delete())
+    assert(MergeIngest.latestDir(spark, dir).endsWith("/v0"))
+    // an empty uncommitted dir (crash before any part file) is skipped too
+    assert(new java.io.File(s"$dir/v2").mkdir())
+    assert(MergeIngest.latestDir(spark, dir).endsWith("/v0"))
+  }
 }
