@@ -38,24 +38,24 @@ object Intervals {
     * both sides' columns).
     */
   /** [[overlapJoin]] with the bin width derived from the DATA: the larger
-    * of (a) the p99 span length over a bounded sample of both sides — at
-    * that width ≥99% of sampled intervals cover ≤2 bins — and (b) the
-    * sampled MAX span divided by half the explosion-guard budget, which
-    * clamps the width UP so that even the longest sampled interval covers
-    * ≤ maxBins/2 bins. The p99 alone is NOT enough on long-tailed spans:
-    * a top-1% tail thousands of times longer than the p99 would trip the
-    * [[overlapJoin]] guard at p99 width (the exact failure the guard
-    * exists to catch — but an auto default must not walk into it). The
-    * half-budget margin additionally tolerates unsampled intervals up to
-    * 2× the sampled max before the guard fires; beyond that the guard's
-    * fail-fast error is the correct outcome (a span that dwarfs everything
-    * sampled is a data bug, not a tuning issue).
+    * of (a) the p99 span length of both sides (histogram-derived, within
+    * one power of two — see [[spanProfile]]) — at that width ≥99% of
+    * intervals cover ≤2 bins — and (b) the exact MAX span divided by half
+    * the explosion-guard budget, which clamps the width UP so that even
+    * the longest interval covers ≤ maxBins/2 bins. The p99 alone is NOT
+    * enough on long-tailed spans: a top-1% tail thousands of times longer
+    * than the p99 would trip the [[overlapJoin]] guard at p99 width (the
+    * exact failure the guard exists to catch — but an auto default must
+    * not walk into it). With the max now exact over the whole batch
+    * input, the half-budget margin is pure headroom; the guard's
+    * fail-fast error remains the correct outcome for explicit-width
+    * callers whose data outgrows their width.
     *
-    * Runs one small driver-blocking sampling job per side at CALL time
-    * (first ~[[SpanSampleRows]] valid rows in scan order — cheap: the local
-    * limit stops the scan early). Batch-only by construction; the
+    * Runs one driver-blocking span-profile job per side at CALL time (a
+    * column-pruned single pass reduced map-side to ≤64 log₂-bucket rows —
+    * see [[spanProfile]]). Batch-only by construction; the
     * stream-static form keeps its explicit width (a streaming side cannot
-    * run a sampling job at plan time).
+    * run a profiling job at plan time).
     */
   def overlapJoin(
       a: DataFrame,
@@ -63,15 +63,28 @@ object Intervals {
       aEnd: Column,
       b: DataFrame,
       bStart: Column,
-      bEnd: Column): DataFrame = {
-    val (p99A, maxA) = sampledSpan(a, aStart, aEnd).getOrElse((1L, 1L))
-    val (p99B, maxB) = sampledSpan(b, bStart, bEnd).getOrElse((1L, 1L))
+      bEnd: Column): DataFrame =
+    overlapJoin(a, aStart, aEnd, b, bStart, bEnd,
+      binWidth = autoBinWidth(a, aStart, aEnd, b, bStart, bEnd))
+
+  /** The bin width the auto [[overlapJoin]] overload picks — exposed so
+    * callers (and the layout-stability spec) can inspect or reuse the
+    * decision, e.g. to pass it to the stream-static form.
+    */
+  def autoBinWidth(
+      a: DataFrame,
+      aStart: Column,
+      aEnd: Column,
+      b: DataFrame,
+      bStart: Column,
+      bEnd: Column): Long = {
+    val (p99A, maxA) = spanProfile(a, aStart, aEnd).getOrElse((1L, 1L))
+    val (p99B, maxB) = spanProfile(b, bStart, bEnd).getOrElse((1L, 1L))
     val maxSpan = math.max(maxA, maxB)
-    // ceil(maxSpan / (maxBins/2)): longest sampled interval ≤ maxBins/2 bins
+    // ceil(maxSpan / (maxBins/2)): longest interval ≤ maxBins/2 bins
     val guardFloor = (maxSpan + DefaultMaxBinsPerInterval / 2 - 1) /
       (DefaultMaxBinsPerInterval / 2)
-    val width = math.max(math.max(p99A, p99B), math.max(guardFloor, 1L))
-    overlapJoin(a, aStart, aEnd, b, bStart, bEnd, binWidth = width)
+    math.max(math.max(p99A, p99B), math.max(guardFloor, 1L))
   }
 
   /** Default for `maxBinsPerInterval` — shared by the explicit overload's
@@ -79,30 +92,42 @@ object Intervals {
     */
   val DefaultMaxBinsPerInterval: Int = 4096
 
-  /** Sample bound for [[sampledSpan]] — enough mass for a stable p99,
-    * small enough that the sampling scan stops after a few partitions.
+  /** (~p99, max) of `end - start + 1` over ALL valid intervals; None when
+    * the side has none. LAYOUT-STABLE by construction (round-10 verdict
+    * item: the previous `limit(100k)`-in-scan-order sample — and an
+    * approx-percentile sketch, whose merge is partition-order-sensitive —
+    * could pick a different width, and thus a different plan shape, under
+    * a different file layout or `spark.sql.files.*` split): spans reduce
+    * map-side to a ≤64-row log₂-bucket histogram (count + exact max per
+    * bucket), and the "p99" is the max span inside the bucket where the
+    * cumulative count crosses 99% — within one power of two above the
+    * true p99, which is plenty for a bin-width DEFAULT (any width yields
+    * the same join result, only the plan's fan-out changes; the
+    * overshoot direction is the safe one for the explosion guard). One
+    * column-pruned pass over two longs per row with ≤64-group partial
+    * aggregation: at any corpus size this is a sliver of the join that
+    * follows, and the returned width is a pure function of the DATA, not
+    * the layout.
     */
-  val SpanSampleRows: Int = 100000
-
-  /** (p99, max) of `end - start + 1` over the first [[SpanSampleRows]]
-    * valid intervals in scan order; None when the side has no valid
-    * interval. Scan order makes this deterministic for a fixed file layout
-    * (the usual parquet case); it is an auto-DEFAULT, not a semantic
-    * input — any width yields the same join result, only the plan's
-    * fan-out changes. The max rides the same single aggregate as the p99
-    * sketch, so the sample costs one job either way.
-    */
-  private def sampledSpan(df: DataFrame, s: Column, e: Column): Option[(Long, Long)] =
-    df.where(e >= s)
-      .select((e.cast("long") - s.cast("long") + 1L).as("_span"))
-      .limit(SpanSampleRows)
-      .agg(
-        percentile_approx(col("_span"), lit(0.99), lit(10000)).cast("long"),
-        max(col("_span")))
-      .collect().headOption.flatMap { r =>
-        if (r.isNullAt(0)) None
-        else Some((math.max(r.getLong(0), 1L), math.max(r.getLong(1), 1L)))
+  private def spanProfile(df: DataFrame, s: Column, e: Column): Option[(Long, Long)] = {
+    val span = greatest(e.cast("long") - s.cast("long") + 1L, lit(1L))
+    val rows = df.where(e >= s)
+      .groupBy(floor(log(2.0, span.cast("double"))).cast("int").as("_b"))
+      .agg(count(lit(1)).as("_n"), max(span).as("_mx"))
+      .collect()
+    if (rows.isEmpty) None
+    else {
+      val buckets = rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      val total = buckets.map(_._2).sum
+      val target = math.ceil(total * 0.99).toLong
+      var cum = 0L
+      var p99Cap = 1L
+      buckets.foreach { case (_, n, mx) =>
+        if (cum < target) { cum += n; p99Cap = mx }
       }
+      Some((math.max(p99Cap, 1L), math.max(buckets.map(_._3).max, 1L)))
+    }
+  }
 
   def overlapJoin(
       a: DataFrame,

@@ -78,11 +78,21 @@ object TextScaleBench {
       .write.mode("overwrite").parquet(dir)
   }
 
+  /** Generate-or-reuse the seeded corpus (env-sized); returns its path.
+    * Shared with [[BpeScaleProbe]]. The dir is generator-versioned: a
+    * generator change must never silently reuse a stale cached corpus.
+    */
+  def ensureCorpus(spark: SparkSession): String = {
+    val rows = sys.env.getOrElse("SPARK_GRAFT_TEXTSCALE_ROWS", "500000").toLong
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_TEXTSCALE_DIR", "/root/repo/.graft/scale")
+    val corpus = s"$baseDir/docs_${rows}_v2"
+    if (!new java.io.File(corpus).exists()) generate(spark, corpus, rows)
+    corpus
+  }
+
   def main(args: Array[String]): Unit = {
     val rows = sys.env.getOrElse("SPARK_GRAFT_TEXTSCALE_ROWS", "500000").toLong
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_TEXTSCALE_DIR", "/root/repo/.graft/scale")
-    // generator-versioned dir: a generator change must never silently reuse
-    // a stale cached corpus
     val corpus = s"$baseDir/docs_${rows}_v2"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 

@@ -80,4 +80,25 @@ class BpeSpec extends SparkSpec {
     assert(counts.zip(counts.tail).forall { case (a, b) => b <= a })
     assert(counts.last < counts.head) // six merges actually merged something
   }
+
+  test("trainMergesLocal produces the identical merge sequence to trainMerges") {
+    // tie- and overlap-heavy corpus: equal counts exercise the
+    // (cnt DESC, sym_a, sym_b) rule, "aaaa" the overlap-count vs
+    // non-overlapping-merge asymmetry, multi-char symbols the later rounds
+    val docs = Seq(
+      "abab abab abc", "cc dd cc dd", "aaaa aaa", "xy xz yz xy",
+      "the the quick quick", "ababab").toDF("text")
+    val n = 12
+    val seqMerges = Bpe.trainMerges(docs, "text", n)
+    val locMerges = Bpe.trainMergesLocal(docs, "text", n)
+    assert(locMerges == seqMerges)
+    // exhaustion parity
+    val e = intercept[IllegalArgumentException](
+      Bpe.trainMergesLocal(Seq("ab").toDF("text"), "text", 5))
+    assert(e.getMessage.contains("exhausted"))
+    // maxWords bound fails fast
+    val big = intercept[IllegalArgumentException](
+      Bpe.trainMergesLocal(docs, "text", 2, maxWords = 3))
+    assert(big.getMessage.contains("maxWords"))
+  }
 }

@@ -139,4 +139,28 @@ class IntervalsSpec extends SparkSpec {
       Intervals.overlapJoin(l, col("s"), col("e"), r, col("s2"), col("e2"), 0L)
     }
   }
+
+  test("auto bin width is layout-stable: same width from 1-file and 8-file layouts") {
+    // long-tailed spans so the width decision is non-trivial; write the
+    // SAME rows under two different physical layouts — scan order and
+    // partition boundaries differ, the chosen width must not
+    val rng = new scala.util.Random(41)
+    val rows = (0 until 5000).map { i =>
+      val span = if (i % 100 == 0) 5000L + rng.nextInt(5000) else 1L + rng.nextInt(64)
+      (i.toLong, i.toLong * 3, i.toLong * 3 + span - 1)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-iv-layout").toString
+    rows.toDF("id", "s", "e").coalesce(1).write.parquet(s"$dir/one")
+    rows.toDF("id", "s", "e").repartition(8, col("id"))
+      .write.parquet(s"$dir/eight")
+    def width(path: String): Long = {
+      val df = spark.read.parquet(path)
+      Intervals.autoBinWidth(df, col("s"), col("e"), df, col("s"), col("e"))
+    }
+    val w1 = width(s"$dir/one")
+    val w8 = width(s"$dir/eight")
+    assert(w1 == w8)
+    // and the width is sane: covers the common mass, clamped by the tail
+    assert(w1 >= 64L && w1 <= 10000L)
+  }
 }
