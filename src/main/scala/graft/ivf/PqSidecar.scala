@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   * survivors. At dim=64, m=8 this is a 32× coarse-IO reduction over floats
   * (8× over SQ8).
   *
+  * MEASURED ENVELOPE (TierIoProbe at 1M×1024, round-10 BENCHNOTES): PQ is
+  * the demonstrated COLD/remote tier — on a single-file by-cell layout it
+  * beats float selective at every cold bandwidth (0.66 vs 1.04 s cold
+  * NVMe; 3.77 vs 4.49 at 25 MB/s). Caveats: multi-file layouts erase the
+  * win (per-file codebook/sidecar loads — keep cold tables few-file), and
+  * on a warm page cache float selective stays faster.
+  *
   * Layout (little-endian): `"GRAFTPQ3" | nRows i32 | flags i32 |
   * centroidDigest i64 | cbLen i32 | codebook bytes ([[Pq.codebookBytes]]) |
   * codes (nRows·m bytes)`.

@@ -15,9 +15,16 @@ import graft.functions.Sq8
   *
   * This is the storage half of IVF-SQ8 search ([[VectorTopK.searchQuantized]]):
   * the coarse ranking reads `dim` BYTES per candidate instead of `4·dim`
-  * (and instead of a row-group-granular parquet read) — at 100 TB the
-  * candidate-ranking IO drops 4×+ and full-precision floats are touched only
-  * for the `k·oversample` refine survivors.
+  * (and instead of a row-group-granular parquet read); full-precision
+  * floats are touched only for the `k·oversample` refine survivors.
+  *
+  * MEASURED ENVELOPE (TierIoProbe at 1M×1024, round-10 BENCHNOTES): SQ8
+  * wins only on COLD single-file reads where device parallelism (not
+  * bandwidth) limits — 0.72 s vs float 1.04 on cold NVMe; under a
+  * bandwidth cap it loses because this read path moves MORE device bytes
+  * than float's page-packed rows at high dim (147 vs 116 MB/query — open
+  * item). Treat SQ8 as storage compression + warm-memory coarse ranking;
+  * the bandwidth-starved cold tier is PQ ([[PqSidecar]]).
   *
   * Layout (little-endian): `"GRAFTSQ8" | dim i32 | nRows i32 | codes
   * (nRows·dim bytes)`. Writes are atomic (temp + rename), safe under

@@ -31,7 +31,7 @@ object ScaleBench {
     * never silently desynchronize them (the query must sit near a real
     * blob for the recall/range numbers to mean anything).
     */
-  private def mixtureCenters(trueClusters: Int, dim: Int): Array[Float] = {
+  private[tools] def mixtureCenters(trueClusters: Int, dim: Int): Array[Float] = {
     val r = new java.util.Random(2026L)
     Array.fill(trueClusters * dim)(r.nextFloat() * 10f)
   }
@@ -43,7 +43,7 @@ object ScaleBench {
     * Per-row RNG is seeded from the row id, so the data is identical for
     * any partitioning.
     */
-  private def generate(
+  private[tools] def generate(
       spark: SparkSession, dir: String, rows: Long, dim: Int, trueClusters: Int): Unit = {
     import spark.implicits._
     val centers = mixtureCenters(trueClusters, dim)
