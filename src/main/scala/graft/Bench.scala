@@ -135,8 +135,10 @@ object Bench {
     def mrlK100() = graft.ops.Similarity
       .mrlTopK(spark.read.parquet(path), "vec_id", "embedding", query, 100,
         prefixDim = 16, oversample = 4)
-    // raw production-point paths for the round-10 gated records (VerifyOnly
-    // above): same shapes the r1-r9 series timed under these names
+    // raw paths for the round-10 gated records (VerifyOnly above): same
+    // shapes the r1-r9 series timed under these names — sq2Raw keeps the
+    // series' probes=1 default (the sq2 GATE covers probes=4; timing that
+    // point would break the series), va1Raw is the gated nprobe=4 point
     def sq2Raw() = {
       val (ti, centroids) =
         graft.ivf.IndexManager.ensureWithCentroids(spark, path, "embedding")

@@ -3119,7 +3119,9 @@ object Queries {
     * sf0.001/0.01/0.1 — GateProbe, round-10 BENCHNOTES; the bench floors
     * the same metric at 0.55 at sf0.1). A regression anywhere in
     * assignment, probe explode, verify, or dedup flips a count and fails
-    * the hash. The raw pair path's timing stays in Bench under this name.
+    * the hash. The raw pair path's timing stays in Bench under this name —
+    * at the r1–r9 series' probes=1 shape (series continuity; the gate
+    * here covers probes=4, whose extra cost is the same explode×4).
     */
   def sq2IvfCellPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val path = s"$sfDir/embeddings.parquet"

@@ -111,8 +111,12 @@ object Intervals {
     */
   private def spanProfile(df: DataFrame, s: Column, e: Column): Option[(Long, Long)] = {
     val span = greatest(e.cast("long") - s.cast("long") + 1L, lit(1L))
+    // integer-exact floor(log2): bit-length of the binary string — a
+    // float ln(x)/ln(2) can land exact powers of two one bucket off
+    // (round-10 advice item), loosening the "within one power of two"
+    // bound right at the edges
     val rows = df.where(e >= s)
-      .groupBy(floor(log(2.0, span.cast("double"))).cast("int").as("_b"))
+      .groupBy((length(bin(span)) - 1).cast("int").as("_b"))
       .agg(count(lit(1)).as("_n"), max(span).as("_mx"))
       .collect()
     if (rows.isEmpty) None

@@ -103,12 +103,17 @@ object Similarity {
     // a stored prefix of the wrong width would make array_distance NULL on
     // every row, and asc_nulls_last would then silently "select" arbitrary
     // survivors — assert the width in-plan so a mismatch fails loudly at
-    // the first row instead (round-10 advice item; no extra job)
+    // the first row instead (round-10 advice item; no extra job). NULL
+    // prefixes pass through untouched (size(NULL) is NULL, so they'd
+    // otherwise fall into raise_error): a null vector is skipped by
+    // asc_nulls_last here exactly as in every other top-k path
     val prefix: org.apache.spark.sql.Column =
       prefixCol.map { pc =>
-        when(size(col(pc)) === prefixDim, col(pc)).otherwise(raise_error(concat(
-          lit(s"mrlTopK: prefix column '$pc' must have exactly $prefixDim elements, got "),
-          size(col(pc)).cast("string"))))
+        when(col(pc).isNull, col(pc))
+          .when(size(col(pc)) === prefixDim, col(pc))
+          .otherwise(raise_error(concat(
+            lit(s"mrlTopK: prefix column '$pc' must have exactly $prefixDim elements, got "),
+            size(col(pc)).cast("string"))))
       }.getOrElse(slice(col(vecCol), 1, prefixDim))
     val qPrefix = graft.functions.float_vector(query.take(prefixDim))
     val survivors = df

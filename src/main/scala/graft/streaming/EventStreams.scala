@@ -260,6 +260,14 @@ object EventStreams {
     */
   val DefaultMaxDistinctTs: Int = 65536
 
+  /** One oldest-pair merge restores the entry cap (at most one entry is
+    * added per transition); mass is conserved onto the newer timestamp.
+    */
+  private def capEntries(
+      entries: Seq[(Long, Long)], maxDistinctTs: Int): Seq[(Long, Long)] =
+    if (entries.length <= maxDistinctTs) entries
+    else ((entries(1)._1, entries.head._2 + entries(1)._2)) +: entries.drop(2)
+
   /** One peer-group transition of the lag-feature state: prune entries
     * older than `ts - windowUs` (subtracting their mass from the running
     * total), count the rolling window including the `peers` arriving at
@@ -271,9 +279,20 @@ object EventStreams {
     * stays ≤ cap entries and `rolling_n` degrades to an UPPER bound for
     * that key only (the merged older mass expires later than it should).
     * Overcount is the safe direction for the feature's consumers (burst
-    * flags stay raised); keys under the cap — everything the batch twin's
-    * RANGE frame gates — are exact. Pure and driver-testable; the spec
-    * drives 200k-event keys through it and pins the state bound.
+    * flags stay raised); keys under the cap seeing in-event-time-order
+    * input — everything the batch twin's RANGE frame gates — are exact.
+    *
+    * LATE ARRIVALS (`ts < lastUs`, an earlier micro-batch already advanced
+    * past this timestamp) insert in timestamp order, so the ascending-RLE
+    * invariant — and with it the head-prefix prune for every subsequent
+    * in-order event — stays exact (round-10 advice: an out-of-order append
+    * left expired entries stranded behind newer heads, overcounting forever
+    * after). The late event's own rolling_n sums the surviving entries
+    * inside ITS window — a lower bound when mass older than the current
+    * window was already pruned (unknowable in a stream; the batch twin,
+    * which sees all data sorted, has no late events). `lastUs` never moves
+    * backward. Pure and driver-testable; the spec drives 200k-event keys
+    * through it and pins the state bound.
     */
   private[graft] def advanceLag(
       st: LagState,
@@ -282,22 +301,34 @@ object EventStreams {
       windowUs: Long,
       maxDistinctTs: Int): (LagState, Long) = {
     val cut = ts - windowUs
-    var rec = st.recent
-    var dropped = 0L
-    while (rec.nonEmpty && rec.head._1 < cut) {
-      dropped += rec.head._2
-      rec = rec.tail
+    if (ts >= st.lastUs) {
+      var rec = st.recent
+      var dropped = 0L
+      while (rec.nonEmpty && rec.head._1 < cut) {
+        dropped += rec.head._2
+        rec = rec.tail
+      }
+      val rolling = st.inWindow - dropped + peers
+      val appended =
+        if (rec.nonEmpty && rec.last._1 == ts)
+          rec.init :+ ((ts, rec.last._2 + peers))
+        else rec :+ ((ts, peers.toLong))
+      (LagState(st.seq + peers, ts, capEntries(appended, maxDistinctTs), rolling),
+        rolling)
+    } else {
+      // nothing to prune: every surviving entry already passed the larger
+      // cut of a later timestamp, and cut here is strictly smaller
+      val idxRaw = st.recent.indexWhere(_._1 >= ts)
+      val idx = if (idxRaw < 0) st.recent.length else idxRaw
+      val merged =
+        if (idx < st.recent.length && st.recent(idx)._1 == ts)
+          st.recent.updated(idx, (ts, st.recent(idx)._2 + peers))
+        else (st.recent.take(idx) :+ ((ts, peers.toLong))) ++ st.recent.drop(idx)
+      val rolling = merged.iterator
+        .filter(e => e._1 >= cut && e._1 <= ts).map(_._2).sum
+      (LagState(st.seq + peers, st.lastUs, capEntries(merged, maxDistinctTs),
+        st.inWindow + peers), rolling)
     }
-    val rolling = st.inWindow - dropped + peers
-    val appended =
-      if (rec.nonEmpty && rec.last._1 == ts)
-        rec.init :+ ((ts, rec.last._2 + peers))
-      else rec :+ ((ts, peers.toLong))
-    // at most one entry was added, so one oldest-pair merge restores the cap
-    val bounded =
-      if (appended.length <= maxDistinctTs) appended
-      else ((appended(1)._1, appended.head._2 + appended(1)._2)) +: appended.drop(2)
-    (LagState(st.seq + peers, ts, bounded, rolling), rolling)
   }
 
   /** Streaming sequence-context features — the feature-store shape of
@@ -312,9 +343,12 @@ object EventStreams {
     * Tie semantics match the batch RANGE frame: events sharing a
     * timestamp are processed as one peer group, and each peer's
     * rolling count includes the whole group (SQL RANGE counts peers).
-    * Batches must arrive in per-key event-time order, with tie groups
-    * unsplit — the staged-replay contract (production fronts this with
-    * a watermark + per-trigger sort).
+    * In-event-time-order input (tie groups unsplit — the staged-replay
+    * contract; production fronts this with a watermark + per-trigger
+    * sort) reproduces the batch twin exactly for under-cap keys. A LATE
+    * event (earlier timestamp than a prior batch already processed) is
+    * inserted in timestamp order — later in-order events stay exact —
+    * and its own rolling_n is a lower bound (see [[advanceLag]]).
     */
   def lagFeaturesStream(
       spark: SparkSession,

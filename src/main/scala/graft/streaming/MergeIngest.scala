@@ -84,6 +84,16 @@ object MergeIngest {
     val checkpoint = checkpointDir.getOrElse(s"$tableDir/_graft_checkpoint")
     val root = new org.apache.hadoop.fs.Path(tableDir)
     val f = fs(spark, tableDir)
+    // commit detection keys on the _SUCCESS marker: a deployment with
+    // marksuccessfuljobs=false would make every snapshot — including a
+    // healthy v0 this writer just produced — invisible to isCommitted;
+    // fail at init with the real cause instead of a misleading "no
+    // committed snapshot versions" later (round-10 advice item)
+    require(
+      spark.sessionState.newHadoopConf().getBoolean(
+        "mapreduce.fileoutputcommitter.marksuccessfuljobs", true),
+      "MergeIngest requires mapreduce.fileoutputcommitter.marksuccessfuljobs=true " +
+        "(snapshot commit detection keys on the _SUCCESS marker)")
     val hasVersions = f.exists(root) &&
       f.listStatus(root).exists(s =>
         s.getPath.getName.matches("v\\d+") && isCommitted(f, s.getPath))

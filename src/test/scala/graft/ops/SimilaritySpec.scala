@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, when}
 
 import graft.SparkSpec
 
@@ -292,6 +292,30 @@ class SimilaritySpec extends SparkSpec {
       oversample = 3, prefixCol = Some("v16"))
       .select("id").as[Long].collect().toSet
     assert(viaCol == approx)
+    // NULL stored prefixes are SKIPPED (nulls-last), matching every other
+    // top-k path's skip-null semantics — not crashed on (round-10 advice:
+    // size(NULL) is NULL, which used to fall into the raise_error branch)
+    val withNulls = withPrefix.withColumn("v16",
+      when(col("id") % 7 === 0, org.apache.spark.sql.functions.lit(null))
+        .otherwise(col("v16")))
+    val expectNoNullIds = Similarity
+      .mrlTopK(withPrefix.where(col("id") % 7 =!= 0), "id", "v", q, 10,
+        prefixDim = 4, oversample = 3, prefixCol = Some("v16"))
+      .select("id").as[Long].collect().toSeq
+    val viaNulls = Similarity.mrlTopK(withNulls, "id", "v", q, 10,
+      prefixDim = 4, oversample = 3, prefixCol = Some("v16"))
+      .select("id").as[Long].collect().toSeq
+    assert(viaNulls == expectNoNullIds)
+    // a NON-null wrong-width stored prefix still fails loudly
+    val badWidth = withPrefix.withColumn("v16",
+      org.apache.spark.sql.functions.slice(col("v"), 1, 3))
+    val crash = intercept[Exception] {
+      Similarity.mrlTopK(badWidth, "id", "v", q, 10, prefixDim = 4,
+        oversample = 3, prefixCol = Some("v16"))
+        .select("id").as[Long].collect()
+    }
+    assert(crash.getMessage.contains("must have exactly") ||
+      Option(crash.getCause).exists(_.getMessage.contains("must have exactly")))
     intercept[IllegalArgumentException](
       Similarity.mrlTopK(df, "id", "v", q, 0, prefixDim = 4))
     intercept[IllegalArgumentException](

@@ -159,6 +159,30 @@ class EventStreamsSpec extends SparkSpec {
     assert(drained.recent.length == 1 && drained.inWindow == 1L)
   }
 
+  test("late lag-feature arrivals insert in order; later pruning stays exact") {
+    // in-order prefix: events at ts 0, 10, 20 (window H covers all)
+    var st = EventStreams.LagState(0, Long.MinValue, Vector.empty, 0L)
+    for (t <- Seq(0L, 10L, 20L))
+      st = EventStreams.advanceLag(st, t, 1, H, 64)._1
+    // LATE event at ts=5 (an earlier batch already advanced to 20):
+    // must land between 0 and 10, not after 20
+    val (lateSt, lateRolling) = EventStreams.advanceLag(st, 5L, 1, H, 64)
+    assert(lateSt.recent.map(_._1) == Vector(0L, 5L, 10L, 20L)) // ascending kept
+    assert(lateRolling == 2L) // its own window [5-H, 5] sees ts 0 and itself
+    assert(lateSt.lastUs == 20L) // high-water mark never moves backward
+    assert(lateSt.inWindow == 4L)
+    // advance far enough that ts 0 and 5 expire but 10 and 20 survive:
+    // the head-prefix prune must drop BOTH stale entries (the r10 append
+    // form stranded the late entry behind ts=20 and overcounted forever)
+    val (pruned, rolling) = EventStreams.advanceLag(lateSt, 9L + H, 1, H, 64)
+    assert(pruned.recent.map(_._1) == Vector(10L, 20L, 9L + H))
+    assert(rolling == 3L) // 10, 20, and the new event — stale mass gone
+    // duplicate-timestamp late arrival merges onto the existing entry
+    val (mergedSt, _) = EventStreams.advanceLag(pruned, 10L, 2, H + 100L, 64)
+    assert(mergedSt.recent.map(_._1) == Vector(10L, 20L, 9L + H))
+    assert(mergedSt.recent.head._2 == 3L)
+  }
+
   test("streaming lag features under a tiny cap still match on sub-cap keys") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, Long)]
