@@ -970,9 +970,11 @@ object VectorTopK {
     val coarse = sc.parallelize(files, slices).flatMap { file =>
       val index = IndexManager.loadIndex(store, file, colName)
       val sidecar = store.pqPath(file, colName, wantResidual)
-      // open-once reader: the residual branch reads per probed cell, and
-      // reopening + re-parsing the codebook per cell would be nprobe
-      // redundant header reads per task
+      // open-once reader: the residual branch reads per probed cell, so
+      // reopening per cell would be nprobe redundant opens per task; the
+      // codebook comes from the process-wide digest-keyed LRU, so a
+      // multi-file table decodes it once per JVM and every other file
+      // costs a 36-byte header read
       val reader = new PqSidecar.Reader(sidecar)
       val header = reader.header
       require(
@@ -987,7 +989,7 @@ object VectorTopK {
           s"centroid epoch ${header.centroidDigest} but the index is now " +
           s"${index.centroidDigest} (retrained since encode) — rebuild with " +
           "PqSidecar.ensure")
-      val cb = header.cb
+      val cb = reader.codebook
       require(
         cb.dim == q.length,
         s"query dim ${q.length} != PQ codebook dim ${cb.dim} for $file")

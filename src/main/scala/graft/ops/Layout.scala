@@ -82,6 +82,20 @@ object Layout {
     * not working. Rebuild the index AFTER relayout (row ordinals change):
     * `IvfBuilder.build(spark, outPath, Config(column), store)` — pass the
     * same `centroids` as `warmStart` to keep the cell geometry.
+    *
+    * `pageRows` caps rows per parquet PAGE (the selective-fetch read
+    * granule): the refine phase fetches k·oversample SCATTERED survivors,
+    * and at default pages (~1 MiB ≈ 256 rows at dim=1024) each survivor
+    * drags a whole page — the round-10 TierIoProbe measured this page
+    * amplification at ~100 MB/query, drowning the quantized tiers' 4-32×
+    * coarse byte savings. `Some(1)` is the reference's 1-row-page pairing
+    * ([[graft.ivf.IvfBuilder.rewriteWithIndex]], reference
+    * `src/ivf/build.rs` write_props): point reads become row-exact at the
+    * cost of per-page headers (~1-2% at 4 KiB rows) and a larger offset
+    * index. `None` keeps the writer defaults (right for scan-dominated
+    * tables). Dictionary encoding is disabled alongside a cap — float
+    * vectors don't dictionary-compress, and page-exact selection must not
+    * pay a per-row-group dictionary page read.
     * Returns the reread frame.
     */
   def writeByCell(
@@ -90,8 +104,10 @@ object Layout {
       column: String,
       centroids: Array[Float],
       dim: Int,
-      numFiles: Int): DataFrame = {
+      numFiles: Int,
+      pageRows: Option[Int] = None): DataFrame = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    require(pageRows.forall(_ >= 1), s"pageRows must be >= 1, got $pageRows")
     require(
       centroids.nonEmpty && centroids.length % dim == 0,
       s"centroid matrix length ${centroids.length} not a positive multiple of dim $dim")
@@ -105,12 +121,16 @@ object Layout {
     // collision-proof helper name: a user column literally named "_cell"
     // (our own similarity ops emit one) must survive the round trip intact
     val cellCol = s"_graft_cell_${java.util.UUID.randomUUID().toString.take(8)}"
-    df.withColumn(cellCol, assign(col(column).cast("array<float>")))
+    val writer = df.withColumn(cellCol, assign(col(column).cast("array<float>")))
       .repartitionByRange(numFiles, col(cellCol))
       .sortWithinPartitions(cellCol)
       .drop(cellCol)
       .write
       .mode("overwrite")
+    pageRows
+      .fold(writer)(n => writer
+        .option("parquet.page.row.count.limit", n.toString)
+        .option("parquet.enable.dictionary", "false"))
       .parquet(outPath)
     spark.read.parquet(outPath)
   }

@@ -74,10 +74,17 @@ object TierIoProbe {
     // first run read ~6.4% of rows, not 1.6% — round-10 BENCHNOTES);
     // 1 file is the reference's per-file regime and the tiers' home turf
     val numFiles = sys.env.getOrElse("SPARK_GRAFT_SCALE_FILES", "16").toInt
+    // rows per parquet page in the by-cell layout (SPARK_GRAFT_PAGE_ROWS;
+    // unset = writer defaults ~256 rows/page at dim=1024): the round-10
+    // probe showed refine page amplification dominating the tier bytes —
+    // this knob measures the 1-row-page pairing the reference uses
+    val pageRows = sys.env.get("SPARK_GRAFT_PAGE_ROWS").map(_.toInt)
     val trueClusters = 64
     val corpus = s"$baseDir/corpus_${rows}x$dim"
+    val pageSuffix = pageRows.fold("")(n => s"_p$n")
     val clustered =
-      if (numFiles == 16) s"${corpus}_bycell" else s"${corpus}_bycell$numFiles"
+      (if (numFiles == 16) s"${corpus}_bycell" else s"${corpus}_bycell$numFiles") +
+        pageSuffix
 
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -95,7 +102,7 @@ object TierIoProbe {
     if (!new java.io.File(clustered).exists())
       graft.ops.Layout.writeByCell(
         spark.read.parquet(corpus), clustered, "embedding",
-        centroids, ti0.dim, numFiles = numFiles): Unit
+        centroids, ti0.dim, numFiles = numFiles, pageRows = pageRows): Unit
     IndexManager.ensure(spark, clustered, "embedding", store = store): Unit
     Sq8Sidecar.ensure(spark, clustered, "embedding", store)
     PqSidecar.ensure(spark, clustered, "embedding", m = dim / 8, store)
@@ -154,7 +161,7 @@ object TierIoProbe {
       }
     }
     setLimit(0L)
-    println(s"""{"metric":"tier_io_probe","rows":$rows,"dim":$dim,"dev":"$dev","k":$k,"nprobe":$nprobe,"layout":"bycell","arms":{${out.result().mkString(",")}}}""")
+    println(s"""{"metric":"tier_io_probe","rows":$rows,"dim":$dim,"dev":"$dev","k":$k,"nprobe":$nprobe,"layout":"bycell","files":$numFiles,"page_rows":${pageRows.getOrElse(0)},"arms":{${out.result().mkString(",")}}}""")
     spark.stop()
   }
 }

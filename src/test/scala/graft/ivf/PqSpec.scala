@@ -80,7 +80,12 @@ class PqSpec extends SparkSpec {
     val path = Files.createTempDirectory("graft-pq").toString + "/codes.pq"
     PqSidecar.writeFile(path, cb, codes)
     val header = PqSidecar.readHeader(path)
-    assert(header.nRows == samples.length && header.cb.m == 4 && !header.residual)
+    assert(header.nRows == samples.length && !header.residual)
+    assert(header.cbDigest == PqSidecar.codebookDigest(Pq.codebookBytes(cb)))
+    val reader = new PqSidecar.Reader(path)
+    try assert(reader.codebook == cb.copy(centroids = reader.codebook.centroids)
+      && reader.codebook.centroids.toSeq == cb.centroids.toSeq)
+    finally reader.close()
     val wanted = Array(0, 1, 2, 57, 100, 299)
     val (_, rows) = PqSidecar.readRows(path, wanted)
     wanted.zipWithIndex.foreach { case (ri, i) =>
@@ -89,6 +94,44 @@ class PqSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       PqSidecar.readRows(path, Array(300))
     }
+  }
+
+  test("codebook cache: one decode serves all files sharing a codebook") {
+    val samples = sampleVecs(120, 41)
+    val cb = Pq.train(samples, m = 4, seed = 7L)
+    val codes = samples.flatMap(v => Pq.encode(v, cb))
+    val dir = Files.createTempDirectory("graft-pq-cbcache").toString
+    val paths = (0 until 4).map(i => s"$dir/part-$i.pq")
+    paths.foreach(p => PqSidecar.writeFile(p, cb, codes))
+    val (h0, m0) = PqSidecar.codebookCacheStats
+    // repeated multi-"file" reads: at most ONE miss (the table's shared
+    // codebook decodes once per JVM; it may already be cached from an
+    // earlier spec if digests collide — they don't across seeds)
+    for (_ <- 0 until 3; p <- paths) {
+      val r = new PqSidecar.Reader(p)
+      try assert(r.codebook.centroids.toSeq == cb.centroids.toSeq)
+      finally r.close()
+    }
+    val (h1, m1) = PqSidecar.codebookCacheStats
+    assert(m1 - m0 <= 1, s"expected at most one codebook decode, got ${m1 - m0}")
+    assert(h1 - h0 >= 11, s"expected >= 11 cache hits, got ${h1 - h0}")
+    // a corrupted codebook byte fails the digest integrity check loudly —
+    // integrity is verified on cache MISS, so corrupt a file carrying a
+    // codebook this JVM has never decoded
+    val cb2 = Pq.train(sampleVecs(120, 42), m = 4, seed = 8L)
+    assert(PqSidecar.codebookDigest(Pq.codebookBytes(cb2)) !=
+      PqSidecar.codebookDigest(Pq.codebookBytes(cb)))
+    val badPath = java.nio.file.Paths.get(s"$dir/bad.pq")
+    PqSidecar.writeFile(
+      badPath.toString, cb2, samples.flatMap(v => Pq.encode(v, cb2)))
+    val bytes = Files.readAllBytes(badPath)
+    bytes(40) = (bytes(40) ^ 0x1).toByte // inside the codebook region
+    Files.write(badPath, bytes)
+    val r = new PqSidecar.Reader(badPath.toString)
+    try {
+      val e = intercept[IllegalArgumentException](r.codebook)
+      assert(e.getMessage.contains("digest mismatch"))
+    } finally r.close()
   }
 
   test("searchPq is exact at exhaustive probe + covering oversample") {
