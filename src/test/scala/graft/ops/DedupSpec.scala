@@ -167,12 +167,34 @@ class DedupSpec extends SparkSpec {
       (2L, 1L), (2L, 3L), (9L, 3L), (5L, 7L),
       (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L))
       .toDF("doc_a", "doc_b")
-    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
-      .as[(Long, Long)].collect().toMap
-    assert(cc == Map(
+    val expect = Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
       5L -> 5L, 7L -> 5L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L))
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L)
+    // default = the driver union-find fast path (8 edges << the cap)
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc == expect)
+    // the DISTRIBUTED loop (forced via maxLocalEdges = 0) must agree
+    // bit-for-bit — the two paths are interchangeable by size threshold
+    val ccDist = Dedup
+      .connectedComponents(pairs, "doc_a", "doc_b", maxLocalEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(ccDist == expect)
+  }
+
+  test("connectedComponents paths agree on a random graph (local == loop)") {
+    val rnd = new scala.util.Random(97)
+    // 300 random edges over 120 nodes: multi-round chains, dup edges,
+    // self-loops, both orientations
+    val pairs = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .toDF("doc_a", "doc_b")
+    val local = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup
+      .connectedComponents(pairs, "doc_a", "doc_b", maxLocalEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist)
   }
 
   test("connectedComponents of an empty pair set is empty; keepRepresentatives passes all") {
