@@ -44,13 +44,22 @@ object IvfBuilder {
     * distributed iteration re-assigns EVERY vector (broadcast centroids,
     * map-side partial sums, `treeAggregate` merge) and recomputes means, so
     * centroid quality converges on the true distribution while the driver
-    * only ever holds one k×dim accumulator. 0 (default) = reference
-    * behavior, sample-only. Index EXACTNESS is unaffected either way
-    * (probes are exhaustive-correct under any centroids); this moves the
-    * recall/candidate-volume curve at production nprobe. Centroids are
-    * deterministic for a fixed file layout (fixed partitioning →
-    * fixed merge tree); re-sharding the input may move results by float
-    * rounding.
+    * only ever holds one k×dim accumulator. `-1` (default) = AUTO: on a
+    * corpus at least 10× the training sample the build caps the
+    * driver-sample Lloyd at [[AutoSampleIters]] iterations and runs
+    * [[AutoDistributedIters]] distributed rounds instead — the driver
+    * k-means is the measured build bottleneck at that scale (272 s of a
+    * 5M×256 build, round-9 BENCHNOTES) and is single-threaded in
+    * k·sample·dim·iters, while a distributed round is one parallel corpus
+    * scan; below the ratio (or when the sample IS the corpus) auto is
+    * sample-only, so small-table builds are bit-unchanged. `0` = explicit
+    * sample-only (the reference behavior); `>0` = explicit distributed
+    * rounds at full `maxIters` sample training. Index EXACTNESS is
+    * unaffected either way (probes are exhaustive-correct under any
+    * centroids); this moves the recall/candidate-volume curve at
+    * production nprobe. Centroids are deterministic for a fixed file
+    * layout (fixed partitioning → fixed merge tree); re-sharding the
+    * input may move results by float rounding.
     */
   final case class Config(
       column: String,
@@ -58,7 +67,26 @@ object IvfBuilder {
       maxIters: Int = 20,
       seed: Long = 42L,
       warmStart: Option[Array[Float]] = None,
-      distributedIters: Int = 0)
+      distributedIters: Int = -1)
+
+  /** Distributed Lloyd rounds the AUTO policy runs on large corpora. */
+  val AutoDistributedIters: Int = 3
+
+  /** Driver-sample Lloyd iteration cap while AUTO distributed rounds run
+    * (the sample only needs to SEED well; the corpus rounds converge it).
+    */
+  val AutoSampleIters: Int = 5
+
+  /** AUTO engages distributed Lloyd when the sample is truncated AND the
+    * corpus is ≥10× the sample — below that the sample already represents
+    * the distribution and the extra corpus scans buy little. Pure, so the
+    * policy is spec-testable without a 1M-row fixture.
+    */
+  private[ivf] def resolveDistributedIters(
+      configured: Int, n: Long, sampleSize: Long): (Int, Boolean) =
+    if (configured >= 0) (configured, false)
+    else if (sampleSize < n && n >= 10L * sampleSize) (AutoDistributedIters, true)
+    else (0, false)
 
   final case class BuildResult(
       files: Map[String, Long], // data file -> rows indexed
@@ -165,11 +193,15 @@ object IvfBuilder {
       System.arraycopy(trainRows(r), 0, flat, r * dim, dim)
       r += 1
     }
+    val (distIters, autoEngaged) =
+      resolveDistributedIters(config.distributedIters, n, sampleSize)
+    val sampleIters =
+      if (autoEngaged) math.min(config.maxIters, AutoSampleIters) else config.maxIters
     val seeded = KMeans.fit(
-      flat, dim, KMeans.Params(k, config.maxIters, config.seed, config.warmStart))
+      flat, dim, KMeans.Params(k, sampleIters, config.seed, config.warmStart))
     val centroids =
-      if (config.distributedIters <= 0) seeded
-      else lloydDistributed(spark, vecs, seeded, dim, k, config.distributedIters)
+      if (distIters <= 0) seeded
+      else lloydDistributed(spark, vecs, seeded, dim, k, distIters)
 
     val written = assignAndWrite(spark, vecs, config.column, centroids, dim, k, store, embed)
     BuildResult(written, dim, k, centroids)

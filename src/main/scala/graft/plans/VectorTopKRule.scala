@@ -384,12 +384,38 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       nprobe: Int,
       store: IndexStore,
       cosine: Boolean): Option[(org.apache.spark.sql.DataFrame, String)] = {
-    val tier = conf(TierKey, "float").trim.toLowerCase
+    val requested = conf(TierKey, "float").trim.toLowerCase
     require(
-      Set("float", "sq8", "pq", "pqr").contains(tier),
-      s"$TierKey must be one of float|sq8|pq|pqr, got '$tier'")
-    if (tier == "float" || conf(MaxCandidatesKey, "").toIntOption.nonEmpty)
-      return None
+      Set("float", "sq8", "pq", "pqr", "auto").contains(requested),
+      s"$TierKey must be one of float|sq8|pq|pqr|auto, got '$requested'")
+    if (conf(MaxCandidatesKey, "").toIntOption.nonEmpty) return None
+    val tier =
+      if (requested != "auto") requested
+      else {
+        // auto: encode the MEASURED envelope (TierIoProbe, BENCHNOTES
+        // r10/r11) — on a warm local page cache float selective wins
+        // everywhere, so auto only leaves float when the table is
+        // DECLARED cold (remote/bandwidth-capped storage, where coarse
+        // bytes/query rule: pq 44 MB < sq8 74 MB < float 115 MB on the
+        // point-read layout). Cold-ness is a storage property the engine
+        // can't sniff per query, hence a conf, not a guess; which tiers
+        // are AVAILABLE is sniffed from the sidecar store, best first
+        // (pqr ranks residuals — strictly better codes than pq on
+        // clustered data — then pq, then sq8), falling back to float
+        // when nothing usable covers every scan file.
+        val profile = conf(StorageProfileKey, "warm").trim.toLowerCase
+        require(
+          Set("warm", "cold").contains(profile),
+          s"$StorageProfileKey must be warm|cold, got '$profile'")
+        if (profile != "cold") "float"
+        else if (files.forall(f =>
+          graft.ivf.PqSidecar.usable(store, f, column, residual = true))) "pqr"
+        else if (files.forall(f =>
+          graft.ivf.PqSidecar.usable(store, f, column, residual = false))) "pq"
+        else if (files.forall(store.existsCodes(_, column))) "sq8"
+        else "float"
+      }
+    if (tier == "float") return None
     val oversample = conf(OversampleKey, if (tier == "sq8") "4" else "8").toInt
     val opts = graft.ivf.VectorTopK.Options(nprobe)
     tier match {
@@ -569,10 +595,24 @@ object VectorTopKRule {
     * candidates on selective float reads; `sq8` / `pq` / `pqr` rank on the
     * code sidecars (int8 scalar / product / residual-product quantization)
     * and exact-refine `k·oversample` survivors — same SQL, byte-
-    * proportional coarse IO. Falls back to float per-query when a scan
-    * file lacks a usable sidecar; unknown values are refused.
+    * proportional coarse IO. `auto` resolves per query from the measured
+    * envelope: float under the default warm [[StorageProfileKey]], the
+    * best usable quantized tier (pqr > pq > sq8, by sidecar availability
+    * across the scan's files) when the profile is `cold`. Falls back to
+    * float per-query when a scan file lacks a usable sidecar; unknown
+    * values are refused.
     */
   val TierKey = "spark.graft.ivf.tier"
+
+  /** Storage-latency profile consulted by `tier=auto`: `warm` (default,
+    * local NVMe / hot page cache — float selective measured fastest
+    * everywhere in this regime) or `cold` (remote / bandwidth-capped
+    * object storage — the quantized tiers' byte-proportional coarse reads
+    * win; TierIoProbe r11: pq 44 MB, sq8 74 MB, float 115 MB per query on
+    * the 1-row-page by-cell layout). A storage property the deployment
+    * declares once — not sniffable per query.
+    */
+  val StorageProfileKey = "spark.graft.ivf.storageProfile"
 
   /** Refine width for the quantized tiers (`k·oversample` survivors get
     * exact float re-ranking); defaults: 4 for sq8, 8 for pq/pqr — the

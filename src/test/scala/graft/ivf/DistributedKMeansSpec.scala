@@ -60,6 +60,21 @@ class DistributedKMeansSpec extends SparkSpec {
     assert(total == 2000L)
   }
 
+  test("AUTO distributed policy: off for small/covered corpora, on past 10x the sample") {
+    // explicit values pass through untouched, never flag auto
+    assert(IvfBuilder.resolveDistributedIters(0, 5000000L, 100000L) == (0, false))
+    assert(IvfBuilder.resolveDistributedIters(7, 5000000L, 100000L) == (7, false))
+    // auto: sample covers the corpus -> sample-only (small tables bit-unchanged)
+    assert(IvfBuilder.resolveDistributedIters(-1, 50000L, 50000L) == (0, false))
+    // auto: truncated sample but corpus < 10x sample -> still sample-only
+    assert(IvfBuilder.resolveDistributedIters(-1, 500000L, 100000L) == (0, false))
+    // auto: corpus >= 10x sample -> distributed rounds engage
+    assert(IvfBuilder.resolveDistributedIters(-1, 1000000L, 100000L) ==
+      (IvfBuilder.AutoDistributedIters, true))
+    assert(IvfBuilder.resolveDistributedIters(-1, 5000000L, 100000L) ==
+      (IvfBuilder.AutoDistributedIters, true))
+  }
+
   test("empty cells keep their previous centroid") {
     val dir = writeCorpus(300, 43)
     // a seed with one absurd centroid no vector will choose

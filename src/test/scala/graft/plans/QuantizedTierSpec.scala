@@ -108,6 +108,30 @@ class QuantizedTierSpec extends SparkSpec {
     }
   }
 
+  test("tier=auto: float on the warm profile, best sidecar tier on cold, float when bare") {
+    register()
+    withTier("auto") {
+      // warm (the default profile): float selective is the measured winner
+      val warm = sqlTopk("tier_vecs")
+      assert(tierOf(warm).contains("float"), s"tier tag: ${tierOf(warm)}")
+      assert(warm.collect().map(_.getLong(0)).toSeq == bruteIds("tier_vecs"))
+      spark.conf.set(VectorTopKRule.StorageProfileKey, "cold")
+      try {
+        // cold: best available tier — dataDir carries residual sidecars
+        val cold = sqlTopk("tier_vecs")
+        assert(tierOf(cold).contains("pqr"), s"tier tag: ${tierOf(cold)}")
+        assert(cold.collect().map(_.getLong(0)).toSeq == bruteIds("tier_vecs"))
+        // cold but no sidecars anywhere: float fallback, still accelerated
+        val bare = sqlTopk("tier_bare")
+        assert(tierOf(bare).contains("float"), s"tier tag: ${tierOf(bare)}")
+        assert(bare.collect().map(_.getLong(0)).toSeq == bruteIds("tier_bare"))
+        // a typo'd profile is refused, not silently warm
+        spark.conf.set(VectorTopKRule.StorageProfileKey, "frozen")
+        intercept[Exception](sqlTopk("tier_vecs").collect())
+      } finally spark.conf.unset(VectorTopKRule.StorageProfileKey)
+    }
+  }
+
   test("missing code sidecars fall back to the float feed, still accelerated and exact") {
     register()
     withTier("pq") {
