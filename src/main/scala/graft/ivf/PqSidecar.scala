@@ -18,16 +18,20 @@ import org.apache.spark.sql.functions._
   * survivors. At dim=64, m=8 this is a 32× coarse-IO reduction over floats
   * (8× over SQ8).
   *
-  * MEASURED ENVELOPE (TierIoProbe at 1M×1024, round-10 BENCHNOTES): PQ is
-  * the demonstrated COLD/remote tier — on a single-file by-cell layout it
-  * beats float selective at every cold bandwidth (0.66 vs 1.04 s cold
-  * NVMe; 3.77 vs 4.49 at 25 MB/s). On a warm page cache float selective
-  * stays faster. Multi-file layouts used to erase the cold win by
-  * re-reading the embedded ~1 MB codebook per file per query; since the
-  * "GRAFTPQ4" format the codebook is DIGEST-KEYED and decoded through a
-  * process-wide LRU ([[codebookCacheStats]]): a table-shared codebook is
-  * read+decoded once per JVM and every other file's reader touches only
-  * its 36-byte fixed header (round-10 verdict item #1).
+  * MEASURED ENVELOPE (TierIoProbe at 1M×1024, round-11 BENCHNOTES): PQ is
+  * the demonstrated COLD/remote tier and the win now SURVIVES multi-file
+  * layouts — on the point-read by-cell layout
+  * (`Layout.writeByCell(pageRows = Some(1))`) it reads 44 MB/query
+  * single-file and 22 MB at 16 files vs float's ~95-126, beating float at
+  * every cold bandwidth (0.53 vs 1.11 s cold NVMe; 1.66 vs 4.18 at
+  * 25 MB/s single-file; 0.79 vs 3.71 at 16 files). Two fixes made the
+  * multi-file regime work: 1-row pages kill the ~100 MB/query refine page
+  * amplification, and since "GRAFTPQ4" the codebook is DIGEST-KEYED and
+  * decoded through a process-wide LRU ([[codebookCacheStats]]) — a
+  * table-shared codebook is read+decoded once per JVM and every other
+  * file's reader touches only its 36-byte fixed header (the per-file
+  * ~1 MB codebook re-reads that erased the r10 multi-file win). On a warm
+  * page cache float selective stays faster — `tier=auto` encodes that.
   *
   * Layout (little-endian): `"GRAFTPQ4" | nRows i32 | flags i32 |
   * centroidDigest i64 | cbDigest i64 | cbLen i32 |

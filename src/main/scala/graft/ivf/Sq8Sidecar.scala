@@ -18,13 +18,15 @@ import graft.functions.Sq8
   * (and instead of a row-group-granular parquet read); full-precision
   * floats are touched only for the `k·oversample` refine survivors.
   *
-  * MEASURED ENVELOPE (TierIoProbe at 1M×1024, round-10 BENCHNOTES): SQ8
-  * wins only on COLD single-file reads where device parallelism (not
-  * bandwidth) limits — 0.72 s vs float 1.04 on cold NVMe; under a
-  * bandwidth cap it loses because this read path moves MORE device bytes
-  * than float's page-packed rows at high dim (147 vs 116 MB/query — open
-  * item). Treat SQ8 as storage compression + warm-memory coarse ranking;
-  * the bandwidth-starved cold tier is PQ ([[PqSidecar]]).
+  * MEASURED ENVELOPE (TierIoProbe at 1M×1024, round-11 BENCHNOTES): on a
+  * POINT-READ by-cell layout (`Layout.writeByCell(pageRows = Some(1))`)
+  * SQ8 reads 73 MB/query single-file, 38 MB at 16 files — vs float's
+  * ~95-126 — and beats float at every cold bandwidth (0.59 vs 1.11 s
+  * cold NVMe; 2.71 vs 4.18 at 25 MB/s). On DEFAULT ~1 MiB pages the
+  * round-10 demotion stands: the scattered refine survivors drag a page
+  * each (~100 MB/query), and sq8 loses under any bandwidth cap (147 vs
+  * 116 MB). Warm page cache: float selective wins everywhere local. The
+  * strongest cold tier remains PQ ([[PqSidecar]], 22-44 MB/query).
   *
   * Layout (little-endian): `"GRAFTSQ8" | dim i32 | nRows i32 | codes
   * (nRows·dim bytes)`. Writes are atomic (temp + rename), safe under
