@@ -34,4 +34,44 @@ class VectorKernelsSpec extends AnyFunSuite {
     assert(VectorKernels.nearestCentroid(Array(1f, 1f), centroids, 2) == 0)
     assert(VectorKernels.nearestCentroid(Array(9f, 9f), centroids, 2) == 1)
   }
+
+  // The early-abandon claim is bit-exactness vs the unpruned scan: same
+  // winner, same first-index tie-break, across odd dims (block boundary
+  // edge), duplicated centroids (exact ties), and clustered + uniform data.
+  test("nearestCentroid early-abandon matches the unpruned scan exactly") {
+    def naive(vec: Array[Float], cents: Array[Float], dim: Int): Int = {
+      val k = cents.length / dim
+      var best = 0
+      var bestDist = Float.PositiveInfinity
+      var c = 0
+      while (c < k) {
+        var sum = 0.0f
+        var i = 0
+        while (i < dim) { val d = vec(i) - cents(c * dim + i); sum += d * d; i += 1 }
+        if (sum < bestDist) { bestDist = sum; best = c }
+        c += 1
+      }
+      best
+    }
+    val rnd = new scala.util.Random(41)
+    for (dim <- Seq(1, 3, 31, 32, 33, 67); k <- Seq(1, 7, 50)) {
+      val cents = Array.fill(k * dim)(rnd.nextFloat() * 10f - 5f)
+      // force exact ties: duplicate centroid 0 into the last slot
+      if (k > 1) System.arraycopy(cents, 0, cents, (k - 1) * dim, dim)
+      for (_ <- 0 until 50) {
+        // mix clustered (near a random centroid) and uniform query points
+        val vec =
+          if (rnd.nextBoolean()) Array.fill(dim)(rnd.nextFloat() * 10f - 5f)
+          else {
+            val c = rnd.nextInt(k)
+            Array.tabulate(dim)(i => cents(c * dim + i) + rnd.nextFloat() * 0.1f)
+          }
+        assert(VectorKernels.nearestCentroid(vec, cents, dim) == naive(vec, cents, dim))
+      }
+      // a query equidistant from the duplicated pair must resolve to index 0
+      if (k > 1)
+        assert(VectorKernels.nearestCentroid(
+          java.util.Arrays.copyOfRange(cents, 0, dim), cents, dim) == 0)
+    }
+  }
 }

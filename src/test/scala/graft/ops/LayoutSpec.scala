@@ -173,4 +173,36 @@ class LayoutSpec extends SparkSpec {
       assert(files.size == 1, s"cell $cell spread over ${files.size} files")
     }
   }
+
+  test("writeByCell pageRows=Some(1) writes the point-read page layout") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bycell-p1").toString
+    val dim = 4
+    val centroids = Array[Float](0f, 0f, 0f, 0f, 10f, 10f, 10f, 10f)
+    val rnd = new scala.util.Random(6)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(dim)((i % 2) * 10f + rnd.nextFloat()))
+    }
+    val df = rows.toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    val laid = Layout.writeByCell(
+      df, s"$dir/p1", "vec", centroids, dim, numFiles = 1, pageRows = Some(1))
+    assert(laid.count() == 200)
+    // the vector column really got ~1 row per page (offset index shows
+    // many pages), vs the default layout's one big page for 200 tiny rows
+    val file = laid.inputFiles.head.stripPrefix("file:")
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader
+      .open(org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file), new org.apache.hadoop.conf.Configuration()))
+    try {
+      val block = rdr.getFooter.getBlocks.get(0)
+      val chunk = block.getColumns.asScala
+        .find(_.getPath.toDotString.startsWith("vec")).get
+      val oi = rdr.readOffsetIndex(chunk)
+      assert(oi != null && oi.getPageCount >= 100,
+        s"pages=${if (oi == null) -1 else oi.getPageCount}")
+    } finally rdr.close()
+    intercept[IllegalArgumentException](Layout.writeByCell(
+      df, s"$dir/bad", "vec", centroids, dim, numFiles = 1, pageRows = Some(0)))
+  }
 }
