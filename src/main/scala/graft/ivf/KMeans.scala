@@ -53,6 +53,36 @@ object KMeans {
     sum
   }
 
+  /** [[squaredL2Flat]] with early abandonment against `bound`: returns the
+    * EXACT distance (same element-by-element accumulation order, so
+    * bit-identical) when it never exceeds `bound` at a 32-element
+    * checkpoint, else `Float.PositiveInfinity`. Partial squared-L2 sums are
+    * monotone nondecreasing in f32 (each step adds d·d ≥ 0 and IEEE
+    * round-to-nearest of `a + b` with `b ≥ 0` is never below `a`), so a
+    * pruned candidate's true distance also exceeds `bound` — callers that
+    * only act on `d < bound` (the Lloyd argmin, the seeding min-distance
+    * update) behave identically, and the k-means result stays byte-for-byte
+    * what the unpruned scan produces. Same trick as
+    * [[graft.functions.VectorKernels.nearestCentroid]] (r11).
+    */
+  private def squaredL2FlatBounded(
+      data: Array[Float], row: Int, other: Array[Float], otherOff: Int, dim: Int,
+      bound: Float): Float = {
+    var sum = 0.0f
+    val off = row * dim
+    var j = 0
+    while (j < dim) {
+      val lim = math.min(j + 32, dim)
+      while (j < lim) {
+        val d = data(off + j) - other(otherOff + j)
+        sum += d * d
+        j += 1
+      }
+      if (sum > bound) return Float.PositiveInfinity
+    }
+    sum
+  }
+
   /** k-means++ seeding over an init sample (reference caps at 50k). */
   private def seedPlusPlus(
       data: Array[Float], dim: Int, n: Int, k: Int, rng: Random): Array[Float] = {
@@ -78,7 +108,8 @@ object KMeans {
       var total = 0.0
       var s2 = 0
       while (s2 < initIdx.length) {
-        val d = squaredL2Flat(data, initIdx(s2), centroids, prevOff, dim)
+        // bounded: a distance that exceeds the current min can't update it
+        val d = squaredL2FlatBounded(data, initIdx(s2), centroids, prevOff, dim, minDist(s2))
         if (d < minDist(s2)) minDist(s2) = d
         total += minDist(s2)
         s2 += 1
@@ -143,7 +174,7 @@ object KMeans {
         var bestDist = Float.PositiveInfinity
         var cc = 0
         while (cc < k) {
-          val d = squaredL2Flat(data, r, centroids, cc * dim, dim)
+          val d = squaredL2FlatBounded(data, r, centroids, cc * dim, dim, bestDist)
           if (d < bestDist) { bestDist = d; best = cc }
           cc += 1
         }
