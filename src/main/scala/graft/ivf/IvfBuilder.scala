@@ -77,16 +77,31 @@ object IvfBuilder {
     */
   val AutoSampleIters: Int = 5
 
-  /** AUTO engages distributed Lloyd when the sample is truncated AND the
-    * corpus is ≥10× the sample — below that the sample already represents
-    * the distribution and the extra corpus scans buy little. Pure, so the
-    * policy is spec-testable without a 1M-row fixture.
+  /** Training-sample cap (reference index.rs:172-174 clamps to ≤100k). */
+  val MaxTrainSample: Long = 100000L
+
+  /** AUTO engages distributed Lloyd when the sample was truncated BY THE
+    * [[MaxTrainSample]] CAP and the corpus is ≥10× the sample — below that
+    * the 5%-rule sample already represents the distribution and the extra
+    * corpus scans buy little. The cap check matters: under the 5% rule
+    * `n = 20·sampleSize`, so a bare `n ≥ 10·sampleSize` guard is vacuously
+    * true and would engage auto on EVERY build down to the smallest tables,
+    * breaking the "small-table builds are bit-unchanged" contract (this was
+    * the r11 guard's bug — caught by review, fixed with the fixture-scale
+    * no-engage spec). Pure, so the policy is spec-testable without a
+    * 1M-row fixture.
     */
   private[ivf] def resolveDistributedIters(
-      configured: Int, n: Long, sampleSize: Long): (Int, Boolean) =
+      configured: Int, n: Long, sampleSize: Long): (Int, Boolean) = {
+    require(
+      configured >= -1,
+      s"distributedIters $configured is not in the documented domain: " +
+        "-1 = auto, 0 = sample-only, >0 = explicit distributed rounds")
     if (configured >= 0) (configured, false)
-    else if (sampleSize < n && n >= 10L * sampleSize) (AutoDistributedIters, true)
+    else if (sampleSize >= MaxTrainSample && n >= 10L * sampleSize)
+      (AutoDistributedIters, true)
     else (0, false)
+  }
 
   final case class BuildResult(
       files: Map[String, Long], // data file -> rows indexed
@@ -171,7 +186,7 @@ object IvfBuilder {
         "size are deliberate choices, not a √n default)")
 
     // Training sample: clamp(5% of n, [k, 100k]) — reference index.rs:172-174.
-    val sampleSize = math.min(math.max(math.max(n / 20L, 1L), k.toLong), 100000L)
+    val sampleSize = math.min(math.max(math.max(n / 20L, 1L), k.toLong), MaxTrainSample)
     val trainRows: Array[Array[Float]] =
       if (sampleSize >= n) {
         vecs.sort("_file", "_ri").select("_vec").as[Array[Float]].collect()

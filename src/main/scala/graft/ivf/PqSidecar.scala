@@ -382,9 +382,41 @@ object PqSidecar {
     * wrong-centroid-epoch file (index retrained since encode) counts as
     * missing and gets rebuilt instead of silently mis-scoring.
     */
+  /** Header + SIZE check: since r11's lazy header read, `readHeader` alone
+    * no longer touches the codebook/codes regions, so a sidecar truncated
+    * past byte 36 (partial copy without the atomic rename, disk damage)
+    * would pass a header-only probe and then crash the first query inside
+    * an executor task instead of being rebuilt. The codebook's leading i32
+    * is `m` (see [[Pq.codebookBytes]]), so one extra 4-byte read lets us
+    * require the channel to cover `codesOffset + nRows·m` — restoring
+    * ensure()'s self-healing without decoding the ~1 MiB codebook.
+    */
+  private[ivf] def headerIfIntact(path: String): Option[Header] =
+    scala.util.Try {
+      val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+      try {
+        val h = readHeader(ch, path)
+        val mBuf = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        var pos = FixedHeaderLen.toLong
+        while (mBuf.hasRemaining) {
+          val read = ch.read(mBuf, pos)
+          require(read >= 0, s"truncated PQ codebook header in $path")
+          pos += read
+        }
+        mBuf.flip()
+        val m = mBuf.getInt
+        require(m > 0, s"implausible PQ subquantizer count $m in $path")
+        require(
+          ch.size() >= h.codesOffset + h.nRows.toLong * m,
+          s"truncated PQ sidecar $path: ${ch.size()} bytes, " +
+            s"expected >= ${h.codesOffset + h.nRows.toLong * m}")
+        h
+      } finally ch.close()
+    }.toOption
+
   private[graft] def usable(store: IndexStore, f: String, column: String, residual: Boolean): Boolean =
     store.existsPq(f, column, residual) &&
-      scala.util.Try(readHeader(store.pqPath(f, column, residual))).toOption.exists { h =>
+      headerIfIntact(store.pqPath(f, column, residual)).exists { h =>
         h.residual == residual && (!residual ||
           store.centroidDigest(f, column)
             .orElse(scala.util.Try(

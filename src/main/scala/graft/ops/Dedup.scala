@@ -631,9 +631,17 @@ object Dedup {
       bCol: String,
       maxLocalEdges: Int = 1 << 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    // persisted BEFORE the probe: limit() still runs the full upstream
+    // pair pipeline's shuffle map stages, and the over-cap branch gets a
+    // DIFFERENT physical plan (no shuffle reuse across plans) — without
+    // the cache, exceeding the cap would re-run the whole pair computation
+    // a second time, exactly in the expensive regime the fallback serves
+    val fwd = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val probe = fwd.limit(maxLocalEdges + 1).collect()
     if (probe.length <= maxLocalEdges && probe.forall(r => !r.isNullAt(0) && !r.isNullAt(1))) {
+      fwd.unpersist(blocking = false)
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -708,6 +716,7 @@ object Dedup {
       labels = jumped.select(col("id"), col("label"))
     }
     edges.unpersist(blocking = false)
+    fwd.unpersist(blocking = false)
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -389,6 +389,17 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       Set("float", "sq8", "pq", "pqr", "auto").contains(requested),
       s"$TierKey must be one of float|sq8|pq|pqr|auto, got '$requested'")
     if (conf(MaxCandidatesKey, "").toIntOption.nonEmpty) return None
+    // availability probes open sidecar headers per FILE — memoized per
+    // planning invocation so the auto resolution chain and the dispatch
+    // arms below share one probe per tier instead of re-opening every
+    // sidecar twice (review r11: up to ~3x redundant header IO per plan
+    // on multi-file tables)
+    val availMemo = scala.collection.mutable.HashMap.empty[String, Boolean]
+    def allPqUsable(residual: Boolean): Boolean =
+      availMemo.getOrElseUpdate(s"pq-$residual", files.forall(f =>
+        graft.ivf.PqSidecar.usable(store, f, column, residual)))
+    def allSq8Codes(): Boolean =
+      availMemo.getOrElseUpdate("sq8", files.forall(store.existsCodes(_, column)))
     val tier =
       if (requested != "auto") requested
       else {
@@ -408,24 +419,22 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
           Set("warm", "cold").contains(profile),
           s"$StorageProfileKey must be warm|cold, got '$profile'")
         if (profile != "cold") "float"
-        else if (files.forall(f =>
-          graft.ivf.PqSidecar.usable(store, f, column, residual = true))) "pqr"
-        else if (files.forall(f =>
-          graft.ivf.PqSidecar.usable(store, f, column, residual = false))) "pq"
-        else if (files.forall(store.existsCodes(_, column))) "sq8"
+        else if (allPqUsable(residual = true)) "pqr"
+        else if (allPqUsable(residual = false)) "pq"
+        else if (allSq8Codes()) "sq8"
         else "float"
       }
     if (tier == "float") return None
     val oversample = conf(OversampleKey, if (tier == "sq8") "4" else "8").toInt
     val opts = graft.ivf.VectorTopK.Options(nprobe)
     tier match {
-      case "sq8" if files.forall(store.existsCodes(_, column)) =>
+      case "sq8" if allSq8Codes() =>
         Some((graft.ivf.VectorTopK.quantizedWinnersByFiles(
           spark, files, column, query.toIndexedSeq, k, opts, oversample, store,
           cosine), tier))
       case "pq" | "pqr" =>
         val residual = tier == "pqr"
-        if (files.forall(f => graft.ivf.PqSidecar.usable(store, f, column, residual)))
+        if (allPqUsable(residual))
           Some((graft.ivf.VectorTopK.pqWinnersByFiles(
             spark, files, column, query.toIndexedSeq, k, opts, oversample, store,
             residual, cosine), tier))

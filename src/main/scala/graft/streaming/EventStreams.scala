@@ -348,7 +348,14 @@ object EventStreams {
     * sort) reproduces the batch twin exactly for under-cap keys. A LATE
     * event (earlier timestamp than a prior batch already processed) is
     * inserted in timestamp order — later in-order events stay exact —
-    * and its own rolling_n is a lower bound (see [[advanceLag]]).
+    * while its OWN emitted row degrades, each field in a bounded,
+    * documented way: rolling_n is a lower bound (see [[advanceLag]]);
+    * gap_us is computed against the event-time predecessor surviving in
+    * state (equal to the batch twin's gap while that predecessor is
+    * in-window, `null` once it expired — never the negative
+    * high-water-mark delta); and seq is the ARRIVAL rank (the batch
+    * twin's event-time rank would require renumbering rows already
+    * emitted in earlier triggers, which append mode cannot do).
     */
   def lagFeaturesStream(
       spark: SparkSession,
@@ -376,6 +383,7 @@ object EventStreams {
             // peer group [i, j): rolling count includes every peer
             val prevSeq = st.seq
             val prevLast = st.lastUs
+            val prevRecent = st.recent
             val (next, rolling) = advanceLag(st, ts, j - i, windowUs, maxDistinctTs)
             var k = i
             while (k < j) {
@@ -383,8 +391,21 @@ object EventStreams {
               val seq = prevSeq + (k - i) + 1
               val gap =
                 if (prevSeq + (k - i) == 0) None
-                else if (k == i) Some(ts - prevLast)
-                else Some(0L)
+                else if (k > i) Some(0L)
+                else if (ts >= prevLast) Some(ts - prevLast)
+                else {
+                  // LATE arrival: the high-water mark would give a negative
+                  // gap; the batch twin's gap is vs the EVENT-TIME
+                  // predecessor. Pruning is oldest-first, so if any stored
+                  // entry sits below ts, the largest such entry IS that
+                  // predecessor (exact); once it expired the gap is
+                  // unknowable in a stream -> None. Saturation-merged
+                  // entries (timestamps shifted onto the newer of a pair)
+                  // can shorten this for over-cap keys — the same documented
+                  // degradation as rolling_n.
+                  val pi = prevRecent.lastIndexWhere(_._1 < ts)
+                  if (pi >= 0) Some(ts - prevRecent(pi)._1) else None
+                }
               out += LagRow(id, user, seq, gap, rolling)
               k += 1
             }

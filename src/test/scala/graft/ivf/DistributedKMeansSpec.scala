@@ -73,6 +73,15 @@ class DistributedKMeansSpec extends SparkSpec {
       (IvfBuilder.AutoDistributedIters, true))
     assert(IvfBuilder.resolveDistributedIters(-1, 5000000L, 100000L) ==
       (IvfBuilder.AutoDistributedIters, true))
+    // REALISTIC pairs the 5%-rule actually produces (n = 20·sample when the
+    // cap doesn't bind): auto must stay OFF — a bare n >= 10·sample guard is
+    // vacuously true for them (the r11 bug: auto engaged on every build,
+    // including the sf fixtures, churning small-table centroids)
+    assert(IvfBuilder.resolveDistributedIters(-1, 60000L, 3000L) == (0, false))
+    assert(IvfBuilder.resolveDistributedIters(-1, 1000000L, 50000L) == (0, false))
+    // only the documented domain {-1} ∪ [0, ∞) is accepted
+    intercept[IllegalArgumentException](
+      IvfBuilder.resolveDistributedIters(-2, 5000000L, 100000L))
   }
 
   test("empty cells keep their previous centroid") {

@@ -247,4 +247,27 @@ class PqSpec extends SparkSpec {
     val recall = (approx intersect exact).size / 10.0
     assert(recall >= 0.7, s"PQ@oversample=4 recall $recall")
   }
+
+  // Since the r11 lazy header read, a header-only probe can't see damage
+  // past byte 36 — usable()'s intact check must reject truncated sidecars
+  // so ensure() rebuilds them instead of queries crashing in executors.
+  test("headerIfIntact rejects sidecars truncated past the fixed header") {
+    val samples = sampleVecs(200, 19)
+    val cb = Pq.train(samples, m = 4, seed = 3L)
+    val codes = samples.flatMap(v => Pq.encode(v, cb))
+    val dir = Files.createTempDirectory("graft-pq-intact").toString
+    val path = s"$dir/codes.pq"
+    PqSidecar.writeFile(path, cb, codes)
+    assert(PqSidecar.headerIfIntact(path).exists(_.nRows == samples.length))
+    val full = Files.readAllBytes(java.nio.file.Paths.get(path))
+    // mid-codebook truncation: fixed header parses fine, codebook is gone
+    Files.write(java.nio.file.Paths.get(s"$dir/midcb.pq"), full.take(50))
+    assert(PqSidecar.headerIfIntact(s"$dir/midcb.pq").isEmpty)
+    // codes-region truncation: header AND codebook intact, last rows missing
+    Files.write(java.nio.file.Paths.get(s"$dir/midcodes.pq"), full.dropRight(8))
+    assert(PqSidecar.headerIfIntact(s"$dir/midcodes.pq").isEmpty)
+    // sanity: an untouched copy still passes
+    Files.write(java.nio.file.Paths.get(s"$dir/copy.pq"), full)
+    assert(PqSidecar.headerIfIntact(s"$dir/copy.pq").isDefined)
+  }
 }

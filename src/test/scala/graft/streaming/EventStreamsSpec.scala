@@ -67,6 +67,38 @@ class EventStreamsSpec extends SparkSpec {
     assert(out(4L) == ((4, Some(2L * tenMin), 4L)))
   }
 
+  test("late lag-feature rows get predecessor gaps, never negative ones") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long)]
+    val events = input.toDF().toDF("user_id", "event_id", "ts_us")
+      .select(
+        col("user_id"), col("event_id"), timestamp_micros(col("ts_us")).as("ts"))
+    val feats = EventStreams.lagFeaturesStream(spark, events, H)
+    val query = feats.writeStream
+      .format("memory").queryName("lag_late_test").outputMode(OutputMode.Append())
+      .start()
+    val tenMin = 600L * 1000000L
+    // batch 1 advances user 1 to t=20min (and user 2 to t=2h)
+    input.addData((1L, 1L, 0L), (1L, 2L, 2 * tenMin), (2L, 10L, 0L), (2L, 11L, 2L * H))
+    query.processAllAvailable()
+    // batch 2: user 1's t=10min arrives LATE (predecessor t=0 still in
+    // state -> gap is the batch twin's 10min, NOT 10min-20min = -10min);
+    // user 2's t=1.5h arrives late with its predecessor (t=0) already
+    // pruned by the t=2h event's window -> gap unknowable -> null
+    input.addData((1L, 3L, tenMin), (2L, 12L, H + H / 2))
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("lag_late_test")
+      .select("event_id", "gap_us")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(out(3L) == Some(tenMin), s"late gap ${out(3L)}")
+    assert(out(12L).isEmpty, s"expired-predecessor gap ${out(12L)}")
+    // in-order rows unaffected
+    assert(out(1L).isEmpty && out(2L) == Some(2 * tenMin))
+  }
+
   test("streaming user counts accumulate across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Long]
