@@ -81,41 +81,66 @@ object VectorKernels {
   }
 
   /** Indices of the `p` nearest centroids in a flat row-major matrix,
-    * ascending by squared L2 — the multi-probe generalization of
-    * [[nearestCentroid]] (selection sort over k distances; k is √n-small).
+    * ascending by (squared L2, index) — the multi-probe generalization of
+    * [[nearestCentroid]].
+    *
+    * Early-abandon pruning against the current p-th best (same monotone
+    * partial-sum argument as [[nearestCentroid]]): a centroid whose prefix
+    * sum strictly exceeds the incumbent worst kept distance has a final
+    * distance strictly above it too, so it can neither enter the top-p nor
+    * tie into it — for finite inputs the selected indices and their order
+    * are exactly the lexicographic (dist, index) top-p the full scan
+    * produces. Survivors keep the element-by-element accumulation order,
+    * so kept distances are bit-identical. This is the per-row multi-probe
+    * kernel on the `ivfCellPairs`/`ivfKnnJoin` corpus paths — O(n·k·dim)
+    * at build/join scale, where the prune cuts the same several-fold as
+    * the singular kernel. NaN distances (NaN inputs — rejected upstream by
+    * index validation) sort in unspecified positions, as garbage did
+    * before.
     */
   def nearestCentroids(
       vec: Array[Float], centroids: Array[Float], dim: Int, p: Int): Array[Int] = {
     val k = centroids.length / dim
-    val dists = new Array[Float](k)
+    val take = math.min(p, k)
+    if (take <= 0) return Array.empty
+    // best-so-far kept sorted ascending by (dist, index); insertion keeps
+    // the selection-sort tie-break (processing order is ascending c, so an
+    // equal-distance newcomer always lands AFTER stored equal entries)
+    val bd = new Array[Float](take)
+    val bi = new Array[Int](take)
+    var filled = 0
     var c = 0
     while (c < k) {
       val off = c * dim
+      val bound = if (filled < take) Float.PositiveInfinity else bd(take - 1)
       var sum = 0.0f
       var i = 0
-      while (i < dim) {
-        val d = vec(i) - centroids(off + i)
-        sum += d * d
-        i += 1
+      var pruned = false
+      while (i < dim && !pruned) {
+        val lim = math.min(i + 32, dim)
+        while (i < lim) {
+          val d = vec(i) - centroids(off + i)
+          sum += d * d
+          i += 1
+        }
+        if (sum > bound) pruned = true
       }
-      dists(c) = sum
+      if (!pruned &&
+        (filled < take || sum < bd(take - 1) ||
+          (sum == bd(take - 1) && c < bi(take - 1)))) {
+        var pos = if (filled < take) filled else take - 1
+        while (pos > 0 && (sum < bd(pos - 1) ||
+          (sum == bd(pos - 1) && c < bi(pos - 1)))) {
+          bd(pos) = bd(pos - 1); bi(pos) = bi(pos - 1)
+          pos -= 1
+        }
+        bd(pos) = sum
+        bi(pos) = c
+        if (filled < take) filled += 1
+      }
       c += 1
     }
-    val take = math.min(p, k)
-    val order = Array.tabulate(k)(identity)
-    var s = 0
-    while (s < take) {
-      var best = s
-      var t = s + 1
-      while (t < k) {
-        if (dists(order(t)) < dists(order(best)) ||
-          (dists(order(t)) == dists(order(best)) && order(t) < order(best))) best = t
-        t += 1
-      }
-      val tmp = order(s); order(s) = order(best); order(best) = tmp
-      s += 1
-    }
-    java.util.Arrays.copyOfRange(order, 0, take)
+    java.util.Arrays.copyOfRange(bi, 0, filled)
   }
 
   /** Squared L2 against a flat row-major centroid matrix; returns the index

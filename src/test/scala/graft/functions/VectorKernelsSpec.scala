@@ -74,4 +74,52 @@ class VectorKernelsSpec extends AnyFunSuite {
           java.util.Arrays.copyOfRange(cents, 0, dim), cents, dim) == 0)
     }
   }
+
+  // Same bit-exactness claim for the top-p kernel: the pruned insertion
+  // scan must reproduce the full-scan selection sort's lexicographic
+  // (dist, index) order — including exact ties from duplicated centroids.
+  test("nearestCentroids early-abandon matches the full-scan selection exactly") {
+    def naive(vec: Array[Float], cents: Array[Float], dim: Int, p: Int): Array[Int] = {
+      val k = cents.length / dim
+      val dists = Array.tabulate(k) { c =>
+        var sum = 0.0f
+        var i = 0
+        while (i < dim) { val d = vec(i) - cents(c * dim + i); sum += d * d; i += 1 }
+        sum
+      }
+      val take = math.min(p, k)
+      val order = Array.tabulate(k)(identity)
+      var s = 0
+      while (s < take) {
+        var best = s
+        var t = s + 1
+        while (t < k) {
+          if (dists(order(t)) < dists(order(best)) ||
+            (dists(order(t)) == dists(order(best)) && order(t) < order(best))) best = t
+          t += 1
+        }
+        val tmp = order(s); order(s) = order(best); order(best) = tmp
+        s += 1
+      }
+      java.util.Arrays.copyOfRange(order, 0, take)
+    }
+    val rnd = new scala.util.Random(43)
+    for (dim <- Seq(1, 3, 32, 33, 67); k <- Seq(1, 4, 50); p <- Seq(1, 4, 16, 64)) {
+      val cents = Array.fill(k * dim)(rnd.nextFloat() * 10f - 5f)
+      if (k > 2) { // duplicate centroid 1 into the last slot: exact tie
+        System.arraycopy(cents, dim, cents, (k - 1) * dim, dim)
+      }
+      for (_ <- 0 until 40) {
+        val vec =
+          if (rnd.nextBoolean()) Array.fill(dim)(rnd.nextFloat() * 10f - 5f)
+          else {
+            val c = rnd.nextInt(k)
+            Array.tabulate(dim)(i => cents(c * dim + i) + rnd.nextFloat() * 0.1f)
+          }
+        val got = VectorKernels.nearestCentroids(vec, cents, dim, p)
+        val want = naive(vec, cents, dim, p)
+        assert(got.toSeq == want.toSeq, s"dim=$dim k=$k p=$p")
+      }
+    }
+  }
 }
