@@ -25,6 +25,16 @@ object Corpus {
     * `trainBuckets`/`valBuckets` partition the 256 buckets as
     * [0, train) → train, [train, train+val) → val, rest → test.
     */
+  /** In-plan non-null guard for the exact-rank machinery's key columns:
+    * a null score/id would otherwise either NPE in the boundary-extraction
+    * pass (Row.getDouble on null) or silently rank nulls first and break
+    * the EXACT-k contract (review r11). raise_error fires at the first
+    * offending row — no extra pass.
+    */
+  private def requireNotNull(c: Column, what: String): Column =
+    when(c.isNull, raise_error(lit(
+      s"$what must be non-null (and castable) for every row"))).otherwise(c)
+
   def hashSplit(
       textCol: String,
       trainBuckets: Int = 204, // ~80%
@@ -62,8 +72,15 @@ object Corpus {
     require(trainBuckets + valBuckets <= 256, "train+val buckets exceed 256")
     val labels = Dedup.connectedComponents(pairs, aCol, bCol)
       .select(col("doc_id").as("_lss_id"), col("cluster_id").as("_lss_cluster"))
-    val key = coalesce(col("_lss_cluster"), col(idCol).cast("long"))
-    val bucket = conv(substring(md5(key.cast("string")), 1, 2), 16, 10).cast("int")
+    // singletons key by the STRING form of their id (a UUID/string id cast
+    // to long is null, which used to md5 to null and route every such doc
+    // to "test" — review r11); numeric ids render identically ("123"), so
+    // long-id corpora keep their exact historical buckets
+    val key = coalesce(
+      col("_lss_cluster").cast("string"),
+      requireNotNull(col(idCol), s"leakageSafeSplit: id column '$idCol'")
+        .cast("string"))
+    val bucket = hashBucket(key)
     df.join(labels, col(idCol) === col("_lss_id"), "left")
       .select(df.columns.map(col) :+
         when(bucket < trainBuckets, "train")
@@ -91,14 +108,21 @@ object Corpus {
       shardSize: Long = 1000L,
       packsPerShardCap: Long = 1000000L): DataFrame = {
     require(budget > 0 && shardSize > 0, "budget and shardSize must be positive")
+    require(packsPerShardCap > 0, s"packsPerShardCap must be positive, got $packsPerShardCap")
     val shard = (col(idCol) / shardSize).cast("bigint")
     val w = Window.partitionBy(shard).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
+    val localPack = floor(col("_prev") / budget)
     df.withColumn("_tok", tokensCol)
       .withColumn("_prev", coalesce(sum(col("_tok")).over(w), lit(0L)))
       .withColumn(
         "pack_id",
-        (shard * packsPerShardCap + floor(col("_prev") / budget)).cast("bigint"))
+        // a shard needing more than the cap's packs would silently collide
+        // into the next shard's id range (review r11) — fail loudly instead
+        when(localPack >= packsPerShardCap, raise_error(lit(
+          s"packByBudget: a shard exceeded packsPerShardCap=$packsPerShardCap " +
+            "packs — raise the cap or shrink shardSize")))
+          .otherwise((shard * packsPerShardCap + localPack).cast("bigint")))
       .drop("_tok", "_prev")
   }
 
@@ -221,12 +245,15 @@ object Corpus {
     val w = Window.partitionBy(col("_g"))
       .orderBy(md5(keyCol.cast("string")), keyCol)
     val keptOver = df
-      .join(broadcast(overweight), groupCol === col("_g"))
+      .join(broadcast(overweight), groupCol <=> col("_g"))
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") <= col("_budget"))
       .drop("_g", "_budget", "_rn")
+    // null-safe joins: a null group (missing domain) is a group like any
+    // other — plain === is null for it, which routed every null-group row
+    // through the anti-join fork UNCAPPED (review r11)
     val under = df.join(
-      broadcast(overweight.select(col("_g"))), groupCol === col("_g"), "left_anti")
+      broadcast(overweight.select(col("_g"))), groupCol <=> col("_g"), "left_anti")
     under.unionByName(keptOver)
   }
 
@@ -284,27 +311,40 @@ object Corpus {
       .toMap
   }
 
+  /** Shared by [[mixToWeights]]/[[epochsToWeights]]: validate the weight
+    * map and return the per-stratum `(_s, _c, _w)` counts frame (strata
+    * absent from `weights` filtered out). Extracted so null-handling or
+    * validation fixes cannot drift between the two mixture operators
+    * (review r11: the block was duplicated verbatim).
+    */
+  private def weightedStratumCounts(
+      df: DataFrame,
+      strataCol: Column,
+      weights: Map[String, Double],
+      what: String): DataFrame = {
+    require(weights.nonEmpty, s"$what: empty weights")
+    weights.foreach { case (st, w) =>
+      require(w > 0 && !w.isInfinite && !w.isNaN,
+        s"$what: weight for '$st' must be finite positive, got $w")
+    }
+    val entries = weights.toSeq.sortBy(_._1) // deterministic plan
+    def weightOf(c: Column): Column = entries.tail
+      .foldLeft(when(c === entries.head._1, lit(entries.head._2))) {
+        case (acc, (k, w)) => acc.when(c === k, lit(w))
+      } // null for unlisted strata
+    df.select(strataCol.as("_s"))
+      .where(weightOf(col("_s")).isNotNull)
+      .groupBy(col("_s"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_w", weightOf(col("_s")))
+  }
+
   def mixToWeights(
       df: DataFrame,
       keyCol: Column,
       strataCol: Column,
       weights: Map[String, Double]): DataFrame = {
-    require(weights.nonEmpty, "mixToWeights: empty weights")
-    weights.foreach { case (s, w) =>
-      require(w > 0 && !w.isInfinite && !w.isNaN,
-        s"mixToWeights: weight for '$s' must be finite positive, got $w")
-    }
-    val entries = weights.toSeq.sortBy(_._1) // deterministic plan
-    def weightOf(s: Column): Column = entries.tail
-      .foldLeft(when(s === entries.head._1, lit(entries.head._2))) {
-        case (acc, (k, w)) => acc.when(s === k, lit(w))
-      } // null for unlisted strata
-    val counts = df
-      .select(strataCol.as("_s"))
-      .where(weightOf(col("_s")).isNotNull)
-      .groupBy(col("_s"))
-      .agg(count(lit(1)).as("_c"))
-      .withColumn("_w", weightOf(col("_s")))
+    val counts = weightedStratumCounts(df, strataCol, weights, "mixToWeights")
     val budget = counts.agg(min(col("_c") / col("_w")).as("_t"))
     val allowance = counts
       .crossJoin(broadcast(budget))
@@ -395,25 +435,10 @@ object Corpus {
       keyCol: Column,
       strataCol: Column,
       weights: Map[String, Double]): DataFrame = {
-    require(weights.nonEmpty, "epochsToWeights: empty weights")
     require(!df.columns.contains("epoch"),
       "epochsToWeights: input already has an 'epoch' column — rename it " +
         "first (the operator's output contract adds epoch)")
-    weights.foreach { case (s, w) =>
-      require(w > 0 && !w.isInfinite && !w.isNaN,
-        s"epochsToWeights: weight for '$s' must be finite positive, got $w")
-    }
-    val entries = weights.toSeq.sortBy(_._1) // deterministic plan
-    def weightOf(s: Column): Column = entries.tail
-      .foldLeft(when(s === entries.head._1, lit(entries.head._2))) {
-        case (acc, (k, w)) => acc.when(s === k, lit(w))
-      } // null for unlisted strata
-    val counts = df
-      .select(strataCol.as("_s"))
-      .where(weightOf(col("_s")).isNotNull)
-      .groupBy(col("_s"))
-      .agg(count(lit(1)).as("_c"))
-      .withColumn("_w", weightOf(col("_s")))
+    val counts = weightedStratumCounts(df, strataCol, weights, "epochsToWeights")
     val budget = counts.agg(max(col("_c") / col("_w")).as("_t"))
     val r = col("_w") * col("_t") / col("_c")
     // greatest(…, 1): r_s ≥ 1 mathematically; the clamp guards the max
@@ -578,17 +603,28 @@ object Corpus {
     require(dataCols.contains(keyCol), s"base has no key column '$keyCol'")
     val missing = dataCols.filterNot(updates.columns.contains)
     require(missing.isEmpty, s"updates missing base columns: ${missing.mkString(", ")}")
+    tombstoneCol.foreach(tc => require(
+      updates.columns.contains(tc), s"updates have no tombstone column '$tc'"))
     val latest = seqCol match {
       case Some(sc) =>
         require(updates.columns.contains(sc), s"updates have no seq column '$sc'")
-        val w = Window.partitionBy(col(keyCol)).orderBy(col(sc).desc)
+        // equal-seq ties must resolve the same way on every run and
+        // partitioning (the docstring's "resolved deterministically" —
+        // bare .orderBy(seq desc) was partition-layout-dependent, review
+        // r11): tombstone wins first (a delete and an upsert at the same
+        // CDC sequence resolve to the delete), then a content hash makes
+        // the order total; rows identical in every column tie harmlessly
+        val tieBreak: Seq[Column] =
+          tombstoneCol.map(tc =>
+            coalesce(col(tc).cast("boolean"), lit(false)).desc).toSeq :+
+            xxhash64(updates.columns.sorted.map(col): _*).asc
+        val w = Window.partitionBy(col(keyCol)).orderBy(col(sc).desc +: tieBreak: _*)
         updates.withColumn("_mu_rn", row_number().over(w))
           .where(col("_mu_rn") === 1).drop("_mu_rn")
       case None => updates
     }
     val alive = tombstoneCol match {
       case Some(tc) =>
-        require(updates.columns.contains(tc), s"updates have no tombstone column '$tc'")
         latest.where(!coalesce(col(tc).cast("boolean"), lit(false)))
       case None => latest
     }
@@ -638,11 +674,9 @@ object Corpus {
     require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0, 1], got $frac")
     if (frac == 0.0) return df.limit(0)
     if (frac == 1.0) return df
-    val keyed = df.select(scoreCol.cast("double").as("_s"), idCol.cast("long").as("_i"))
-    val n = keyed.count()
-    if (n == 0) return df
-    val k = math.ceil(frac * n).toLong
-    if (k >= n) return df
+    val keyed = df.select(
+      requireNotNull(scoreCol.cast("double"), "topFraction: score").as("_s"),
+      requireNotNull(idCol.cast("long"), "topFraction: integral id").as("_i"))
     // ascending rank key = (−score, id): rank 1 is the best row
     val ranged = keyed
       .select(negate(col("_s")).as("_ns"), col("_i"))
@@ -652,6 +686,12 @@ object Corpus {
       .collect()
       .sortBy(_._1)
       .map(_._2)
+    // n from the partition counts — a separate keyed.count() was a second
+    // full corpus scan doing the same work (review r11)
+    val n = counts.sum
+    if (n == 0) return df
+    val k = math.ceil(frac * n).toLong
+    if (k >= n) return df
     var prefix = 0L
     var target = -1
     var localRank = 0L
@@ -707,19 +747,23 @@ object Corpus {
       bucketName: String = "bucket"): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     if (buckets == 1) return df.withColumn(bucketName, lit(1))
-    val keyed = df.select(scoreCol.cast("double").as("_s"), idCol.cast("long").as("_i"))
-    val n = keyed.count()
-    if (n == 0) return df.withColumn(bucketName, lit(1))
-    val q = n / buckets
-    val r = n % buckets
-    // end rank of bucket b; duplicates (n < k) mean empty trailing buckets
-    val targets: Seq[Long] = (1L until buckets.toLong).map(b => b * q + math.min(b, r))
+    val keyed = df.select(
+      requireNotNull(scoreCol.cast("double"), "quantileBuckets: score").as("_s"),
+      requireNotNull(idCol.cast("long"), "quantileBuckets: integral id").as("_i"))
     val ranged = keyed.repartitionByRange(col("_s"), col("_i"))
     val counts = ranged.rdd
       .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
       .collect()
       .sortBy(_._1)
       .map(_._2)
+    // n from the partition counts — a separate keyed.count() was a second
+    // full corpus scan doing the same work (review r11)
+    val n = counts.sum
+    if (n == 0) return df.withColumn(bucketName, lit(1))
+    val q = n / buckets
+    val r = n % buckets
+    // end rank of bucket b; duplicates (n < k) mean empty trailing buckets
+    val targets: Seq[Long] = (1L until buckets.toLong).map(b => b * q + math.min(b, r))
     val prefixes = counts.scanLeft(0L)(_ + _) // prefixes(i) = rows before partition i
     // partition → the local ranks of the boundary targets it holds
     val byPartition: Map[Int, Seq[Long]] = targets.distinct
@@ -784,7 +828,9 @@ object Corpus {
     require(shards >= 1, s"shards must be >= 1, got $shards")
     val spark = df.sparkSession
     import spark.implicits._
-    val keyed = df.select(idCol.cast("long").as("_id"), sizeCol.cast("long").as("_sz"))
+    val keyed = df.select(
+      requireNotNull(idCol.cast("long"), "balancedShards: integral id").as("_id"),
+      requireNotNull(sizeCol.cast("long"), "balancedShards: size").as("_sz"))
     val ranged = keyed
       .select(negate(col("_sz")).as("_nsz"), col("_id"))
       .repartitionByRange(col("_nsz"), col("_id"))
@@ -854,14 +900,20 @@ object Corpus {
     * percentiles) — the corpus-level summary a filtering pipeline keys off.
     */
   def tokenStats(df: DataFrame, textCol: String, percentiles: Seq[Double]): DataFrame = {
+    // labels round instead of truncating (0.29 used to label as "p28" via
+    // 28.999... .toInt — review r11), and collisions fail loudly instead
+    // of producing two identically-named columns
+    val labels = percentiles.map(p => s"p${math.round(p * 100)}")
+    require(labels.distinct.size == labels.size,
+      s"tokenStats: percentile labels collide after rounding: ${labels.mkString(", ")}")
     val toks = TextAnalysis.tokenCount(col(textCol)).cast("bigint")
     df.select(toks.as("n_tokens"))
       .agg(
         count(lit(1)).as("n_docs"),
         percentile(col("n_tokens"), lit(percentiles.toArray)).as("_ps"))
       .select(
-        col("n_docs") +: percentiles.zipWithIndex.map { case (p, i) =>
-          round(col("_ps").getItem(i), 6).as(s"p${(p * 100).toInt}")
+        col("n_docs") +: labels.zipWithIndex.map { case (lbl, i) =>
+          round(col("_ps").getItem(i), 6).as(lbl)
         }: _*)
   }
 }

@@ -474,4 +474,106 @@ class CorpusSpec extends SparkSpec {
       Corpus.mixToWeights(docs, col("id"), col("lang"), Map("en" -> 0.0))
     }
   }
+
+  // --- r11 review regressions ---
+
+  test("capGroupShare caps a null group like any other") {
+    // null group holds 80% of rows; cap at 25% -> must be cut to 25
+    val docs = spark.range(0, 100).toDF("id")
+      .withColumn("src", when(col("id") < 80, lit(null).cast("string"))
+        .otherwise(lit("ok")))
+    val kept = Corpus.capGroupShare(docs, col("id"), col("src"), 0.25)
+      .select("id", "src").collect()
+    val nullRows = kept.count(_.isNullAt(1))
+    assert(nullRows == 25, s"null group kept $nullRows rows, budget is 25")
+    assert(kept.count(!_.isNullAt(1)) == 20) // under-cap group untouched
+  }
+
+  test("mergeUpsert equal-seq ties resolve deterministically, delete wins") {
+    val base = Seq((1L, "a")).toDF("k", "v")
+    // same key, same seq: an upsert and a tombstone — delete must win on
+    // every run and partitioning
+    val updates = Seq(
+      (1L, "a2", 5L, false),
+      (1L, "gone", 5L, true)).toDF("k", "v", "seq", "del")
+    (1 to 3).foreach { p =>
+      val out = Corpus
+        .mergeUpsert(base, updates.repartition(p), "k",
+          seqCol = Some("seq"), tombstoneCol = Some("del"))
+        .as[(Long, String)].collect()
+      assert(out.isEmpty, s"partitions=$p: tombstone must win the tie")
+    }
+    // equal-seq ties without a tombstone pick one content-hash winner,
+    // stable across partitionings
+    val up2 = Seq((1L, "x", 5L, false), (1L, "y", 5L, false))
+      .toDF("k", "v", "seq", "del")
+    val winners = (1 to 3).map { p =>
+      Corpus.mergeUpsert(base, up2.repartition(p), "k",
+        seqCol = Some("seq"), tombstoneCol = Some("del"))
+        .as[(Long, String)].collect().toSeq
+    }
+    assert(winners.distinct.size == 1, s"tie winner varied: $winners")
+  }
+
+  test("exact-rank machinery fails loudly on null scores and ids") {
+    val withNullScore = spark.range(0, 10).toDF("id")
+      .withColumn("score", when(col("id") === 3, lit(null).cast("double"))
+        .otherwise(col("id").cast("double")))
+    val eScore = intercept[Exception](
+      Corpus.topFraction(withNullScore, col("score"), col("id"), 0.5).count())
+    assert(eScore.getMessage.contains("must be non-null"), eScore.getMessage)
+    val eBucket = intercept[Exception](
+      Corpus.quantileBuckets(withNullScore, col("score"), col("id"), 4).count())
+    assert(eBucket.getMessage.contains("must be non-null"), eBucket.getMessage)
+    // a null id raises instead of ranking (a malformed STRING id already
+    // fails loudly via the ANSI cast itself)
+    val badId = spark.range(0, 5).toDF("n")
+      .withColumn("uid", when(col("n") === 2, lit(null).cast("long"))
+        .otherwise(col("n")))
+    val eId = intercept[Exception](
+      Corpus.balancedShards(badId, col("uid"), col("n"), 2).count())
+    assert(eId.getMessage.contains("must be non-null"), eId.getMessage)
+  }
+
+  test("leakageSafeSplit handles string ids; long-id buckets unchanged") {
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    // UUID-style ids: every singleton used to md5(null) -> all "test"
+    val docs = spark.range(0, 600).toDF("n")
+      .withColumn("uid", concat(lit("doc-"), col("n")))
+    val splits = Corpus.leakageSafeSplit(docs, "uid", emptyPairs)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(splits.getOrElse("train", 0L) > 300L,
+      s"string-id singletons must mostly land in train, got $splits")
+    // numeric ids render identically as strings, so the historical
+    // bucketing is preserved: "123" hashes the same through either path
+    val longDocs = spark.range(0, 100).toDF("id")
+    val a = Corpus.leakageSafeSplit(longDocs, "id", emptyPairs)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    longDocs.select(col("id"),
+      Corpus.hashBucket(col("id")).as("b")).as[(Long, Int)].collect()
+      .foreach { case (id, b) =>
+        val want = if (b < 204) "train" else if (b < 230) "val" else "test"
+        assert(a(id) == want, s"id=$id bucket=$b")
+      }
+  }
+
+  test("packByBudget refuses cap overflow instead of colliding pack ids") {
+    intercept[IllegalArgumentException](
+      Corpus.packByBudget(
+        spark.range(0, 5).toDF("id"), "id", lit(1L), 10L, packsPerShardCap = 0L))
+    // 3 docs x 100 tokens in one shard with budget 10 -> needs 30 packs > cap 2
+    val docs = spark.range(0, 3).toDF("id")
+    val e = intercept[Exception](
+      Corpus.packByBudget(docs, "id", lit(100L), 10L,
+        shardSize = 1000L, packsPerShardCap = 2L).select("pack_id").collect())
+    assert(e.getMessage.contains("packsPerShardCap"), e.getMessage)
+  }
+
+  test("tokenStats labels round and refuse collisions") {
+    val docs = Seq("a b c", "a b", "a").toDF("text")
+    val cols = Corpus.tokenStats(docs, "text", Seq(0.29, 0.5)).columns.toSeq
+    assert(cols == Seq("n_docs", "p29", "p50"), cols.toString)
+    intercept[IllegalArgumentException](
+      Corpus.tokenStats(docs, "text", Seq(0.99, 0.991)))
+  }
 }
