@@ -2957,7 +2957,8 @@ object Queries {
       .map(i => s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
       .mkString(",\n         ")
     s"""tok AS (
-       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents
+       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |                             x -> x <> '') AS ws FROM documents
        |), tf AS (
        |  SELECT doc_id, len(ws) AS dl,
        |         $tfCols
@@ -3044,8 +3045,11 @@ object Queries {
     val b = ops.Lexical.DefaultB
     s"""WITH q AS (SELECT * FROM (VALUES (0, 'spark dup'), (1, 'vector window merge'),
        |                                 (2, 'nosuchword table')) AS t(qid, qtext)),
-       |qt AS (SELECT DISTINCT qid, unnest(regexp_split_to_array(trim(qtext), '\\s+')) AS term FROM q),
-       |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+       |qt AS (SELECT DISTINCT qid, term FROM (
+       |  SELECT qid, unnest(regexp_split_to_array(trim(qtext), '\\s+')) AS term FROM q)
+       |  WHERE term <> ''),
+       |tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |                                   x -> x <> '') AS ws FROM documents),
        |dl AS (SELECT doc_id, len(ws) AS dl FROM tok),
        |post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
        |         FROM (SELECT doc_id, unnest(ws) AS term FROM tok) GROUP BY doc_id, term),

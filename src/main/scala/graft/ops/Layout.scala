@@ -19,6 +19,22 @@ object Layout {
     * choice: targets per-bucket data that fits an executor's memory at
     * full scale.
     */
+  /** Drop a managed table AND its warehouse-dir files: the files outlive
+    * the in-memory catalog (fresh session, same warehouse dir), and CREATE
+    * refuses a stale location. One shared implementation for every
+    * managed-table writer (was duplicated verbatim in the lexical
+    * artifact writer — review r11).
+    */
+  private[ops] def dropManagedTable(
+      spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog
+        .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true): Unit
+  }
+
   def writeBucketed(
       df: DataFrame,
       table: String,
@@ -26,15 +42,8 @@ object Layout {
       numBuckets: Int,
       sortCols: Seq[String] = Nil): Unit = {
     val sorts = if (sortCols.isEmpty) Seq(key) else sortCols
-    // a managed table's files outlive the in-memory catalog (fresh session,
-    // same warehouse dir), and CREATE refuses a stale location — drop both
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog
-        .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(table)))
-    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(loc)) fs.delete(loc, true): Unit
+    dropManagedTable(spark, table)
     df.write
       .format("parquet")
       .bucketBy(numBuckets, key)

@@ -60,8 +60,21 @@ object Lexical {
   private def tfCol(ws: Column, term: String): Column =
     size(filter(ws, _ === lit(term)))
 
+  /** Lexical tokenization: [[TextAnalysis.tokens]] minus the phantom
+    * empty-string token that `split(trim(x), "\\s+")` produces for
+    * blank/whitespace-only text (Java regex split on "" yields [""]) —
+    * without the filter a blank doc carried dl=1, a `""` posting, and
+    * df("") > 0, and a blank QUERY matched every blank doc with a nonzero
+    * score (review r11). Non-blank text never yields empty tokens, so
+    * only blank rows change. The DuckDB oracles mirror this with
+    * `list_filter(ws, x -> x <> '')`.
+    */
+  private def lexTokens(c: Column): Column =
+    array_remove(TextAnalysis.tokens(c), "")
+
   private def validate(terms: Seq[String]): Unit = {
     require(terms.nonEmpty, "bm25: empty query")
+    require(terms.forall(_.nonEmpty), "bm25: empty-string query term")
     require(terms.size <= MaxTerms,
       s"bm25: ${terms.size} query terms > $MaxTerms — use a posting-list " +
         "join (Decontaminate-style gram explode) for bulk term sets")
@@ -83,7 +96,7 @@ object Lexical {
     */
   def bm25Stats(docs: DataFrame, textCol: String, terms: Seq[String]): Bm25Stats = {
     validate(terms)
-    val ws = TextAnalysis.tokens(col(textCol))
+    val ws = lexTokens(col(textCol))
     val dfs = terms.indices.map { i =>
       sum((tfCol(ws, terms(i)) > 0).cast("long")).as(s"_df$i")
     }
@@ -114,7 +127,7 @@ object Lexical {
     stats.foreach(st => require(st.terms == terms,
       s"bm25: stats were computed for terms ${st.terms}, query has $terms"))
     val st = stats.getOrElse(bm25Stats(docs, textCol, terms)).df
-    val ws = TextAnalysis.tokens(col(textCol))
+    val ws = lexTokens(col(textCol))
     val tf = docs.select(
       col(idCol) +: size(ws).as("_dl") +:
         terms.indices.map(i => tfCol(ws, terms(i)).as(s"_tf$i")): _*)
@@ -123,12 +136,18 @@ object Lexical {
     // every sub-expression below is mirrored token-for-token in the oracle
     // SQL (Queries.bm25OracleScore) — the parenthesization IS the contract
     val avgdl = col("_sumdl") / col("_n").cast("double")
+    // per-term contributions stay BIGINT (the oracle's inner CAST), but
+    // the SUM runs in exact DECIMAL(38,0) and casts back at the end —
+    // DuckDB's BIGINT sum is HUGEINT, so this keeps the engines aligned
+    // and extends the overflow envelope from N·terms to per-term only
+    // (~6e9 docs at df=1); a genuinely out-of-BIGINT total refuses loudly
+    // under ANSI (both engines) instead of wrapping (review r11)
     val scoreE9 = terms.indices.map { i =>
       val idf = (col("_n") - col(s"_df$i") + lit(0.5)) / (col(s"_df$i") + lit(0.5))
       val num = col(s"_tf$i") * lit(k1 + 1)
       val den = col(s"_tf$i") + lit(k1) * (lit(1 - b) + lit(b) * (col("_dl") / avgdl))
-      round(idf * (num / den) * lit(1e9)).cast("bigint")
-    }.reduce(_ + _)
+      round(idf * (num / den) * lit(1e9)).cast("bigint").cast("decimal(38,0)")
+    }.reduce(_ + _).cast("bigint")
     joined.select(col(idCol), scoreE9.as("score_e9"))
   }
 
@@ -141,10 +160,12 @@ object Lexical {
       k: Int,
       k1: Double = DefaultK1,
       b: Double = DefaultB,
-      stats: Option[Bm25Stats] = None): DataFrame =
+      stats: Option[Bm25Stats] = None): DataFrame = {
+    require(k > 0, s"bm25TopK: k=$k must be positive")
     bm25(docs, idCol, textCol, terms, k1, b, stats)
       .orderBy(col("score_e9").desc, col(idCol))
       .limit(k)
+  }
 
   /** Bulk BM25 over a QUERY TABLE: top-k docs per query, scored via a
     * posting-list equi-join — the bulk path for many/large queries that the
@@ -165,6 +186,14 @@ object Lexical {
     * final top-k a per-qid window — every step an equi-join/agg on a key,
     * nothing quadratic, corpus scanned twice (postings + doc lengths share
     * the first scan's shuffle).
+    *
+    * PRECONDITION: corpus ids are unique (same contract as
+    * [[appendPostings]] documents for ingest). A duplicated id merges tf
+    * across its rows in the postings while keeping one dl row per ROW, so
+    * the dl join fans out and the merged contribution double-counts —
+    * matching neither duplicate's [[bm25]] score. Dedup upstream
+    * ([[Dedup.exact]] / dropDuplicates) or verify with
+    * [[Corpus.integrityReport]].
     */
   def bm25BulkTopK(
       docs: DataFrame,
@@ -210,7 +239,7 @@ object Lexical {
       docs: DataFrame,
       idCol: String,
       textCol: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val ws = TextAnalysis.tokens(col(textCol))
+    val ws = lexTokens(col(textCol))
     val tok = docs.select(col(idCol), ws.as("_ws"))
     val dl = tok.select(col(idCol), size(col("_ws")).as("_dl"))
     val post = tok
@@ -234,9 +263,13 @@ object Lexical {
       k: Int,
       k1: Double,
       b: Double): DataFrame = {
+    // DISTINCT across rows, not just within one (the oracle's
+    // `SELECT DISTINCT qid, unnest(...)`): a qid appearing on several
+    // query rows must not double-count shared terms (review r11)
     val qt = queries.select(
       col(qidCol),
-      explode(array_distinct(TextAnalysis.tokens(col(qtextCol)))).as("_term"))
+      explode(array_distinct(lexTokens(col(qtextCol)))).as("_term"))
+      .distinct()
     // mirrored token-for-token in Queries.bq1Oracle — parenthesization is
     // the contract, as in bm25
     val idf = (col("_n") - col("_df") + lit(0.5)) / (col("_df") + lit(0.5))
@@ -250,7 +283,8 @@ object Lexical {
       .join(dl, idCol)
       .crossJoin(broadcast(stats))
       .groupBy(col(qidCol), col(idCol))
-      .agg(sum(contrib).as("score_e9"))
+      // exact DECIMAL sum, BIGINT out — see bm25's scoreE9 comment
+      .agg(sum(contrib.cast("decimal(38,0)")).cast("bigint").as("score_e9"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(qidCol))
       .orderBy(col("score_e9").desc, col(idCol))
@@ -309,14 +343,7 @@ object Lexical {
     Layout.writeBucketed(post, s"${prefix}_postings", "_term", buckets)
     Layout.writeBucketed(dft, s"${prefix}_df", "_term", buckets)
     Layout.writeBucketed(dl, s"${prefix}_dl", idCol, buckets)
-    // same drop-table-and-stale-location dance as Layout.writeBucketed: a
-    // managed table's files outlive the in-memory catalog across sessions
-    spark.sql(s"DROP TABLE IF EXISTS `${prefix}_stats`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(s"${prefix}_stats")))
-    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(loc)) fs.delete(loc, true): Unit
+    Layout.dropManagedTable(spark, s"${prefix}_stats")
     stats.write.format("parquet").mode("overwrite").saveAsTable(s"${prefix}_stats")
     PostingsSnapshot(prefix, idCol, buckets)
   }
@@ -328,6 +355,13 @@ object Lexical {
     * writes to a NEW prefix because the source tables are being read
     * (blue/green swap: point readers at the new handle, then drop the old
     * tables).
+    *
+    * COST SHAPE: the df/stats FOLD is tiny (|vocabulary| + 1 rows), but
+    * this full form also rewrites the postings/dl tables — semantically
+    * pass-through, operationally the small-file coalesce for the batches
+    * [[appendPostings]] accumulated. That rewrite is corpus-proportional;
+    * schedule it like any file compaction (by appended-batch count), not
+    * per ingest.
     */
   def compactPostings(
       spark: org.apache.spark.sql.SparkSession,
@@ -336,6 +370,7 @@ object Lexical {
     require(newPrefix != snapshot.prefix,
       "compactPostings: newPrefix must differ from the snapshot's prefix — " +
         "the source tables are being read (blue/green swap)")
+    checkWal(spark, snapshot.prefix)
     writeArtifacts(
       spark,
       spark.table(s"${snapshot.prefix}_postings"),
@@ -360,6 +395,7 @@ object Lexical {
     */
   def appendPostings(
       batch: DataFrame, snapshot: PostingsSnapshot, textCol: String): Unit = {
+    val spark = batch.sparkSession
     val (post, dft, dl, stats) = corpusArtifacts(batch, snapshot.idCol, textCol)
     def app(df: DataFrame, table: String, key: String): Unit =
       df.write
@@ -368,11 +404,51 @@ object Lexical {
         .sortBy(key)
         .mode("append")
         .saveAsTable(table)
+    // WRITE-AHEAD marker around the four non-atomic table appends: a crash
+    // mid-call would otherwise leave postings without their df/stats
+    // deltas — new terms silently score 0, existing terms get overstated
+    // idf, with no error ever raised (review r11). The marker makes the
+    // damage DETECTABLE: readers and further appends refuse while it
+    // exists. It also serializes concurrent appenders (second caller
+    // refuses instead of interleaving).
+    val (fs, marker) = walMarker(spark, snapshot.prefix)
+    require(!fs.exists(marker), walMessage(snapshot.prefix))
+    require(fs.createNewFile(marker),
+      s"appendPostings: could not claim ingest marker $marker — concurrent append?")
     app(post, s"${snapshot.prefix}_postings", "_term")
     app(dft, s"${snapshot.prefix}_df", "_term")
     app(dl, s"${snapshot.prefix}_dl", snapshot.idCol)
     stats.write.format("parquet").mode("append")
       .saveAsTable(s"${snapshot.prefix}_stats")
+    fs.delete(marker, false): Unit
+  }
+
+  /** The ingest write-ahead marker for `prefix` — lives next to the
+    * artifact tables in the warehouse dir, so it travels with them.
+    */
+  private def walMarker(
+      spark: org.apache.spark.sql.SparkSession,
+      prefix: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(s"${prefix}_stats"))
+        .toString + ".ingest-pending")
+    (loc.getFileSystem(spark.sessionState.newHadoopConf()), loc)
+  }
+
+  private def walMessage(prefix: String): String =
+    s"postings artifact '$prefix' has a pending ingest marker: a previous " +
+      "appendPostings crashed mid-write (or another is running) — the " +
+      "df/stats deltas may be inconsistent with the postings; rebuild the " +
+      "artifact with writePostings from the source corpus"
+
+  /** Refuse to read an artifact a crashed append may have left
+    * inconsistent — loud and actionable, not silently mis-scored.
+    */
+  private def checkWal(
+      spark: org.apache.spark.sql.SparkSession, prefix: String): Unit = {
+    val (fs, marker) = walMarker(spark, prefix)
+    require(!fs.exists(marker), walMessage(prefix))
   }
 
   /** Bulk BM25 over a persisted [[PostingsSnapshot]]: identical scores to
@@ -394,6 +470,7 @@ object Lexical {
       b: Double): DataFrame = {
     checkQueryCols(snapshot.idCol, qidCol, qtextCol)
     require(k > 0, s"bm25BulkTopK: k=$k must be positive")
+    checkWal(spark, snapshot.prefix)
     scoreBulk(
       spark.table(s"${snapshot.prefix}_postings"),
       spark.table(s"${snapshot.prefix}_df")
@@ -432,6 +509,13 @@ object Lexical {
       kRrf: Int = 60): DataFrame = {
     require(lists.nonEmpty, "rrfFuse: no lists")
     require(kRrf >= 0, s"rrfFuse: negative kRrf=$kRrf")
+    // same refuse-don't-guess posture as checkIdCol: a working/output-
+    // shadowing id column would hit an ambiguous-reference error deep in
+    // the join chain (or silently shadow) instead of an actionable one here
+    require(!idCol.startsWith("_") && !idCol.equalsIgnoreCase("rrf_e12"),
+      s"rrfFuse: idCol '$idCol' collides with a working/output column")
+    require(!rankCol.startsWith("_") && !rankCol.equalsIgnoreCase(idCol),
+      s"rrfFuse: rankCol '$rankCol' collides with a working column or the id")
     val parts = lists.zipWithIndex.map { case (l, i) =>
       l.select(
         col(idCol),
@@ -450,6 +534,8 @@ object Lexical {
     * corpus through this is a single-partition sort by construction.
     */
   def ranked(topK: DataFrame, idCol: String, orderCols: Seq[Column]): DataFrame = {
+    require(!idCol.equalsIgnoreCase("rank"),
+      s"ranked: idCol '$idCol' would be overwritten by the output 'rank' column")
     import org.apache.spark.sql.expressions.Window
     topK.withColumn(
       "rank",

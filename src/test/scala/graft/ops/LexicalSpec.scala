@@ -268,4 +268,77 @@ class LexicalSpec extends SparkSpec {
       spark.sql("SELECT * FROM bm25_topk('lex_tvf_docs', 'id', 'text', 'cat', id)"))
     assert(e2.getMessage.contains("bm25_topk"), e2.getMessage)
   }
+
+  // --- r11 review regressions ---
+
+  test("blank docs and blank queries carry no phantom empty-string token") {
+    val withBlank = docs.union(Seq((9L, "   "), (10L, "")).toDF("id", "text"))
+    // blank docs: dl=0, no postings — scores for real queries are as if
+    // the blanks were dl-0 members (n and df unchanged by them)
+    val scored = Lexical.bm25(withBlank, "id", "text", Seq("cat"))
+      .as[(Long, Long)].collect().toMap
+    assert(scored(9L) == 0L && scored(10L) == 0L)
+    // a blank query matches nothing in the bulk path (no phantom '' join)
+    val queries = Seq((0L, "   "), (1L, "cat")).toDF("qid", "qtext")
+    val hits = Lexical
+      .bm25BulkTopK(withBlank, "id", "text", queries, "qid", "qtext", k = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(!hits.exists(_._1 == 0L), s"blank query scored: ${hits.toSeq}")
+    assert(hits.exists(_._1 == 1L))
+    // and a blank doc is never a hit
+    assert(!hits.exists(h => h._2 == 9L || h._2 == 10L))
+  }
+
+  test("duplicate qid rows dedupe terms across rows (oracle DISTINCT semantics)") {
+    val once = Seq((0L, "cat")).toDF("qid", "qtext")
+    val twice = Seq((0L, "cat"), (0L, "cat")).toDF("qid", "qtext")
+    val a = Lexical.bm25BulkTopK(docs, "id", "text", once, "qid", "qtext", k = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = Lexical.bm25BulkTopK(docs, "id", "text", twice, "qid", "qtext", k = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b, "a duplicated query row must not double-count scores")
+  }
+
+  test("a pending ingest marker makes readers and appenders refuse loudly") {
+    val snap = Lexical.writePostings(docs, "id", "text", "graft_spec_wal", buckets = 2)
+    val queries = Seq((0L, "cat")).toDF("qid", "qtext")
+    // healthy artifact reads fine
+    assert(Lexical.bm25BulkTopK(spark, snap, queries, "qid", "qtext", k = 3).count() > 0)
+    // simulate a crash mid-append: plant the marker by hand
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier("graft_spec_wal_stats"))
+        .toString + ".ingest-pending")
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.createNewFile(loc))
+    try {
+      val eRead = intercept[IllegalArgumentException](
+        Lexical.bm25BulkTopK(spark, snap, queries, "qid", "qtext", k = 3))
+      assert(eRead.getMessage.contains("pending ingest"), eRead.getMessage)
+      val eAppend = intercept[IllegalArgumentException](
+        Lexical.appendPostings(docs.where(lit(false)), snap, "text"))
+      assert(eAppend.getMessage.contains("pending ingest"), eAppend.getMessage)
+      val eCompact = intercept[IllegalArgumentException](
+        Lexical.compactPostings(spark, snap, "graft_spec_wal2"))
+      assert(eCompact.getMessage.contains("pending ingest"), eCompact.getMessage)
+    } finally fs.delete(loc, false)
+    // marker cleared -> everything works again, and a full append cycle
+    // leaves no marker behind
+    Lexical.appendPostings(
+      Seq((99L, "cat zebra")).toDF("id", "text"), snap, "text")
+    assert(!fs.exists(loc))
+    assert(Lexical.bm25BulkTopK(spark, snap, queries, "qid", "qtext", k = 3).count() > 0)
+  }
+
+  test("rrfFuse and ranked refuse colliding column names; bm25TopK validates k") {
+    val l = Seq((1L, 1)).toDF("id", "rank")
+    intercept[IllegalArgumentException](Lexical.rrfFuse(Seq(l), "_c0", "rank"))
+    intercept[IllegalArgumentException](Lexical.rrfFuse(Seq(l), "rrf_e12", "rank"))
+    intercept[IllegalArgumentException](Lexical.rrfFuse(Seq(l), "id", "id"))
+    intercept[IllegalArgumentException](Lexical.ranked(l, "rank", Seq(col("id"))))
+    intercept[IllegalArgumentException](
+      Lexical.bm25TopK(docs, "id", "text", Seq("cat"), k = 0))
+    intercept[IllegalArgumentException](
+      Lexical.bm25(docs, "id", "text", Seq("cat", "")))
+  }
 }
