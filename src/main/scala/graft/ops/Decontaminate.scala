@@ -24,12 +24,6 @@ object Decontaminate {
   def ngrams(text: Column, n: Int): Column =
     graft.functions.word_ngrams(text, n)
 
-  /** Distinct ids of documents sharing >= 1 word n-gram with `evalDocs`.
-    *
-    * @param hashGrams join on xxhash64(gram) (8 bytes) instead of the gram
-    *                  string — the scale default; exact modulo 64-bit hash
-    *                  collisions (~2^-64 per gram pair).
-    */
   /** The shared gram extraction of both decontamination rules: per-doc
     * DISTINCT grams (the codegen'd shingle kernel — one pass, no
     * interpreted lambdas) exploded as `(idCol, _g)`, plus the eval side's
@@ -44,18 +38,33 @@ object Decontaminate {
       textCol: String,
       n: Int,
       hashGrams: Boolean): (DataFrame, DataFrame) = {
+    // n <= 0 would make the shingle kernel emit the "" gram for every
+    // non-empty doc on BOTH sides — flagging the whole corpus as
+    // contaminated with no error (review r11)
+    require(n >= 1, s"gram size n must be >= 1, got $n")
     val docGrams = docs.select(
       col(idCol),
       explode(graft.functions.word_shingles(col(textCol), n)).as("_g"))
     val evalGrams = evalDocs
       .select(explode(graft.functions.word_shingles(col(textCol), n)).as("_g"))
-      .distinct()
+    // hash BEFORE the eval-side distinct: dedup on the 8-byte hash keeps
+    // the build side unique even across a 64-bit gram collision (which
+    // would otherwise fan out the stats join and double-count), and the
+    // dedup shuffle moves longs instead of gram strings (review r11)
     if (hashGrams)
       (docGrams.select(col(idCol), xxhash64(col("_g")).as("_g")),
-        evalGrams.select(xxhash64(col("_g")).as("_g")))
-    else (docGrams, evalGrams)
+        evalGrams.select(xxhash64(col("_g")).as("_g")).distinct())
+    else (docGrams, evalGrams.distinct())
   }
 
+  /** Distinct ids of documents sharing >= 1 word n-gram with `evalDocs`.
+    *
+    * @param hashGrams join on xxhash64(gram) (8 bytes) instead of the gram
+    *                  string — the scale default; exact modulo 64-bit hash
+    *                  collisions (~2^-64 per gram pair, and a collision can
+    *                  only produce a spurious match, never a fan-out: the
+    *                  eval side dedups AFTER hashing).
+    */
   def contaminatedIds(
       docs: DataFrame,
       evalDocs: DataFrame,

@@ -37,11 +37,65 @@ object Quantize {
       codeCol: String,
       query: Seq[Float],
       k: Int): DataFrame = {
+    require(k > 0, "k must be > 0")
     val qCodes = Sq8.encode(query.toArray)
     df.select(
         col(idCol),
-        sq8_distance_sq(col(codeCol), lit(qCodes)).as("code_dist"))
+        guardedCoarse(col(codeCol),
+          sq8_distance_sq(col(codeCol), lit(qCodes)), "coarseTopK").as("code_dist"))
       .orderBy(col("code_dist").asc_nulls_last, col(idCol))
+      .limit(k)
+  }
+
+  /** The all-NULL-coarse-key guard every quantized tier needs (the
+    * round-10 mrlTopK advice item, ported to the flat tiers — review
+    * r11): a NULL code is skipped (asc_nulls_last, like every top-k
+    * path), but a NON-NULL code whose coarse distance comes back NULL
+    * means a code/query length mismatch (stale codes after a dim change,
+    * or a wrong-dim query) — without the guard the coarse phase silently
+    * "selects" the k·oversample lowest-id rows instead of failing.
+    */
+  private def guardedCoarse(codes: Column, dist: Column, what: String): Column =
+    when(codes.isNull, lit(null))
+      .when(dist.isNull, raise_error(lit(
+        s"$what: coarse distance is NULL for a non-null code — " +
+          "code/query length mismatch (stale codes or wrong query dim)")))
+      .otherwise(dist)
+
+  /** The shared two-phase skeleton of [[sq8TopK]]/[[binTopK]] (the third
+    * variant, [[Similarity.mrlTopK]], keeps its own copy for the stored-
+    * prefix fast path but follows the same guard discipline): guarded
+    * coarse rank -> k·oversample survivors -> broadcast refine with exact
+    * float distances, where a non-null vector with a NULL refine distance
+    * (query dim mismatch the coarse phase could not see — e.g. binary
+    * codes pad to whole bytes, hiding a within-byte dim skew) raises
+    * instead of ranking arbitrarily.
+    */
+  private def twoPhaseTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      oversample: Int,
+      coarse: Column,
+      what: String): DataFrame = {
+    require(k > 0, "k must be > 0")
+    require(oversample >= 1, "oversample must be >= 1")
+    require(k.toLong * oversample <= Int.MaxValue.toLong,
+      s"$what: k * oversample = ${k.toLong * oversample} overflows the survivor limit")
+    val survivors = df
+      .select(col(idCol), coarse.as("_coarse"))
+      .orderBy(col("_coarse").asc_nulls_last, col(idCol))
+      .limit(k * oversample)
+      .select(col(idCol))
+    val refine = array_distance(col(vecCol), float_vector(query))
+    df.join(broadcast(survivors), idCol)
+      .orderBy(
+        when(col(vecCol).isNotNull && refine.isNull, raise_error(lit(
+          s"$what: refine distance is NULL for a non-null vector — query dim mismatch")))
+          .otherwise(refine).asc_nulls_last,
+        col(idCol))
       .limit(k)
   }
 
@@ -59,20 +113,11 @@ object Quantize {
       k: Int,
       oversample: Int = 4,
       codeCol: Option[String] = None): DataFrame = {
-    require(k > 0, "k must be > 0")
-    require(oversample >= 1, "oversample must be >= 1")
     val codes: Column = codeCol.map(col).getOrElse(sq8_encode(col(vecCol)))
     val qCodes = Sq8.encode(query.toArray)
-    val survivors = df
-      .select(col(idCol), sq8_distance_sq(codes, lit(qCodes)).as("code_dist"))
-      .orderBy(col("code_dist").asc_nulls_last, col(idCol))
-      .limit(k * oversample)
-      .select(col(idCol))
-    df.join(broadcast(survivors), idCol)
-      .orderBy(
-        array_distance(col(vecCol), float_vector(query)).asc_nulls_last,
-        col(idCol))
-      .limit(k)
+    twoPhaseTopK(df, idCol, vecCol, query, k, oversample,
+      guardedCoarse(codes, sq8_distance_sq(codes, lit(qCodes)), "sq8TopK"),
+      "sq8TopK")
   }
 
   /** Add a packed sign-bit (1-bit) code column for `vecCol` — the deepest
@@ -93,10 +138,12 @@ object Quantize {
       codeCol: String,
       query: Seq[Float],
       k: Int): DataFrame = {
+    require(k > 0, "k must be > 0")
     val qCodes = Bin1.encode(query.toArray)
     df.select(
         col(idCol),
-        bin1_hamming(col(codeCol), lit(qCodes)).as("hamming"))
+        guardedCoarse(col(codeCol),
+          bin1_hamming(col(codeCol), lit(qCodes)), "binCoarseTopK").as("hamming"))
       .orderBy(col("hamming").asc_nulls_last, col(idCol))
       .limit(k)
   }
@@ -118,20 +165,11 @@ object Quantize {
       k: Int,
       oversample: Int = 16,
       codeCol: Option[String] = None): DataFrame = {
-    require(k > 0, "k must be > 0")
-    require(oversample >= 1, "oversample must be >= 1")
     val codes: Column = codeCol.map(col).getOrElse(bin1_encode(col(vecCol)))
     val qCodes = Bin1.encode(query.toArray)
-    val survivors = df
-      .select(col(idCol), bin1_hamming(codes, lit(qCodes)).as("hamming"))
-      .orderBy(col("hamming").asc_nulls_last, col(idCol))
-      .limit(k * oversample)
-      .select(col(idCol))
-    df.join(broadcast(survivors), idCol)
-      .orderBy(
-        array_distance(col(vecCol), float_vector(query)).asc_nulls_last,
-        col(idCol))
-      .limit(k)
+    twoPhaseTopK(df, idCol, vecCol, query, k, oversample,
+      guardedCoarse(codes, bin1_hamming(codes, lit(qCodes)), "binTopK"),
+      "binTopK")
   }
 
   /** Mean-pool member vectors into one quantized embedding per group IN
@@ -142,9 +180,12 @@ object Quantize {
     * truncate, so negative sums round identically everywhere (the
     * hash-gate detail; code sums stay far under 2⁵³ so the double
     * division is exact). One map-side-combined groupBy of |groups|·dim
-    * rows; output (group_id, dim, code) composes directly with
-    * [[coarseTopK]]-style integer scoring or [[graft.functions.sq8_decode]]
-    * for float use.
+    * rows. OUTPUT SHAPE: long-format `(group_id, dim, code)` rows — the
+    * shape the zq9 gate consumes directly; the BinaryType consumers
+    * ([[coarseTopK]], [[graft.functions.sq8_decode]]) need the codes
+    * REPACKED into a per-group byte array first (collect in dim order),
+    * which this operator deliberately does not do (a corpus-wide
+    * collect_list is the caller's layout decision, not a pooling detail).
     */
   def sq8MeanPool(df: DataFrame, groupCol: Column, vecCol: String): DataFrame =
     df.select(

@@ -19,9 +19,19 @@ object Skew {
     * blow-up of the small side's shuffle — size `salts` to the observed
     * straggler ratio, not higher.
     *
-    * The salt only spreads rows, so its values never affect the result;
-    * a cheap deterministic spread (row id modulo salts) keeps runs
-    * reproducible task-for-task.
+    * The salt only spreads rows, so its values never affect the result —
+    * PROVIDED it is recomputation-stable: the salt feeds the shuffle
+    * partitioning, and a salt derived from `monotonically_increasing_id`
+    * (the original form) changes when a stage retry replays map tasks
+    * whose shuffle-read input arrives in a different block order — first-
+    * attempt and recomputed reducers then disagree on which partition
+    * owns a row, and that row is lost or duplicated (the SPARK-23207
+    * round-robin-repartition failure class; review r11). The salt is
+    * therefore a CONTENT hash of the whole row: deterministic under any
+    * retry and partitioning, and it spreads a hot key's rows as long as
+    * they differ in any column. Fully IDENTICAL duplicate rows share a
+    * salt and stay in one task — the one skew shape content salting
+    * cannot spread (dedup such rows upstream; they carry no information).
     */
   def saltedJoin(
       big: DataFrame,
@@ -32,15 +42,18 @@ object Skew {
       joinType: String = "inner"): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
     // replication preserves multiplicity only for big-side-driven joins: a
-    // right/full/cross join would emit one row per UNMATCHED salt replica
+    // right/full/cross join would emit one row per UNMATCHED salt replica.
+    // left_semi/left_anti ARE big-side-driven (a key matches iff its single
+    // salt replica matches), but they drop the small side's columns, so the
+    // salted plan's output schema matches the plain join's there too.
     require(
-      Set("inner", "left", "leftouter").contains(
+      Set("inner", "left", "leftouter", "leftsemi", "leftanti").contains(
         joinType.toLowerCase.replace("_", "")),
-      s"saltedJoin supports inner/left joins only, got '$joinType' " +
+      s"saltedJoin supports inner/left/left_semi/left_anti joins, got '$joinType' " +
         "(small-side replication corrupts right/full/cross multiplicities)")
     val saltedBig = big.withColumn(
       "_graft_salt",
-      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(big.columns.sorted.map(col): _*), lit(salts.toLong)).cast("int"))
     val replicatedSmall = small.withColumn(
       "_graft_salt",
       explode(sequence(lit(0), lit(salts - 1))))

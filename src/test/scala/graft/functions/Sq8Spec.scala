@@ -127,4 +127,40 @@ class Sq8Spec extends SparkSpec {
     // oversample=1 refine re-ranks exactly the coarse winners
     assert(a.map(_._1).toSet == b.toSet)
   }
+
+  // r11 review: a non-null code whose coarse distance is NULL (stale codes
+  // or wrong-dim query) must raise, not silently select the lowest ids;
+  // a dim skew hidden by binary byte padding must raise at refine.
+  test("quantized top-k raises on code/query dim mismatch instead of ranking arbitrarily") {
+    import org.apache.spark.sql.functions._
+    val df = (0 until 32).map(i => (i.toLong, Seq.fill(8)(i.toFloat)))
+      .toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    val q4 = Seq.fill(4)(1.0f)   // wrong dim vs the 8-dim vectors
+    val e1 = intercept[Exception](
+      graft.ops.Quantize.sq8TopK(df, "id", "vec", q4, 3).collect())
+    assert(e1.getMessage.contains("mismatch"), e1.getMessage)
+    val e2 = intercept[Exception](
+      graft.ops.Quantize.coarseTopK(
+        graft.ops.Quantize.compress(df, "vec"), "id", "sq8", q4, 3).collect())
+    assert(e2.getMessage.contains("mismatch"), e2.getMessage)
+    // binary: 6-dim query vs 8-dim vectors packs to the SAME single byte,
+    // so the coarse phase cannot see the skew — the refine guard must
+    val q6 = Seq.fill(6)(1.0f)
+    val e3 = intercept[Exception](
+      graft.ops.Quantize.binTopK(df, "id", "vec", q6, 3).collect())
+    assert(e3.getMessage.contains("mismatch"), e3.getMessage)
+    // null vectors are still skipped, not raised on
+    val withNull = df.union(
+      Seq((99L, null.asInstanceOf[Seq[Float]])).toDF("id", "vec")
+        .select(col("id"), col("vec").cast("array<float>").as("vec")))
+    val ok = graft.ops.Quantize.sq8TopK(withNull, "id", "vec", Seq.fill(8)(1.0f), 3)
+      .select("id").as[Long].collect()
+    assert(ok.length == 3 && !ok.contains(99L))
+    // k*oversample overflow refuses with a clear message
+    val e4 = intercept[IllegalArgumentException](
+      graft.ops.Quantize.sq8TopK(df, "id", "vec", Seq.fill(8)(1.0f), 3,
+        oversample = Int.MaxValue))
+    assert(e4.getMessage.contains("overflows"), e4.getMessage)
+  }
 }

@@ -81,4 +81,32 @@ class DecontaminateSpec extends SparkSpec {
       Decontaminate.decontaminateByOverlap(docs, eval, "doc_id", "text", 1.0)
     }
   }
+
+  // --- r11 review regressions ---
+
+  test("gram size n must be >= 1; semanticDecontaminate round-trips the anti-join") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      Decontaminate.contaminatedIds(docs, docs, "doc_id", "text", n = 0))
+    intercept[IllegalArgumentException](
+      Decontaminate.decontaminate(docs, docs, "doc_id", "text", n = -1))
+    // semantic: doc 1 is near the eval vector, doc 2 is orthogonal
+    val train = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.9f, 0.1f))).toDF("doc_id", "vec")
+      .select(col("doc_id"), col("vec").cast("array<float>").as("vec"))
+    val ev = Seq(Tuple1(Seq(1.0f, 0.0f))).toDF("vec")
+      .select(col("vec").cast("array<float>").as("vec"))
+    val flagged = Decontaminate
+      .semanticContaminatedIds(train, ev, "doc_id", "vec", 0.9)
+      .as[Long].collect().toSet
+    assert(flagged == Set(1L, 3L))
+    val kept = Decontaminate
+      .semanticDecontaminate(train, ev, "doc_id", "vec", 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+    intercept[IllegalArgumentException](
+      Decontaminate.semanticDecontaminate(train, ev, "doc_id", "vec", 1.5))
+  }
 }

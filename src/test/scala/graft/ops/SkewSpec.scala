@@ -31,4 +31,28 @@ class SkewSpec extends SparkSpec {
     // the hot key 0 misses: its rows survive exactly once with null v
     assert(salted.count(_._3.isEmpty) == plain.count(_._3.isEmpty))
   }
+
+  // --- r11 review regressions ---
+
+  test("saltedJoin semi/anti equal the plain join; salt is content-stable") {
+    val big = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("k", "v")
+    val small = Seq((1L, "x"), (3L, "y")).toDF("sk", "sv")
+    val semi = Skew.saltedJoin(big, small, "k", "sk", 4, "left_semi")
+      .as[(Long, String)].collect().toSet
+    assert(semi == big.join(small, col("k") === col("sk"), "left_semi")
+      .as[(Long, String)].collect().toSet)
+    val anti = Skew.saltedJoin(big, small, "k", "sk", 4, "left_anti")
+      .as[(Long, String)].collect().toSet
+    assert(anti == Set((2L, "c")))
+    intercept[IllegalArgumentException](
+      Skew.saltedJoin(big, small, "k", "sk", 4, "full_outer"))
+    // the salt must be a pure function of row content (recomputation-
+    // stable under stage retries), so any repartitioning yields the
+    // identical join output row multiset
+    val a = Skew.saltedJoin(big, small, "k", "sk", 3)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Skew.saltedJoin(big.repartition(7), small, "k", "sk", 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
 }
