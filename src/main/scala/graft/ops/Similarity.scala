@@ -156,37 +156,47 @@ object Similarity {
     require(k >= 1, "k must be >= 1")
     require(poolSize >= k, s"poolSize ($poolSize) must be >= k ($k)")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0, 1], got $lambda")
+    requireIntegral(df, idCol) // a silent long cast would null string ids (r11)
     val spark = df.sparkSession
     import spark.implicits._
-    val qArr = query.toArray
     val qlit = graft.functions.float_vector(query)
-    val pool: Array[(Long, Array[Float])] = df
+    // unscorable rows never enter the pool: a null _simq (dim mismatch)
+    // or NaN _simq (NaN elements — which Spark's Float ordering would
+    // otherwise sort FIRST under desc, filling the pool with junk and
+    // leaving the driver argmax with all-NaN scores) is skipped, the same
+    // skip-unscorable semantics as every other top-k path (review r11)
+    val poolRows = df
       .select(
         col(idCol).cast("long").as("_id"),
         col(vecCol).cast("array<float>").as("_v"),
         array_cosine_similarity(col(vecCol), qlit).as("_simq"))
-      .where(col("_v").isNotNull)
-      .orderBy(col("_simq").desc_nulls_last, col("_id"))
+      .where(col("_v").isNotNull && col("_simq").isNotNull && !isnan(col("_simq")))
+      .orderBy(col("_simq").desc, col("_id"))
       .limit(poolSize)
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val pool: Array[(Long, Array[Float])] =
+      poolRows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val mu = 1.0 - lambda
+    // relevance reuses the COLLECTED in-plan similarity (bit-identical to
+    // a SQL re-derivation by construction); only the pairwise diversity
+    // term is driver-computed, via the same f32 kernel class
     val simq: Map[Long, Float] =
-      pool.map { case (id, v) => id -> graft.functions.VectorKernels.cosine(v, qArr) }.toMap
+      poolRows.map(r => r.getLong(0) -> r.getFloat(2)).toMap
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double)]
     val selectedVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
     val remaining = scala.collection.mutable.LinkedHashMap(pool.toSeq: _*)
     var rank = 1
     while (rank <= k && remaining.nonEmpty) {
-      var bestId = -1L
+      var bestId = 0L
       var bestScore = Double.NegativeInfinity
+      var found = false // explicit, so negative ids never read as "unset" (r11)
       remaining.foreach { case (id, v) =>
         val maxSel =
           if (selectedVecs.isEmpty) 0.0f
           else selectedVecs.map(graft.functions.VectorKernels.cosine(v, _)).max
         val score = lambda * simq(id) - mu * maxSel
-        if (score > bestScore || (score == bestScore && (bestId < 0 || id < bestId))) {
-          bestScore = score; bestId = id
+        if (!found || score > bestScore || (score == bestScore && id < bestId)) {
+          bestScore = score; bestId = id; found = true
         }
       }
       selected += ((bestId, rank, bestScore))
@@ -263,13 +273,17 @@ object Similarity {
   }
 
   /** The `probes` cells nearest to `q` by centroid COSINE similarity,
-    * descending (ties by cell id): the angular probe ranking
-    * [[graft.ivf.IvfIndex]] uses for cosine search, computed locally for a
-    * single query vector. Zero-norm queries/centroids score 0 (no signal,
-    * never NaN).
+    * descending (ties by cell id): the same RANKING RULE as
+    * [[graft.ivf.IvfIndex.findClosestCentroidsCosine]] — zero-norm cells
+    * (and a zero-norm query, which zeroes every denominator) rank LAST,
+    * never mid-field (scoring them 0 used to probe a degenerate empty
+    * cell ahead of negative-similarity cells that hold the true angular
+    * neighbors — review r11); computed locally in f64 for one query.
     */
   private[graft] def probeCellsCosine(
       q: Array[Float], centroids: Array[Float], dim: Int, probes: Int): Array[Int] = {
+    require(q.length == dim,
+      s"query dim ${q.length} != centroid dim $dim")
     val k = centroids.length / dim
     val qn = math.sqrt(q.map(x => x.toDouble * x).sum)
     val scored = Array.tabulate(k) { c =>
@@ -281,9 +295,9 @@ object Similarity {
         j += 1
       }
       val denom = qn * math.sqrt(cn)
-      (if (denom == 0) 0.0 else dot / denom, c)
+      (if (denom == 0) Double.NegativeInfinity else dot / denom, c)
     }
-    scored.sortBy { case (s, c) => (-s, c) }.take(probes).map(_._2)
+    scored.sortBy { case (sc, c) => (-sc, c) }.take(probes).map(_._2)
   }
 
   /** One scored neighbor candidate; ranked by (dist, id) ascending. */
@@ -331,6 +345,13 @@ object Similarity {
     * pointer to [[ivfKnnJoin]], whose cell equi-join broadcasts neither
     * side. Raise `maxQueries` only with executor memory to match
     * (~vectorBytes × maxQueries per executor).
+    *
+    * NOTE on id spaces: pairs with `corpusId == queryId` are EXCLUDED —
+    * the self-match rule for the dedup/self-join use both knn joins serve
+    * (a row must not be its own neighbor). When queries and corpus are
+    * INDEPENDENT tables, ensure their id spaces are disjoint (offset one
+    * side) or a coincidentally-equal id silently drops a true neighbor
+    * (review r11 — was undocumented). [[ivfKnnJoin]] applies the same rule.
     */
   def knnJoin(
       queries: DataFrame,
@@ -439,10 +460,26 @@ object Similarity {
           corpusCells,
           col("_pcell") === col("_cell") && col("neighbor_id") =!= col("query_id")))
       } else {
-        val sizes = corpusCells.groupBy(col("_cell")).agg(count(lit(1)).as("_n"))
-        val sized = corpusCells.join(broadcast(sizes), Seq("_cell"))
-        val small = sized.where(col("_n") <= maxCellSize).drop("_n")
-        val hot = sized.where(col("_n") > maxCellSize).drop("_n")
+        // cell sizes come to the DRIVER (≤ nClusters ≤ 65536 rows — the
+        // bounded-collect class): the previous broadcast-join form
+        // re-derived the O(n·k·dim) corpus cell assignment once for the
+        // sizes agg, once per small/hot branch through the sized join,
+        // and once more for the hot-cell id projection — four full
+        // passes of the most expensive map-side step (review r11). With
+        // the hot set known up front, the common no-hot-cell case is ONE
+        // probe join over corpusCells, and the hot case two branch scans.
+        val hotSet: Seq[Int] = corpusCells
+          .groupBy(col("_cell")).agg(count(lit(1)).as("_n"))
+          .where(col("_n") > maxCellSize)
+          .select(col("_cell").cast("int"))
+          .collect().map(_.getInt(0)).toSeq
+        if (hotSet.isEmpty) {
+          score(probed.join(
+            corpusCells,
+            col("_pcell") === col("_cell") && col("neighbor_id") =!= col("query_id")))
+        } else {
+        val small = corpusCells.where(!col("_cell").isInCollection(hotSet))
+        val hot = corpusCells.where(col("_cell").isInCollection(hotSet))
         val smallScored = score(probed.join(
           small,
           col("_pcell") === col("_cell") && col("neighbor_id") =!= col("query_id")))
@@ -453,10 +490,9 @@ object Similarity {
         val hot2 = hot.withColumn(
           "_cell2",
           get(graft.functions.nearest_centroids(col("_cvec"), centroids, dim, 2), lit(1)))
-        val hotCellIds = sizes.where(col("_n") > maxCellSize).select(col("_cell"))
         val hotScored = score(
           probed
-            .join(broadcast(hotCellIds), col("_pcell") === col("_cell"), "leftsemi")
+            .where(col("_pcell").isInCollection(hotSet))
             .select(
               col("query_id"), col("_qvec"), col("_pcell"),
               explode(col("_pcells")).as("_pcell2"))
@@ -466,6 +502,7 @@ object Similarity {
               col("_pcell") === col("_cell") && col("_pcell2") === col("_cell2") &&
                 col("neighbor_id") =!= col("query_id")))
         smallScored.unionByName(hotScored)
+        }
       }
     topKRanked(scored, k)
   }
@@ -565,10 +602,22 @@ object Similarity {
     val assigned = withCell(df, vecCol, centroids, dim)
       .where(col("_cell") >= 0)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("_cell"))
-    val sizes = assigned.groupBy(col("_cell")).agg(count(lit(1)).as("_n"))
-    val sized = assigned.join(broadcast(sizes), Seq("_cell"))
-    val small = sized.where(col("_n") <= maxCellSize).drop("_n")
-    val hot = sized.where(col("_n") > maxCellSize).drop("_n")
+    // hot-cell ids come to the DRIVER (≤ nClusters rows — bounded-collect
+    // class): the sized-join form re-derived the O(n·k·dim) cell
+    // assignment once for the sizes agg and once per small/hot branch
+    // (review r11, same fix as ivfKnnJoin); with the hot set known up
+    // front the branches are plain filters over one assignment lineage
+    val hotSet: Seq[Int] = assigned
+      .groupBy(col("_cell")).agg(count(lit(1)).as("_n"))
+      .where(col("_n") > maxCellSize)
+      .select(col("_cell").cast("int"))
+      .collect().map(_.getInt(0)).toSeq
+    val small =
+      if (hotSet.isEmpty) assigned
+      else assigned.where(!col("_cell").isInCollection(hotSet))
+    val hot =
+      if (hotSet.isEmpty) assigned.where(lit(false))
+      else assigned.where(col("_cell").isInCollection(hotSet))
 
     // verify (cosine is symmetric — no orientation swap needed), normalize
     // to (min id, max id); the final distinct dedups multi-route candidates
@@ -639,9 +688,9 @@ object Similarity {
         val crossSmall = probedExpl.as("a").join(
           small.as("b"),
           col("a._pcell") === col("b._cell") && col("a.id") =!= col("b.id"))
-        val hotCellIds = sizes.where(col("_n") > maxCellSize).select(col("_cell"))
-        val probedHot = probedExpl
-          .join(broadcast(hotCellIds), col("_pcell") === col("_cell"), "leftsemi")
+        val probedHot =
+          if (hotSet.isEmpty) probedExpl.where(lit(false))
+          else probedExpl.where(col("_pcell").isInCollection(hotSet))
         // probes into hot cells must also supply the second key (from the
         // prober's own probe set) to reach capped sub-buckets…
         val crossSub = probedHot
@@ -704,7 +753,14 @@ object Similarity {
         lit(graft.functions.Sq8.encode(centroids.slice(c * dim, (c + 1) * dim))))
     }
     val minDist = if (dists.length == 1) dists.head else least(dists: _*)
-    df.select(col(idCol), minDist.as("min_code_dist"))
-      .where(col("min_code_dist") > maxCodeDistSq)
+    // a row the codes CANNOT score (null vector element, length != dim —
+    // i.e. exactly the corrupt decodes this filter exists to catch) has a
+    // NULL min_code_dist; `null > threshold` used to filter it OUT,
+    // reporting a corrupt column as clean (review r11) — flag it instead,
+    // with the null distance as the corruption marker
+    df.select(col(idCol), col(vecCol).isNotNull.as("_has"), minDist.as("min_code_dist"))
+      .where(col("min_code_dist") > maxCodeDistSq ||
+        (col("_has") && col("min_code_dist").isNull))
+      .select(col(idCol), col("min_code_dist"))
   }
 }

@@ -358,4 +358,62 @@ class SimilaritySpec extends SparkSpec {
     // zero-norm query: all scores 0, ties break by cell id
     assert(Similarity.probeCellsCosine(Array(0f, 0f), centroids, 2, 2).toSeq == Seq(0, 1))
   }
+
+  // --- r11 review regressions ---
+
+  test("mmrTopK skips NaN/mismatched vectors, refuses string ids, handles negative ids") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(Float.NaN, 1.0f)),      // NaN elements: would sort FIRST unguarded
+      (3L, Seq(0.9f, 0.1f, 0.5f)),     // dim mismatch: _simq null
+      (4L, Seq(0.5f, 0.5f)))
+      .toDF("id", "v").select(col("id"), col("v").cast("array<float>").as("v"))
+    val q = Seq(1.0f, 0.0f)
+    val out = Similarity.mmrTopK(df, "id", "v", q, k = 4, poolSize = 4)
+      .select("id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 4L), s"unscorable rows must be skipped, got $out")
+    // string ids refuse up front (the knnJoin contract, now shared)
+    val strIds = Seq(("a", Seq(1.0f, 0.0f))).toDF("id", "v")
+      .select(col("id"), col("v").cast("array<float>").as("v"))
+    intercept[IllegalArgumentException](
+      Similarity.mmrTopK(strIds, "id", "v", q, k = 1))
+    // a negative id must win an exact tie against a larger positive id
+    // (the -1 "unset" sentinel used to conflate with real negative ids)
+    val neg = Seq(
+      (-10L, Seq(0.6f, 0.0f)),
+      (5L, Seq(0.6f, 0.0f)))
+      .toDF("id", "v").select(col("id"), col("v").cast("array<float>").as("v"))
+    val first = Similarity.mmrTopK(neg, "id", "v", q, k = 1, poolSize = 2)
+      .select("id").as[Long].collect().head
+    assert(first == -10L, s"smaller id must win the tie, got $first")
+  }
+
+  test("quantizedOutliers flags unscorable (corrupt) rows instead of passing them") {
+    val centroids = Array(0f, 0f)
+    val df = Seq(
+      (1L, Seq(0.1f, 0.1f)),        // near the centroid: clean
+      (2L, Seq(50f, 50f)),          // far: flagged by distance
+      (3L, Seq(1f, 2f, 3f)))        // wrong dim: codes can't score it
+      .toDF("id", "v").select(col("id"), col("v").cast("array<float>").as("v"))
+    val flagged = Similarity
+      .quantizedOutliers(df, "id", "v", centroids, dim = 2, maxCodeDistSq = 1000L)
+      .select("id", "min_code_dist").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(flagged.keySet == Set(2L, 3L), s"got ${flagged.keySet}")
+    assert(flagged(3L).isEmpty, "corrupt row flags with a null distance marker")
+    assert(flagged(2L).nonEmpty)
+  }
+
+  test("probeCellsCosine refuses a wrong-dim query; zero-norm cells rank last") {
+    val cents = Array(
+      1f, 0f,    // cell 0: cos +1 to the query
+      0f, 0f,    // cell 1: zero-norm (degenerate)
+      -1f, 0f)   // cell 2: cos -1
+    intercept[IllegalArgumentException](
+      Similarity.probeCellsCosine(Array(1f, 0f, 0f), cents, 2, 1))
+    // the negative-similarity cell must outrank the zero-norm one (the
+    // IvfIndex rule; scoring zero-norm 0.0 used to rank it mid-field)
+    val order = Similarity.probeCellsCosine(Array(1f, 0f), cents, 2, 3).toSeq
+    assert(order == Seq(0, 2, 1), s"got $order")
+  }
 }
