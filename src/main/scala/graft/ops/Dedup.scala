@@ -40,6 +40,14 @@ object Dedup {
       numHashes: Int,
       bands: Int,
       withHashedShingles: Boolean = false): DataFrame = {
+    // bands > numHashes would make rowsPerBand 0 — every band slice empty,
+    // every doc in ONE bucket per band (a corpus-sized degenerate mass);
+    // a non-dividing bands silently ignores the tail hashes and skews the
+    // banding curve the (numHashes, bands) defaults were tuned for
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    require(
+      numHashes >= bands && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
     val keepExprs =
       if (withHashedShingles)
@@ -52,7 +60,11 @@ object Dedup {
       .select(keepNames.map(col) :+ col("bk.band") :+ col("bk.bucket"): _*)
   }
 
-  /** Exact duplicate removal: keep the smallest id per identical key. */
+  /** Exact duplicate removal: keep the smallest id per identical key.
+    * SQL GROUP BY semantics on the key: all null-key rows form ONE group
+    * (they collapse to a single representative) — key on a content hash or
+    * filter nulls first if null means "unknown", not "identical".
+    */
   def exact(df: DataFrame, keyCol: Column, idCol: Column): DataFrame =
     df.groupBy(keyCol.as("_key"))
       .agg(min(idCol).as("doc_id"))
@@ -323,6 +335,14 @@ object Dedup {
     * a corpus self-join. Output: (doc_a = incoming id, doc_b = corpus
     * id) with exact jaccard >= threshold; precision is exact via the
     * sorted-merge verify, recall is the banding curve.
+    *
+    * Unlike the self-join paths there is NO hot-bucket cap here: every
+    * (incoming, corpus) bucket co-member is a genuine candidate the caller
+    * asked for, and the join fan-out is batch-bounded (≤ batch buckets ×
+    * hot-bucket corpus mass). If the corpus holds a template family that
+    * hashes every band together AND the batch hits it, pairs ∝ that
+    * product — pre-dedup the corpus (the standing-pipeline norm) or shrink
+    * the batch rather than capping recall silently here.
     */
   def minhashNearDupAgainst(
       corpus: DataFrame,
@@ -622,8 +642,10 @@ object Dedup {
     * to the loop's fixpoint); over the cap — the 100 TB regime — the
     * distributed loop runs exactly as before. The default cap (2^20 edges
     * = 16 MB of longs) is the same bounded-collect class as the k-means
-    * sample. Any null endpoint falls back to the distributed path so the
-    * two paths can't diverge on degenerate input.
+    * sample. A null (or non-castable) endpoint raises at the first
+    * offending row — the distributed loop would otherwise silently emit a
+    * junk null-id label row while the local path NPE'd, and an edge with
+    * half an identity has no meaningful component anyway.
     */
   def connectedComponents(
       pairs: DataFrame,
@@ -636,11 +658,17 @@ object Dedup {
     // DIFFERENT physical plan (no shuffle reuse across plans) — without
     // the cache, exceeding the cap would re-run the whole pair computation
     // a second time, exactly in the expensive regime the fallback serves
+    def endpoint(c: String): Column = {
+      val cast = col(c).cast("long")
+      when(cast.isNull, raise_error(lit(
+        s"connectedComponents: null or non-integral endpoint in '$c' — " +
+          "every edge needs two long-castable ids"))).otherwise(cast)
+    }
     val fwd = pairs
-      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .select(endpoint(aCol).as("src"), endpoint(bCol).as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val probe = fwd.limit(maxLocalEdges + 1).collect()
-    if (probe.length <= maxLocalEdges && probe.forall(r => !r.isNullAt(0) && !r.isNullAt(1))) {
+    if (probe.length <= maxLocalEdges) {
       fwd.unpersist(blocking = false)
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -1157,12 +1185,6 @@ object Dedup {
     }
   }
 
-  /** The group-then-enumerate candidate paths key [[GroupPairEnumerator]]
-    * on `idCol` cast to long, so the id must be integral: a string/UUID id
-    * would cast to null (opaque NPE in the tuple encoder), a float/decimal
-    * would silently truncate and could collide distinct ids into wrong
-    * pairs. Fail at plan time with an actionable message instead.
-    */
   /** Exact edit-distance-≤1 pair detection via DELETION NEIGHBORHOODS
     * (the FastSS/SymSpell candidate rule): each key generates itself plus
     * its |key| one-character deletions; two keys within edit distance 1
@@ -1178,6 +1200,8 @@ object Dedup {
     * hot-bucket discipline (caps concede recall only on those buckets,
     * logged by the cap count in the plan's metrics… the dq2/dq3 trade).
     * Output: (doc_a, doc_b, dist) with doc_a < doc_b, dist ∈ {0, 1}.
+    * Ids must be unique: an id reused across rows with DIFFERENT keys
+    * emits one row per distinct key combination for the same pair.
     */
   def editDistance1Pairs(
       df: DataFrame,
@@ -1208,12 +1232,21 @@ object Dedup {
         col("a._id").as("doc_a"), col("b._id").as("doc_b"),
         col("a._k").as("_ka"), col("b._k").as("_kb"))
       .distinct()
-      .where(levenshtein(col("_ka"), col("_kb")) <= 1)
-      .select(
-        col("doc_a"), col("doc_b"),
-        levenshtein(col("_ka"), col("_kb")).cast("int").as("dist"))
+      // threshold form: banded O(max len) DP with early exit per pair
+      // (returns -1 past the bound) instead of the full O(|a|·|b|) matrix —
+      // the verify runs once per candidate pair, and candidate keys are
+      // near-identical by construction so the full matrix is pure waste
+      .withColumn("dist", levenshtein(col("_ka"), col("_kb"), 1).cast("int"))
+      .where(col("dist") >= 0)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
   }
 
+  /** The group-then-enumerate candidate paths key [[GroupPairEnumerator]]
+    * on `idCol` cast to long, so the id must be integral: a string/UUID id
+    * would cast to null (opaque NPE in the tuple encoder), a float/decimal
+    * would silently truncate and could collide distinct ids into wrong
+    * pairs. Fail at plan time with an actionable message instead.
+    */
   private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val dt = df.schema(idCol).dataType

@@ -288,4 +288,31 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Dedup.editDistance1Pairs(df, "doc_id", "key", maxBucket = 1))
   }
+
+  // --- r11 review regressions ---
+
+  test("minhash banding refuses bands that don't divide numHashes") {
+    // bands > numHashes: rowsPerBand 0 → one corpus-wide bucket per band
+    intercept[IllegalArgumentException](
+      Dedup.minhashNearDupPairs(docs, "doc_id", "text", numHashes = 4, bands = 8))
+    // non-dividing bands: tail hashes silently unused
+    intercept[IllegalArgumentException](
+      Dedup.minhashNearDupPairs(docs, "doc_id", "text", numHashes = 128, bands = 7))
+    intercept[IllegalArgumentException](
+      Dedup.minhashNearDupAgainst(docs, docs, "doc_id", "text", numHashes = 16, bands = 3))
+  }
+
+  test("connectedComponents raises on null edge endpoints in both size regimes") {
+    val nullPairs = Seq((Some(1L), Some(2L)), (Some(3L), None))
+      .toDF("doc_a", "doc_b")
+    // small regime: the raise fires during the local probe collect
+    val e1 = intercept[Exception](
+      Dedup.connectedComponents(nullPairs, "doc_a", "doc_b").collect())
+    assert(e1.getMessage.contains("connectedComponents"), e1.getMessage)
+    // forced-distributed regime (cap 0): same in-plan guard, same failure
+    val e2 = intercept[Exception](
+      Dedup.connectedComponents(nullPairs, "doc_a", "doc_b", maxLocalEdges = 0)
+        .collect())
+    assert(e2.getMessage.contains("connectedComponents"), e2.getMessage)
+  }
 }
