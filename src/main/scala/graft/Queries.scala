@@ -1253,15 +1253,19 @@ object Queries {
     t(spark, sfDir, "documents")
       .select(
         col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("int").as("n_tokens"))
+        ops.TextAnalysis.tokenCount(col("text")).cast("int").as("n_tokens"))
       .orderBy(col("doc_id"))
 
+  // the list_filter mirrors the library's non-empty-token rule (blank text
+  // = 0 tokens, not the phantom '' that a bare split leaves)
   val tq1Oracle: String =
-    """SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens
+    """SELECT doc_id,
+      |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> ''))
+      |    AS INTEGER) AS n_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
   def tq2TextStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = split(trim(col("text")), "\\s+")
+    val toks = ops.TextAnalysis.tokens(col("text"))
     t(spark, sfDir, "documents")
       .select(
         col("doc_id"),
@@ -1274,7 +1278,8 @@ object Queries {
   val tq2Oracle: String =
     """SELECT doc_id,
       |  CAST(length(text) AS INTEGER) AS n_chars,
-      |  CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS INTEGER) AS n_distinct_tokens,
+      |  CAST(len(list_distinct(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |       t -> t <> ''))) AS INTEGER) AS n_distinct_tokens,
       |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
       |       t -> t = 'the' OR t = 'a')) AS INTEGER) AS n_stopwords
       |FROM documents ORDER BY doc_id""".stripMargin
@@ -1716,14 +1721,19 @@ object Queries {
         col("distinct_ratio"))
       .orderBy(col("doc_id"))
 
+  // tk is the library's non-empty-token rule; nullif mirrors the engine's
+  // NULL distinct_ratio on 0-token (blank) docs
   val tq6Oracle: String =
-    """SELECT doc_id,
+    """WITH tks AS (
+      |  SELECT doc_id, text,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS tk
+      |  FROM documents)
+      |SELECT doc_id,
       |  CAST(length(text) AS INTEGER) AS n_chars,
-      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+      |  CAST(len(tk) AS INTEGER) AS n_tokens,
       |  CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS INTEGER) AS n_punct,
-      |  round(len(list_distinct(regexp_split_to_array(trim(text), '\s+')))::DOUBLE
-      |        / len(regexp_split_to_array(trim(text), '\s+')), 6) AS distinct_ratio
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |  round(len(list_distinct(tk))::DOUBLE / nullif(len(tk), 0), 6) AS distinct_ratio
+      |FROM tks ORDER BY doc_id""".stripMargin
 
   /** Deterministic content-hash train/val/test split (fingerprint-keyed, so
     * format-noise duplicates land in the same split — no leakage).
@@ -1761,7 +1771,7 @@ object Queries {
       |    COALESCE(SUM(n) OVER (PARTITION BY doc_id // 1000 ORDER BY doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
       |  FROM (SELECT doc_id,
-      |          len(regexp_split_to_array(trim(text), '\s+')) AS n
+      |          len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS n
       |        FROM documents))
       |ORDER BY doc_id""".stripMargin
 
@@ -1775,7 +1785,7 @@ object Queries {
       |  round(quantile_cont(n, 0.5), 6) AS p50,
       |  round(quantile_cont(n, 0.9), 6) AS p90,
       |  round(quantile_cont(n, 0.99), 6) AS p99
-      |FROM (SELECT len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS n
+      |FROM (SELECT len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> ''))::DOUBLE AS n
       |      FROM documents)""".stripMargin
 
   /** Gopher-style repetition quality signals (Rae et al. 2021 §A1.1): share
@@ -2052,7 +2062,8 @@ object Queries {
       .mkString(", ")
     s"""WITH wts(b, wt) AS (VALUES $values),
        |toks AS (
-       |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') tk
+       |  SELECT doc_id, lang,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') tk
        |  FROM documents),
        |tok AS (SELECT doc_id, len(tk) AS n, unnest(tk) AS t FROM toks),
        |scored AS (
@@ -2115,7 +2126,7 @@ object Queries {
     """SELECT doc_id FROM (
       |  SELECT doc_id,
       |    least(CAST(1 AS DOUBLE),
-      |          len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE / 60) AS w
+      |          len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> ''))::DOUBLE / 60) AS w
       |  FROM documents)
       |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INT < w * 256
       |ORDER BY doc_id""".stripMargin
@@ -2801,7 +2812,8 @@ object Queries {
 
   val tq12Oracle: String =
     """WITH t AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ws
       |  FROM documents),
       |s AS (SELECT doc_id, ws,
       |             unnest(generate_series(0, greatest(len(ws) - 1, 0), 8)) AS st
@@ -2831,7 +2843,8 @@ object Queries {
       .mkString(", ")
     s"""WITH wts(b, wt) AS (VALUES $values),
        |toks AS (
-       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') tk
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') tk
        |  FROM documents),
        |tok AS (SELECT doc_id, len(tk) AS n, unnest(tk) AS t FROM toks),
        |scored AS (
@@ -3834,7 +3847,8 @@ object Queries {
 
   val cq5Oracle: String =
     """WITH t AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ws
       |  FROM documents),
       |s AS (SELECT doc_id, ws,
       |             unnest(generate_series(0, greatest(len(ws) - 1, 0), 8)) AS st

@@ -126,6 +126,9 @@ object TextHash {
   def markerCounts(text: UTF8String, sets: Array[java.util.HashSet[String]]): ArrayData = {
     val counts = new Array[Int](sets.length)
     val toks = text.toString.trim.split("\\s+")
+    // blank text tokenizes to [""] — no vocabulary contains "", so skipping
+    // it only saves the probes; counts are all-zero either way
+    if (toks.length == 1 && toks(0).isEmpty) return new GenericArrayData(counts)
     var t = 0
     while (t < toks.length) {
       var i = 0
@@ -195,16 +198,24 @@ object TextHash {
   }
 
   /** Kernel behind `linear_bow_score` (also called from generated code):
-    * fixed-point linear bag-of-words logit contribution. Tokenizes exactly
-    * like `split(trim(text), "\\s+")` (space-only trim, limit −1), buckets
+    * fixed-point linear bag-of-words logit contribution. Tokenizes to the
+    * NON-EMPTY maximal `\S+` runs (blank text has zero tokens and scores
+    * exactly 0 — `split(trim(x))`'s phantom `""` element used to add a
+    * `md5("")`-bucket weight to every blank doc, review r11), buckets
     * each token by the first 4 bytes of its MD5 (== the first 8 hex chars,
     * so a SQL oracle reproduces it as
-    * `('0x' || substr(md5(t), 1, 8))::BIGINT % D`), and sums the bucket's
-    * integer weight — BIGINT arithmetic, order-independent, bit-identical
-    * across engines. One MessageDigest reused across the row's tokens.
+    * `('0x' || substr(md5(t), 1, 8))::BIGINT % D` over
+    * `list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')`),
+    * and sums the bucket's integer weight — BIGINT arithmetic,
+    * order-independent, bit-identical across engines. One MessageDigest
+    * reused across the row's tokens.
     */
   def linearBowScore(text: UTF8String, weights: Array[Long]): Long = {
-    val toks = text.trim.toString.split("\\s+", -1)
+    // Java String.trim (all ASCII whitespace), like every other kernel here
+    // — UTF8String.trim strips SPACES only, so a tab-only doc used to
+    // survive into split(limit=-1) as ["", ""] and score 2 phantom buckets
+    val toks = text.toString.trim.split("\\s+")
+    if (toks.length == 1 && toks(0).isEmpty) return 0L
     val md = java.security.MessageDigest.getInstance("MD5")
     val d = weights.length
     var sum = 0L

@@ -535,7 +535,11 @@ object Dedup {
     val hashed = df
       .select(
         col(idCol).as("id"),
-        simhash64(split(trim(col(textCol)), "\\s+")).as("sim"))
+        // TextAnalysis.tokens' non-empty rule: blank docs hash the EMPTY
+        // token set (sim = 0) instead of a phantom-''-token constant —
+        // either way all blanks share one simhash, so candidates/verify
+        // are unchanged; this just keeps one corpus-wide token definition
+        simhash64(TextAnalysis.tokens(col(textCol))).as("sim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def blockStructs(simCol: Column, exclude: Option[Column]): Column = {
       val all = array((0 until numBlocks).map { b =>
@@ -934,7 +938,9 @@ object Dedup {
       .groupBy(col("id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("_spans"))
       .select(col("id").as("_span_id"), col("_spans"))
-    val toks = split(trim(col(textCol)), "\\s+")
+    // non-empty tokens: index-aligned with the span kernel's tokenization
+    // (blank docs rejoin to "" under either form)
+    val toks = TextAnalysis.tokens(col(textCol))
     df.join(spans, col(idCol) === col("_span_id"), "left")
       .withColumn(
         "_kept",

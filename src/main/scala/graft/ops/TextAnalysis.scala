@@ -10,9 +10,20 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokens — a token is a NON-EMPTY maximal `\S+` run, so
+    * blank/whitespace-only text has ZERO tokens (null text stays null).
+    * `split(trim(x), "\\s+")` alone leaves a phantom `""` element exactly
+    * when the trimmed text is empty (and only then — after trim, `\s+`
+    * splitting can produce no other empties), which used to count blank
+    * docs as 1 token, emit an empty chunk from [[chunkByTokens]], and feed
+    * a phantom `md5("")`-bucket feature into [[linearScore]] (review r11).
+    * The DuckDB oracle mirror is
+    * `list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '')`.
+    */
+  def tokens(text: Column): Column =
+    array_remove(split(trim(text), "\\s+"), "")
 
-  /** Whitespace token count. */
+  /** Whitespace token count (0 for blank text, null for null text). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword count: alphanumeric runs plus individual punctuation
@@ -44,7 +55,9 @@ object TextAnalysis {
       size(array_distinct(toks)).as("n_distinct_tokens"),
       size(filter(toks, w => w.isin(Stopwords: _*))).as("n_stopwords"),
       (length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))).as("n_punct"),
-      round(size(array_distinct(toks)).cast("double") / size(toks), 6)
+      // nullif keeps a 0-token (blank) doc's ratio NULL instead of the
+      // engine-variant 0/0 double (Spark NaN vs DuckDB's div-by-zero rules)
+      round(size(array_distinct(toks)).cast("double") / nullif(size(toks), lit(0)), 6)
         .as("distinct_ratio"))
   }
 
@@ -104,6 +117,11 @@ object TextAnalysis {
     * of a curation pipeline (no shuffle; composes with any scan).
     */
   def qualityKeep(text: Column, rules: QualityRules = QualityRules()): Column = {
+    // minTokens >= 1 keeps the 0-token (blank) case out of the distinct
+    // ratio's division via the first conjunct — and a 0-token doc is never
+    // a "quality" document under any Gopher-style rule set anyway
+    require(rules.minTokens >= 1,
+      s"qualityKeep: minTokens=${rules.minTokens} must be >= 1")
     val toks = tokens(text)
     val n = size(toks)
     n.geq(rules.minTokens)
@@ -191,7 +209,16 @@ object TextAnalysis {
       .agg(
         count(lit(1)).as("n_bigrams"),
         sum(when(col("_c") < minCount, 1L).otherwise(0L)).as("n_rare"))
-    df.select(col(idCol))
+    // a null id would silently report (0, 0): its gram rows group under the
+    // null key, which this left join (null never equi-matches) then drops —
+    // fail loudly at the first offending row instead (the Corpus-review
+    // convention; guarded HERE, on the side evaluated once per doc, not in
+    // the generator projection a 0-bigram doc never reaches). Ids must also
+    // be unique: a reused id fans out the re-join and double-counts.
+    df.select(
+        when(col(idCol).isNull, raise_error(lit(
+          s"bigramNovelty: null id in '$idCol' — every doc needs a unique id")))
+          .otherwise(col(idCol)).as(idCol))
       .join(perDoc, Seq(idCol), "left")
       .select(
         col(idCol),
@@ -461,6 +488,11 @@ object TextAnalysis {
       seed: Int = 42): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    // fail here with the CMS sizing story, not inside Spark's sketch ctor
+    require(eps > 0 && eps < 1,
+      s"eps=$eps must be in (0, 1) — sketch width is ceil(2/eps) counters")
+    require(confidence > 0 && confidence < 1,
+      s"confidence=$confidence must be in (0, 1) — depth is ceil(ln(1/(1-c)))")
     def grams = df.select(explode(Decontaminate.ngrams(col(textCol), n)).as("gram"))
     val cms = grams.stat.countMinSketch("gram", eps, confidence, seed)
     val bc = df.sparkSession.sparkContext.broadcast(cms)

@@ -343,5 +343,51 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.heavyHitterNgrams(df, "text", 0, 1L))
     intercept[IllegalArgumentException](
       TextAnalysis.heavyHitterNgrams(df, "text", 2, 0L))
+    intercept[IllegalArgumentException](
+      TextAnalysis.heavyHitterNgrams(df, "text", 2, 10L, eps = 0.0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.heavyHitterNgrams(df, "text", 2, 10L, confidence = 1.0))
+  }
+
+  // --- r11 review regressions: the non-empty-token convention ---
+
+  test("blank and whitespace-only text has zero tokens everywhere") {
+    val df = Seq(
+      (1L, "one two three"),
+      (2L, ""), // split(trim(x)) alone leaves a phantom '' here
+      (3L, "   \t  "),
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val r = df.select(
+      col("id"),
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.linearScore(col("text"), Array.fill(16)(7L)).as("s"),
+      TextAnalysis.allMarkerCounts(col("text")).getItem(1).as("en"))
+      .collect().map(x => x.getLong(0) -> (x.get(1), x.get(2), x.get(3))).toMap
+    assert(r(1L) == ((3, 21L, 0))) // 3 tokens × weight 7
+    assert(r(2L) == ((0, 0L, 0))) // no phantom md5("")-bucket weight
+    assert(r(3L) == ((0, 0L, 0)))
+    assert(r(4L) == ((null, null, null))) // null text stays null
+    // quality features: blank doc gets a NULL distinct_ratio, not 0/0
+    val qf = TextAnalysis.qualityFeatures(df, "id", "text")
+      .where(col("id") === 2L).head()
+    assert(qf.getAs[Int]("n_tokens") == 0)
+    assert(qf.isNullAt(qf.fieldIndex("distinct_ratio")))
+    // chunker: blank docs emit NO chunks (used to emit one empty chunk)
+    val chunks = TextAnalysis.chunkByTokens(df, "id", "text", maxTokens = 2)
+      .select(col("id")).as[Long].collect()
+    assert(!chunks.contains(2L) && !chunks.contains(3L))
+    assert(chunks.count(_ == 1L) == 2) // "one two" + "three"
+    // rule validation
+    intercept[IllegalArgumentException](
+      TextAnalysis.qualityKeep(col("text"), TextAnalysis.QualityRules(minTokens = 0)))
+  }
+
+  test("bigramNovelty raises on a null doc id instead of reporting (0, 0)") {
+    val df = Seq((Some(1L), "a b a b"), (None, "a b a b"))
+      .toDF("id", "text")
+    val e = intercept[Exception](
+      TextAnalysis.bigramNovelty(df, "id", "text", minCount = 2L).collect())
+    assert(e.getMessage.contains("bigramNovelty"), e.getMessage)
   }
 }
