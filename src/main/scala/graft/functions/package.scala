@@ -80,6 +80,12 @@ package object functions {
   def nearest_centroids(vec: Column, centroids: Array[Float], dim: Int, p: Int): Column =
     col(NearestCentroids(expr(vec.cast("array<float>")), centroids, dim, p))
 
+  /** Count of `bounds` elements `<= v` (sorted-array binary search; the
+    * equi-depth bucket rank of the z-order writer). Null stays null.
+    */
+  def sorted_rank(v: Column, bounds: Array[Double]): Column =
+    col(SortedRank(expr(v.cast("double")), bounds))
+
   /** Int8 scalar-quantize a float vector to binary codes (4× smaller). */
   def sq8_encode(vec: Column): Column = col(Sq8Encode(expr(vec)))
 

@@ -46,6 +46,9 @@ object AsOf {
     require(
       direction == "backward" || direction == "forward",
       s"direction must be 'backward' or 'forward', got '$direction'")
+    require(
+      !left.columns.contains("_side") && !left.columns.contains("_payload"),
+      "left side may not contain the reserved columns '_side' / '_payload'")
     val rPayload = right.columns.filterNot(c => keyCols.contains(c) || c == tsCol)
     require(rPayload.nonEmpty, "right side has no payload columns")
     val lPassthrough = left.columns.filterNot(c => keyCols.contains(c) || c == tsCol)
@@ -61,12 +64,22 @@ object AsOf {
         lPassthrough.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         Seq(lit(0).as("_side"), struct(rPayload.map(col): _*).as("_payload"))
 
-    val tsOrder = if (direction == "backward") col(tsCol).asc else col(tsCol).desc
+    // null-timestamp policy (review r11): a right row with a null ts has no
+    // position on the time axis and must never match — under the old plain
+    // asc order it sorted FIRST and was carried as the "latest" payload
+    // into every left row preceding the first real right event. A left row
+    // with a null ts gets a null payload in BOTH directions (nulls-first in
+    // each traversal order — plain desc would have put them LAST and
+    // matched them to the earliest right row on the forward path).
+    val tsOrder =
+      if (direction == "backward") col(tsCol).asc_nulls_first
+      else col(tsCol).desc_nulls_first
     val w = Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(tsOrder, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    left.select(lSel: _*).unionByName(right.select(rSel: _*))
+    left.select(lSel: _*)
+      .unionByName(right.where(col(tsCol).isNotNull).select(rSel: _*))
       .withColumn("_payload", last(col("_payload"), ignoreNulls = true).over(w))
       .where(col("_side") === 1)
       .select(

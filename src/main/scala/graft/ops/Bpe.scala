@@ -148,6 +148,10 @@ object Bpe {
       nMerges: Int,
       maxWords: Long = 10000000L): Seq[Merge] = {
     require(nMerges >= 1, s"trainMergesLocal: nMerges=$nMerges must be >= 1")
+    // the +1 probe row below must stay a positive Int (maxWords+1 would
+    // wrap negative at Long.MaxValue and turn limit() into an error)
+    require(maxWords >= 1 && maxWords < Int.MaxValue,
+      s"trainMergesLocal: maxWords=$maxWords must be in [1, ${Int.MaxValue})")
     val wf = df.select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
       .where(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))

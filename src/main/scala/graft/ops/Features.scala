@@ -29,6 +29,10 @@ object Features {
       idCol: Column,
       windowUs: Long): DataFrame = {
     require(windowUs >= 0, s"windowUs must be >= 0, got $windowUs")
+    // withColumn would silently OVERWRITE a same-named input column
+    val clash = df.columns.toSet.intersect(Set("seq", "gap_us", "rolling_n"))
+    require(clash.isEmpty,
+      s"lagFeatures: input already has output column(s) ${clash.mkString(", ")} — rename first")
     val us = unix_micros(tsCol.cast("timestamp"))
     val ordered = Window.partitionBy(keyCol).orderBy(us, idCol)
     val ranged = Window.partitionBy(keyCol).orderBy(us)

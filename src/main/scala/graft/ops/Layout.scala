@@ -41,6 +41,7 @@ object Layout {
       key: String,
       numBuckets: Int,
       sortCols: Seq[String] = Nil): Unit = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
     val sorts = if (sortCols.isEmpty) Seq(key) else sortCols
     val spark = df.sparkSession
     dropManagedTable(spark, table)
@@ -121,16 +122,17 @@ object Layout {
       centroids.nonEmpty && centroids.length % dim == 0,
       s"centroid matrix length ${centroids.length} not a positive multiple of dim $dim")
     val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(centroids)
-    val d = dim
-    val assign = org.apache.spark.sql.functions.udf { (vec: Seq[Float]) =>
-      if (vec == null || vec.length != d) -1
-      else graft.functions.VectorKernels.nearestCentroid(vec.toArray, bc.value, d)
-    }
+    // the codegen'd kernel expression, not a Scala UDF: a 100 TB relayout
+    // evaluates this once per row, and the UDF form paid Seq[Float] boxing
+    // + a defensive copy per row (review r11). NULL (null/odd-dim vector)
+    // maps to cell -1 — the engine-wide unassignable convention
+    val assign = org.apache.spark.sql.functions.coalesce(
+      graft.functions.nearest_centroid(col(column).cast("array<float>"), centroids, dim),
+      org.apache.spark.sql.functions.lit(-1))
     // collision-proof helper name: a user column literally named "_cell"
     // (our own similarity ops emit one) must survive the round trip intact
     val cellCol = s"_graft_cell_${java.util.UUID.randomUUID().toString.take(8)}"
-    val writer = df.withColumn(cellCol, assign(col(column).cast("array<float>")))
+    val writer = df.withColumn(cellCol, assign)
       .repartitionByRange(numFiles, col(cellCol))
       .sortWithinPartitions(cellCol)
       .drop(cellCol)
@@ -157,12 +159,12 @@ object Layout {
     * multi-dimensional twin of [[writeSortedBy]] (the Delta/Iceberg
     * OPTIMIZE ZORDER layout) and, like it, a write-once shuffle: one
     * quantile aggregate + one range exchange, no driver loop, no
-    * collect beyond the O(cols × 2^bits) boundary array. Rank lookup is a
-    * codegen'd sorted-boundary count (`size(filter(bounds, b <= v))`),
-    * O(2^bits) comparisons per row per column — compute-bounded and
-    * vectorized, the right trade for a layout job whose payoff is every
-    * subsequent scan. Nulls rank 0 (sort first, like SQL NULLS FIRST).
-    * Returns the reread frame.
+    * collect beyond the O(cols × 2^bits) boundary array. Rank lookup is
+    * the codegen'd [[graft.functions.sorted_rank]] kernel — an O(log 2^bits)
+    * binary search per row per column inside whole-stage codegen (the HOF
+    * `size(filter(bounds, b <= v))` form ran interpreted and allocated a
+    * filtered array per row — review r11). Nulls rank 0 (sort first, like
+    * SQL NULLS FIRST). Returns the reread frame.
     */
   def writeZOrder(
       df: DataFrame,
@@ -185,10 +187,9 @@ object Layout {
     val zcol = s"_graft_z_${java.util.UUID.randomUUID().toString.take(8)}"
     val code: Column = cols.zipWithIndex.map { case (c, ci) =>
       val bounds = Option(boundsRow.getSeq[Double](ci)).getOrElse(Seq.empty)
-      val v = col(c).cast("double")
       // rank = #boundaries <= v, in [0, buckets-1]; null → 0 (sort first)
       val rank = coalesce(
-        size(filter(typedLit(bounds), b => b <= v)), lit(0)).cast("long")
+        graft.functions.sorted_rank(col(c), bounds.toArray), lit(0)).cast("long")
       // spread rank's bits MSB-first into every cols.size-th output bit
       (0 until bits).map { i =>
         val srcBit = bits - 1 - i                       // MSB first

@@ -85,8 +85,11 @@ object Multimodal {
     require(stride > 0, "stride must be > 0")
     media.select(col("id"), col("media")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        // null payload → no frames (the engine-wide skip-null media rule;
+        // an unguarded bytes.grouped NPE'd mid-task with an opaque trace)
         it.flatMap { case (id, bytes) =>
-          MediaStub.sampleFrames(bytes, stride).iterator.zipWithIndex.map {
+          if (bytes == null) Iterator.empty
+          else MediaStub.sampleFrames(bytes, stride).iterator.zipWithIndex.map {
             case (frame, i) => FrameRow(id, i, frame.length)
           }
         }
@@ -100,12 +103,15 @@ object Multimodal {
     import spark.implicits._
     media.select(col("id"), col("media")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          MediaFeatures(
+        // null payload rows are skipped, not crashed on (a real decoder
+        // can't feature-extract an absent blob either)
+        it.flatMap { case (id, bytes) =>
+          if (bytes == null) None
+          else Some(MediaFeatures(
             id,
             bytes.length,
             MediaStub.decode(bytes),
-            MediaStub.resizedSize(bytes))
+            MediaStub.resizedSize(bytes)))
         }
       }
   }

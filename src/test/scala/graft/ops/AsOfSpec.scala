@@ -64,6 +64,28 @@ class AsOfSpec extends SparkSpec {
     assert(out.getAs[Int]("asof_b") == 2)
   }
 
+  test("null timestamps never match: right rows are ignored, left rows get null") {
+    val left = Seq(
+      (1L, Some(50L), 10L), // before every right row
+      (1L, None, 11L)       // no position on the time axis
+    ).toDF("k", "ts", "lid")
+    val right = Seq(
+      (1L, Option.empty[Long], "phantom"), // used to be carried as "latest"
+      (1L, Some(100L), "real")
+    ).toDF("k", "ts", "payload")
+    for (dir <- Seq("backward", "forward")) {
+      val out = AsOf.asofJoin(left, right, Seq("k"), "ts", direction = dir)
+        .select(col("lid"), col("asof_payload"))
+        .as[(Long, Option[String])].collect().toMap
+      assert(out(11L) == None, s"$dir: null-ts left row must not match")
+      val expect10 = if (dir == "backward") None else Some("real")
+      assert(out(10L) == expect10, s"$dir: ts=50 row")
+    }
+    // reserved-name collision fails fast
+    intercept[IllegalArgumentException](
+      AsOf.asofJoin(left.withColumn("_side", col("lid")), right, Seq("k"), "ts"))
+  }
+
   test("asofJoin passes left columns through and nulls unmatched payloads") {
     val left = Seq((1L, 5L, "x", 1.5)).toDF("k", "ts", "tag", "v")
     val right = Seq((9L, 1L, 7)).toDF("k", "ts", "rv")

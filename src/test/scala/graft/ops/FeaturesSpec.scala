@@ -35,6 +35,11 @@ class FeaturesSpec extends SparkSpec {
     assert(exchanges == 2, s"expected scramble + one key exchange, got $exchanges")
     intercept[IllegalArgumentException](
       Features.lagFeatures(df, col("user_id"), col("ts"), col("event_id"), -1L))
+    // output-name collision refuses instead of silently overwriting
+    intercept[IllegalArgumentException](
+      Features.lagFeatures(
+        df.withColumn("seq", col("event_id")),
+        col("user_id"), col("ts"), col("event_id"), 1000000L))
   }
 
   test("sq8MeanPool floors negative code sums (not truncates)") {

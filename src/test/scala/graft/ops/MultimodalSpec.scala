@@ -20,6 +20,16 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2L).histogram.sum == 0.0f)
   }
 
+  test("null media payloads are skipped, not crashed on") {
+    import org.apache.spark.sql.functions._
+    val media = Seq((1L, Some("ok")), (2L, None))
+      .toDF("id", "text")
+      .select(col("id"), encode(col("text"), "UTF-8").as("media"))
+    assert(Multimodal.extractFeatures(spark, media).collect().map(_.id).toSeq == Seq(1L))
+    assert(Multimodal.sampleFrameRows(spark, media, 4).collect().map(_.id).distinct.toSeq
+      == Seq(1L))
+  }
+
   test("stub decode is deterministic") {
     val b = "some bytes".getBytes("UTF-8")
     assert(Multimodal.MediaStub.decode(b).toSeq == Multimodal.MediaStub.decode(b).toSeq)
