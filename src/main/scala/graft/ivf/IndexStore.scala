@@ -29,6 +29,13 @@ import java.security.MessageDigest
   * stamp to get the same refuse-don't-guess posture. [[IvfBuilder.extend]]
   * then self-heals: a stale-bound file classifies as unindexed and is
   * re-indexed (and re-stamped) under the table's shared centroids.
+  *
+  * Known window: the stamp is captured at sidecar-WRITE time, after the
+  * indexing job already scanned the file — a data file replaced between
+  * that scan and the write binds the new content to ordinals built from
+  * the old (the in-flight-mutation caveat every external-compaction
+  * workflow carries; don't rewrite files while an indexing job reads
+  * them). Any replacement AFTER the write is fully covered.
   */
 final class IndexStore(val dir: String) extends Serializable {
 
@@ -54,7 +61,14 @@ final class IndexStore(val dir: String) extends Serializable {
         "write an unbound sidecar (a later file replacement would read as stale ordinals)"))
     val meta = s"""{"file": ${jsonStr(dataFile)}, "column": ${jsonStr(column)}, """ +
       s""""dataLen": $len, "dataDigest": $digest}"""
-    Files.write(Paths.get(target.toString.stripSuffix(".pqvec") + ".meta"), meta.getBytes("UTF-8"))
+    // atomic like the .pqvec itself: a crash mid-write must leave either
+    // the old stamp or the new one, never a truncated .meta a concurrent
+    // reader would misparse (it would read as unbound → spurious rebuild)
+    val metaTarget = Paths.get(target.toString.stripSuffix(".pqvec") + ".meta")
+    val metaTmp = Paths.get(metaTarget.toString + s".tmp-${java.util.UUID.randomUUID()}")
+    Files.write(metaTmp, meta.getBytes("UTF-8"))
+    Files.move(metaTmp, metaTarget,
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     target.toString
   }
 
@@ -257,7 +271,11 @@ object IndexStore {
   // digest memo keyed by the file's full identity (path, inode, mtime,
   // length) — a replaced file changes the key, so a stale digest can never
   // be served; bounds repeated binding checks (per task, per query) to one
-  // tail read per distinct file version per JVM
+  // tail read per distinct file version per JVM. Cleared wholesale past
+  // 1M entries (~150 MB of keys) so a long-lived ingest JVM that touches
+  // millions of file VERSIONS doesn't grow it unboundedly — a clear only
+  // costs re-reading 64 KiB tails on the next touch
+  private val StampMemoCap = 1000000
   private val stampMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String, Long, Long), Long]
 
@@ -275,6 +293,7 @@ object IndexStore {
         local, classOf[java.nio.file.attribute.BasicFileAttributes])
       val key = (local.toString, String.valueOf(attrs.fileKey()),
         attrs.lastModifiedTime.toMillis, attrs.size)
+      if (stampMemo.size > StampMemoCap) stampMemo.clear()
       val digest = stampMemo.getOrElseUpdate(key, {
         val len = attrs.size
         val tail = math.min(len, 65536L).toInt

@@ -201,6 +201,12 @@ object IvfIndex {
     val nClusters = buf.getInt
     require(dim > 0, s"invalid dim $dim")
     require(nClusters > 0, s"invalid n_clusters $nClusters")
+    // long-math shape check: corrupt headers otherwise surface as a raw
+    // NegativeArraySizeException (dim·k wrapping Int) or BufferUnderflow
+    // deep in the float loop instead of an actionable message
+    require(8L + 4L * dim * nClusters <= bytes.length,
+      s"centroid matrix (dim=$dim × k=$nClusters) exceeds the ${bytes.length}-byte payload " +
+        "— corrupt or truncated index")
     val centroids = new Array[Float](dim * nClusters)
     var i = 0
     while (i < centroids.length) { centroids(i) = buf.getFloat; i += 1 }

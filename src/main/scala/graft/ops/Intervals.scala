@@ -146,6 +146,9 @@ object Intervals {
     require(maxBinsPerInterval > 0, "maxBinsPerInterval must be > 0")
     val dup = a.columns.toSet.intersect(b.columns.toSet)
     require(dup.isEmpty, s"column names must be disjoint, both sides have: $dup")
+    val reserved = (a.columns ++ b.columns).toSet.intersect(Set("_bin_a", "_bin_b"))
+    require(reserved.isEmpty,
+      s"'_bin_a'/'_bin_b' are reserved helper names, found: $reserved")
 
     // exact floor division on longs: subtract the non-negative pmod then
     // IntegralDivide (the SQL `div`) — Column's `/` is DOUBLE division,
