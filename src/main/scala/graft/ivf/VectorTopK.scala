@@ -1238,7 +1238,8 @@ object VectorTopK {
     winnersThenFetch(
       spark, path, column, query, k,
       quantizedWinners(
-        spark, path, column, query, k, options, oversample, store, cosine = true))
+        spark, path, column, query, k, options, oversample, store, cosine = true),
+      cosine = true)
   }
 
   /** Angular twin of [[searchPq]]: reconstruction-cosine coarse ranking
@@ -1280,6 +1281,7 @@ object VectorTopK {
       spark, path, column, query, k,
       pqWinners(
         spark, path, column, query, k, options, oversample, store, residual,
-        cosine = true))
+        cosine = true),
+      cosine = true)
   }
 }

@@ -220,7 +220,14 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       (attr, query, cosine) <- extractDistanceArgs(order.child)
       // L2 accelerates ASC (nearest first), cosine DESC (most similar
       // first) — the opposite direction has a different meaning (farthest
-      // first) that an IVF probe cannot serve
+      // first) that an IVF probe cannot serve.
+      // order.nullOrdering is deliberately NOT guarded: a plain ASC sort
+      // defaults to NULLS FIRST, which would diverge from the null-skipping
+      // candidate feed — except the rule only fires when EVERY scan file is
+      // indexed, and IvfBuilder.validate refuses null vectors, null
+      // elements, and mismatched dims at build time (the binding stamp
+      // keeps that invariant against file swaps), so the sort key is never
+      // null on any table this rule can touch
       _ <- if (order.direction == (if (cosine) Descending else Ascending)) Some(())
            else None
       leaf <- findSingleParquetLeaf(child)

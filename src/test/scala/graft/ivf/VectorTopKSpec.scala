@@ -562,5 +562,20 @@ class VectorTopKSpec extends SparkSpec {
       .collect()
     assert(sr.map(_.row_idx).toSeq == Seq(0L, 1L))
     assert(sr(0).distance < sr(1).distance)
+    // the QUANTIZED angular twins must order their payload the same way —
+    // they used to hand the winner feed to the L2 re-rank (review r11:
+    // right winner SET, wrong head row on non-unit-norm data)
+    graft.ivf.Sq8Sidecar.ensure(spark, path, "vec", store)
+    val gotSq8 = VectorTopK
+      .indexedQuantizedCosine(spark, path, "vec", q, 2,
+        VectorTopK.Options(nprobe = build.nClusters), oversample = 4, store = store)
+      .select("id").collect().map(_.getInt(0)).toSeq
+    assert(gotSq8 == Seq(0, 1), s"sq8 twin: expected cosine order [0, 1], got $gotSq8")
+    graft.ivf.PqSidecar.ensure(spark, path, "vec", m = 2, store = store)
+    val gotPq = VectorTopK
+      .indexedPqCosine(spark, path, "vec", q, 2,
+        VectorTopK.Options(nprobe = build.nClusters), oversample = 4, store = store)
+      .select("id").collect().map(_.getInt(0)).toSeq
+    assert(gotPq == Seq(0, 1), s"pq twin: expected cosine order [0, 1], got $gotPq")
   }
 }
