@@ -209,22 +209,31 @@ object IndexManager {
       path: String,
       column: String,
       nClusters: Option[Int] = None,
-      store: IndexStore = IndexStore.default): TableIndex =
-    cache.getOrElseUpdate((path, column), {
-      val files = listFiles(spark, path)
-      // header peeks only — O(files) tiny reads, no posting-list decode
-      val peeks = files.map(f => store.peek(f, column))
-      if (nClusters.isEmpty && peeks.forall(_.isDefined)) {
-        val (dim, k) = peeks.head.get
-        TableIndex(path, column, dim, k, files)
-      } else if (nClusters.isEmpty && peeks.exists(_.isDefined)) {
-        // append-only table grew: index just the new files, shared centroids
-        val result = IvfBuilder.extend(spark, path, IvfBuilder.Config(column), store)
-        TableIndex(path, column, result.dim, result.nClusters, files)
-      } else {
-        val result = IvfBuilder.build(
-          spark, path, IvfBuilder.Config(column, nClusters), store)
-        TableIndex(path, column, result.dim, result.nClusters, files)
+      store: IndexStore = IndexStore.default): TableIndex = {
+    // freshness check on every call: a grown (append-only) table must not
+    // be served the cached file list forever — re-list (one driver file
+    // listing, the same cost the uncached path pays) and recompute when it
+    // moved; the cache still saves the per-file header peeks / the build
+    val files = listFiles(spark, path)
+    cache.get((path, column)).filter(_.files == files).getOrElse {
+      val built = {
+        // header peeks only — O(files) tiny reads, no posting-list decode
+        val peeks = files.map(f => store.peek(f, column))
+        if (nClusters.isEmpty && peeks.forall(_.isDefined)) {
+          val (dim, k) = peeks.head.get
+          TableIndex(path, column, dim, k, files)
+        } else if (nClusters.isEmpty && peeks.exists(_.isDefined)) {
+          // append-only table grew: index just the new files, shared centroids
+          val result = IvfBuilder.extend(spark, path, IvfBuilder.Config(column), store)
+          TableIndex(path, column, result.dim, result.nClusters, files)
+        } else {
+          val result = IvfBuilder.build(
+            spark, path, IvfBuilder.Config(column, nClusters), store)
+          TableIndex(path, column, result.dim, result.nClusters, files)
+        }
       }
-    })
+      cache.put((path, column), built)
+      built
+    }
+  }
 }

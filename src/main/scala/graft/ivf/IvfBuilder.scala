@@ -414,7 +414,10 @@ object IvfBuilder {
     if (indexed.isEmpty) return build(spark, path, config, store)
 
     val existing = IndexManager.loadIndex(store, indexed.head, config.column)
-    val missing = files.filterNot(indexed.contains)
+    // Set membership: Seq.contains inside filterNot is O(files²) on a
+    // 100k-file table
+    val indexedSet = indexed.toSet
+    val missing = files.filterNot(indexedSet.contains)
     val counts: Map[String, Long] =
       if (missing.isEmpty) Map.empty
       else {
@@ -585,7 +588,10 @@ object IvfBuilder {
         ParquetFooterIndex.peek(f, config.column).isDefined)
     if (indexed.isEmpty)
       return ExtendResult(build(spark, path, config, store), retrained = true, drift = -1.0)
-    val missing = files.filterNot(indexed.contains)
+    // Set membership: Seq.contains inside filterNot is O(files²) on a
+    // 100k-file table
+    val indexedSet = indexed.toSet
+    val missing = files.filterNot(indexedSet.contains)
     if (missing.isEmpty)
       return ExtendResult(extend(spark, path, config, store), retrained = false, drift = -1.0)
 
