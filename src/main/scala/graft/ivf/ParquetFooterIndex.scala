@@ -157,6 +157,10 @@ object ParquetFooterIndex {
           require(
             offset >= 0 && offset < raf.length(),
             s"index offset $offset out of bounds for $file (len ${raf.length()})")
+          // a corrupt offset near byte 0 of a >2 GiB file would wrap the
+          // tail length negative and throw NegativeArraySizeException
+          require(raf.length() - offset <= Int.MaxValue,
+            s"index region at offset $offset of $file spans more than 2 GiB — corrupt offset")
           raf.seek(offset)
           val framed = new Array[Byte]((raf.length() - offset).toInt)
           raf.readFully(framed)

@@ -250,8 +250,14 @@ object Pq {
     val m = buf.getInt
     val dsub = buf.getInt
     val ksub = buf.getInt
+    // long math: a corrupt header whose m·ksub·dsub wraps negative would
+    // pass an Int-math length check and then throw NegativeArraySizeException
+    require(
+      m > 0 && dsub > 0 && ksub > 0 &&
+        12L + 4L * m * ksub * dsub <= bytes.length,
+      s"implausible or truncated PQ codebook (m=$m dsub=$dsub ksub=$ksub, " +
+        s"${bytes.length} bytes)")
     val n = m * ksub * dsub
-    require(bytes.length >= 12 + 4 * n, "truncated PQ codebook centroids")
     val cents = new Array[Float](n)
     var i = 0
     while (i < n) { cents(i) = buf.getFloat; i += 1 }

@@ -65,7 +65,10 @@ object Sq8Sidecar {
     val magic = new Array[Byte](Magic.length)
     buf.get(magic)
     require(magic.sameElements(Magic), s"not an SQ8 sidecar: $path")
-    (buf.getInt, buf.getInt)
+    val dim = buf.getInt
+    val nRows = buf.getInt
+    require(dim > 0 && nRows >= 0, s"implausible SQ8 header (dim=$dim rows=$nRows) in $path")
+    (dim, nRows)
   }
 
   /** Codes of `ordinals` (sorted ascending, file-local), one positioned
@@ -140,6 +143,11 @@ object Sq8Sidecar {
       .groupByKey(_._1)
       .mapGroups { (file, rows) =>
         val collected = rows.map { case (_, ri, c) => (ri, c) }.toArray
+        // rows·dim must fit one JVM byte array (also bounds every ri·dim
+        // offset below) — overflow would alloc a negative-sized array
+        require(collected.length.toLong * dim <= Int.MaxValue,
+          s"$file holds ${collected.length} rows × dim $dim of codes — over the " +
+            "2 GiB single-array sidecar limit; split the file")
         val codes = new Array[Byte](collected.length * dim)
         collected.foreach { case (ri, c) =>
           System.arraycopy(c, 0, codes, ri * dim, dim)

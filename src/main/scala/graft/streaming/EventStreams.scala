@@ -142,7 +142,9 @@ object EventStreams {
     * now receives at most partitions×k tiny rows per micro-batch instead of
     * the whole stream — the state stays k entries regardless of stream size.
     * Each micro-batch emits the current top-k tagged with a batch sequence;
-    * the final answer is the rows of the highest batch.
+    * the final answer is the rows of the highest batch. `dist` is SQUARED
+    * L2 (monotone with the batch twin's sqrt'd `array_distance`, so the
+    * selected set and order are identical — sqrt it for a true distance).
     */
   def streamingVectorTopK(
       spark: SparkSession,
@@ -215,6 +217,11 @@ object EventStreams {
     * sessions per user across micro-batches. Events within a batch are
     * sorted per group (bounded by per-user event counts); state carries the
     * last timestamp so sessions spanning batch boundaries merge correctly.
+    * A LATE event (ts below a prior batch's high-water mark) joins the
+    * current session without moving the mark backward — regressing it made
+    * the NEXT in-order event's gap measure from the stale past and split a
+    * session falsely (review r11); in-order replays (the gate's contract)
+    * never hit this.
     */
   def sessionize(
       spark: SparkSession, events: DataFrame, gapMinutes: Int = 30): DataFrame = {
@@ -232,7 +239,7 @@ object EventStreams {
             if (st.lastTs == Long.MinValue || ts - st.lastTs > gapMicros) {
               st = SessionState(ts, st.sessions + 1L)
             } else {
-              st = SessionState(ts, st.sessions)
+              st = SessionState(math.max(st.lastTs, ts), st.sessions)
             }
           }
           state.update(st)

@@ -33,6 +33,33 @@ class EventStreamsSpec extends SparkSpec {
     assert(last == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("late session events never regress the high-water mark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val events = input.toDF().toDF("user_id", "ts_us")
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"))
+    val sessions = EventStreams.sessionize(spark, events)
+    val query = sessions.writeStream
+      .format("memory").queryName("sess_late_test").outputMode(OutputMode.Update())
+      .start()
+    val M = 60L * 1000000L
+    // batch 1: events at t=0 and t=10min (one session, mark at 10min)
+    input.addData((1L, 0L), (1L, 10L * M))
+    query.processAllAvailable()
+    // batch 2: a LATE event at t=5min — joins the session; the mark must
+    // stay at 10min (the regressed mark made the next event split falsely)
+    input.addData((1L, 5L * M))
+    query.processAllAvailable()
+    // batch 3: t=35min — 25min after the true mark, INSIDE the 30-min gap
+    input.addData((1L, 35L * M))
+    query.processAllAvailable()
+    query.stop()
+    val n = spark.table("sess_late_test")
+      .groupBy("user_id").agg(max("n_sessions").as("n_sessions"))
+      .as[(Long, Long)].collect().toMap
+    assert(n == Map(1L -> 1L), s"still one session, got $n")
+  }
+
   test("streaming lag features carry seq/gap/rolling state across batches; ties are peers") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, Long)]
