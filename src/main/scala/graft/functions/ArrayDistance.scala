@@ -173,9 +173,15 @@ case class ArrayCosineSimilarity(left: Expression, right: Expression)
       i += 1
     }
     val af = a.toFloatArray(); val bf = b.toFloatArray()
+    // same arithmetic as the generated code (float squared-norm sums,
+    // UNROUNDED double sqrt product, one final float rounding) — the
+    // previous `dot / (norm(a) * norm(b))` rounded each norm to float
+    // first and could differ from the codegen path in the last ulp,
+    // making the same expression value depend on whether codegen ran
     val dotv = VectorKernels.dot(af, bf)
-    val na = VectorKernels.norm(af); val nb = VectorKernels.norm(bf)
-    if (na == 0.0f || nb == 0.0f) 0.0f else dotv / (na * nb)
+    val naSq = VectorKernels.dot(af, af); val nbSq = VectorKernels.dot(bf, bf)
+    if (naSq == 0.0f || nbSq == 0.0f) 0.0f
+    else (dotv / (math.sqrt(naSq.toDouble) * math.sqrt(nbSq.toDouble))).toFloat
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

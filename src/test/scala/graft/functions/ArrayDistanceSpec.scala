@@ -65,4 +65,33 @@ class ArrayDistanceSpec extends SparkSpec {
     val v = expr.eval(null).asInstanceOf[Float]
     assert(math.abs(v - math.sqrt(27.0)) < 1e-5)
   }
+
+  test("cosine: interpreted eval is bit-equal to the codegen arithmetic") {
+    // values where rounding each norm to FLOAT before multiplying (the old
+    // eval form) can drift a last ulp from codegen's unrounded double-sqrt
+    // product — the same expression must not depend on whether codegen ran
+    val rnd = new scala.util.Random(3)
+    val vecs = Seq.fill(200)(
+      (Array.fill(37)(rnd.nextFloat() * 2 - 1), Array.fill(37)(rnd.nextFloat() * 2 - 1)))
+    vecs.foreach { case (a, b) =>
+      val expr = ArrayCosineSimilarity(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          a.toSeq, ArrayType(FloatType)),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          b.toSeq, ArrayType(FloatType)))
+      val interp = expr.eval(null).asInstanceOf[Float]
+      // codegen reference arithmetic, spelled out
+      var dot = 0.0f; var na = 0.0f; var nb = 0.0f
+      var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val cg =
+        if (na == 0.0f || nb == 0.0f) 0.0f
+        else (dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))).toFloat
+      assert(
+        java.lang.Float.floatToRawIntBits(interp) == java.lang.Float.floatToRawIntBits(cg),
+        s"eval $interp != codegen-arithmetic $cg")
+    }
+  }
 }
