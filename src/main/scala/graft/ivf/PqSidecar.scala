@@ -357,6 +357,11 @@ object PqSidecar {
       .mapGroups { (file, rows) =>
         val codebook = bcCb.value
         val collected = rows.map { case (_, ri, c) => (ri, c) }.toArray
+        // rows·m must fit one JVM byte array (same guard as Sq8Sidecar) —
+        // overflow would alloc a negative-sized array
+        require(collected.length.toLong * codebook.m <= Int.MaxValue,
+          s"$file holds ${collected.length} rows × m=${codebook.m} of codes — over " +
+            "the 2 GiB single-array sidecar limit; split the file")
         val codes = new Array[Byte](collected.length * codebook.m)
         collected.foreach { case (ri, c) =>
           System.arraycopy(c, 0, codes, ri * codebook.m, codebook.m)
