@@ -159,8 +159,33 @@ object Sq8Sidecar {
       .toMap
   }
 
-  /** Build sidecars ONLY for files that lack one (idempotent, incremental:
-    * an appended file triggers a scan of itself, not of the table).
+  /** Header + SIZE intactness probe — the SQ8 twin of
+    * [[PqSidecar.headerIfIntact]]: atomic writes rule out crash
+    * truncation, but a damaged/partially-copied `.sq8` would otherwise
+    * pass the existence check and crash the first query inside an
+    * executor task instead of being rebuilt by [[ensure]]. One header
+    * read + one `size()` stat, no code bytes touched.
+    */
+  private[graft] def intact(path: String): Boolean =
+    scala.util.Try {
+      val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+      try {
+        val (dim, nRows) = readHeader(ch, path)
+        require(ch.size() >= HeaderLen.toLong + nRows.toLong * dim,
+          s"truncated SQ8 sidecar $path: ${ch.size()} bytes, " +
+            s"expected >= ${HeaderLen.toLong + nRows.toLong * dim}")
+      } finally ch.close()
+    }.isSuccess
+
+  /** A code sidecar usable for search: present, bound to the data file's
+    * current content, and intact (see [[intact]]).
+    */
+  private[graft] def usable(store: IndexStore, f: String, column: String): Boolean =
+    store.existsCodes(f, column) && intact(store.codesPath(f, column))
+
+  /** Build sidecars ONLY for files that lack a USABLE one (idempotent,
+    * incremental: an appended file triggers a scan of itself, not of the
+    * table; a damaged sidecar classifies as missing and self-heals).
     */
   def ensure(
       spark: SparkSession,
@@ -168,7 +193,7 @@ object Sq8Sidecar {
       column: String,
       store: IndexStore = IndexStore.default): Unit = {
     val missing = IndexManager.listFiles(spark, path)
-      .filterNot(f => store.existsCodes(f, column))
+      .filterNot(f => usable(store, f, column))
     if (missing.nonEmpty) {
       build(spark, path, column, store, only = Some(missing)): Unit
     }

@@ -827,8 +827,9 @@ object VectorTopK {
           s"no IVF index for file $file column '$column' — build one with IvfBuilder"))
       require(dim == q.length, s"query dim ${q.length} != index dim $dim for $file")
       require(
-        store.existsCodes(file, column),
-        s"no SQ8 sidecar for file $file column '$column' — build one with Sq8Sidecar.build")
+        Sq8Sidecar.usable(store, file, column),
+        s"no usable SQ8 sidecar for file $file column '$column' (absent, stale " +
+          "binding, or damaged) — build one with Sq8Sidecar.ensure")
     }
     val sc = spark.sparkContext
     val slices = math.max(1, math.min(files.size, sc.defaultParallelism))

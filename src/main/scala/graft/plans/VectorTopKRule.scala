@@ -406,7 +406,8 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       availMemo.getOrElseUpdate(s"pq-$residual", files.forall(f =>
         graft.ivf.PqSidecar.usable(store, f, column, residual)))
     def allSq8Codes(): Boolean =
-      availMemo.getOrElseUpdate("sq8", files.forall(store.existsCodes(_, column)))
+      availMemo.getOrElseUpdate("sq8",
+        files.forall(graft.ivf.Sq8Sidecar.usable(store, _, column)))
     val tier =
       if (requested != "auto") requested
       else {
