@@ -862,10 +862,14 @@ object Corpus {
     * plus the group's outlier count at `|v − median| > nMads · MAD`.
     * Two passes (medians need a first pass before deviations exist): both
     * are per-group `percentile` aggregates — map-side partial, one
-    * shuffle of |groups| rows each; group sizes bound the percentile
-    * buffers (the per-DOMAIN profile of a web corpus has thousands of
-    * rows per group, not billions — for corpus-GLOBAL exact cuts use
-    * [[topFraction]]/[[quantileBuckets]], which never buffer a group).
+    * shuffle of |groups| rows each. Memory bound: Spark's exact
+    * percentile buffers a (value → count) map, so executor state is
+    * O(DISTINCT values per group), NOT group row count — integer-ish
+    * quality signals (char/token counts, scores in fixed-point) profile
+    * exactly at ANY group size, while a continuous double column
+    * degrades toward O(rows); pre-round such values (the MAD hardly
+    * moves) or use corpus-GLOBAL exact cuts
+    * ([[topFraction]]/[[quantileBuckets]], which never buffer a group).
     * Exact interpolated percentiles cross-check against `quantile_cont`
     * (the tq7 precedent), rounded to 6 decimals for the float gate.
     */
