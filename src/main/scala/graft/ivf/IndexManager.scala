@@ -96,6 +96,27 @@ object IndexManager {
     } catch { case _: Exception => None }
   }
 
+  /** The planner's per-file header peek — sidecar first, footer-embedded
+    * second — memoized store-level ([[IndexStore.memoizedProbe]]): the
+    * rewrite rule peeks EVERY scan file per planned query, and without the
+    * memo that is O(files) driver opens per plan on every query against
+    * the same table. Identity covers the index sidecar, its .meta binding,
+    * and the data file (the footer path). Never throws: an unreadable
+    * header reads as None, like the rule's original Try wrapper.
+    */
+  def cachedPeek(
+      store: IndexStore, file: String, column: String): Option[(Int, Int)] =
+    IndexStore.memoizedProbe(
+      "peek", file, column,
+      Seq(
+        store.indexPath(file, column),
+        store.indexPath(file, column).stripSuffix(".pqvec") + ".meta",
+        file)) {
+      scala.util.Try(
+        store.peek(file, column).orElse(ParquetFooterIndex.peek(file, column)))
+        .toOption.flatten
+    }
+
   /** Sidecar first, footer-embedded second (the order the driver peeks in);
     * shared by the executor-side probe paths. Decoded results are served
     * from the per-JVM LRU above.

@@ -265,6 +265,79 @@ final class IndexStore(val dir: String) extends Serializable {
 object IndexStore {
   private[ivf] val RadiiMagic: Array[Byte] = "GQR2".getBytes("US-ASCII")
 
+  // ── driver-side availability-probe memo ────────────────────────────────
+  // Planning probes (tier=auto sidecar `usable()`, the rule's per-file
+  // header peeks) each OPEN and read sidecar/meta/footer bytes; on a
+  // 100k-file table that is 100k driver round-trips PER PLANNED QUERY on
+  // remote storage. The memo turns every repeat probe into stat calls
+  // only: results are keyed by (probe kind, data file, column) and
+  // validated against the identity (inode fileKey, mtime, length) of every
+  // file the probe's answer depends on — the IndexManager.loadIndex LRU
+  // pattern. Any sidecar rebuild, data-file replacement, or .meta rebind
+  // is a temp+atomic-rename (new inode), so a stale hit cannot be served
+  // even within one mtime tick. Process-wide; cleared wholesale past the
+  // cap via the same approximate-counter scheme as stampMemo.
+  private val ProbeMemoCap = 1000000
+  private val probeMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (String, Any)]
+  private val probeMemoCount = new java.util.concurrent.atomic.AtomicLong(0)
+  private val probeHits = new java.util.concurrent.atomic.AtomicLong
+  private val probeMisses = new java.util.concurrent.atomic.AtomicLong
+
+  /** (hits, misses) of the availability-probe memo since JVM start — a
+    * second planned query over an unchanged F-file table shows F hits per
+    * probe kind, 0 misses.
+    */
+  def probeCacheStats: (Long, Long) = (probeHits.get(), probeMisses.get())
+
+  /** Test hook: drop all memoized probe results (never needed in
+    * production — identity keys self-invalidate).
+    */
+  private[graft] def clearProbeMemo(): Unit = {
+    probeMemo.clear(); probeMemoCount.set(0)
+  }
+
+  /** Stat-derived identity of one dependency file: inode + mtime(ns) +
+    * length, or "absent" when unstattable. Building the identity never
+    * opens the file.
+    */
+  private def fileIdentity(path: String): String =
+    try {
+      val a = Files.readAttributes(
+        Paths.get(canonicalPath(path).stripPrefix("file:")),
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      s"${a.fileKey()}:${a.lastModifiedTime.to(java.util.concurrent.TimeUnit.NANOSECONDS)}:${a.size}"
+    } catch { case _: Exception => "absent" }
+
+  /** Memoize a driver-side probe whose result is a pure function of the
+    * listed dependency files' CONTENT. `identityPaths` must cover every
+    * file the probe reads (or whose absence it reports on); a change to
+    * any of them — including appearing/disappearing — invalidates the
+    * entry. Costs |identityPaths| stats per call instead of the probe's
+    * opens+reads.
+    */
+  private[graft] def memoizedProbe[T](
+      kind: String,
+      dataFile: String,
+      column: String,
+      identityPaths: Seq[String])(compute: => T): T = {
+    val key = (kind + " " + canonicalPath(dataFile), column)
+    val id = identityPaths.map(fileIdentity).mkString("|")
+    probeMemo.get(key) match {
+      case Some((cachedId, v)) if cachedId == id =>
+        probeHits.incrementAndGet()
+        v.asInstanceOf[T]
+      case _ =>
+        val v = compute
+        probeMisses.incrementAndGet()
+        if (probeMemoCount.incrementAndGet() > ProbeMemoCap) {
+          probeMemo.clear(); probeMemoCount.set(0)
+        }
+        probeMemo.put(key, (id, v))
+        v
+    }
+  }
+
   private[ivf] val MetaLenRe = """"dataLen":\s*(-?\d+)""".r
   private[ivf] val MetaDigestRe = """"dataDigest":\s*(-?\d+)""".r
 
@@ -278,6 +351,10 @@ object IndexStore {
   private val StampMemoCap = 1000000
   private val stampMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String, Long, Long), Long]
+  // TrieMap.size walks the whole trie (O(entries)) — never call it on the
+  // per-lookup hot path. An approximate insert counter (racy increments are
+  // fine; the cap is a heuristic, not an invariant) gates the clear instead.
+  private val stampMemoCount = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Content stamp of a data file: (length, digest of the file's TAIL).
     * The tail (last ≤64 KiB) covers the parquet footer — row-group
@@ -293,8 +370,11 @@ object IndexStore {
         local, classOf[java.nio.file.attribute.BasicFileAttributes])
       val key = (local.toString, String.valueOf(attrs.fileKey()),
         attrs.lastModifiedTime.toMillis, attrs.size)
-      if (stampMemo.size > StampMemoCap) stampMemo.clear()
-      val digest = stampMemo.getOrElseUpdate(key, {
+      val digest = stampMemo.get(key).getOrElse {
+        if (stampMemoCount.incrementAndGet() > StampMemoCap) {
+          stampMemo.clear(); stampMemoCount.set(0)
+        }
+        stampMemo.getOrElseUpdate(key, {
         val len = attrs.size
         val tail = math.min(len, 65536L).toInt
         val ch = java.nio.channels.FileChannel.open(local)
@@ -310,7 +390,8 @@ object IndexStore {
           md.update(buf.array(), 0, tail)
           java.nio.ByteBuffer.wrap(md.digest()).getLong
         } finally ch.close()
-      })
+        })
+      }
       Some((attrs.size, digest))
     } catch { case _: Exception => None }
   }

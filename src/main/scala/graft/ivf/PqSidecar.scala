@@ -420,14 +420,26 @@ object PqSidecar {
     }.toOption
 
   private[graft] def usable(store: IndexStore, f: String, column: String, residual: Boolean): Boolean =
-    store.existsPq(f, column, residual) &&
-      headerIfIntact(store.pqPath(f, column, residual)).exists { h =>
-        h.residual == residual && (!residual ||
-          store.centroidDigest(f, column)
-            .orElse(scala.util.Try(
-              IndexManager.loadIndex(store, f, column).centroidDigest).toOption)
-            .contains(h.centroidDigest))
-      }
+    // memoized store-level (IndexStore.memoizedProbe): tier=auto probes
+    // this per FILE per planned query — the memo bounds that to stats
+    // after the first plan. Identity covers everything the answer reads:
+    // the codes sidecar, the .meta binding, the data file, and (residual
+    // only, via centroidDigest / footer fallback) the index sidecar.
+    IndexStore.memoizedProbe(
+      if (residual) "pqr-usable" else "pq-usable", f, column,
+      Seq(
+        store.pqPath(f, column, residual),
+        store.indexPath(f, column).stripSuffix(".pqvec") + ".meta",
+        f) ++ (if (residual) Seq(store.indexPath(f, column)) else Nil)) {
+      store.existsPq(f, column, residual) &&
+        headerIfIntact(store.pqPath(f, column, residual)).exists { h =>
+          h.residual == residual && (!residual ||
+            store.centroidDigest(f, column)
+              .orElse(scala.util.Try(
+                IndexManager.loadIndex(store, f, column).centroidDigest).toOption)
+              .contains(h.centroidDigest))
+        }
+    }
 
   def ensure(
       spark: SparkSession,

@@ -181,7 +181,16 @@ object Sq8Sidecar {
     * current content, and intact (see [[intact]]).
     */
   private[graft] def usable(store: IndexStore, f: String, column: String): Boolean =
-    store.existsCodes(f, column) && intact(store.codesPath(f, column))
+    // memoized store-level (see [[IndexStore.memoizedProbe]]): identity
+    // covers the codes sidecar, the .meta binding, and the data file
+    IndexStore.memoizedProbe(
+      "sq8-usable", f, column,
+      Seq(
+        store.codesPath(f, column),
+        store.indexPath(f, column).stripSuffix(".pqvec") + ".meta",
+        f)) {
+      store.existsCodes(f, column) && intact(store.codesPath(f, column))
+    }
 
   /** Build sidecars ONLY for files that lack a USABLE one (idempotent,
     * incremental: an appended file triggers a scan of itself, not of the

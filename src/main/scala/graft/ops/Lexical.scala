@@ -345,6 +345,13 @@ object Lexical {
     Layout.writeBucketed(dl, s"${prefix}_dl", idCol, buckets)
     Layout.dropManagedTable(spark, s"${prefix}_stats")
     stats.write.format("parquet").mode("overwrite").saveAsTable(s"${prefix}_stats")
+    // a completed full rebuild supersedes any crashed partial append: the
+    // four tables were just rewritten from one consistent source, so a
+    // leftover ingest-pending marker (which would otherwise block readers
+    // FOREVER — the recovery walMessage points at) is cleared here. Done
+    // last, after every table write succeeded.
+    val (fs, marker) = walMarker(spark, prefix)
+    if (fs.exists(marker)) fs.delete(marker, false): Unit
     PostingsSnapshot(prefix, idCol, buckets)
   }
 
@@ -440,7 +447,8 @@ object Lexical {
     s"postings artifact '$prefix' has a pending ingest marker: a previous " +
       "appendPostings crashed mid-write (or another is running) — the " +
       "df/stats deltas may be inconsistent with the postings; rebuild the " +
-      "artifact with writePostings from the source corpus"
+      "artifact with writePostings from the source corpus (a successful " +
+      "rebuild under the same prefix clears this marker)"
 
   /** Refuse to read an artifact a crashed append may have left
     * inconsistent — loud and actionable, not silently mis-scored.

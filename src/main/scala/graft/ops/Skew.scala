@@ -51,9 +51,29 @@ object Skew {
         joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports inner/left/left_semi/left_anti joins, got '$joinType' " +
         "(small-side replication corrupts right/full/cross multiplicities)")
+    // the content hash feeds xxhash64, which rejects MapType at analysis
+    // time (maps have no canonical element order to hash) — salt on the
+    // hashable columns only, so wide passthrough schemas with map columns
+    // keep working; two rows differing ONLY in map columns then share a
+    // salt, which affects spread, never correctness (the salt is join key
+    // padding, not data).
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.forall(f => hashable(f.dataType))
+      case _ => true
+    }
+    val saltCols = big.schema.fields.filter(f => hashable(f.dataType))
+      .map(_.name).sorted
+    require(
+      saltCols.nonEmpty,
+      "saltedJoin needs at least one non-map column on the big side to " +
+        "derive a retry-stable content salt; every column of the big side " +
+        s"contains MapType (${big.schema.fields.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")})")
     val saltedBig = big.withColumn(
       "_graft_salt",
-      pmod(xxhash64(big.columns.sorted.map(col): _*), lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(saltCols.map(col): _*), lit(salts.toLong)).cast("int"))
     val replicatedSmall = small.withColumn(
       "_graft_salt",
       explode(sequence(lit(0), lit(salts - 1))))

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions.{broadcast, col}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, StructType}
 
 import graft.functions.{ArrayCosineSimilarity, ArrayDistance, ArraySquaredL2}
-import graft.ivf.{IndexStore, ParquetFooterIndex}
+import graft.ivf.IndexStore
 
 /** SQL-transparent IVF acceleration: rewrites
   * `ORDER BY array_distance(col, literal-vector) ASC LIMIT k` over a single
@@ -262,9 +262,7 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     // any unindexed file, dim mismatch, or unreadable header: no rewrite
     files.foreach { file =>
-      scala.util.Try(
-        store.peek(file, column).orElse(ParquetFooterIndex.peek(file, column)))
-        .toOption.flatten match {
+      graft.ivf.IndexManager.cachedPeek(store, file, column) match {
         case Some((dim, _)) if dim == query.length => ()
         case _ => return None
       }
@@ -515,9 +513,7 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (files.isEmpty) return None
     val store = new IndexStore(conf(IndexDirKey, IndexStore.default.dir))
     files.foreach { file =>
-      scala.util.Try(
-        store.peek(file, column).orElse(ParquetFooterIndex.peek(file, column)))
-        .toOption.flatten match {
+      graft.ivf.IndexManager.cachedPeek(store, file, column) match {
         case Some((dim, _)) if dim == query.length => ()
         case _ => return None
       }

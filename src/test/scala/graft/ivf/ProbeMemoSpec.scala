@@ -1,0 +1,115 @@
+package graft.ivf
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+/** The store-level availability-probe memo ([[IndexStore.memoizedProbe]]):
+  * tier=auto `usable()` probes and the rule's per-file header peeks must
+  * cost stats (not opens) on every plan after the first, and any change to
+  * a dependency file — sidecar rebuilt, data file replaced, sidecar
+  * appearing where none existed — must invalidate the entry (identity is
+  * inode+mtime+length of every file the probe reads). Review r11: without
+  * this a 100k-file cold-profile table paid 100k driver round-trips per
+  * planned query.
+  */
+class ProbeMemoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeTable(dir: String, n: Int, seed: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong, Seq.fill(8)(rnd.nextFloat())))
+      .toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  private def fixture(): (String, IndexStore, Seq[String]) = {
+    val dir = Files.createTempDirectory("graft-probememo").toString
+    writeTable(dir, 150, seed = 31)
+    val store = new IndexStore(Files.createTempDirectory("graft-probememo-store").toString)
+    IvfBuilder.build(spark, dir, IvfBuilder.Config("vec", nClusters = Some(4)), store)
+    (dir, store, IndexManager.listFiles(spark, dir))
+  }
+
+  private def statsDelta[T](body: => T): (T, Long, Long) = {
+    val (h0, m0) = IndexStore.probeCacheStats
+    val r = body
+    val (h1, m1) = IndexStore.probeCacheStats
+    (r, h1 - h0, m1 - m0)
+  }
+
+  test("repeat usable()/cachedPeek probes over an unchanged table are all memo hits") {
+    val (dir, store, files) = fixture()
+    Sq8Sidecar.ensure(spark, dir, "vec", store)
+    PqSidecar.ensure(spark, dir, "vec", m = 4, store)
+    val f = files.head
+
+    // first probe after the builds: miss (computes), second: pure hit
+    val (r1, _, miss1) = statsDelta(PqSidecar.usable(store, f, "vec", residual = false))
+    assert(r1 && miss1 >= 1)
+    val (r2, hit2, miss2) = statsDelta(PqSidecar.usable(store, f, "vec", residual = false))
+    assert(r2 && hit2 == 1 && miss2 == 0)
+    val (s2, sh2, sm2) = statsDelta {
+      Sq8Sidecar.usable(store, f, "vec") // warm
+      Sq8Sidecar.usable(store, f, "vec")
+    }
+    assert(s2 && sh2 >= 1 && sm2 <= 1)
+
+    val (p1, _, _) = statsDelta(IndexManager.cachedPeek(store, f, "vec"))
+    assert(p1.contains((8, 4)))
+    val (p2, ph2, pm2) = statsDelta(IndexManager.cachedPeek(store, f, "vec"))
+    assert(p2.contains((8, 4)) && ph2 == 1 && pm2 == 0)
+  }
+
+  test("a sidecar appearing where none existed invalidates the memoized false") {
+    val (dir, store, files) = fixture()
+    val f = files.head
+    // memoize the negative answer
+    assert(!Sq8Sidecar.usable(store, f, "vec"))
+    assert(!PqSidecar.usable(store, f, "vec", residual = true))
+    // build the sidecars: the probe's dependency files changed → recompute
+    Sq8Sidecar.ensure(spark, dir, "vec", store)
+    PqSidecar.ensure(spark, dir, "vec", m = 4, store, residual = true)
+    val (r, _, miss) = statsDelta {
+      (Sq8Sidecar.usable(store, f, "vec"),
+        PqSidecar.usable(store, f, "vec", residual = true))
+    }
+    assert(r == ((true, true)), "memo must not pin a stale false")
+    assert(miss >= 2, "changed dependencies must recompute, not hit")
+  }
+
+  test("a retrained index (new centroid epoch) invalidates the residual-usable memo") {
+    val (dir, store, files) = fixture()
+    PqSidecar.ensure(spark, dir, "vec", m = 4, store, residual = true)
+    val f = files.head
+    assert(PqSidecar.usable(store, f, "vec", residual = true))
+    // rebuild the IVF index with a different cluster count: new centroid
+    // digest, same .pqr bytes — the memoized true must flip to false
+    // because the identity includes the index sidecar
+    IvfBuilder.build(spark, dir, IvfBuilder.Config("vec", nClusters = Some(5)), store)
+    assert(!PqSidecar.usable(store, f, "vec", residual = true),
+      "residual codes from a dead centroid epoch must read unusable")
+    // non-residual pq ignores the centroid epoch and stays usable
+    PqSidecar.ensure(spark, dir, "vec", m = 4, store)
+    assert(PqSidecar.usable(store, f, "vec", residual = false))
+  }
+
+  test("cachedPeek sees a replaced data file as no-index (binding refusal survives the memo)") {
+    val (dir, store, files) = fixture()
+    val victim = files.head
+    assert(IndexManager.cachedPeek(store, victim, "vec").isDefined) // memoize
+    val donorDir = Files.createTempDirectory("graft-probememo-donor").toString
+    writeTable(donorDir, 80, seed = 32)
+    val donor = IndexManager.listFiles(spark, donorDir).head
+    val (t, w) = (java.nio.file.Paths.get(victim.stripPrefix("file:")),
+      java.nio.file.Paths.get(donor.stripPrefix("file:")))
+    Files.copy(w, t, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    def crc(p: java.nio.file.Path) = p.resolveSibling("." + p.getFileName + ".crc")
+    Files.copy(crc(w), crc(t), java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    assert(IndexManager.cachedPeek(store, victim, "vec").isEmpty,
+      "memo must not serve a peek bound to the replaced file's content")
+  }
+}

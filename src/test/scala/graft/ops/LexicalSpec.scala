@@ -330,6 +330,26 @@ class LexicalSpec extends SparkSpec {
     assert(Lexical.bm25BulkTopK(spark, snap, queries, "qid", "qtext", k = 3).count() > 0)
   }
 
+  test("a full rebuild under the same prefix clears a leftover ingest marker (crash recovery)") {
+    val snap = Lexical.writePostings(docs, "id", "text", "graft_spec_walrec", buckets = 2)
+    val queries = Seq((0L, "cat")).toDF("qid", "qtext")
+    // crash mid-append: the marker is left behind and readers refuse
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier("graft_spec_walrec_stats"))
+        .toString + ".ingest-pending")
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.createNewFile(loc))
+    intercept[IllegalArgumentException](
+      Lexical.bm25BulkTopK(spark, snap, queries, "qid", "qtext", k = 3))
+    // the documented recovery: rebuild with writePostings — it must clear
+    // the marker itself (a full rewrite supersedes any partial append),
+    // not leave the artifact refusing forever (r12 advice)
+    val snap2 = Lexical.writePostings(docs, "id", "text", "graft_spec_walrec", buckets = 2)
+    assert(!fs.exists(loc), "a successful rebuild must clear the stale marker")
+    assert(Lexical.bm25BulkTopK(spark, snap2, queries, "qid", "qtext", k = 3).count() > 0)
+  }
+
   test("rrfFuse and ranked refuse colliding column names; bm25TopK validates k") {
     val l = Seq((1L, 1)).toDF("id", "rank")
     intercept[IllegalArgumentException](Lexical.rrfFuse(Seq(l), "_c0", "rank"))

@@ -55,4 +55,23 @@ class SkewSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(a == b)
   }
+
+  test("saltedJoin tolerates unhashable (map) big-side columns") {
+    // xxhash64 rejects MapType at analysis time — the content salt must
+    // hash only the hashable columns, not fail the whole join (r12 advice)
+    val mapped = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
+      .withColumn("attrs", map(col("v"), col("k")))
+      .withColumn("nested", struct(map(lit("x"), col("k")).as("inner")))
+    val small = Seq((1L, "x"), (2L, "y")).toDF("sk", "sv")
+    val plain = mapped.join(small, col("k") === col("sk")).drop("attrs", "nested")
+      .as[(Long, String, Long, String)].collect().toSet
+    val salted = Skew.saltedJoin(mapped, small, "k", "sk", 4).drop("attrs", "nested")
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(salted == plain)
+    // pathological all-map big side: actionable error, not an analysis crash
+    val allMaps = Seq(1L).toDF("k0").select(map(lit("a"), col("k0")).as("m"))
+    val e = intercept[IllegalArgumentException](
+      Skew.saltedJoin(allMaps, small, "m", "sk", 2))
+    assert(e.getMessage.contains("MapType"), e.getMessage)
+  }
 }
