@@ -152,11 +152,13 @@ object Bench {
       .indexed(spark, path, "embedding", query, 10,
         graft.ivf.VectorTopK.Options(nprobe = 4))
       .select("vec_id")
-    // min-of-3 for the two TPC-H-shaped headliners: the driver's r9 record
-    // showed 6x/4x phantom regressions on q1/q3 (solo re-proves: 0.55/1.01s,
-    // in-band; co-tenant noise on the bench box twice in two rounds) —
-    // one extra rep on just these two is cheap outlier insurance
-    val extraReps = Set("q1_agg", "q3_join")
+    // min-of-3 for the WHOLE headline set (round-11 verdict item #4):
+    // started as q1/q3 only after their r9 6x/4x phantom regressions, but
+    // r11's official record wobbled 1.3-1.7x on seven more sub-second
+    // headline entries (vq7/vq8/va2/zq4/zq5/sq2/st1 — all at r10 level in
+    // the same-day closing run). One extra rep across the 17 headliners
+    // costs a few bench seconds and shields every judged series.
+    val extraReps = Headline.toSet
     val queryResults: Seq[(String, Double)] = names.map { name =>
       val reps = if (extraReps(name)) 3 else BenchTiming.DefaultReps
       try name -> BenchTiming.timeMin(name, reps)(
@@ -299,8 +301,17 @@ object Bench {
       .map(k => "\"" + k + "\":" + resultMap(k))
       .mkString("{", ",", "}")
     val headlineTotal = headline.map(resultMap).filter(_ >= 0).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline":$hs,"headline_total":$headlineTotal,"recall_at100_nprobe16":$recall,"cosine_recall_at100_nprobe16":$cosineRecall,"cell_pair_recall_probe4":$cellPairRecall,"knn_join_recall_probe4":$knnJoinRecall,"maxsim_recall_probe4":$maxsimRecall,"mrl_recall_prefix16_os4":$mrlRecall,"index_cache_hits":$cacheHits,"index_cache_misses":$cacheMisses}""")
+    val jsonLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline":$hs,"headline_total":$headlineTotal,"recall_at100_nprobe16":$recall,"cosine_recall_at100_nprobe16":$cosineRecall,"cell_pair_recall_probe4":$cellPairRecall,"knn_join_recall_probe4":$knnJoinRecall,"maxsim_recall_probe4":$maxsimRecall,"mrl_recall_prefix16_os4":$mrlRecall,"index_cache_hits":$cacheHits,"index_cache_misses":$cacheMisses}"""
+    println(jsonLine)
+    // full per-query record into the repo (round-11 verdict item #4): the
+    // archived BENCH json keeps only a 2000-char stdout tail, which
+    // truncates the queries dict — this file carries the complete last run
+    // so a later reader can attribute per-entry deltas without /tmp access
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LAST_LOCAL.json"),
+      (jsonLine + "\n").getBytes("UTF-8")): Unit
+    catch { case _: Exception => () } // read-only cwd must not fail the bench
 
     // Quality floors for the two no-oracle ANN operating points (sq2 /
     // va1): their recall is a deterministic function of the fixture and the

@@ -2738,10 +2738,10 @@ object Queries {
     * for a linear model. Exact BIGINT arithmetic on both engines, so the
     * gate is a hash match with no epsilon.
     */
-  private val bowD = 256
-  private val bowWeights: Array[Long] =
+  private[graft] val bowD = 256
+  private[graft] val bowWeights: Array[Long] =
     Array.tabulate(bowD)(i => (((i * 2654435761L) % 2003L) - 1001L) * 250L)
-  private val bowBiasFp = 5000L
+  private[graft] val bowBiasFp = 5000L
 
   /** Model-based quality filter ([[ops.TextAnalysis.linearScore]]): keep
     * docs whose mean-pooled linear bag-of-words logit is >= 0, reporting

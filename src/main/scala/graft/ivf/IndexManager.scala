@@ -107,7 +107,7 @@ object IndexManager {
   def cachedPeek(
       store: IndexStore, file: String, column: String): Option[(Int, Int)] =
     IndexStore.memoizedProbe(
-      "peek", file, column,
+      "peek:" + store.dir, file, column,
       Seq(
         store.indexPath(file, column),
         store.indexPath(file, column).stripSuffix(".pqvec") + ".meta",

@@ -321,8 +321,72 @@ object IndexStore {
       dataFile: String,
       column: String,
       identityPaths: Seq[String])(compute: => T): T = {
-    val key = (kind + " " + canonicalPath(dataFile), column)
+    val key = (kind + "\u0000" + canonicalPath(dataFile), column)
     val id = identityPaths.map(fileIdentity).mkString("|")
+    probeMemo.get(key) match {
+      case Some((cachedId, v)) if cachedId == id =>
+        probeHits.incrementAndGet()
+        v.asInstanceOf[T]
+      case _ =>
+        val v = compute
+        probeMisses.incrementAndGet()
+        if (probeMemoCount.incrementAndGet() > ProbeMemoCap) {
+          probeMemo.clear(); probeMemoCount.set(0)
+        }
+        probeMemo.put(key, (id, v))
+        v
+    }
+  }
+
+  /** FNV-1a over the file list — the table-probe key component (the list
+    * is pre-sorted by every caller, so equal sets hash equal).
+    */
+  private def filesHash(files: Seq[String]): Long = {
+    var h = 0xcbf29ce484222325L
+    files.foreach { f =>
+      var i = 0
+      while (i < f.length) {
+        h ^= f.charAt(i) & 0xFFFFL
+        h *= 0x100000001b3L
+        i += 1
+      }
+      h ^= 0xFFL; h *= 0x100000001b3L
+    }
+    h
+  }
+
+  /** TABLE-level probe memo — the O(1)-stats fast path above
+    * [[memoizedProbe]]: an all-files availability question ("every scan
+    * file has a usable pq sidecar", "every file is indexed at dim d") is
+    * validated against the identity of the DIRECTORIES involved — the
+    * sidecar store dir plus each distinct parent dir of the data files —
+    * instead of per-file stats. Every write in this engine lands by
+    * temp + atomic-rename, and POSIX rename/create/delete updates the
+    * parent directory's mtime, so any sidecar build/rebuild/removal or
+    * data-file add/replace-by-rename invalidates the entry and the
+    * recompute falls through to the per-file layer. The one gap —
+    * an external tool overwriting a file's CONTENT in place (no directory
+    * entry change) — cannot make this memo produce silent wrongness:
+    * execution-side binding stamps still refuse the swapped file loudly;
+    * only the plan-time availability answer is stale until any rename
+    * touches the dir. Filesystems without stat-able directories (object
+    * stores) yield an "absent" dir identity, which BYPASSES this layer
+    * entirely (per-file probes, still memoized individually).
+    */
+  private[graft] def memoizedTableProbe[T](
+      kind: String,
+      column: String,
+      files: Seq[String],
+      storeDir: String)(compute: => T): T = {
+    val dirs = storeDir +: files.iterator.map { f =>
+      val local = canonicalPath(f).stripPrefix("file:")
+      val cut = local.lastIndexOf('/')
+      if (cut > 0) local.substring(0, cut) else local
+    }.distinct.toSeq
+    val id = dirs.map(fileIdentity).mkString("|")
+    if (id.contains("absent"))
+      return compute // un-stat-able dirs: never trust a dir-level identity
+    val key = (s"$kind:$storeDir:${filesHash(files)}:${files.size}", column)
     probeMemo.get(key) match {
       case Some((cachedId, v)) if cachedId == id =>
         probeHits.incrementAndGet()

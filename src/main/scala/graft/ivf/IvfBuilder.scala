@@ -46,8 +46,9 @@ object IvfBuilder {
     * centroid quality converges on the true distribution while the driver
     * only ever holds one k×dim accumulator. `-1` (default) = AUTO: on a
     * corpus at least 10× the training sample the build caps the
-    * driver-sample Lloyd at [[AutoSampleIters]] iterations and runs
-    * [[AutoDistributedIters]] distributed rounds instead — the driver
+    * driver-sample Lloyd at [[AutoSampleIters]] iterations and runs up to
+    * [[AutoDistributedIters]] distributed rounds with the [[AutoSseRelTol]]
+    * convergence stop instead (round count chosen by the data) — the driver
     * k-means is the measured build bottleneck at that scale (272 s of a
     * 5M×256 build, round-9 BENCHNOTES) and is single-threaded in
     * k·sample·dim·iters, while a distributed round is one parallel corpus
@@ -69,8 +70,23 @@ object IvfBuilder {
       warmStart: Option[Array[Float]] = None,
       distributedIters: Int = -1)
 
-  /** Distributed Lloyd rounds the AUTO policy runs on large corpora. */
-  val AutoDistributedIters: Int = 3
+  /** Max distributed Lloyd rounds the AUTO policy may run. The SSE-delta
+    * stop ([[AutoSseRelTol]]) usually ends the loop earlier — the round
+    * count is chosen by the data, not fixed (the r11 5M probe showed the
+    * SSE curve still descending after the old fixed 3 rounds, while
+    * near-converged seeds were paying corpus scans that bought nothing).
+    */
+  val AutoDistributedIters: Int = 10
+
+  /** AUTO's convergence stop: end the distributed loop when a round
+    * improves full-corpus assignment SSE by less than this relative
+    * fraction. 0.5% per round is below what moves recall at production
+    * nprobe, and each avoided round is a full corpus scan — the dominant
+    * marginal cost of a 100 TB build. Explicit `distributedIters > 0` runs
+    * exactly the configured rounds (no early stop), preserving the
+    * documented determinism contract for explicit configs.
+    */
+  val AutoSseRelTol: Double = 0.005
 
   /** Driver-sample Lloyd iteration cap while AUTO distributed rounds run
     * (the sample only needs to SEED well; the corpus rounds converge it).
@@ -216,7 +232,9 @@ object IvfBuilder {
       flat, dim, KMeans.Params(k, sampleIters, config.seed, config.warmStart))
     val centroids =
       if (distIters <= 0) seeded
-      else lloydDistributed(spark, vecs, seeded, dim, k, distIters)
+      else lloydDistributed(
+        spark, vecs, seeded, dim, k, distIters,
+        relTol = if (autoEngaged) AutoSseRelTol else 0.0)
 
     val written = assignAndWrite(spark, vecs, config.column, centroids, dim, k, store, embed)
     BuildResult(written, dim, k, centroids)
@@ -236,33 +254,66 @@ object IvfBuilder {
       seed: Array[Float],
       dim: Int,
       k: Int,
-      iters: Int): Array[Float] = {
+      iters: Int,
+      relTol: Double = 0.0): Array[Float] =
+    lloydDistributedWithCurve(spark, vecs, seed, dim, k, iters, relTol)._1
+
+  /** [[lloydDistributed]] + the per-round assignment-SSE curve (SSE of the
+    * round's assignments against its PRE-update centroids, accumulated in
+    * the same aggregate pass — one extra dim-loop per vector, no extra
+    * scan). `relTol > 0` adds the convergence stop: the loop ends once a
+    * round improved SSE by less than `relTol` relatively, so the round
+    * count is data-chosen with `iters` as the hard cap; `relTol = 0` (the
+    * explicit-config path) runs exactly `iters` rounds — even float-noise
+    * SSE wobble never cuts a configured round.
+    */
+  private[ivf] def lloydDistributedWithCurve(
+      spark: SparkSession,
+      vecs: DataFrame,
+      seed: Array[Float],
+      dim: Int,
+      k: Int,
+      iters: Int,
+      relTol: Double = 0.0): (Array[Float], List[Double]) = {
     import spark.implicits._
     var cents = seed
     var it = 0
-    while (it < iters) {
+    var prevSse = Double.NaN
+    val curve = List.newBuilder[Double]
+    var stop = false
+    while (it < iters && !stop) {
       val bc = spark.sparkContext.broadcast(cents)
-      val zero = (new Array[Double](k * dim), new Array[Long](k))
-      val (sums, counts) = vecs
+      val zero = (new Array[Double](k * dim), new Array[Long](k), new Array[Double](1))
+      val (sums, counts, sseAcc) = vecs
         .select(col("_vec"))
         .as[Array[Float]]
         .rdd
         .treeAggregate(zero)(
-          seqOp = { case ((s, n), v) =>
+          seqOp = { case ((s, n, e), v) =>
             val c = VectorKernels.nearestCentroid(v, bc.value, dim)
             n(c) += 1L
             var j = 0
-            while (j < dim) { s(c * dim + j) += v(j); j += 1 }
-            (s, n)
+            var d2 = 0.0
+            while (j < dim) {
+              s(c * dim + j) += v(j)
+              val d = v(j).toDouble - bc.value(c * dim + j)
+              d2 += d * d
+              j += 1
+            }
+            e(0) += d2
+            (s, n, e)
           },
-          combOp = { case ((s1, n1), (s2, n2)) =>
+          combOp = { case ((s1, n1, e1), (s2, n2, e2)) =>
             var i = 0
             while (i < s1.length) { s1(i) += s2(i); i += 1 }
             i = 0
             while (i < n1.length) { n1(i) += n2(i); i += 1 }
-            (s1, n1)
+            e1(0) += e2(0)
+            (s1, n1, e1)
           })
       bc.destroy()
+      val sse = sseAcc(0)
+      curve += sse
       val next = cents.clone()
       var c = 0
       while (c < k) {
@@ -276,9 +327,15 @@ object IvfBuilder {
         c += 1
       }
       cents = next
+      // the mean update from THIS round's sums is always applied (it is
+      // already paid for and never increases SSE); the stop only decides
+      // whether to buy ANOTHER corpus scan
+      if (relTol > 0.0 && !prevSse.isNaN && prevSse > 0.0 &&
+        (prevSse - sse) / prevSse < relTol) stop = true
+      prevSse = sse
       it += 1
     }
-    cents
+    (cents, curve.result())
   }
 
   /** Distributed assignment + per-file inverted lists + executor-side write

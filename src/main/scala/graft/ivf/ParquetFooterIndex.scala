@@ -122,6 +122,16 @@ object ParquetFooterIndex {
     val p = java.nio.file.Paths.get(local)
     val crc = p.getParent.resolve("." + p.getFileName.toString + ".crc")
     java.nio.file.Files.deleteIfExists(crc): Unit
+    // this is the ONE engine-owned mutation that changes availability
+    // without a directory-entry rename (RandomAccessFile writes in place),
+    // so the table-level dir-identity memo (IndexStore.memoizedTableProbe)
+    // would keep serving a stale "unindexed" answer after a footer embed.
+    // Bump the parent dir's mtime explicitly so plan-time memos invalidate
+    // the same way every rename-based write path does.
+    try java.nio.file.Files.setLastModifiedTime(
+      p.getParent,
+      java.nio.file.attribute.FileTime.from(java.time.Instant.now())): Unit
+    catch { case _: Exception => () } // read-only parent: peeks still correct
   }
 
   /** Cheap (dim, nClusters) peek of an embedded index: footer KV lookup plus

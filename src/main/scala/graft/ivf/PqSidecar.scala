@@ -426,7 +426,7 @@ object PqSidecar {
     // the codes sidecar, the .meta binding, the data file, and (residual
     // only, via centroidDigest / footer fallback) the index sidecar.
     IndexStore.memoizedProbe(
-      if (residual) "pqr-usable" else "pq-usable", f, column,
+      (if (residual) "pqr-usable:" else "pq-usable:") + store.dir, f, column,
       Seq(
         store.pqPath(f, column, residual),
         store.indexPath(f, column).stripSuffix(".pqvec") + ".meta",

@@ -184,7 +184,7 @@ object Sq8Sidecar {
     // memoized store-level (see [[IndexStore.memoizedProbe]]): identity
     // covers the codes sidecar, the .meta binding, and the data file
     IndexStore.memoizedProbe(
-      "sq8-usable", f, column,
+      "sq8-usable:" + store.dir, f, column,
       Seq(
         store.codesPath(f, column),
         store.indexPath(f, column).stripSuffix(".pqvec") + ".meta",

@@ -110,14 +110,16 @@ object VectorTopK {
 
     // driver-side validation is header-peek only (O(files) tiny reads);
     // posting lists are probed executor-side by IvfCandidateScanExec
-    files.foreach { file =>
-      val (dim, _) = store.peek(file, column)
-        .orElse(ParquetFooterIndex.peek(file, column))
-        .getOrElse(throw new IllegalStateException(
-          s"no IVF index for file $file column '$column' — build one with IvfBuilder"))
-      require(
-        dim == q.length,
-        s"query dim ${q.length} != index dim $dim for $file")
+    IndexStore.memoizedTableProbe(
+      s"validate-float-${q.length}", column, files, store.dir) {
+      files.foreach { file =>
+        val (dim, _) = IndexManager.cachedPeek(store, file, column)
+          .getOrElse(throw new IllegalStateException(
+            s"no IVF index for file $file column '$column' — build one with IvfBuilder"))
+        require(
+          dim == q.length,
+          s"query dim ${q.length} != index dim $dim for $file")
+      }
     }
     val est = estimateCandidates(store, files, column, q, options)
 
@@ -394,12 +396,17 @@ object VectorTopK {
     import spark.implicits._
     require(files.nonEmpty, "no parquet files to search")
     val q = query.toArray
-    files.foreach { file =>
-      val (dim, _) = store.peek(file, column)
-        .orElse(ParquetFooterIndex.peek(file, column))
-        .getOrElse(throw new IllegalStateException(
-          s"no IVF index for file $file column '$column' — build one with IvfBuilder"))
-      require(dim == q.length, s"query dim ${q.length} != index dim $dim for $file")
+    // table-level dir-identity memo: repeat calls over an unchanged table
+    // validate in O(1) stats (IndexStore.memoizedTableProbe); a throwing
+    // validation is never cached, so error paths re-check every time
+    IndexStore.memoizedTableProbe(
+      s"validate-float-${q.length}", column, files, store.dir) {
+      files.foreach { file =>
+        val (dim, _) = IndexManager.cachedPeek(store, file, column)
+          .getOrElse(throw new IllegalStateException(
+            s"no IVF index for file $file column '$column' — build one with IvfBuilder"))
+        require(dim == q.length, s"query dim ${q.length} != index dim $dim for $file")
+      }
     }
     val sc = spark.sparkContext
     val slices = math.max(1, math.min(files.size, sc.defaultParallelism))
@@ -575,12 +582,17 @@ object VectorTopK {
     val files = IndexManager.listFiles(spark, path)
     require(files.nonEmpty, s"no parquet files under $path")
     val q = query.toArray
-    files.foreach { file =>
-      val (dim, _) = store.peek(file, column)
-        .orElse(ParquetFooterIndex.peek(file, column))
-        .getOrElse(throw new IllegalStateException(
-          s"no IVF index for file $file column '$column' — build one with IvfBuilder"))
-      require(dim == q.length, s"query dim ${q.length} != index dim $dim for $file")
+    // table-level dir-identity memo: repeat calls over an unchanged table
+    // validate in O(1) stats (IndexStore.memoizedTableProbe); a throwing
+    // validation is never cached, so error paths re-check every time
+    IndexStore.memoizedTableProbe(
+      s"validate-float-${q.length}", column, files, store.dir) {
+      files.foreach { file =>
+        val (dim, _) = IndexManager.cachedPeek(store, file, column)
+          .getOrElse(throw new IllegalStateException(
+            s"no IVF index for file $file column '$column' — build one with IvfBuilder"))
+        require(dim == q.length, s"query dim ${q.length} != index dim $dim for $file")
+      }
     }
     val sc = spark.sparkContext
     val slices = math.max(1, math.min(files.size, sc.defaultParallelism))
@@ -820,16 +832,18 @@ object VectorTopK {
     require(oversample >= 1, "oversample must be >= 1")
     require(files.nonEmpty, "no parquet files to search")
     val q = query.toArray
-    files.foreach { file =>
-      val (dim, _) = store.peek(file, column)
-        .orElse(ParquetFooterIndex.peek(file, column))
-        .getOrElse(throw new IllegalStateException(
-          s"no IVF index for file $file column '$column' — build one with IvfBuilder"))
-      require(dim == q.length, s"query dim ${q.length} != index dim $dim for $file")
-      require(
-        Sq8Sidecar.usable(store, file, column),
-        s"no usable SQ8 sidecar for file $file column '$column' (absent, stale " +
-          "binding, or damaged) — build one with Sq8Sidecar.ensure")
+    IndexStore.memoizedTableProbe(
+      s"validate-sq8-${q.length}", column, files, store.dir) {
+      files.foreach { file =>
+        val (dim, _) = IndexManager.cachedPeek(store, file, column)
+          .getOrElse(throw new IllegalStateException(
+            s"no IVF index for file $file column '$column' — build one with IvfBuilder"))
+        require(dim == q.length, s"query dim ${q.length} != index dim $dim for $file")
+        require(
+          Sq8Sidecar.usable(store, file, column),
+          s"no usable SQ8 sidecar for file $file column '$column' (absent, stale " +
+            "binding, or damaged) — build one with Sq8Sidecar.ensure")
+      }
     }
     val sc = spark.sparkContext
     val slices = math.max(1, math.min(files.size, sc.defaultParallelism))
@@ -948,16 +962,21 @@ object VectorTopK {
     require(oversample >= 1, "oversample must be >= 1")
     require(files.nonEmpty, "no parquet files to search")
     val q = query.toArray
-    files.foreach { file =>
-      val (dim, _) = store.peek(file, column)
-        .orElse(ParquetFooterIndex.peek(file, column))
-        .getOrElse(throw new IllegalStateException(
-          s"no IVF index for file $file column '$column' — build one with IvfBuilder"))
-      require(dim == q.length, s"query dim ${q.length} != index dim $dim for $file")
-      require(
-        store.existsPq(file, column, residual),
-        s"no ${if (residual) "residual " else ""}PQ sidecar for file $file column " +
-          s"'$column' — build one with PqSidecar.build")
+    IndexStore.memoizedTableProbe(
+      s"validate-pq-$residual-${q.length}", column, files, store.dir) {
+      files.foreach { file =>
+        val (dim, _) = IndexManager.cachedPeek(store, file, column)
+          .getOrElse(throw new IllegalStateException(
+            s"no IVF index for file $file column '$column' — build one with IvfBuilder"))
+        require(dim == q.length, s"query dim ${q.length} != index dim $dim for $file")
+        // existsPq (not usable()): a PRESENT sidecar from a dead centroid
+        // epoch must reach the reader's specific stale-epoch refusal
+        // (rebuilt via ensure), not a generic absent message
+        require(
+          store.existsPq(file, column, residual),
+          s"no ${if (residual) "residual " else ""}PQ sidecar for file $file column " +
+            s"'$column' — build one with PqSidecar.build")
+      }
     }
     val sc = spark.sparkContext
     val slices = math.max(1, math.min(files.size, sc.defaultParallelism))

@@ -61,10 +61,11 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case sort @ Sort(Seq(order), true, child, _)
               if sort.getTagValue(RewrittenTag).isEmpty =>
             tryRewrite(k, order, child) match {
-              case Some((newChild, tier)) =>
+              case Some((newChild, tier, tierReason)) =>
                 val newSort = sort.copy(child = newChild)
                 newSort.setTagValue(RewrittenTag, ())
                 newSort.setTagValue(TierTag, tier)
+                newSort.setTagValue(TierReasonTag, tierReason)
                 val rebuilt = projects.foldRight(newSort: LogicalPlan) {
                   (pr, acc) => pr.copy(child = acc)
                 }
@@ -215,7 +216,7 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def tryRewrite(
-      k: Int, order: SortOrder, child: LogicalPlan): Option[(LogicalPlan, String)] = {
+      k: Int, order: SortOrder, child: LogicalPlan): Option[(LogicalPlan, String, String)] = {
     for {
       (attr, query, cosine) <- extractDistanceArgs(order.child)
       // L2 accelerates ASC (nearest first), cosine DESC (most similar
@@ -233,10 +234,10 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       leaf <- findSingleParquetLeaf(child)
       // the sorted attribute must be a physical column of the scan
       column <- leaf.output.find(_.exprId == attr.exprId).map(_.name)
-      (rewritten, tier) <- buildPrunedLeaf(leaf, column, query, k, filterFree(child), cosine)
+      (rewritten, tier, reason) <- buildPrunedLeaf(leaf, column, query, k, filterFree(child), cosine)
     } yield (MeteredFetch(child.transformUp {
       case l if l.eq(leaf.node) => rewritten
-    }), tier)
+    }), tier, reason)
   }
 
   /** Header-peek every file's index (cheap, driver-side) and graft
@@ -251,7 +252,7 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       query: Array[Float],
       k: Int,
       filterFree: Boolean,
-      cosine: Boolean = false): Option[(LogicalPlan, String)] = {
+      cosine: Boolean = false): Option[(LogicalPlan, String, String)] = {
     // canonical form matches `_metadata.file_path`, which the semi-join
     // compares against
     val files = leaf.inputFiles.map(IndexStore.canonicalPath).sorted
@@ -261,12 +262,15 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val maxCandidates = conf(MaxCandidatesKey, "").toIntOption
 
     // any unindexed file, dim mismatch, or unreadable header: no rewrite
-    files.foreach { file =>
-      graft.ivf.IndexManager.cachedPeek(store, file, column) match {
-        case Some((dim, _)) if dim == query.length => ()
-        case _ => return None
-      }
-    }
+    // table-level dir-identity memo over the per-file dim peeks: a repeat
+    // plan against an unchanged table answers in O(1) stats (see
+    // IndexStore.memoizedTableProbe); per-file peeks run on invalidation
+    if (!IndexStore.memoizedTableProbe(
+        s"table-peek-dim-${query.length}", column, files, store.dir)(
+        files.forall(file =>
+          graft.ivf.IndexManager.cachedPeek(store, file, column)
+            .exists(_._1 == query.length))))
+      return None
     val twoPhaseOk = filterFree && conf(TwoPhaseKey, "true") == "true"
     val candSide = if (twoPhaseOk) {
       // winner-first (two-phase): no Filter sits below the top-k, so the k
@@ -277,7 +281,8 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // winner selection serves both metrics. A candidate cap swaps in the
       // lazily-capped phase-1 (round-robin fairness computed inside the
       // plan — a rule must not run jobs at optimization time)
-      val (phase1, tierUsed) = tierFeed(files, column, query, k, nprobe, store, cosine)
+      val (feed, tierReason) = tierFeed(files, column, query, k, nprobe, store, cosine)
+      val (phase1, tierUsed) = feed
         .getOrElse((maxCandidates match {
           case Some(cap) => graft.ivf.VectorTopK.cappedWinnersByFiles(
             spark, files, column, query.toIndexedSeq, nprobe, cap, store, cosine)
@@ -289,9 +294,9 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
         .orderBy(col("_dist").asc_nulls_last)
         .limit(k)
         .select(col("_file").as("__file"), col("_ri").as("__ri"))
-      (broadcast(winners), tierUsed)
+      (broadcast(winners), tierUsed, tierReason)
     } else filteredTierFeed(files, column, query, k, nprobe, store, cosine) match {
-      case Some((phase1, tierUsed)) =>
+      case (Some((phase1, tierUsed)), tierReason) =>
       // FILTERED quantized shape (opt-in): the whole k·oversample survivor
       // feed — coarse-ranked on code sidecars, exact-refined — grafts as
       // the semi-join side, the untouched Filter re-applies its predicate
@@ -309,8 +314,8 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // rows, collapsing this to the float one-phase semantics (vq24/vq25).
       // bounded by k·oversample rows of (file, ordinal) — broadcast-safe
       (broadcast(phase1.select(col("_file").as("__file"), col("_ri").as("__ri"))),
-        tierUsed)
-      case None =>
+        tierUsed, tierReason)
+      case (None, tierReason) =>
       // one-phase candidate feed — for cosine queries (a residual Filter or
       // a candidate cap forced this path) the probe ranks cells by centroid
       // cosine instead of L2, so the angular top-k's candidates are the
@@ -338,10 +343,10 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // unset — the exact default — or a sidecar was unusable and the
       // quantized filtered shape fell back to the full candidate feed)
       (if (threshold >= 0 && estBytes * 2 <= threshold) broadcast(candDf) else candDf,
-        "float")
+        "float", tierReason)
     }
-    val (candDf, tier) = candSide
-    graftSemiJoin(leaf, candDf).map(p => (p, tier))
+    val (candDf, tier, tierReason) = candSide
+    graftSemiJoin(leaf, candDf).map(p => (p, tier, tierReason))
   }
 
   /** [[tierFeed]] gated for the FILTERED (one-phase) shape: engages only
@@ -357,8 +362,10 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       k: Int,
       nprobe: Int,
       store: IndexStore,
-      cosine: Boolean): Option[(org.apache.spark.sql.DataFrame, String)] =
-    if (conf(FilteredTierKey, "false") != "true") None
+      cosine: Boolean): (Option[(org.apache.spark.sql.DataFrame, String)], String) =
+    if (conf(FilteredTierKey, "false") != "true")
+      (None, s"requested=${conf(TierKey, "float").trim.toLowerCase} resolved=float " +
+        s"(filtered shape without the $FilteredTierKey opt-in runs the exact float feed)")
     else tierFeed(files, column, query, k, nprobe, store, cosine)
 
   /** The quantized phase-1 winner feed for `spark.graft.ivf.tier` ∈
@@ -388,24 +395,44 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       k: Int,
       nprobe: Int,
       store: IndexStore,
-      cosine: Boolean): Option[(org.apache.spark.sql.DataFrame, String)] = {
+      cosine: Boolean): (Option[(org.apache.spark.sql.DataFrame, String)], String) = {
     val requested = conf(TierKey, "float").trim.toLowerCase
     require(
       Set("float", "sq8", "pq", "pqr", "auto").contains(requested),
       s"$TierKey must be one of float|sq8|pq|pqr|auto, got '$requested'")
-    if (conf(MaxCandidatesKey, "").toIntOption.nonEmpty) return None
+    // every exit records WHY the tier resolved the way it did (the second
+    // tuple slot → TierReasonTag): a cold profile silently running float
+    // because no sidecar covers the scan is a misconfiguration the user
+    // must be able to SEE, not infer from timings (review r11 item #6)
+    def silent(reason: String): (None.type, String) = {
+      val msg = s"requested=$requested resolved=float ($reason)"
+      if (requested != "float") logInfo(s"graft tier resolution: $msg")
+      (None, msg)
+    }
+    if (requested == "float") return silent("exact float feed is the default")
+    if (conf(MaxCandidatesKey, "").toIntOption.nonEmpty)
+      return silent("maxCandidates fairness cap is a float-feed construct")
     // availability probes open sidecar headers per FILE — memoized per
     // planning invocation so the auto resolution chain and the dispatch
     // arms below share one probe per tier instead of re-opening every
     // sidecar twice (review r11: up to ~3x redundant header IO per plan
     // on multi-file tables)
+    // outer layer: the table-level dir-identity memo collapses repeat
+    // plans over an unchanged table to O(1) stats regardless of file count
+    // (IndexStore.memoizedTableProbe; the per-file probes beneath are
+    // themselves memoized for the recompute path)
     val availMemo = scala.collection.mutable.HashMap.empty[String, Boolean]
     def allPqUsable(residual: Boolean): Boolean =
-      availMemo.getOrElseUpdate(s"pq-$residual", files.forall(f =>
-        graft.ivf.PqSidecar.usable(store, f, column, residual)))
+      availMemo.getOrElseUpdate(s"pq-$residual",
+        IndexStore.memoizedTableProbe(
+          s"table-pq-usable-$residual", column, files, store.dir)(
+          files.forall(f =>
+            graft.ivf.PqSidecar.usable(store, f, column, residual))))
     def allSq8Codes(): Boolean =
       availMemo.getOrElseUpdate("sq8",
-        files.forall(graft.ivf.Sq8Sidecar.usable(store, _, column)))
+        IndexStore.memoizedTableProbe(
+          "table-sq8-usable", column, files, store.dir)(
+          files.forall(graft.ivf.Sq8Sidecar.usable(store, _, column))))
     val tier =
       if (requested != "auto") requested
       else {
@@ -424,28 +451,33 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
         require(
           Set("warm", "cold").contains(profile),
           s"$StorageProfileKey must be warm|cold, got '$profile'")
-        if (profile != "cold") "float"
+        if (profile != "cold")
+          return silent(s"profile=$profile — warm storage prefers float selective reads")
         else if (allPqUsable(residual = true)) "pqr"
         else if (allPqUsable(residual = false)) "pq"
         else if (allSq8Codes()) "sq8"
-        else "float"
+        else return silent(
+          s"profile=cold but no usable quantized sidecar covers all ${files.size} " +
+            "scan files — build PqSidecar/Sq8Sidecar (or check binding staleness)")
       }
-    if (tier == "float") return None
     val oversample = conf(OversampleKey, if (tier == "sq8") "4" else "8").toInt
     val opts = graft.ivf.VectorTopK.Options(nprobe)
+    val resolved = s"requested=$requested resolved=$tier"
     tier match {
       case "sq8" if allSq8Codes() =>
-        Some((graft.ivf.VectorTopK.quantizedWinnersByFiles(
+        (Some((graft.ivf.VectorTopK.quantizedWinnersByFiles(
           spark, files, column, query.toIndexedSeq, k, opts, oversample, store,
-          cosine), tier))
+          cosine), tier)), resolved)
       case "pq" | "pqr" =>
         val residual = tier == "pqr"
         if (allPqUsable(residual))
-          Some((graft.ivf.VectorTopK.pqWinnersByFiles(
+          (Some((graft.ivf.VectorTopK.pqWinnersByFiles(
             spark, files, column, query.toIndexedSeq, k, opts, oversample, store,
-            residual, cosine), tier))
-        else None
-      case _ => None
+            residual, cosine), tier)), resolved)
+        else silent(
+          s"requested $tier sidecar absent/stale on some of ${files.size} scan files")
+      case _ => silent(
+        s"requested $tier sidecar absent/stale on some of ${files.size} scan files")
     }
   }
 
@@ -512,12 +544,15 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val files = leaf.inputFiles.map(IndexStore.canonicalPath).sorted
     if (files.isEmpty) return None
     val store = new IndexStore(conf(IndexDirKey, IndexStore.default.dir))
-    files.foreach { file =>
-      graft.ivf.IndexManager.cachedPeek(store, file, column) match {
-        case Some((dim, _)) if dim == query.length => ()
-        case _ => return None
-      }
-    }
+    // table-level dir-identity memo over the per-file dim peeks: a repeat
+    // plan against an unchanged table answers in O(1) stats (see
+    // IndexStore.memoizedTableProbe); per-file peeks run on invalidation
+    if (!IndexStore.memoizedTableProbe(
+        s"table-peek-dim-${query.length}", column, files, store.dir)(
+        files.forall(file =>
+          graft.ivf.IndexManager.cachedPeek(store, file, column)
+            .exists(_._1 == query.length))))
+      return None
     val candDf = graft.ivf.VectorTopK
       .rangeCandidatesByFiles(spark, files, column, query.toIndexedSeq, radius, store)
       .toDF("__file", "__ri")
@@ -682,6 +717,15 @@ object VectorTopKRule {
     * users can confirm a requested tier really engaged (vs fell back).
     */
   val TierTag = TreeNodeTag[String]("graft.ivf.tierUsed")
+
+  /** WHY the tier resolved as it did — requested tier, profile, and the
+    * availability outcome (e.g. `requested=auto profile=cold resolved=float
+    * (no usable quantized sidecar covers all 16 scan files …)`). Set on the
+    * same rewritten Sort as [[TierTag]]; silent-float resolutions are also
+    * logInfo'd, so a misconfigured cold profile is visible in the driver
+    * log instead of only as float-feed timings (round-11 verdict item #6).
+    */
+  val TierReasonTag = TreeNodeTag[String]("graft.ivf.tierReason")
 
   /** Prevents re-matching a rewritten range Filter. */
   private[plans] val RangeRewrittenTag = TreeNodeTag[Unit]("graft.ivf.rangeRewritten")

@@ -1,0 +1,124 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lexical/BM25 family scale probe (round-12 verdict item #2 — the one
+  * operator family without a BENCHNOTES at-scale table). Corpus: the
+  * seeded [[TextScaleBench]] docs at SPARK_GRAFT_TEXTSCALE_ROWS (default
+  * 5M here — set the env to probe other points). Claims to pin:
+  *
+  *  1. `writePostings` is a one-pass corpus build (tokenize + three
+  *     bucketed writes), and `bm25BulkTopK` OFF THE SNAPSHOT never
+  *     re-scans the corpus — asserted on the executed plan (no corpus
+  *     path in any scan) AND visible as bulk-off-snapshot ≪ one-shot;
+  *  2. snapshot score time ∝ postings touched, not corpus size: a
+  *     rare-term query set (low Σdf) must score materially faster than a
+  *     common-term set (high Σdf) against the SAME snapshot;
+  *  3. the snapshot path is exact: bulk-off-snapshot top-k for a probe
+  *     query equals the one-shot `bm25TopK` on the raw corpus;
+  *  4. `appendPostings` is batch-proportional (a 1% batch appends in a
+  *     small fraction of the build time).
+  *
+  * Run manually, record in BENCHNOTES:
+  * `sbt "runMain graft.tools.LexicalScaleProbe"`.
+  */
+object LexicalScaleProbe {
+  private def time(f: => Unit): Double = graft.BenchTiming.time(f)
+  private def timeMin(f: => Unit): Double = graft.BenchTiming.timeMin("lexscale")(f)
+  private def materialize(df: DataFrame): Unit = graft.BenchTiming.materialize(df)
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // managed snapshot tables land in the warehouse dir; isolate the probe
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-lexscale-wh").toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val corpus = TextScaleBench.ensureCorpus(spark)
+    def docs = spark.read.parquet(corpus)
+    val rows = docs.count()
+    val out = Seq.newBuilder[String]
+    out += s"corpus: $rows docs at $corpus"
+
+    // ── build ──────────────────────────────────────────────────────────
+    val prefix = "lexscale_bm25"
+    val buildS = time {
+      graft.ops.Lexical.writePostings(docs, "doc_id", "text", prefix, buckets = 32): Unit
+    }
+    val snap = graft.ops.Lexical.PostingsSnapshot(prefix, "doc_id", 32)
+    val vocabDf = spark.table(s"${prefix}_df")
+    val (nTerms, nPostings) = {
+      val r = vocabDf.agg(count(lit(1)), sum(col("_df"))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    out += f"writePostings(buckets=32): $buildS%.1f s — $nTerms terms, $nPostings postings"
+
+    // rare vs common term sets, picked from the real df distribution so the
+    // Σdf ratio is known (claim 2's independent variable)
+    def termsAt(lo: Long, hi: Long, n: Int): Seq[(String, Long)] = vocabDf
+      .where(col("_df").between(lo, hi))
+      .orderBy(col("_term"))
+      .limit(n)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val common = termsAt(rows / 100, Long.MaxValue, 20) // df ≥ 1% of corpus
+    val rare = termsAt(1, 50, 20)
+    require(common.size == 20 && rare.size == 20, s"${common.size}/${rare.size} terms")
+    val sumDfCommon = common.map(_._2).sum
+    val sumDfRare = rare.map(_._2).sum
+    import spark.implicits._
+    def queriesOf(ts: Seq[(String, Long)]): DataFrame = ts.zipWithIndex
+      .grouped(4).zipWithIndex
+      .map { case (g, qid) => (qid.toLong, g.map(_._1._1).mkString(" ")) }
+      .toSeq.toDF("qid", "qtext")
+    val commonQ = queriesOf(common)
+    val rareQ = queriesOf(rare)
+
+    // ── one-shot vs snapshot ───────────────────────────────────────────
+    def oneShot() = graft.ops.Lexical.bm25BulkTopK(
+      docs, "doc_id", "text", commonQ, "qid", "qtext", k = 100)
+    def bulkCommon() = graft.ops.Lexical.bm25BulkTopK(
+      spark, snap, commonQ, "qid", "qtext", k = 100)
+    def bulkRare() = graft.ops.Lexical.bm25BulkTopK(
+      spark, snap, rareQ, "qid", "qtext", k = 100)
+    materialize(oneShot()); materialize(bulkCommon()); materialize(bulkRare()) // warm
+    val oneShotS = timeMin(materialize(oneShot()))
+    val bulkCommonS = timeMin(materialize(bulkCommon()))
+    val bulkRareS = timeMin(materialize(bulkRare()))
+    out += f"one-shot bulk (5 common queries, re-tokenizes corpus): $oneShotS%.2f s"
+    out += f"snapshot bulk common (Σdf=$sumDfCommon): $bulkCommonS%.2f s"
+    out += f"snapshot bulk rare   (Σdf=$sumDfRare): $bulkRareS%.2f s"
+
+    // claim 1: the snapshot plan reads NO corpus file (bq2's plan spec, at scale)
+    val scanned = bulkCommon().queryExecution.executedPlan.toString
+    require(!scanned.contains(corpus),
+      s"snapshot path re-scanned the corpus:\n$scanned")
+    out += "snapshot plan scans: postings/df/dl/stats tables only (corpus path absent) OK"
+
+    // claim 3: snapshot == one-shot, row for row
+    val a = oneShot().collect().map(_.toString).sorted.toSeq
+    val b = bulkCommon().collect().map(_.toString).sorted.toSeq
+    require(a == b, "snapshot result differs from one-shot")
+    out += s"exactness: snapshot == one-shot on ${a.size} result rows OK"
+
+    // ── incremental append (1% batch) ──────────────────────────────────
+    val batch = docs.where(col("doc_id") % 100 === 7)
+      .select((col("doc_id") + rows * 10).as("doc_id"), col("text"))
+    val appendS = time {
+      graft.ops.Lexical.appendPostings(batch, snap, "text")
+    }
+    out += f"appendPostings(1%% batch, ${rows / 100} docs): $appendS%.1f s (build was $buildS%.1f)"
+    val bulkAfterS = timeMin(materialize(bulkRare()))
+    out += f"snapshot bulk rare after append (folds df deltas): $bulkAfterS%.2f s"
+
+    println("== LexicalScaleProbe ==")
+    out.result().foreach(println)
+    spark.stop()
+  }
+}

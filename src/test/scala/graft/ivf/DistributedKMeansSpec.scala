@@ -101,6 +101,31 @@ class DistributedKMeansSpec extends SparkSpec {
     assert(!java.util.Arrays.equals(java.util.Arrays.copyOfRange(out, 0, dim), seed.take(dim)))
   }
 
+  test("SSE-delta stop: round count is data-chosen under a cap; relTol=0 never stops early") {
+    val dir = writeCorpus(2000, 53)
+    val vecs = vecsOf(dir)
+    val seed = (0 until 5).flatMap(c => Array.fill(dim)(c * 3.0f + 0.4f)).toArray
+    // a near-converged seed (cluster centers of the generator) under a huge
+    // tolerance: the stop must cut the loop well before the cap...
+    val (withStop, curve) = IvfBuilder.lloydDistributedWithCurve(
+      spark, vecs, seed, dim, 5, iters = 10, relTol = 0.5)
+    assert(curve.length < 10, s"stop never engaged: ${curve.length} rounds")
+    assert(curve.length >= 2, "the stop needs two rounds to see a delta")
+    // ...while relTol=0 runs every configured round (explicit-config path)
+    val (noStop, fullCurve) = IvfBuilder.lloydDistributedWithCurve(
+      spark, vecs, seed, dim, 5, iters = 4, relTol = 0.0)
+    assert(fullCurve.length == 4, s"explicit rounds must all run: $fullCurve")
+    // the curve is the per-round assignment SSE: monotone non-increasing
+    assert(fullCurve.zip(fullCurve.tail).forall { case (a, b) => b <= a * (1 + 1e-9) },
+      s"SSE curve must not increase: $fullCurve")
+    // the stopped result equals running exactly that many rounds (the stop
+    // decides only whether to buy another scan, never alters a round)
+    val (same, _) = IvfBuilder.lloydDistributedWithCurve(
+      spark, vecs, seed, dim, 5, iters = curve.length, relTol = 0.0)
+    assert(withStop.toSeq == same.toSeq)
+    assert(noStop.length == seed.length)
+  }
+
   test("deterministic for a fixed file layout") {
     val dir = writeCorpus(800, 47)
     val vecs = vecsOf(dir)

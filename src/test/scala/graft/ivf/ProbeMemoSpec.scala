@@ -97,6 +97,92 @@ class ProbeMemoSpec extends SparkSpec {
     assert(PqSidecar.usable(store, f, "vec", residual = false))
   }
 
+  test("table-level memo: repeat probes are O(1), any rename into a watched dir invalidates") {
+    val (dir, store, files) = fixture()
+    var computes = 0
+    def probe(): Boolean = IndexStore.memoizedTableProbe(
+      "spec-table-probe", "vec", files, store.dir) { computes += 1; true }
+    assert(probe() && computes == 1)
+    assert(probe() && computes == 1, "unchanged dirs must serve the cached answer")
+    // a sidecar build lands by temp+rename into the store dir → dir mtime
+    // moves → the table entry invalidates and the compute runs again
+    Sq8Sidecar.ensure(spark, dir, "vec", store)
+    assert(probe() && computes == 2, "a store-dir rename must invalidate")
+    assert(probe() && computes == 2)
+    // a data-file landing by rename into the TABLE dir invalidates too
+    val extra = java.nio.file.Paths.get(dir, "zz-extra.tmp")
+    java.nio.file.Files.write(extra, Array[Byte](1))
+    java.nio.file.Files.move(extra, java.nio.file.Paths.get(dir, "zz-extra.bin"))
+    assert(probe() && computes == 3, "a table-dir rename must invalidate")
+    // a THROWING compute is never cached: every retry re-runs it
+    var boom = 0
+    def bad(): Unit = IndexStore.memoizedTableProbe(
+      "spec-table-throw", "vec", files, store.dir) {
+      boom += 1; throw new IllegalStateException("nope")
+    }
+    intercept[IllegalStateException](bad())
+    intercept[IllegalStateException](bad())
+    assert(boom == 2, "error paths must re-validate, not cache the failure")
+  }
+
+  test("an in-place footer embed invalidates the table-level memo (no rename involved)") {
+    val dir = Files.createTempDirectory("graft-probememo-footer").toString
+    writeTable(dir, 150, seed = 33)
+    // an EMPTY store: availability comes from the footer path only
+    val store = new IndexStore(Files.createTempDirectory("graft-probememo-fstore").toString)
+    val files = IndexManager.listFiles(spark, dir)
+    // memoize the negative table-level answer (nothing indexed yet)
+    def allIndexed(): Boolean = IndexStore.memoizedTableProbe(
+      "spec-footer-dim", "vec", files, store.dir)(
+      files.forall(f => IndexManager.cachedPeek(store, f, "vec").exists(_._1 == 8)))
+    assert(!allIndexed())
+    val (neg, negHit, negMiss) = statsDelta(allIndexed())
+    assert(!neg && negHit == 1 && negMiss == 0, "negative answer must memoize")
+    // embedInPlace mutates the data file via RandomAccessFile — no rename
+    // touches the directory, so ParquetFooterIndex must bump the dir mtime
+    // itself or this memo would pin "unindexed" across the engine's own
+    // footer build
+    val sideStore = new IndexStore(Files.createTempDirectory("graft-probememo-side").toString)
+    IvfBuilder.build(
+      spark, dir, IvfBuilder.Config("vec", nClusters = Some(4)), sideStore)
+    files.foreach { f =>
+      val idx = IndexManager.loadIndex(sideStore, f, "vec")
+      ParquetFooterIndex.embedInPlace(f.stripPrefix("file:"), "vec", idx)
+    }
+    assert(allIndexed(), "footer embed must invalidate the stale negative")
+  }
+
+  test("a second planned tier=auto query answers availability in O(1) probe work") {
+    import graft.plans.VectorTopKRule
+    val (dir, store, _) = fixture()
+    Sq8Sidecar.ensure(spark, dir, "vec", store)
+    PqSidecar.ensure(spark, dir, "vec", m = 4, store)
+    PqSidecar.ensure(spark, dir, "vec", m = 4, store, residual = true)
+    graft.Graft.install(spark)
+    spark.conf.set(VectorTopKRule.IndexDirKey, store.dir)
+    spark.conf.set(VectorTopKRule.TierKey, "auto")
+    spark.conf.set(VectorTopKRule.StorageProfileKey, "cold")
+    try {
+      spark.read.parquet(dir).createOrReplaceTempView("probememo_auto")
+      def plan(): Unit = spark.sql(
+        s"""SELECT id FROM probememo_auto
+           |ORDER BY array_distance(vec, array(${Seq.fill(8)("0.5F").mkString(",")})) ASC
+           |LIMIT 3""".stripMargin).queryExecution.optimizedPlan: Unit
+      plan() // first plan warms every level of the memo
+      val (h0, m0) = IndexStore.probeCacheStats
+      plan()
+      val (h1, m1) = IndexStore.probeCacheStats
+      assert(m1 - m0 == 0, s"repeat plan must not recompute any probe (${m1 - m0} misses)")
+      // table-level entries only: dim gate + pqr availability + feed
+      // validation — NOT one hit per file per kind
+      assert(h1 - h0 <= 8, s"repeat plan should hit table-level entries, got ${h1 - h0}")
+    } finally {
+      spark.conf.unset(VectorTopKRule.TierKey)
+      spark.conf.unset(VectorTopKRule.StorageProfileKey)
+      spark.conf.unset(VectorTopKRule.IndexDirKey)
+    }
+  }
+
   test("cachedPeek sees a replaced data file as no-index (binding refusal survives the memo)") {
     val (dir, store, files) = fixture()
     val victim = files.head

@@ -132,6 +132,43 @@ class QuantizedTierSpec extends SparkSpec {
     }
   }
 
+  private def reasonOf(df: DataFrame): Option[String] =
+    df.queryExecution.optimizedPlan
+      .collect { case s: Sort => s.getTagValue(VectorTopKRule.TierReasonTag) }
+      .flatten.headOption
+
+  test("the resolved tier and WHY are surfaced on the plan (TierReasonTag)") {
+    register()
+    withTier("auto") {
+      // warm profile: float, reason names the profile
+      val warm = reasonOf(sqlTopk("tier_vecs")).getOrElse(fail("no reason tag"))
+      assert(warm.contains("requested=auto") && warm.contains("resolved=float")
+        && warm.contains("profile=warm"), warm)
+      spark.conf.set(VectorTopKRule.StorageProfileKey, "cold")
+      try {
+        // cold + usable residual sidecars: resolves pqr, reason says so
+        val cold = reasonOf(sqlTopk("tier_vecs")).getOrElse(fail("no reason tag"))
+        assert(cold.contains("requested=auto") && cold.contains("resolved=pqr"), cold)
+        // the misconfiguration the tag exists for: cold profile, nothing
+        // usable — silently-float must be VISIBLE with an actionable hint
+        val bare = reasonOf(sqlTopk("tier_bare")).getOrElse(fail("no reason tag"))
+        assert(bare.contains("resolved=float")
+          && bare.contains("no usable quantized sidecar"), bare)
+      } finally spark.conf.unset(VectorTopKRule.StorageProfileKey)
+    }
+    // an explicitly requested tier with no sidecar: reason names the gap
+    withTier("sq8") {
+      val r = reasonOf(sqlTopk("tier_bare")).getOrElse(fail("no reason tag"))
+      assert(r.contains("requested=sq8") && r.contains("resolved=float")
+        && r.contains("absent/stale"), r)
+    }
+    // engaged tier: reason records the clean resolution
+    withTier("pq") {
+      val r = reasonOf(sqlTopk("tier_vecs")).getOrElse(fail("no reason tag"))
+      assert(r == "requested=pq resolved=pq", r)
+    }
+  }
+
   test("missing code sidecars fall back to the float feed, still accelerated and exact") {
     register()
     withTier("pq") {
