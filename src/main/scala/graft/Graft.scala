@@ -87,6 +87,21 @@ object Graft {
       }))
   }
 
+  /** Which quantization tier a planned vector top-k resolved to and WHY —
+    * the user-facing read of [[plans.VectorTopKRule.TierReasonTag]]
+    * (e.g. `requested=auto resolved=pqr`, or `requested=auto
+    * resolved=float (profile=cold but no usable quantized sidecar covers
+    * all 16 scan files …)`). None when the rule did not rewrite the query
+    * (not a vector top-k shape, or acceleration declined). Forces
+    * optimization of the plan (cheap, cached by Spark) but runs no jobs.
+    */
+  def tierResolution(df: org.apache.spark.sql.DataFrame): Option[String] =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort
+          if s.getTagValue(plans.VectorTopKRule.TierReasonTag).isDefined =>
+        s.getTagValue(plans.VectorTopKRule.TierReasonTag).get
+    }
+
   /** Planner strategy for the custom candidate-scan node (idempotent). */
   def installStrategy(spark: SparkSession): Unit = {
     val existing = spark.experimental.extraStrategies

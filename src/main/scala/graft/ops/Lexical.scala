@@ -251,6 +251,30 @@ object Lexical {
     (post, dft, dl, stats)
   }
 
+  /** Max (qid, term) pairs [[scoreBulk]] localizes for the term-pushdown
+    * fast path. Under the cap the batch's terms become a SCAN PREDICATE on
+    * the postings/df sides — on the `_term`-bucketed+sorted snapshot layout
+    * that is bucket pruning plus row-group min/max pruning, which is what
+    * makes score time ∝ postings TOUCHED instead of ∝ corpus postings (the
+    * 5M-doc probe measured a rare-term batch at the same ~18 s as a 41×
+    * bigger common-term batch before this — the full 248M-row postings
+    * scan dominated both). Over the cap (a corpus-sized doc-as-query
+    * batch, where a full scan is the right plan anyway) the path is the
+    * unchanged full-scan join. 64k pairs ≈ a few MB localized — broadcast
+    * territory.
+    */
+  private val PushdownMaxPairs = 65536
+
+  /** Term sets at most this large push down as an or-of-equalities
+    * predicate — parquet translates it eq-by-eq, so row-group min/max
+    * stats prune PRECISELY on the sorted-by-`_term` layout. Larger sets
+    * (up to the pair cap) use `isin`: Spark still bucket-prunes any In,
+    * but parquet collapses big In lists to one min/max range, which on a
+    * vocabulary-spanning term set prunes nothing — precision there would
+    * cost a per-row-group OR-tree walk of thousands of branches.
+    */
+  private val OrEqMaxTerms = 64
+
   private def scoreBulk(
       post: DataFrame,
       dft: DataFrame,
@@ -266,10 +290,30 @@ object Lexical {
     // DISTINCT across rows, not just within one (the oracle's
     // `SELECT DISTINCT qid, unnest(...)`): a qid appearing on several
     // query rows must not double-count shared terms (review r11)
-    val qt = queries.select(
+    val qtPlan = queries.select(
       col(qidCol),
       explode(array_distinct(lexTokens(col(qtextCol)))).as("_term"))
       .distinct()
+    // term-pushdown fast path: localize the (qid, term) batch (bounded
+    // collect) and filter the postings/df scans by the batch's term set.
+    // The SAME collected rows serve as the join side, so the filter and
+    // the join are consistent by construction even for a non-deterministic
+    // `queries` input. Exact in all cases: the joins on `_term` are inner
+    // against qt, so rows outside qt's term set never contribute.
+    val head = qtPlan.limit(PushdownMaxPairs + 1).collect()
+    val (qt, postSide, dftSide) =
+      if (head.length > PushdownMaxPairs) (qtPlan, post, dft)
+      else {
+        val local = queries.sparkSession.createDataFrame(
+          java.util.Arrays.asList(head: _*), qtPlan.schema)
+        val terms = head.iterator.map(_.getString(1)).toArray.distinct
+        val pred =
+          if (terms.isEmpty) lit(false)
+          else if (terms.length <= OrEqMaxTerms)
+            terms.map(t => col("_term") === lit(t)).reduce(_ or _)
+          else col("_term").isin(terms.toIndexedSeq: _*)
+        (local, post.where(pred), dft.where(pred))
+      }
     // mirrored token-for-token in Queries.bq1Oracle — parenthesization is
     // the contract, as in bm25
     val idf = (col("_n") - col("_df") + lit(0.5)) / (col("_df") + lit(0.5))
@@ -278,8 +322,8 @@ object Lexical {
       lit(k1) * (lit(1 - b) + lit(b) * (col("_dl") / (col("_sumdl") / col("_n").cast("double"))))
     val contrib = round(idf * (num / den) * lit(1e9)).cast("bigint")
     val scored = qt
-      .join(post, "_term")
-      .join(dft, "_term")
+      .join(postSide, "_term")
+      .join(dftSide, "_term")
       .join(dl, idCol)
       .crossJoin(broadcast(stats))
       .groupBy(col(qidCol), col(idCol))

@@ -60,15 +60,15 @@ object LexicalScaleProbe {
     }
     out += f"writePostings(buckets=32): $buildS%.1f s — $nTerms terms, $nPostings postings"
 
-    // rare vs common term sets, picked from the real df distribution so the
-    // Σdf ratio is known (claim 2's independent variable)
-    def termsAt(lo: Long, hi: Long, n: Int): Seq[(String, Long)] = vocabDf
-      .where(col("_df").between(lo, hi))
-      .orderBy(col("_term"))
+    // rare vs common term sets, picked from the ENDS of the real df
+    // distribution (not absolute df bands — the Zipf floor rises with the
+    // corpus) so the Σdf ratio is known (claim 2's independent variable)
+    def termsEnd(asc: Boolean, n: Int): Seq[(String, Long)] = vocabDf
+      .orderBy(if (asc) col("_df").asc else col("_df").desc, col("_term"))
       .limit(n)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val common = termsAt(rows / 100, Long.MaxValue, 20) // df ≥ 1% of corpus
-    val rare = termsAt(1, 50, 20)
+    val common = termsEnd(asc = false, 20)
+    val rare = termsEnd(asc = true, 20)
     require(common.size == 20 && rare.size == 20, s"${common.size}/${rare.size} terms")
     val sumDfCommon = common.map(_._2).sum
     val sumDfRare = rare.map(_._2).sum

@@ -162,11 +162,17 @@ class QuantizedTierSpec extends SparkSpec {
       assert(r.contains("requested=sq8") && r.contains("resolved=float")
         && r.contains("absent/stale"), r)
     }
-    // engaged tier: reason records the clean resolution
+    // engaged tier: reason records the clean resolution, and the public
+    // Graft.tierResolution read returns the same string
     withTier("pq") {
-      val r = reasonOf(sqlTopk("tier_vecs")).getOrElse(fail("no reason tag"))
+      val df = sqlTopk("tier_vecs")
+      val r = reasonOf(df).getOrElse(fail("no reason tag"))
       assert(r == "requested=pq resolved=pq", r)
+      assert(graft.Graft.tierResolution(df).contains(r))
     }
+    // a non-vector query has no resolution to report
+    assert(graft.Graft.tierResolution(
+      spark.sql("SELECT id FROM tier_vecs ORDER BY id LIMIT 3")).isEmpty)
   }
 
   test("missing code sidecars fall back to the float feed, still accelerated and exact") {
