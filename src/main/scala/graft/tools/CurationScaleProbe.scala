@@ -75,30 +75,35 @@ object CurationScaleProbe {
 
     val out = Seq.newBuilder[String]
     out += s"corpus: $rows docs at $corpus (eval slice ${rows / 50} docs)"
+    // one full warm-up pass first: prefix deltas must measure the STAGES,
+    // not first-touch parquet footers / codegen compilation (the cold run
+    // of prefix 1 otherwise absorbs the whole pipeline's warm-up and the
+    // later deltas can go negative)
+    val full = stages.foldLeft(docs) { case (d, (_, f)) => f(d) }
+    full.count(): Unit
     var prev = 0.0
     var lastCount = 0L
     stages.indices.foreach { i =>
       val prefix = stages.take(i + 1).foldLeft(docs) { case (d, (_, f)) => f(d) }
-      // count() materializes every stage of the prefix from the parquet
-      // source — the cold composed cost, no caching between prefixes
-      val t = graft.BenchTiming.time { lastCount = prefix.count() }
+      // min-of-2; every rep materializes the whole prefix from the parquet
+      // source (no caching between prefixes), so the delta over the
+      // previous prefix is the stage's marginal in-composition cost
+      val t = Seq.fill(2)(graft.BenchTiming.time { lastCount = prefix.count() }).min
       out += f"after ${stages(i)._1}%-26s rows=$lastCount%8d cumulative=$t%7.2f s  stage=+${t - prev}%6.2f s"
       prev = t
     }
-    out += f"end-to-end (all six stages, cold): $prev%.2f s"
+    out += f"end-to-end (all six stages, warm JVM): $prev%.2f s"
 
-    // composition sanity: the full plan's exchange count — stage fusion
-    // means filters (split/quality) ride the scans and only the
-    // aggregation-shaped stages (dedup, decontam join, mix, exact-k rank)
-    // introduce shuffles
-    val full = stages.foldLeft(docs) { case (d, (_, f)) => f(d) }
-    val exchanges = full.queryExecution.executedPlan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-    }.size
-    val broadcasts = full.queryExecution.executedPlan.collect {
-      case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => e
-    }.size
-    out += s"composed physical plan: $exchanges shuffle exchanges, $broadcasts broadcast exchanges"
+    // composition sanity: the executed plan's exchange count (string form —
+    // AQE's final plan after execution; the logical collect() misses it).
+    // Stage fusion means the filter stages (split/quality) ride the scans
+    // and only the aggregation-shaped stages (dedup, decontam join, mix,
+    // exact-k rank) introduce shuffles.
+    val planStr = full.queryExecution.executedPlan.toString
+    val exchanges = "Exchange (hash|range|Single)".r.findAllIn(planStr).size
+    val broadcasts = "BroadcastExchange".r.findAllIn(planStr).size
+    val reused = "ReusedExchange".r.findAllIn(planStr).size
+    out += s"composed physical plan: $exchanges shuffle exchanges ($reused reused), $broadcasts broadcast exchanges"
 
     println("== CurationScaleProbe ==")
     out.result().foreach(println)

@@ -149,6 +149,28 @@ class LexicalSpec extends SparkSpec {
     assert(persisted == direct)
   }
 
+  test("bulk term pushdown reaches the postings scan in both predicate forms, exactly") {
+    val snap = Lexical.writePostings(docs, "id", "text", "graft_spec_push", buckets = 4)
+    // ≤64 distinct terms: or-of-equalities (parquet prunes row groups
+    // eq-by-eq on the _term-sorted layout)
+    val small = Seq((0L, "cat fish")).toDF("qid", "qtext")
+    val smallPlan = Lexical.bm25BulkTopK(spark, snap, small, "qid", "qtext", k = 10)
+      .queryExecution.executedPlan.toString
+    assert(smallPlan.contains("PushedFilters: [Or(EqualTo(_term,cat),EqualTo(_term,fish))]")
+      || smallPlan.contains("PushedFilters: [Or(EqualTo(_term,fish),EqualTo(_term,cat))]"),
+      s"or-of-equalities not pushed:\n$smallPlan")
+    // >64 distinct terms (under the pair cap): the isin form — still a
+    // scan-level In filter, and still exact vs the per-call path
+    val wide = Seq((0L, (0 until 70).map(i => s"t$i").mkString(" ") + " cat dog"))
+      .toDF("qid", "qtext")
+    val fromSnap = Lexical.bm25BulkTopK(spark, snap, wide, "qid", "qtext", k = 10)
+    assert(fromSnap.queryExecution.executedPlan.toString.contains("In(_term, ["),
+      "wide term set must push as an In filter")
+    val direct = Lexical.bm25BulkTopK(docs, "id", "text", wide, "qid", "qtext", k = 10)
+    assert(fromSnap.as[(Long, Long, Long)].collect().toSet ==
+      direct.as[(Long, Long, Long)].collect().toSet)
+  }
+
   test("incremental appendPostings reproduces the one-shot snapshot scores") {
     val queries = Seq((0L, "cat fish"), (1L, "dog")).toDF("qid", "qtext")
     val direct = Lexical.bm25BulkTopK(docs, "id", "text", queries, "qid", "qtext", k = 10)
