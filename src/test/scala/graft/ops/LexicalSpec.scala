@@ -156,9 +156,13 @@ class LexicalSpec extends SparkSpec {
     val small = Seq((0L, "cat fish")).toDF("qid", "qtext")
     val smallPlan = Lexical.bm25BulkTopK(spark, snap, small, "qid", "qtext", k = 10)
       .queryExecution.executedPlan.toString
-    assert(smallPlan.contains("PushedFilters: [Or(EqualTo(_term,cat),EqualTo(_term,fish))]")
-      || smallPlan.contains("PushedFilters: [Or(EqualTo(_term,fish),EqualTo(_term,cat))]"),
+    assert(smallPlan.contains("Or(EqualTo(_term,cat),EqualTo(_term,fish))")
+      || smallPlan.contains("Or(EqualTo(_term,fish),EqualTo(_term,cat))"),
       s"or-of-equalities not pushed:\n$smallPlan")
+    // and the In/Or on the bucket column prunes buckets at planning time:
+    // both terms hash to one of the 4 buckets on this fixture
+    assert(smallPlan.contains("SelectedBucketsCount: 1 out of 4"),
+      s"bucket pruning did not engage:\n$smallPlan")
     // >64 distinct terms (under the pair cap): the isin form — still a
     // scan-level In filter, and still exact vs the per-call path
     val wide = Seq((0L, (0 until 70).map(i => s"t$i").mkString(" ") + " cat dog"))
