@@ -3423,6 +3423,75 @@ object Queries {
       |FROM (SELECT doc_id, octet_length(encode(text)) AS len FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** REAL image decode, oracle-gated end to end: per doc a PNG is
+    * synthesized whose pixels are a closed-form function of (doc_id, x, y),
+    * decoded back through the JDK ImageIO path
+    * ([[ops.Multimodal.imageFeatures]]), and the EXACT integer channel sums
+    * compare against DuckDB computing the same closed form directly — PNG
+    * is lossless, so any decoder defect (channel order, row stride, color
+    * model) breaks the hash.
+    */
+  def mq3ImageDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = t(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        (id, ops.Multimodal.MediaCodec.encodePng(8, 6, (x, y) => {
+          val r = ((id * 3 + x + y * 8) % 256).toInt
+          val g = ((id * 5 + x * 2 + y) % 256).toInt
+          val b = ((id * 7 + x + y) % 256).toInt
+          (r << 16) | (g << 8) | b
+        }))
+      }
+      .toDF("id", "media")
+    ops.Multimodal.imageFeatures(spark, media)
+      .toDF()
+      .select(
+        col("id").as("doc_id"), col("width"), col("height"), col("channels"),
+        col("sum_r"), col("sum_g"), col("sum_b"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mq3Oracle: String =
+    """SELECT d.doc_id, 8 AS width, 6 AS height, 3 AS channels,
+      |  CAST(sum((d.doc_id*3 + g.x + g2.y*8) % 256) AS BIGINT) AS sum_r,
+      |  CAST(sum((d.doc_id*5 + g.x*2 + g2.y) % 256) AS BIGINT) AS sum_g,
+      |  CAST(sum((d.doc_id*7 + g.x + g2.y) % 256) AS BIGINT) AS sum_b
+      |FROM documents d, generate_series(0, 7) g(x), generate_series(0, 5) g2(y)
+      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  /** REAL audio decode, oracle-gated the same way: a 64-sample 16-bit PCM
+    * WAV per doc (samples a closed form of (doc_id, i)), decoded through
+    * javax.sound ([[ops.Multimodal.audioFeatures]]); exact sample
+    * aggregates vs DuckDB computing the closed form — WAV PCM is lossless.
+    */
+  def mq4AudioDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = t(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val samples = Array.tabulate[Short](64)(i =>
+          (((id * 31 + i * 7) % 4096) - 2048).toShort)
+        (id, ops.Multimodal.MediaCodec.encodeWavPcm16(8000f, samples))
+      }
+      .toDF("id", "media")
+    ops.Multimodal.audioFeatures(spark, media)
+      .toDF()
+      .select(
+        col("id").as("doc_id"),
+        col("sample_rate").cast("int").as("sample_rate_hz"),
+        col("audio_channels"), col("frames"), col("sum_abs"), col("peak"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mq4Oracle: String =
+    """SELECT d.doc_id, 8000 AS sample_rate_hz, 1 AS audio_channels,
+      |  CAST(64 AS BIGINT) AS frames,
+      |  CAST(sum(abs(((d.doc_id*31 + g.i*7) % 4096) - 2048)) AS BIGINT) AS sum_abs,
+      |  CAST(max(abs(((d.doc_id*31 + g.i*7) % 4096) - 2048)) AS INTEGER) AS peak
+      |FROM documents d, generate_series(0, 63) g(i)
+      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "events")
 
@@ -4460,6 +4529,8 @@ object Queries {
     "sk1_salted_join" -> (sk1SaltedJoin _),
     "mq1_media_features" -> (mq1MediaFeatures _),
     "mq2_frame_sample" -> (mq2FrameSample _),
+    "mq3_image_decode" -> (mq3ImageDecode _),
+    "mq4_audio_decode" -> (mq4AudioDecode _),
     "sq1_sessionize" -> (sq1Sessionize _),
     "st1_stream_hourly" -> (st1StreamHourly _),
     "st2_stream_user_counts" -> (st2StreamUserCounts _),
@@ -4618,6 +4689,8 @@ object Queries {
     "sk1_salted_join" -> sk1Oracle,
     "mq1_media_features" -> mq1Oracle,
     "mq2_frame_sample" -> mq2Oracle,
+    "mq3_image_decode" -> mq3Oracle,
+    "mq4_audio_decode" -> mq4Oracle,
     "sq1_sessionize" -> sq1Oracle,
     "st1_stream_hourly" -> st1Oracle,
     "st2_stream_user_counts" -> st2Oracle,

@@ -9,11 +9,16 @@ import org.apache.spark.sql.functions._
   * (the Scala analog of `mapInPandas` batch UDFs — one JVM-side iterator per
   * partition, no per-row overhead, trivially executor-parallel).
   *
-  * The actual codec step is a STUB (this environment ships no image/audio
-  * libraries): [[MediaStub.decode]] derives deterministic fake features from
-  * the raw bytes. The Spark-side contract — schema, batch iteration,
-  * partitioning, output shape — is real and tested; swapping the stub for
-  * javacv/ffmpeg is a one-function change.
+  * Codec status: IMAGE decode/resize (PNG/JPEG/GIF/BMP via the JDK's
+  * `javax.imageio`, headless-safe) and AUDIO decode (WAV/AIFF/AU PCM via
+  * `javax.sound.sampled`) are REAL — see [[MediaCodec]], oracle-gated by
+  * exact-integer pixel/sample sums (mq3/mq4) and spec-pinned on synthesized
+  * fixtures. VIDEO remains a stub ([[MediaStub.sampleFrames]] byte-stride
+  * sampling): the JDK ships no container demuxer, and this environment has
+  * no ffmpeg/javacv — the generator shape (one row per sampled frame) is
+  * real and tested, the keyframe extraction is the one-function swap.
+  * [[MediaStub.decode]] also remains as the any-format fallback feature
+  * (byte histogram) for payloads no real decoder claims.
   */
 object Multimodal {
 
@@ -56,6 +61,266 @@ object Multimodal {
       */
     def sampleFrames(bytes: Array[Byte], stride: Int): Seq[Array[Byte]] =
       bytes.grouped(stride).map(_.take(8)).toSeq
+  }
+
+  /** REAL codecs over the JDK's built-in media stack — no external
+    * libraries, works headless (executor JVMs have no display).
+    * Every decode returns None on an unclaimable/corrupt payload instead of
+    * throwing: a 100 TB media crawl ALWAYS contains undecodable blobs, and
+    * one of them must not fail a 10-hour job.
+    */
+  object MediaCodec {
+    /** Decoded image summary: dimensions, channel count, exact per-channel
+      * pixel sums (integers — the oracle-comparable form; means are
+      * sum/(w·h)), and a 16-bin luminance histogram (L1-normalized).
+      */
+    final case class ImageInfo(
+        width: Int,
+        height: Int,
+        channels: Int,
+        sumR: Long,
+        sumG: Long,
+        sumB: Long,
+        grayHist: Array[Float])
+
+    /** Decode PNG/JPEG/GIF/BMP bytes via `javax.imageio`. None when no
+      * registered reader claims the bytes (text, video, garbage) or the
+      * payload is corrupt.
+      */
+    def decodeImage(bytes: Array[Byte]): Option[ImageInfo] =
+      if (bytes == null || bytes.length == 0) None
+      else try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          val hist = new Array[Float](16)
+          val row = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
+            var x = 0
+            while (x < w) {
+              val p = row(x)
+              val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
+              sr += r; sg += g; sb += b
+              // integer BT.601 luma (×1000) — deterministic binning
+              hist(((r * 299 + g * 587 + b * 114) / 1000) >> 4) += 1.0f
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h).toFloat
+          var i = 0
+          while (i < 16) { hist(i) /= n; i += 1 }
+          Some(ImageInfo(w, h, img.getColorModel.getNumComponents, sr, sg, sb, hist))
+        }
+      } catch { case _: Exception => None }
+
+    /** Real thumbnail: scale so max(w,h) == maxDim (never upscales),
+      * re-encoded as PNG. None when the payload isn't a decodable image.
+      */
+    def resizeImage(bytes: Array[Byte], maxDim: Int): Option[Array[Byte]] =
+      if (bytes == null || bytes.length == 0) None
+      else try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+          if (scale >= 1.0) Some(bytes)
+          else {
+            val nw = math.max(1, math.round(img.getWidth * scale).toInt)
+            val nh = math.max(1, math.round(img.getHeight * scale).toInt)
+            val out = new java.awt.image.BufferedImage(
+              nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, nw, nh, null): Unit
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            Some(bos.toByteArray)
+          }
+        }
+      } catch { case _: Exception => None }
+
+    /** PNG-encode a synthesized RGB image — the fixture/ingest-side twin of
+      * [[decodeImage]] (`rgb(x, y)` returns a packed 0xRRGGBB int).
+      */
+    def encodePng(width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb(x, y) & 0xFFFFFF); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Decoded audio summary: format facts plus exact integer sample
+      * aggregates over the 16-bit PCM signal (sumAbs/peak — the
+      * oracle-comparable form; rms = sqrt(sumSq/frames)/32768).
+      */
+    final case class AudioInfo(
+        sampleRate: Float,
+        channels: Int,
+        frames: Long,
+        sumAbs: Long,
+        peak: Int,
+        sumSq: Long)
+
+    /** Decode WAV/AIFF/AU bytes via `javax.sound.sampled`, converting to
+      * 16-bit signed PCM when the container's encoding differs. None when
+      * the bytes aren't a supported audio stream.
+      */
+    def decodeAudio(bytes: Array[Byte]): Option[AudioInfo] =
+      if (bytes == null || bytes.length == 0) None
+      else try {
+        val raw = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        val pcmFmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          raw.getFormat.getSampleRate, 16, raw.getFormat.getChannels,
+          raw.getFormat.getChannels * 2, raw.getFormat.getSampleRate, false)
+        val in =
+          if (raw.getFormat.matches(pcmFmt)) raw
+          else javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, raw)
+        try {
+          var sumAbs = 0L; var sumSq = 0L; var peak = 0; var frames = 0L
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          var carry = -1 // low byte of a sample split across reads
+          while (n > 0) {
+            var i = 0
+            if (carry >= 0 && n >= 1) {
+              val s = ((buf(0) << 8) | carry).toShort.toInt
+              val a = math.abs(s)
+              sumAbs += a; sumSq += a.toLong * a; if (a > peak) peak = a
+              frames += 1; carry = -1; i = 1
+            }
+            while (i + 1 < n) {
+              val s = ((buf(i + 1) << 8) | (buf(i) & 0xFF)).toShort.toInt
+              val a = math.abs(s)
+              sumAbs += a; sumSq += a.toLong * a; if (a > peak) peak = a
+              frames += 1
+              i += 2
+            }
+            if (i < n) carry = buf(i) & 0xFF
+            n = in.read(buf)
+          }
+          val ch = math.max(1, in.getFormat.getChannels)
+          Some(AudioInfo(
+            in.getFormat.getSampleRate, ch, frames / ch, sumAbs, peak, sumSq))
+        } finally in.close()
+      } catch { case _: Exception => None }
+
+    /** WAV-encode 16-bit signed mono PCM — the fixture/ingest-side twin of
+      * [[decodeAudio]].
+      */
+    def encodeWavPcm16(sampleRate: Float, samples: Array[Short]): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        pcm(2 * i) = (samples(i) & 0xFF).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos): Unit
+      bos.toByteArray
+    }
+  }
+
+  final case class ImageFeatureRow(
+      id: Long,
+      decoded: Boolean,
+      width: Int,
+      height: Int,
+      channels: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long,
+      histogram: Array[Float])
+
+  /** Real image feature extraction: decodable payloads get dimensions +
+    * exact channel sums + the luminance histogram; unclaimable payloads
+    * keep flowing with `decoded=false` and the [[MediaStub]] byte-histogram
+    * fallback (stable column shapes — a mixed crawl partition must not
+    * change schema row to row).
+    */
+  def imageFeatures(spark: SparkSession, media: DataFrame): Dataset[ImageFeatureRow] = {
+    import spark.implicits._
+    media.select(col("id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          if (bytes == null) None
+          else MediaCodec.decodeImage(bytes) match {
+            case Some(i) => Some(ImageFeatureRow(
+              id, decoded = true, i.width, i.height, i.channels,
+              i.sumR, i.sumG, i.sumB, i.grayHist))
+            case None => Some(ImageFeatureRow(
+              id, decoded = false, 0, 0, 0, 0L, 0L, 0L, MediaStub.decode(bytes)))
+          }
+        }
+      }
+  }
+
+  final case class ThumbnailRow(id: Long, thumb: Array[Byte], width: Int, height: Int)
+
+  /** Real thumbnailing: decodable images re-encode as ≤`maxDim` PNGs (one
+    * output row per DECODED input; unclaimable payloads drop — a thumbnail
+    * of garbage is not a thing).
+    */
+  def thumbnails(
+      spark: SparkSession, media: DataFrame, maxDim: Int): Dataset[ThumbnailRow] = {
+    import spark.implicits._
+    require(maxDim > 0, "maxDim must be > 0")
+    media.select(col("id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          if (bytes == null) None
+          else MediaCodec.resizeImage(bytes, maxDim).flatMap { t =>
+            MediaCodec.decodeImage(t).map(i => ThumbnailRow(id, t, i.width, i.height))
+          }
+        }
+      }
+  }
+
+  final case class AudioFeatureRow(
+      id: Long,
+      sample_rate: Float,
+      audio_channels: Int,
+      frames: Long,
+      sum_abs: Long,
+      peak: Int)
+
+  /** Real audio feature extraction over WAV/AIFF/AU payloads; unclaimable
+    * payloads drop (audio features of non-audio are meaningless — unlike
+    * [[imageFeatures]] there is no useful fallback signal shape).
+    */
+  def audioFeatures(spark: SparkSession, media: DataFrame): Dataset[AudioFeatureRow] = {
+    import spark.implicits._
+    media.select(col("id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          if (bytes == null) None
+          else MediaCodec.decodeAudio(bytes).map(a => AudioFeatureRow(
+            id, a.sampleRate, a.channels, a.frames, a.sumAbs, a.peak))
+        }
+      }
   }
 
   /** Wrap any table into the media schema, treating a string column's UTF-8

@@ -35,4 +35,58 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.MediaStub.decode(b).toSeq == Multimodal.MediaStub.decode(b).toSeq)
     assert(Multimodal.MediaStub.sampleFrames(b, 4).length == 3)
   }
+
+  test("real image decode: exact pixel sums on a synthesized PNG; garbage falls back") {
+    import org.apache.spark.sql.functions._
+    val png = Multimodal.MediaCodec.encodePng(4, 3, (x, y) => {
+      val r = 10 + x; val g = 20 + y; val b = 30 + x * y
+      (r << 16) | (g << 8) | b
+    })
+    // expected sums over the 4x3 grid, computed independently
+    val (er, eg, eb) = (for { y <- 0 until 3; x <- 0 until 4 } yield
+      (10 + x, 20 + y, 30 + x * y))
+      .foldLeft((0L, 0L, 0L)) { case ((a, b2, c), (r, g, b3)) => (a + r, b2 + g, c + b3) }
+    val media = Seq((1L, png), (2L, "not an image".getBytes("UTF-8")))
+      .toDF("id", "media")
+    val rows = Multimodal.imageFeatures(spark, media).collect().map(f => f.id -> f).toMap
+    val ok = rows(1L)
+    assert(ok.decoded && ok.width == 4 && ok.height == 3 && ok.channels == 3)
+    assert((ok.sum_r, ok.sum_g, ok.sum_b) == ((er, eg, eb)))
+    assert(math.abs(ok.histogram.sum - 1.0f) < 1e-5)
+    val bad = rows(2L)
+    assert(!bad.decoded && bad.width == 0 && bad.sum_r == 0L)
+    assert(bad.histogram.toSeq ==
+      Multimodal.MediaStub.decode("not an image".getBytes("UTF-8")).toSeq)
+  }
+
+  test("real thumbnails: downscale to maxDim, never upscale, drop garbage") {
+    import org.apache.spark.sql.functions._
+    val big = Multimodal.MediaCodec.encodePng(100, 40, (x, y) => (x * y) & 0xFFFFFF)
+    val small = Multimodal.MediaCodec.encodePng(5, 4, (_, _) => 0x808080)
+    val media = Seq(
+      (1L, big), (2L, small), (3L, "garbage".getBytes("UTF-8"))).toDF("id", "media")
+    val t = Multimodal.thumbnails(spark, media, maxDim = 10)
+      .collect().map(r => r.id -> r).toMap
+    assert(t.keySet == Set(1L, 2L), "garbage must drop")
+    assert(t(1L).width == 10 && t(1L).height == 4) // 100x40 scaled by 0.1
+    assert(t(2L).width == 5 && t(2L).height == 4)  // already under maxDim: untouched
+    assert(t(2L).thumb.toSeq == small.toSeq)
+    // the thumbnail payload is itself a decodable PNG of the claimed dims
+    val re = Multimodal.MediaCodec.decodeImage(t(1L).thumb).get
+    assert(re.width == 10 && re.height == 4)
+  }
+
+  test("real audio decode: exact sample aggregates on a synthesized WAV; text drops") {
+    import org.apache.spark.sql.functions._
+    val samples = Array.tabulate[Short](64)(i => ((i * 113) % 4001 - 2000).toShort)
+    val wav = Multimodal.MediaCodec.encodeWavPcm16(8000f, samples)
+    val expAbs = samples.map(s => math.abs(s.toInt).toLong).sum
+    val expPeak = samples.map(s => math.abs(s.toInt)).max
+    val media = Seq((1L, wav), (2L, "just text".getBytes("UTF-8"))).toDF("id", "media")
+    val rows = Multimodal.audioFeatures(spark, media).collect()
+    assert(rows.map(_.id).toSeq == Seq(1L), "non-audio must drop")
+    val a = rows.head
+    assert(a.sample_rate == 8000f && a.audio_channels == 1 && a.frames == 64L)
+    assert(a.sum_abs == expAbs && a.peak == expPeak)
+  }
 }
