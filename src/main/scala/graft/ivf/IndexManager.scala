@@ -117,6 +117,21 @@ object IndexManager {
         .toOption.flatten
     }
 
+  /** [[cachedPeek]] with ERROR FIDELITY for the must-be-indexed validation
+    * paths (VectorTopK's searchByFiles/quantized/pq feeds): a memoized
+    * None re-probes UNCACHED and un-swallowed, so a real IO failure
+    * (EACCES on the index dir, a truncated sidecar) surfaces as itself
+    * instead of the misleading "no IVF index — build one" (which would
+    * send an operator rebuilding indexes to paper over a permissions
+    * problem). The re-probe only runs on the about-to-throw path, so the
+    * memo still eliminates the per-file opens for every healthy query
+    * (round-12 review).
+    */
+  def cachedPeekStrict(
+      store: IndexStore, file: String, column: String): Option[(Int, Int)] =
+    cachedPeek(store, file, column).orElse(
+      store.peek(file, column).orElse(ParquetFooterIndex.peek(file, column)))
+
   /** Sidecar first, footer-embedded second (the order the driver peeks in);
     * shared by the executor-side probe paths. Decoded results are served
     * from the per-JVM LRU above.

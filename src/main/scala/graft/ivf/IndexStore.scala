@@ -316,13 +316,17 @@ object IndexStore {
     * entry. Costs |identityPaths| stats per call instead of the probe's
     * opens+reads.
     */
-  private[graft] def memoizedProbe[T](
-      kind: String,
-      dataFile: String,
-      column: String,
-      identityPaths: Seq[String])(compute: => T): T = {
-    val key = (kind + "\u0000" + canonicalPath(dataFile), column)
-    val id = identityPaths.map(fileIdentity).mkString("|")
+  /** The shared lookup/miss/cache body of both memo layers. The identity is
+    * snapshotted BEFORE compute and re-derived AFTER: a result is cached
+    * only when both snapshots agree, so a probe racing a concurrent write
+    * (e.g. `usable()` stat-ing an absent sidecar, the build's rename
+    * landing, compute then answering true) can never file the post-write
+    * answer under the pre-write identity — the TOCTOU that would let a
+    * later delete RESTORE the pre-write identity and pin the stale answer
+    * (round-12 review). A lost race just means that one probe isn't cached.
+    */
+  private def memoizedEntry[T](
+      key: (String, String), id: String, reId: => String)(compute: => T): T =
     probeMemo.get(key) match {
       case Some((cachedId, v)) if cachedId == id =>
         probeHits.incrementAndGet()
@@ -330,12 +334,23 @@ object IndexStore {
       case _ =>
         val v = compute
         probeMisses.incrementAndGet()
-        if (probeMemoCount.incrementAndGet() > ProbeMemoCap) {
-          probeMemo.clear(); probeMemoCount.set(0)
+        if (reId == id) {
+          if (probeMemoCount.incrementAndGet() > ProbeMemoCap) {
+            probeMemo.clear(); probeMemoCount.set(0)
+          }
+          probeMemo.put(key, (id, v))
         }
-        probeMemo.put(key, (id, v))
         v
     }
+
+  private[graft] def memoizedProbe[T](
+      kind: String,
+      dataFile: String,
+      column: String,
+      identityPaths: Seq[String])(compute: => T): T = {
+    val key = (kind + "\u0000" + canonicalPath(dataFile), column)
+    def idNow: String = identityPaths.map(fileIdentity).mkString("|")
+    memoizedEntry(key, idNow, idNow)(compute)
   }
 
   /** FNV-1a over the file list — the table-probe key component (the list
@@ -383,23 +398,12 @@ object IndexStore {
       val cut = local.lastIndexOf('/')
       if (cut > 0) local.substring(0, cut) else local
     }.distinct.toSeq
-    val id = dirs.map(fileIdentity).mkString("|")
+    def idNow: String = dirs.map(fileIdentity).mkString("|")
+    val id = idNow
     if (id.contains("absent"))
       return compute // un-stat-able dirs: never trust a dir-level identity
     val key = (s"$kind:$storeDir:${filesHash(files)}:${files.size}", column)
-    probeMemo.get(key) match {
-      case Some((cachedId, v)) if cachedId == id =>
-        probeHits.incrementAndGet()
-        v.asInstanceOf[T]
-      case _ =>
-        val v = compute
-        probeMisses.incrementAndGet()
-        if (probeMemoCount.incrementAndGet() > ProbeMemoCap) {
-          probeMemo.clear(); probeMemoCount.set(0)
-        }
-        probeMemo.put(key, (id, v))
-        v
-    }
+    memoizedEntry(key, id, idNow)(compute)
   }
 
   private[ivf] val MetaLenRe = """"dataLen":\s*(-?\d+)""".r

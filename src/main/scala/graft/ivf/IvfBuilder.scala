@@ -329,9 +329,12 @@ object IvfBuilder {
       cents = next
       // the mean update from THIS round's sums is always applied (it is
       // already paid for and never increases SSE); the stop only decides
-      // whether to buy ANOTHER corpus scan
-      if (relTol > 0.0 && !prevSse.isNaN && prevSse > 0.0 &&
-        (prevSse - sse) / prevSse < relTol) stop = true
+      // whether to buy ANOTHER corpus scan. Multiplicative form, not a
+      // division: SSE == 0 (degenerate corpora — constant embeddings, ≤ k
+      // distinct vectors) must satisfy 0 ≤ 0 and stop, not divide-by-zero
+      // its way into paying every remaining round (round-12 review)
+      if (relTol > 0.0 && !prevSse.isNaN &&
+        prevSse - sse <= relTol * prevSse) stop = true
       prevSse = sse
       it += 1
     }

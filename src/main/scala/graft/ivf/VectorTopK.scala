@@ -113,7 +113,7 @@ object VectorTopK {
     IndexStore.memoizedTableProbe(
       s"validate-float-${q.length}", column, files, store.dir) {
       files.foreach { file =>
-        val (dim, _) = IndexManager.cachedPeek(store, file, column)
+        val (dim, _) = IndexManager.cachedPeekStrict(store, file, column)
           .getOrElse(throw new IllegalStateException(
             s"no IVF index for file $file column '$column' — build one with IvfBuilder"))
         require(
@@ -402,7 +402,7 @@ object VectorTopK {
     IndexStore.memoizedTableProbe(
       s"validate-float-${q.length}", column, files, store.dir) {
       files.foreach { file =>
-        val (dim, _) = IndexManager.cachedPeek(store, file, column)
+        val (dim, _) = IndexManager.cachedPeekStrict(store, file, column)
           .getOrElse(throw new IllegalStateException(
             s"no IVF index for file $file column '$column' — build one with IvfBuilder"))
         require(dim == q.length, s"query dim ${q.length} != index dim $dim for $file")
@@ -588,7 +588,7 @@ object VectorTopK {
     IndexStore.memoizedTableProbe(
       s"validate-float-${q.length}", column, files, store.dir) {
       files.foreach { file =>
-        val (dim, _) = IndexManager.cachedPeek(store, file, column)
+        val (dim, _) = IndexManager.cachedPeekStrict(store, file, column)
           .getOrElse(throw new IllegalStateException(
             s"no IVF index for file $file column '$column' — build one with IvfBuilder"))
         require(dim == q.length, s"query dim ${q.length} != index dim $dim for $file")
@@ -835,7 +835,7 @@ object VectorTopK {
     IndexStore.memoizedTableProbe(
       s"validate-sq8-${q.length}", column, files, store.dir) {
       files.foreach { file =>
-        val (dim, _) = IndexManager.cachedPeek(store, file, column)
+        val (dim, _) = IndexManager.cachedPeekStrict(store, file, column)
           .getOrElse(throw new IllegalStateException(
             s"no IVF index for file $file column '$column' — build one with IvfBuilder"))
         require(dim == q.length, s"query dim ${q.length} != index dim $dim for $file")
@@ -965,7 +965,7 @@ object VectorTopK {
     IndexStore.memoizedTableProbe(
       s"validate-pq-$residual-${q.length}", column, files, store.dir) {
       files.foreach { file =>
-        val (dim, _) = IndexManager.cachedPeek(store, file, column)
+        val (dim, _) = IndexManager.cachedPeekStrict(store, file, column)
           .getOrElse(throw new IllegalStateException(
             s"no IVF index for file $file column '$column' — build one with IvfBuilder"))
         require(dim == q.length, s"query dim ${q.length} != index dim $dim for $file")

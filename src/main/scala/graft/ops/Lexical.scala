@@ -194,6 +194,11 @@ object Lexical {
     * matching neither duplicate's [[bm25]] score. Dedup upstream
     * ([[Dedup.exact]] / dropDuplicates) or verify with
     * [[Corpus.integrityReport]].
+    *
+    * NOT fully lazy: constructing the result runs one bounded job over the
+    * QUERIES side (tokenize + distinct, ≤64k+1 rows collected) to localize
+    * the term set for the postings-scan pushdown — the corpus side stays
+    * untouched until an action. Applies to the snapshot overloads too.
     */
   def bm25BulkTopK(
       docs: DataFrame,
@@ -384,18 +389,27 @@ object Lexical {
       prefix: String,
       idCol: String,
       buckets: Int): PostingsSnapshot = {
+    val rebuildStartMs = System.currentTimeMillis()
     Layout.writeBucketed(post, s"${prefix}_postings", "_term", buckets)
     Layout.writeBucketed(dft, s"${prefix}_df", "_term", buckets)
     Layout.writeBucketed(dl, s"${prefix}_dl", idCol, buckets)
     Layout.dropManagedTable(spark, s"${prefix}_stats")
     stats.write.format("parquet").mode("overwrite").saveAsTable(s"${prefix}_stats")
-    // a completed full rebuild supersedes any crashed partial append: the
+    // a completed full rebuild supersedes any CRASHED partial append: the
     // four tables were just rewritten from one consistent source, so a
     // leftover ingest-pending marker (which would otherwise block readers
     // FOREVER — the recovery walMessage points at) is cleared here. Done
-    // last, after every table write succeeded.
+    // last, after every table write succeeded — and only for a marker that
+    // PREDATES this rebuild: a marker younger than rebuildStartMs belongs
+    // to an appendPostings that started while we were rewriting (its
+    // deltas landed in tables we may have already overwritten), and
+    // deleting it would un-protect readers from exactly the inconsistency
+    // it records (round-12 review)
     val (fs, marker) = walMarker(spark, prefix)
-    if (fs.exists(marker)) fs.delete(marker, false): Unit
+    try {
+      if (fs.getFileStatus(marker).getModificationTime < rebuildStartMs)
+        fs.delete(marker, false): Unit
+    } catch { case _: java.io.FileNotFoundException => () } // no marker: done
     PostingsSnapshot(prefix, idCol, buckets)
   }
 

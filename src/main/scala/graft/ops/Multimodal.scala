@@ -70,6 +70,15 @@ object Multimodal {
     * one of them must not fail a 10-hour job.
     */
   object MediaCodec {
+    // ImageIO's default read path wraps every InputStream in a
+    // FileCacheImageInputStream: one temp-file create+delete in
+    // java.io.tmpdir PER DECODED ROW on the executor hot path (pure
+    // overhead for in-memory byte arrays) — and on an executor with a
+    // read-only or full /tmp the cache-file create throws, which the
+    // decode's catch would misreport as "undecodable" for EVERY image.
+    // Memory-cache instead; payloads are bounded column values.
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** Decoded image summary: dimensions, channel count, exact per-channel
       * pixel sums (integers — the oracle-comparable form; means are
       * sum/(w·h)), and a 16-bin luminance histogram (L1-normalized).
@@ -256,10 +265,13 @@ object Multimodal {
       histogram: Array[Float])
 
   /** Real image feature extraction: decodable payloads get dimensions +
-    * exact channel sums + the luminance histogram; unclaimable payloads
-    * keep flowing with `decoded=false` and the [[MediaStub]] byte-histogram
-    * fallback (stable column shapes — a mixed crawl partition must not
-    * change schema row to row).
+    * exact channel sums + the luminance histogram; unclaimable NON-NULL
+    * payloads keep flowing with `decoded=false` and the [[MediaStub]]
+    * byte-histogram fallback (stable column shapes — a mixed crawl
+    * partition must not change schema row to row). NULL payloads (fetch
+    * failures) are SKIPPED, like every decode op here — the engine-wide
+    * skip-null media rule ([[extractFeatures]]/[[sampleFrameRows]]); join
+    * back to the source table to enumerate them.
     */
   def imageFeatures(spark: SparkSession, media: DataFrame): Dataset[ImageFeatureRow] = {
     import spark.implicits._
