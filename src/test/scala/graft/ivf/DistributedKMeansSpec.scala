@@ -126,6 +126,27 @@ class DistributedKMeansSpec extends SparkSpec {
     assert(noStop.length == seed.length)
   }
 
+  test("SSE == 0 satisfies the stop (degenerate corpus never pays the full round cap)") {
+    // constant corpus: every vector identical, k=1 — assignment SSE hits
+    // exactly 0.0 once the centroid lands on the point; the stop's
+    // multiplicative form (prevSse - sse <= relTol * prevSse) must accept
+    // 0 <= 0 instead of dividing by zero its way into all 10 rounds
+    val dir = Files.createTempDirectory("graft-kmeans-const").toString
+    import spark.implicits._
+    (0 until 500).map(_ => (1L, Seq.fill(dim)(0.25f)))
+      .toDF("id", "vec")
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("vec").cast("array<float>").as("vec"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val vecs = vecsOf(dir)
+    val seed = Array.fill(dim)(0.9f) // off the point: round 1 SSE > 0
+    val (cents, curve) = IvfBuilder.lloydDistributedWithCurve(
+      spark, vecs, seed, dim, 1, iters = 10, relTol = 0.005)
+    assert(curve.length <= 3, s"zero-SSE corpus must stop early: $curve")
+    assert(curve.last == 0.0, s"constant corpus converges to SSE 0: $curve")
+    assert(cents.forall(c => math.abs(c - 0.25f) < 1e-6))
+  }
+
   test("deterministic for a fixed file layout") {
     val dir = writeCorpus(800, 47)
     val vecs = vecsOf(dir)

@@ -125,6 +125,42 @@ class ProbeMemoSpec extends SparkSpec {
     assert(boom == 2, "error paths must re-validate, not cache the failure")
   }
 
+  test("a probe racing a write is not cached (post-compute identity re-check)") {
+    val (dir, store, files) = fixture()
+    // per-file layer: compute itself mutates a dependency file (the
+    // deterministic stand-in for a concurrent build's rename landing
+    // mid-probe) — the answer must NOT be filed under the pre-write
+    // identity, so the next call recomputes instead of serving it
+    val dep = java.nio.file.Paths.get(store.dir, "racy.dep")
+    var computes = 0
+    def racyProbe(): Boolean = IndexStore.memoizedProbe(
+      "spec-race", files.head, "vec", Seq(dep.toString)) {
+      computes += 1
+      java.nio.file.Files.write(dep, Array[Byte](computes.toByte)): Unit
+      true
+    }
+    assert(racyProbe() && computes == 1)
+    assert(racyProbe() && computes == 2, "a racing probe must not be cached")
+    // once compute stops mutating (the write has settled), caching resumes
+    def settled(): Boolean = IndexStore.memoizedProbe(
+      "spec-race", files.head, "vec", Seq(dep.toString)) { computes += 1; true }
+    assert(settled() && computes == 3)
+    assert(settled() && computes == 3, "a settled probe memoizes again")
+    // table layer: same contract against the watched dir
+    var tcomputes = 0
+    def racyTable(): Boolean = IndexStore.memoizedTableProbe(
+      "spec-race-table", "vec", files, store.dir) {
+      tcomputes += 1
+      val f = java.nio.file.Paths.get(store.dir, s"racy-$tcomputes.tmp")
+      java.nio.file.Files.write(f, Array[Byte](1))
+      java.nio.file.Files.move(
+        f, java.nio.file.Paths.get(store.dir, s"racy-$tcomputes.bin")): Unit
+      true
+    }
+    assert(racyTable() && tcomputes == 1)
+    assert(racyTable() && tcomputes == 2, "a racing table probe must not be cached")
+  }
+
   test("an in-place footer embed invalidates the table-level memo (no rename involved)") {
     val dir = Files.createTempDirectory("graft-probememo-footer").toString
     writeTable(dir, 150, seed = 33)
