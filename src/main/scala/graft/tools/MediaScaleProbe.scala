@@ -1,0 +1,96 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.ops.Multimodal
+
+/** Media codec scale probe: the REAL image/audio decode paths
+  * ([[Multimodal.imageFeatures]]/[[thumbnails]]/[[audioFeatures]]) at
+  * crawl-shard volume — 200k 32×32 PNGs and 200k 256-sample WAVs,
+  * synthesized once to parquet, then decoded through the production
+  * mapPartitions path. Claims: decode throughput is executor-parallel
+  * (rows/s scales with cores, no driver round-trips), a 10% garbage mix
+  * flows through without failing or slowing the healthy rows, and the
+  * memory-cached ImageIO path does no per-row temp-file IO (the JDK
+  * default file cache would put one create+delete in /tmp per row — the
+  * round-12 review finding this probe regression-guards).
+  *
+  * Run manually, record in BENCHNOTES:
+  * `sbt "runMain graft.tools.MediaScaleProbe"` (env:
+  * SPARK_GRAFT_MEDIA_ROWS to resize).
+  */
+object MediaScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val rows = sys.env.getOrElse("SPARK_GRAFT_MEDIA_ROWS", "200000").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val base = java.nio.file.Files.createTempDirectory("graft-mediascale").toString
+    val out = Seq.newBuilder[String]
+
+    // ── synthesize: 90% real PNGs (32x32, id-derived pixels), 10% garbage
+    val imgDir = s"$base/images"
+    val genImgS = graft.BenchTiming.time {
+      spark.range(rows.toLong).as[Long].repartition(32)
+        .map { id =>
+          val bytes =
+            if (id % 10 == 9) s"not-an-image-$id".getBytes("UTF-8")
+            else Multimodal.MediaCodec.encodePng(32, 32, (x, y) =>
+              ((id * 3 + x + y) % 256).toInt << 16 |
+                ((id * 5 + x) % 256).toInt << 8 | ((id + y) % 256).toInt)
+          (id, bytes)
+        }
+        .toDF("id", "media").write.mode("overwrite").parquet(imgDir)
+    }
+    val images = spark.read.parquet(imgDir)
+    out += f"synthesized $rows%d 32x32 PNGs (10%% garbage): $genImgS%.1f s"
+
+    def timeMin(f: => Long): (Long, Double) = {
+      var n = 0L
+      val t = (1 to 3).map(_ => graft.BenchTiming.time { n = f }).min
+      (n, t)
+    }
+    val (nImg, tImg) = timeMin(Multimodal.imageFeatures(spark, images).count())
+    val decodedCnt = Multimodal.imageFeatures(spark, images)
+      .where(col("decoded")).count()
+    out += f"imageFeatures: $nImg%d rows in $tImg%.2f s (${nImg / tImg}%.0f rows/s; $decodedCnt%d decoded, ${nImg - decodedCnt}%d fallback)"
+    require(decodedCnt == rows - rows / 10, s"decoded=$decodedCnt")
+
+    val (nThumb, tThumb) = timeMin(
+      Multimodal.thumbnails(spark, images, maxDim = 8).count())
+    out += f"thumbnails(maxDim=8): $nThumb%d rows in $tThumb%.2f s (${nThumb / tThumb}%.0f rows/s; garbage dropped)"
+    require(nThumb == rows - rows / 10, s"thumbs=$nThumb")
+
+    // ── audio: 90% real 256-sample WAVs, 10% garbage
+    val audDir = s"$base/audio"
+    val genAudS = graft.BenchTiming.time {
+      spark.range(rows.toLong).as[Long].repartition(32)
+        .map { id =>
+          val bytes =
+            if (id % 10 == 9) s"not-audio-$id".getBytes("UTF-8")
+            else Multimodal.MediaCodec.encodeWavPcm16(
+              8000f,
+              Array.tabulate[Short](256)(i => (((id * 31 + i * 7) % 4096) - 2048).toShort))
+          (id, bytes)
+        }
+        .toDF("id", "media").write.mode("overwrite").parquet(audDir)
+    }
+    val audio = spark.read.parquet(audDir)
+    out += f"synthesized $rows%d 256-sample WAVs (10%% garbage): $genAudS%.1f s"
+    val (nAud, tAud) = timeMin(Multimodal.audioFeatures(spark, audio).count())
+    out += f"audioFeatures: $nAud%d rows in $tAud%.2f s (${nAud / tAud}%.0f rows/s; garbage dropped)"
+    require(nAud == rows - rows / 10, s"audio=$nAud")
+
+    println("== MediaScaleProbe ==")
+    out.result().foreach(println)
+    spark.stop()
+  }
+}

@@ -76,6 +76,34 @@ class MultimodalSpec extends SparkSpec {
     assert(re.width == 10 && re.height == 4)
   }
 
+  test("WAV fast path == the JDK SPI path, including non-canonical chunk layouts") {
+    val samples = Array.tabulate[Short](200)(i => ((i * 251) % 3001 - 1500).toShort)
+    val wav = Multimodal.MediaCodec.encodeWavPcm16(11025f, samples)
+    val fast = Multimodal.MediaCodec.decodeAudio(wav).get
+    val spi = Multimodal.MediaCodec.decodeAudioSpi(wav).get
+    assert(fast == spi, s"fast=$fast spi=$spi")
+    // splice an unknown LIST chunk between fmt and data: the parser must
+    // skip it and still agree with the SPI reader
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](6, 0, 0, 0) ++ "INFOxy".getBytes("US-ASCII")
+    val dataIdx = {
+      var i = 12
+      while (new String(wav, i, 4, "US-ASCII") != "data")
+        i += 8 + ((wav(i + 4) & 0xFF) | ((wav(i + 5) & 0xFF) << 8) |
+          ((wav(i + 6) & 0xFF) << 16) | ((wav(i + 7) & 0xFF) << 24))
+      i
+    }
+    val spliced = wav.take(dataIdx) ++ listChunk ++ wav.drop(dataIdx)
+    // fix the RIFF size field for the inserted bytes
+    val riffLen = (spliced.length - 8)
+    spliced(4) = (riffLen & 0xFF).toByte; spliced(5) = ((riffLen >> 8) & 0xFF).toByte
+    spliced(6) = ((riffLen >> 16) & 0xFF).toByte; spliced(7) = ((riffLen >> 24) & 0xFF).toByte
+    val fast2 = Multimodal.MediaCodec.decodeAudio(spliced).get
+    val spi2 = Multimodal.MediaCodec.decodeAudioSpi(spliced).get
+    assert(fast2 == spi2, s"fast=$fast2 spi=$spi2")
+    assert(fast2.sumAbs == fast.sumAbs && fast2.frames == fast.frames)
+  }
+
   test("real audio decode: exact sample aggregates on a synthesized WAV; text drops") {
     import org.apache.spark.sql.functions._
     val samples = Array.tabulate[Short](64)(i => ((i * 113) % 4001 - 2000).toShort)
