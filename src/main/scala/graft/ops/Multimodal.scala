@@ -204,21 +204,24 @@ object Multimodal {
           ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
       def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
       if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
-      var off = 12
+      // Long offsets throughout: a corrupt 32-bit chunk size must walk the
+      // cursor PAST the buffer and end the loop, never wrap an Int negative
+      // and index backwards (fuzz-pinned)
+      var off = 12L
       var channels = -1; var rate = -1f; var ok = false
       var dataOff = -1; var dataLen = -1L
       while (off + 8 <= bytes.length && (dataOff < 0 || !ok)) {
-        val id = tag(off); val sz = u32(off + 4)
-        if (sz > Int.MaxValue - 16) return None // corrupt size: bail to SPI
+        val o = off.toInt
+        val id = tag(o); val sz = u32(o + 4)
         if (id == "fmt " && sz >= 16 && off + 8 + 16 <= bytes.length) {
-          ok = u16(off + 8) == 1 && u16(off + 8 + 14) == 16 // PCM, 16-bit
-          channels = u16(off + 8 + 2)
-          rate = u32(off + 8 + 4).toFloat
+          ok = u16(o + 8) == 1 && u16(o + 8 + 14) == 16 // PCM, 16-bit
+          channels = u16(o + 8 + 2)
+          rate = u32(o + 8 + 4).toFloat
         } else if (id == "data") {
-          dataOff = off + 8
+          dataOff = o + 8
           dataLen = math.min(sz, (bytes.length - dataOff).toLong)
         }
-        off += 8 + sz.toInt + (sz.toInt & 1) // chunks pad to even
+        off += 8 + sz + (sz & 1) // chunks pad to even
       }
       if (!ok || channels <= 0 || dataOff < 0 || dataLen < 0) return None
       var sumAbs = 0L; var sumSq = 0L; var peak = 0

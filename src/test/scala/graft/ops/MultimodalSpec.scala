@@ -104,6 +104,36 @@ class MultimodalSpec extends SparkSpec {
     assert(fast2.sumAbs == fast.sumAbs && fast2.frames == fast.frames)
   }
 
+  test("codecs never throw on corrupt, truncated, or bit-flipped payloads") {
+    val wav = Multimodal.MediaCodec.encodeWavPcm16(
+      8000f, Array.tabulate[Short](64)(i => (i * 331 % 2001 - 1000).toShort))
+    val png = Multimodal.MediaCodec.encodePng(6, 5, (x, y) => (x * 40 + y) << 8)
+    val rnd = new scala.util.Random(7)
+    // random garbage of assorted lengths (including the 4-44 byte band
+    // where header parsing is most fragile)
+    (0 until 300).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(120))(rnd.nextInt().toByte)
+      Multimodal.MediaCodec.decodeAudio(junk): Unit
+      Multimodal.MediaCodec.decodeImage(junk): Unit
+    }
+    // every truncation point of real payloads
+    (0 until wav.length).foreach(c => Multimodal.MediaCodec.decodeAudio(wav.take(c)): Unit)
+    (0 until png.length by 3).foreach(c => Multimodal.MediaCodec.decodeImage(png.take(c)): Unit)
+    // single-bit corruption sweeps — chunk-size bytes included (the Int-
+    // overflow cursor-wrap class the Long offsets guard against)
+    (0 until wav.length).foreach { i =>
+      val c = wav.clone; c(i) = (c(i) ^ 0xFF).toByte
+      Multimodal.MediaCodec.decodeAudio(c): Unit
+    }
+    (0 until png.length by 2).foreach { i =>
+      val c = png.clone; c(i) = (c(i) ^ 0xFF).toByte
+      Multimodal.MediaCodec.decodeImage(c): Unit
+    }
+    // and the uncorrupted payloads still decode afterwards (sanity)
+    assert(Multimodal.MediaCodec.decodeAudio(wav).nonEmpty)
+    assert(Multimodal.MediaCodec.decodeImage(png).nonEmpty)
+  }
+
   test("real audio decode: exact sample aggregates on a synthesized WAV; text drops") {
     import org.apache.spark.sql.functions._
     val samples = Array.tabulate[Short](64)(i => ((i * 113) % 4001 - 2000).toShort)
