@@ -23,6 +23,8 @@ import graft.ops.Multimodal
 object MediaScaleProbe {
   def main(args: Array[String]): Unit = {
     val rows = sys.env.getOrElse("SPARK_GRAFT_MEDIA_ROWS", "200000").toInt
+    val dim = sys.env.getOrElse("SPARK_GRAFT_MEDIA_DIM", "32").toInt
+    val fmt = sys.env.getOrElse("SPARK_GRAFT_MEDIA_FMT", "png") // png | jpeg
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -36,22 +38,37 @@ object MediaScaleProbe {
     val base = java.nio.file.Files.createTempDirectory("graft-mediascale").toString
     val out = Seq.newBuilder[String]
 
-    // ── synthesize: 90% real PNGs (32x32, id-derived pixels), 10% garbage
+    // ── synthesize: 90% real images (dim×dim, id-derived pixels), 10% garbage
     val imgDir = s"$base/images"
     val genImgS = graft.BenchTiming.time {
       spark.range(rows.toLong).as[Long].repartition(32)
         .map { id =>
           val bytes =
             if (id % 10 == 9) s"not-an-image-$id".getBytes("UTF-8")
-            else Multimodal.MediaCodec.encodePng(32, 32, (x, y) =>
-              ((id * 3 + x + y) % 256).toInt << 16 |
-                ((id * 5 + x) % 256).toInt << 8 | ((id + y) % 256).toInt)
+            else {
+              val rgb = (x: Int, y: Int) =>
+                ((id * 3 + x + y) % 256).toInt << 16 |
+                  ((id * 5 + x) % 256).toInt << 8 | ((id + y) % 256).toInt
+              if (fmt == "png") Multimodal.MediaCodec.encodePng(dim, dim, rgb)
+              else {
+                val img = new java.awt.image.BufferedImage(
+                  dim, dim, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                for (y <- 0 until dim; x <- 0 until dim) img.setRGB(x, y, rgb(x, y))
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(img, fmt, bos)
+                bos.toByteArray
+              }
+            }
           (id, bytes)
         }
         .toDF("id", "media").write.mode("overwrite").parquet(imgDir)
     }
     val images = spark.read.parquet(imgDir)
-    out += f"synthesized $rows%d 32x32 PNGs (10%% garbage): $genImgS%.1f s"
+    val mediaMB = images.agg(
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.octet_length(col("media"))))
+      .first().getLong(0) / 1e6
+    out += f"synthesized $rows%d ${dim}x$dim ${fmt.toUpperCase}s (10%% garbage, ${mediaMB}%.0f MB total): $genImgS%.1f s"
 
     def timeMin(f: => Long): (Long, Double) = {
       var n = 0L
@@ -61,7 +78,7 @@ object MediaScaleProbe {
     val (nImg, tImg) = timeMin(Multimodal.imageFeatures(spark, images).count())
     val decodedCnt = Multimodal.imageFeatures(spark, images)
       .where(col("decoded")).count()
-    out += f"imageFeatures: $nImg%d rows in $tImg%.2f s (${nImg / tImg}%.0f rows/s; $decodedCnt%d decoded, ${nImg - decodedCnt}%d fallback)"
+    out += f"imageFeatures: $nImg%d rows in $tImg%.2f s (${nImg / tImg}%.0f rows/s, ${mediaMB / tImg}%.0f MB/s; $decodedCnt%d decoded, ${nImg - decodedCnt}%d fallback)"
     require(decodedCnt == rows - rows / 10, s"decoded=$decodedCnt")
 
     val (nThumb, tThumb) = timeMin(
