@@ -3492,6 +3492,109 @@ object Queries {
       |FROM documents d, generate_series(0, 63) g(i)
       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
+  /** REAL perceptual hashing, oracle-gated: per doc a 16×16 PNG with
+    * closed-form pixels, hashed through decode → 8×8 box-average → exact
+    * integer cross-product threshold ([[ops.Multimodal.imageAHash]]);
+    * DuckDB computes the identical hash from the closed form directly
+    * (integer luma, 2×2 cells, `cell·n > total·cnt`, bit k = by·8+bx,
+    * packed as two 32-bit halves).
+    */
+  private def mq5Media(spark: SparkSession, sfDir: String, withPerturb: Boolean)
+      : DataFrame = {
+    import spark.implicits._
+    t(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        // mq6's near-dup structure: per 5-doc block, k=0 the base image,
+        // k=1 the base with a sparse +1 red perturbation, k>=2 unique
+        val k = (id % 5).toInt
+        val eid = if (withPerturb && k <= 1) id - k else id
+        (id, ops.Multimodal.MediaCodec.encodePng(16, 16, (x, y) => {
+          val bump = if (withPerturb && k == 1 && (x + y) % 9 == 0) 1 else 0
+          // pseudo-random pixel field (multiplicative scramble, pure
+          // integer — mirrored term-for-term in the oracle CTE): linear
+          // ramps correlate every doc's hash and blow the band buckets;
+          // scrambled pixels give near-uniform hashes so only the k=0/k=1
+          // block twins are close
+          val v = (eid * 31 + 7) * (x * 16 + y + 1) * 48271L
+          val r = ((v / 32) % 256).toInt + bump
+          val g = ((v / 2048) % 256).toInt
+          val b = ((v / 131072) % 256).toInt
+          (math.min(r, 255) << 16) | (g << 8) | b
+        }))
+      }
+      .toDF("id", "media")
+  }
+
+  def mq5ImageAhash(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Multimodal.imageAHash(spark, mq5Media(spark, sfDir, withPerturb = false))
+      .toDF()
+      .select(col("id").as("doc_id"), col("hash_hi"), col("hash_lo"))
+      .orderBy(col("doc_id"))
+
+  /** The hash CTE shared by mq5/mq6 oracles: `eidExpr`/`bumpExpr`
+    * parameterize the fixture's closed-form pixels.
+    */
+  private def ahashOracleCte(eidExpr: String, bumpExpr: String): String =
+    s"""vx AS (
+       |  SELECT d.doc_id, gx.x, gy.y,
+       |    (($eidExpr)*31 + 7) * (gx.x*16 + gy.y + 1) * 48271 AS v,
+       |    ($bumpExpr) AS bump
+       |  FROM documents d, generate_series(0, 15) gx(x), generate_series(0, 15) gy(y)),
+       |px AS (
+       |  SELECT doc_id, x, y,
+       |    least((v // 32) % 256 + bump, 255) AS r,
+       |    (v // 2048) % 256 AS g,
+       |    (v // 131072) % 256 AS b
+       |  FROM vx),
+       |lum AS (SELECT doc_id, x, y, (r*299 + g*587 + b*114) // 1000 AS l FROM px),
+       |cells AS (SELECT doc_id, (y*8)//16 AS by, (x*8)//16 AS bx,
+       |                 sum(l) AS cs, count(*) AS cn
+       |          FROM lum GROUP BY 1, 2, 3),
+       |tot AS (SELECT doc_id, sum(l) AS tl, count(*) AS n FROM lum GROUP BY 1),
+       |bits AS (SELECT c.doc_id, c.by*8 + c.bx AS k,
+       |                CASE WHEN c.cs * t.n > t.tl * c.cn THEN 1 ELSE 0 END AS bit
+       |         FROM cells c JOIN tot t USING (doc_id)),
+       |hashes AS (SELECT doc_id,
+       |    CAST(sum(CASE WHEN k >= 32 AND bit = 1 THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS hash_hi,
+       |    CAST(sum(CASE WHEN k < 32 AND bit = 1 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS hash_lo
+       |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  val mq5Oracle: String =
+    s"""WITH ${ahashOracleCte("d.doc_id", "0")}
+       |SELECT doc_id, hash_hi, hash_lo FROM hashes ORDER BY doc_id""".stripMargin
+
+  /** IMAGE near-duplicate pairs end to end: the mq5 fixture with the
+    * per-block perturbation, hashed ([[ops.Multimodal.imageAHash]]) and
+    * joined by [[ops.Dedup.hammingNearDupPairs]] (complete banding,
+    * maxDist=6 < 8 bands); the oracle brute-forces ALL pairs at
+    * `bit_count(xor) <= 6` over the same closed-form hashes — banding
+    * completeness and precision are both on the hook.
+    */
+  def mq6ImageNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    val hashes = ops.Multimodal
+      .imageAHash(spark, mq5Media(spark, sfDir, withPerturb = true))
+      .toDF()
+    ops.Dedup
+      .hammingNearDupPairs(
+        hashes, "id", "hash_hi", "hash_lo", maxDist = 6,
+        // fixture-sized cap: the gate pins the COMPLETE banding semantics
+        // (= the oracle's brute force); the production default's star-pair
+        // mass concession is spec territory, not oracle territory
+        maxBucketSize = 1000L)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val mq6Oracle: String =
+    s"""WITH ${ahashOracleCte(
+        "d.doc_id - (CASE WHEN d.doc_id % 5 <= 1 THEN d.doc_id % 5 ELSE 0 END)",
+        "CASE WHEN d.doc_id % 5 = 1 AND (gx.x + gy.y) % 9 = 0 THEN 1 ELSE 0 END")}
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+       |    + bit_count(xor(a.hash_lo, b.hash_lo)) <= 6
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "events")
 
@@ -4531,6 +4634,8 @@ object Queries {
     "mq2_frame_sample" -> (mq2FrameSample _),
     "mq3_image_decode" -> (mq3ImageDecode _),
     "mq4_audio_decode" -> (mq4AudioDecode _),
+    "mq5_image_ahash" -> (mq5ImageAhash _),
+    "mq6_image_neardup" -> (mq6ImageNeardup _),
     "sq1_sessionize" -> (sq1Sessionize _),
     "st1_stream_hourly" -> (st1StreamHourly _),
     "st2_stream_user_counts" -> (st2StreamUserCounts _),
@@ -4691,6 +4796,8 @@ object Queries {
     "mq2_frame_sample" -> mq2Oracle,
     "mq3_image_decode" -> mq3Oracle,
     "mq4_audio_decode" -> mq4Oracle,
+    "mq5_image_ahash" -> mq5Oracle,
+    "mq6_image_neardup" -> mq6Oracle,
     "sq1_sessionize" -> sq1Oracle,
     "st1_stream_hourly" -> st1Oracle,
     "st2_stream_user_counts" -> st2Oracle,

@@ -609,6 +609,78 @@ object Dedup {
     verifyJaccard(cands, docs, threshold)
   }
 
+  /** EXACT Hamming near-dup pairs over 64-bit signatures supplied as two
+    * non-negative 32-bit halves `(hiCol, loCol)` — the join behind image
+    * near-duplicate detection ([[Multimodal.imageAHash]] emits the halves)
+    * and any other fixed-width perceptual signature. Unlike
+    * [[simhashNearDupPairs]] (whose banding is a candidate heuristic under
+    * a jaccard verify, with a documented recall concession), this banding
+    * is COMPLETE at the operating point: the 64 bits split into `numBands`
+    * equal bands, a pair within `maxDist` differs in at most `maxDist`
+    * bands, so with `numBands > maxDist` (required) it shares at least one
+    * intact band and meets in that band's bucket — pigeonhole, no recall
+    * loss. Precision is exact by construction (a `Long.bitCount` per
+    * candidate pair is the FINAL check, not a prefilter). Output
+    * `(doc_a, doc_b)`, `doc_a < doc_b`, each pair once.
+    *
+    * Scale shape: one explode (`numBands` rows per doc), one
+    * group-then-enumerate shuffle on the band bucket, pair work ∝ true
+    * collisions (random 8-bit bands collide at n²/256 per band — still
+    * bucket-local, never a corpus self-join). Degenerate masses (one
+    * bucket past `maxBucketSize` — byte-identical crawl images all hash
+    * equal) emit bounded member×pivot star pairs, the same documented
+    * concession as every bucketed dedup path here; clustering consumers
+    * ([[nearDupClusters]]) still see one component through the pivots.
+    */
+  def hammingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      hiCol: String,
+      loCol: String,
+      maxDist: Int,
+      numBands: Int = 8,
+      maxBucketSize: Long = 200L,
+      starPivots: Int = 16): DataFrame = {
+    require(maxDist >= 0, s"hammingNearDupPairs: maxDist=$maxDist must be >= 0")
+    require(64 % numBands == 0, "numBands must divide 64")
+    require(numBands > maxDist,
+      s"hammingNearDupPairs: numBands=$numBands must exceed maxDist=$maxDist — " +
+        "that inequality IS the completeness proof (a pair within maxDist " +
+        "shares an intact band); raise numBands or lower maxDist")
+    require(starPivots >= 1, s"starPivots must be >= 1, got $starPivots")
+    requireIntegralId(df, idCol, "hammingNearDupPairs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bandBits = 64 / numBands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
+    val sig = shiftleft(col(hiCol).cast("long"), 32)
+      .bitwiseOR(col(loCol).cast("long").bitwiseAND(lit(0xFFFFFFFFL)))
+    val bands = df
+      .select(col(idCol).cast("long").as("id"), sig.as("sig"))
+      .select(
+        col("id"), col("sig"),
+        explode(array((0 until numBands).map { b =>
+          struct(
+            lit(b).as("band"),
+            shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("val"))
+        }: _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.val"))
+    val cap = math.min(maxBucketSize, Int.MaxValue - 8L).toInt
+    val pivots = starPivots
+    val hm = maxDist
+    bands
+      .select(
+        col("band").cast("int"), col("val").cast("long"),
+        col("id"), col("sig"))
+      .as[(Int, Long, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_, it) =>
+        GroupPairEnumerator.enumerate(it.map(r => (r._3, r._4)), cap, hm, pivots)
+      }
+      .toDF("doc_a", "doc_b")
+      .distinct()
+  }
+
   /** Connected components over an undirected near-dup pair graph:
     * one row `(doc_id, cluster_id)` per distinct doc appearing in `pairs`,
     * with `cluster_id` = the smallest doc id in the component — the step

@@ -187,6 +187,55 @@ object Multimodal {
         peak: Int,
         sumSq: Long)
 
+    /** The [[Multimodal.imageAHash]] kernel: decode + exact integer
+      * average-hash. Returns (hash_hi, hash_lo) — bits 32..63 / 0..31 of
+      * the row-major grid bits — or None for undecodable payloads, images
+      * smaller than the grid, or images over 2^26 pixels (Long envelope
+      * of the cross-product threshold).
+      */
+    def ahash(bytes: Array[Byte], grid: Int): Option[(Long, Long)] =
+      if (bytes == null || bytes.length == 0) None
+      else try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          if (w < grid || h < grid || w.toLong * h > (1L << 26)) None
+          else {
+            val cellSum = new Array[Long](grid * grid)
+            val cellCnt = new Array[Long](grid * grid)
+            var total = 0L
+            val row = new Array[Int](w)
+            var y = 0
+            while (y < h) {
+              img.getRGB(0, y, w, 1, row, 0, w)
+              val by = y * grid / h
+              var x = 0
+              while (x < w) {
+                val p = row(x)
+                val l =
+                  (((p >> 16) & 0xFF) * 299 + ((p >> 8) & 0xFF) * 587 +
+                    (p & 0xFF) * 114) / 1000
+                val c = by * grid + x * grid / w
+                cellSum(c) += l; cellCnt(c) += 1; total += l
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            var hi = 0L; var lo = 0L
+            var k = 0
+            while (k < grid * grid) {
+              if (cellSum(k) * n > total * cellCnt(k)) {
+                if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+              }
+              k += 1
+            }
+            Some((hi, lo))
+          }
+        }
+      } catch { case _: Exception => None }
+
     /** Direct RIFF/WAVE PCM16 parse — the executor fast path. The JDK's
       * `AudioSystem.getAudioInputStream` serializes on a global SPI lock:
       * measured 55k decodes/s single-threaded and 51k/s TOTAL at 32
@@ -371,6 +420,38 @@ object Multimodal {
           else MediaCodec.resizeImage(bytes, maxDim).flatMap { t =>
             MediaCodec.decodeImage(t).map(i => ThumbnailRow(id, t, i.width, i.height))
           }
+        }
+      }
+  }
+
+  final case class AHashRow(id: Long, hash_hi: Long, hash_lo: Long)
+
+  /** Perceptual average-hash over DECODED pixels — the signature column
+    * for image near-duplicate detection ([[graft.ops.Dedup.hammingNearDupPairs]]
+    * consumes it). The image is box-averaged onto a `grid`×`grid` luma
+    * grid (integer BT.601 luma, cell membership `bx = x·grid/w`) and bit
+    * `k = by·grid+bx` is set iff the cell's mean luma exceeds the global
+    * mean — compared as the exact integer cross-product
+    * `cellSum · (w·h) > total · cellCount`, so the hash is deterministic,
+    * engine-mirrorable in SQL (the mq5 oracle), and free of float
+    * thresholds. Packed as two non-negative 32-bit halves (`hash_hi` =
+    * bits 32..63) so an oracle can rebuild it without 64-bit sign games.
+    *
+    * Undecodable/null payloads drop (no meaningful signature), as do
+    * images smaller than the grid or over 2^26 pixels (the cross-product
+    * stays in Long up to 64 MP; a crawl's larger-than-64MP blobs are
+    * thumbnailed upstream, not hashed raw).
+    */
+  def imageAHash(
+      spark: SparkSession, media: DataFrame, grid: Int = 8): Dataset[AHashRow] = {
+    import spark.implicits._
+    require(grid >= 2 && grid * grid <= 64,
+      s"imageAHash: grid=$grid must be in [2,8] (grid^2 bits must pack in 64)")
+    media.select(col("id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          if (bytes == null) None
+          else MediaCodec.ahash(bytes, grid).map { case (hi, lo) => AHashRow(id, hi, lo) }
         }
       }
   }

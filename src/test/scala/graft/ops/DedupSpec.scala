@@ -302,6 +302,51 @@ class DedupSpec extends SparkSpec {
       Dedup.minhashNearDupAgainst(docs, docs, "doc_id", "text", numHashes = 16, bands = 3))
   }
 
+  test("hammingNearDupPairs equals brute force on random 64-bit signatures") {
+    val rnd = new scala.util.Random(17)
+    // 300 random signatures + implanted near-pairs at known distances
+    val base = (0 until 300).map(i => (i.toLong, rnd.nextLong()))
+    val implanted = base.take(20).zipWithIndex.map { case ((id, h), i) =>
+      // flip exactly i%8 bits of h for a twin at distance i%8
+      var twin = h
+      (0 until i % 8).foreach(b => twin ^= 1L << (b * 7 + 3))
+      (1000L + id, twin)
+    }
+    val all = base ++ implanted
+    val df = all.map { case (id, h) => (id, h >>> 32, h & 0xFFFFFFFFL) }
+      .toDF("doc_id", "hash_hi", "hash_lo")
+    val maxDist = 5
+    val got = Dedup
+      .hammingNearDupPairs(df, "doc_id", "hash_hi", "hash_lo", maxDist)
+      .as[(Long, Long)].collect().toSet
+    val want = (for {
+      i <- all.indices; j <- (i + 1) until all.length
+      if java.lang.Long.bitCount(all(i)._2 ^ all(j)._2) <= maxDist
+    } yield (math.min(all(i)._1, all(j)._1), math.max(all(i)._1, all(j)._1))).toSet
+    assert(want.nonEmpty && got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    // invalid configs refuse: bands must exceed maxDist (completeness) and
+    // divide 64
+    intercept[IllegalArgumentException](
+      Dedup.hammingNearDupPairs(df, "doc_id", "hash_hi", "hash_lo", 8, numBands = 8))
+    intercept[IllegalArgumentException](
+      Dedup.hammingNearDupPairs(df, "doc_id", "hash_hi", "hash_lo", 3, numBands = 7))
+  }
+
+  test("hammingNearDupPairs degenerate mass: star pairs keep the component connected") {
+    // 50 IDENTICAL signatures with a tiny cap: the mass path must emit
+    // bounded star pairs that still collapse to ONE cluster downstream
+    val df = (0 until 50).map(i => (i.toLong, 7L, 9L))
+      .toDF("doc_id", "hash_hi", "hash_lo")
+    val pairs = Dedup.hammingNearDupPairs(
+      df, "doc_id", "hash_hi", "hash_lo", maxDist = 2, maxBucketSize = 8)
+    val nPairs = pairs.count()
+    assert(nPairs < 50L * 49 / 2, "mass must emit bounded star pairs, not all-pairs")
+    val clusters = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .select("cluster_id").distinct().count()
+    assert(clusters == 1L, "the mass must remain one component through the pivots")
+  }
+
   test("connectedComponents raises on null edge endpoints in both size regimes") {
     val nullPairs = Seq((Some(1L), Some(2L)), (Some(3L), None))
       .toDF("doc_a", "doc_b")

@@ -104,6 +104,39 @@ class MultimodalSpec extends SparkSpec {
     assert(fast2.sumAbs == fast.sumAbs && fast2.frames == fast.frames)
   }
 
+  test("imageAHash: known bit pattern on a half-dark image; deterministic; size-gated") {
+    import org.apache.spark.sql.functions._
+    // left half black (luma 0), right half white-ish (luma 200): global
+    // mean 100, so exactly the right-half cells (bx >= 4) set their bits
+    val png = Multimodal.MediaCodec.encodePng(16, 16, (x, _) =>
+      if (x < 8) 0x000000 else 0xC8C8C8) // 200,200,200 → luma 200
+    val media = Seq((1L, png), (2L, "junk".getBytes("UTF-8"))).toDF("id", "media")
+    val rows = Multimodal.imageAHash(spark, media).collect()
+    assert(rows.map(_.id).toSeq == Seq(1L), "undecodable payloads drop")
+    val r = rows.head
+    var expHi = 0L; var expLo = 0L
+    for (by <- 0 until 8; bx <- 4 until 8) {
+      val k = by * 8 + bx
+      if (k < 32) expLo |= 1L << k else expHi |= 1L << (k - 32)
+    }
+    assert((r.hash_hi, r.hash_lo) == ((expHi, expLo)),
+      f"got ${r.hash_hi}%x/${r.hash_lo}%x want $expHi%x/$expLo%x")
+    // PNG re-encode invariance (lossless roundtrip → identical hash)
+    val thumbless = Multimodal.MediaCodec.decodeImage(png).get
+    assert(thumbless.width == 16)
+    val re = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    assert(Multimodal.MediaCodec.ahash(re, 8) == Multimodal.MediaCodec.ahash(png, 8))
+    // smaller than the grid: no signature
+    val tiny = Multimodal.MediaCodec.encodePng(4, 4, (_, _) => 0xFFFFFF)
+    assert(Multimodal.MediaCodec.ahash(tiny, 8).isEmpty)
+    // grid bounds validated
+    intercept[IllegalArgumentException](Multimodal.imageAHash(spark, media, grid = 9))
+  }
+
   test("codecs never throw on corrupt, truncated, or bit-flipped payloads") {
     val wav = Multimodal.MediaCodec.encodeWavPcm16(
       8000f, Array.tabulate[Short](64)(i => (i * 331 % 2001 - 1000).toShort))
