@@ -301,7 +301,7 @@ object IndexStore {
     * length, or "absent" when unstattable. Building the identity never
     * opens the file.
     */
-  private def fileIdentity(path: String): String =
+  private[graft] def fileIdentity(path: String): String =
     try {
       val a = Files.readAttributes(
         Paths.get(canonicalPath(path).stripPrefix("file:")),
@@ -388,17 +388,29 @@ object IndexStore {
     * stores) yield an "absent" dir identity, which BYPASSES this layer
     * entirely (per-file probes, still memoized individually).
     */
+  /** The directory set whose identity a table-level memo validates against:
+    * the sidecar store dir plus each distinct parent dir of the data files
+    * (see [[memoizedTableProbe]] for why directory mtimes cover every
+    * rename-landed change). Shared with the rule's rewritten-plan cache.
+    */
+  private[graft] def tableDirs(files: Seq[String], storeDir: String): Seq[String] =
+    storeDir +: files.iterator.map { f =>
+      val local = canonicalPath(f).stripPrefix("file:")
+      val cut = local.lastIndexOf('/')
+      if (cut > 0) local.substring(0, cut) else local
+    }.distinct.toSeq
+
+  /** Combined stat identity of a path set (see [[fileIdentity]]). */
+  private[graft] def identityOf(paths: Seq[String]): String =
+    paths.map(fileIdentity).mkString("|")
+
   private[graft] def memoizedTableProbe[T](
       kind: String,
       column: String,
       files: Seq[String],
       storeDir: String)(compute: => T): T = {
-    val dirs = storeDir +: files.iterator.map { f =>
-      val local = canonicalPath(f).stripPrefix("file:")
-      val cut = local.lastIndexOf('/')
-      if (cut > 0) local.substring(0, cut) else local
-    }.distinct.toSeq
-    def idNow: String = dirs.map(fileIdentity).mkString("|")
+    val dirs = tableDirs(files, storeDir)
+    def idNow: String = identityOf(dirs)
     val id = idNow
     if (id.contains("absent"))
       return compute // un-stat-able dirs: never trust a dir-level identity

@@ -280,6 +280,21 @@ object Lexical {
     */
   private val OrEqMaxTerms = 64
 
+  /** Mid-tier cap: past [[PushdownMaxPairs]] (no driver-side localization)
+    * but at most this many DISTINCT terms, the batch's term set is
+    * broadcast-SEMI-JOINED into the postings/df scans instead of reverting
+    * straight to the full-scan shuffle join. No row-group pruning — the
+    * postings scan still reads every row — but the 248M-row postings side
+    * is filtered IN-STREAM by the broadcast hash semi-join and never
+    * shuffled, which is where the 16× step at the 64,001st pair actually
+    * lived (round-12 verdict item #3; the 5M-doc probe measured the cliff
+    * 1.12 s → 17.9 s). Past this cap too (a vocabulary-spanning doc-as-
+    * query batch) the term set filters nothing and broadcasting it is pure
+    * overhead — the full-scan join IS the right plan there. 2M terms ≈
+    * tens of MB broadcast — the scheme's ceiling, not its sweet spot.
+    */
+  private val MidPushdownMaxTerms = 1 << 21
+
   private def scoreBulk(
       post: DataFrame,
       dft: DataFrame,
@@ -307,8 +322,20 @@ object Lexical {
     // against qt, so rows outside qt's term set never contribute.
     val head = qtPlan.limit(PushdownMaxPairs + 1).collect()
     val (qt, postSide, dftSide) =
-      if (head.length > PushdownMaxPairs) (qtPlan, post, dft)
-      else {
+      if (head.length > PushdownMaxPairs) {
+        // mid-tier: the batch is too big to localize, but if its DISTINCT
+        // term set is still far short of the vocabulary, semi-joining it
+        // into the corpus-side scans keeps the postings table out of the
+        // shuffle (exact either way: the scoring joins are inner on qt, so
+        // rows outside qt's terms never contribute — the semi-join only
+        // removes rows those joins would drop)
+        val termSet = qtPlan.select(col("_term")).distinct()
+        val nTerms = termSet.limit(MidPushdownMaxTerms + 1).count()
+        if (nTerms > MidPushdownMaxTerms) (qtPlan, post, dft)
+        else (qtPlan,
+          post.join(broadcast(termSet), Seq("_term"), "left_semi"),
+          dft.join(broadcast(termSet), Seq("_term"), "left_semi"))
+      } else {
         val local = queries.sparkSession.createDataFrame(
           java.util.Arrays.asList(head: _*), qtPlan.schema)
         val terms = head.iterator.map(_.getString(1)).toArray.distinct

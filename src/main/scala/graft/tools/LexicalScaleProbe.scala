@@ -107,6 +107,32 @@ object LexicalScaleProbe {
     require(a == b, "snapshot result differs from one-shot")
     out += s"exactness: snapshot == one-shot on ${a.size} result rows OK"
 
+    // ── pushdown cliff (round-13, verdict item #3) ─────────────────────
+    // batches straddling the 64k-pair localization cap: just-under runs
+    // the or-of-eq/isin row-group-pruned pushdown, just-over the broadcast
+    // term-set semi-join mid-tier. Pre-r13 the over-cap path reverted
+    // straight to the full-scan SHUFFLE join of the whole postings table —
+    // a 16× step on the 64,001st pair (1.12 s → 17.9 s at 5M docs); the
+    // mid-tier must hold the step to a small factor.
+    def pairBatch(n: Int): DataFrame = {
+      val ts = vocabDf.select(col("_term")).orderBy(col("_term"))
+        .limit(n).collect().map(_.getString(0))
+      require(ts.length == n, s"vocabulary too small for a $n-pair batch")
+      ts.grouped(16).zipWithIndex
+        .map { case (g, qid) => (qid.toLong, g.mkString(" ")) }
+        .toSeq.toDF("qid", "qtext")
+    }
+    val underQ = pairBatch(60000)
+    val overQ = pairBatch(120000)
+    def bulkOf(q: DataFrame) = graft.ops.Lexical.bm25BulkTopK(
+      spark, snap, q, "qid", "qtext", k = 10)
+    materialize(bulkOf(underQ)); materialize(bulkOf(overQ)) // warm
+    val underS = timeMin(materialize(bulkOf(underQ)))
+    val overS = timeMin(materialize(bulkOf(overQ)))
+    out += f"pushdown cliff: 60k pairs (localized pushdown) $underS%.2f s vs " +
+      f"120k pairs (broadcast semi-join mid-tier) $overS%.2f s — " +
+      f"step ${overS / underS}%.1fx on 2.0x the work (pre-r13: ~16x)"
+
     // ── incremental append (1% batch) ──────────────────────────────────
     val batch = docs.where(col("doc_id") % 100 === 7)
       .select((col("doc_id") + rows * 10).as("doc_id"), col("text"))

@@ -47,7 +47,7 @@ object PlanLatencyProbe {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
     val out = Seq.newBuilder[String]
-    out += "F\tbuild_s\tcold_plan_s\twarm_plan_s\twarm_min_s\truleoff_min_s\thits\tmisses\ttier"
+    out += "F\tbuild_s\tcold_plan_s\twarm_plan_s\twarm_min_s\truleoff_min_s\thits\tmisses\tplanhits\ttier"
 
     fileCounts.foreach { f =>
       val dir = java.nio.file.Files.createTempDirectory(s"graft-planprobe-$f").toString
@@ -76,12 +76,18 @@ object PlanLatencyProbe {
         (tier, t)
       }
       IndexStore.clearProbeMemo()
+      VectorTopKRule.clearPlanCache()
       val (tierCold, cold) = planOnce()
       val (h0, m0) = IndexStore.probeCacheStats
+      val (ph0, _) = VectorTopKRule.planCacheStats
       val (tierWarm, warm1) = planOnce()
       val warms = warm1 +: (1 to 3).map(_ => planOnce()._2)
       val (h1, m1) = IndexStore.probeCacheStats
+      val (ph1, _) = VectorTopKRule.planCacheStats
       require(tierCold == tierWarm, s"tier flapped: $tierCold vs $tierWarm")
+      // the r13 rewritten-plan cache must serve EVERY warm plan (4 of them)
+      require(ph1 - ph0 == 4,
+        s"rewritten-plan cache served ${ph1 - ph0} of 4 warm plans")
       // baseline: the rule OFF — Spark's own analysis/optimization cost for
       // the same query at F files; the memo's residual warm overhead is
       // (warm_min − base_min), to separate "the memo is O(F)" from "any
@@ -89,7 +95,7 @@ object PlanLatencyProbe {
       spark.conf.set(VectorTopKRule.EnabledKey, "false")
       val base = (1 to 3).map(_ => planOnce()._2).min
       spark.conf.set(VectorTopKRule.EnabledKey, "true")
-      out += f"$f%d\t$buildS%.1f\t$cold%.3f\t$warm1%.3f\t${warms.min}%.3f\t$base%.3f\t${h1 - h0}%d\t${m1 - m0}%d\t${tierCold.getOrElse("none")}"
+      out += f"$f%d\t$buildS%.1f\t$cold%.3f\t$warm1%.3f\t${warms.min}%.3f\t$base%.3f\t${h1 - h0}%d\t${m1 - m0}%d\t${ph1 - ph0}%d\t${tierCold.getOrElse("none")}"
       println(out.result().last)
     }
     println("== PlanLatencyProbe ==")
