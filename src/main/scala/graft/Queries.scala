@@ -3595,6 +3595,54 @@ object Queries {
        |    + bit_count(xor(a.hash_lo, b.hash_lo)) <= 6
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** REAL video decode, oracle-gated end to end (round-13): per doc a
+    * 3-frame 8×6 uncompressed-DIB AVI is synthesized
+    * ([[ops.Multimodal.MediaCodec.encodeAvi]] — the same container the
+    * MJPEG path demuxes, with lossless frames so the oracle is closed
+    * form), demuxed + decoded through [[ops.Multimodal.videoFrameFeatures]]
+    * at stride 2 (frames 0 and 2), and the EXACT per-channel sums over the
+    * sampled frames compare against DuckDB computing the pixel closed form
+    * directly. Any demux defect (chunk walk, stream selection, stride,
+    * row order, BGR order, row padding) breaks the hash. The MJPEG leg of
+    * the same demuxer is spec-pinned (JPEG is lossy — no closed form).
+    */
+  def mq7VideoDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = t(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val frames = (0 until 3).map(k =>
+          ops.Multimodal.MediaCodec.encodeDib24Frame(8, 6, (x, y) => {
+            val r = ((id * 3 + k * 11 + x + y * 8) % 256).toInt
+            val g = ((id * 5 + k * 13 + x * 2 + y) % 256).toInt
+            val b = ((id * 7 + k * 17 + x + y) % 256).toInt
+            (r << 16) | (g << 8) | b
+          }))
+        (id, ops.Multimodal.MediaCodec.encodeAvi(8, 6, 10, "DIB", frames))
+      }
+      .toDF("id", "media")
+    ops.Multimodal.videoFrameFeatures(spark, media, stride = 2)
+      .toDF()
+      .groupBy(col("id").as("doc_id"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_frames"),
+        max(col("width")).as("width"),
+        max(col("height")).as("height"),
+        sum(col("sum_r")).cast("bigint").as("sum_r"),
+        sum(col("sum_g")).cast("bigint").as("sum_g"),
+        sum(col("sum_b")).cast("bigint").as("sum_b"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mq7Oracle: String =
+    """SELECT d.doc_id, CAST(2 AS BIGINT) AS n_frames, 8 AS width, 6 AS height,
+      |  CAST(sum((d.doc_id*3 + f.k*11 + g.x + g2.y*8) % 256) AS BIGINT) AS sum_r,
+      |  CAST(sum((d.doc_id*5 + f.k*13 + g.x*2 + g2.y) % 256) AS BIGINT) AS sum_g,
+      |  CAST(sum((d.doc_id*7 + f.k*17 + g.x + g2.y) % 256) AS BIGINT) AS sum_b
+      |FROM documents d, (VALUES (0), (2)) f(k),
+      |  generate_series(0, 7) g(x), generate_series(0, 5) g2(y)
+      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "events")
 
@@ -4636,6 +4684,7 @@ object Queries {
     "mq4_audio_decode" -> (mq4AudioDecode _),
     "mq5_image_ahash" -> (mq5ImageAhash _),
     "mq6_image_neardup" -> (mq6ImageNeardup _),
+    "mq7_video_decode" -> (mq7VideoDecode _),
     "sq1_sessionize" -> (sq1Sessionize _),
     "st1_stream_hourly" -> (st1StreamHourly _),
     "st2_stream_user_counts" -> (st2StreamUserCounts _),
@@ -4798,6 +4847,7 @@ object Queries {
     "mq4_audio_decode" -> mq4Oracle,
     "mq5_image_ahash" -> mq5Oracle,
     "mq6_image_neardup" -> mq6Oracle,
+    "mq7_video_decode" -> mq7Oracle,
     "sq1_sessionize" -> sq1Oracle,
     "st1_stream_hourly" -> st1Oracle,
     "st2_stream_user_counts" -> st2Oracle,

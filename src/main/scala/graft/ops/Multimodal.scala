@@ -13,10 +13,15 @@ import org.apache.spark.sql.functions._
   * `javax.imageio`, headless-safe) and AUDIO decode (WAV/AIFF/AU PCM via
   * `javax.sound.sampled`) are REAL — see [[MediaCodec]], oracle-gated by
   * exact-integer pixel/sample sums (mq3/mq4) and spec-pinned on synthesized
-  * fixtures. VIDEO remains a stub ([[MediaStub.sampleFrames]] byte-stride
-  * sampling): the JDK ships no container demuxer, and this environment has
-  * no ffmpeg/javacv — the generator shape (one row per sampled frame) is
-  * real and tested, the keyframe extraction is the one-function swap.
+  * fixtures. VIDEO is REAL for the AVI container family (round-13): a
+  * direct RIFF demuxer ([[MediaCodec.parseAviVideo]] — the same parser
+  * discipline as the WAV fast path) extracts MJPEG (`00dc` JPEG frames →
+  * the ImageIO path) and uncompressed 24-bit DIB (`00db` → exact row math)
+  * frames, oracle-gated end to end by closed-form pixel sums over DIB
+  * frames (mq7; DIB is lossless, JPEG is not). Non-AVI containers
+  * (MP4/MKV/WebM) remain out of reach without an external demuxer — those
+  * payloads fall back to [[MediaStub.sampleFrames]] byte-stride sampling
+  * in [[sampleFrameRows]] and drop in [[videoFrameFeatures]].
   * [[MediaStub.decode]] also remains as the any-format fallback feature
   * (byte histogram) for payloads no real decoder claims.
   */
@@ -345,6 +350,242 @@ object Multimodal {
         } finally in.close()
       } catch { case _: Exception => None }
 
+    /** Parsed AVI video: stream facts plus the per-frame payloads of the
+      * FIRST `vids` stream in container order (`##dc` compressed chunks —
+      * MJPEG, each a complete JPEG — or `##db` uncompressed DIB frames).
+      */
+    final case class VideoInfo(
+        width: Int,
+        height: Int,
+        fps: Float,
+        codec: String, // "MJPG" (fourcc) or "DIB" (biCompression=0)
+        dibTopDown: Boolean, // negative biHeight = top-down row order
+        frames: IndexedSeq[Array[Byte]])
+
+    /** Demux RIFF/AVI (the same container family as WAV — `RIFF` sizes
+      * chunk-walked with the Long-cursor discipline, corrupt sizes end the
+      * walk instead of wrapping an Int). Walks `LIST hdrl` for the first
+      * `vids` stream's `strh` (fps) + `strf` (BITMAPINFOHEADER dims/
+      * compression), then `LIST movi` (recursing into `LIST rec `
+      * groupings) for that stream's `##dc`/`##db` frame payloads. None for
+      * anything that is not a well-formed single-video AVI — the engine-
+      * wide refuse-don't-guess codec posture.
+      */
+    def parseAviVideo(bytes: Array[Byte]): Option[VideoInfo] =
+      if (bytes == null || bytes.length < 24) None
+      else try {
+        def u16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+        def u32(o: Int): Long =
+          (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
+            ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
+        def s32(o: Int): Int = u32(o).toInt
+        def tag(o: Int): String =
+          if (o + 4 <= bytes.length) new String(bytes, o, 4, "US-ASCII") else ""
+        if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
+
+        var width = -1; var height = 0; var fps = 0f
+        var codec = ""; var topDown = false
+        var vidsStream = -1 // index of the first vids stream among strl lists
+        val frames = IndexedSeq.newBuilder[Array[Byte]]
+
+        // walk the chunks of [start, end); LISTs dispatch on their type
+        def walk(start: Long, end: Long, inHdrl: Boolean, inMovi: Boolean,
+            streamCounter: Array[Int]): Unit = {
+          var off = start
+          while (off + 8 <= end) {
+            val o = off.toInt
+            val id = tag(o); val sz = u32(o + 4)
+            val payloadEnd = math.min(off + 8 + sz, end)
+            if (id == "LIST" && sz >= 4) {
+              val lt = tag(o + 8)
+              if (lt == "hdrl") walk(off + 12, payloadEnd, inHdrl = true, inMovi = false, streamCounter)
+              else if (lt == "strl" && inHdrl) {
+                // one stream's header list: strh then strf
+                val si = streamCounter(0); streamCounter(0) += 1
+                var so = off + 12
+                var isVids = false
+                while (so + 8 <= payloadEnd) {
+                  val sco = so.toInt
+                  val cid = tag(sco); val csz = u32(sco + 4)
+                  if (cid == "strh" && csz >= 32 && so + 8 + 32 <= payloadEnd) {
+                    isVids = tag(sco + 8) == "vids"
+                    if (isVids && vidsStream < 0) {
+                      vidsStream = si
+                      val scale = u32(sco + 8 + 20); val rate = u32(sco + 8 + 24)
+                      fps = if (scale > 0) rate.toFloat / scale else 0f
+                      val handler = tag(sco + 12).trim
+                      if (codec.isEmpty && handler.nonEmpty) codec = handler
+                    }
+                  } else if (cid == "strf" && isVids && si == vidsStream &&
+                      csz >= 40 && so + 8 + 40 <= payloadEnd) {
+                    width = s32(sco + 8 + 4)
+                    val bh = s32(sco + 8 + 8)
+                    topDown = bh < 0
+                    height = math.abs(bh)
+                    val compression = u32(sco + 8 + 16)
+                    val bitCount = u16(sco + 8 + 14)
+                    codec =
+                      if (compression == 0 && bitCount == 24) "DIB"
+                      else tag(sco + 8 + 16).trim // fourcc, e.g. MJPG
+                  }
+                  so += 8 + csz + (csz & 1)
+                }
+              } else if (lt == "movi" || (lt == "rec " && inMovi))
+                walk(off + 12, payloadEnd, inHdrl = false, inMovi = true, streamCounter)
+            } else if (inMovi && vidsStream >= 0 && id.length == 4 &&
+                id.startsWith(f"$vidsStream%02d") &&
+                (id.endsWith("dc") || id.endsWith("db")) &&
+                off + 8 + sz <= end) {
+              frames += java.util.Arrays.copyOfRange(bytes, o + 8, (off + 8 + sz).toInt)
+            }
+            off += 8 + sz + (sz & 1) // chunks pad to even
+          }
+        }
+        walk(12L, math.min(8L + u32(4), bytes.length.toLong), inHdrl = false,
+          inMovi = false, Array(0))
+        val fs = frames.result()
+        if (vidsStream < 0 || width <= 0 || height <= 0 || codec.isEmpty) None
+        else Some(VideoInfo(width, height, fps, codec, topDown, fs))
+      } catch { case _: Exception => None }
+
+    /** Decode an uncompressed 24-bit DIB frame (BGR, rows padded to 4
+      * bytes, bottom-up unless `topDown`) into the same [[ImageInfo]]
+      * shape as [[decodeImage]] — exact integer sums, lossless, so a
+      * closed-form pixel oracle gates the whole demux+decode path (mq7).
+      */
+    def decodeDib24(
+        frame: Array[Byte], width: Int, height: Int,
+        topDown: Boolean): Option[ImageInfo] = {
+      if (frame == null || width <= 0 || height <= 0 ||
+        width.toLong * height > (1L << 26)) return None
+      val stride = ((3 * width + 3) / 4) * 4
+      if (stride.toLong * height > frame.length) return None
+      var sr = 0L; var sg = 0L; var sb = 0L
+      val hist = new Array[Float](16)
+      var y = 0
+      while (y < height) {
+        val srcRow = if (topDown) y else height - 1 - y
+        var o = srcRow * stride
+        var x = 0
+        while (x < width) {
+          val b = frame(o) & 0xFF; val g = frame(o + 1) & 0xFF; val r = frame(o + 2) & 0xFF
+          sr += r; sg += g; sb += b
+          hist(((r * 299 + g * 587 + b * 114) / 1000) >> 4) += 1.0f
+          o += 3; x += 1
+        }
+        y += 1
+      }
+      val n = (width.toLong * height).toFloat
+      var i = 0
+      while (i < 16) { hist(i) /= n; i += 1 }
+      Some(ImageInfo(width, height, 3, sr, sg, sb, hist))
+    }
+
+    /** Decode one frame of a parsed AVI: MJPEG frames are complete JPEGs
+      * (the ImageIO path), DIB frames go through [[decodeDib24]]. None for
+      * an unsupported codec or a corrupt frame — the row drops, the job
+      * survives (same contract as every decode here).
+      */
+    def decodeVideoFrame(v: VideoInfo, frame: Array[Byte]): Option[ImageInfo] =
+      v.codec match {
+        case "DIB" => decodeDib24(frame, v.width, v.height, v.dibTopDown)
+        case "MJPG" => decodeImage(frame)
+        case _ => None
+      }
+
+    /** JPEG-encode a synthesized RGB image — the MJPEG fixture twin of
+      * [[encodePng]] (lossy: oracle-exact checks use the DIB encoder).
+      */
+    def encodeJpeg(width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb(x, y) & 0xFFFFFF); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+
+    /** Build a minimal spec-valid AVI around pre-encoded frame payloads —
+      * the ingest-side twin of [[parseAviVideo]]. `codecFourcc` "MJPG"
+      * writes `00dc` chunks (frames must be complete JPEGs); "DIB" writes
+      * `00db` with biCompression=0 (frames must be padded bottom-up BGR).
+      */
+    def encodeAvi(
+        width: Int, height: Int, fps: Int, codecFourcc: String,
+        frames: Seq[Array[Byte]]): Array[Byte] = {
+      require(fps > 0 && width > 0 && height > 0, "bad AVI dimensions/fps")
+      val bos = new java.io.ByteArrayOutputStream()
+      def le16(v: Int): Unit = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF) }
+      def le32(v: Long): Unit = {
+        bos.write((v & 0xFF).toInt); bos.write(((v >> 8) & 0xFF).toInt)
+        bos.write(((v >> 16) & 0xFF).toInt); bos.write(((v >> 24) & 0xFF).toInt)
+      }
+      def fourcc(s: String): Unit = bos.write(s.getBytes("US-ASCII"), 0, 4)
+      val isDib = codecFourcc == "DIB"
+      // sizes, inner-out: strh 56, strf 40, strl = 4 + (8+56) + (8+40)
+      val strlSz = 4 + 64 + 48
+      val avihSz = 56
+      val hdrlSz = 4 + (8 + avihSz) + (8 + strlSz)
+      val moviPayload = frames.map(f => 8 + f.length + (f.length & 1)).sum
+      val moviSz = 4 + moviPayload
+      val riffSz = 4 + (8 + hdrlSz) + (8 + moviSz)
+      fourcc("RIFF"); le32(riffSz.toLong); fourcc("AVI ")
+      fourcc("LIST"); le32(hdrlSz.toLong); fourcc("hdrl")
+      fourcc("avih"); le32(avihSz.toLong)
+      le32(1000000L / fps); le32(0); le32(0); le32(0) // usec/frame, maxbps, pad, flags
+      le32(frames.size.toLong); le32(0); le32(1); le32(0) // total, initial, streams, bufsz
+      le32(width.toLong); le32(height.toLong); le32(0); le32(0); le32(0); le32(0)
+      fourcc("LIST"); le32(strlSz.toLong); fourcc("strl")
+      fourcc("strh"); le32(56)
+      fourcc("vids"); fourcc(if (isDib) "DIB " else codecFourcc)
+      le32(0); le16(0); le16(0); le32(0) // flags, prio, lang, initial
+      le32(1); le32(fps.toLong); le32(0); le32(frames.size.toLong) // scale, rate, start, length
+      le32(0); le32(0); le32(0) // bufsz, quality, samplesize
+      le16(0); le16(0); le16(width); le16(height) // rcFrame
+      fourcc("strf"); le32(40)
+      le32(40); le32(width.toLong); le32(height.toLong); le16(1)
+      le16(24)
+      if (isDib) le32(0) else fourcc(codecFourcc)
+      le32(if (isDib) (((3 * width + 3) / 4) * 4).toLong * height else 0L)
+      le32(0); le32(0); le32(0); le32(0)
+      fourcc("LIST"); le32(moviSz.toLong); fourcc("movi")
+      frames.foreach { f =>
+        fourcc(if (isDib) "00db" else "00dc"); le32(f.length.toLong)
+        bos.write(f, 0, f.length)
+        if ((f.length & 1) == 1) bos.write(0) // pad to even
+      }
+      bos.toByteArray
+    }
+
+    /** Pack a synthesized RGB frame as a padded bottom-up BGR DIB — the
+      * fixture twin of [[decodeDib24]] (lossless, so pixel oracles are
+      * closed-form).
+      */
+    def encodeDib24Frame(
+        width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+      val stride = ((3 * width + 3) / 4) * 4
+      val out = new Array[Byte](stride * height)
+      var y = 0
+      while (y < height) {
+        var o = (height - 1 - y) * stride
+        var x = 0
+        while (x < width) {
+          val p = rgb(x, y)
+          out(o) = (p & 0xFF).toByte // B
+          out(o + 1) = ((p >> 8) & 0xFF).toByte // G
+          out(o + 2) = ((p >> 16) & 0xFF).toByte // R
+          o += 3; x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
     /** WAV-encode 16-bit signed mono PCM — the fixture/ingest-side twin of
       * [[decodeAudio]].
       */
@@ -497,9 +738,12 @@ object Multimodal {
   final case class FrameRow(id: Long, frame_idx: Int, n_bytes: Int)
 
   /** Frame sampling as a generator op: one output row per sampled frame —
-    * the explode-shaped twin of [[extractFeatures]] (a real video pipeline
-    * emits keyframe payloads here; the stub emits 8-byte probes every
-    * `stride` bytes).
+    * the explode-shaped twin of [[extractFeatures]]. AVI payloads demux
+    * for REAL ([[MediaCodec.parseAviVideo]]): every `stride`-th container
+    * frame emits (`frame_idx` = its original frame number, `n_bytes` = the
+    * frame payload size). Non-AVI payloads keep the deterministic stub
+    * sampling (8-byte probes every `stride` BYTES) so mixed-crawl batches
+    * and the decode-independent oracles keep flowing.
     */
   def sampleFrameRows(
       spark: SparkSession, media: DataFrame, stride: Int): Dataset[FrameRow] = {
@@ -511,8 +755,51 @@ object Multimodal {
         // an unguarded bytes.grouped NPE'd mid-task with an opaque trace)
         it.flatMap { case (id, bytes) =>
           if (bytes == null) Iterator.empty
-          else MediaStub.sampleFrames(bytes, stride).iterator.zipWithIndex.map {
-            case (frame, i) => FrameRow(id, i, frame.length)
+          else MediaCodec.parseAviVideo(bytes) match {
+            case Some(v) =>
+              Iterator.range(0, v.frames.length, stride).map(i =>
+                FrameRow(id, i, v.frames(i).length))
+            case None =>
+              MediaStub.sampleFrames(bytes, stride).iterator.zipWithIndex.map {
+                case (frame, i) => FrameRow(id, i, frame.length)
+              }
+          }
+        }
+      }
+  }
+
+  final case class VideoFrameRow(
+      id: Long,
+      frame_idx: Int,
+      width: Int,
+      height: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long)
+
+  /** REAL video frame features over AVI payloads — MJPEG (`00dc` JPEG
+    * frames through the ImageIO path) or uncompressed 24-bit DIB (`00db`,
+    * exact row math): demux the container, decode every `stride`-th frame,
+    * emit per-frame dimensions + exact integer channel sums (the mq7
+    * oracle form). Non-AVI payloads and undecodable frames drop, like
+    * [[audioFeatures]] — there is no meaningful fallback shape for video.
+    */
+  def videoFrameFeatures(
+      spark: SparkSession, media: DataFrame, stride: Int = 1): Dataset[VideoFrameRow] = {
+    import spark.implicits._
+    require(stride > 0, "stride must be > 0")
+    media.select(col("id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          if (bytes == null) Iterator.empty
+          else MediaCodec.parseAviVideo(bytes) match {
+            case Some(v) =>
+              Iterator.range(0, v.frames.length, stride).flatMap { i =>
+                MediaCodec.decodeVideoFrame(v, v.frames(i)).map(info =>
+                  VideoFrameRow(id, i, info.width, info.height,
+                    info.sumR, info.sumG, info.sumB))
+              }
+            case None => Iterator.empty
           }
         }
       }

@@ -167,6 +167,111 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.MediaCodec.decodeImage(png).nonEmpty)
   }
 
+  test("AVI/DIB demux+decode: exact pixel sums, stride, row order, padding") {
+    import org.apache.spark.sql.functions._
+    // 5 wide → 15-byte rows pad to 16 (the padding seam under test)
+    val w = 5; val h = 4
+    def rgb(k: Int)(x: Int, y: Int): Int = {
+      val r = (k * 50 + x * 7 + y * 31) % 256
+      val g = (k * 30 + x * 11 + y) % 256
+      val b = (k * 70 + x + y * 13) % 256
+      (r << 16) | (g << 8) | b
+    }
+    val frames = (0 until 4).map(k => Multimodal.MediaCodec.encodeDib24Frame(w, h, rgb(k)))
+    val avi = Multimodal.MediaCodec.encodeAvi(w, h, 10, "DIB", frames)
+    val v = Multimodal.MediaCodec.parseAviVideo(avi).get
+    assert(v.width == w && v.height == h && v.codec == "DIB" && v.fps == 10f)
+    assert(v.frames.length == 4)
+    def expSum(k: Int, ch: Int): Long =
+      (for (x <- 0 until w; y <- 0 until h) yield ((rgb(k)(x, y) >> ch) & 0xFF).toLong).sum
+    (0 until 4).foreach { k =>
+      val info = Multimodal.MediaCodec.decodeVideoFrame(v, v.frames(k)).get
+      assert(info.width == w && info.height == h)
+      assert(info.sumR == expSum(k, 16) && info.sumG == expSum(k, 8) &&
+        info.sumB == expSum(k, 0), s"frame $k")
+    }
+    // the op samples every 2nd frame with original indices, non-AVI drops
+    val media = Seq((1L, avi), (2L, "plain text".getBytes("UTF-8"))).toDF("id", "media")
+    val rows = Multimodal.videoFrameFeatures(spark, media, stride = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(rows.map(_.id).distinct.toSeq == Seq(1L))
+    assert(rows.map(_.frame_idx).toSeq == Seq(0, 2))
+    assert(rows.head.sum_r == expSum(0, 16) && rows(1).sum_r == expSum(2, 16))
+    // sampleFrameRows rides the real demux for AVI payloads
+    val fr = Multimodal.sampleFrameRows(spark, media.where(col("id") === 1), 2).collect()
+    assert(fr.map(_.frame_idx).sorted.toSeq == Seq(0, 2))
+    assert(fr.forall(_.n_bytes == 16 * h))
+  }
+
+  test("AVI/MJPEG demux: frame payloads are the exact JPEGs; ImageIO decodes them") {
+    val w = 16; val h = 12
+    val jpegs = (0 until 3).map(k =>
+      Multimodal.MediaCodec.encodeJpeg(w, h, (x, y) => ((k * 60 + x * 8) << 16) | (y * 10)))
+    val avi = Multimodal.MediaCodec.encodeAvi(w, h, 25, "MJPG", jpegs)
+    val v = Multimodal.MediaCodec.parseAviVideo(avi).get
+    assert(v.codec == "MJPG" && v.fps == 25f && v.frames.length == 3)
+    // the demux must hand back the UNTOUCHED JPEG bytes (byte equality),
+    // so frame decode is exactly the already-oracle-gated image path
+    (0 until 3).foreach(k => assert(v.frames(k).sameElements(jpegs(k)), s"frame $k"))
+    (0 until 3).foreach { k =>
+      val direct = Multimodal.MediaCodec.decodeImage(jpegs(k)).get
+      val viaAvi = Multimodal.MediaCodec.decodeVideoFrame(v, v.frames(k)).get
+      assert(viaAvi == direct.copy(grayHist = viaAvi.grayHist), s"frame $k")
+      assert(viaAvi.width == w && viaAvi.height == h)
+    }
+  }
+
+  test("AVI parser never throws on corrupt, truncated, or bit-flipped payloads") {
+    val frames = (0 until 2).map(k =>
+      Multimodal.MediaCodec.encodeDib24Frame(5, 4, (x, y) => (k * 90 + x + y) << 8))
+    val avi = Multimodal.MediaCodec.encodeAvi(5, 4, 10, "DIB", frames)
+    val rnd = new scala.util.Random(13)
+    (0 until 300).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(150))(rnd.nextInt().toByte)
+      Multimodal.MediaCodec.parseAviVideo(junk): Unit
+    }
+    // every truncation point
+    (0 until avi.length).foreach(c =>
+      Multimodal.MediaCodec.parseAviVideo(avi.take(c)): Unit)
+    // single-bit corruption sweep — includes every chunk-size field (the
+    // Long-cursor discipline: a huge size must end the walk, not wrap)
+    (0 until avi.length).foreach { i =>
+      val c = avi.clone; c(i) = (c(i) ^ 0xFF).toByte
+      Multimodal.MediaCodec.parseAviVideo(c).foreach { v =>
+        v.frames.foreach(f => Multimodal.MediaCodec.decodeVideoFrame(v, f): Unit)
+      }
+    }
+    // uncorrupted still parses afterwards
+    assert(Multimodal.MediaCodec.parseAviVideo(avi).exists(_.frames.length == 2))
+  }
+
+  test("image codec fuzz: dimension bombs and truncated streams are refused, not thrown") {
+    // r12 verdict item #7: the WAV parser got corrupt-chunk fuzzing; give
+    // the ImageIO path the same treatment. A PNG HEADER declaring absurd
+    // dimensions must be rejected by the decode paths' guards (ahash's
+    // 2^26-pixel gate; decodeImage survives via ImageIO's own failure →
+    // None), never OOM or throw.
+    val png = Multimodal.MediaCodec.encodePng(10, 8, (x, y) => (x * 20) << 16 | y * 30)
+    // forge width/height in the IHDR (bytes 16-23, big-endian) to 2^30
+    val bomb = png.clone
+    def putBE(o: Int, v: Int): Unit = {
+      bomb(o) = (v >>> 24).toByte; bomb(o + 1) = (v >>> 16).toByte
+      bomb(o + 2) = (v >>> 8).toByte; bomb(o + 3) = v.toByte
+    }
+    putBE(16, 1 << 30); putBE(20, 1 << 30)
+    assert(Multimodal.MediaCodec.ahash(bomb, 8).isEmpty)
+    Multimodal.MediaCodec.decodeImage(bomb): Unit // must not throw
+    Multimodal.MediaCodec.resizeImage(bomb, 8): Unit
+    // ahash truncation + bit-flip sweeps (mq5's kernel — decodeImage's
+    // sweep lives in the corrupt-payload test above)
+    (0 until png.length by 2).foreach(c => Multimodal.MediaCodec.ahash(png.take(c), 8): Unit)
+    (0 until png.length by 2).foreach { i =>
+      val c = png.clone; c(i) = (c(i) ^ 0xFF).toByte
+      Multimodal.MediaCodec.ahash(c, 8): Unit
+    }
+    assert(Multimodal.MediaCodec.ahash(png, 8).nonEmpty)
+  }
+
   test("real audio decode: exact sample aggregates on a synthesized WAV; text drops") {
     import org.apache.spark.sql.functions._
     val samples = Array.tabulate[Short](64)(i => ((i * 113) % 4001 - 2000).toShort)
