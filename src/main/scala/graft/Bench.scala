@@ -296,31 +296,8 @@ object Bench {
     // mixture corpus (64 centers — the clustered shape real embedding
     // spaces have), indexed at its natural k, recall vs brute force.
     val clusteredRecall =
-      try {
-        import spark.implicits._
-        val dims = 32; val centers = 64; val nRows = 100000L
-        val dir = java.nio.file.Files.createTempDirectory("graft-bench-clust").toString
-        spark.range(nRows).map { i =>
-          val cr = new scala.util.Random(1234 + (i % centers))
-          val center = Array.fill(dims)((cr.nextGaussian() * 8).toFloat)
-          val pr = new scala.util.Random(5678 + i)
-          (i, center.map(v => v + pr.nextGaussian().toFloat))
-        }.toDF("vec_id", "embedding")
-          .select(
-            org.apache.spark.sql.functions.col("vec_id"),
-            org.apache.spark.sql.functions.col("embedding")
-              .cast("array<float>").as("embedding"))
-          .repartition(8).write.mode("overwrite").parquet(dir)
-        val cstore = new graft.ivf.IndexStore(
-          java.nio.file.Files.createTempDirectory("graft-bench-clust-store").toString)
-        graft.ivf.IvfBuilder.build(spark, dir,
-          graft.ivf.IvfBuilder.Config("embedding", nClusters = Some(centers)), cstore)
-        val cq = {
-          val cr = new scala.util.Random(1234) // center 0's seed
-          Array.fill(dims)((cr.nextGaussian() * 8).toFloat + 0.1f).toIndexedSeq
-        }
-        graft.ivf.Recall.atK(spark, dir, "embedding", "vec_id", cq, 100, 16, cstore).recall
-      } catch { case _: Throwable => -1.0 }
+      try Bench.clusteredRecallMetric(spark)
+      catch { case _: Throwable => -1.0 }
 
     // host calibration (round-12 verdict item #1): a fixed spark-only CPU
     // job — no graft code, no IO, fully codegen'd — whose time indexes the
@@ -396,5 +373,55 @@ object Bench {
       gateFailures.isEmpty,
       s"recall floor gate FAILED: ${gateFailures.mkString("; ")}")
     spark.stop()
+  }
+
+  /** The clustered-corpus recall metric (`recall_at100_clustered`): a
+    * seeded 100k×32 Gaussian mixture (64 centers), indexed at its natural
+    * cluster count, recall@100 vs brute at nprobe=16. `centerScale`
+    * controls cluster overlap: centers ~ N(0, scale²) per dim with unit
+    * point noise. The default 1.0 was TUNED to a non-degenerate operating
+    * point (ClusteredRecallProbe sweep: 0.8→0.81, 0.9→0.89, 1.0→0.951,
+    * 1.1→0.99, ≥1.2 saturates at 1.0 — well-separated mixtures read 1.0 no
+    * matter what the probe code does, which is true but informationless),
+    * sitting right at the 500k Gaussian probe's honest 0.96 band with
+    * sensitivity headroom in both directions.
+    */
+  private[graft] def clusteredRecallMetric(
+      spark: SparkSession, centerScale: Double = 1.0): Double = {
+    import spark.implicits._
+    val dims = 32; val centers = 64; val nRows = 100000L
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-clust").toString
+    spark.range(nRows).map { i =>
+      val cr = new scala.util.Random(1234 + (i % centers))
+      val center = Array.fill(dims)((cr.nextGaussian() * centerScale).toFloat)
+      val pr = new scala.util.Random(5678 + i)
+      (i, center.map(v => v + pr.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+      .select(
+        org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding")
+          .cast("array<float>").as("embedding"))
+      .repartition(8).write.mode("overwrite").parquet(dir)
+    val cstore = new graft.ivf.IndexStore(
+      java.nio.file.Files.createTempDirectory("graft-bench-clust-store").toString)
+    // index at the builder's natural ⌈√n⌉ cluster count (~316 here), NOT
+    // the mixture's 64: nprobe16 then probes ~5% of cells — the same
+    // fraction the sf fixture's operating point probes — so the metric has
+    // headroom to move; at 64 cells nprobe16 is 25% coverage and reads a
+    // saturated 1.0 at every overlap (ClusteredRecallProbe sweep)
+    graft.ivf.IvfBuilder.build(spark, dir,
+      graft.ivf.IvfBuilder.Config("embedding"), cstore)
+    // MEAN recall over 20 queries drawn from the mixture itself (center +
+    // unit noise, seeds disjoint from the data's): center-point queries
+    // all read 1.0 — the hard cases live between clusters, which is where
+    // real query embeddings land too
+    val recalls = (0 until 20).map { qi =>
+      val cr = new scala.util.Random(1234 + (qi % centers))
+      val center = Array.fill(dims)((cr.nextGaussian() * centerScale).toFloat)
+      val pr = new scala.util.Random(999000 + qi)
+      val cq = center.map(v => v + pr.nextGaussian().toFloat).toIndexedSeq
+      graft.ivf.Recall.atK(spark, dir, "embedding", "vec_id", cq, 100, 16, cstore).recall
+    }
+    recalls.sum / recalls.size
   }
 }
