@@ -96,7 +96,7 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
           (attr, query, radius) <- extractRangePredicate(cond)
           leaf <- findSingleParquetLeaf(fchild)
           column <- leaf.output.find(_.exprId == attr.exprId).map(_.name)
-          rewritten <- buildRangePrunedLeaf(leaf, column, query, radius)
+          rewritten <- buildRangePrunedLeaf(leaf, column, query, radius, served)
         } yield {
           val nf = f.copy(child = fchild.transformUp {
             case l if l.eq(leaf.node) => rewritten
@@ -597,10 +597,36 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       leaf: ParquetLeaf,
       column: String,
       query: Array[Float],
-      radius: Float): Option[LogicalPlan] = {
+      radius: Float,
+      served: scala.collection.mutable.Set[String] =
+        scala.collection.mutable.HashSet.empty): Option[LogicalPlan] = {
+    val storeDir = conf(IndexDirKey, IndexStore.default.dir)
+    // same rewritten-plan cache as the top-k shape (the range feed has the
+    // identical O(F) construction costs); radius rides in the conf slot.
+    // A range rewrite carries no tier, so tier/reason are unused markers.
+    val cacheKey = VectorTopKRule.rewriteCacheKey(
+      leaf.rootPaths, leaf.inputFiles, leaf.dataSchema, leaf.output.map(_.name),
+      column, query, k = -1, cosine = false, filterFree = false,
+      Seq("range", radius.toString, conf(RangeMaxSelectivityKey, RangeMaxSelectivityDefault),
+        storeDir, spark.sessionState.conf.autoBroadcastJoinThreshold.toString))
+    VectorTopKRule.planCacheGet(cacheKey).foreach { c =>
+      if (!served.contains(cacheKey) && !c.identity.contains("absent") &&
+          IndexStore.identityOf(c.dirs) == c.identity) {
+        aliasOutput(leaf, c.plan.clone()) match {
+          case Some(p) =>
+            served += cacheKey
+            VectorTopKRule.planCacheHits.incrementAndGet()
+            return Some(p)
+          case None => // fall through to a rebuild
+        }
+      }
+    }
+    VectorTopKRule.planCacheMisses.incrementAndGet()
     val files = leaf.inputFiles.map(IndexStore.canonicalPath).sorted
     if (files.isEmpty) return None
-    val store = new IndexStore(conf(IndexDirKey, IndexStore.default.dir))
+    val cacheDirs = IndexStore.tableDirs(files, storeDir)
+    val idBefore = IndexStore.identityOf(cacheDirs)
+    val store = new IndexStore(storeDir)
     // table-level dir-identity memo over the per-file dim peeks: a repeat
     // plan against an unchanged table answers in O(1) stats (see
     // IndexStore.memoizedTableProbe); per-file peeks run on invalidation
@@ -627,22 +653,21 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
     val candSide =
       if (threshold >= 0 && estBytes * 2 <= threshold) broadcast(candDf) else candDf
-    graftSemiJoin(leaf, candSide)
+    val pruned = graftSubtree(leaf, candSide)
+    aliasOutput(leaf, pruned).map { p =>
+      if (!idBefore.contains("absent") && IndexStore.identityOf(cacheDirs) == idBefore) {
+        VectorTopKRule.planCachePut(cacheKey,
+          VectorTopKRule.CachedRewrite(cacheDirs, idBefore, pruned, "float", "range"))
+        served += cacheKey
+      }
+      p
+    }
   }
 
-  /** Shared tail of the rewrites: replace the parquet leaf with
-    * `V1 scan semi-join candidate feed`, re-optimize the injected subtree,
-    * and alias its output back to the original attribute ids so untouched
-    * parent operators still resolve.
-    */
-  private def graftSemiJoin(
-      leaf: ParquetLeaf,
-      candSide: org.apache.spark.sql.DataFrame): Option[LogicalPlan] =
-    aliasOutput(leaf, graftSubtree(leaf, candSide))
-
-  /** The pre-alias grafted subtree — everything that depends only on the
-    * scanned table + candidate feed (not this query's attribute ids), and
-    * therefore what the rewritten-plan cache stores.
+  /** The pre-alias grafted subtree — `V1 scan semi-join candidate feed`,
+    * re-optimized: everything that depends only on the scanned table +
+    * candidate feed (not this query's attribute ids), and therefore what
+    * the rewritten-plan cache stores; [[aliasOutput]] rebinds per query.
     */
   private def graftSubtree(
       leaf: ParquetLeaf,
@@ -802,7 +827,7 @@ object VectorTopKRule {
   /** Prevents re-matching a rewritten range Filter. */
   private[plans] val RangeRewrittenTag = TreeNodeTag[Unit]("graft.ivf.rangeRewritten")
 
-  /** Serializes the useV1SourceList set/read/restore in [[graftSemiJoin]]
+  /** Serializes the useV1SourceList set/read/restore in [[graftSubtree]]
     * (process-wide: runtime confs are session-scoped but cloned sessions
     * share the underlying SQLConf in some paths — one lock is cheap).
     */

@@ -153,6 +153,31 @@ class PlanCacheSpec extends SparkSpec {
     }
   }
 
+  test("range rewrite repeat plans are served from the cache and stay exact") {
+    register()
+    withRule {
+      spark.conf.set(VectorTopKRule.RangeMaxSelectivityKey, "1.0")
+      try {
+        VectorTopKRule.clearPlanCache()
+        def range() = spark.sql(
+          s"""SELECT id FROM plancache_vecs
+             |WHERE array_distance(vec, array(${Seq.fill(6)("0.5F").mkString(",")})) < 0.6
+             |""".stripMargin)
+        val first = range()
+        assert(fired(first), first.queryExecution.optimizedPlan.toString)
+        val want = ids(first).sorted
+        val (h0, _) = VectorTopKRule.planCacheStats
+        val second = range()
+        second.queryExecution.optimizedPlan
+        val (h1, _) = VectorTopKRule.planCacheStats
+        assert(h1 == h0 + 1, s"repeat range plan missed the cache ($h0 -> $h1)")
+        assert(ids(second).sorted == want)
+        spark.conf.set(VectorTopKRule.EnabledKey, "false")
+        assert(ids(range()).sorted == want)
+      } finally spark.conf.unset(VectorTopKRule.RangeMaxSelectivityKey)
+    }
+  }
+
   test("self-join of two identical top-k subqueries stays correct") {
     register()
     withRule {
