@@ -108,30 +108,37 @@ object LexicalScaleProbe {
     out += s"exactness: snapshot == one-shot on ${a.size} result rows OK"
 
     // ── pushdown cliff (round-13, verdict item #3) ─────────────────────
-    // batches straddling the 64k-pair localization cap: just-under runs
-    // the or-of-eq/isin row-group-pruned pushdown, just-over the broadcast
-    // term-set semi-join mid-tier. Pre-r13 the over-cap path reverted
-    // straight to the full-scan SHUFFLE join of the whole postings table —
-    // a 16× step on the 64,001st pair (1.12 s → 17.9 s at 5M docs); the
-    // mid-tier must hold the step to a small factor.
-    def pairBatch(n: Int): DataFrame = {
-      val ts = vocabDf.select(col("_term")).orderBy(col("_term"))
-        .limit(n).collect().map(_.getString(0))
-      require(ts.length == n, s"vocabulary too small for a $n-pair batch")
-      ts.grouped(16).zipWithIndex
-        .map { case (g, qid) => (qid.toLong, g.mkString(" ")) }
-        .toSeq.toDF("qid", "qtext")
-    }
-    val underQ = pairBatch(60000)
-    val overQ = pairBatch(120000)
+    // batches straddling the 64k-pair localization cap at FIXED work:
+    // both batches draw 10-term queries from the SAME 1000 rarest terms
+    // (smallest Σdf — the exact shape where r12 measured the 16× step:
+    // postings touched is tiny, so the over-cap plan's corpus-side cost is
+    // pure overhead). Just under (6k qids × 10 = 60k pairs) runs the
+    // localized isin pushdown with row-group pruning; just over (12k ×
+    // 10 = 120k pairs) the r13 broadcast term-set semi-join mid-tier,
+    // which READS the postings but never shuffles them and fans out only
+    // matching rows. Pre-r13 the over-cap path joined the full 248M-row
+    // postings table (1.12 → 17.9 s). A mid-df slice is deliberately NOT
+    // used: 1000 common terms × 120k pairs fans out to ~3B contribution
+    // rows, measuring aggregation mass instead of the plan cliff (and
+    // OOMing a 8g driver — first r13 attempt).
+    val rareSlice = termsEnd(asc = true, 1000)
+    val slice = rareSlice.map(_._1).toArray
+    out += f"cliff slice: 1000 rarest terms, sum_df=${rareSlice.map(_._2).sum}%d"
+    def pairBatch(nq: Int): DataFrame =
+      (0 until nq).map { q =>
+        (q.toLong, (0 until 10).map(j => slice((q * 10 + j) % 1000)).mkString(" "))
+      }.toDF("qid", "qtext")
+    val underQ = pairBatch(6000) // 60k (qid, term) pairs
+    val overQ = pairBatch(12000) // 120k pairs
     def bulkOf(q: DataFrame) = graft.ops.Lexical.bm25BulkTopK(
       spark, snap, q, "qid", "qtext", k = 10)
     materialize(bulkOf(underQ)); materialize(bulkOf(overQ)) // warm
     val underS = timeMin(materialize(bulkOf(underQ)))
     val overS = timeMin(materialize(bulkOf(overQ)))
-    out += f"pushdown cliff: 60k pairs (localized pushdown) $underS%.2f s vs " +
+    out += f"pushdown cliff (1000 rarest terms): " +
+      f"60k pairs (localized isin pushdown) $underS%.2f s vs " +
       f"120k pairs (broadcast semi-join mid-tier) $overS%.2f s — " +
-      f"step ${overS / underS}%.1fx on 2.0x the work (pre-r13: ~16x)"
+      f"step ${overS / underS}%.1fx on 2.0x the queries (pre-r13: ~16x)"
 
     // ── incremental append (1% batch) ──────────────────────────────────
     val batch = docs.where(col("doc_id") % 100 === 7)

@@ -106,6 +106,37 @@ object MediaScaleProbe {
     out += f"audioFeatures: $nAud%d rows in $tAud%.2f s (${nAud / tAud}%.0f rows/s; garbage dropped)"
     require(nAud == rows - rows / 10, s"audio=$nAud")
 
+    // ── video: AVI demux+decode at crawl volume (round-13 — the codec
+    // went real; same 10% garbage mix). Default 8-frame 32×32 MJPEG per
+    // row ≈ a short clip's keyframe set; DIB leg isolates demux+row-math
+    // from JPEG decode cost.
+    val vidRows = rows / 10 // video payloads are ~10× an image's bytes
+    val vidDir = s"$base/video"
+    val genVidS = graft.BenchTiming.time {
+      spark.range(vidRows.toLong).as[Long].repartition(32)
+        .map { id =>
+          val bytes =
+            if (id % 10 == 9) s"not-a-video-$id".getBytes("UTF-8")
+            else {
+              val frames = (0 until 8).map { k =>
+                Multimodal.MediaCodec.encodeJpeg(dim, dim, (x, y) =>
+                  ((id * 3 + k * 17 + x + y) % 256).toInt << 16 |
+                    ((id * 5 + k + x) % 256).toInt << 8 | ((id + y) % 256).toInt)
+              }
+              Multimodal.MediaCodec.encodeAvi(dim, dim, 10, "MJPG", frames)
+            }
+          (id, bytes)
+        }
+        .toDF("id", "media").write.mode("overwrite").parquet(vidDir)
+    }
+    val video = spark.read.parquet(vidDir)
+    out += f"synthesized $vidRows%d 8-frame ${dim}x$dim MJPEG AVIs (10%% garbage): $genVidS%.1f s"
+    val (nVid, tVid) = timeMin(
+      Multimodal.videoFrameFeatures(spark, video, stride = 2).count())
+    val goodVids = (vidRows - vidRows / 10).toLong
+    out += f"videoFrameFeatures(stride=2): $nVid%d frame rows in $tVid%.2f s (${nVid / tVid}%.0f frames/s = ${nVid / 4 / tVid}%.0f clips/s; garbage dropped)"
+    require(nVid == goodVids * 4, s"video frames=$nVid expected ${goodVids * 4}")
+
     println("== MediaScaleProbe ==")
     out.result().foreach(println)
     spark.stop()
