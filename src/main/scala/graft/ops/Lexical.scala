@@ -295,6 +295,12 @@ object Lexical {
     */
   private val MidPushdownMaxTerms = 1 << 21
 
+  /** Probe/test hook: force the pre-mid-tier full-scan join for over-cap
+    * batches, so LexicalScaleProbe can A/B the mid-tier against the old
+    * plan on the SAME batch. Never set in production paths.
+    */
+  @volatile private[graft] var disableMidTier = false
+
   private def scoreBulk(
       post: DataFrame,
       dft: DataFrame,
@@ -331,7 +337,7 @@ object Lexical {
         // removes rows those joins would drop)
         val termSet = qtPlan.select(col("_term")).distinct()
         val nTerms = termSet.limit(MidPushdownMaxTerms + 1).count()
-        if (nTerms > MidPushdownMaxTerms) (qtPlan, post, dft)
+        if (nTerms > MidPushdownMaxTerms || disableMidTier) (qtPlan, post, dft)
         else (qtPlan,
           post.join(broadcast(termSet), Seq("_term"), "left_semi"),
           dft.join(broadcast(termSet), Seq("_term"), "left_semi"))

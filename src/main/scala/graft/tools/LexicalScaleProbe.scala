@@ -121,12 +121,20 @@ object LexicalScaleProbe {
     // used: 1000 common terms × 120k pairs fans out to ~3B contribution
     // rows, measuring aggregation mass instead of the plan cliff (and
     // OOMing a 8g driver — first r13 attempt).
-    val rareSlice = termsEnd(asc = true, 1000)
-    val slice = rareSlice.map(_._1).toArray
-    out += f"cliff slice: 1000 rarest terms, sum_df=${rareSlice.map(_._2).sum}%d"
+    // Query shape: 1 real rare term + 9 out-of-vocabulary terms per query
+    // (the long-tail query-log shape) — OOV terms inflate the PAIR count
+    // past the cap without adding postings work, so pair count is the only
+    // variable. Even the rarest corpus terms carry df≈12k here (10k-term
+    // Zipf vocab at 5M docs), so real-term-heavy batches measure score-
+    // aggregation mass, not the plan (first r13 attempt: 231/426 s, both
+    // sides fanout-dominated).
+    val rare1000 = termsEnd(asc = true, 1000)
+    out += f"cliff real terms: 1000 rarest, sum_df=${rare1000.map(_._2).sum}%d"
+    val slice = rare1000.map(_._1).toArray
     def pairBatch(nq: Int): DataFrame =
       (0 until nq).map { q =>
-        (q.toLong, (0 until 10).map(j => slice((q * 10 + j) % 1000)).mkString(" "))
+        val padded = slice(q % 1000) +: (0 until 9).map(j => s"zzoov${q}x$j")
+        (q.toLong, padded.mkString(" "))
       }.toDF("qid", "qtext")
     val underQ = pairBatch(6000) // 60k (qid, term) pairs
     val overQ = pairBatch(12000) // 120k pairs
@@ -135,10 +143,28 @@ object LexicalScaleProbe {
     materialize(bulkOf(underQ)); materialize(bulkOf(overQ)) // warm
     val underS = timeMin(materialize(bulkOf(underQ)))
     val overS = timeMin(materialize(bulkOf(overQ)))
-    out += f"pushdown cliff (1000 rarest terms): " +
+    // A/B the SAME over-cap batch against the pre-r13 plan (full-scan
+    // shuffle join of all postings) via the probe hook
+    graft.ops.Lexical.disableMidTier = true
+    val overOldS =
+      try { materialize(bulkOf(overQ)); timeMin(materialize(bulkOf(overQ))) }
+      finally graft.ops.Lexical.disableMidTier = false
+    // exactness: the mid-tier and the full-scan plan must agree row-for-row
+    def sig(df: DataFrame) = df.agg(
+      count(lit(1)),
+      sum(hash(col("qid"), col("doc_id"), col("score_e9")).cast("long"))).first()
+    val sigMid = sig(bulkOf(overQ))
+    graft.ops.Lexical.disableMidTier = true
+    val sigOld = try sig(bulkOf(overQ)) finally graft.ops.Lexical.disableMidTier = false
+    require(sigMid == sigOld, s"mid-tier diverges from full-scan: $sigMid vs $sigOld")
+    out += "over-cap exactness: mid-tier == full-scan on " +
+      s"${sigMid.getLong(0)} result rows OK"
+    out += f"pushdown cliff (1 rare + 9 OOV terms/query): " +
       f"60k pairs (localized isin pushdown) $underS%.2f s vs " +
       f"120k pairs (broadcast semi-join mid-tier) $overS%.2f s — " +
-      f"step ${overS / underS}%.1fx on 2.0x the queries (pre-r13: ~16x)"
+      f"step ${overS / underS}%.1fx on 2.0x the queries; " +
+      f"SAME 120k batch on the pre-r13 full-scan plan: $overOldS%.2f s " +
+      f"(mid-tier is ${overOldS / overS}%.1fx faster)"
 
     // ── incremental append (1% batch) ──────────────────────────────────
     val batch = docs.where(col("doc_id") % 100 === 7)
