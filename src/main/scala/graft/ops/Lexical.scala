@@ -273,12 +273,24 @@ object Lexical {
   /** Term sets at most this large push down as an or-of-equalities
     * predicate — parquet translates it eq-by-eq, so row-group min/max
     * stats prune PRECISELY on the sorted-by-`_term` layout. Larger sets
-    * (up to the pair cap) use `isin`: Spark still bucket-prunes any In,
-    * but parquet collapses big In lists to one min/max range, which on a
-    * vocabulary-spanning term set prunes nothing — precision there would
-    * cost a per-row-group OR-tree walk of thousands of branches.
+    * (up to [[IsinMaxTerms]]) use `isin`: Spark still bucket-prunes any
+    * In, but parquet collapses big In lists to one min/max range, which
+    * on a vocabulary-spanning term set prunes nothing — precision there
+    * would cost a per-row-group OR-tree walk of thousands of branches.
     */
   private val OrEqMaxTerms = 64
+
+  /** Above this many distinct terms the scan predicate switches from
+    * `isin` to the broadcast term-set SEMI-JOIN (the same shape as the
+    * over-pair-cap mid-tier): a giant In list whose min/max range covers
+    * the layout prunes nothing and still charges a per-row set probe
+    * inside the scan — measured 68.5 s for a 55k-term isin vs 51.4 s for
+    * the equivalent semi-join vs 45.8 s for no filter at all on the same
+    * 248M-posting corpus (LexicalScaleProbe r13). Up to this size the In
+    * list still has a real chance of pruning buckets/row groups (the r12
+    * rare-batch shape: ≤64k pairs of ≤8k distinct terms, 17.9 → 1.12 s).
+    */
+  private val IsinMaxTerms = 8192
 
   /** Mid-tier cap: past [[PushdownMaxPairs]] (no driver-side localization)
     * but at most this many DISTINCT terms, the batch's term set is
@@ -342,15 +354,27 @@ object Lexical {
           post.join(broadcast(termSet), Seq("_term"), "left_semi"),
           dft.join(broadcast(termSet), Seq("_term"), "left_semi"))
       } else {
-        val local = queries.sparkSession.createDataFrame(
+        val spark = queries.sparkSession
+        val local = spark.createDataFrame(
           java.util.Arrays.asList(head: _*), qtPlan.schema)
         val terms = head.iterator.map(_.getString(1)).toArray.distinct
-        val pred =
-          if (terms.isEmpty) lit(false)
-          else if (terms.length <= OrEqMaxTerms)
-            terms.map(t => col("_term") === lit(t)).reduce(_ or _)
-          else col("_term").isin(terms.toIndexedSeq: _*)
-        (local, post.where(pred), dft.where(pred))
+        if (terms.length > IsinMaxTerms && !disableMidTier) {
+          // localized batch, but the term set is too big for a useful In
+          // predicate — semi-join it like the mid-tier (built from the
+          // SAME collected terms, so filter and join stay consistent)
+          import spark.implicits._
+          val termSet = broadcast(terms.toIndexedSeq.toDF("_term"))
+          (local,
+            post.join(termSet, Seq("_term"), "left_semi"),
+            dft.join(termSet, Seq("_term"), "left_semi"))
+        } else {
+          val pred =
+            if (terms.isEmpty) lit(false)
+            else if (terms.length <= OrEqMaxTerms)
+              terms.map(t => col("_term") === lit(t)).reduce(_ or _)
+            else col("_term").isin(terms.toIndexedSeq: _*)
+          (local, post.where(pred), dft.where(pred))
+        }
       }
     // mirrored token-for-token in Queries.bq1Oracle — parenthesization is
     // the contract, as in bm25

@@ -143,28 +143,35 @@ object LexicalScaleProbe {
     materialize(bulkOf(underQ)); materialize(bulkOf(overQ)) // warm
     val underS = timeMin(materialize(bulkOf(underQ)))
     val overS = timeMin(materialize(bulkOf(overQ)))
-    // A/B the SAME over-cap batch against the pre-r13 plan (full-scan
-    // shuffle join of all postings) via the probe hook
+    // A/B the SAME batches against the pre-r13 plans via the probe hook:
+    // over-cap → full-scan shuffle join; under-cap → the 55k-term isin
     graft.ops.Lexical.disableMidTier = true
-    val overOldS =
-      try { materialize(bulkOf(overQ)); timeMin(materialize(bulkOf(overQ))) }
-      finally graft.ops.Lexical.disableMidTier = false
+    val (overOldS, underOldS) =
+      try {
+        materialize(bulkOf(overQ)); materialize(bulkOf(underQ))
+        (timeMin(materialize(bulkOf(overQ))), timeMin(materialize(bulkOf(underQ))))
+      } finally graft.ops.Lexical.disableMidTier = false
     // exactness: the mid-tier and the full-scan plan must agree row-for-row
     def sig(df: DataFrame) = df.agg(
       count(lit(1)),
       sum(hash(col("qid"), col("doc_id"), col("score_e9")).cast("long"))).first()
     val sigMid = sig(bulkOf(overQ))
+    val sigMidU = sig(bulkOf(underQ))
     graft.ops.Lexical.disableMidTier = true
-    val sigOld = try sig(bulkOf(overQ)) finally graft.ops.Lexical.disableMidTier = false
+    val (sigOld, sigOldU) =
+      try (sig(bulkOf(overQ)), sig(bulkOf(underQ)))
+      finally graft.ops.Lexical.disableMidTier = false
     require(sigMid == sigOld, s"mid-tier diverges from full-scan: $sigMid vs $sigOld")
-    out += "over-cap exactness: mid-tier == full-scan on " +
-      s"${sigMid.getLong(0)} result rows OK"
+    require(sigMidU == sigOldU, s"under-cap semi-join diverges from isin: $sigMidU vs $sigOldU")
+    out += "exactness: semi-join plans == pre-r13 plans on " +
+      s"${sigMid.getLong(0)}/${sigMidU.getLong(0)} result rows OK"
     out += f"pushdown cliff (1 rare + 9 OOV terms/query): " +
-      f"60k pairs (localized isin pushdown) $underS%.2f s vs " +
-      f"120k pairs (broadcast semi-join mid-tier) $overS%.2f s — " +
-      f"step ${overS / underS}%.1fx on 2.0x the queries; " +
-      f"SAME 120k batch on the pre-r13 full-scan plan: $overOldS%.2f s " +
-      f"(mid-tier is ${overOldS / overS}%.1fx faster)"
+      f"60k pairs $underS%.2f s vs 120k pairs $overS%.2f s — " +
+      f"step ${overS / underS}%.1fx on 2.0x the queries " +
+      f"(both now broadcast-semi-join their 55k/109k-term sets); " +
+      f"pre-r13 plans on the SAME batches: 120k full-scan join $overOldS%.2f s " +
+      f"(${overOldS / overS}%.1fx), 60k isin-predicate $underOldS%.2f s " +
+      f"(${underOldS / underS}%.1fx)"
 
     // ── incremental append (1% batch) ──────────────────────────────────
     val batch = docs.where(col("doc_id") % 100 === 7)
