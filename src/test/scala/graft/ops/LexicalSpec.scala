@@ -175,6 +175,26 @@ class LexicalSpec extends SparkSpec {
       direct.as[(Long, Long, Long)].collect().toSet)
   }
 
+  test("huge localized term sets (>8192) ride the semi-join and match the isin plan") {
+    // a batch under the pair cap whose DISTINCT term count exceeds the
+    // isin ceiling: 830 queries × 11 unique terms = 9130 pairs AND 9130
+    // distinct terms (+2 real ones). The r13 path semi-joins the term set
+    // into the scans; the probe hook forces the old isin plan for the A/B.
+    val wide = (0 until 830).map { q =>
+      (q.toLong, (0 until 11).map(j => s"zz${q}w$j").mkString(" ") + " cat dog")
+    }.toDF("qid", "qtext")
+    def run() = Lexical.bm25BulkTopK(docs, "id", "text", wide, "qid", "qtext", k = 5)
+    val semiPlan = run().queryExecution.executedPlan.toString
+    assert(semiPlan.contains("LeftSemi"), s"semi-join tier not engaged:\n$semiPlan")
+    assert(!semiPlan.contains("In(_term, ["), s"isin must not fire over the ceiling")
+    val semi = run().as[(Long, Long, Long)].collect().toSet
+    Lexical.disableMidTier = true
+    val old = try run().as[(Long, Long, Long)].collect().toSet
+      finally Lexical.disableMidTier = false
+    assert(semi == old, "semi-join tier diverges from the isin plan")
+    assert(semi.nonEmpty)
+  }
+
   test("incremental appendPostings reproduces the one-shot snapshot scores") {
     val queries = Seq((0L, "cat fish"), (1L, "dog")).toDF("qid", "qtext")
     val direct = Lexical.bm25BulkTopK(docs, "id", "text", queries, "qid", "qtext", k = 10)
