@@ -341,18 +341,35 @@ object Lexical {
     val head = qtPlan.limit(PushdownMaxPairs + 1).collect()
     val (qt, postSide, dftSide) =
       if (head.length > PushdownMaxPairs) {
-        // mid-tier: the batch is too big to localize, but if its DISTINCT
-        // term set is still far short of the vocabulary, semi-joining it
-        // into the corpus-side scans keeps the postings table out of the
-        // shuffle (exact either way: the scoring joins are inner on qt, so
-        // rows outside qt's terms never contribute — the semi-join only
-        // removes rows those joins would drop)
-        val termSet = qtPlan.select(col("_term")).distinct()
-        val nTerms = termSet.limit(MidPushdownMaxTerms + 1).count()
-        if (nTerms > MidPushdownMaxTerms || disableMidTier) (qtPlan, post, dft)
-        else (qtPlan,
-          post.join(broadcast(termSet), Seq("_term"), "left_semi"),
-          dft.join(broadcast(termSet), Seq("_term"), "left_semi"))
+        if (disableMidTier) (qtPlan, post, dft)
+        else {
+          // mid-tier: the batch is too big to localize, but if its DISTINCT
+          // term set is still far short of the vocabulary, semi-joining it
+          // into the corpus-side scans keeps the postings table out of the
+          // shuffle (exact either way: the scoring joins are inner on qt, so
+          // rows outside qt's terms never contribute — the semi-join only
+          // removes rows those joins would drop).
+          // PERSISTED first: the term-set job and the scoring join are two
+          // evaluations of the same lineage — for a non-deterministic
+          // `queries` input (unseeded sample, re-read source) a term could
+          // appear in the join's evaluation but not the broadcast's, and
+          // its contributions would be silently semi-joined away. Caching
+          // pins one materialization for both (each partition computed
+          // once, by whichever job touches it first). The blocks are
+          // query-batch-sized and die with the context cleaner once the
+          // returned DataFrame is dropped; loop-heavy callers can
+          // `.unpersist()` via the input's lineage when done.
+          val qtCached = qtPlan.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val termSet = qtCached.select(col("_term")).distinct()
+          val nTerms = termSet.limit(MidPushdownMaxTerms + 1).count()
+          if (nTerms > MidPushdownMaxTerms) {
+            qtCached.unpersist(blocking = false)
+            (qtPlan, post, dft)
+          } else (qtCached,
+            post.join(broadcast(termSet), Seq("_term"), "left_semi"),
+            dft.join(broadcast(termSet), Seq("_term"), "left_semi"))
+        }
       } else {
         val spark = queries.sparkSession
         val local = spark.createDataFrame(

@@ -413,7 +413,9 @@ object Multimodal {
                       vidsStream = si
                       val scale = u32(sco + 8 + 20); val rate = u32(sco + 8 + 24)
                       fps = if (scale > 0) rate.toFloat / scale else 0f
-                      val handler = tag(sco + 12).trim
+                      // fourccs are case-insensitive in the wild ('MJPG',
+                      // 'mjpg', and Matrox's 'dmb1' all mean MJPEG)
+                      val handler = tag(sco + 12).trim.toUpperCase
                       if (codec.isEmpty && handler.nonEmpty) codec = handler
                     }
                   } else if (cid == "strf" && isVids && si == vidsStream &&
@@ -426,7 +428,7 @@ object Multimodal {
                     val bitCount = u16(sco + 8 + 14)
                     codec =
                       if (compression == 0 && bitCount == 24) "DIB"
-                      else tag(sco + 8 + 16).trim // fourcc, e.g. MJPG
+                      else tag(sco + 8 + 16).trim.toUpperCase // fourcc, e.g. MJPG
                   }
                   so += 8 + csz + (csz & 1)
                 }
@@ -489,7 +491,8 @@ object Multimodal {
     def decodeVideoFrame(v: VideoInfo, frame: Array[Byte]): Option[ImageInfo] =
       v.codec match {
         case "DIB" => decodeDib24(frame, v.width, v.height, v.dibTopDown)
-        case "MJPG" => decodeImage(frame)
+        // "DMB1" is Matrox's MJPEG fourcc — same complete-JPEG frames
+        case "MJPG" | "DMB1" => decodeImage(frame)
         case _ => None
       }
 

@@ -51,6 +51,53 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def conf(key: String, default: String): String =
     spark.conf.getOption(key).getOrElse(default)
 
+  /** Scopes plan-cache entries to THIS session: the cache is JVM-global
+    * while cached subtrees embed relations bound to the building session
+    * and were optimized under its non-graft confs (which the key does not
+    * enumerate) — serving them to a sibling `newSession()` would run one
+    * session's plan under another's state. Entries of dropped sessions
+    * age out of the LRU.
+    */
+  private lazy val sessionKey: String = VectorTopKRule.sessionKeyFor(spark)
+
+  /** Serve a cached rewrite: present, dir-identity still valid, not yet
+    * embedded in this tree (duplicate internal exprIds under a self-join),
+    * rebindable to this leaf's attribute ids.
+    */
+  private def serveCachedRewrite(
+      cacheKey: String,
+      leaf: ParquetLeaf,
+      served: scala.collection.mutable.Set[String]): Option[(LogicalPlan, String, String)] =
+    VectorTopKRule.planCacheGet(cacheKey).flatMap { c =>
+      if (!served.contains(cacheKey) && !c.identity.contains("absent") &&
+          IndexStore.identityOf(c.dirs) == c.identity)
+        aliasOutput(leaf, c.plan.clone()).map { p =>
+          served += cacheKey
+          VectorTopKRule.planCacheHits.incrementAndGet()
+          (p, c.tier, c.reason)
+        }
+      else None
+    }
+
+  /** TOCTOU-disciplined insert: cache only when the dir-identity snapshot
+    * taken BEFORE the build still holds after it (the same discipline as
+    * IndexStore.memoizedEntry — a build racing a concurrent store write
+    * must not pin its answer under the pre-write identity).
+    */
+  private def cacheRewriteIfUnchanged(
+      cacheKey: String,
+      dirs: Seq[String],
+      idBefore: String,
+      pruned: LogicalPlan,
+      tier: String,
+      reason: String,
+      served: scala.collection.mutable.Set[String]): Unit =
+    if (!idBefore.contains("absent") && IndexStore.identityOf(dirs) == idBefore) {
+      VectorTopKRule.planCachePut(
+        cacheKey, VectorTopKRule.CachedRewrite(dirs, idBefore, pruned, tier, reason))
+      served += cacheKey
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (conf(EnabledKey, "true") != "true") return plan
     // guards the rewritten-plan cache against serving ONE cached subtree
@@ -282,21 +329,10 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val cacheKey = VectorTopKRule.rewriteCacheKey(
       leaf.rootPaths, leaf.inputFiles, leaf.dataSchema, leaf.output.map(_.name),
       column, query, k, cosine, filterFree,
-      Seq(NprobeKey, MaxCandidatesKey, TierKey, StorageProfileKey, OversampleKey,
-        FilteredTierKey, TwoPhaseKey).map(kk => conf(kk, "")) :+
+      sessionKey +: Seq(NprobeKey, MaxCandidatesKey, TierKey, StorageProfileKey,
+        OversampleKey, FilteredTierKey, TwoPhaseKey).map(kk => conf(kk, "")) :+
         storeDir :+ spark.sessionState.conf.autoBroadcastJoinThreshold.toString)
-    VectorTopKRule.planCacheGet(cacheKey).foreach { c =>
-      if (!served.contains(cacheKey) && !c.identity.contains("absent") &&
-          IndexStore.identityOf(c.dirs) == c.identity) {
-        aliasOutput(leaf, c.plan.clone()) match {
-          case Some(p) =>
-            served += cacheKey
-            VectorTopKRule.planCacheHits.incrementAndGet()
-            return Some((p, c.tier, c.reason))
-          case None => // fall through to a rebuild
-        }
-      }
-    }
+    serveCachedRewrite(cacheKey, leaf, served).foreach(r => return Some(r))
     VectorTopKRule.planCacheMisses.incrementAndGet()
     // canonical form matches `_metadata.file_path`, which the semi-join
     // compares against
@@ -397,11 +433,7 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val (candDf, tier, tierReason) = candSide
     val pruned = graftSubtree(leaf, candDf)
     aliasOutput(leaf, pruned).map { p =>
-      if (!idBefore.contains("absent") && IndexStore.identityOf(cacheDirs) == idBefore) {
-        VectorTopKRule.planCachePut(cacheKey,
-          VectorTopKRule.CachedRewrite(cacheDirs, idBefore, pruned, tier, tierReason))
-        served += cacheKey
-      }
+      cacheRewriteIfUnchanged(cacheKey, cacheDirs, idBefore, pruned, tier, tierReason, served)
       (p, tier, tierReason)
     }
   }
@@ -607,20 +639,10 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val cacheKey = VectorTopKRule.rewriteCacheKey(
       leaf.rootPaths, leaf.inputFiles, leaf.dataSchema, leaf.output.map(_.name),
       column, query, k = -1, cosine = false, filterFree = false,
-      Seq("range", radius.toString, conf(RangeMaxSelectivityKey, RangeMaxSelectivityDefault),
+      Seq(sessionKey, "range", radius.toString,
+        conf(RangeMaxSelectivityKey, RangeMaxSelectivityDefault),
         storeDir, spark.sessionState.conf.autoBroadcastJoinThreshold.toString))
-    VectorTopKRule.planCacheGet(cacheKey).foreach { c =>
-      if (!served.contains(cacheKey) && !c.identity.contains("absent") &&
-          IndexStore.identityOf(c.dirs) == c.identity) {
-        aliasOutput(leaf, c.plan.clone()) match {
-          case Some(p) =>
-            served += cacheKey
-            VectorTopKRule.planCacheHits.incrementAndGet()
-            return Some(p)
-          case None => // fall through to a rebuild
-        }
-      }
-    }
+    serveCachedRewrite(cacheKey, leaf, served).foreach { case (p, _, _) => return Some(p) }
     VectorTopKRule.planCacheMisses.incrementAndGet()
     val files = leaf.inputFiles.map(IndexStore.canonicalPath).sorted
     if (files.isEmpty) return None
@@ -655,11 +677,7 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if (threshold >= 0 && estBytes * 2 <= threshold) broadcast(candDf) else candDf
     val pruned = graftSubtree(leaf, candSide)
     aliasOutput(leaf, pruned).map { p =>
-      if (!idBefore.contains("absent") && IndexStore.identityOf(cacheDirs) == idBefore) {
-        VectorTopKRule.planCachePut(cacheKey,
-          VectorTopKRule.CachedRewrite(cacheDirs, idBefore, pruned, "float", "range"))
-        served += cacheKey
-      }
+      cacheRewriteIfUnchanged(cacheKey, cacheDirs, idBefore, pruned, "float", "range", served)
       p
     }
   }
@@ -856,6 +874,21 @@ object VectorTopKRule {
           e: java.util.Map.Entry[String, CachedRewrite]): Boolean =
         size() > PlanCacheCap
     }
+  /** Stable per-session identity for cache keys (weak: dropped sessions
+    * don't stay reachable through the identity map; their cache entries
+    * age out of the LRU).
+    */
+  private val sessionKeys =
+    new java.util.WeakHashMap[SparkSession, String]()
+  private[plans] def sessionKeyFor(s: SparkSession): String =
+    sessionKeys.synchronized {
+      Option(sessionKeys.get(s)).getOrElse {
+        val k = java.util.UUID.randomUUID().toString
+        sessionKeys.put(s, k)
+        k
+      }
+    }
+
   private[plans] def planCacheGet(k: String): Option[CachedRewrite] =
     planCache.synchronized(Option(planCache.get(k)))
   private[plans] def planCachePut(k: String, v: CachedRewrite): Unit =

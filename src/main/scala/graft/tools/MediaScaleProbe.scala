@@ -107,9 +107,10 @@ object MediaScaleProbe {
     require(nAud == rows - rows / 10, s"audio=$nAud")
 
     // ── video: AVI demux+decode at crawl volume (round-13 — the codec
-    // went real; same 10% garbage mix). Default 8-frame 32×32 MJPEG per
-    // row ≈ a short clip's keyframe set; DIB leg isolates demux+row-math
-    // from JPEG decode cost.
+    // went real; same 10% garbage mix). 8-frame 32×32 MJPEG per row ≈ a
+    // short clip's keyframe set; per-frame cost should track the image
+    // path's per-image cost (both are ImageIO JPEG decode + pixel pass),
+    // leaving the RIFF demux layer as the measured residual.
     val vidRows = rows / 10 // video payloads are ~10× an image's bytes
     val vidDir = s"$base/video"
     val genVidS = graft.BenchTiming.time {

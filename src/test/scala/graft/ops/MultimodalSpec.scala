@@ -221,6 +221,18 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("lowercase and DMB1 MJPEG fourccs decode like MJPG") {
+    val jpeg = Multimodal.MediaCodec.encodeJpeg(8, 8, (x, y) => (x * 30) << 16 | y * 30)
+    Seq("mjpg", "Mjpg", "dmb1", "DMB1").foreach { fourcc =>
+      val avi = Multimodal.MediaCodec.encodeAvi(8, 8, 10, fourcc, Seq(jpeg))
+      val v = Multimodal.MediaCodec.parseAviVideo(avi).get
+      assert(v.codec == fourcc.toUpperCase, s"$fourcc -> ${v.codec}")
+      val info = Multimodal.MediaCodec.decodeVideoFrame(v, v.frames.head)
+      assert(info.exists(i => i.width == 8 && i.height == 8),
+        s"fourcc $fourcc parsed but did not decode")
+    }
+  }
+
   test("AVI parser never throws on corrupt, truncated, or bit-flipped payloads") {
     val frames = (0 until 2).map(k =>
       Multimodal.MediaCodec.encodeDib24Frame(5, 4, (x, y) => (k * 90 + x + y) << 8))
