@@ -859,6 +859,13 @@ object VectorTopKRule {
   // an in-place content overwrite is caught execution-side by binding
   // stamps). Entries hold finished pre-alias LOGICAL subtrees; serving one
   // costs dir stats + a clone + re-aliasing, independent of file count.
+  // Known tradeoff: the key enumerates the graft confs + the broadcast
+  // threshold + a session identity, NOT every Spark optimizer conf — a
+  // user toggling e.g. spark.sql.optimizer.excludedRules mid-session can
+  // be served a subtree optimized under the previous setting (the
+  // OUTER plan always reflects current confs; only the injected subtree's
+  // internal optimization is pinned). Disable via EnabledKey or
+  // clearPlanCache() when experimenting with optimizer confs.
   private[plans] final case class CachedRewrite(
       dirs: Seq[String], identity: String, plan: LogicalPlan,
       tier: String, reason: String)

@@ -178,6 +178,23 @@ class PlanCacheSpec extends SparkSpec {
     }
   }
 
+  test("concurrent planning of the same query is safe and exact") {
+    register()
+    withRule {
+      VectorTopKRule.clearPlanCache()
+      val want = ids(topk()) // also primes the cache
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        val tasks = (0 until 16).map { _ =>
+          pool.submit(new java.util.concurrent.Callable[Seq[Long]] {
+            override def call(): Seq[Long] = ids(topk())
+          })
+        }
+        tasks.foreach(t => assert(t.get(120, java.util.concurrent.TimeUnit.SECONDS) == want))
+      } finally pool.shutdownNow()
+    }
+  }
+
   test("self-join of two identical top-k subqueries stays correct") {
     register()
     withRule {
