@@ -352,7 +352,7 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // IndexStore.memoizedTableProbe); per-file peeks run on invalidation
     if (!IndexStore.memoizedTableProbe(
         s"table-peek-dim-${query.length}", column, files, store.dir)(
-        files.forall(file =>
+        IndexStore.forallFiles(files)(file =>
           graft.ivf.IndexManager.cachedPeek(store, file, column)
             .exists(_._1 == query.length))))
       return None
@@ -515,13 +515,13 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       availMemo.getOrElseUpdate(s"pq-$residual",
         IndexStore.memoizedTableProbe(
           s"table-pq-usable-$residual", column, files, store.dir)(
-          files.forall(f =>
+          IndexStore.forallFiles(files)(f =>
             graft.ivf.PqSidecar.usable(store, f, column, residual))))
     def allSq8Codes(): Boolean =
       availMemo.getOrElseUpdate("sq8",
         IndexStore.memoizedTableProbe(
           "table-sq8-usable", column, files, store.dir)(
-          files.forall(graft.ivf.Sq8Sidecar.usable(store, _, column))))
+          IndexStore.forallFiles(files)(graft.ivf.Sq8Sidecar.usable(store, _, column))))
     val tier =
       if (requested != "auto") requested
       else {
@@ -654,7 +654,7 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // IndexStore.memoizedTableProbe); per-file peeks run on invalidation
     if (!IndexStore.memoizedTableProbe(
         s"table-peek-dim-${query.length}", column, files, store.dir)(
-        files.forall(file =>
+        IndexStore.forallFiles(files)(file =>
           graft.ivf.IndexManager.cachedPeek(store, file, column)
             .exists(_._1 == query.length))))
       return None
