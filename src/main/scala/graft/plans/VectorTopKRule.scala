@@ -336,7 +336,7 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     VectorTopKRule.planCacheMisses.incrementAndGet()
     // canonical form matches `_metadata.file_path`, which the semi-join
     // compares against
-    val files = leaf.inputFiles.map(IndexStore.canonicalPath).sorted
+    val files = VectorTopKRule.internedFileList(leaf.rootPaths, leaf.inputFiles)
     if (files.isEmpty) return None
     // identity snapshot BEFORE the build; cached only if unchanged after —
     // the same TOCTOU discipline as IndexStore.memoizedEntry
@@ -644,7 +644,7 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
         storeDir, spark.sessionState.conf.autoBroadcastJoinThreshold.toString))
     serveCachedRewrite(cacheKey, leaf, served).foreach { case (p, _, _) => return Some(p) }
     VectorTopKRule.planCacheMisses.incrementAndGet()
-    val files = leaf.inputFiles.map(IndexStore.canonicalPath).sorted
+    val files = VectorTopKRule.internedFileList(leaf.rootPaths, leaf.inputFiles)
     if (files.isEmpty) return None
     val cacheDirs = IndexStore.tableDirs(files, storeDir)
     val idBefore = IndexStore.identityOf(cacheDirs)
@@ -870,11 +870,52 @@ object VectorTopKRule {
       dirs: Seq[String], identity: String, plan: LogicalPlan,
       tier: String, reason: String)
 
-  /** Bounds driver memory: each entry pins a plan subtree whose feed holds
-    * the table's file list (~100 bytes/file) — 64 distinct (table, query,
-    * conf) shapes ≈ tens of MB worst-case at 100k files, LRU-evicted.
+  /** Bounds driver memory: each entry pins a plan subtree whose feed
+    * captures the table's canonicalized file list — INTERNED per table
+    * ([[internedFileList]]), so 64 entries over K tables hold K lists
+    * (~10 MB per 100k-file table), not 64.
     */
   private val PlanCacheCap = 64
+
+  /** One canonical sorted file list per table content: every cached plan
+    * (and every cache-miss rebuild) for the same unchanged table shares
+    * ONE Seq instance instead of re-canonicalizing, re-sorting, and
+    * capturing a private copy in its feed closures. Keyed by root paths +
+    * count + the same unordered content mix as the plan-cache key; a
+    * changed file set changes the key, and the plan cache's dir-identity
+    * validation backstops staleness downstream.
+    */
+  private val fileListCache =
+    new java.util.LinkedHashMap[String, Seq[String]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[String]]): Boolean = size() > 16
+    }
+  private[plans] def internedFileList(
+      rootPaths: Seq[String], inputFiles: Seq[String]): Seq[String] = {
+    val key = rootPaths.mkString(",") + " " + inputFiles.length + " " +
+      unorderedMix(inputFiles)
+    fileListCache.synchronized {
+      Option(fileListCache.get(key)).getOrElse {
+        val v = inputFiles.map(graft.ivf.IndexStore.canonicalPath).sorted
+        fileListCache.put(key, v)
+        v
+      }
+    }
+  }
+
+  /** Two independent single-pass unordered mixes over a path list — no
+    * sort, no canonicalization; shared by the plan-cache key and the
+    * file-list intern key.
+    */
+  private def unorderedMix(files: Seq[String]): String = {
+    var hx = 0L; var hs = 0L
+    files.foreach { f =>
+      var m = f.hashCode.toLong * 0x9E3779B97F4A7C15L
+      m ^= (m >>> 29)
+      hx ^= m; hs += m
+    }
+    s"$hx:$hs"
+  }
   private val planCache =
     new java.util.LinkedHashMap[String, CachedRewrite](16, 0.75f, true) {
       override def removeEldestEntry(
@@ -918,12 +959,6 @@ object VectorTopKRule {
       rootPaths: Seq[String], inputFiles: Seq[String], schema: StructType,
       outputNames: Seq[String], column: String, query: Array[Float],
       k: Int, cosine: Boolean, filterFree: Boolean, confs: Seq[String]): String = {
-    var hx = 0L; var hs = 0L
-    inputFiles.foreach { f =>
-      var m = f.hashCode.toLong * 0x9E3779B97F4A7C15L
-      m ^= (m >>> 29)
-      hx ^= m; hs += m
-    }
     val md = java.security.MessageDigest.getInstance("SHA-1")
     val qb = java.nio.ByteBuffer.allocate(4 * query.length)
     query.foreach(qb.putFloat)
@@ -932,7 +967,7 @@ object VectorTopKRule {
     val qDigest = md.digest().map("%02x".format(_)).mkString
     (Seq("topk", rootPaths.mkString(","), outputNames.mkString(","), column,
       k.toString, cosine.toString, filterFree.toString, qDigest,
-      inputFiles.length.toString, hx.toString, hs.toString) ++ confs)
+      inputFiles.length.toString, unorderedMix(inputFiles)) ++ confs)
       .mkString("\u0000")
   }
 
