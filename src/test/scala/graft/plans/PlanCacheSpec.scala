@@ -178,6 +178,31 @@ class PlanCacheSpec extends SparkSpec {
     }
   }
 
+  test("DSv2 parquet repeat plans are also served from the cache, exactly") {
+    withRule {
+      val prev = spark.conf.get("spark.sql.sources.useV1SourceList")
+      spark.conf.set("spark.sql.sources.useV1SourceList", "")
+      try {
+        register()
+        VectorTopKRule.clearPlanCache()
+        val first = topk()
+        assert(fired(first), first.queryExecution.optimizedPlan.toString)
+        val want = ids(first)
+        val (h0, _) = VectorTopKRule.planCacheStats
+        val second = topk()
+        second.queryExecution.optimizedPlan
+        val (h1, _) = VectorTopKRule.planCacheStats
+        assert(h1 == h0 + 1, s"DSv2 repeat plan missed the cache ($h0 -> $h1)")
+        assert(ids(second) == want)
+        spark.conf.set(VectorTopKRule.EnabledKey, "false")
+        assert(ids(topk()) == want)
+      } finally {
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev)
+        register()
+      }
+    }
+  }
+
   test("concurrent planning of the same query is safe and exact") {
     register()
     withRule {
