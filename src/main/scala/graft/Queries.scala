@@ -3643,6 +3643,125 @@ object Queries {
       |  generate_series(0, 7) g(x), generate_series(0, 5) g2(y)
       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
+  /** Synthesized crawl URLs for the web-ops gates: per doc, group
+    * `g = doc_id div 5` and variant `k = doc_id % 5` build five spellings —
+    * k=0..3 differ only in case, `www.`, default port, tracking params,
+    * param order, and fragment (all normalized away → one canonical URL
+    * per group), k=4 is a genuinely distinct https URL on a NON-default
+    * port under a multi-label suffix (`.co.uk`), exercising kept ports
+    * and the eTLD+1 rule.
+    */
+  private def uqUrls(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = expr("doc_id div 5")
+    val k = expr("doc_id % 5")
+    val site = concat(lit("Site"), (g % 40).cast("string"))
+    val url = when(k === 0,
+      concat(lit("http://www."), site, lit(".com/p/"), g.cast("string"), lit("?b=2&a=1")))
+      .when(k === 1,
+        concat(lit("http://"), site, lit(".COM:80/p/"), g.cast("string"),
+          lit("?a=1&b=2&utm_source=x")))
+      .when(k === 2,
+        concat(lit("http://"), site, lit(".com/p/"), g.cast("string"),
+          lit("?b=2&a=1&fbclid=zz#sec2")))
+      .when(k === 3,
+        concat(lit("http://www."), site, lit(".Com:80/p/"), g.cast("string"),
+          lit("?a=1&b=2")))
+      .otherwise(
+        concat(lit("https://cdn."), site, lit(".co.uk:8443/x/"), g.cast("string")))
+    t(spark, sfDir, "documents").select(col("doc_id"), url.as("url"))
+  }
+
+  /** The same URL construction in DuckDB SQL (`g`/`k` from doc_id). */
+  private val uqUrlsSql: String =
+    """SELECT doc_id,
+      |  CASE doc_id % 5
+      |    WHEN 0 THEN 'http://www.Site' || (doc_id // 5) % 40 || '.com/p/' || doc_id // 5 || '?b=2&a=1'
+      |    WHEN 1 THEN 'http://Site' || (doc_id // 5) % 40 || '.COM:80/p/' || doc_id // 5 || '?a=1&b=2&utm_source=x'
+      |    WHEN 2 THEN 'http://Site' || (doc_id // 5) % 40 || '.com/p/' || doc_id // 5 || '?b=2&a=1&fbclid=zz#sec2'
+      |    WHEN 3 THEN 'http://www.Site' || (doc_id // 5) % 40 || '.Com:80/p/' || doc_id // 5 || '?a=1&b=2'
+      |    ELSE 'https://cdn.Site' || (doc_id // 5) % 40 || '.co.uk:8443/x/' || doc_id // 5
+      |  END AS url
+      |FROM documents""".stripMargin
+
+  /** The normalization chain mirrored rule-for-rule in DuckDB (the uq1/uq2
+    * oracle CTE): lowercase scheme/host, strip `www.`, drop default ports,
+    * drop fragment + tracking params, sort surviving params, '' path → '/'.
+    */
+  private val uqNormSql: String =
+    """norm AS (
+      |  SELECT doc_id, url,
+      |    lower(regexp_extract(url, '^([^:/?#]+)://', 1)) AS scheme,
+      |    lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)) AS auth
+      |  FROM urls),
+      |parts AS (
+      |  SELECT doc_id, url, scheme, auth,
+      |    regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+      |    regexp_replace(regexp_replace(auth, ':[0-9]+$', ''), '^www\.', '') AS host,
+      |    CASE WHEN regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) = '' THEN '/'
+      |         ELSE regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) END AS npath,
+      |    array_to_string(list_sort(list_filter(
+      |      string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|ref)='))), '&') AS qnorm
+      |  FROM norm),
+      |canon AS (
+      |  SELECT doc_id, host,
+      |    scheme || '://' || host ||
+      |    CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+      |                              OR (scheme = 'https' AND port = '443'))
+      |         THEN ':' || port ELSE '' END ||
+      |    npath ||
+      |    CASE WHEN qnorm <> '' THEN '?' || qnorm ELSE '' END AS canonical_url
+      |  FROM parts)""".stripMargin
+
+  /** URL canonicalization + host + registrable domain, oracle-gated rule
+    * for rule ([[ops.Web.normalizeUrl]]/[[ops.Web.urlHost]]/
+    * [[ops.Web.registrableDomain]] vs DuckDB computing the identical
+    * chain): any divergence in the regex steps, param filtering/sorting,
+    * port defaults, or the multi-label suffix rule breaks the hash.
+    */
+  def uq1UrlNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    val urls = uqUrls(spark, sfDir)
+    val host = ops.Web.urlHost(col("url"))
+    urls.select(
+      col("doc_id"),
+      ops.Web.normalizeUrl(col("url")).as("canonical_url"),
+      host.as("host"),
+      ops.Web.registrableDomain(host).as("domain"))
+      .orderBy(col("doc_id"))
+  }
+
+  val uq1Oracle: String =
+    s"""WITH urls AS ($uqUrlsSql),
+       |$uqNormSql,
+       |dom AS (
+       |  SELECT doc_id, canonical_url, host,
+       |    string_split(host, '.') AS hp
+       |  FROM canon)
+       |SELECT doc_id, canonical_url, host,
+       |  CASE WHEN len(hp) <= 2 THEN host
+       |       WHEN hp[-2] || '.' || hp[-1] IN
+       |         ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au','org.au',
+       |          'co.jp','ne.jp','or.jp','com.br','com.cn','com.mx','co.in','co.kr','co.za')
+       |       THEN hp[-3] || '.' || hp[-2] || '.' || hp[-1]
+       |       ELSE hp[-2] || '.' || hp[-1] END AS domain
+       |FROM dom ORDER BY doc_id""".stripMargin
+
+  /** URL-keyed exact dedup ([[ops.Web.urlDedup]]): the four
+    * normalization-equivalent spellings per group collapse to one row
+    * with the min-id keeper and n_dups=4; the distinct k=4 URL stays its
+    * own group. Oracle: DuckDB groups by the same canonical chain.
+    */
+  def uq2UrlDedup(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Web.urlDedup(uqUrls(spark, sfDir), "doc_id", "url")
+      .orderBy(col("canonical_url"))
+
+  val uq2Oracle: String =
+    s"""WITH urls AS ($uqUrlsSql),
+       |$uqNormSql
+       |SELECT canonical_url, min(doc_id) AS keeper_id,
+       |  CAST(count(*) AS BIGINT) AS n_dups
+       |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin
+
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "events")
 
@@ -4685,6 +4804,8 @@ object Queries {
     "mq5_image_ahash" -> (mq5ImageAhash _),
     "mq6_image_neardup" -> (mq6ImageNeardup _),
     "mq7_video_decode" -> (mq7VideoDecode _),
+    "uq1_url_normalize" -> (uq1UrlNormalize _),
+    "uq2_url_dedup" -> (uq2UrlDedup _),
     "sq1_sessionize" -> (sq1Sessionize _),
     "st1_stream_hourly" -> (st1StreamHourly _),
     "st2_stream_user_counts" -> (st2StreamUserCounts _),
@@ -4848,6 +4969,8 @@ object Queries {
     "mq5_image_ahash" -> mq5Oracle,
     "mq6_image_neardup" -> mq6Oracle,
     "mq7_video_decode" -> mq7Oracle,
+    "uq1_url_normalize" -> uq1Oracle,
+    "uq2_url_dedup" -> uq2Oracle,
     "sq1_sessionize" -> sq1Oracle,
     "st1_stream_hourly" -> st1Oracle,
     "st2_stream_user_counts" -> st2Oracle,

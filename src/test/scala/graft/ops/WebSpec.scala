@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class WebSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def norm(urls: String*): Seq[String] =
+    urls.toDF("url").select(Web.normalizeUrl(col("url"))).as[String].collect().toSeq
+
+  test("normalizeUrl: case, www, default ports, tracking params, order, fragment") {
+    val canonical = "http://site.com/p/1?a=1&b=2"
+    assert(norm(
+      "http://www.site.com/p/1?b=2&a=1",
+      "HTTP://Site.COM:80/p/1?a=1&b=2&utm_source=x",
+      "http://site.com/p/1?b=2&a=1&fbclid=zz#frag",
+      "http://www.site.Com:80/p/1?a=1&b=2&gclid=g&ref=r"
+    ) == Seq.fill(4)(canonical))
+  }
+
+  test("normalizeUrl: kept non-default ports, empty path, empty query, https") {
+    assert(norm("https://cdn.site.co.uk:8443/x") == Seq("https://cdn.site.co.uk:8443/x"))
+    assert(norm("https://site.com:443") == Seq("https://site.com/"))
+    assert(norm("http://site.com:8080?z=1#f") == Seq("http://site.com:8080/?z=1"))
+    assert(norm("http://site.com?utm_campaign=c") == Seq("http://site.com/"))
+  }
+
+  test("normalizeUrl: non-URL strings pass through unchanged; nulls stay null") {
+    val junk = Seq("not a url", "ftp-ish:garbage", "", "/relative/path")
+    assert(norm(junk: _*) == junk)
+    val r = Seq((1L, null: String)).toDF("id", "url")
+      .select(Web.normalizeUrl(col("url"))).collect()
+    assert(r.head.isNullAt(0))
+  }
+
+  test("urlHost and registrableDomain: suffix table and short hosts") {
+    def dom(hosts: String*): Seq[String] = hosts.toDF("h")
+      .select(Web.registrableDomain(col("h"))).as[String].collect().toSeq
+    assert(dom("cdn.images.site.co.uk") == Seq("site.co.uk"))
+    assert(dom("a.b.site.com") == Seq("site.com"))
+    assert(dom("site.com") == Seq("site.com"))
+    assert(dom("localhost") == Seq("localhost"))
+    assert(dom("x.com.au") == Seq("x.com.au")) // exactly eTLD+1 already
+    val hosts = Seq("https://WWW.Site.COM:443/a?x=1").toDF("url")
+      .select(Web.urlHost(col("url"))).as[String].collect().toSeq
+    assert(hosts == Seq("site.com"))
+  }
+
+  test("urlDedup groups normalization-equivalent spellings, min-id keeper") {
+    val df = Seq(
+      (10L, "http://www.site.com/p?b=2&a=1"),
+      (7L, "http://site.com:80/p?a=1&b=2&utm_medium=m"),
+      (3L, "https://other.org/q"),
+      (99L, "http://site.com/p?a=1&b=2#z"),
+      (5L, "not a url"),
+      (6L, "not a url")
+    ).toDF("id", "url")
+    val got = Web.urlDedup(df, "id", "url")
+      .as[(String, Long, Long)].collect()
+      .map { case (k, v, n) => k -> ((v, n)) }.toMap
+    assert(got("http://site.com/p?a=1&b=2") == ((7L, 3L)))
+    assert(got("https://other.org/q") == ((3L, 1L)))
+    assert(got("not a url") == ((5L, 2L))) // garbage dedups among itself
+    assert(got.size == 3)
+  }
+}
