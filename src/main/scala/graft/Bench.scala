@@ -395,6 +395,9 @@ object Bench {
     import spark.implicits._
     val dims = 32; val centers = 64; val nRows = 100000L
     val dir = java.nio.file.Files.createTempDirectory("graft-bench-clust").toString
+    val storeDir =
+      java.nio.file.Files.createTempDirectory("graft-bench-clust-store").toString
+    try {
     spark.range(nRows).map { i =>
       val cr = new scala.util.Random(1234 + (i % centers))
       val center = Array.fill(dims)((cr.nextGaussian() * centerScale).toFloat)
@@ -406,8 +409,7 @@ object Bench {
         org.apache.spark.sql.functions.col("embedding")
           .cast("array<float>").as("embedding"))
       .repartition(8).write.mode("overwrite").parquet(dir)
-    val cstore = new graft.ivf.IndexStore(
-      java.nio.file.Files.createTempDirectory("graft-bench-clust-store").toString)
+    val cstore = new graft.ivf.IndexStore(storeDir)
     // index at the builder's natural ⌈√n⌉ cluster count (~316 here), NOT
     // the mixture's 64: nprobe16 then probes ~5% of cells — the same
     // fraction the sf fixture's operating point probes — so the metric has
@@ -427,5 +429,18 @@ object Bench {
       graft.ivf.Recall.atK(spark, dir, "embedding", "vec_id", cq, 100, 16, cstore).recall
     }
     recalls.sum / recalls.size
+    } finally {
+      // both temp trees (100k-vector corpus + sidecar store) are per-run
+      // scratch — delete them so repeated bench runs don't accumulate
+      // unbounded /tmp usage on the bench host
+      deleteRecursively(new java.io.File(dir))
+      deleteRecursively(new java.io.File(storeDir))
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
   }
 }

@@ -3658,7 +3658,7 @@ object Queries {
     val url = when(k === 0,
       concat(lit("http://www."), site, lit(".com/p/"), g.cast("string"), lit("?b=2&a=1")))
       .when(k === 1,
-        concat(lit("http://"), site, lit(".COM:80/p/"), g.cast("string"),
+        concat(lit("http://u:p@"), site, lit(".COM:80/p/"), g.cast("string"),
           lit("?a=1&b=2&utm_source=x")))
       .when(k === 2,
         concat(lit("http://"), site, lit(".com/p/"), g.cast("string"),
@@ -3676,7 +3676,7 @@ object Queries {
     """SELECT doc_id,
       |  CASE doc_id % 5
       |    WHEN 0 THEN 'http://www.Site' || (doc_id // 5) % 40 || '.com/p/' || doc_id // 5 || '?b=2&a=1'
-      |    WHEN 1 THEN 'http://Site' || (doc_id // 5) % 40 || '.COM:80/p/' || doc_id // 5 || '?a=1&b=2&utm_source=x'
+      |    WHEN 1 THEN 'http://u:p@Site' || (doc_id // 5) % 40 || '.COM:80/p/' || doc_id // 5 || '?a=1&b=2&utm_source=x'
       |    WHEN 2 THEN 'http://Site' || (doc_id // 5) % 40 || '.com/p/' || doc_id // 5 || '?b=2&a=1&fbclid=zz#sec2'
       |    WHEN 3 THEN 'http://www.Site' || (doc_id // 5) % 40 || '.Com:80/p/' || doc_id // 5 || '?a=1&b=2'
       |    ELSE 'https://cdn.Site' || (doc_id // 5) % 40 || '.co.uk:8443/x/' || doc_id // 5
@@ -3691,7 +3691,9 @@ object Queries {
     """norm AS (
       |  SELECT doc_id, url,
       |    lower(regexp_extract(url, '^([^:/?#]+)://', 1)) AS scheme,
-      |    lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)) AS auth
+      |    regexp_replace(
+      |      lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)),
+      |      '^[^@]*@', '') AS auth
       |  FROM urls),
       |parts AS (
       |  SELECT doc_id, url, scheme, auth,

@@ -417,12 +417,26 @@ object IndexStore {
           override def call(): Unit = if (ok.get() && !pred(f)) ok.set(false)
         })
       }
-      try futures.foreach(_.get())
-      catch {
-        case e: java.util.concurrent.ExecutionException =>
-          throw Option(e.getCause).getOrElse(e)
+      // drain with a short-circuit: once any task established `false`, the
+      // answer is known — cancel the outstanding tasks (queued ones never
+      // run; in-flight ones finish their single pread) and return without
+      // paying the full queue drain. Exceptions only surface when NO
+      // definitive false was observed, matching the sequential forall's
+      // behavior (it would have short-circuited to false before reaching
+      // the throwing file).
+      var firstErr: Throwable = null
+      futures.foreach { fu =>
+        if (!ok.get()) fu.cancel(false)
+        else
+          try fu.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              if (firstErr == null) firstErr = Option(e.getCause).getOrElse(e)
+          }
       }
-      ok.get()
+      if (!ok.get()) false
+      else if (firstErr != null) throw firstErr
+      else true
     }
 
   /** The directory set whose identity a table-level memo validates against:

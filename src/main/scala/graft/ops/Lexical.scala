@@ -292,26 +292,85 @@ object Lexical {
     */
   private val IsinMaxTerms = 8192
 
-  /** Mid-tier cap: past [[PushdownMaxPairs]] (no driver-side localization)
-    * but at most this many DISTINCT terms, the batch's term set is
-    * broadcast-SEMI-JOINED into the postings/df scans instead of reverting
-    * straight to the full-scan shuffle join. No row-group pruning — the
-    * postings scan still reads every row — but the 248M-row postings side
-    * is filtered IN-STREAM by the broadcast hash semi-join and never
-    * shuffled, which is where the 16× step at the 64,001st pair actually
-    * lived (round-12 verdict item #3; the 5M-doc probe measured the cliff
-    * 1.12 s → 17.9 s). Past this cap too (a vocabulary-spanning doc-as-
-    * query batch) the term set filters nothing and broadcasting it is pure
-    * overhead — the full-scan join IS the right plan there. 2M terms ≈
-    * tens of MB broadcast — the scheme's ceiling, not its sweet spot.
+  /** Mid-tier row cap: past [[PushdownMaxPairs]] (no driver-side
+    * localization) but at most this many DISTINCT terms, the batch's term
+    * set is broadcast-SEMI-JOINED into the postings/df scans instead of
+    * reverting straight to the full-scan shuffle join. No row-group
+    * pruning — the postings scan still reads every row — but the 248M-row
+    * postings side is filtered IN-STREAM by the broadcast hash semi-join
+    * and never shuffled, which is where the 16× step at the 64,001st pair
+    * actually lived (round-12 verdict item #3; the 5M-doc probe measured
+    * the cliff 1.12 s → 17.9 s). Past the cap (a vocabulary-spanning
+    * doc-as-query batch) the term set filters nothing and broadcasting it
+    * is pure overhead — the full-scan join IS the right plan there.
     */
   private val MidPushdownMaxTerms = 1 << 21
+
+  /** Mid-tier BYTE cap on the estimated broadcast hash relation (r13
+    * advice): the broadcast hint bypasses autoBroadcastJoinThreshold, so a
+    * row-count-only gate would let ~2M long terms build a multi-hundred-MB
+    * relation on EVERY executor — an OOM regression vs the old full-scan
+    * plan, which had no executor-resident collect at all. The estimate is
+    * sum(octet_length)×4 + 64 B/entry (UTF-16 String + hash-entry
+    * overhead, deliberately conservative); both aggregates come from the
+    * same single job that counts the terms. 64 MB keeps the relation in
+    * ordinary broadcast territory (~640k ten-byte terms) while still
+    * covering the measured 55k-term sweet spot forty times over. `var`
+    * only as a spec hook (like [[disableMidTier]]) — never reassigned in
+    * production paths.
+    */
+  private[graft] var MidPushdownMaxBytes = 64L << 20
 
   /** Probe/test hook: force the pre-mid-tier full-scan join for over-cap
     * batches, so LexicalScaleProbe can A/B the mid-tier against the old
     * plan on the SAME batch. Never set in production paths.
     */
   @volatile private[graft] var disableMidTier = false
+
+  /** Per-session registry of the mid-tier's persisted (qid, term) batch
+    * plans (see the persist comment in [[scoreBulk]]). The blocks die with
+    * the context cleaner once a returned DataFrame is unreachable, but a
+    * loop-heavy caller holding results (or churning batches faster than
+    * GC) accumulates query-batch-sized block sets; this registry makes the
+    * lifecycle explicit instead of GC-timed.
+    */
+  private val batchCaches =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
+
+  private def registerBatchCache(
+      spark: org.apache.spark.sql.SparkSession, df: DataFrame): Unit =
+    batchCaches.synchronized {
+      var q = batchCaches.get(spark)
+      if (q == null) {
+        q = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+        batchCaches.put(spark, q)
+      }
+      q.add(df): Unit
+    }
+
+  /** Unpersist every batch-term cache [[scoreBulk]]'s mid-tier registered
+    * in this session and return how many were dropped. Call between
+    * batches in a loop-heavy bulk-scoring service, AFTER the previous
+    * batch's result has been fully consumed — an un-consumed result
+    * recomputes from lineage, which for a non-deterministic `queries`
+    * input reintroduces the broadcast/join consistency hazard the persist
+    * exists to close (so the op cannot safely auto-evict on your behalf).
+    */
+  def releaseBatchCaches(spark: org.apache.spark.sql.SparkSession): Int = {
+    val q = batchCaches.synchronized(batchCaches.remove(spark))
+    if (q == null) 0
+    else {
+      var n = 0
+      var df = q.poll()
+      while (df != null) {
+        df.unpersist(blocking = true)
+        n += 1
+        df = q.poll()
+      }
+      n
+    }
+  }
 
   private def scoreBulk(
       post: DataFrame,
@@ -357,13 +416,23 @@ object Lexical {
           // pins one materialization for both (each partition computed
           // once, by whichever job touches it first). The blocks are
           // query-batch-sized and die with the context cleaner once the
-          // returned DataFrame is dropped; loop-heavy callers can
-          // `.unpersist()` via the input's lineage when done.
+          // returned DataFrame is dropped; loop-heavy callers (bulk query
+          // services) should call [[releaseBatchCaches]] between batches —
+          // the persist is registered there — instead of waiting on GC.
           val qtCached = qtPlan.persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          registerBatchCache(queries.sparkSession, qtCached)
           val termSet = qtCached.select(col("_term")).distinct()
-          val nTerms = termSet.limit(MidPushdownMaxTerms + 1).count()
-          if (nTerms > MidPushdownMaxTerms) {
+          // one job gates BOTH caps: row count (backstop) and the estimated
+          // broadcast-relation bytes (see MidPushdownMaxBytes — the hint
+          // bypasses autoBroadcastJoinThreshold, so the gate is here)
+          val gate = termSet
+            .agg(count(lit(1)).as("_nt"), sum(octet_length(col("_term"))).as("_bytes"))
+            .head()
+          val nTerms = gate.getLong(0)
+          val estBytes =
+            (if (gate.isNullAt(1)) 0L else gate.getLong(1)) * 4L + nTerms * 64L
+          if (nTerms > MidPushdownMaxTerms || estBytes > MidPushdownMaxBytes) {
             qtCached.unpersist(blocking = false)
             (qtPlan, post, dft)
           } else (qtCached,

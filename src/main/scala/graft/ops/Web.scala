@@ -51,8 +51,14 @@ object Web {
   private def schemeOf(url: Column): Column =
     lower(regexp_extract(url, "^([^:/?#]+)://", 1))
 
+  /** Authority with any userinfo (`user:pass@`) stripped: `http://u@h/`
+    * must resolve to host `h`, not `u@h` — crawl columns carry such URLs
+    * (often phishing bait) and a host/domain keyed on the raw authority
+    * would mis-bucket them. Mirrored in the uq oracles.
+    */
   private def authorityOf(url: Column): Column =
-    lower(regexp_extract(url, "^[^:/?#]+://([^/?#]*)", 1))
+    regexp_replace(
+      lower(regexp_extract(url, "^[^:/?#]+://([^/?#]*)", 1)), "^[^@]*@", "")
 
   private def portOf(auth: Column): Column =
     regexp_extract(auth, ":([0-9]+)$", 1)
@@ -116,11 +122,14 @@ object Web {
 
   /** Exact URL-keyed dedup: one row per DISTINCT canonical URL with the
     * min-id representative and the duplicate count — the URL-first pass a
-    * crawl pipeline runs before any content dedup. Null/garbage URLs
-    * (rows whose value does not normalize to a `scheme://` form) keep
-    * their raw string as the key, so they dedup among themselves instead
-    * of vanishing. One shuffle, map-side partial agg (hot URLs combine
-    * before the exchange).
+    * crawl pipeline runs before any content dedup. Non-null garbage URLs
+    * (values that do not normalize to a `scheme://` form) keep their raw
+    * string as the key, so they dedup among themselves instead of
+    * vanishing; NULL urls normalize to null and are EXCLUDED from the
+    * output (spec-pinned) — a pipeline that needs null-row accounting
+    * should count them upstream, since a shared null key would otherwise
+    * collapse unrelated rows into one fake duplicate group. One shuffle,
+    * map-side partial agg (hot URLs combine before the exchange).
     */
   def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
     df.select(col(idCol), normalizeUrl(col(urlCol)).as("canonical_url"))

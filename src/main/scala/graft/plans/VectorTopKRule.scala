@@ -57,6 +57,16 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * enumerate) — serving them to a sibling `newSession()` would run one
     * session's plan under another's state. Entries of dropped sessions
     * age out of the LRU.
+    *
+    * The non-graft-conf CONTRACT (spec-pinned in PlanCacheSpec "conf
+    * boundary"): `spark.sql.autoBroadcastJoinThreshold` is part of the
+    * cache key (it decides the candidate feed's broadcast-vs-shuffle
+    * shape); every OTHER plan-affecting non-graft conf (AQE flags,
+    * parquet pushdown toggles, …) is consciously NOT keyed — a
+    * mid-session change serves the subtree optimized under the old conf.
+    * That staleness is perf-only, never correctness: the grafted semi-join
+    * subtree's results do not depend on those confs. Fix if it ever
+    * bites: fingerprint a conf epoch into the key.
     */
   private lazy val sessionKey: String = VectorTopKRule.sessionKeyFor(spark)
 
@@ -93,8 +103,15 @@ case class VectorTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       reason: String,
       served: scala.collection.mutable.Set[String]): Unit =
     if (!idBefore.contains("absent") && IndexStore.identityOf(dirs) == idBefore) {
+      // store a DETACHED clone: the `pruned` instance is about to be embedded
+      // in the live query's tree, and TreeNode state (tags, statsCache) is
+      // mutable — if the cache held the same instance, per-query mutation of
+      // the live subtree would bleed into every future serve (serves already
+      // hand out `c.plan.clone()`; the builder's own copy must be just as
+      // isolated)
       VectorTopKRule.planCachePut(
-        cacheKey, VectorTopKRule.CachedRewrite(dirs, idBefore, pruned, tier, reason))
+        cacheKey,
+        VectorTopKRule.CachedRewrite(dirs, idBefore, pruned.clone(), tier, reason))
       served += cacheKey
     }
 

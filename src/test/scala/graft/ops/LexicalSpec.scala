@@ -195,6 +195,50 @@ class LexicalSpec extends SparkSpec {
     assert(semi.nonEmpty)
   }
 
+  test("mid-tier: releaseBatchCaches returns blocks to zero; byte gate falls back exactly") {
+    // >64k (qid, term) pairs forces the over-cap mid-tier (no driver
+    // localization): 6,100 queries × 11 unique terms = 67,100 pairs and
+    // 67,100 distinct terms — far under both mid-tier caps, so the term
+    // set broadcasts and the batch plan persists (registered for release)
+    val huge = (0 until 6100).map { q =>
+      (q.toLong, (0 until 11).map(j => s"mm${q}w$j").mkString(" ") + " cat dog")
+    }.toDF("qid", "qtext")
+    def run() = Lexical.bm25BulkTopK(docs, "id", "text", huge, "qid", "qtext", k = 5)
+    Lexical.releaseBatchCaches(spark) // drain any earlier tests' entries
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val mid = run()
+    assert(mid.queryExecution.executedPlan.toString.contains("LeftSemi"),
+      "over-cap batch must ride the semi-join mid-tier")
+    val midRes = mid.as[(Long, Long, Long)].collect().toSet
+    assert(midRes.nonEmpty)
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "mid-tier must persist the batch plan")
+    assert(Lexical.releaseBatchCaches(spark) >= 1)
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "explicit release must return the block count to its baseline")
+    assert(Lexical.releaseBatchCaches(spark) == 0, "release is idempotent")
+    // loop-heavy caller shape: N batches + release each → no storage growth
+    (0 until 3).foreach { _ =>
+      run().as[(Long, Long, Long)].collect()
+      Lexical.releaseBatchCaches(spark)
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "looped batches with release must not accumulate blocks")
+    // byte gate: an estimated broadcast-relation size over the cap must
+    // fall back to the full-scan join (no term-set broadcast — the hint
+    // bypasses autoBroadcastJoinThreshold, so this gate is the only one),
+    // and the fallback plan's results must match the mid-tier's
+    Lexical.MidPushdownMaxBytes = 1024L
+    val fbRes = try {
+      val fb = run()
+      assert(!fb.queryExecution.executedPlan.toString.contains("LeftSemi"),
+        "over-byte-cap term set must fall back to the full-scan join")
+      fb.as[(Long, Long, Long)].collect().toSet
+    } finally Lexical.MidPushdownMaxBytes = 64L << 20
+    assert(fbRes == midRes, "byte-gate fallback diverges from the mid-tier plan")
+    Lexical.releaseBatchCaches(spark): Unit
+  }
+
   test("incremental appendPostings reproduces the one-shot snapshot scores") {
     val queries = Seq((0L, "cat fish"), (1L, "dog")).toDF("qid", "qtext")
     val direct = Lexical.bm25BulkTopK(docs, "id", "text", queries, "qid", "qtext", k = 10)

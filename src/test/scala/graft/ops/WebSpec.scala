@@ -35,6 +35,17 @@ class WebSpec extends SparkSpec {
     assert(r.head.isNullAt(0))
   }
 
+  test("userinfo is stripped from the authority everywhere") {
+    // user:pass@ (often phishing bait in crawl columns) must not leak into
+    // the host, the domain, or the canonical URL
+    assert(norm("http://user:pw@www.Site.com:80/p?b=2&a=1") ==
+      Seq("http://site.com/p?a=1&b=2"))
+    assert(norm("https://u@site.co.uk/x") == Seq("https://site.co.uk/x"))
+    val hosts = Seq("http://eve@WWW.Bank.com/login").toDF("url")
+      .select(Web.urlHost(col("url"))).as[String].collect().toSeq
+    assert(hosts == Seq("bank.com"))
+  }
+
   test("urlHost and registrableDomain: suffix table and short hosts") {
     def dom(hosts: String*): Seq[String] = hosts.toDF("h")
       .select(Web.registrableDomain(col("h"))).as[String].collect().toSeq

@@ -242,4 +242,66 @@ class PlanCacheSpec extends SparkSpec {
       assert(got == want, s"self-join diverged: $got vs $want")
     }
   }
+
+  test("the cache entry does not alias the building query's live subtree") {
+    register()
+    withRule {
+      VectorTopKRule.clearPlanCache()
+      val first = topk()
+      assert(fired(first))
+      // poison every node of the LIVE optimized tree with a foreign tag:
+      // TreeNode tags survive clone(), so if the cache had stored the same
+      // instance the builder embedded (instead of a detached copy), the
+      // next serve's clone would carry the poison into a fresh query
+      val poison = new org.apache.spark.sql.catalyst.trees.TreeNodeTag[String](
+        "plancache-spec-poison")
+      first.queryExecution.optimizedPlan.foreach(_.setTagValue(poison, "leaked"))
+      val (h0, _) = VectorTopKRule.planCacheStats
+      val second = topk()
+      val leaked = second.queryExecution.optimizedPlan.collect {
+        case p if p.getTagValue(poison).isDefined => p
+      }
+      val (h1, _) = VectorTopKRule.planCacheStats
+      assert(h1 == h0 + 1, "repeat plan must be a cache hit for this pin to bite")
+      assert(leaked.isEmpty,
+        "cached plan aliases the building query's mutable TreeNode state")
+    }
+  }
+
+  test("conf boundary: broadcast threshold is keyed; other non-graft confs serve (pinned staleness)") {
+    register()
+    withRule {
+      VectorTopKRule.clearPlanCache()
+      val firstIds = ids(topk())
+      val (h0, m0) = VectorTopKRule.planCacheStats
+      // autoBroadcastJoinThreshold IS part of the cache key: changing it
+      // mid-session must rebuild (the broadcast-vs-shuffle choice for the
+      // candidate feed depends on it), not serve the old subtree
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1048576")
+        topk().queryExecution.optimizedPlan
+        val (h1, m1) = VectorTopKRule.planCacheStats
+        assert(h1 == h0 && m1 == m0 + 1,
+          "an autoBroadcastJoinThreshold change must be a keyed MISS")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      // the PINNED CONTRACT for every other plan-affecting non-graft conf
+      // (AQE flags, parquet pushdown toggles, ...): the key does NOT
+      // enumerate them — a mid-session change serves the subtree optimized
+      // under the old conf (documented staleness, VectorTopKRule scaladoc).
+      // The serve must still be a hit AND exact, because the graft's
+      // correctness never depended on those confs
+      val savedP = spark.conf.get("spark.sql.parquet.filterPushdown")
+      try {
+        spark.conf.set("spark.sql.parquet.filterPushdown", "false")
+        val (hb, _) = VectorTopKRule.planCacheStats
+        val served = topk()
+        served.queryExecution.optimizedPlan
+        val (h2, _) = VectorTopKRule.planCacheStats
+        assert(h2 == hb + 1,
+          "a non-keyed conf change must still serve from the cache")
+        assert(ids(served) == firstIds, "served plan must stay exact")
+      } finally spark.conf.set("spark.sql.parquet.filterPushdown", savedP)
+    }
+  }
 }
