@@ -3764,6 +3764,126 @@ object Queries {
        |  CAST(count(*) AS BIGINT) AS n_dups
        |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin
 
+  /** Synthetic crawl page per document: title + style/script in head, a
+    * comment, a link-dense nav, an h1, TWO content paragraphs built from
+    * the doc text (one with an entity and a case-variant tag), a script
+    * whose body contains a decoy `</p>`, and a link-dense footer with an
+    * undecoded-entity copyright. Built identically in Spark and DuckDB so
+    * the wq oracles know the page's exact structure in closed form.
+    */
+  private def wqHtml(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = col("doc_id").cast("string")
+    val html = concat(
+      lit("<!DOCTYPE html><html><head><title>Doc "), d,
+      lit(" &amp; Friends</title><style>p { margin: 0; }</style>" +
+        "<script src=\"a.js\"></script></head><body><!-- doc "), d,
+      lit(" --><nav><a href=\"/\">Home</a> | <a href=\"/d/"), d,
+      lit("\">Next &gt;</a></nav><div id=\"main\"><h1>Doc "), d,
+      lit("</h1><p>"), col("text"),
+      lit(" &amp; more.</p><P CLASS=\"c\">"), col("text"),
+      lit("</P></div><script>if (1 < 2) { document.write(\"</p>\"); }" +
+        "</script><footer><a href=\"/a\">About</a> <a href=\"/b\">Blog</a>" +
+        " &copy; 2026</footer></body></html>"))
+    t(spark, sfDir, "documents").select(col("doc_id"), html.as("html"))
+  }
+
+  /** The same page construction in DuckDB SQL. */
+  private val wqHtmlSql: String =
+    """SELECT doc_id, text,
+      |  '<!DOCTYPE html><html><head><title>Doc ' || doc_id ||
+      |  ' &amp; Friends</title><style>p { margin: 0; }</style>' ||
+      |  '<script src="a.js"></script></head><body><!-- doc ' || doc_id ||
+      |  ' --><nav><a href="/">Home</a> | <a href="/d/' || doc_id ||
+      |  '">Next &gt;</a></nav><div id="main"><h1>Doc ' || doc_id ||
+      |  '</h1><p>' || text || ' &amp; more.</p><P CLASS="c">' || text ||
+      |  '</P></div><script>if (1 < 2) { document.write("</p>"); }' ||
+      |  '</script><footer><a href="/a">About</a> <a href="/b">Blog</a>' ||
+      |  ' &copy; 2026</footer></body></html>' AS html
+      |FROM documents""".stripMargin
+
+  /** Boilerplate thresholds for the wq fixtures: the corpus text is word
+    * soup over a mostly-content vocabulary, so the stopword floor sits at
+    * 0.05 instead of jusText's English 0.30 (some docs draw zero
+    * stopwords and their paragraphs legitimately drop — the oracle
+    * mirrors the predicate, so both engines agree doc by doc).
+    */
+  private val wqRules = ops.Html.BoilerplateRules(
+    minChars = 25, maxLinkDensity = 0.2, minStopwordRatio = 0.05)
+
+  /** The wq keep-predicate mirror: classification of the two content
+    * paragraphs in closed form (their link density is structurally 0, so
+    * only the length and stopword gates bite). `ct` is the doc text after
+    * the extractor's whitespace normalization.
+    */
+  private val wqClsSql: String =
+    """base AS (
+      |  SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS ct
+      |  FROM pages),
+      |feats AS (
+      |  SELECT doc_id, ct || ' & more.' AS p1, ct AS p2 FROM base),
+      |cls AS (
+      |  SELECT doc_id, p1, p2,
+      |    (length(p1) >= 25 AND
+      |     CAST(len(list_filter(list_filter(string_split(lower(p1), ' '), x -> x <> ''),
+      |       x -> list_contains(['the','a','an','of','to','and','in','is','it','that'], x))) AS DOUBLE)
+      |       / len(list_filter(string_split(lower(p1), ' '), x -> x <> '')) >= 0.05) AS k1,
+      |    (length(p2) >= 25 AND
+      |     CAST(len(list_filter(list_filter(string_split(lower(p2), ' '), x -> x <> ''),
+      |       x -> list_contains(['the','a','an','of','to','and','in','is','it','that'], x))) AS DOUBLE)
+      |       / len(list_filter(string_split(lower(p2), ' '), x -> x <> '')) >= 0.05) AS k2
+      |  FROM feats)""".stripMargin
+
+  /** HTML→text extraction ([[ops.Html.htmlMainText]]/[[ops.Html.htmlTitle]])
+    * over the synthetic crawl pages: the nav, h1, footer, script, style,
+    * head, and comment must all vanish; the two content paragraphs must
+    * survive (when the stopword/length gates pass) with entities decoded.
+    * Oracle: DuckDB rebuilds the SAME pages and derives the expected text
+    * in closed form from the page structure, with the keep predicate
+    * mirrored — any extractor slip (tag residue, entity mis-decode, block
+    * mis-segmentation, threshold drift) breaks the hash.
+    */
+  def wq1HtmlExtract(spark: SparkSession, sfDir: String): DataFrame =
+    wqHtml(spark, sfDir).select(
+      col("doc_id"),
+      ops.Html.htmlTitle(col("html")).as("title"),
+      ops.Html.htmlMainText(col("html"), wqRules).as("main_text"))
+      .orderBy(col("doc_id"))
+
+  val wq1Oracle: String =
+    s"""WITH pages AS ($wqHtmlSql),
+       |$wqClsSql
+       |SELECT doc_id,
+       |  'Doc ' || doc_id || ' & Friends' AS title,
+       |  CASE WHEN k1 AND k2 THEN p1 || chr(10) || p2
+       |       WHEN k1 THEN p1 WHEN k2 THEN p2 ELSE '' END AS main_text
+       |FROM cls ORDER BY doc_id""".stripMargin
+
+  /** Block-level boilerplate diagnostics ([[ops.Html.htmlBlocks]]): per
+    * doc, the non-blank block count, how many the rules keep, and the
+    * kept character mass. The page structure fixes n_blocks at 5 (nav,
+    * h1, p1, p2, footer) and the nav/h1/footer are structurally
+    * under-length, so the closed form only needs the mirrored paragraph
+    * predicate.
+    */
+  def wq2HtmlBlocks(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Html.htmlBlocks(wqHtml(spark, sfDir), "doc_id", "html", wqRules)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(col("kept").cast("int")).as("n_kept"),
+        sum(when(col("kept"), col("n_chars")).otherwise(lit(0))).as("kept_chars"))
+      .orderBy(col("doc_id"))
+
+  val wq2Oracle: String =
+    s"""WITH pages AS ($wqHtmlSql),
+       |$wqClsSql
+       |SELECT doc_id,
+       |  CAST(5 AS BIGINT) AS n_blocks,
+       |  CAST(CAST(k1 AS INT) + CAST(k2 AS INT) AS BIGINT) AS n_kept,
+       |  CAST(CASE WHEN k1 THEN length(p1) ELSE 0 END
+       |     + CASE WHEN k2 THEN length(p2) ELSE 0 END AS BIGINT) AS kept_chars
+       |FROM cls ORDER BY doc_id""".stripMargin
+
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "events")
 
@@ -4808,6 +4928,8 @@ object Queries {
     "mq7_video_decode" -> (mq7VideoDecode _),
     "uq1_url_normalize" -> (uq1UrlNormalize _),
     "uq2_url_dedup" -> (uq2UrlDedup _),
+    "wq1_html_extract" -> (wq1HtmlExtract _),
+    "wq2_html_blocks" -> (wq2HtmlBlocks _),
     "sq1_sessionize" -> (sq1Sessionize _),
     "st1_stream_hourly" -> (st1StreamHourly _),
     "st2_stream_user_counts" -> (st2StreamUserCounts _),
@@ -4973,6 +5095,8 @@ object Queries {
     "mq7_video_decode" -> mq7Oracle,
     "uq1_url_normalize" -> uq1Oracle,
     "uq2_url_dedup" -> uq2Oracle,
+    "wq1_html_extract" -> wq1Oracle,
+    "wq2_html_blocks" -> wq2Oracle,
     "sq1_sessionize" -> sq1Oracle,
     "st1_stream_hourly" -> st1Oracle,
     "st2_stream_user_counts" -> st2Oracle,

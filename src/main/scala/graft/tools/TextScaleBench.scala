@@ -238,6 +238,27 @@ object TextScaleBench {
         .withColumn("_del", col("doc_id") % 20 === 0),
       "doc_id", tombstoneCol = Some("_del"))
 
+    // round-14: HTML→text extraction at 1000× fixture scale — the page
+    // wrapper mirrors the wq fixture structure (head/nav/h1/2×p/script-
+    // with-decoy/footer); stopword floor 0.0 because the corpus vocabulary
+    // is stopword-free w### word soup
+    def htmlPage = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style>p{margin:0}</style></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/n\">Next</a></nav><div><h1>T</h1><p>"),
+      col("text"), lit(" &amp; more.</p><p>"), col("text"),
+      lit("</p></div><script>var x = \"</p>\";</script>" +
+        "<footer><a href=\"/a\">About</a> &copy; 2026</footer></body></html>"))
+    val htmlRules = graft.ops.Html.BoilerplateRules(
+      minChars = 25, maxLinkDensity = 0.2, minStopwordRatio = 0.0)
+    def htmlExtract() = docs.select(col("doc_id"), htmlPage.as("html"))
+      .select(col("doc_id"),
+        graft.ops.Html.htmlTitle(col("html")).as("title"),
+        graft.ops.Html.htmlMainText(col("html"), htmlRules).as("main_text"))
+    def htmlBlocksAgg() = graft.ops.Html.htmlBlocks(
+      docs.select(col("doc_id"), htmlPage.as("html")), "doc_id", "html", htmlRules)
+      .groupBy("kept").agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+
     val suite: Seq[(String, () => DataFrame)] = Seq(
       "exact_dedup" -> (exactDedup _),
       "minhash_pairs" -> (minhashPairs _),
@@ -267,7 +288,9 @@ object TextScaleBench {
       "curriculum_ntile8" -> (curriculum _),
       "lr_moments_d16" -> (lrMoments _),
       "winnow_vs_jaccard_quality" -> (winnowQuality _),
-      "cdc_merge" -> (cdcMerge _))
+      "cdc_merge" -> (cdcMerge _),
+      "html_extract" -> (htmlExtract _),
+      "html_blocks" -> (htmlBlocksAgg _))
 
     // SPARK_GRAFT_TEXTSCALE_ONLY=name1,name2 narrows a re-probe to the
     // arms under study (full suite ~10 min)
