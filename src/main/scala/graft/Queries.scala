@@ -3764,6 +3764,68 @@ object Queries {
        |  CAST(count(*) AS BIGINT) AS n_dups
        |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin
 
+  /** PSL fixture list for uq3 — exercises every rule kind the parser
+    * supports: comments (standalone + trailing), blank lines, plain
+    * multi-label rules, a wildcard, an exception, and an ignored bare
+    * `*`.
+    */
+  private val uq3PslLines: Seq[String] = Seq(
+    "// uq3 test public suffix list", "",
+    "com  // plain single-label (redundant with the default rule)",
+    "co.uk", "*.ck", "!www.ck", "*")
+
+  /** Full-PSL registrable-domain extraction ([[ops.Web.registrableDomainPsl]]
+    * AND [[ops.Web.withRegistrableDomain]] — the output carries BOTH, so
+    * the hash also gates that the chained-expression form and the
+    * broadcast-join form agree). Six host shapes: a co.uk multi-label, a
+    * wildcard `*.ck` match with and without extra depth, the `!www.ck`
+    * exception at and below the exception domain, a plain .com, and a
+    * host that IS a public suffix. Oracle: DuckDB derives each branch's
+    * domain in closed form from the PSL semantics.
+    */
+  def uq3PslDomains(spark: SparkSession, sfDir: String): DataFrame = {
+    val psl = ops.Web.Psl.parse(uq3PslLines)
+    val g = expr("(doc_id div 6) % 50").cast("string")
+    val k = expr("doc_id % 6")
+    val host = when(k === 0, concat(lit("a"), g, lit(".site"), g, lit(".co.uk")))
+      .when(k === 1, concat(lit("b.x"), g, lit(".ck")))
+      .when(k === 2, lit("www.ck"))
+      .when(k === 3, concat(lit("sub"), g, lit(".www.ck")))
+      .when(k === 4, concat(lit("deep.a"), g, lit(".com")))
+      .otherwise(concat(lit("x"), g, lit(".ck")))
+    val base = t(spark, sfDir, "documents").select(col("doc_id"), host.as("host"))
+    ops.Web.withRegistrableDomain(base, "host", "domain_join", psl)
+      .withColumn("domain_expr", ops.Web.registrableDomainPsl(col("host"), psl))
+      .select(col("doc_id"), col("host"), col("domain_expr"), col("domain_join"))
+      .orderBy(col("doc_id"))
+  }
+
+  val uq3Oracle: String =
+    """WITH hosts AS (
+      |  SELECT doc_id, (doc_id // 6) % 50 AS g,
+      |    CASE doc_id % 6
+      |      WHEN 0 THEN 'a' || (doc_id // 6) % 50 || '.site' || (doc_id // 6) % 50 || '.co.uk'
+      |      WHEN 1 THEN 'b.x' || (doc_id // 6) % 50 || '.ck'
+      |      WHEN 2 THEN 'www.ck'
+      |      WHEN 3 THEN 'sub' || (doc_id // 6) % 50 || '.www.ck'
+      |      WHEN 4 THEN 'deep.a' || (doc_id // 6) % 50 || '.com'
+      |      ELSE 'x' || (doc_id // 6) % 50 || '.ck'
+      |    END AS host
+      |  FROM documents),
+      |dom AS (
+      |  SELECT doc_id, host,
+      |    CASE doc_id % 6
+      |      WHEN 0 THEN 'site' || g || '.co.uk'  -- co.uk rule, longest match
+      |      WHEN 1 THEN 'b.x' || g || '.ck'      -- *.ck: x{g}.ck is the public suffix
+      |      WHEN 2 THEN 'www.ck'                 -- !www.ck: ps=ck, host is eTLD+1
+      |      WHEN 3 THEN 'www.ck'                 -- exception matched below the domain
+      |      WHEN 4 THEN 'a' || g || '.com'       -- plain com rule
+      |      ELSE 'x' || g || '.ck'               -- host IS a public suffix: pass through
+      |    END AS d
+      |  FROM hosts)
+      |SELECT doc_id, host, d AS domain_expr, d AS domain_join
+      |FROM dom ORDER BY doc_id""".stripMargin
+
   /** Synthetic crawl page per document: title + style/script in head, a
     * comment, a link-dense nav, an h1, TWO content paragraphs built from
     * the doc text (one with an entity and a case-variant tag), a script
@@ -4928,6 +4990,7 @@ object Queries {
     "mq7_video_decode" -> (mq7VideoDecode _),
     "uq1_url_normalize" -> (uq1UrlNormalize _),
     "uq2_url_dedup" -> (uq2UrlDedup _),
+    "uq3_psl_domains" -> (uq3PslDomains _),
     "wq1_html_extract" -> (wq1HtmlExtract _),
     "wq2_html_blocks" -> (wq2HtmlBlocks _),
     "sq1_sessionize" -> (sq1Sessionize _),
@@ -5095,6 +5158,7 @@ object Queries {
     "mq7_video_decode" -> mq7Oracle,
     "uq1_url_normalize" -> uq1Oracle,
     "uq2_url_dedup" -> uq2Oracle,
+    "uq3_psl_domains" -> uq3Oracle,
     "wq1_html_extract" -> wq1Oracle,
     "wq2_html_blocks" -> wq2Oracle,
     "sq1_sessionize" -> sq1Oracle,

@@ -120,6 +120,172 @@ object Web {
       .otherwise(when(last2.isin(suffixes: _*), last3).otherwise(last2))
   }
 
+  /** A compiled public-suffix list: rule suffixes bucketed by kind and
+    * label count, ready for [[registrableDomainPsl]] (chained-expression
+    * lookup) and [[withRegistrableDomain]] (broadcast-join lookup). Parse
+    * the real list with [[Psl.parse]]; [[Psl.Default]] compiles the
+    * embedded [[DefaultMultiLabelSuffixes]] subset and reproduces
+    * [[registrableDomain]] exactly.
+    *
+    * @param exact     label count → plain-rule suffixes ("co.uk" → 2)
+    * @param wildcard  BASE label count → wildcard bases ("ck" for `*.ck`):
+    *                  a host matching `<label>.<base>` has that whole form
+    *                  as its public suffix
+    * @param exception label count → exception domains ("www.ck" for
+    *                  `!www.ck`): the public suffix is the exception
+    *                  MINUS its leftmost label
+    */
+  final case class Psl(
+      exact: Map[Int, Seq[String]],
+      wildcard: Map[Int, Seq[String]],
+      exception: Map[Int, Seq[String]]) {
+    /** Public-suffix sizes (in labels) any rule here can produce, largest
+      * first — the priority order of the longest-match scan.
+      */
+    private[Web] def ruleSizes: Seq[Int] =
+      (exact.keys ++ wildcard.keys.map(_ + 1)).toSeq.distinct.sorted.reverse
+  }
+
+  object Psl {
+    /** Parse the public-suffix-list format (publicsuffix.org/list/): one
+      * rule per line, `//` comments and blank lines skipped, rules
+      * lowercased, `*.` prefix → wildcard, `!` prefix → exception. The
+      * implicit default rule `*` (public suffix = last label) is built
+      * into the lookup, so a literal `*` line is ignored. Entries are
+      * treated as opaque labels — punycode (`xn--…`) passes through; feed
+      * the list's punycode section when hosts are punycoded.
+      */
+    def parse(lines: IterableOnce[String]): Psl = {
+      val exact = scala.collection.mutable.ArrayBuffer.empty[String]
+      val wild = scala.collection.mutable.ArrayBuffer.empty[String]
+      val exc = scala.collection.mutable.ArrayBuffer.empty[String]
+      lines.iterator.foreach { raw =>
+        // a rule ends at the first whitespace (the official list carries
+        // trailing comments on some lines)
+        val line = raw.trim.takeWhile(!_.isWhitespace).toLowerCase
+        if (line.nonEmpty && !line.startsWith("//") && line != "*") {
+          if (line.startsWith("!")) exc += line.drop(1)
+          else if (line.startsWith("*.")) wild += line.drop(2)
+          else exact += line
+        }
+      }
+      def byLabels(xs: Seq[String]): Map[Int, Seq[String]] =
+        xs.distinct.groupBy(s => s.count(_ == '.') + 1)
+      Psl(byLabels(exact.toSeq), byLabels(wild.toSeq), byLabels(exc.toSeq))
+    }
+
+    /** The embedded default: [[DefaultMultiLabelSuffixes]] as plain rules
+      * (single-label TLDs need no entry — they are the built-in default
+      * rule). Behavior-identical to [[registrableDomain]]'s `isin` form.
+      */
+    val Default: Psl = Psl(
+      exact = Map(2 -> DefaultMultiLabelSuffixes),
+      wildcard = Map.empty, exception = Map.empty)
+  }
+
+  private def hostParts(host: Column): Column = split(host, "\\.")
+
+  /** Last `k` labels of the host joined back with dots — the candidate
+    * suffix the rule tables match against. Caller guards `k <= n`.
+    */
+  private def lastLabels(parts: Column, k: Int): Column =
+    array_join(slice(parts, -k, k), ".")
+
+  /** PSL public-suffix label count for a host, as a when-chain over the
+    * compiled rule buckets: exceptions first (they override wildcards by
+    * definition), then candidate public-suffix sizes longest-first, then
+    * the default rule (last label). Pure builtin expressions.
+    */
+  private def psLabelsExpr(parts: Column, n: Column, psl: Psl): Column = {
+    val excCases: Seq[(Column, Column)] =
+      psl.exception.toSeq.sortBy(-_._1).map { case (k, ds) =>
+        ((n >= k) && lastLabels(parts, k).isin(ds: _*)) -> lit(k - 1)
+      }
+    val ruleCases: Seq[(Column, Column)] = psl.ruleSizes.map { s =>
+      val conds = Seq(
+        psl.exact.get(s).map(e => lastLabels(parts, s).isin(e: _*)),
+        psl.wildcard.get(s - 1).map(w => lastLabels(parts, s - 1).isin(w: _*))
+      ).flatten
+      ((n >= s) && conds.reduce(_ || _)) -> lit(s)
+    }
+    (excCases ++ ruleCases)
+      .foldLeft(Option.empty[Column]) {
+        case (None, (c, v)) => Some(when(c, v))
+        case (Some(acc), (c, v)) => Some(acc.when(c, v))
+      }
+      .map(_.otherwise(lit(1))).getOrElse(lit(1))
+  }
+
+  private def domainFromPs(host: Column, parts: Column, n: Column, ps: Column): Column =
+    when(n <= ps, host)
+      .otherwise(array_join(slice(parts, (ps + 1) * -1, ps + 1), "."))
+
+  /** Registrable domain under a full PSL (wildcards `*.ck`, exceptions
+    * `!www.ck`, longest-match) as ONE builtin expression — the drop-in
+    * upgrade of [[registrableDomain]] when rule-set fidelity matters.
+    * Chained `isin` lookups: right for the embedded default and for
+    * modest custom lists (≤ a few hundred rules). For the REAL ~10k-rule
+    * list the expression tree (and its per-row set probes) outgrows
+    * codegen — use [[withRegistrableDomain]], which compiles the same
+    * semantics to broadcast hash joins.
+    */
+  def registrableDomainPsl(host: Column, psl: Psl = Psl.Default): Column = {
+    val parts = hostParts(host)
+    val n = size(parts)
+    domainFromPs(host, parts, n, psLabelsExpr(parts, n, psl))
+  }
+
+  /** [[registrableDomainPsl]] compiled to BROADCAST HASH JOINS — the
+    * 100 TB form for the full official list: one tiny broadcast rule
+    * table per (label-count) bucket, each left-joined on the host's
+    * last-k-labels candidate (map-side only, NO shuffle), then the same
+    * exception-first longest-match when-chain over the matched flags.
+    * Appends `outCol`; `_psl*` working columns are dropped.
+    */
+  def withRegistrableDomain(
+      df: DataFrame, hostCol: String, outCol: String,
+      psl: Psl = Psl.Default): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = hostParts(col(hostCol))
+    val n = size(parts)
+    val ks = (psl.exact.keys ++ psl.wildcard.keys ++ psl.exception.keys)
+      .toSeq.distinct.sorted
+    val joined = ks.foldLeft(df) { (cur, k) =>
+      val rules = (
+        psl.exact.getOrElse(k, Nil).map((_, false, true, false)) ++
+          psl.wildcard.getOrElse(k, Nil).map((_, false, false, true)) ++
+          psl.exception.getOrElse(k, Nil).map((_, true, false, false)))
+        .groupBy(_._1).map { case (s, rs) =>
+          (s, rs.exists(_._2), rs.exists(_._3), rs.exists(_._4))
+        }.toSeq
+      val rt = broadcast(
+        rules.toDF(s"_psl_sfx$k", s"_psl_exc$k", s"_psl_exa$k", s"_psl_wld$k"))
+      cur.withColumn(s"_psl_sfx$k", when(n >= k, lastLabels(parts, k)))
+        .join(rt, Seq(s"_psl_sfx$k"), "left")
+    }
+    def flag(name: String): Column = coalesce(col(name), lit(false))
+    val excCases = psl.exception.keys.toSeq.sorted.reverse
+      .map(k => flag(s"_psl_exc$k") -> lit(k - 1))
+    val ruleCases = psl.ruleSizes.map { s =>
+      val conds = Seq(
+        if (psl.exact.contains(s)) Some(flag(s"_psl_exa$s")) else None,
+        if (psl.wildcard.contains(s - 1)) Some(flag(s"_psl_wld${s - 1}"))
+        else None).flatten
+      conds.reduce(_ || _) -> lit(s)
+    }
+    val ps = (excCases ++ ruleCases)
+      .foldLeft(Option.empty[Column]) {
+        case (None, (c, v)) => Some(when(c, v))
+        case (Some(acc), (c, v)) => Some(acc.when(c, v))
+      }
+      .map(_.otherwise(lit(1))).getOrElse(lit(1))
+    joined
+      .withColumn(outCol, domainFromPs(col(hostCol), parts, n, ps))
+      .drop(ks.flatMap(k => Seq(s"_psl_sfx$k", s"_psl_exc$k", s"_psl_exa$k",
+        s"_psl_wld$k")): _*)
+  }
+
   /** Exact URL-keyed dedup: one row per DISTINCT canonical URL with the
     * min-id representative and the duplicate count — the URL-first pass a
     * crawl pipeline runs before any content dedup. Non-null garbage URLs

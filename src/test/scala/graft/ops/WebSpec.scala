@@ -59,6 +59,64 @@ class WebSpec extends SparkSpec {
     assert(hosts == Seq("site.com"))
   }
 
+  test("Psl.parse: comments, blanks, trailing junk, case, kinds, bare *") {
+    val psl = Web.Psl.parse(Seq(
+      "// the list", "", "COM  // inline comment", "co.uk", "*.CK",
+      "!www.ck", "*", "  ac.jp\t", "uk"))
+    assert(psl.exact == Map(1 -> Seq("com", "uk"), 2 -> Seq("co.uk", "ac.jp")))
+    assert(psl.wildcard == Map(1 -> Seq("ck")))
+    assert(psl.exception == Map(2 -> Seq("www.ck")))
+  }
+
+  private val specPsl = Web.Psl.parse(Seq("com", "uk", "co.uk", "*.ck", "!www.ck"))
+
+  private def pslDom(psl: Web.Psl, hosts: String*): Seq[String] = {
+    val df = hosts.toDF("h")
+    val viaExpr = df.select(Web.registrableDomainPsl(col("h"), psl))
+      .as[String].collect().toSeq
+    val viaJoin = Web.withRegistrableDomain(df, "h", "d", psl)
+      .select("d").as[String].collect().toSeq
+    assert(viaExpr == viaJoin,
+      s"expression and join forms diverge: $viaExpr vs $viaJoin")
+    viaExpr
+  }
+
+  test("PSL semantics: wildcard, exception, longest match, default rule") {
+    // wildcard *.ck: any <label>.ck is a public suffix
+    assert(pslDom(specPsl, "b.x.ck") == Seq("b.x.ck"))
+    assert(pslDom(specPsl, "deep.b.x.ck") == Seq("b.x.ck"))
+    assert(pslDom(specPsl, "x.ck") == Seq("x.ck")) // host IS a public suffix
+    assert(pslDom(specPsl, "ck") == Seq("ck"))
+    // exception !www.ck overrides the wildcard: ps = ck
+    assert(pslDom(specPsl, "www.ck") == Seq("www.ck"))
+    assert(pslDom(specPsl, "sub.www.ck") == Seq("www.ck"))
+    // longest match: co.uk (2 labels) beats uk (1 label)
+    assert(pslDom(specPsl, "a.b.co.uk") == Seq("b.co.uk"))
+    assert(pslDom(specPsl, "b.co.uk") == Seq("b.co.uk"))
+    assert(pslDom(specPsl, "plain.uk") == Seq("plain.uk"))
+    // default rule: unknown TLD → last two labels
+    assert(pslDom(specPsl, "foo.bar.unknown") == Seq("bar.unknown"))
+    assert(pslDom(specPsl, "localhost") == Seq("localhost"))
+    assert(pslDom(specPsl, "") == Seq(""))
+  }
+
+  test("Psl.Default reproduces the legacy registrableDomain exactly") {
+    val hosts = Seq("cdn.images.site.co.uk", "a.b.site.com", "site.com",
+      "localhost", "x.com.au", "w.co.za", "deep.er.co.jp", "")
+    val legacy = hosts.toDF("h")
+      .select(Web.registrableDomain(col("h"))).as[String].collect().toSeq
+    assert(pslDom(Web.Psl.Default, hosts: _*) == legacy)
+  }
+
+  test("withRegistrableDomain plans broadcast joins only — no shuffle") {
+    val df = Seq("a.b.co.uk", "x.ck").toDF("h")
+    val plan = Web.withRegistrableDomain(df, "h", "d", specPsl)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"PSL lookup must not shuffle:\n$plan")
+  }
+
   test("urlDedup groups normalization-equivalent spellings, min-id keeper") {
     val df = Seq(
       (10L, "http://www.site.com/p?b=2&a=1"),
