@@ -92,7 +92,13 @@ object Bench {
     graft.ivf.Sq8Sidecar.ensure(spark, s"$sfDir/embeddings.parquet", "embedding")
     graft.ivf.PqSidecar.ensure(spark, s"$sfDir/embeddings.parquet", "embedding", m = 8)
 
-    val names = SparkEntry.queries.keys.toSeq.filterNot(VerifyOnly).sorted
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 narrows an attribution re-probe to the
+    // entries under study; filtered runs never overwrite the full records
+    // (BENCH_LAST_LOCAL.json / BENCH_CALIBRATED.json)
+    val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSet
+    val names = SparkEntry.queries.keys.toSeq.filterNot(VerifyOnly)
+      .filter(n => only.isEmpty || only(n)).sorted
     // Conf hygiene (same rule as Verify): entries that pin spark.graft.*
     // tier/nprobe/oversample keys must not leak them into whichever entry
     // the sorted order runs next — a leaked tier conf would silently time
@@ -332,17 +338,30 @@ object Bench {
     val maxsimNote = "floor-gated diagnostic on the tiny unclustered sf " +
       "fixture; 0.96 on the clustered 500k probe (MaxsimProbe); exactness " +
       "gated at exhaustive probe by vq18/vq19"
+    // calibrated cross-round comparison (r13 verdict item #3): load the
+    // PREVIOUS full record before overwriting it, divide each per-query
+    // ratio by the calibration ratio (host-speed drift cancels), and carry
+    // the flagged calibrated regressions >1.3x inside the one JSON line —
+    // attribution becomes mechanical instead of judge discipline. The
+    // full calibrated table goes to BENCH_CALIBRATED.json.
+    val calibratedFragment =
+      if (only.nonEmpty) "" // filtered probe: partial map would mis-compare
+      else calibratedVsPrev(results.toMap, calibration,
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "BENCH_LAST_LOCAL.json"))
+
     val jsonLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline":$hs,"headline_total":$headlineTotal,"recall_at100_nprobe16":$recall,"cosine_recall_at100_nprobe16":$cosineRecall,"cell_pair_recall_probe4":$cellPairRecall,"knn_join_recall_probe4":$knnJoinRecall,"maxsim_recall_probe4":$maxsimRecall,"maxsim_recall_note":"$maxsimNote","mrl_recall_prefix16_os4":$mrlRecall,"recall_at100_clustered":$clusteredRecall,"calibration_spark_cpu":$calibration,"index_cache_hits":$cacheHits,"index_cache_misses":$cacheMisses}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline":$hs,"headline_total":$headlineTotal,"recall_at100_nprobe16":$recall,"cosine_recall_at100_nprobe16":$cosineRecall,"cell_pair_recall_probe4":$cellPairRecall,"knn_join_recall_probe4":$knnJoinRecall,"maxsim_recall_probe4":$maxsimRecall,"maxsim_recall_note":"$maxsimNote","mrl_recall_prefix16_os4":$mrlRecall,"recall_at100_clustered":$clusteredRecall,"calibration_spark_cpu":$calibration,"index_cache_hits":$cacheHits,"index_cache_misses":$cacheMisses$calibratedFragment}"""
     println(jsonLine)
     // full per-query record into the repo (round-11 verdict item #4): the
     // archived BENCH json keeps only a 2000-char stdout tail, which
     // truncates the queries dict — this file carries the complete last run
     // so a later reader can attribute per-entry deltas without /tmp access
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_LAST_LOCAL.json"),
-      (jsonLine + "\n").getBytes("UTF-8")): Unit
-    catch { case _: Exception => () } // read-only cwd must not fail the bench
+    if (only.isEmpty) {
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_LAST_LOCAL.json"),
+        (jsonLine + "\n").getBytes("UTF-8")): Unit
+      catch { case _: Exception => () } // read-only cwd must not fail the bench
+    }
 
     // Quality floors for the two no-oracle ANN operating points (sq2 /
     // va1): their recall is a deterministic function of the fixture and the
@@ -443,4 +462,59 @@ object Bench {
     if (kids != null) kids.foreach(deleteRecursively)
     f.delete(): Unit
   }
+
+  /** Calibration-normalized comparison against the previous full bench
+    * record (BENCH_LAST_LOCAL.json by default; override with
+    * SPARK_GRAFT_BENCH_PREV). Returns a `,"calibrated_vs_prev":{…}` JSON
+    * fragment for the main line — calibration ratio, per-query flagged
+    * calibrated regressions >1.3×, max calibrated ratio — and writes the
+    * FULL per-query calibrated table to BENCH_CALIBRATED.json. Empty
+    * fragment when there is no readable previous record (first run,
+    * read-only cwd). Tiny entries (prev <50 ms) are exempt from flagging:
+    * at that size the min-of-2 harness noise dominates any real delta.
+    */
+  private[graft] def calibratedVsPrev(
+      current: Map[String, Double],
+      calibration: Double,
+      prevPath: String): String =
+    try {
+      val prev = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(prevPath)), "UTF-8")
+      val qStart = prev.indexOf("\"queries\":{")
+      if (qStart < 0 || calibration <= 0) return ""
+      val qEnd = prev.indexOf('}', qStart)
+      val entry = "\"([^\"]+)\":(-?[0-9][0-9.eE+-]*)".r
+      val prevQ = entry.findAllMatchIn(prev.substring(qStart + 10, qEnd + 1))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val prevCal = {
+        val m = "\"calibration_spark_cpu\":(-?[0-9][0-9.eE+-]*)".r
+          .findFirstMatchIn(prev)
+        if (m.isEmpty) return ""
+        m.get.group(1).toDouble
+      }
+      if (prevCal <= 0) return ""
+      val calRatio = calibration / prevCal
+      val rows = current.toSeq.sorted.flatMap { case (name, cur) =>
+        prevQ.get(name).filter(p => p > 0 && cur > 0).map { p =>
+          (name, p, cur, (cur / p) / calRatio)
+        }
+      }
+      if (rows.isEmpty) return ""
+      def f(d: Double): String = BigDecimal(d)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+      val flagged = rows.filter { case (_, p, _, r) => p >= 0.05 && r > 1.3 }
+      val table = rows.map { case (n, p, c, r) =>
+        s"""{"query":"$n","prev":$p,"cur":$c,"calibrated_ratio":${f(r)}}"""
+      }.mkString("[", ",", "]")
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_CALIBRATED.json"),
+        (s"""{"metric":"calibrated_vs_prev","prev_record":"$prevPath","cal_ratio":${f(calRatio)},"flag_threshold":1.3,"rows":$table}""" + "\n")
+          .getBytes("UTF-8")): Unit
+      catch { case _: Exception => () }
+      val flaggedJson = flagged
+        .map { case (n, _, _, r) => "\"" + n + "\":" + f(r) }
+        .mkString("{", ",", "}")
+      val maxRow = rows.maxBy(_._4)
+      s""","calibrated_vs_prev":{"cal_ratio":${f(calRatio)},"n_compared":${rows.size},"flagged_over_1.3x":$flaggedJson,"max":{"query":"${maxRow._1}","calibrated_ratio":${f(maxRow._4)}}}"""
+    } catch { case _: Exception => "" }
 }
