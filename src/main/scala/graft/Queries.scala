@@ -3826,6 +3826,126 @@ object Queries {
       |SELECT doc_id, host, d AS domain_expr, d AS domain_join
       |FROM dom ORDER BY doc_id""".stripMargin
 
+  /** Outlink extraction + base resolution ([[ops.Html.extractLinks]] →
+    * [[ops.Web.resolveUrl]]) over link-diverse fixture pages: absolute,
+    * scheme-relative, root-relative, query-only, fragment-only, unquoted
+    * path-relative hrefs, plus a commented-out link that must NOT appear.
+    * Oracle: closed form per (doc_id, link_idx) from the page structure.
+    */
+  def wq3LinkResolve(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = expr("(doc_id div 5) % 40").cast("string")
+    val html = concat(
+      lit("<div><a href=\"https://ext"), g, lit(".org/x\">e</a>"),
+      lit("<a href=\"//cdn"), g, lit(".net/l\">p</a>"),
+      lit("<a href=\"/root"), g, lit("\">r</a>"),
+      lit("<a href='?q="), g, lit("'>q</a>"),
+      lit("<a href=\"#frag\">f</a>"),
+      lit("<a href=rel"), g, lit("/y>rel</a>"),
+      lit("<!-- <a href=\"/commented\">c</a> --></div>"))
+    val base = concat(lit("https://www.Site"), g, lit(".com:443/a/b/page.html?k=1#top"))
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), base.as("base"),
+        ops.Html.extractLinks(html).as("links"))
+      .select(col("doc_id"), col("base"),
+        posexplode(col("links")).as(Seq("link_idx", "href")))
+      .select(col("doc_id"), col("link_idx"),
+        ops.Web.resolveUrl(col("base"), col("href")).as("url"))
+      .orderBy(col("doc_id"), col("link_idx"))
+  }
+
+  val wq3Oracle: String =
+    """SELECT doc_id, link_idx,
+      |  CASE link_idx
+      |    WHEN 0 THEN 'https://ext' || g || '.org/x'
+      |    WHEN 1 THEN 'https://cdn' || g || '.net/l'
+      |    WHEN 2 THEN 'https://www.site' || g || '.com:443/root' || g
+      |    WHEN 3 THEN 'https://www.site' || g || '.com:443/a/b/page.html?q=' || g
+      |    WHEN 4 THEN 'https://www.site' || g || '.com:443/a/b/page.html?k=1'
+      |    ELSE 'https://www.site' || g || '.com:443/a/b/rel' || g || '/y'
+      |  END AS url
+      |FROM (SELECT doc_id, (doc_id // 5) % 40 AS g FROM documents),
+      |     (SELECT unnest(range(6)) AS link_idx)
+      |ORDER BY doc_id, link_idx""".stripMargin
+
+  /** Fixed-point PageRank over a deterministic 100-node graph derived
+    * from doc ids (two edge families, parallel edges collapsing), 4
+    * iterations at damping 0.85 — the [[ops.Graph.pageRank]] crawl-graph
+    * op. Oracle: DuckDB runs the SAME four synchronous updates as chained
+    * CTEs in the SAME BIGINT e9 arithmetic (integer share division,
+    * damped multiply, integer unit division) — bit-exact across engines
+    * by construction, which is the point of the fixed-point form.
+    */
+  def gq1Pagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = t(spark, sfDir, "documents")
+    val e1 = d.select(
+      (col("doc_id") % 100).cast("string").as("src"),
+      ((col("doc_id") * 7 + 13) % 100).cast("string").as("dst"))
+    val e2 = d.select(
+      (col("doc_id") % 100).cast("string").as("src"),
+      expr("(doc_id div 2) % 100").cast("string").as("dst"))
+    ops.Graph.pageRank(e1.union(e2), "src", "dst", iterations = 4)
+      .orderBy(col("node"))
+  }
+
+  private val gqEdgesSql: String =
+    """edges AS (
+      |  SELECT DISTINCT CAST(doc_id % 100 AS VARCHAR) AS src,
+      |         CAST((doc_id * 7 + 13) % 100 AS VARCHAR) AS dst
+      |  FROM documents
+      |  UNION
+      |  SELECT DISTINCT CAST(doc_id % 100 AS VARCHAR),
+      |         CAST((doc_id // 2) % 100 AS VARCHAR)
+      |  FROM documents),
+      |nodes AS (
+      |  SELECT DISTINCT src AS node FROM edges
+      |  UNION SELECT DISTINCT dst FROM edges),
+      |outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)""".stripMargin
+
+  val gq1Oracle: String = {
+    val iters = (1 to 4).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |    CAST((150000000 // p.n) + COALESCE(s.c, 0) AS BIGINT) AS rank_e9
+         |  FROM nodes n CROSS JOIN params p LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      CAST(SUM((850000000 * (r.rank_e9 // d.deg)) // 1000000000) AS BIGINT) AS c
+         |    FROM edges e JOIN r${i - 1} r ON e.src = r.node
+         |    JOIN outdeg d ON e.src = d.src
+         |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $gqEdgesSql,
+       |params AS (SELECT COUNT(*) AS n FROM nodes),
+       |r0 AS (SELECT node, CAST(1000000000 // p.n AS BIGINT) AS rank_e9
+       |       FROM nodes, params p),
+       |$iters
+       |SELECT node, rank_e9 FROM r4 ORDER BY node""".stripMargin
+  }
+
+  /** Degree extraction over the same fixture graph ([[ops.Graph.degrees]]):
+    * zero-filled in/out degrees per node, oracled by plain SQL aggregation.
+    */
+  def gq2Degrees(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = t(spark, sfDir, "documents")
+    val e1 = d.select(
+      (col("doc_id") % 100).cast("string").as("src"),
+      ((col("doc_id") * 7 + 13) % 100).cast("string").as("dst"))
+    val e2 = d.select(
+      (col("doc_id") % 100).cast("string").as("src"),
+      expr("(doc_id div 2) % 100").cast("string").as("dst"))
+    ops.Graph.degrees(e1.union(e2), "src", "dst").orderBy(col("node"))
+  }
+
+  val gq2Oracle: String =
+    s"""WITH $gqEdgesSql,
+       |nin AS (SELECT dst AS node, COUNT(*) AS in_deg FROM edges GROUP BY dst)
+       |SELECT n.node,
+       |  CAST(COALESCE(o.deg, 0) AS BIGINT) AS out_deg,
+       |  CAST(COALESCE(i.in_deg, 0) AS BIGINT) AS in_deg
+       |FROM nodes n
+       |LEFT JOIN outdeg o ON n.node = o.src
+       |LEFT JOIN nin i ON n.node = i.node
+       |ORDER BY n.node""".stripMargin
+
   /** Synthetic crawl page per document: title + style/script in head, a
     * comment, a link-dense nav, an h1, TWO content paragraphs built from
     * the doc text (one with an entity and a case-variant tag), a script
@@ -4993,6 +5113,9 @@ object Queries {
     "uq3_psl_domains" -> (uq3PslDomains _),
     "wq1_html_extract" -> (wq1HtmlExtract _),
     "wq2_html_blocks" -> (wq2HtmlBlocks _),
+    "wq3_link_resolve" -> (wq3LinkResolve _),
+    "gq1_pagerank" -> (gq1Pagerank _),
+    "gq2_degrees" -> (gq2Degrees _),
     "sq1_sessionize" -> (sq1Sessionize _),
     "st1_stream_hourly" -> (st1StreamHourly _),
     "st2_stream_user_counts" -> (st2StreamUserCounts _),
@@ -5161,6 +5284,9 @@ object Queries {
     "uq3_psl_domains" -> uq3Oracle,
     "wq1_html_extract" -> wq1Oracle,
     "wq2_html_blocks" -> wq2Oracle,
+    "wq3_link_resolve" -> wq3Oracle,
+    "gq1_pagerank" -> gq1Oracle,
+    "gq2_degrees" -> gq2Oracle,
     "sq1_sessionize" -> sq1Oracle,
     "st1_stream_hourly" -> st1Oracle,
     "st2_stream_user_counts" -> st2Oracle,

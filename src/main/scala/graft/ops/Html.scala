@@ -154,6 +154,24 @@ object Html {
     array_join(transform(kept, s => s.getField("t")), "\n")
   }
 
+  /** Outlink extraction: every `href` value of every `<a>` tag, in
+    * document order — the raw material of the crawl frontier and of the
+    * domain link graph ([[Graph.pageRank]] over host edges). Both quote
+    * styles and unquoted hrefs match; surrounding whitespace inside the
+    * attribute is the site's problem and passes through (resolve with
+    * [[Web.resolveUrl]], which trims). Scripts/comments are dropped first
+    * so commented-out markup doesn't contribute links. Returns
+    * `array<string>`; empty array when there are none, null for null
+    * HTML.
+    */
+  def extractLinks(html: Column): Column =
+    transform(
+      regexp_extract_all(
+        regexp_replace(html, DropElementPattern, " "),
+        lit("(?is)<a\\b[^>]*?\\bhref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)"),
+        lit(1)),
+      h => regexp_replace(h, "^[\"']|[\"']$", ""))
+
   /** Diagnostic/block-level surface: one row per non-blank block with its
     * classification signals and the keep verdict — what a curation run
     * inspects when tuning [[BoilerplateRules]] for a corpus. Columns:

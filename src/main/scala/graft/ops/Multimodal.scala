@@ -738,7 +738,7 @@ object Multimodal {
         lit(0).as("height"),
         lit(1).as("channels")).as("meta"))
 
-  final case class FrameRow(id: Long, frame_idx: Int, n_bytes: Int)
+  final case class FrameRow(id: Long, frame_idx: Int, n_bytes: Int, codec: String)
 
   /** Frame sampling as a generator op: one output row per sampled frame —
     * the explode-shaped twin of [[extractFeatures]]. AVI payloads demux
@@ -746,7 +746,11 @@ object Multimodal {
     * frame emits (`frame_idx` = its original frame number, `n_bytes` = the
     * frame payload size). Non-AVI payloads keep the deterministic stub
     * sampling (8-byte probes every `stride` BYTES) so mixed-crawl batches
-    * and the decode-independent oracles keep flowing.
+    * and the decode-independent oracles keep flowing. The `codec` column
+    * tags each row's provenance — the container's fourcc ("MJPG", "DIB",
+    * …) for real demuxes, the literal "stub" for byte-stride sampling —
+    * so a 100 TB run COUNTS its stub-sampled rows (`GROUP BY codec`)
+    * instead of inferring them.
     */
   def sampleFrameRows(
       spark: SparkSession, media: DataFrame, stride: Int): Dataset[FrameRow] = {
@@ -761,10 +765,10 @@ object Multimodal {
           else MediaCodec.parseAviVideo(bytes) match {
             case Some(v) =>
               Iterator.range(0, v.frames.length, stride).map(i =>
-                FrameRow(id, i, v.frames(i).length))
+                FrameRow(id, i, v.frames(i).length, v.codec))
             case None =>
               MediaStub.sampleFrames(bytes, stride).iterator.zipWithIndex.map {
-                case (frame, i) => FrameRow(id, i, frame.length)
+                case (frame, i) => FrameRow(id, i, frame.length, "stub")
               }
           }
         }
@@ -778,7 +782,8 @@ object Multimodal {
       height: Int,
       sum_r: Long,
       sum_g: Long,
-      sum_b: Long)
+      sum_b: Long,
+      codec: String)
 
   /** REAL video frame features over AVI payloads — MJPEG (`00dc` JPEG
     * frames through the ImageIO path) or uncompressed 24-bit DIB (`00db`,
@@ -800,7 +805,7 @@ object Multimodal {
               Iterator.range(0, v.frames.length, stride).flatMap { i =>
                 MediaCodec.decodeVideoFrame(v, v.frames(i)).map(info =>
                   VideoFrameRow(id, i, info.width, info.height,
-                    info.sumR, info.sumG, info.sumB))
+                    info.sumR, info.sumG, info.sumB, v.codec))
               }
             case None => Iterator.empty
           }

@@ -120,6 +120,44 @@ object Web {
       .otherwise(when(last2.isin(suffixes: _*), last3).otherwise(last2))
   }
 
+  /** Resolve an href against its page's base URL — the step between
+    * [[Html.extractLinks]] and the frontier/link-graph ops. RFC 3986-lite,
+    * as builtin expressions (each branch mirrored in the wq3 oracle):
+    * absolute URLs (any `scheme:`) pass through; `//host/x` adopts the
+    * base scheme; `/x` is origin-relative; `?q` replaces the base query;
+    * `#f` and `''` resolve to the base (fragment-stripped); anything else
+    * joins the base path's directory. Dot-segment (`../`) normalization
+    * is deliberately NOT performed — downstream keys go through
+    * [[normalizeUrl]], and a crawl graph keyed on host/domain (the
+    * [[Graph]] ops) is insensitive to path dots. Hrefs are trimmed; a
+    * base without `scheme://` yields null (refuse-don't-guess).
+    */
+  def resolveUrl(base: Column, href: Column): Column = {
+    val h = trim(href)
+    val scheme = schemeOf(base)
+    val auth = authorityOf(base)
+    val origin = concat(scheme, lit("://"), auth)
+    val basePath = regexp_extract(base, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    val baseNoFrag = concat(origin, basePath,
+      when(regexp_extract(base, "\\?([^#]*)", 1) =!= "",
+        concat(lit("?"), regexp_extract(base, "\\?([^#]*)", 1)))
+        .otherwise(lit("")))
+    // directory of the base path: up to and including the last '/', or
+    // '/' when the path has none
+    val baseDir = when(basePath.rlike("/"),
+      regexp_replace(basePath, "/[^/]*$", "/")).otherwise(lit("/"))
+    val resolved =
+      when(h === "" || h.startsWith("#"), baseNoFrag)
+        .when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), h)
+        .when(h.startsWith("//"), concat(scheme, lit(":"), h))
+        .when(h.startsWith("/"), concat(origin, h))
+        .when(h.startsWith("?"), concat(origin, basePath, h))
+        .otherwise(concat(origin, baseDir, h))
+    when(base.isNull || h.isNull, lit(null).cast("string"))
+      .when(scheme === "", lit(null).cast("string"))
+      .otherwise(resolved)
+  }
+
   /** A compiled public-suffix list: rule suffixes bucketed by kind and
     * label count, ready for [[registrableDomainPsl]] (chained-expression
     * lookup) and [[withRegistrableDomain]] (broadcast-join lookup). Parse

@@ -259,6 +259,19 @@ object TextScaleBench {
       docs.select(col("doc_id"), htmlPage.as("html")), "doc_id", "html", htmlRules)
       .groupBy("kept").agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
 
+    // round-14: link-graph analytics at scale — a 100k-node / ~1M-edge
+    // synthetic host graph (two deterministic edge families per doc),
+    // 5 fixed-point PageRank iterations (the crawl-curation domain-quality
+    // prior) and the degree extraction
+    def graphEdges = docs.select(
+      (col("doc_id") % 100000).cast("string").as("src"),
+      ((col("doc_id") * 7 + 13) % 100000).cast("string").as("dst"))
+      .union(docs.select(
+        (col("doc_id") % 100000).cast("string").as("src"),
+        expr("(doc_id div 2) % 100000").cast("string").as("dst")))
+    def pagerank5() = graft.ops.Graph.pageRank(graphEdges, "src", "dst", 5)
+    def degreesArm() = graft.ops.Graph.degrees(graphEdges, "src", "dst")
+
     val suite: Seq[(String, () => DataFrame)] = Seq(
       "exact_dedup" -> (exactDedup _),
       "minhash_pairs" -> (minhashPairs _),
@@ -290,7 +303,9 @@ object TextScaleBench {
       "winnow_vs_jaccard_quality" -> (winnowQuality _),
       "cdc_merge" -> (cdcMerge _),
       "html_extract" -> (htmlExtract _),
-      "html_blocks" -> (htmlBlocksAgg _))
+      "html_blocks" -> (htmlBlocksAgg _),
+      "pagerank_5it_1m_edges" -> (pagerank5 _),
+      "graph_degrees" -> (degreesArm _))
 
     // SPARK_GRAFT_TEXTSCALE_ONLY=name1,name2 narrows a re-probe to the
     // arms under study (full suite ~10 min)

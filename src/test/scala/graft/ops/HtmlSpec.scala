@@ -108,6 +108,24 @@ class HtmlSpec extends SparkSpec {
     assert(rows(1)._2 == main(html))
   }
 
+  test("extractLinks: quote styles, unquoted, commented-out, scripts, order") {
+    val html =
+      """<a href="/one">1</a> <A HREF='/two'>2</A> <a class=x href=/three>3</a>
+        |<a href="">empty</a> <a name="anchor-no-href">n</a>
+        |<!-- <a href="/commented">c</a> --><script>var s='<a href="/scripted">';</script>
+        |<a
+        |  href="/multi&#10;line">4</a>""".stripMargin
+    val links = Seq(html).toDF("h").select(Html.extractLinks(col("h")))
+      .as[Seq[String]].head()
+    assert(links == Seq("/one", "/two", "/three", "", "/multi&#10;line"))
+    // null html -> null; no links -> empty array
+    assert(Seq("<p>no links</p>").toDF("h")
+      .select(Html.extractLinks(col("h"))).as[Seq[String]].head() == Seq())
+    val r = Seq((1, null: String)).toDF("id", "h")
+      .select(Html.extractLinks(col("h"))).collect()
+    assert(r.head.isNullAt(0))
+  }
+
   test("title: absent, entity-laden, attribute-laden") {
     assert(title("<html><body><p>x</p></body></html>") == "")
     assert(title("<title lang=\"en\"> A &amp; B </title>") == "A & B")

@@ -201,6 +201,13 @@ class MultimodalSpec extends SparkSpec {
     val fr = Multimodal.sampleFrameRows(spark, media.where(col("id") === 1), 2).collect()
     assert(fr.map(_.frame_idx).sorted.toSeq == Seq(0, 2))
     assert(fr.forall(_.n_bytes == 16 * h))
+    // provenance tags: real demux rows carry the container codec, stub
+    // rows carry the literal "stub" — a 100 TB run counts stub-sampled
+    // rows with GROUP BY codec instead of inferring them
+    assert(rows.forall(_.codec == "DIB"))
+    assert(fr.forall(_.codec == "DIB"))
+    val stubFr = Multimodal.sampleFrameRows(spark, media.where(col("id") === 2), 2).collect()
+    assert(stubFr.nonEmpty && stubFr.forall(_.codec == "stub"))
   }
 
   test("AVI/MJPEG demux: frame payloads are the exact JPEGs; ImageIO decodes them") {

@@ -59,6 +59,33 @@ class WebSpec extends SparkSpec {
     assert(hosts == Seq("site.com"))
   }
 
+  test("resolveUrl: absolute, scheme-relative, root, query, fragment, relative") {
+    val base = "https://www.Site7.com:443/a/b/page.html?k=1#top"
+    def res(href: String): String =
+      Seq((base, href)).toDF("b", "h")
+        .select(Web.resolveUrl(col("b"), col("h"))).as[String].head()
+    assert(res("https://ext.org/x") == "https://ext.org/x")
+    assert(res("mailto:a@b.c") == "mailto:a@b.c")
+    assert(res("//cdn.net/l") == "https://cdn.net/l")
+    assert(res("/rooted") == "https://www.site7.com:443/rooted")
+    assert(res("?q=2") == "https://www.site7.com:443/a/b/page.html?q=2")
+    assert(res("#frag") == "https://www.site7.com:443/a/b/page.html?k=1")
+    assert(res("") == "https://www.site7.com:443/a/b/page.html?k=1")
+    assert(res("rel/y") == "https://www.site7.com:443/a/b/rel/y")
+    assert(res("  spaced  ") == "https://www.site7.com:443/a/b/spaced")
+    // base with no path directory: dir is '/'
+    val rootBase = Seq(("https://h.com", "x")).toDF("b", "h")
+      .select(Web.resolveUrl(col("b"), col("h"))).as[String].head()
+    assert(rootBase == "https://h.com/x")
+    // a non-URL base refuses (null), as do null inputs
+    val junk = Seq(("not a url", "/x")).toDF("b", "h")
+      .select(Web.resolveUrl(col("b"), col("h"))).collect()
+    assert(junk.head.isNullAt(0))
+    val nullHref = Seq((base, null: String)).toDF("b", "h")
+      .select(Web.resolveUrl(col("b"), col("h"))).collect()
+    assert(nullHref.head.isNullAt(0))
+  }
+
   test("Psl.parse: comments, blanks, trailing junk, case, kinds, bare *") {
     val psl = Web.Psl.parse(Seq(
       "// the list", "", "COM  // inline comment", "co.uk", "*.CK",
