@@ -3867,6 +3867,52 @@ object Queries {
       |     (SELECT unnest(range(6)) AS link_idx)
       |ORDER BY doc_id, link_idx""".stripMargin
 
+  /** robots.txt evaluation ([[graft.functions.robots_allowed]], RFC 9309
+    * longest-match): one policy file, eight path shapes exercising allow/
+    * disallow precedence by pattern length, the `*` wildcard, the `$` end
+    * anchor (match and near-miss), and group selection (the specific
+    * agent's group hides the `*` group's disallow). The oracle is the
+    * closed-form verdict per branch — decode-independent like the mq
+    * oracles, since DuckDB has no robots evaluator.
+    */
+  def rq1Robots(spark: SparkSession, sfDir: String): DataFrame = {
+    val robotsTxt =
+      "# crawl policy\nUser-agent: badbot\nDisallow: /\n\n" +
+        "User-agent: graftbot\nAllow: /public/\nDisallow: /public/private/\n" +
+        "Disallow: /*.pdf$\nAllow: /a\nDisallow: /a/b\n\n" +
+        "User-agent: *\nDisallow: /all/\n"
+    val g = expr("(doc_id div 8) % 50").cast("string")
+    val k = expr("doc_id % 8")
+    val path = when(k === 0, concat(lit("/public/x"), g, lit(".html")))
+      .when(k === 1, concat(lit("/public/private/x"), g))
+      .when(k === 2, concat(lit("/doc"), g, lit(".pdf")))
+      .when(k === 3, concat(lit("/doc"), g, lit(".pdfx")))
+      .when(k === 4, concat(lit("/a/b/c"), g))
+      .when(k === 5, concat(lit("/a/x"), g))
+      .when(k === 6, concat(lit("/all/x"), g))
+      .otherwise(concat(lit("/misc/"), g))
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), path.as("path"),
+        graft.functions.robots_allowed(lit(robotsTxt), path, "graftbot")
+          .as("allowed"))
+      .orderBy(col("doc_id"))
+  }
+
+  val rq1Oracle: String =
+    """SELECT doc_id,
+      |  CASE doc_id % 8
+      |    WHEN 0 THEN '/public/x' || (doc_id // 8) % 50 || '.html'
+      |    WHEN 1 THEN '/public/private/x' || (doc_id // 8) % 50
+      |    WHEN 2 THEN '/doc' || (doc_id // 8) % 50 || '.pdf'
+      |    WHEN 3 THEN '/doc' || (doc_id // 8) % 50 || '.pdfx'
+      |    WHEN 4 THEN '/a/b/c' || (doc_id // 8) % 50
+      |    WHEN 5 THEN '/a/x' || (doc_id // 8) % 50
+      |    WHEN 6 THEN '/all/x' || (doc_id // 8) % 50
+      |    ELSE '/misc/' || (doc_id // 8) % 50
+      |  END AS path,
+      |  (doc_id % 8) IN (0, 3, 5, 6, 7) AS allowed
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Fixed-point PageRank over a deterministic 100-node graph derived
     * from doc ids (two edge families, parallel edges collapsing), 4
     * iterations at damping 0.85 — the [[ops.Graph.pageRank]] crawl-graph
@@ -5114,6 +5160,7 @@ object Queries {
     "wq1_html_extract" -> (wq1HtmlExtract _),
     "wq2_html_blocks" -> (wq2HtmlBlocks _),
     "wq3_link_resolve" -> (wq3LinkResolve _),
+    "rq1_robots" -> (rq1Robots _),
     "gq1_pagerank" -> (gq1Pagerank _),
     "gq2_degrees" -> (gq2Degrees _),
     "sq1_sessionize" -> (sq1Sessionize _),
@@ -5285,6 +5332,7 @@ object Queries {
     "wq1_html_extract" -> wq1Oracle,
     "wq2_html_blocks" -> wq2Oracle,
     "wq3_link_resolve" -> wq3Oracle,
+    "rq1_robots" -> rq1Oracle,
     "gq1_pagerank" -> gq1Oracle,
     "gq2_degrees" -> gq2Oracle,
     "sq1_sessionize" -> sq1Oracle,

@@ -54,6 +54,14 @@ package object functions {
   def sorted_jaccard(a: Column, b: Column): Column =
     col(SortedArrayJaccard(expr(a), expr(b)))
 
+  /** robots.txt permission for `path` under `agent`'s rules (native
+    * expression; RFC 9309 longest-match semantics — see [[RobotsTxt]]).
+    * Null when robots or path is null; a pipeline treating missing
+    * robots as allow-all should `coalesce(..., lit(true))`.
+    */
+  def robots_allowed(robotsTxt: Column, path: Column, agent: String = "*"): Column =
+    col(RobotsAllowed(expr(robotsTxt), expr(path), agent))
+
   /** Per-vocabulary marker-word counts in one tokenization pass. */
   def linear_bow_score(text: Column, weights: Array[Long]): Column =
     col(LinearBowScore(expr(text), weights))

@@ -173,6 +173,26 @@ object LexicalScaleProbe {
       f"(${overOldS / overS}%.1fx), 60k isin-predicate $underOldS%.2f s " +
       f"(${underOldS / underS}%.1fx)"
 
+    // ── mid-tier cache lifecycle (round-14, verdict item #7) ───────────
+    // a loop-heavy bulk-scoring service shape: 10 over-cap batches, each
+    // persisting its (qid, term) plan via the mid-tier, released between
+    // batches with the explicit hook — storage must return to baseline
+    // every time instead of waiting on the context cleaner
+    graft.ops.Lexical.releaseBatchCaches(spark): Unit
+    val rdds0 = spark.sparkContext.getPersistentRDDs.size
+    var peakRdds = rdds0
+    (0 until 10).foreach { i =>
+      materialize(bulkOf(pairBatch(12000 + i)))
+      peakRdds = math.max(peakRdds, spark.sparkContext.getPersistentRDDs.size)
+      val released = graft.ops.Lexical.releaseBatchCaches(spark)
+      require(released >= 1, s"lifecycle: batch $i registered no cache")
+      require(spark.sparkContext.getPersistentRDDs.size == rdds0,
+        s"lifecycle: storage grew past baseline after release at batch $i")
+    }
+    out += s"mid-tier cache lifecycle: 10 over-cap batches, storage returns " +
+      s"to baseline ($rdds0 persistent RDDs) after every release " +
+      s"(peak $peakRdds during) OK"
+
     // ── incremental append (1% batch) ──────────────────────────────────
     val batch = docs.where(col("doc_id") % 100 === 7)
       .select((col("doc_id") + rows * 10).as("doc_id"), col("text"))
