@@ -3867,6 +3867,106 @@ object Queries {
       |     (SELECT unnest(range(6)) AS link_idx)
       |ORDER BY doc_id, link_idx""".stripMargin
 
+  /** WARC record extraction ([[ops.Warc.records]]): per doc a 2-record
+    * WARC (warcinfo + an HTTP 200 text/html response wrapping the doc
+    * text), odd docs gzipped — so the oracle hash also gates the
+    * inflate path against the plain path. The parsed response body flows
+    * straight into [[ops.Html.htmlTitle]] (the production chain). Oracle:
+    * closed form from the construction — record count, status, response
+    * byte length (DuckDB rebuilds the same HTML and measures), title.
+    */
+  def wq4WarcExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val src = t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val html = s"<html><head><title>Doc $id</title></head><body><p>" +
+          text + "</p></body></html>"
+        val warc = ops.Warc.concat(Seq(
+          ops.Warc.encodeRecord("warcinfo", "", "2026-08-15T00:00:00Z",
+            "software: graft\r\n".getBytes("UTF-8")),
+          ops.Warc.encodeRecord("response", s"https://site${id % 40}.com/p/$id",
+            "2026-08-15T00:00:01Z",
+            ops.Warc.encodeHttpResponse(200, "text/html; charset=utf-8",
+              html.getBytes("UTF-8")))))
+        (id, if (id % 2 == 1) ops.Warc.gzip(warc) else warc)
+      }.toDF("id", "media")
+    ops.Warc.records(spark, src)
+      .toDF()
+      .withColumn("title", ops.Html.htmlTitle(col("body_text")))
+      .groupBy(col("id").as("doc_id"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_records"),
+        max(col("http_status")).as("status"),
+        max(col("n_body_bytes")).cast("bigint").as("max_body_bytes"),
+        max(col("title")).as("title"))
+      .orderBy(col("doc_id"))
+  }
+
+  val wq4Oracle: String =
+    """SELECT doc_id,
+      |  CAST(2 AS BIGINT) AS n_records,
+      |  200 AS status,
+      |  CAST(octet_length(encode('<html><head><title>Doc ' || doc_id ||
+      |    '</title></head><body><p>' || text || '</p></body></html>'))
+      |    AS BIGINT) AS max_body_bytes,
+      |  'Doc ' || doc_id AS title
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** CCNet-style frequent-line removal
+    * ([[ops.TextAnalysis.dropFrequentLines]]): 5-line fixture docs where a
+    * header (written in two case/whitespace spellings that normalize to
+    * one key) and a footer appear in all 500 docs — dropped at
+    * minDocs=100 — while the per-doc body, a blank structural line
+    * (exempt), and a unique tail survive with original spelling and
+    * order. Oracle: DuckDB mirrors the whole chain (normalize → distinct-
+    * doc count → anti-join → ordered reassembly).
+    */
+  def tq14LineDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val header = when(col("doc_id") % 2 === 0, lit("Site Nav  Home"))
+      .otherwise(lit("site nav home"))
+    val text = concat_ws("\n",
+      header, col("text"), lit(""), lit("Copyright 2026 All Rights"),
+      concat(lit("tail "), col("doc_id").cast("string")))
+    val src = t(spark, sfDir, "documents").select(col("doc_id"), text.as("text"))
+    ops.TextAnalysis.dropFrequentLines(src, "doc_id", "text", minDocs = 100)
+      .orderBy(col("doc_id"))
+  }
+
+  val tq14Oracle: String =
+    """WITH src AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'Site Nav  Home' ELSE 'site nav home' END)
+      |      || chr(10) || text || chr(10) || '' || chr(10) ||
+      |      'Copyright 2026 All Rights' || chr(10) || 'tail ' || doc_id AS text
+      |  FROM documents),
+      |lines AS (
+      |  SELECT doc_id,
+      |    unnest(range(len(string_split(text, chr(10))))) AS pos,
+      |    unnest(string_split(text, chr(10))) AS line
+      |  FROM src),
+      |keyed AS (
+      |  SELECT doc_id, pos, line,
+      |    lower(trim(regexp_replace(line, '\s+', ' ', 'g'))) AS key
+      |  FROM lines),
+      |freq AS (
+      |  SELECT key FROM keyed WHERE key <> ''
+      |  GROUP BY key HAVING COUNT(DISTINCT doc_id) >= 100),
+      |kept AS (
+      |  SELECT k.doc_id, k.pos, k.line FROM keyed k
+      |  LEFT JOIN freq f ON k.key = f.key WHERE f.key IS NULL),
+      |agg AS (
+      |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean,
+      |         COUNT(*) AS kc
+      |  FROM kept GROUP BY doc_id)
+      |SELECT s.doc_id,
+      |  COALESCE(a.clean, '') AS text,
+      |  CAST(len(string_split(s.text, chr(10))) AS BIGINT) AS n_lines,
+      |  CAST(len(string_split(s.text, chr(10))) - COALESCE(a.kc, 0) AS BIGINT)
+      |    AS n_dropped
+      |FROM src s LEFT JOIN agg a ON s.doc_id = a.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
   /** robots.txt evaluation ([[graft.functions.robots_allowed]], RFC 9309
     * longest-match): one policy file, eight path shapes exercising allow/
     * disallow precedence by pattern length, the `*` wildcard, the `$` end
@@ -5161,6 +5261,8 @@ object Queries {
     "wq2_html_blocks" -> (wq2HtmlBlocks _),
     "wq3_link_resolve" -> (wq3LinkResolve _),
     "rq1_robots" -> (rq1Robots _),
+    "tq14_line_dedup" -> (tq14LineDedup _),
+    "wq4_warc_extract" -> (wq4WarcExtract _),
     "gq1_pagerank" -> (gq1Pagerank _),
     "gq2_degrees" -> (gq2Degrees _),
     "sq1_sessionize" -> (sq1Sessionize _),
@@ -5333,6 +5435,8 @@ object Queries {
     "wq2_html_blocks" -> wq2Oracle,
     "wq3_link_resolve" -> wq3Oracle,
     "rq1_robots" -> rq1Oracle,
+    "tq14_line_dedup" -> tq14Oracle,
+    "wq4_warc_extract" -> wq4Oracle,
     "gq1_pagerank" -> gq1Oracle,
     "gq2_degrees" -> gq2Oracle,
     "sq1_sessionize" -> sq1Oracle,

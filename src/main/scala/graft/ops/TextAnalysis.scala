@@ -226,6 +226,59 @@ object TextAnalysis {
         coalesce(col("n_rare"), lit(0L)).as("n_rare"))
   }
 
+  /** CCNet-style frequent-line removal (Wenzek et al. 2020 §3.1, the
+    * dedup that targets per-SITE boilerplate surviving HTML extraction):
+    * drop every line whose normalized form appears in at least `minDocs`
+    * DISTINCT documents. Normalization for the frequency key is
+    * lowercase + whitespace-collapse (the [[fingerprint]] preimage);
+    * blank lines are structure, not boilerplate — they are exempt and
+    * kept.
+    *
+    * Plan shape: one pass explodes lines with their positions; the
+    * frequency count shuffles by line key with map-side partial
+    * aggregation (hot boilerplate lines combine before the exchange);
+    * the frequent-line set — at most (corpus lines)/minDocs keys, small
+    * for any sane threshold — BROADCASTS into a left-anti join (no
+    * second shuffle); reassembly is one groupBy(id). Linear in corpus
+    * lines, two shuffles total.
+    *
+    * Output: `(idCol, textCol, n_lines, n_dropped)` — the cleaned text
+    * (original line spelling and order, surviving lines re-joined with
+    * `\n`; `''` when everything dropped), the doc's original line count,
+    * and how many lines were removed.
+    */
+  def dropFrequentLines(
+      df: DataFrame, idCol: String, textCol: String, minDocs: Long): DataFrame = {
+    require(minDocs >= 2, s"dropFrequentLines: minDocs=$minDocs must be >= 2")
+    val lines = df.select(
+      col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line")))
+      .withColumn("_key", lower(trim(regexp_replace(col("_line"), "\\s+", " "))))
+    val frequent = lines
+      .where(col("_key") =!= "")
+      .groupBy(col("_key"))
+      .agg(countDistinct(col(idCol)).as("_docs"))
+      .where(col("_docs") >= minDocs)
+      .select(col("_key"))
+    val kept = lines.join(broadcast(frequent), Seq("_key"), "left_anti")
+    val perDoc = kept
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("_pos"), col("_line")))),
+            s => s.getField("_line")),
+          "\n").as("_clean"),
+        count(lit(1)).as("_kept"))
+    df.select(col(idCol), size(split(col(textCol), "\n")).cast("bigint").as("_total"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("_clean"), lit("")).as(textCol),
+        col("_total").as("n_lines"),
+        (col("_total") - coalesce(col("_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Sliding token-window chunking — the context-window/RAG chunker: split
     * each document into `maxTokens`-token chunks that step by `maxTokens -
     * overlap`, so consecutive chunks share `overlap` tokens. Chunk starts

@@ -390,4 +390,32 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.bigramNovelty(df, "id", "text", minCount = 2L).collect())
     assert(e.getMessage.contains("bigramNovelty"), e.getMessage)
   }
+
+  test("dropFrequentLines: frequency key normalizes, blanks exempt, order kept") {
+    val docs = Seq(
+      (1L, "Site Nav  Home\nbody one\n\ntail 1"),
+      (2L, "site nav home\nbody two\n\ntail 2"),
+      (3L, "SITE NAV HOME\nbody three\n\ntail 3"),
+      // doc whose EVERY non-blank line is boilerplate
+      (4L, "site  nav home\nSite Nav Home")
+    ).toDF("id", "text")
+    val out = TextAnalysis.dropFrequentLines(docs, "id", "text", minDocs = 3)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // the header's four spellings share one normalized key (count 4 >= 3)
+    assert(out(1L)._2 == "body one\n\ntail 1" && out(1L)._3 == 4 && out(1L)._4 == 1)
+    assert(out(2L)._2 == "body two\n\ntail 2")
+    assert(out(3L)._2 == "body three\n\ntail 3")
+    // all lines dropped -> empty text, counts still reported
+    assert(out(4L)._2 == "" && out(4L)._3 == 2 && out(4L)._4 == 2)
+    // blank lines never count toward frequency even though all docs share them
+    assert(out(1L)._2.contains("\n\n"))
+    // order preservation with an interleaved boilerplate line
+    val ord = Seq(
+      (1L, "a\nX\nb"), (2L, "X\nc"), (3L, "d\nX")).toDF("id", "text")
+    val o = TextAnalysis.dropFrequentLines(ord, "id", "text", minDocs = 3)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(o == Map(1L -> "a\nb", 2L -> "c", 3L -> "d"))
+    intercept[IllegalArgumentException](
+      TextAnalysis.dropFrequentLines(docs, "id", "text", minDocs = 1))
+  }
 }
