@@ -272,6 +272,34 @@ object TextScaleBench {
     def pagerank5() = graft.ops.Graph.pageRank(graphEdges, "src", "dst", 5)
     def degreesArm() = graft.ops.Graph.degrees(graphEdges, "src", "dst")
 
+    // WARC parse throughput: per-doc 2-record WARC (odd docs gzipped —
+    // the crawl-shard mix), encode+parse measured together (encode is the
+    // cheaper half; real shards amortize it to zero)
+    def warcParse() = {
+      import spark.implicits._
+      val src = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val html = s"<html><head><title>D$id</title></head><body><p>" +
+            text + "</p></body></html>"
+          val w = graft.ops.Warc.concat(Seq(
+            graft.ops.Warc.encodeRecord("warcinfo", "", "", "g\r\n".getBytes),
+            graft.ops.Warc.encodeRecord("response", s"https://s$id/p", "",
+              graft.ops.Warc.encodeHttpResponse(200, "text/html; charset=utf-8",
+                html.getBytes("UTF-8")))))
+          (id, if (id % 2 == 1) graft.ops.Warc.gzip(w) else w)
+        }.toDF("id", "media")
+      graft.ops.Warc.records(spark, src).toDF()
+        .groupBy(col("http_status")).agg(count(lit(1)).as("n"),
+          sum(col("n_body_bytes")).as("bytes"))
+    }
+    // frequent-line removal on 5-line wrapped docs (the tq14 shape at 1000×)
+    def lineDedup() = graft.ops.TextAnalysis.dropFrequentLines(
+      docs.select(col("doc_id"),
+        concat_ws("\n", lit("Site Nav Home"), col("text"), lit(""),
+          lit("Copyright 2026"), concat(lit("tail "), col("doc_id").cast("string")))
+          .as("text")),
+      "doc_id", "text", minDocs = 1000)
+
     val suite: Seq[(String, () => DataFrame)] = Seq(
       "exact_dedup" -> (exactDedup _),
       "minhash_pairs" -> (minhashPairs _),
@@ -305,7 +333,9 @@ object TextScaleBench {
       "html_extract" -> (htmlExtract _),
       "html_blocks" -> (htmlBlocksAgg _),
       "pagerank_5it_1m_edges" -> (pagerank5 _),
-      "graph_degrees" -> (degreesArm _))
+      "graph_degrees" -> (degreesArm _),
+      "warc_parse" -> (warcParse _),
+      "line_dedup" -> (lineDedup _))
 
     // SPARK_GRAFT_TEXTSCALE_ONLY=name1,name2 narrows a re-probe to the
     // arms under study (full suite ~10 min)
