@@ -272,6 +272,22 @@ object TextScaleBench {
     def pagerank5() = graft.ops.Graph.pageRank(graphEdges, "src", "dst", 5)
     def degreesArm() = graft.ops.Graph.degrees(graphEdges, "src", "dst")
 
+    // registrable-domain at REAL list size: a synthetic 10k-rule PSL
+    // (9k exact 2-label + 500 wildcards + 500 exceptions) over 500k hosts
+    // through the broadcast-join form — the claim the Web scaladoc makes
+    // ("use withRegistrableDomain for the official ~10k-rule list")
+    def bigPsl = graft.ops.Web.Psl(
+      exact = Map(2 -> (0 until 9000).map(i => s"t${i % 100}.x$i")),
+      wildcard = Map(1 -> (0 until 500).map(i => s"wild$i")),
+      exception = Map(2 -> (0 until 500).map(i => s"ok.wild$i")))
+    def pslHosts = docs.select(col("doc_id"),
+      concat(lit("h"), (col("doc_id") % 1000).cast("string"),
+        lit(".t"), (col("doc_id") % 100).cast("string"),
+        lit(".x"), (col("doc_id") % 9000).cast("string")).as("host"))
+    def psl10kJoin() = graft.ops.Web
+      .withRegistrableDomain(pslHosts, "host", "domain", bigPsl)
+      .groupBy(col("domain")).agg(count(lit(1)).as("n"))
+
     // WARC parse throughput: per-doc 2-record WARC (odd docs gzipped —
     // the crawl-shard mix), encode+parse measured together (encode is the
     // cheaper half; real shards amortize it to zero)
@@ -335,6 +351,7 @@ object TextScaleBench {
       "pagerank_5it_1m_edges" -> (pagerank5 _),
       "graph_degrees" -> (degreesArm _),
       "warc_parse" -> (warcParse _),
+      "psl_10k_join" -> (psl10kJoin _),
       "line_dedup" -> (lineDedup _))
 
     // SPARK_GRAFT_TEXTSCALE_ONLY=name1,name2 narrows a re-probe to the
