@@ -3643,6 +3643,56 @@ object Queries {
       |  generate_series(0, 7) g(x), generate_series(0, 5) g2(y)
       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
+  /** REAL ISO-BMFF (MP4/MOV) video decode, oracle-gated end to end
+    * (round-14): per doc a 3-frame 7×5 uncompressed-`raw ` MP4 is
+    * synthesized ([[ops.Multimodal.MediaCodec.encodeMp4Video]] — the same
+    * box tree the Motion-JPEG path demuxes, with lossless tightly-packed
+    * RGB frames so the oracle is closed form), demuxed + decoded through
+    * [[ops.Multimodal.videoFrameFeatures]] at stride 2 (frames 0 and 2),
+    * and the EXACT per-channel sums compare against DuckDB computing the
+    * pixel closed form directly. Any demux defect (box walk, stbl table
+    * reconstruction — stsc runs, stco offsets, fixed-stsz sizes — RGB
+    * order, row math) breaks the hash. The BMFF JPEG leg of the same
+    * demuxer is spec-pinned byte-identical (JPEG is lossy — no closed
+    * form), and the avc1 metadata-only leg is spec-pinned too.
+    */
+  def mq8Mp4Decode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = t(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val frames = (0 until 3).map(k =>
+          ops.Multimodal.MediaCodec.encodeRaw24Frame(7, 5, (x, y) => {
+            val r = ((id * 5 + k * 7 + x * 3 + y) % 256).toInt
+            val g = ((id * 11 + k * 3 + x + y * 5) % 256).toInt
+            val b = ((id * 13 + k * 19 + x * 2 + y * 3) % 256).toInt
+            (r << 16) | (g << 8) | b
+          }))
+        (id, ops.Multimodal.MediaCodec.encodeMp4Video(7, 5, 12, "raw ", frames))
+      }
+      .toDF("id", "media")
+    ops.Multimodal.videoFrameFeatures(spark, media, stride = 2)
+      .toDF()
+      .groupBy(col("id").as("doc_id"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_frames"),
+        max(col("width")).as("width"),
+        max(col("height")).as("height"),
+        sum(col("sum_r")).cast("bigint").as("sum_r"),
+        sum(col("sum_g")).cast("bigint").as("sum_g"),
+        sum(col("sum_b")).cast("bigint").as("sum_b"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mq8Oracle: String =
+    """SELECT d.doc_id, CAST(2 AS BIGINT) AS n_frames, 7 AS width, 5 AS height,
+      |  CAST(sum((d.doc_id*5 + f.k*7 + g.x*3 + g2.y) % 256) AS BIGINT) AS sum_r,
+      |  CAST(sum((d.doc_id*11 + f.k*3 + g.x + g2.y*5) % 256) AS BIGINT) AS sum_g,
+      |  CAST(sum((d.doc_id*13 + f.k*19 + g.x*2 + g2.y*3) % 256) AS BIGINT) AS sum_b
+      |FROM documents d, (VALUES (0), (2)) f(k),
+      |  generate_series(0, 6) g(x), generate_series(0, 4) g2(y)
+      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   /** Synthesized crawl URLs for the web-ops gates: per doc, group
     * `g = doc_id div 5` and variant `k = doc_id % 5` build five spellings —
     * k=0..3 differ only in case, `www.`, default port, tracking params,
@@ -5254,6 +5304,7 @@ object Queries {
     "mq5_image_ahash" -> (mq5ImageAhash _),
     "mq6_image_neardup" -> (mq6ImageNeardup _),
     "mq7_video_decode" -> (mq7VideoDecode _),
+    "mq8_mp4_decode" -> (mq8Mp4Decode _),
     "uq1_url_normalize" -> (uq1UrlNormalize _),
     "uq2_url_dedup" -> (uq2UrlDedup _),
     "uq3_psl_domains" -> (uq3PslDomains _),
@@ -5428,6 +5479,7 @@ object Queries {
     "mq5_image_ahash" -> mq5Oracle,
     "mq6_image_neardup" -> mq6Oracle,
     "mq7_video_decode" -> mq7Oracle,
+    "mq8_mp4_decode" -> mq8Oracle,
     "uq1_url_normalize" -> uq1Oracle,
     "uq2_url_dedup" -> uq2Oracle,
     "uq3_psl_domains" -> uq3Oracle,

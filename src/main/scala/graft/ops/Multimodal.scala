@@ -18,10 +18,22 @@ import org.apache.spark.sql.functions._
   * discipline as the WAV fast path) extracts MJPEG (`00dc` JPEG frames →
   * the ImageIO path) and uncompressed 24-bit DIB (`00db` → exact row math)
   * frames, oracle-gated end to end by closed-form pixel sums over DIB
-  * frames (mq7; DIB is lossless, JPEG is not). Non-AVI containers
-  * (MP4/MKV/WebM) remain out of reach without an external demuxer — those
-  * payloads fall back to [[MediaStub.sampleFrames]] byte-stride sampling
-  * in [[sampleFrameRows]] and drop in [[videoFrameFeatures]].
+  * frames (mq7; DIB is lossless, JPEG is not). Round-14 added the ISO
+  * BMFF family (MP4/MOV/M4V): [[MediaCodec.parseMp4Video]] walks the
+  * big-endian box tree and reconstructs per-sample byte ranges from the
+  * real `stbl` tables (stsd/stts/stsc/stsz/stco/co64), so CONTAINER
+  * metadata (codec fourcc, dims, fps, frame count) is real for every
+  * BMFF video — [[videoMetadata]] surfaces it without copying frame
+  * payloads — and FRAME DECODE is real for the codecs whose samples the
+  * JVM can decode: QuickTime Motion-JPEG (`jpeg`/`mjpa` — complete JPEGs
+  * per sample, the ImageIO path) and uncompressed 24-bit `raw ` (exact
+  * row math, lossless → the mq8 closed-form oracle). Compressed
+  * bitstreams the JVM has no decoder for (avc1/hvc1/vp09) parse to
+  * metadata but their frames drop in [[videoFrameFeatures]] — declared,
+  * countable via the `codec` tag, never guessed at. MKV/WebM remain out
+  * of reach without an external demuxer — those payloads fall back to
+  * [[MediaStub.sampleFrames]] byte-stride sampling in
+  * [[sampleFrameRows]] and drop in [[videoFrameFeatures]].
   * [[MediaStub.decode]] also remains as the any-format fallback feature
   * (byte histogram) for payloads no real decoder claims.
   */
@@ -358,9 +370,15 @@ object Multimodal {
         width: Int,
         height: Int,
         fps: Float,
-        codec: String, // "MJPG" (fourcc) or "DIB" (biCompression=0)
+        codec: String, // "MJPG"/"JPEG" (fourcc), "DIB" (biCompression=0), "RAW24" (BMFF raw depth-24)
         dibTopDown: Boolean, // negative biHeight = top-down row order
-        frames: IndexedSeq[Array[Byte]])
+        frames: IndexedSeq[Array[Byte]],
+        container: String) // "AVI" or "MP4" (ISO BMFF incl. MOV/M4V)
+
+    /** Shared zero-length frame payload for `collectFrames = false`
+      * parses — frame COUNTS stay real while nothing is copied.
+      */
+    private val EmptyFrame: Array[Byte] = Array.emptyByteArray
 
     /** Demux RIFF/AVI (the same container family as WAV — `RIFF` sizes
       * chunk-walked with the Long-cursor discipline, corrupt sizes end the
@@ -369,9 +387,12 @@ object Multimodal {
       * compression), then `LIST movi` (recursing into `LIST rec `
       * groupings) for that stream's `##dc`/`##db` frame payloads. None for
       * anything that is not a well-formed single-video AVI — the engine-
-      * wide refuse-don't-guess codec posture.
+      * wide refuse-don't-guess codec posture. `collectFrames = false`
+      * parses headers only (every frame is the shared empty payload, so
+      * counts stay real) — the [[videoMetadata]] shape, no byte copies.
       */
-    def parseAviVideo(bytes: Array[Byte]): Option[VideoInfo] =
+    def parseAviVideo(
+        bytes: Array[Byte], collectFrames: Boolean = true): Option[VideoInfo] =
       if (bytes == null || bytes.length < 24) None
       else try {
         def u16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
@@ -438,7 +459,9 @@ object Multimodal {
                 id.startsWith(f"$vidsStream%02d") &&
                 (id.endsWith("dc") || id.endsWith("db")) &&
                 off + 8 + sz <= end) {
-              frames += java.util.Arrays.copyOfRange(bytes, o + 8, (off + 8 + sz).toInt)
+              frames += (if (collectFrames)
+                java.util.Arrays.copyOfRange(bytes, o + 8, (off + 8 + sz).toInt)
+              else EmptyFrame)
             }
             off += 8 + sz + (sz & 1) // chunks pad to even
           }
@@ -447,7 +470,7 @@ object Multimodal {
           inMovi = false, Array(0))
         val fs = frames.result()
         if (vidsStream < 0 || width <= 0 || height <= 0 || codec.isEmpty) None
-        else Some(VideoInfo(width, height, fps, codec, topDown, fs))
+        else Some(VideoInfo(width, height, fps, codec, topDown, fs, "AVI"))
       } catch { case _: Exception => None }
 
     /** Decode an uncompressed 24-bit DIB frame (BGR, rows padded to 4
@@ -483,18 +506,224 @@ object Multimodal {
       Some(ImageInfo(width, height, 3, sr, sg, sb, hist))
     }
 
-    /** Decode one frame of a parsed AVI: MJPEG frames are complete JPEGs
-      * (the ImageIO path), DIB frames go through [[decodeDib24]]. None for
-      * an unsupported codec or a corrupt frame — the row drops, the job
-      * survives (same contract as every decode here).
+    /** Decode an uncompressed BMFF `raw ` depth-24 frame: tightly packed
+      * top-down RGB rows (no padding — unlike DIB), sample size must be
+      * exactly 3·w·h. Lossless, so the mq8 pixel oracle is closed form.
+      */
+    def decodeRaw24(frame: Array[Byte], width: Int, height: Int): Option[ImageInfo] = {
+      if (frame == null || width <= 0 || height <= 0 ||
+        width.toLong * height > (1L << 26) ||
+        3L * width * height != frame.length) return None
+      var sr = 0L; var sg = 0L; var sb = 0L
+      val hist = new Array[Float](16)
+      var o = 0
+      while (o < frame.length) {
+        val r = frame(o) & 0xFF; val g = frame(o + 1) & 0xFF; val b = frame(o + 2) & 0xFF
+        sr += r; sg += g; sb += b
+        hist(((r * 299 + g * 587 + b * 114) / 1000) >> 4) += 1.0f
+        o += 3
+      }
+      val n = (width.toLong * height).toFloat
+      var i = 0
+      while (i < 16) { hist(i) /= n; i += 1 }
+      Some(ImageInfo(width, height, 3, sr, sg, sb, hist))
+    }
+
+    /** Demux ISO BMFF (MP4/MOV/M4V) — the big-endian box-tree twin of
+      * [[parseAviVideo]], same Long-cursor corrupt-size discipline (a size
+      * smaller than its header or past the parent ends the walk, never
+      * wraps an Int). Walks `moov` for the first `vide`-handler track,
+      * reads its `stsd` sample entry (codec fourcc, dims, depth), `mdhd`
+      * timescale + first `stts` delta (fps), and reconstructs every
+      * sample's byte range from the real chunk tables — `stsc` runs map
+      * chunks to sample counts, `stco`/`co64` give chunk offsets, `stsz`
+      * gives sizes, samples are contiguous within a chunk. Any
+      * out-of-range sample refuses the whole parse (a truncated file must
+      * not yield silently short videos). Codec is the uppercase sample-
+      * entry fourcc, except uncompressed `raw ` at depth 24 → "RAW24"
+      * (the decodable form). None for anything that is not a well-formed
+      * single-video BMFF file.
+      */
+    def parseMp4Video(
+        bytes: Array[Byte], collectFrames: Boolean = true): Option[VideoInfo] =
+      if (bytes == null || bytes.length < 16) None
+      else try {
+        def u16(o: Int): Int = ((bytes(o) & 0xFF) << 8) | (bytes(o + 1) & 0xFF)
+        def u32(o: Int): Long =
+          ((bytes(o) & 0xFFL) << 24) | ((bytes(o + 1) & 0xFFL) << 16) |
+            ((bytes(o + 2) & 0xFFL) << 8) | (bytes(o + 3) & 0xFFL)
+        def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+        def tag(o: Int): String =
+          if (o + 4 <= bytes.length) new String(bytes, o, 4, "US-ASCII") else ""
+
+        // walk the boxes of [start, bEnd): f(type, payloadStart, payloadEnd)
+        def boxes(start: Long, bEnd: Long)(f: (String, Long, Long) => Unit): Unit = {
+          var off = start
+          var ok = true
+          while (ok && off + 8 <= bEnd) {
+            val o = off.toInt
+            val sz0 = u32(o)
+            var hdr = 8L
+            val sz: Long =
+              if (sz0 == 1L && off + 16 <= bEnd) { hdr = 16L; u64(o + 8) }
+              else if (sz0 == 0L) bEnd - off // "to end of file"
+              else sz0
+            if (sz < hdr || off + sz > bEnd) ok = false // corrupt size ends the walk
+            else { f(tag(o + 4), off + hdr, off + sz); off += sz }
+          }
+        }
+
+        // claim gate: the first top-level box must be a BMFF starter (an
+        // arbitrary blob virtually never chains valid sizes AND types)
+        val first = tag(4)
+        if (first != "ftyp" && first != "moov" && first != "mdat" &&
+          first != "free" && first != "skip" && first != "wide") return None
+
+        var found: Option[VideoInfo] = None
+        boxes(0L, bytes.length.toLong) { (t0, p0, e0) =>
+          if (t0 == "moov" && found.isEmpty) boxes(p0, e0) { (t1, p1, e1) =>
+            if (t1 == "trak" && found.isEmpty) {
+              var handler = ""; var timescale = 0L
+              var codec = ""; var w = 0; var h = 0; var depth = 0
+              var sttsDelta = 0L
+              var fixedSize = 0L; var sampleCount = -1
+              var sampleSizes: Array[Long] = null
+              var stscRuns: Array[(Long, Long)] = null // (first_chunk, samples_per_chunk)
+              var chunkOffsets: Array[Long] = null
+              boxes(p1, e1) { (t2, p2, e2) =>
+                if (t2 == "mdia") boxes(p2, e2) { (t3, p3, e3) =>
+                  val o3 = p3.toInt
+                  if (t3 == "mdhd" && e3 - p3 >= 24) {
+                    val v = bytes(o3) & 0xFF
+                    timescale =
+                      if (v == 1 && e3 - p3 >= 28) u32(o3 + 20) else u32(o3 + 12)
+                  } else if (t3 == "hdlr" && e3 - p3 >= 12) {
+                    handler = tag(o3 + 8)
+                  } else if (t3 == "minf") boxes(p3, e3) { (t4, p4, e4) =>
+                    if (t4 == "stbl") boxes(p4, e4) { (t5, p5, e5) =>
+                      val o = p5.toInt
+                      t5 match {
+                        case "stsd" if e5 - p5 >= 8 + 86 && u32(o + 4) >= 1 =>
+                          // first sample entry (description index 1); the
+                          // VisualSampleEntry fixed layout: fourcc at +4,
+                          // width/height at +32/+34, depth at +82
+                          val eo = o + 8
+                          val fourcc = tag(eo + 4)
+                          w = u16(eo + 32); h = u16(eo + 34); depth = u16(eo + 82)
+                          codec =
+                            if (fourcc.equalsIgnoreCase("raw ") && depth == 24) "RAW24"
+                            else fourcc.trim.toUpperCase
+                        case "stts" if e5 - p5 >= 16 && u32(o + 4) >= 1 =>
+                          sttsDelta = u32(o + 12) // first run's sample delta
+                        case "stsz" if e5 - p5 >= 12 =>
+                          fixedSize = u32(o + 4)
+                          val n = u32(o + 8)
+                          // bound the table by the box's own extent
+                          if (n >= 0 && n <= Int.MaxValue) {
+                            sampleCount = n.toInt
+                            if (fixedSize == 0) {
+                              if (e5 - p5 >= 12L + 4L * sampleCount)
+                                sampleSizes =
+                                  Array.tabulate(sampleCount)(i => u32(o + 12 + 4 * i))
+                              else sampleCount = -1 // truncated table: refuse
+                            }
+                          }
+                        case "stsc" if e5 - p5 >= 8 =>
+                          val n = u32(o + 4)
+                          if (n >= 1 && e5 - p5 >= 8L + 12L * n)
+                            stscRuns = Array.tabulate(n.toInt)(i =>
+                              (u32(o + 8 + 12 * i), u32(o + 12 + 12 * i)))
+                        case "stco" if e5 - p5 >= 8 =>
+                          val n = u32(o + 4)
+                          if (n >= 0 && e5 - p5 >= 8L + 4L * n)
+                            chunkOffsets = Array.tabulate(n.toInt)(i => u32(o + 8 + 4 * i))
+                        case "co64" if e5 - p5 >= 8 =>
+                          val n = u32(o + 4)
+                          if (n >= 0 && e5 - p5 >= 8L + 8L * n)
+                            chunkOffsets = Array.tabulate(n.toInt)(i => u64(o + 8 + 8 * i))
+                        case _ =>
+                      }
+                    }
+                  }
+                }
+              }
+              if (handler == "vide" && codec.nonEmpty && w > 0 && h > 0 &&
+                sampleCount > 0 && stscRuns != null && chunkOffsets != null &&
+                (fixedSize > 0 || sampleSizes != null)) {
+                // reconstruct sample ranges: chunks in stco order, stsc run
+                // gives each chunk's sample count, samples contiguous
+                val fb = IndexedSeq.newBuilder[Array[Byte]]
+                var sample = 0; var ci = 0; var run = 0; var ok = true
+                while (ok && sample < sampleCount && ci < chunkOffsets.length) {
+                  while (run + 1 < stscRuns.length && stscRuns(run + 1)._1 <= ci + 1)
+                    run += 1
+                  val spc = stscRuns(run)._2
+                  if (spc <= 0 || spc > sampleCount) ok = false
+                  else {
+                    var off = chunkOffsets(ci)
+                    var s = 0L
+                    while (ok && s < spc && sample < sampleCount) {
+                      val len = if (fixedSize > 0) fixedSize else sampleSizes(sample)
+                      if (len < 0 || off < 0 || off + len > bytes.length) ok = false
+                      else {
+                        fb += (if (collectFrames)
+                          java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
+                        else EmptyFrame)
+                        off += len; sample += 1; s += 1
+                      }
+                    }
+                    ci += 1
+                  }
+                }
+                if (ok && sample == sampleCount) {
+                  val fps =
+                    if (sttsDelta > 0 && timescale > 0) timescale.toFloat / sttsDelta
+                    else 0f
+                  found = Some(VideoInfo(
+                    w, h, fps, codec, dibTopDown = true, fb.result(), "MP4"))
+                }
+              }
+            }
+          }
+        }
+        found
+      } catch { case _: Exception => None }
+
+    /** Container dispatch: try each real demuxer in turn (RIFF/AVI, then
+      * ISO BMFF). The shared shape every video op consumes.
+      */
+    def parseVideo(
+        bytes: Array[Byte], collectFrames: Boolean = true): Option[VideoInfo] =
+      parseAviVideo(bytes, collectFrames)
+        .orElse(parseMp4Video(bytes, collectFrames))
+
+    /** Decode one frame of a parsed video: MJPEG-family frames are
+      * complete JPEGs (the ImageIO path — AVI `MJPG`/`DMB1`, BMFF
+      * `jpeg`/`mjpa`), DIB frames go through [[decodeDib24]], BMFF
+      * depth-24 `raw ` through [[decodeRaw24]]. None for an unsupported
+      * codec (avc1 and friends — no JVM bitstream decoder) or a corrupt
+      * frame — the row drops, the job survives (same contract as every
+      * decode here).
       */
     def decodeVideoFrame(v: VideoInfo, frame: Array[Byte]): Option[ImageInfo] =
       v.codec match {
         case "DIB" => decodeDib24(frame, v.width, v.height, v.dibTopDown)
-        // "DMB1" is Matrox's MJPEG fourcc — same complete-JPEG frames
-        case "MJPG" | "DMB1" => decodeImage(frame)
+        case "RAW24" => decodeRaw24(frame, v.width, v.height)
+        // "DMB1" is Matrox's MJPEG fourcc; "JPEG"/"MJPA" are the BMFF
+        // Motion-JPEG sample formats — all complete-JPEG frames
+        case "MJPG" | "DMB1" | "JPEG" | "MJPA" => decodeImage(frame)
         case _ => None
       }
+
+    /** Codecs [[decodeVideoFrame]] can actually decode — the
+      * [[videoMetadata]] `decodable` flag, so a 100 TB inventory pass can
+      * partition its corpus into decode-now vs needs-external-demuxer
+      * without touching a single frame payload.
+      */
+    def decodableVideoCodec(codec: String): Boolean = codec match {
+      case "DIB" | "RAW24" | "MJPG" | "DMB1" | "JPEG" | "MJPA" => true
+      case _ => false
+    }
 
     /** JPEG-encode a synthesized RGB image — the MJPEG fixture twin of
       * [[encodePng]] (lossy: oracle-exact checks use the DIB encoder).
@@ -587,6 +816,110 @@ object Multimodal {
         y += 1
       }
       out
+    }
+
+    /** Pack a synthesized RGB frame as tightly packed top-down RGB — the
+      * fixture twin of [[decodeRaw24]] (lossless, so the mq8 pixel oracle
+      * is closed form).
+      */
+    def encodeRaw24Frame(
+        width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+      val out = new Array[Byte](3 * width * height)
+      var y = 0
+      while (y < height) {
+        var o = y * 3 * width
+        var x = 0
+        while (x < width) {
+          val p = rgb(x, y)
+          out(o) = ((p >> 16) & 0xFF).toByte // R
+          out(o + 1) = ((p >> 8) & 0xFF).toByte // G
+          out(o + 2) = (p & 0xFF).toByte // B
+          o += 3; x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Build a minimal spec-valid ISO BMFF (QuickTime-brand) file around
+      * pre-encoded frame payloads — the ingest-side twin of
+      * [[parseMp4Video]]. `codecFourcc` "jpeg" writes complete-JPEG
+      * samples (Motion-JPEG), "raw " writes depth-24 uncompressed (frames
+      * must be tightly packed top-down RGB, [[encodeRaw24Frame]]). All
+      * samples land in one `mdat` chunk; `stsz` uses the fixed-size form
+      * when every frame is the same length (the `raw ` case) and the
+      * per-sample table otherwise — so fixtures exercise both parse paths.
+      */
+    def encodeMp4Video(
+        width: Int, height: Int, fps: Int, codecFourcc: String,
+        frames: Seq[Array[Byte]]): Array[Byte] = {
+      require(fps > 0 && width > 0 && height > 0 && frames.nonEmpty,
+        "bad MP4 dimensions/fps/frames")
+      require(codecFourcc.length == 4, s"codec fourcc must be 4 chars: '$codecFourcc'")
+      def be16(v: Int): Array[Byte] =
+        Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+      def be32(v: Long): Array[Byte] = Array(
+        ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+      def cat(parts: Array[Byte]*): Array[Byte] = {
+        val out = new Array[Byte](parts.map(_.length).sum)
+        var o = 0
+        parts.foreach { p => System.arraycopy(p, 0, out, o, p.length); o += p.length }
+        out
+      }
+      def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+      def box(tp: String, payload: Array[Byte]*): Array[Byte] = {
+        val body = cat(payload: _*)
+        cat(be32(8L + body.length), fourcc(tp), body)
+      }
+      val n = frames.size
+      val ftyp = box("ftyp", fourcc("qt  "), be32(0), fourcc("qt  "))
+      val mdat = box("mdat", cat(frames.toSeq: _*))
+      val mdatPayloadOff = ftyp.length + 8 // stco chunk offset (file-absolute)
+      val zeros = (k: Int) => new Array[Byte](k)
+      val mvhd = box("mvhd", be32(0), be32(0), be32(0),
+        be32(fps.toLong), be32(n.toLong), // timescale, duration
+        be32(0x00010000L), be16(0x0100), zeros(10),
+        // identity matrix (16.16 / 2.30 fixed-point diagonals)
+        be32(0x00010000L), be32(0), be32(0), be32(0), be32(0x00010000L),
+        be32(0), be32(0), be32(0), be32(0x40000000L),
+        zeros(24), be32(2))
+      val tkhd = box("tkhd", be32(7), be32(0), be32(0), // v0, flags=enabled|inMovie|inPreview
+        be32(1), zeros(4), be32(n.toLong), zeros(8),
+        be16(0), be16(0), be16(0), be16(0),
+        be32(0x00010000L), be32(0), be32(0), be32(0), be32(0x00010000L),
+        be32(0), be32(0), be32(0), be32(0x40000000L),
+        be32(width.toLong << 16), be32(height.toLong << 16))
+      val mdhd = box("mdhd", be32(0), be32(0), be32(0),
+        be32(fps.toLong), be32(n.toLong), // timescale = fps, delta 1 → fps exact
+        be16(0x55C4), be16(0)) // language "und", quality
+      val hdlr = box("hdlr", be32(0), be32(0), fourcc("vide"), zeros(12),
+        Array(0.toByte))
+      val isFixed = frames.forall(_.length == frames.head.length)
+      val sampleEntry = cat(
+        be32(86), fourcc(codecFourcc), zeros(6), be16(1), // size, format, reserved, dref idx
+        be16(0), be16(0), zeros(12),
+        be16(width), be16(height),
+        be32(0x00480000L), be32(0x00480000L), zeros(4), be16(1), // 72 dpi, frame_count
+        zeros(32), // compressor name (pascal string, empty)
+        be16(24), be16(0xFFFF)) // depth, pre_defined
+      val stsd = box("stsd", be32(0), be32(1), sampleEntry)
+      val stts = box("stts", be32(0), be32(1), be32(n.toLong), be32(1))
+      val stsc = box("stsc", be32(0), be32(1), be32(1), be32(n.toLong), be32(1))
+      val stsz =
+        if (isFixed) box("stsz", be32(0), be32(frames.head.length.toLong), be32(n.toLong))
+        else box("stsz", be32(0), be32(0), be32(n.toLong),
+          cat(frames.map(f => be32(f.length.toLong)).toSeq: _*))
+      val stco = box("stco", be32(0), be32(1), be32(mdatPayloadOff.toLong))
+      val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+      val vmhd = box("vmhd", be32(1), be16(0), be16(0), be16(0), be16(0))
+      val dref = box("dref", be32(0), be32(1), box("url ", be32(1)))
+      val dinf = box("dinf", dref)
+      val minf = box("minf", vmhd, dinf, stbl)
+      val mdia = box("mdia", mdhd, hdlr, minf)
+      val trak = box("trak", tkhd, mdia)
+      val moov = box("moov", mvhd, trak)
+      cat(ftyp, mdat, moov)
     }
 
     /** WAV-encode 16-bit signed mono PCM — the fixture/ingest-side twin of
@@ -741,16 +1074,16 @@ object Multimodal {
   final case class FrameRow(id: Long, frame_idx: Int, n_bytes: Int, codec: String)
 
   /** Frame sampling as a generator op: one output row per sampled frame —
-    * the explode-shaped twin of [[extractFeatures]]. AVI payloads demux
-    * for REAL ([[MediaCodec.parseAviVideo]]): every `stride`-th container
-    * frame emits (`frame_idx` = its original frame number, `n_bytes` = the
-    * frame payload size). Non-AVI payloads keep the deterministic stub
-    * sampling (8-byte probes every `stride` BYTES) so mixed-crawl batches
-    * and the decode-independent oracles keep flowing. The `codec` column
-    * tags each row's provenance — the container's fourcc ("MJPG", "DIB",
-    * …) for real demuxes, the literal "stub" for byte-stride sampling —
-    * so a 100 TB run COUNTS its stub-sampled rows (`GROUP BY codec`)
-    * instead of inferring them.
+    * the explode-shaped twin of [[extractFeatures]]. AVI and BMFF
+    * (MP4/MOV) payloads demux for REAL ([[MediaCodec.parseVideo]]): every
+    * `stride`-th container frame emits (`frame_idx` = its original frame
+    * number, `n_bytes` = the frame payload size). Other payloads keep the
+    * deterministic stub sampling (8-byte probes every `stride` BYTES) so
+    * mixed-crawl batches and the decode-independent oracles keep flowing.
+    * The `codec` column tags each row's provenance — the container's
+    * fourcc ("MJPG", "DIB", "JPEG", "RAW24", "AVC1", …) for real demuxes,
+    * the literal "stub" for byte-stride sampling — so a 100 TB run COUNTS
+    * its stub-sampled rows (`GROUP BY codec`) instead of inferring them.
     */
   def sampleFrameRows(
       spark: SparkSession, media: DataFrame, stride: Int): Dataset[FrameRow] = {
@@ -762,7 +1095,7 @@ object Multimodal {
         // an unguarded bytes.grouped NPE'd mid-task with an opaque trace)
         it.flatMap { case (id, bytes) =>
           if (bytes == null) Iterator.empty
-          else MediaCodec.parseAviVideo(bytes) match {
+          else MediaCodec.parseVideo(bytes) match {
             case Some(v) =>
               Iterator.range(0, v.frames.length, stride).map(i =>
                 FrameRow(id, i, v.frames(i).length, v.codec))
@@ -785,12 +1118,15 @@ object Multimodal {
       sum_b: Long,
       codec: String)
 
-  /** REAL video frame features over AVI payloads — MJPEG (`00dc` JPEG
-    * frames through the ImageIO path) or uncompressed 24-bit DIB (`00db`,
-    * exact row math): demux the container, decode every `stride`-th frame,
-    * emit per-frame dimensions + exact integer channel sums (the mq7
-    * oracle form). Non-AVI payloads and undecodable frames drop, like
-    * [[audioFeatures]] — there is no meaningful fallback shape for video.
+  /** REAL video frame features over AVI and BMFF (MP4/MOV) payloads —
+    * MJPEG-family (complete-JPEG frames through the ImageIO path),
+    * uncompressed 24-bit DIB (AVI, exact row math) or `raw ` (BMFF,
+    * exact row math): demux the container, decode every `stride`-th
+    * frame, emit per-frame dimensions + exact integer channel sums (the
+    * mq7/mq8 oracle form). Unparseable payloads and undecodable frames
+    * (avc1-class compressed bitstreams — [[videoMetadata]] still sees
+    * those containers) drop, like [[audioFeatures]] — there is no
+    * meaningful fallback shape for video.
     */
   def videoFrameFeatures(
       spark: SparkSession, media: DataFrame, stride: Int = 1): Dataset[VideoFrameRow] = {
@@ -800,7 +1136,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
           if (bytes == null) Iterator.empty
-          else MediaCodec.parseAviVideo(bytes) match {
+          else MediaCodec.parseVideo(bytes) match {
             case Some(v) =>
               Iterator.range(0, v.frames.length, stride).flatMap { i =>
                 MediaCodec.decodeVideoFrame(v, v.frames(i)).map(info =>
@@ -809,6 +1145,41 @@ object Multimodal {
               }
             case None => Iterator.empty
           }
+        }
+      }
+  }
+
+  final case class VideoMetaRow(
+      id: Long,
+      container: String,
+      codec: String,
+      width: Int,
+      height: Int,
+      fps: Float,
+      n_frames: Int,
+      decodable: Boolean)
+
+  /** Container-level video inventory WITHOUT touching frame payloads:
+    * demux headers + sample tables only (`collectFrames = false` — frame
+    * counts come from the real chunk math, zero payload copies), emit
+    * per-video container ("AVI"/"MP4"), codec fourcc, dims, fps, frame
+    * count, and whether [[MediaCodec.decodeVideoFrame]] could decode its
+    * frames. The 100 TB triage pass: `GROUP BY container, codec,
+    * decodable` tells a crawl exactly what fraction of its video corpus
+    * the engine can feature-extract today vs what needs an external
+    * demuxer — including avc1/hvc1 MP4s whose METADATA is fully real
+    * here. Unparseable payloads drop; join back to the source table to
+    * enumerate them.
+    */
+  def videoMetadata(spark: SparkSession, media: DataFrame): Dataset[VideoMetaRow] = {
+    import spark.implicits._
+    media.select(col("id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          if (bytes == null) None
+          else MediaCodec.parseVideo(bytes, collectFrames = false).map(v =>
+            VideoMetaRow(id, v.container, v.codec, v.width, v.height, v.fps,
+              v.frames.length, MediaCodec.decodableVideoCodec(v.codec)))
         }
       }
   }

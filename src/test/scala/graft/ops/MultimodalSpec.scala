@@ -291,6 +291,111 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.MediaCodec.ahash(png, 8).nonEmpty)
   }
 
+  test("MP4/raw demux+decode: exact pixel sums, sample tables, stride") {
+    import org.apache.spark.sql.functions._
+    val w = 7; val h = 5 // odd width: raw rows are tightly packed, no padding seam
+    def rgb(k: Int)(x: Int, y: Int): Int = {
+      val r = (k * 41 + x * 9 + y * 23) % 256
+      val g = (k * 29 + x * 5 + y * 3) % 256
+      val b = (k * 61 + x * 2 + y * 17) % 256
+      (r << 16) | (g << 8) | b
+    }
+    val frames = (0 until 4).map(k => Multimodal.MediaCodec.encodeRaw24Frame(w, h, rgb(k)))
+    val mp4 = Multimodal.MediaCodec.encodeMp4Video(w, h, 12, "raw ", frames)
+    val v = Multimodal.MediaCodec.parseMp4Video(mp4).get
+    assert(v.container == "MP4" && v.codec == "RAW24")
+    assert(v.width == w && v.height == h && v.fps == 12f && v.frames.length == 4)
+    def expSum(k: Int, ch: Int): Long =
+      (for (x <- 0 until w; y <- 0 until h) yield ((rgb(k)(x, y) >> ch) & 0xFF).toLong).sum
+    (0 until 4).foreach { k =>
+      val info = Multimodal.MediaCodec.decodeVideoFrame(v, v.frames(k)).get
+      assert(info.width == w && info.height == h)
+      assert(info.sumR == expSum(k, 16) && info.sumG == expSum(k, 8) &&
+        info.sumB == expSum(k, 0), s"frame $k")
+    }
+    // the ops ride the container dispatch: MP4 payloads demux for real
+    val media = Seq((1L, mp4)).toDF("id", "media")
+    val rows = Multimodal.videoFrameFeatures(spark, media, stride = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(rows.map(_.frame_idx).toSeq == Seq(0, 2) && rows.forall(_.codec == "RAW24"))
+    assert(rows.head.sum_r == expSum(0, 16) && rows(1).sum_b == expSum(2, 0))
+    val fr = Multimodal.sampleFrameRows(spark, media, 2).collect()
+    assert(fr.map(_.frame_idx).sorted.toSeq == Seq(0, 2))
+    assert(fr.forall(f => f.codec == "RAW24" && f.n_bytes == 3 * w * h))
+  }
+
+  test("MP4/JPEG demux: per-sample stsz table hands back the exact JPEGs") {
+    val w = 16; val h = 12
+    // complexity grows with k (flat → noisy) so the JPEG lengths differ
+    // and the encoder takes the per-sample stsz-table path
+    val jpegs = (0 until 3).map(k =>
+      Multimodal.MediaCodec.encodeJpeg(w, h, (x, y) =>
+        (((x * 73 + y * 151 + k * ((x ^ y) * 97)) % 256) << 16) | (y * 12)))
+    assert(jpegs.map(_.length).distinct.length > 1, "fixture must exercise the stsz table")
+    val mp4 = Multimodal.MediaCodec.encodeMp4Video(w, h, 24, "jpeg", jpegs)
+    val v = Multimodal.MediaCodec.parseMp4Video(mp4).get
+    assert(v.codec == "JPEG" && v.fps == 24f && v.frames.length == 3)
+    // the demux must hand back the UNTOUCHED JPEG bytes, so frame decode
+    // is exactly the already-oracle-gated image path
+    (0 until 3).foreach(k => assert(v.frames(k).sameElements(jpegs(k)), s"frame $k"))
+    (0 until 3).foreach { k =>
+      val direct = Multimodal.MediaCodec.decodeImage(jpegs(k)).get
+      val viaMp4 = Multimodal.MediaCodec.decodeVideoFrame(v, v.frames(k)).get
+      assert(viaMp4 == direct.copy(grayHist = viaMp4.grayHist), s"frame $k")
+    }
+  }
+
+  test("avc1 containers parse to real metadata; frames do not decode") {
+    import org.apache.spark.sql.functions._
+    // compressed-bitstream samples the JVM cannot decode: garbage payloads
+    // behind a REAL container — metadata must be exact, frames must drop
+    val fake = (0 until 5).map(k => Array.tabulate[Byte](40 + k)(i => (i * 7 + k).toByte))
+    val mp4 = Multimodal.MediaCodec.encodeMp4Video(640, 360, 30, "avc1", fake)
+    val avi = Multimodal.MediaCodec.encodeAvi(8, 6, 10, "DIB",
+      (0 until 2).map(k => Multimodal.MediaCodec.encodeDib24Frame(8, 6, (x, y) => x + y + k)))
+    val media = Seq(
+      (1L, mp4), (2L, avi), (3L, "not a video".getBytes("UTF-8")), (4L, null))
+      .toDF("id", "media")
+    val meta = Multimodal.videoMetadata(spark, media).collect().sortBy(_.id)
+    assert(meta.map(_.id).toSeq == Seq(1L, 2L), "garbage and nulls drop")
+    val m = meta.head
+    assert(m.container == "MP4" && m.codec == "AVC1" && m.width == 640 &&
+      m.height == 360 && m.fps == 30f && m.n_frames == 5 && !m.decodable)
+    val a = meta(1)
+    assert(a.container == "AVI" && a.codec == "DIB" && a.n_frames == 2 && a.decodable)
+    // metadata-only parses copy no payloads (shared empty frames)
+    val vNoFrames = Multimodal.MediaCodec.parseMp4Video(mp4, collectFrames = false).get
+    assert(vNoFrames.frames.length == 5 && vNoFrames.frames.forall(_.length == 0))
+    // the feature op drops undecodable frames but keeps the decodable AVI
+    val feat = Multimodal.videoFrameFeatures(spark, media).collect()
+    assert(feat.map(_.id).distinct.toSeq == Seq(2L))
+  }
+
+  test("MP4 parser never throws on corrupt, truncated, or bit-flipped payloads") {
+    val frames = (0 until 2).map(k =>
+      Multimodal.MediaCodec.encodeRaw24Frame(5, 4, (x, y) => (k * 90 + x + y) << 8))
+    val mp4 = Multimodal.MediaCodec.encodeMp4Video(5, 4, 10, "raw ", frames)
+    val rnd = new scala.util.Random(29)
+    (0 until 300).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(150))(rnd.nextInt().toByte)
+      Multimodal.MediaCodec.parseMp4Video(junk): Unit
+    }
+    // every truncation point (box sizes, table extents, sample ranges)
+    (0 until mp4.length).foreach(c =>
+      Multimodal.MediaCodec.parseMp4Video(mp4.take(c)): Unit)
+    // single-bit corruption sweep — includes every box-size field, the
+    // stsz/stsc/stco counts, and the chunk offset (a huge value must
+    // refuse, not wrap or copy out of bounds)
+    (0 until mp4.length).foreach { i =>
+      val c = mp4.clone; c(i) = (c(i) ^ 0xFF).toByte
+      Multimodal.MediaCodec.parseMp4Video(c).foreach { v =>
+        v.frames.foreach(f => Multimodal.MediaCodec.decodeVideoFrame(v, f): Unit)
+      }
+    }
+    // uncorrupted still parses afterwards
+    assert(Multimodal.MediaCodec.parseMp4Video(mp4).exists(_.frames.length == 2))
+  }
+
   test("real audio decode: exact sample aggregates on a synthesized WAV; text drops") {
     import org.apache.spark.sql.functions._
     val samples = Array.tabulate[Short](64)(i => ((i * 113) % 4001 - 2000).toShort)
