@@ -138,6 +138,46 @@ object MediaScaleProbe {
     out += f"videoFrameFeatures(stride=2): $nVid%d frame rows in $tVid%.2f s (${nVid / tVid}%.0f frames/s = ${nVid / 4 / tVid}%.0f clips/s; garbage dropped)"
     require(nVid == goodVids * 4, s"video frames=$nVid expected ${goodVids * 4}")
 
+    // ── video: ISO-BMFF demux at crawl volume (round-14 — MP4/MOV went
+    // real). The same clips in the MP4 container (JPEG samples, per-sample
+    // stsz tables) plus a 10% avc1 slice (real container, bitstream the
+    // JVM can't decode — the metadata-only leg): videoFrameFeatures should
+    // track the AVI arm (same ImageIO work, box-tree demux as the
+    // residual), and videoMetadata should cost ~nothing per row
+    // (collectFrames=false, zero payload copies).
+    val mp4Dir = s"$base/video_mp4"
+    val genMp4S = graft.BenchTiming.time {
+      spark.range(vidRows.toLong).as[Long].repartition(32)
+        .map { id =>
+          val bytes =
+            if (id % 10 == 9) s"not-a-video-$id".getBytes("UTF-8")
+            else if (id % 10 == 4) {
+              val fake = (0 until 8).map(k =>
+                Array.tabulate[Byte](600)(i => (i * 7 + k + id).toByte))
+              Multimodal.MediaCodec.encodeMp4Video(dim, dim, 30, "avc1", fake)
+            } else {
+              val frames = (0 until 8).map { k =>
+                Multimodal.MediaCodec.encodeJpeg(dim, dim, (x, y) =>
+                  ((id * 3 + k * 17 + x + y) % 256).toInt << 16 |
+                    ((id * 5 + k + x) % 256).toInt << 8 | ((id + y) % 256).toInt)
+              }
+              Multimodal.MediaCodec.encodeMp4Video(dim, dim, 10, "jpeg", frames)
+            }
+          (id, bytes)
+        }
+        .toDF("id", "media").write.mode("overwrite").parquet(mp4Dir)
+    }
+    val mp4 = spark.read.parquet(mp4Dir)
+    out += f"synthesized $vidRows%d 8-frame ${dim}x$dim MP4s (80%% MJPEG, 10%% avc1, 10%% garbage): $genMp4S%.1f s"
+    val jpegVids = vidRows - 2 * (vidRows / 10) // ids %10==9 (garbage) and ==4 (avc1)
+    val (nMp4, tMp4) = timeMin(
+      Multimodal.videoFrameFeatures(spark, mp4, stride = 2).count())
+    out += f"videoFrameFeatures(MP4, stride=2): $nMp4%d frame rows in $tMp4%.2f s (${nMp4 / tMp4}%.0f frames/s; avc1 + garbage dropped)"
+    require(nMp4 == jpegVids * 4, s"mp4 frames=$nMp4 expected ${jpegVids * 4}")
+    val (nMeta, tMeta) = timeMin(Multimodal.videoMetadata(spark, mp4).count())
+    out += f"videoMetadata(MP4 mix): $nMeta%d rows in $tMeta%.2f s (${nMeta / tMeta}%.0f rows/s; incl. avc1 metadata, no frame copies)"
+    require(nMeta == vidRows - vidRows / 10, s"mp4 meta=$nMeta")
+
     println("== MediaScaleProbe ==")
     out.result().foreach(println)
     spark.stop()
