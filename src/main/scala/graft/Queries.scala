@@ -3876,6 +3876,58 @@ object Queries {
       |SELECT doc_id, host, d AS domain_expr, d AS domain_join
       |FROM dom ORDER BY doc_id""".stripMargin
 
+  /** Sitemap-protocol parsing ([[ops.Web.sitemapUrls]]): per doc one of
+    * four fixture shapes — a 2-entry `<urlset>` (entity-escaped `&amp;`
+    * in the loc, surrounding whitespace, a comment between entries, one
+    * entry without `<lastmod>`), a `<sitemapindex>` (is_index=true), a
+    * mixed-case `<URL><LOC>` entry preceded by a loc-less entry that must
+    * DROP (so `seq` renumbers over kept entries), and garbage HTML (no
+    * rows). Oracle: DuckDB states the expected exploded rows in closed
+    * form — any defect in element matching, comment strip, entity decode,
+    * trimming, case folding, loc-less filtering, or entry ordering breaks
+    * the hash.
+    */
+  def uq5Sitemap(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = expr("doc_id % 4")
+    val s = col("doc_id").cast("string")
+    val xml = when(k === 0, concat(
+      lit("<?xml version=\"1.0\"?><urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+        "<url><loc> http://s"), s,
+      lit(".com/p?a=1&amp;b=2 </loc><lastmod>2026-01-02</lastmod></url>" +
+        "<!-- a comment --><url><loc>http://s"), s,
+      lit(".com/q</loc></url></urlset>")))
+      .when(k === 1, concat(
+        lit("<sitemapindex><sitemap><loc>http://s"), s,
+        lit(".com/sitemap2.xml</loc><lastmod>2026-02-03</lastmod></sitemap></sitemapindex>")))
+      .when(k === 2, concat(
+        lit("<urlset><url><priority>0.5</priority></url><URL ><LOC>http://s"), s,
+        lit(".com/only</LOC></URL></urlset>")))
+      .otherwise(lit("<html><body>404 not found</body></html>"))
+    val base = t(spark, sfDir, "documents").select(col("doc_id"), xml.as("xml"))
+    ops.Web.sitemapUrls(base, "doc_id", "xml")
+      .orderBy(col("doc_id"), col("seq"))
+  }
+
+  val uq5Oracle: String =
+    """SELECT doc_id, CAST(seq AS INT) AS seq, loc, lastmod, is_index FROM (
+      |  SELECT doc_id, 0 AS seq,
+      |    'http://s' || doc_id || '.com/p?a=1&b=2' AS loc,
+      |    '2026-01-02' AS lastmod, FALSE AS is_index
+      |  FROM documents WHERE doc_id % 4 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 1, 'http://s' || doc_id || '.com/q',
+      |    CAST(NULL AS VARCHAR), FALSE
+      |  FROM documents WHERE doc_id % 4 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 0, 'http://s' || doc_id || '.com/sitemap2.xml',
+      |    '2026-02-03', TRUE
+      |  FROM documents WHERE doc_id % 4 = 1
+      |  UNION ALL
+      |  SELECT doc_id, 0, 'http://s' || doc_id || '.com/only',
+      |    CAST(NULL AS VARCHAR), FALSE
+      |  FROM documents WHERE doc_id % 4 = 2
+      |) ORDER BY doc_id, seq""".stripMargin
+
   /** Outlink extraction + base resolution ([[ops.Html.extractLinks]] →
     * [[ops.Web.resolveUrl]]) over link-diverse fixture pages: absolute,
     * scheme-relative, root-relative, query-only, fragment-only, unquoted
@@ -5308,6 +5360,7 @@ object Queries {
     "uq1_url_normalize" -> (uq1UrlNormalize _),
     "uq2_url_dedup" -> (uq2UrlDedup _),
     "uq3_psl_domains" -> (uq3PslDomains _),
+    "uq5_sitemap" -> (uq5Sitemap _),
     "wq1_html_extract" -> (wq1HtmlExtract _),
     "wq2_html_blocks" -> (wq2HtmlBlocks _),
     "wq3_link_resolve" -> (wq3LinkResolve _),
@@ -5483,6 +5536,7 @@ object Queries {
     "uq1_url_normalize" -> uq1Oracle,
     "uq2_url_dedup" -> uq2Oracle,
     "uq3_psl_domains" -> uq3Oracle,
+    "uq5_sitemap" -> uq5Oracle,
     "wq1_html_extract" -> wq1Oracle,
     "wq2_html_blocks" -> wq2Oracle,
     "wq3_link_resolve" -> wq3Oracle,

@@ -144,6 +144,43 @@ class WebSpec extends SparkSpec {
       s"PSL lookup must not shuffle:\n$plan")
   }
 
+  test("sitemapUrls: entries, index detection, entity decode, malformed inputs") {
+    val urlset =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url><loc>https://ex.com/a?x=1&amp;y=2</loc><lastmod>2026-01-01</lastmod></url>
+        |  <!-- <url><loc>https://ex.com/commented-out</loc></url> -->
+        |  <url>
+        |    <loc>
+        |      https://ex.com/b
+        |    </loc>
+        |  </url>
+        |  <url><priority>0.9</priority></url>
+        |</urlset>""".stripMargin
+    val index =
+      "<sitemapindex><sitemap><loc>https://ex.com/s1.xml</loc></sitemap>" +
+        "<SITEMAP><LOC>https://ex.com/s2.xml</LOC><LASTMOD>2025-12-31</LASTMOD></SITEMAP>" +
+        "</sitemapindex>"
+    val df = Seq(
+      (1L, urlset), (2L, index),
+      (3L, "<html><body>soft 404</body></html>"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "xml")
+    val rows = Web.sitemapUrls(df, "id", "xml")
+      .as[(Long, Int, String, String, Boolean)].collect().sortBy(r => (r._1, r._2))
+    // doc 1: comment dropped, loc-less entry dropped, seq renumbers; the
+    // entity and the whitespace both normalize
+    assert(rows.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0, "https://ex.com/a?x=1&y=2", "2026-01-01", false),
+      (1L, 1, "https://ex.com/b", null, false)))
+    // doc 2: child sitemaps tagged is_index, case-insensitive tags
+    assert(rows.filter(_._1 == 2L).toSeq == Seq(
+      (2L, 0, "https://ex.com/s1.xml", null, true),
+      (2L, 1, "https://ex.com/s2.xml", "2025-12-31", true)))
+    // HTML and null contribute nothing
+    assert(rows.map(_._1).distinct.sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("urlDedup groups normalization-equivalent spellings, min-id keeper") {
     val df = Seq(
       (10L, "http://www.site.com/p?b=2&a=1"),
