@@ -4015,6 +4015,67 @@ object Queries {
       |  'Doc ' || doc_id AS title
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Charset sniffing end to end ([[ops.Warc.sniffCharset]] through
+    * [[ops.Warc.records]]): four fixture encodings per modulus — a
+    * UTF-8 body declared by the Content-Type header, a LATIN-1 body
+    * declared only by its `<meta charset>` tag (the header is bare
+    * `text/html`), a UTF-8-BOM body whose header LIES (`charset=
+    * iso-8859-1` — the BOM must win per the Encoding standard, and the
+    * BOM char must be stripped from the text), and a bare-ASCII body
+    * with no declaration at all (the UTF-8 default). The oracle states
+    * the decoded Unicode text, resolved charset, and provenance tag in
+    * closed form — a wrong precedence order or a skipped decode step
+    * produces mojibake and breaks the hash.
+    */
+  def wq5CharsetSniff(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val src = t(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val (ctype, body) = (id % 4) match {
+          case 0 =>
+            ("text/html; charset=utf-8",
+              s"<html><body>café № $id</body></html>".getBytes("UTF-8"))
+          case 1 =>
+            ("text/html",
+              ("<html><head><meta charset=\"iso-8859-1\"></head>" +
+                s"<body>café n° $id</body></html>").getBytes("ISO-8859-1"))
+          case 2 =>
+            val html = s"<html><body>día $id</body></html>".getBytes("UTF-8")
+            ("text/html; charset=iso-8859-1",
+              Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ html)
+          case _ =>
+            ("text/html", s"<html><body>plain $id</body></html>".getBytes("UTF-8"))
+        }
+        val warc = ops.Warc.encodeRecord(
+          "response", s"https://site${id % 40}.com/c/$id", "2026-08-15T00:00:02Z",
+          ops.Warc.encodeHttpResponse(200, ctype, body))
+        (id, warc)
+      }.toDF("id", "media")
+    ops.Warc.records(spark, src)
+      .toDF()
+      .select(
+        col("id").as("doc_id"),
+        col("charset"),
+        col("charset_source"),
+        col("body_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val wq5Oracle: String =
+    """SELECT doc_id,
+      |  CASE doc_id % 4 WHEN 1 THEN 'iso-8859-1' ELSE 'utf-8' END AS charset,
+      |  CASE doc_id % 4 WHEN 0 THEN 'header' WHEN 1 THEN 'meta'
+      |       WHEN 2 THEN 'bom' ELSE 'default' END AS charset_source,
+      |  CASE doc_id % 4
+      |    WHEN 0 THEN '<html><body>café № ' || doc_id || '</body></html>'
+      |    WHEN 1 THEN '<html><head><meta charset="iso-8859-1"></head>' ||
+      |      '<body>café n° ' || doc_id || '</body></html>'
+      |    WHEN 2 THEN '<html><body>día ' || doc_id || '</body></html>'
+      |    ELSE '<html><body>plain ' || doc_id || '</body></html>'
+      |  END AS body_text
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** CCNet-style frequent-line removal
     * ([[ops.TextAnalysis.dropFrequentLines]]): 5-line fixture docs where a
     * header (written in two case/whitespace spellings that normalize to
@@ -5367,6 +5428,7 @@ object Queries {
     "rq1_robots" -> (rq1Robots _),
     "tq14_line_dedup" -> (tq14LineDedup _),
     "wq4_warc_extract" -> (wq4WarcExtract _),
+    "wq5_charset_sniff" -> (wq5CharsetSniff _),
     "gq1_pagerank" -> (gq1Pagerank _),
     "gq2_degrees" -> (gq2Degrees _),
     "sq1_sessionize" -> (sq1Sessionize _),
@@ -5543,6 +5605,7 @@ object Queries {
     "rq1_robots" -> rq1Oracle,
     "tq14_line_dedup" -> tq14Oracle,
     "wq4_warc_extract" -> wq4Oracle,
+    "wq5_charset_sniff" -> wq5Oracle,
     "gq1_pagerank" -> gq1Oracle,
     "gq2_degrees" -> gq2Oracle,
     "sq1_sessionize" -> sq1Oracle,

@@ -152,22 +152,68 @@ object Warc {
     -1L
   }
 
-  /** Decode a response body to text using the Content-Type `charset=`
-    * parameter (default UTF-8), with replacement for malformed sequences
-    * — crawl bodies are never trusted to be well-encoded.
+  private def charsetOf(name: String): Option[java.nio.charset.Charset] =
+    try Some(java.nio.charset.Charset.forName(name))
+    catch { case _: Exception => None }
+
+  /** WHATWG-style encoding sniff for a crawl response body, in spec
+    * precedence order: (1) a byte-order mark (UTF-8/UTF-16 — the BOM
+    * overrides even the transport header, per the Encoding standard),
+    * (2) the Content-Type `charset=` parameter, (3) a meta prescan of the
+    * first 1024 bytes for `<meta charset=…>` /
+    * `<meta http-equiv="Content-Type" content="…charset=…">` (read as
+    * latin-1, which is ASCII-transparent), (4) UTF-8 — the practical
+    * crawl default (the browser spec says windows-1252, but that is a
+    * legacy-rendering rule; modern corpora are overwhelmingly UTF-8 and
+    * mojibake from a wrong UTF-8 guess is detectable downstream, unlike
+    * silently "valid" 1252). Returns the charset plus its provenance tag
+    * (`"bom"|"header"|"meta"|"default"`) so a 100 TB run can COUNT how
+    * its corpus declared itself. Unrecognized charset names fall through
+    * to the next step rather than erroring.
+    */
+  def sniffCharset(
+      body: Array[Byte],
+      contentType: String): (java.nio.charset.Charset, String) = {
+    import java.nio.charset.StandardCharsets._
+    if (body.length >= 3 && body(0) == 0xEF.toByte && body(1) == 0xBB.toByte &&
+      body(2) == 0xBF.toByte) return (UTF_8, "bom")
+    if (body.length >= 2 && body(0) == 0xFE.toByte && body(1) == 0xFF.toByte)
+      return (UTF_16, "bom") // java's UTF-16 consumes the BOM itself
+    if (body.length >= 2 && body(0) == 0xFF.toByte && body(1) == 0xFE.toByte)
+      return (UTF_16, "bom")
+    val fromHeader =
+      if (contentType == null) None
+      else "(?i)charset=\"?([A-Za-z0-9_.:-]+)".r.findFirstMatchIn(contentType)
+        .flatMap(m => charsetOf(m.group(1)))
+    fromHeader match {
+      case Some(cs) => (cs, "header")
+      case None =>
+        val prefix = new String(body, 0, math.min(1024, body.length),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        val fromMeta =
+          "(?i)<meta\\s[^>]*charset\\s*=\\s*[\"']?([A-Za-z0-9_.:-]+)".r
+            .findFirstMatchIn(prefix).flatMap(m => charsetOf(m.group(1)))
+        fromMeta match {
+          case Some(cs) => (cs, "meta")
+          case None => (UTF_8, "default")
+        }
+    }
+  }
+
+  /** Decode a response body to text via [[sniffCharset]] (BOM → header →
+    * meta prescan → UTF-8), with replacement for malformed sequences —
+    * crawl bodies are never trusted to be well-encoded. A leading BOM
+    * character is stripped from the decoded text.
     */
   def decodeBody(body: Array[Byte], contentType: String): String = {
-    val cs =
-      try {
-        val m = "(?i)charset=\"?([A-Za-z0-9_.:-]+)".r.findFirstMatchIn(contentType)
-        m.map(x => java.nio.charset.Charset.forName(x.group(1)))
-          .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
-      } catch { case _: Exception => java.nio.charset.StandardCharsets.UTF_8 }
+    val cs = sniffCharset(body, contentType)._1
     val dec = cs.newDecoder()
       .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
       .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
-    try dec.decode(java.nio.ByteBuffer.wrap(body)).toString
-    catch { case _: Exception => "" }
+    try {
+      val s = dec.decode(java.nio.ByteBuffer.wrap(body)).toString
+      if (s.nonEmpty && s.charAt(0) == '\uFEFF') s.substring(1) else s
+    } catch { case _: Exception => "" }
   }
 
   final case class WarcRow(
@@ -179,15 +225,19 @@ object Warc {
       http_status: Int,
       content_type: String,
       n_body_bytes: Int,
-      body_text: String) // charset-decoded for textual responses, else ''
+      body_text: String, // charset-decoded for textual responses, else ''
+      charset: String, // resolved charset name for textual responses, else ''
+      charset_source: String) // "bom"|"header"|"meta"|"default", else ''
 
   /** Batch record extraction over WARC payload rows — the mapPartitions
     * shape every real shard reader plugs into (`spark.read.format(
     * "binaryFile")` → one row per `.warc.gz` → this). Text bodies
     * (`content_type` starting `text/` or containing `html`) arrive
-    * charset-decoded and ready
-    * for [[Html.htmlMainText]]; other bodies surface length-only here —
-    * use [[parseWarc]] directly when raw bytes are needed.
+    * charset-decoded via the full [[sniffCharset]] chain (BOM → header →
+    * meta prescan → UTF-8), ready for [[Html.htmlMainText]], with the
+    * resolved `charset` + `charset_source` columns for corpus encoding
+    * accounting; other bodies surface length-only here — use
+    * [[parseWarc]] directly when raw bytes are needed.
     */
   def records(
       spark: SparkSession, media: DataFrame,
@@ -199,9 +249,12 @@ object Warc {
           parseWarc(bytes).iterator.map { r =>
             val textual = r.content_type.toLowerCase.startsWith("text/") ||
               r.content_type.toLowerCase.contains("html")
+            val (cs, src) =
+              if (textual) sniffCharset(r.body, r.content_type) else (null, "")
             WarcRow(id, r.record_idx, r.warc_type, r.target_uri, r.warc_date,
               r.http_status, r.content_type, r.body.length,
-              if (textual) decodeBody(r.body, r.content_type) else "")
+              if (textual) decodeBody(r.body, r.content_type) else "",
+              if (textual) cs.name().toLowerCase else "", src)
           }
         }
       }

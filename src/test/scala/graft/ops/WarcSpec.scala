@@ -52,6 +52,43 @@ class WarcSpec extends SparkSpec {
     assert(Warc.decodeBody("x".getBytes, "text/plain; charset=\"utf-8\"") == "x")
   }
 
+  test("sniffCharset precedence: bom > header > meta > default; bad names fall through") {
+    import java.nio.charset.StandardCharsets._
+    def named(r: (java.nio.charset.Charset, String)) = (r._1.name.toLowerCase, r._2)
+    // BOM beats a lying header; the BOM char is stripped from the decode
+    val bommed = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ "día".getBytes(UTF_8)
+    assert(named(Warc.sniffCharset(bommed, "text/html; charset=iso-8859-1")) ==
+      ("utf-8", "bom"))
+    assert(Warc.decodeBody(bommed, "text/html; charset=iso-8859-1") == "día")
+    // UTF-16 BOMs resolve to java's BOM-consuming UTF-16 charset
+    val be = Array(0xFE.toByte, 0xFF.toByte, 0.toByte, 'h'.toByte)
+    assert(named(Warc.sniffCharset(be, "text/html")) == ("utf-16", "bom"))
+    assert(Warc.decodeBody(be, "text/html") == "h")
+    val le = Array(0xFF.toByte, 0xFE.toByte, 'h'.toByte, 0.toByte)
+    assert(Warc.decodeBody(le, "text/html") == "h")
+    // header wins over meta when both present
+    val both = ("<html><head><meta charset=\"utf-8\"></head><body>café</body></html>")
+      .getBytes(ISO_8859_1)
+    assert(named(Warc.sniffCharset(both, "text/html; charset=iso-8859-1")) ==
+      ("iso-8859-1", "header"))
+    // meta fires only when the header has no (valid) charset — both the
+    // html5 form and the legacy http-equiv content= form
+    assert(named(Warc.sniffCharset(both, "text/html")) == ("utf-8", "meta"))
+    assert(named(Warc.sniffCharset(both, "text/html; charset=bogus!")) == ("utf-8", "meta"))
+    val legacy = ("<html><head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=ISO-8859-1\"></head></html>").getBytes(ISO_8859_1)
+    assert(named(Warc.sniffCharset(legacy, "text/html")) == ("iso-8859-1", "meta"))
+    // a meta past the 1024-byte prescan window is ignored → default
+    val far = ("<html>" + " " * 1100 +
+      "<meta charset=\"iso-8859-1\"></html>").getBytes(ISO_8859_1)
+    assert(named(Warc.sniffCharset(far, "text/html")) == ("utf-8", "default"))
+    // nothing declared anywhere → utf-8 default
+    assert(named(Warc.sniffCharset("plain".getBytes(UTF_8), "text/html")) ==
+      ("utf-8", "default"))
+    assert(named(Warc.sniffCharset("plain".getBytes(UTF_8), null)) ==
+      ("utf-8", "default"))
+  }
+
   test("truncation and corruption never throw; prior records survive") {
     val full = fixture
     // every truncation point parses to a (possibly shorter) prefix
