@@ -4176,6 +4176,72 @@ object Queries {
       |  (doc_id % 8) IN (0, 3, 5, 6, 7) AS allowed
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** The COMPOSED crawl-discovery pipeline — every stage individually
+    * gated, composed here so stage-boundary defects have a gate too
+    * (the cq1/cq3 pattern, for the crawl side): per doc a WARC shard
+    * with one fetched HTML page carrying three outlinks (an internal
+    * link with a tracking param, a robots-disallowed /private link, and
+    * a cross-host .co.uk link shared across docs) flows through
+    * [[ops.Warc.records]] (parse + charset decode) →
+    * [[ops.Html.extractLinks]] → [[ops.Web.resolveUrl]] against the
+    * fetched URI → [[ops.Web.normalizeUrl]] (tracking param drops,
+    * params sort) → a per-host robots join +
+    * [[graft.functions.robots_allowed]] filter →
+    * [[ops.Web.urlDedup]] into the frontier. Oracle: DuckDB states the
+    * expected frontier closed-form — internal links stay one-per-doc,
+    * /private vanishes, each ext{k}.co.uk/x collapses to its min-id
+    * keeper with the doc-count multiplicity.
+    */
+  def cq7CrawlDiscovery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val src = t(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val host = s"site${id % 40}.com"
+        val html = "<html><body>" +
+          s"""<a href="/a?utm_source=x&p=$id&x=1">in</a>""" +
+          s"""<a href="/private/p$id">priv</a>""" +
+          s"""<a href="https://ext${id % 7}.co.uk/x">ext</a>""" +
+          "</body></html>"
+        val warc = ops.Warc.encodeRecord(
+          "response", s"http://$host/crawl/$id", "2026-08-15T00:00:03Z",
+          ops.Warc.encodeHttpResponse(200, "text/html; charset=utf-8",
+            html.getBytes("UTF-8")))
+        (id, warc)
+      }.toDF("id", "media")
+    val links = ops.Warc.records(spark, src).toDF()
+      .where(col("warc_type") === "response")
+      .select(col("id"), col("target_uri"),
+        explode(ops.Html.extractLinks(col("body_text"))).as("href"))
+      .select(col("id"),
+        ops.Web.normalizeUrl(
+          ops.Web.resolveUrl(col("target_uri"), col("href"))).as("url"))
+    // per-host robots (fixture: every discovered host disallows /private);
+    // the robots table is tiny → broadcast, never a shuffle
+    val robots = links.select(ops.Web.urlHost(col("url")).as("host")).distinct()
+      .withColumn("robots_txt", lit("User-agent: *\nDisallow: /private\n"))
+    val pathQ = coalesce(
+      nullif(regexp_extract(col("url"), "^[a-z]+://[^/?#]*([^#]*)", 1), lit("")),
+      lit("/"))
+    val allowed = links
+      .withColumn("host", ops.Web.urlHost(col("url")))
+      .join(broadcast(robots), Seq("host"))
+      .where(graft.functions.robots_allowed(col("robots_txt"), pathQ))
+    ops.Web.urlDedup(allowed, "id", "url").orderBy(col("canonical_url"))
+  }
+
+  val cq7Oracle: String =
+    """SELECT canonical_url, keeper_id, n_dups FROM (
+      |  SELECT 'http://site' || (doc_id % 40) || '.com/a?p=' || doc_id || '&x=1'
+      |      AS canonical_url,
+      |    doc_id AS keeper_id, CAST(1 AS BIGINT) AS n_dups
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'https://ext' || (doc_id % 7) || '.co.uk/x',
+      |    min(doc_id), CAST(count(*) AS BIGINT)
+      |  FROM documents GROUP BY doc_id % 7
+      |) ORDER BY canonical_url""".stripMargin
+
   /** Fixed-point PageRank over a deterministic 100-node graph derived
     * from doc ids (two edge families, parallel edges collapsing), 4
     * iterations at damping 0.85 — the [[ops.Graph.pageRank]] crawl-graph
@@ -5426,6 +5492,7 @@ object Queries {
     "wq2_html_blocks" -> (wq2HtmlBlocks _),
     "wq3_link_resolve" -> (wq3LinkResolve _),
     "rq1_robots" -> (rq1Robots _),
+    "cq7_crawl_discovery" -> (cq7CrawlDiscovery _),
     "tq14_line_dedup" -> (tq14LineDedup _),
     "wq4_warc_extract" -> (wq4WarcExtract _),
     "wq5_charset_sniff" -> (wq5CharsetSniff _),
@@ -5603,6 +5670,7 @@ object Queries {
     "wq2_html_blocks" -> wq2Oracle,
     "wq3_link_resolve" -> wq3Oracle,
     "rq1_robots" -> rq1Oracle,
+    "cq7_crawl_discovery" -> cq7Oracle,
     "tq14_line_dedup" -> tq14Oracle,
     "wq4_warc_extract" -> wq4Oracle,
     "wq5_charset_sniff" -> wq5Oracle,
