@@ -308,6 +308,37 @@ object TextScaleBench {
         .groupBy(col("http_status")).agg(count(lit(1)).as("n"),
           sum(col("n_body_bytes")).as("bytes"))
     }
+    // the cq7 crawl-discovery chain at 1000×: WARC parse → link extract →
+    // resolve → normalize → broadcast robots filter → frontier dedup
+    def discovery() = {
+      import spark.implicits._
+      val src = docs.select(col("doc_id")).as[Long]
+        .map { id =>
+          val html = "<html><body>" +
+            s"""<a href="/a?utm_source=x&p=$id">i</a>""" +
+            s"""<a href="/private/p$id">p</a>""" +
+            s"""<a href="https://ext${id % 997}.co.uk/x">e</a></body></html>"""
+          (id, graft.ops.Warc.encodeRecord("response",
+            s"http://site${id % 5000}.com/c/$id", "",
+            graft.ops.Warc.encodeHttpResponse(200, "text/html; charset=utf-8",
+              html.getBytes("UTF-8"))))
+        }.toDF("id", "media")
+      val links = graft.ops.Warc.records(spark, src).toDF()
+        .select(col("id"), col("target_uri"),
+          explode(graft.ops.Html.extractLinks(col("body_text"))).as("href"))
+        .select(col("id"), graft.ops.Web.normalizeUrl(
+          graft.ops.Web.resolveUrl(col("target_uri"), col("href"))).as("url"))
+      val robots = links.select(graft.ops.Web.urlHost(col("url")).as("host"))
+        .distinct()
+        .withColumn("robots_txt", lit("User-agent: *\nDisallow: /private\n"))
+      val pathQ = coalesce(nullif(
+        regexp_extract(col("url"), "^[a-z]+://[^/?#]*([^#]*)", 1), lit("")), lit("/"))
+      val allowed = links
+        .withColumn("host", graft.ops.Web.urlHost(col("url")))
+        .join(broadcast(robots), Seq("host"))
+        .where(graft.functions.robots_allowed(col("robots_txt"), pathQ))
+      graft.ops.Web.urlDedup(allowed, "id", "url")
+    }
     // frequent-line removal on 5-line wrapped docs (the tq14 shape at 1000×)
     def lineDedup() = graft.ops.TextAnalysis.dropFrequentLines(
       docs.select(col("doc_id"),
@@ -352,6 +383,7 @@ object TextScaleBench {
       "graph_degrees" -> (degreesArm _),
       "warc_parse" -> (warcParse _),
       "psl_10k_join" -> (psl10kJoin _),
+      "crawl_discovery" -> (discovery _),
       "line_dedup" -> (lineDedup _))
 
     // SPARK_GRAFT_TEXTSCALE_ONLY=name1,name2 narrows a re-probe to the
