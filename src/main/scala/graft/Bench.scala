@@ -347,7 +347,8 @@ object Bench {
     val calibratedFragment =
       if (only.nonEmpty) "" // filtered probe: partial map would mis-compare
       else calibratedVsPrev(results.toMap, calibration,
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "BENCH_LAST_LOCAL.json"))
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "BENCH_LAST_LOCAL.json"),
+        tablePath = Some("BENCH_CALIBRATED.json"))
 
     val jsonLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline":$hs,"headline_total":$headlineTotal,"recall_at100_nprobe16":$recall,"cosine_recall_at100_nprobe16":$cosineRecall,"cell_pair_recall_probe4":$cellPairRecall,"knn_join_recall_probe4":$knnJoinRecall,"maxsim_recall_probe4":$maxsimRecall,"maxsim_recall_note":"$maxsimNote","mrl_recall_prefix16_os4":$mrlRecall,"recall_at100_clustered":$clusteredRecall,"calibration_spark_cpu":$calibration,"index_cache_hits":$cacheHits,"index_cache_misses":$cacheMisses$calibratedFragment}"""
@@ -472,11 +473,16 @@ object Bench {
     * fragment when there is no readable previous record (first run,
     * read-only cwd). Tiny entries (prev <50 ms) are exempt from flagging:
     * at that size the min-of-2 harness noise dominates any real delta.
+    * The table file is written ONLY when `tablePath` is set — the bench
+    * main sets it; the spec's fixture runs must never clobber the repo's
+    * committed record (that bit us once: a unit-test fixture overwrote
+    * the real r14 table before commit).
     */
   private[graft] def calibratedVsPrev(
       current: Map[String, Double],
       calibration: Double,
-      prevPath: String): String =
+      prevPath: String,
+      tablePath: Option[String] = None): String =
     try {
       val prev = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(prevPath)), "UTF-8")
@@ -506,11 +512,13 @@ object Bench {
       val table = rows.map { case (n, p, c, r) =>
         s"""{"query":"$n","prev":$p,"cur":$c,"calibrated_ratio":${f(r)}}"""
       }.mkString("[", ",", "]")
-      try java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_CALIBRATED.json"),
-        (s"""{"metric":"calibrated_vs_prev","prev_record":"$prevPath","cal_ratio":${f(calRatio)},"flag_threshold":1.3,"rows":$table}""" + "\n")
-          .getBytes("UTF-8")): Unit
-      catch { case _: Exception => () }
+      tablePath.foreach { tp =>
+        try java.nio.file.Files.write(
+          java.nio.file.Paths.get(tp),
+          (s"""{"metric":"calibrated_vs_prev","prev_record":"$prevPath","cal_ratio":${f(calRatio)},"flag_threshold":1.3,"rows":$table}""" + "\n")
+            .getBytes("UTF-8")): Unit
+        catch { case _: Exception => () }
+      }
       val flaggedJson = flagged
         .map { case (n, _, _, r) => "\"" + n + "\":" + f(r) }
         .mkString("{", ",", "}")

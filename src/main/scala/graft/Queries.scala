@@ -4220,9 +4220,7 @@ object Queries {
     // the robots table is tiny → broadcast, never a shuffle
     val robots = links.select(ops.Web.urlHost(col("url")).as("host")).distinct()
       .withColumn("robots_txt", lit("User-agent: *\nDisallow: /private\n"))
-    val pathQ = coalesce(
-      nullif(regexp_extract(col("url"), "^[a-z]+://[^/?#]*([^#]*)", 1), lit("")),
-      lit("/"))
+    val pathQ = ops.Web.urlPathQuery(col("url"))
     val allowed = links
       .withColumn("host", ops.Web.urlHost(col("url")))
       .join(broadcast(robots), Seq("host"))

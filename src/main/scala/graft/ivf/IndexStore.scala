@@ -405,8 +405,15 @@ object IndexStore {
     * files, ~33 s extrapolated at 100k). Short-circuits on the first
     * false (in-flight tasks drain); exceptions from `pred` propagate
     * un-wrapped so IO-error fidelity survives (EACCES surfaces as
-    * EACCES). Sequential below a small size — pool overhead beats the
-    * win there, and specs probing single files keep their stack traces.
+    * EACCES) — UNLESS some file definitively answered false, in which
+    * case false wins regardless of file order (under parallelism there
+    * is no "first" anymore). That is sound for an availability probe: a
+    * definitive false routes the caller to the rebuild/fallback path,
+    * which is correct whether or not another file also had an IO error;
+    * the validations that MUST surface IO errors per-file use
+    * `cachedPeekStrict`, not this probe. Sequential below a small size —
+    * pool overhead beats the win there, and specs probing single files
+    * keep their stack traces.
     */
   private[graft] def forallFiles(files: Seq[String])(pred: String => Boolean): Boolean =
     if (files.lengthCompare(32) <= 0) files.forall(pred)

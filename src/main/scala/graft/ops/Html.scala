@@ -111,10 +111,25 @@ object Html {
         a => length(blockTextOf(a))),
       lit(0), (acc, x) => acc + x)
 
-  /** `<title>` text: decoded, whitespace-normalized; `''` when absent. */
+  /** [[DropElementPattern]] minus the `<head>` element — the title LIVES
+    * in head, but a `<title>` inside a comment or script must not win
+    * over the real one (the same commented-out-markup rule the text/link
+    * paths apply).
+    */
+  private[graft] val TitleDropPattern: String =
+    "(?is)(<!--.*?-->|<script\\b[^>]*>.*?</script>|<style\\b[^>]*>.*?</style>" +
+      "|<noscript\\b[^>]*>.*?</noscript>|<svg\\b[^>]*>.*?</svg>" +
+      "|<template\\b[^>]*>.*?</template>)"
+
+  /** `<title>` text: decoded, whitespace-normalized; `''` when absent.
+    * Comments/scripts are dropped first (via [[TitleDropPattern]] — not
+    * the full [[DropElementPattern]], which would drop `<head>` and the
+    * title with it).
+    */
   def htmlTitle(html: Column): Column =
     normWs(decodeEntities(
-      regexp_extract(html, "(?is)<title\\b[^>]*>(.*?)</title>", 1)))
+      regexp_extract(regexp_replace(html, TitleDropPattern, " "),
+        "(?is)<title\\b[^>]*>(.*?)</title>", 1)))
 
   /** ALL visible text, one line per block — tag/script/style strip and
     * entity decode without any boilerplate judgment (the "lynx -dump"

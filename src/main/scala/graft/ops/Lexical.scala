@@ -328,11 +328,21 @@ object Lexical {
   @volatile private[graft] var disableMidTier = false
 
   /** Per-session registry of the mid-tier's persisted (qid, term) batch
-    * plans (see the persist comment in [[scoreBulk]]). The blocks die with
-    * the context cleaner once a returned DataFrame is unreachable, but a
-    * loop-heavy caller holding results (or churning batches faster than
-    * GC) accumulates query-batch-sized block sets; this registry makes the
-    * lifecycle explicit instead of GC-timed.
+    * plans (see the persist comment in [[scoreBulk]]). Entries are STRONG
+    * references on purpose: Spark's CacheManager itself pins every
+    * persisted plan until an explicit unpersist — `Dataset.persist`
+    * blocks are NOT GC-evicted — so the registry adds no pinning beyond
+    * what the persist already created, and a weak entry would be
+    * collected (the returned result holds the logical plan, not this
+    * wrapper) before [[releaseBatchCaches]] could unpersist it, silently
+    * leaking the blocks forever. Corollary: a loop-heavy caller that
+    * never calls [[releaseBatchCaches]] accumulates query-batch-sized
+    * block sets — that is the pre-existing CacheManager lifecycle, which
+    * this registry exists to make releasable, not a registry-introduced
+    * leak. (The WeakHashMap keying is best-effort only: the queued plans
+    * generally reference the session, so a session that is dropped
+    * without release keeps its entries — call release before dropping a
+    * session.)
     */
   private val batchCaches =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
@@ -421,7 +431,6 @@ object Lexical {
           // the persist is registered there — instead of waiting on GC.
           val qtCached = qtPlan.persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          registerBatchCache(queries.sparkSession, qtCached)
           val termSet = qtCached.select(col("_term")).distinct()
           // one job gates BOTH caps: row count (backstop) and the estimated
           // broadcast-relation bytes (see MidPushdownMaxBytes — the hint
@@ -435,9 +444,14 @@ object Lexical {
           if (nTerms > MidPushdownMaxTerms || estBytes > MidPushdownMaxBytes) {
             qtCached.unpersist(blocking = false)
             (qtPlan, post, dft)
-          } else (qtCached,
-            post.join(broadcast(termSet), Seq("_term"), "left_semi"),
-            dft.join(broadcast(termSet), Seq("_term"), "left_semi"))
+          } else {
+            // register only the KEPT persist (the over-cap path above just
+            // unpersisted; registering it would inflate release counts)
+            registerBatchCache(queries.sparkSession, qtCached)
+            (qtCached,
+              post.join(broadcast(termSet), Seq("_term"), "left_semi"),
+              dft.join(broadcast(termSet), Seq("_term"), "left_semi"))
+          }
         }
       } else {
         val spark = queries.sparkSession

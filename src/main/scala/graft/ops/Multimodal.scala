@@ -373,7 +373,8 @@ object Multimodal {
         codec: String, // "MJPG"/"JPEG" (fourcc), "DIB" (biCompression=0), "RAW24" (BMFF raw depth-24)
         dibTopDown: Boolean, // negative biHeight = top-down row order
         frames: IndexedSeq[Array[Byte]],
-        container: String) // "AVI" or "MP4" (ISO BMFF incl. MOV/M4V)
+        container: String, // "AVI" or "MP4" (ISO BMFF incl. MOV/M4V)
+        frameSizes: IndexedSeq[Int]) // real per-frame byte sizes, even when frames are not collected
 
     /** Shared zero-length frame payload for `collectFrames = false`
       * parses — frame COUNTS stay real while nothing is copied.
@@ -408,6 +409,7 @@ object Multimodal {
         var codec = ""; var topDown = false
         var vidsStream = -1 // index of the first vids stream among strl lists
         val frames = IndexedSeq.newBuilder[Array[Byte]]
+        val sizes = IndexedSeq.newBuilder[Int]
 
         // walk the chunks of [start, end); LISTs dispatch on their type
         def walk(start: Long, end: Long, inHdrl: Boolean, inMovi: Boolean,
@@ -462,6 +464,7 @@ object Multimodal {
               frames += (if (collectFrames)
                 java.util.Arrays.copyOfRange(bytes, o + 8, (off + 8 + sz).toInt)
               else EmptyFrame)
+              sizes += sz.toInt
             }
             off += 8 + sz + (sz & 1) // chunks pad to even
           }
@@ -470,7 +473,8 @@ object Multimodal {
           inMovi = false, Array(0))
         val fs = frames.result()
         if (vidsStream < 0 || width <= 0 || height <= 0 || codec.isEmpty) None
-        else Some(VideoInfo(width, height, fps, codec, topDown, fs, "AVI"))
+        else Some(VideoInfo(width, height, fps, codec, topDown, fs, "AVI",
+          sizes.result()))
       } catch { case _: Exception => None }
 
     /** Decode an uncompressed 24-bit DIB frame (BGR, rows padded to 4
@@ -653,6 +657,7 @@ object Multimodal {
                 // reconstruct sample ranges: chunks in stco order, stsc run
                 // gives each chunk's sample count, samples contiguous
                 val fb = IndexedSeq.newBuilder[Array[Byte]]
+                val fsz = IndexedSeq.newBuilder[Int]
                 var sample = 0; var ci = 0; var run = 0; var ok = true
                 while (ok && sample < sampleCount && ci < chunkOffsets.length) {
                   while (run + 1 < stscRuns.length && stscRuns(run + 1)._1 <= ci + 1)
@@ -669,6 +674,7 @@ object Multimodal {
                         fb += (if (collectFrames)
                           java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
                         else EmptyFrame)
+                        fsz += len.toInt
                         off += len; sample += 1; s += 1
                       }
                     }
@@ -680,7 +686,8 @@ object Multimodal {
                     if (sttsDelta > 0 && timescale > 0) timescale.toFloat / sttsDelta
                     else 0f
                   found = Some(VideoInfo(
-                    w, h, fps, codec, dibTopDown = true, fb.result(), "MP4"))
+                    w, h, fps, codec, dibTopDown = true, fb.result(), "MP4",
+                    fsz.result()))
                 }
               }
             }
@@ -1095,10 +1102,12 @@ object Multimodal {
         // an unguarded bytes.grouped NPE'd mid-task with an opaque trace)
         it.flatMap { case (id, bytes) =>
           if (bytes == null) Iterator.empty
-          else MediaCodec.parseVideo(bytes) match {
+          // header-only parse: this op emits per-frame SIZES, which the
+          // chunk/sample tables already know — no payload copies
+          else MediaCodec.parseVideo(bytes, collectFrames = false) match {
             case Some(v) =>
-              Iterator.range(0, v.frames.length, stride).map(i =>
-                FrameRow(id, i, v.frames(i).length, v.codec))
+              Iterator.range(0, v.frameSizes.length, stride).map(i =>
+                FrameRow(id, i, v.frameSizes(i), v.codec))
             case None =>
               MediaStub.sampleFrames(bytes, stride).iterator.zipWithIndex.map {
                 case (frame, i) => FrameRow(id, i, frame.length, "stub")

@@ -95,7 +95,11 @@ object Warc {
       try headers.getOrElse("content-length", return None).trim.toLong
       catch { case _: NumberFormatException => return None }
     val blockStart = headEnd + 4 // past \r\n\r\n
-    if (len < 0 || blockStart + len > data.length) return None
+    // subtraction form: `blockStart + len` overflows Long for a crafted
+    // Content-Length near Long.MaxValue and would pass the naive bound
+    // check, then crash the copy — a corrupt record must END the parse,
+    // never throw (the media-codec corrupt-size discipline)
+    if (len < 0 || len > data.length - blockStart) return None
     val block = java.util.Arrays.copyOfRange(
       data, blockStart.toInt, (blockStart + len).toInt)
     val (status, ctype, body) =

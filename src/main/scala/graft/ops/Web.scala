@@ -343,6 +343,17 @@ object Web {
         min(col(idCol)).as("keeper_id"),
         count(lit(1)).cast("bigint").as("n_dups"))
 
+  /** Path + query of a URL (`/a/b?x=1` for `http://h/a/b?x=1#f`), the
+    * robots-matching input per RFC 9309 (which matches on path and query,
+    * never the fragment); an empty path reads as `/`. Shared by the cq7
+    * discovery pipeline and its scale arm so the rule can't drift between
+    * the gate and the bench.
+    */
+  def urlPathQuery(url: Column): Column =
+    coalesce(
+      nullif(regexp_extract(url, "^[a-z]+://[^/?#]*([^#]*)", 1), lit("")),
+      lit("/"))
+
   /** The five XML character entities — the only escaping the sitemap
     * protocol allows inside `<loc>` (sitemaps.org: data values "must be
     * entity-escaped"), decoded after extraction.

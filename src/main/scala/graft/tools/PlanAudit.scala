@@ -24,6 +24,10 @@ object PlanAudit {
     graft.Graft.install(spark)
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val names = if (args.nonEmpty) args.toSeq else graft.SparkEntry.queries.keys.toSeq.sorted
+    // conf hygiene (same as Verify/Bench): entries set spark.graft.* keys
+    // (tier/nprobe/oversample) at plan-construction time — without a reset
+    // a leaked tier conf silently plans every LATER entry wrong
+    val graftConf0 = spark.conf.getAll.filter(_._1.startsWith("spark.graft."))
     names.foreach { name =>
       try {
         val df = graft.SparkEntry.queries(name)(spark, sf)
@@ -37,6 +41,11 @@ object PlanAudit {
           s"wscg=${n("\\*\\([0-9]+\\)")} scans=${n("FileScan|BatchScan")}")
         if (sys.env.contains("SPARK_GRAFT_PLAN_FULL")) println(p)
       } catch { case e: Throwable => println(s"== $name ERROR: $e") }
+      finally {
+        spark.conf.getAll.keys.filter(_.startsWith("spark.graft."))
+          .foreach(spark.conf.unset)
+        graftConf0.foreach { case (k, v) => spark.conf.set(k, v) }
+      }
     }
     spark.stop()
   }

@@ -331,8 +331,7 @@ object TextScaleBench {
       val robots = links.select(graft.ops.Web.urlHost(col("url")).as("host"))
         .distinct()
         .withColumn("robots_txt", lit("User-agent: *\nDisallow: /private\n"))
-      val pathQ = coalesce(nullif(
-        regexp_extract(col("url"), "^[a-z]+://[^/?#]*([^#]*)", 1), lit("")), lit("/"))
+      val pathQ = graft.ops.Web.urlPathQuery(col("url"))
       val allowed = links
         .withColumn("host", graft.ops.Web.urlHost(col("url")))
         .join(broadcast(robots), Seq("host"))

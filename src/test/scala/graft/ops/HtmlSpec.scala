@@ -21,6 +21,17 @@ class HtmlSpec extends SparkSpec {
   private def title(html: String): String =
     Seq(html).toDF("h").select(Html.htmlTitle(col("h"))).as[String].head()
 
+  test("htmlTitle: commented-out and script-embedded titles never win over the real one") {
+    assert(title("<!-- <title>Old draft</title> -->" +
+      "<head><title>Real Title</title></head>") == "Real Title")
+    assert(title("<script>document.write('<title>js</title>')</script>" +
+      "<head><title>Real</title></head>") == "Real")
+    // but the real title INSIDE head still extracts (the drop pattern must
+    // not include <head>, unlike the text paths')
+    assert(title("<head><title>Kept</title></head><body>x</body>") == "Kept")
+    assert(title("<body>no title</body>") == "")
+  }
+
   test("content survives; nav, footer, script, style, head, comments go") {
     val html =
       """<!DOCTYPE html><html><head><title>The Page</title>

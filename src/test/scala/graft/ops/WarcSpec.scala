@@ -52,6 +52,21 @@ class WarcSpec extends SparkSpec {
     assert(Warc.decodeBody("x".getBytes, "text/plain; charset=\"utf-8\"") == "x")
   }
 
+  test("a crafted huge Content-Length refuses the record, never overflows/throws") {
+    val good = Warc.encodeRecord("response", "https://a/x", "",
+      Warc.encodeHttpResponse(200, "text/plain", "ok".getBytes))
+    // Long.MaxValue-class lengths would wrap `blockStart + len` negative
+    // and pass a naive bound check into a crashing copy
+    Seq(Long.MaxValue, Long.MaxValue - 2, Long.MaxValue / 2).foreach { n =>
+      val evil = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"Content-Length: $n\r\n\r\n").getBytes("ISO-8859-1")
+      assert(Warc.parseWarc(evil).isEmpty)
+      // prior records still parse when the poisoned one follows them
+      val mixed = Warc.concat(Seq(good, evil))
+      assert(Warc.parseWarc(mixed).map(_.warc_type) == Seq("response"))
+    }
+  }
+
   test("sniffCharset precedence: bom > header > meta > default; bad names fall through") {
     import java.nio.charset.StandardCharsets._
     def named(r: (java.nio.charset.Charset, String)) = (r._1.name.toLowerCase, r._2)
