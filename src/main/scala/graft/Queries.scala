@@ -2769,6 +2769,42 @@ object Queries {
     """SELECT doc_id, lower(nfc_normalize(text)) AS norm
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** NON-ASCII normalization gate (closes tq10's declared fixture gap —
+    * the synthetic corpus is ASCII, so tq10 only proves plumbing): a
+    * decomposed-Unicode string is normalized by the engine
+    * ([[ops.TextAnalysis.normalizeText]] — NFC + ROOT lowercase, and the
+    * strip-accents variant) and by DuckDB (`lower(nfc_normalize(..))`,
+    * `strip_accents`) over the SAME decomposed literal — any divergence
+    * in composition, case mapping, or accent removal across the two
+    * engines breaks the hash.
+    */
+  /** DECOMPOSED on purpose (combining marks via explicit escapes) — both
+    * engines receive the identical byte sequence, so the NFC leg is
+    * load-bearing, not a no-op. Mixes decomposed (e+\u0301, i+\u0308,
+    * A+\u030A, o+\u0308), precomposed (\u00C9, \u00DF), and a ligature
+    * NFC must keep (\uFB00 — NFKC would expand it; this pins WHICH
+    * normalization form runs).
+    */
+  private val tq15Raw =
+    "Cafe\u0301 \u00C9LAN nai\u0308ve A\u030Angstro\u0308m \u00DF \uFB00 doc"
+
+  def tq15NormalizeUnicode(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = concat(lit(tq15Raw), col("doc_id").cast("string"))
+    t(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        ops.TextAnalysis.normalizeText(raw).as("norm"),
+        ops.TextAnalysis.normalizeText(raw, lower = true, stripAccents = true)
+          .as("norm_stripped"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tq15Oracle: String =
+    s"""SELECT doc_id,
+       |  lower(nfc_normalize('$tq15Raw' || doc_id)) AS norm,
+       |  strip_accents(lower(nfc_normalize('$tq15Raw' || doc_id))) AS norm_stripped
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Corpus-relative bigram novelty ([[ops.TextAnalysis.bigramNovelty]]):
     * per doc, how many of its bigram positions are RARE corpus-wide
     * (count < 25 — ~20% of the fixture's bigram vocabulary) — the
@@ -5421,6 +5457,7 @@ object Queries {
     "tq8_pack" -> (tq8Pack _),
     "tq9_repetition" -> (tq9Repetition _),
     "tq10_normalize" -> (tq10Normalize _),
+    "tq15_normalize_unicode" -> (tq15NormalizeUnicode _),
     "tq11_bigram_novelty" -> (tq11BigramNovelty _),
     "tq12_chunk" -> (tq12Chunk _),
     "tq13_winnowing" -> (tq13Winnowing _),
@@ -5600,6 +5637,7 @@ object Queries {
     "tq8_pack" -> tq8Oracle,
     "tq9_repetition" -> tq9Oracle,
     "tq10_normalize" -> tq10Oracle,
+    "tq15_normalize_unicode" -> tq15Oracle,
     "tq11_bigram_novelty" -> tq11Oracle,
     "tq12_chunk" -> tq12Oracle,
     "tq13_winnowing" -> tq13Oracle,
