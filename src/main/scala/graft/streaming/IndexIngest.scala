@@ -38,12 +38,18 @@ object IndexIngest {
     * (`_graft_checkpoint` — the underscore prefix hides it from Spark's
     * file listing, the `_spark_metadata` convention), so a re-run after a
     * mid-stream failure resumes from the last committed batch instead of
-    * re-appending everything from scratch. The remaining exposure is the
-    * standard foreachBatch at-least-once window: a crash BETWEEN the
-    * parquet append and the checkpoint commit replays that one batch on
-    * restart (duplicating its rows) — callers needing exactly-once should
-    * ingest into per-batch subdirectories keyed by batchId or dedup on a
-    * key downstream.
+    * re-appending everything from scratch. The remaining exposure under
+    * the default `exactlyOnce = false` is the standard foreachBatch
+    * at-least-once window: a crash BETWEEN the parquet append and the
+    * checkpoint commit replays that one batch on restart (duplicating its
+    * rows). `exactlyOnce = true` closes it via
+    * [[appendBatchExactlyOnce]]: batch files land under DETERMINISTIC
+    * batchId-keyed names behind a commit marker, so every replay window
+    * (before the move, mid-move, after the move but before the marker)
+    * re-lands on the same names instead of duplicating — see that
+    * method's scaladoc for the atomicity requirements (rename-atomic
+    * filesystems; on S3-class stores prefer the default + downstream
+    * dedup).
     */
   def ingest(
       spark: SparkSession,
@@ -54,14 +60,18 @@ object IndexIngest {
       retrainOnDrift: Boolean = false,
       filesPerBatch: Int = 1,
       checkpointDir: Option[String] = None,
-      maintainSq8: Boolean = false): Long = {
+      maintainSq8: Boolean = false,
+      exactlyOnce: Boolean = false): Long = {
     require(filesPerBatch > 0, "filesPerBatch must be > 0")
     val checkpoint = checkpointDir.getOrElse(s"$tableDir/_graft_checkpoint")
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val query = stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         if (!batch.isEmpty) {
-          batch.coalesce(filesPerBatch).write.mode("append").parquet(tableDir)
+          if (exactlyOnce)
+            appendBatchExactlyOnce(spark, batch, tableDir, batchId, filesPerBatch): Unit
+          else
+            batch.coalesce(filesPerBatch).write.mode("append").parquet(tableDir)
           if (retrainOnDrift) {
             IvfBuilder.extendOrRetrain(
               spark, tableDir, IvfBuilder.Config(column), store): Unit
@@ -85,5 +95,59 @@ object IndexIngest {
       .start()
     query.awaitTermination()
     batches.get()
+  }
+
+  /** Idempotent batch append — the exactly-once leg of [[ingest]].
+    *
+    * Protocol: (1) if `tableDir/_graft_commits/<batchId>` exists the batch
+    * already committed — return false, write nothing (the replay path);
+    * (2) write the batch to a batchId-keyed staging dir; (3) delete any
+    * `b<batchId>-p*.parquet` left by a crashed prior attempt; (4) rename
+    * the staged part files into the table under DETERMINISTIC names
+    * `b<batchId>-p<i>.parquet`; (5) create the commit marker via
+    * temp+rename; (6) drop staging. Every crash window replays into the
+    * same names behind the same marker — a replayed batch can overwrite
+    * its own files but can never duplicate rows, because foreachBatch
+    * replays a batchId with the same checkpointed source offsets. The
+    * underscore-prefixed staging/commits dirs are invisible to Spark's
+    * file listing, so readers never see uncommitted rows mid-move EXCEPT
+    * files from a crashed attempt of the CURRENT batch (bounded: one
+    * batch, replaced on replay — the same visibility a plain append gives
+    * a crashed job).
+    *
+    * Requires rename-atomicity from the filesystem (HDFS, POSIX). On
+    * S3-class stores rename is copy+delete — keep `exactlyOnce = false`
+    * there and dedup downstream.
+    */
+  private[streaming] def appendBatchExactlyOnce(
+      spark: SparkSession,
+      batch: org.apache.spark.sql.Dataset[Row],
+      tableDir: String,
+      batchId: Long,
+      filesPerBatch: Int): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val table = new Path(tableDir)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new Path(table, s"_graft_commits/$batchId")
+    if (fs.exists(marker)) return false
+    val staging = new Path(table, s"_graft_staging_$batchId")
+    batch.coalesce(filesPerBatch).write.mode("overwrite")
+      .parquet(staging.toString)
+    val parts = fs.listStatus(staging).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val stale = fs.globStatus(new Path(table, s"b$batchId-p*.parquet"))
+    if (stale != null) stale.foreach(s => fs.delete(s.getPath, false): Unit)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val dst = new Path(table, s"b$batchId-p$i.parquet")
+      if (!fs.rename(p, dst))
+        throw new java.io.IOException(s"exactly-once move failed: $p -> $dst")
+    }
+    fs.mkdirs(marker.getParent): Unit
+    val tmp = new Path(table, s"_graft_commits/.$batchId.tmp")
+    fs.create(tmp, true).close()
+    if (!fs.rename(tmp, marker) && !fs.exists(marker))
+      throw new java.io.IOException(s"exactly-once commit failed: $marker")
+    fs.delete(staging, true): Unit
+    true
   }
 }

@@ -59,6 +59,67 @@ class IndexIngestSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("exactly-once appends: replays and every crash window never duplicate rows") {
+    import org.apache.hadoop.fs.Path
+    val tableDir = Files.createTempDirectory("graft-eo-table").toString + "/t"
+    val fs = new Path(tableDir).getFileSystem(spark.sessionState.newHadoopConf())
+    def rowsIn: Long = spark.read.parquet(tableDir).count()
+    val b0 = (0 until 10).map(i => (i.toLong, Seq.fill(dim)(i * 0.1f)))
+      .toDF("id", "vec")
+
+    // first delivery commits
+    assert(IndexIngest.appendBatchExactlyOnce(spark, b0, tableDir, 0L, 2))
+    assert(rowsIn == 10)
+    // straight replay (crash after checkpoint lost the commit? no — marker
+    // present): skipped entirely, nothing rewritten
+    assert(!IndexIngest.appendBatchExactlyOnce(spark, b0, tableDir, 0L, 2))
+    assert(rowsIn == 10)
+    // crash window: files moved but the marker never landed — replay must
+    // re-land on the SAME names, not append duplicates
+    fs.delete(new Path(tableDir, "_graft_commits/0"), false)
+    assert(IndexIngest.appendBatchExactlyOnce(spark, b0, tableDir, 0L, 2))
+    assert(rowsIn == 10)
+    // crash window: a prior attempt left MORE part files than the replay
+    // produces (stale b0-p* must be cleared, not survive as orphans)
+    fs.delete(new Path(tableDir, "_graft_commits/0"), false)
+    val orphan = new Path(tableDir, "b0-p7.parquet")
+    fs.rename(new Path(tableDir, "b0-p0.parquet"), orphan)
+    assert(IndexIngest.appendBatchExactlyOnce(spark, b0, tableDir, 0L, 2))
+    assert(!fs.exists(orphan), "stale prior-attempt files must be cleared")
+    assert(rowsIn == 10)
+    // a NEW batch appends beside the old one
+    val b1 = (10 until 25).map(i => (i.toLong, Seq.fill(dim)(i * 0.1f)))
+      .toDF("id", "vec")
+    assert(IndexIngest.appendBatchExactlyOnce(spark, b1, tableDir, 1L, 2))
+    assert(rowsIn == 25)
+    assert(spark.read.parquet(tableDir).select("id").as[Long].collect().sorted
+      .sameElements(0L until 25L))
+    // staging and commit dirs stay invisible to Spark's listing
+    assert(spark.read.parquet(tableDir).inputFiles
+      .forall(f => f.contains("/b0-p") || f.contains("/b1-p")))
+
+    // end to end: the streamed form with exactlyOnce=true ingests once and
+    // the per-batch index maintenance still works on the keyed file names
+    val stage = Files.createTempDirectory("graft-eo-stage").toString
+    val rnd = new scala.util.Random(67)
+    (0 until 120).map(i => (i.toLong, Seq.fill(dim)(rnd.nextFloat())))
+      .toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+      .repartition(2).write.mode("overwrite").parquet(stage)
+    val table2 = Files.createTempDirectory("graft-eo-table2").toString + "/t"
+    val store = new IndexStore(Files.createTempDirectory("graft-eo-store").toString)
+    val schema = spark.read.parquet(stage).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val n = IndexIngest.ingest(
+      spark, stream, table2, "vec", store, exactlyOnce = true)
+    assert(n == 2)
+    assert(spark.read.parquet(table2).count() == 120)
+    val files = IndexManager.listFiles(spark, table2)
+    assert(files.nonEmpty)
+    assert(files.map(f => IndexManager.loadIndex(store, f, "vec").numRows).sum == 120L)
+  }
+
   test("retrainOnDrift routes batches through the drift policy") {
     val rnd = new scala.util.Random(67)
     val stage = Files.createTempDirectory("graft-ingest-drift").toString
