@@ -2769,6 +2769,59 @@ object Queries {
     """SELECT doc_id, lower(nfc_normalize(text)) AS norm
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** DSIR data selection ([[ops.Corpus.dsirSelect]], Xie et al. 2302.03169):
+    * every-10th-doc slice as the target domain, hashed {1,2}-gram
+    * importance weights over 4096 md5 buckets, top 20% of raw docs by
+    * summed log-likelihood ratio. The oracle re-derives the ENTIRE chain
+    * — tokenization, gram hashing, add-one-smoothed counts, ln ratio,
+    * per-doc sum, exact-k (score desc, id asc) selection — and the output
+    * hashes only the selected ids: bucket counts and the selection rank
+    * are integer-exact across engines, and the one double step (ln) would
+    * need a ~1e-14-relative score tie at the cut boundary to flip a row,
+    * which the synthetic corpus does not produce (the weight arithmetic
+    * itself is additionally spec-pinned closed-form in CorpusSpec).
+    */
+  def dsr1DsirSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val target = docs.where(col("doc_id") % 10 === 0)
+    ops.Corpus
+      .dsirSelect(docs, target, "doc_id", "text", frac = 0.2,
+        buckets = 4096, maxN = 2)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dsr1Oracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |uni AS (
+      |  SELECT doc_id, unnest(ws) AS g FROM tok
+      |  WHERE len(ws) > 0 AND ws[1] <> ''),
+      |big AS (
+      |  SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS g
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+      |        FROM tok)),
+      |grams AS (
+      |  SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096 AS b
+      |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+      |rawc AS (SELECT b, count(*) AS rc FROM grams GROUP BY b),
+      |tgtc AS (SELECT b, count(*) AS tc FROM grams WHERE doc_id % 10 = 0 GROUP BY b),
+      |tot AS (SELECT (SELECT sum(rc) FROM rawc) AS r,
+      |               (SELECT coalesce(sum(tc), 0) FROM tgtc) AS t),
+      |w AS (
+      |  SELECT coalesce(rawc.b, tgtc.b) AS b,
+      |    ln((coalesce(tc, 0) + 1) / (t + 4096.0)) -
+      |    ln((coalesce(rc, 0) + 1) / (r + 4096.0)) AS w
+      |  FROM rawc FULL OUTER JOIN tgtc ON rawc.b = tgtc.b, tot),
+      |score AS (
+      |  SELECT doc_id, sum(w.w) AS s FROM grams JOIN w USING (b) GROUP BY doc_id),
+      |k AS (SELECT CAST(ceil(0.2 * count(*)) AS BIGINT) AS k FROM score)
+      |SELECT doc_id FROM (
+      |  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rn
+      |  FROM score), k
+      |WHERE rn <= k.k ORDER BY doc_id""".stripMargin
+
   /** NON-ASCII normalization gate (closes tq10's declared fixture gap —
     * the synthetic corpus is ASCII, so tq10 only proves plumbing): a
     * decomposed-Unicode string is normalized by the engine
@@ -5458,6 +5511,7 @@ object Queries {
     "tq9_repetition" -> (tq9Repetition _),
     "tq10_normalize" -> (tq10Normalize _),
     "tq15_normalize_unicode" -> (tq15NormalizeUnicode _),
+    "dsr1_dsir_select" -> (dsr1DsirSelect _),
     "tq11_bigram_novelty" -> (tq11BigramNovelty _),
     "tq12_chunk" -> (tq12Chunk _),
     "tq13_winnowing" -> (tq13Winnowing _),
@@ -5638,6 +5692,7 @@ object Queries {
     "tq9_repetition" -> tq9Oracle,
     "tq10_normalize" -> tq10Oracle,
     "tq15_normalize_unicode" -> tq15Oracle,
+    "dsr1_dsir_select" -> dsr1Oracle,
     "tq11_bigram_novelty" -> tq11Oracle,
     "tq12_chunk" -> tq12Oracle,
     "tq13_winnowing" -> tq13Oracle,

@@ -920,4 +920,94 @@ object Corpus {
           round(col("_ps").getItem(i), 6).as(lbl)
         }: _*)
   }
+
+  /** Hashed word-{1..maxN}-gram bucket per occurrence, multiplicity-
+    * preserving — DSIR's feature space. The engine-portable md5-prefix
+    * hash, so the oracle re-derives buckets exactly.
+    */
+  private def dsirGramBuckets(
+      df: DataFrame, idCol: Column, textCol: Column,
+      buckets: Int, maxN: Int): DataFrame = {
+    val grams = (1 to maxN)
+      .map(n => graft.functions.word_ngrams(textCol, n))
+      .reduce(concat(_, _))
+    df.select(idCol.as("_id"), explode(grams).as("_g"))
+      .select(col("_id"),
+        (conv(substring(md5(col("_g")), 1, 8), 16, 10).cast("bigint")
+          % buckets).as("_b"))
+  }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+    * 2023, arXiv 2302.03169): score each raw document by how much its
+    * hashed word-n-gram distribution looks like a TARGET corpus (the
+    * high-quality domain you want more of), as the sum over gram
+    * occurrences of the bucket log-likelihood ratio
+    * `ln p̂_target(b) − ln p̂_raw(b)` with add-one smoothing over `buckets`.
+    * Output: `(id, dsir_score double, n_grams bigint)` — one row per raw
+    * doc with ≥1 gram (a gram-less doc has no evidence either way and
+    * drops, the engine-wide zero-token rule).
+    *
+    * Shape at 100 TB: two map-side-combined bucket-count aggregations
+    * (cost ∝ corpus, output ≤ `buckets` rows each), a weight table of
+    * ≤ `buckets` doubles broadcast into one per-gram join, one per-doc
+    * sum — no corpus self-join, no global sort. (The weight build's
+    * full-outer join of the two count tables plans as a sort-merge join —
+    * full-outer cannot broadcast — but both inputs are bounded by
+    * `buckets`, never by the corpus.) Scores are
+    * doubles (the log is irreducible here, unlike BM25's rational idf —
+    * DSIR's SUM over grams needs the log to mean a product of ratios);
+    * the ir1 gate therefore hashes the SELECTION (ids), which is robust
+    * to sub-ulp libm differences, and the spec pins the weight math on a
+    * closed-form fixture.
+    */
+  def dsirScores(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 1 << 14,
+      maxN: Int = 2): DataFrame = {
+    require(buckets > 0 && maxN >= 1, s"dsirScores: buckets=$buckets maxN=$maxN")
+    val rawG = dsirGramBuckets(raw, col(idCol), col(textCol), buckets, maxN)
+    val tgtG = dsirGramBuckets(target, col(idCol), col(textCol), buckets, maxN)
+    val rawC = rawG.groupBy(col("_b")).agg(count(lit(1)).as("_rc"))
+    val tgtC = tgtG.groupBy(col("_b")).agg(count(lit(1)).as("_tc"))
+    // totals ride the same aggregates (no extra corpus scans)
+    val weights = rawC.join(tgtC, Seq("_b"), "full_outer")
+      .select(col("_b"),
+        coalesce(col("_rc"), lit(0L)).as("_rc"),
+        coalesce(col("_tc"), lit(0L)).as("_tc"))
+      .crossJoin(broadcast(
+        rawC.agg(sum(col("_rc")).as("_R"))
+          .crossJoin(tgtC.agg(sum(col("_tc")).as("_T")))))
+      .select(col("_b"),
+        (log((col("_tc") + 1).cast("double") / (col("_T") + buckets)) -
+          log((col("_rc") + 1).cast("double") / (col("_R") + buckets)))
+          .as("_w"))
+    rawG.join(broadcast(weights), Seq("_b"))
+      .groupBy(col("_id"))
+      .agg(
+        sum(col("_w")).as("dsir_score"),
+        count(lit(1)).as("n_grams"))
+      .withColumnRenamed("_id", idCol)
+  }
+
+  /** DSIR selection: the top `frac` of raw docs by [[dsirScores]]
+    * (deterministic exact-k via [[topFraction]] — score desc, id asc
+    * tiebreak; the paper's Gumbel resampling is replaced by the
+    * reproducible top-fraction rule, the same determinism trade every
+    * sampler in this module makes). Returns `(id, dsir_score)`.
+    */
+  def dsirSelect(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      frac: Double,
+      buckets: Int = 1 << 14,
+      maxN: Int = 2): DataFrame = {
+    val scored = dsirScores(raw, target, idCol, textCol, buckets, maxN)
+    topFraction(scored, col("dsir_score"), col(idCol), frac)
+      .select(col(idCol), col("dsir_score"))
+  }
 }

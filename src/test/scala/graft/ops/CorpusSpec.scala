@@ -576,4 +576,45 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Corpus.tokenStats(docs, "text", Seq(0.99, 0.991)))
   }
+
+  test("dsirScores: closed-form log-likelihood-ratio weights; blank docs drop") {
+    // independent md5-prefix hash (java MessageDigest, not Spark's md5) so
+    // the expected weights share no code with the op
+    def bucket(g: String, b: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8"))
+      val hex = md.take(4).map(x => f"${x & 0xFF}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % b
+    }
+    val B = 101
+    val grams = Seq("a", "b", "c", "d", "a a", "a b", "c c", "c d")
+    assert(grams.map(bucket(_, B)).distinct.size == grams.size,
+      s"fixture grams collide at B=$B — pick another B")
+    // raw: doc1 "a a b" -> a,a,b,"a a","a b" (5); doc2 "c c d" -> c,c,d,
+    // "c c","c d" (5 — SAME gram count as doc1, so the selection claim is
+    // not confounded by DSIR's length drift); R=10. target: "a b"; T=3
+    val raw = Seq((1L, "a a b"), (2L, "c c d"), (3L, "   ")).toDF("doc_id", "text")
+    val target = Seq((9L, "a b")).toDF("doc_id", "text")
+    val rc = Map("a" -> 2L, "b" -> 1L, "c" -> 2L, "d" -> 1L,
+      "a a" -> 1L, "a b" -> 1L, "c c" -> 1L, "c d" -> 1L)
+    val tc = Map("a" -> 1L, "b" -> 1L, "a b" -> 1L).withDefaultValue(0L)
+    def w(g: String): Double =
+      math.log((tc(g) + 1).toDouble / (3 + B)) -
+        math.log((rc(g) + 1).toDouble / (10 + B))
+    val got = Corpus.dsirScores(raw, target, "doc_id", "text", buckets = B)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got.keySet == Set(1L, 2L), "blank doc must drop")
+    val exp1 = 2 * w("a") + w("b") + w("a a") + w("a b")
+    assert(math.abs(got(1L)._1 - exp1) < 1e-12, s"${got(1L)._1} vs $exp1")
+    assert(got(1L)._2 == 5L)
+    val exp2 = 2 * w("c") + w("d") + w("c c") + w("c d")
+    assert(math.abs(got(2L)._1 - exp2) < 1e-12)
+    assert(got(2L)._2 == 5L)
+    // selection keeps the target-looking doc: doc1 shares grams with the
+    // target, doc2 is raw-only vocabulary at the same gram count
+    assert(exp1 > exp2)
+    val sel = Corpus.dsirSelect(raw, target, "doc_id", "text", frac = 0.5, buckets = B)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(sel == Seq(1L))
+  }
 }
