@@ -338,6 +338,11 @@ object TextScaleBench {
         .where(graft.functions.robots_allowed(col("robots_txt"), pathQ))
       graft.ops.Web.urlDedup(allowed, "id", "url")
     }
+    // DSIR importance selection at 1000×: 1% target slice, 2^16 buckets,
+    // top 25% of the corpus — counts ∝ corpus, weight join ∝ buckets
+    def dsirSelect() = graft.ops.Corpus.dsirSelect(
+      docs, docs.where(col("doc_id") % 100 === 0), "doc_id", "text",
+      frac = 0.25, buckets = 1 << 16)
     // frequent-line removal on 5-line wrapped docs (the tq14 shape at 1000×)
     def lineDedup() = graft.ops.TextAnalysis.dropFrequentLines(
       docs.select(col("doc_id"),
@@ -383,6 +388,7 @@ object TextScaleBench {
       "warc_parse" -> (warcParse _),
       "psl_10k_join" -> (psl10kJoin _),
       "crawl_discovery" -> (discovery _),
+      "dsir_select" -> (dsirSelect _),
       "line_dedup" -> (lineDedup _))
 
     // SPARK_GRAFT_TEXTSCALE_ONLY=name1,name2 narrows a re-probe to the
