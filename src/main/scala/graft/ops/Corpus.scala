@@ -665,6 +665,11 @@ object Corpus {
     * shift boundary ranks. Not persisted here by design — pinning a
     * corpus-sized frame to storage costs more at 100 TB than the contract
     * costs the caller.
+    *
+    * COST: the input evaluates up to THREE times (rank-count job,
+    * threshold job, final filter). Cheap for a scan of a written table;
+    * for an expensive derived upstream, localCheckpoint the scores first
+    * — [[dsirSelect]] does exactly that (measured 17→8 s at 500k docs).
     */
   def topFraction(
       df: DataFrame,
