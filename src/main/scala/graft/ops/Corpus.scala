@@ -983,8 +983,10 @@ object Corpus {
         coalesce(col("_rc"), lit(0L)).as("_rc"),
         coalesce(col("_tc"), lit(0L)).as("_tc"))
       .crossJoin(broadcast(
-        rawC.agg(sum(col("_rc")).as("_R"))
-          .crossJoin(tgtC.agg(sum(col("_tc")).as("_T")))))
+        // coalesce: an EMPTY side sums to NULL, which would null every
+        // weight — the add-one-smoothed math is well-defined at 0
+        rawC.agg(coalesce(sum(col("_rc")), lit(0L)).as("_R"))
+          .crossJoin(tgtC.agg(coalesce(sum(col("_tc")), lit(0L)).as("_T")))))
       .select(col("_b"),
         (log((col("_tc") + 1).cast("double") / (col("_T") + buckets)) -
           log((col("_rc") + 1).cast("double") / (col("_R") + buckets)))

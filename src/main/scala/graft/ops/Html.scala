@@ -63,10 +63,16 @@ object Html {
     * unterminated element (no close tag) is left in place and its tags
     * fall to the generic tag-strip — graceful, mirror-identical.
     */
+  /** One alternation branch per dropped element — the shared source of
+    * BOTH drop patterns below, so adding an element (e.g. `iframe`) can
+    * never update the text paths while leaving the title path stale.
+    */
+  private def dropBranches(elements: Seq[String]): String =
+    ("<!--.*?-->" +: elements.map(e => s"<$e\\b[^>]*>.*?</$e>"))
+      .mkString("(?is)(", "|", ")")
+
   private[graft] val DropElementPattern: String =
-    "(?is)(<!--.*?-->|<script\\b[^>]*>.*?</script>|<style\\b[^>]*>.*?</style>" +
-      "|<noscript\\b[^>]*>.*?</noscript>|<head\\b[^>]*>.*?</head>" +
-      "|<svg\\b[^>]*>.*?</svg>|<template\\b[^>]*>.*?</template>)"
+    dropBranches(Seq("script", "style", "noscript", "head", "svg", "template"))
 
   /** Block-level tags (open or close) — segmentation boundaries. Inline
     * tags (`a`, `span`, `b`, …) stay inside their block so link density
@@ -117,9 +123,7 @@ object Html {
     * paths apply).
     */
   private[graft] val TitleDropPattern: String =
-    "(?is)(<!--.*?-->|<script\\b[^>]*>.*?</script>|<style\\b[^>]*>.*?</style>" +
-      "|<noscript\\b[^>]*>.*?</noscript>|<svg\\b[^>]*>.*?</svg>" +
-      "|<template\\b[^>]*>.*?</template>)"
+    dropBranches(Seq("script", "style", "noscript", "svg", "template"))
 
   /** `<title>` text: decoded, whitespace-normalized; `''` when absent.
     * Comments/scripts are dropped first (via [[TitleDropPattern]] — not

@@ -434,10 +434,19 @@ object Lexical {
           val termSet = qtCached.select(col("_term")).distinct()
           // one job gates BOTH caps: row count (backstop) and the estimated
           // broadcast-relation bytes (see MidPushdownMaxBytes — the hint
-          // bypasses autoBroadcastJoinThreshold, so the gate is here)
-          val gate = termSet
-            .agg(count(lit(1)).as("_nt"), sum(octet_length(col("_term"))).as("_bytes"))
-            .head()
+          // bypasses autoBroadcastJoinThreshold, so the gate is here).
+          // The gate is a real Spark job: if it dies, unpersist before
+          // rethrowing — a persisted-but-unregistered plan would be
+          // unreleasable for the rest of the session.
+          val gate =
+            try termSet
+              .agg(count(lit(1)).as("_nt"), sum(octet_length(col("_term"))).as("_bytes"))
+              .head()
+            catch {
+              case e: Throwable =>
+                qtCached.unpersist(blocking = false)
+                throw e
+            }
           val nTerms = gate.getLong(0)
           val estBytes =
             (if (gate.isNullAt(1)) 0L else gate.getLong(1)) * 4L + nTerms * 64L

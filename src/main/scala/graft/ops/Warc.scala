@@ -192,8 +192,12 @@ object Warc {
     fromHeader match {
       case Some(cs) => (cs, "header")
       case None =>
+        // WHATWG prescan: comments are skipped (an unterminated comment
+        // swallows the rest of the window), so a commented-out
+        // `<meta charset>` must not win over a live one
         val prefix = new String(body, 0, math.min(1024, body.length),
           java.nio.charset.StandardCharsets.ISO_8859_1)
+          .replaceAll("(?s)<!--.*?(-->|$)", " ")
         val fromMeta =
           "(?i)<meta\\s[^>]*charset\\s*=\\s*[\"']?([A-Za-z0-9_.:-]+)".r
             .findFirstMatchIn(prefix).flatMap(m => charsetOf(m.group(1)))
@@ -204,13 +208,12 @@ object Warc {
     }
   }
 
-  /** Decode a response body to text via [[sniffCharset]] (BOM → header →
-    * meta prescan → UTF-8), with replacement for malformed sequences —
-    * crawl bodies are never trusted to be well-encoded. A leading BOM
-    * character is stripped from the decoded text.
+  /** Decode with an already-resolved charset (replacement for malformed
+    * sequences; leading BOM char stripped) — the hot-path form for
+    * callers that already sniffed, so the 1024-byte prescan never runs
+    * twice per record.
     */
-  def decodeBody(body: Array[Byte], contentType: String): String = {
-    val cs = sniffCharset(body, contentType)._1
+  def decodeBodyWith(body: Array[Byte], cs: java.nio.charset.Charset): String = {
     val dec = cs.newDecoder()
       .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
       .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
@@ -219,6 +222,14 @@ object Warc {
       if (s.nonEmpty && s.charAt(0) == '\uFEFF') s.substring(1) else s
     } catch { case _: Exception => "" }
   }
+
+  /** Decode a response body to text via [[sniffCharset]] (BOM → header →
+    * meta prescan → UTF-8), with replacement for malformed sequences —
+    * crawl bodies are never trusted to be well-encoded. A leading BOM
+    * character is stripped from the decoded text.
+    */
+  def decodeBody(body: Array[Byte], contentType: String): String =
+    decodeBodyWith(body, sniffCharset(body, contentType)._1)
 
   final case class WarcRow(
       id: Long,
@@ -257,7 +268,7 @@ object Warc {
               if (textual) sniffCharset(r.body, r.content_type) else (null, "")
             WarcRow(id, r.record_idx, r.warc_type, r.target_uri, r.warc_date,
               r.http_status, r.content_type, r.body.length,
-              if (textual) decodeBody(r.body, r.content_type) else "",
+              if (textual) decodeBodyWith(r.body, cs) else "",
               if (textual) cs.name().toLowerCase else "", src)
           }
         }

@@ -351,7 +351,13 @@ object Web {
     */
   def urlPathQuery(url: Column): Column =
     coalesce(
-      nullif(regexp_extract(url, "^[a-z]+://[^/?#]*([^#]*)", 1), lit("")),
+      // RFC 3986 scheme charset, case-insensitive: resolveUrl passes
+      // absolute hrefs through verbatim, so an uppercase-scheme URL must
+      // still yield its real path — a '/' fallback here would let a
+      // robots-disallowed URL through the filter
+      nullif(
+        regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1),
+        lit("")),
       lit("/"))
 
   /** The five XML character entities — the only escaping the sitemap

@@ -49,7 +49,10 @@ object IndexIngest {
     * re-lands on the same names instead of duplicating — see that
     * method's scaladoc for the atomicity requirements (rename-atomic
     * filesystems; on S3-class stores prefer the default + downstream
-    * dedup).
+    * dedup). Markers and file names are scoped by a SOURCE TAG derived
+    * from the checkpoint path, so the multi-source-per-table recipe
+    * (per-source `checkpointDir`) keeps exactly-once per source — two
+    * sources' batch 0 are different commits, not a clobber.
     */
   def ingest(
       spark: SparkSession,
@@ -69,7 +72,8 @@ object IndexIngest {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         if (!batch.isEmpty) {
           if (exactlyOnce)
-            appendBatchExactlyOnce(spark, batch, tableDir, batchId, filesPerBatch): Unit
+            appendBatchExactlyOnce(spark, batch, tableDir, batchId,
+              filesPerBatch, sourceTag(checkpoint)): Unit
           else
             batch.coalesce(filesPerBatch).write.mode("append").parquet(tableDir)
           if (retrainOnDrift) {
@@ -97,14 +101,24 @@ object IndexIngest {
     batches.get()
   }
 
+  /** Stable per-source scope for exactly-once artifacts: the checkpoint
+    * path IS the source identity (foreachBatch batchIds are meaningful
+    * only within one checkpoint), hashed to a short filesystem-safe tag.
+    */
+  private[streaming] def sourceTag(checkpoint: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8"))
+    md.take(4).map(x => f"${x & 0xFF}%02x").mkString
+  }
+
   /** Idempotent batch append — the exactly-once leg of [[ingest]].
     *
-    * Protocol: (1) if `tableDir/_graft_commits/<batchId>` exists the batch
-    * already committed — return false, write nothing (the replay path);
-    * (2) write the batch to a batchId-keyed staging dir; (3) delete any
-    * `b<batchId>-p*.parquet` left by a crashed prior attempt; (4) rename
-    * the staged part files into the table under DETERMINISTIC names
-    * `b<batchId>-p<i>.parquet`; (5) create the commit marker via
+    * Protocol: (1) if `tableDir/_graft_commits/<tag>-<batchId>` exists the
+    * batch already committed — return false, write nothing (the replay
+    * path); (2) write the batch to a keyed staging dir; (3) delete any
+    * `b<tag>-<batchId>-p*.parquet` left by a crashed prior attempt;
+    * (4) rename the staged part files into the table under DETERMINISTIC
+    * names `b<tag>-<batchId>-p<i>.parquet`; (5) create the commit marker via
     * temp+rename; (6) drop staging. Every crash window replays into the
     * same names behind the same marker — a replayed batch can overwrite
     * its own files but can never duplicate rows, because foreachBatch
@@ -124,26 +138,27 @@ object IndexIngest {
       batch: org.apache.spark.sql.Dataset[Row],
       tableDir: String,
       batchId: Long,
-      filesPerBatch: Int): Boolean = {
+      filesPerBatch: Int,
+      tag: String = "default"): Boolean = {
     import org.apache.hadoop.fs.Path
     val table = new Path(tableDir)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
-    val marker = new Path(table, s"_graft_commits/$batchId")
+    val marker = new Path(table, s"_graft_commits/$tag-$batchId")
     if (fs.exists(marker)) return false
-    val staging = new Path(table, s"_graft_staging_$batchId")
+    val staging = new Path(table, s"_graft_staging_$tag-$batchId")
     batch.coalesce(filesPerBatch).write.mode("overwrite")
       .parquet(staging.toString)
     val parts = fs.listStatus(staging).map(_.getPath)
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-    val stale = fs.globStatus(new Path(table, s"b$batchId-p*.parquet"))
+    val stale = fs.globStatus(new Path(table, s"b$tag-$batchId-p*.parquet"))
     if (stale != null) stale.foreach(s => fs.delete(s.getPath, false): Unit)
     parts.zipWithIndex.foreach { case (p, i) =>
-      val dst = new Path(table, s"b$batchId-p$i.parquet")
+      val dst = new Path(table, s"b$tag-$batchId-p$i.parquet")
       if (!fs.rename(p, dst))
         throw new java.io.IOException(s"exactly-once move failed: $p -> $dst")
     }
     fs.mkdirs(marker.getParent): Unit
-    val tmp = new Path(table, s"_graft_commits/.$batchId.tmp")
+    val tmp = new Path(table, s"_graft_commits/.$tag-$batchId.tmp")
     fs.create(tmp, true).close()
     if (!fs.rename(tmp, marker) && !fs.exists(marker))
       throw new java.io.IOException(s"exactly-once commit failed: $marker")

@@ -616,5 +616,14 @@ class CorpusSpec extends SparkSpec {
     val sel = Corpus.dsirSelect(raw, target, "doc_id", "text", frac = 0.5, buckets = B)
       .select("doc_id").as[Long].collect().toSeq
     assert(sel == Seq(1L))
+    // an EMPTY target must not null the weights (T=0 is well-defined under
+    // add-one smoothing: every bucket weight = ln(1/B) - ln((rc+1)/(R+B)))
+    val emptyTarget = target.where(lit(false))
+    val gotE = Corpus.dsirScores(raw, emptyTarget, "doc_id", "text", buckets = B)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def wE(g: String): Double =
+      math.log(1.0 / B) - math.log((rc(g) + 1).toDouble / (10 + B))
+    val expE = 2 * wE("a") + wE("b") + wE("a a") + wE("a b")
+    assert(math.abs(gotE(1L) - expE) < 1e-12, s"${gotE(1L)} vs $expE")
   }
 }

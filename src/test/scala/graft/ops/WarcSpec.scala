@@ -93,6 +93,14 @@ class WarcSpec extends SparkSpec {
     val legacy = ("<html><head><meta http-equiv=\"Content-Type\" " +
       "content=\"text/html; charset=ISO-8859-1\"></head></html>").getBytes(ISO_8859_1)
     assert(named(Warc.sniffCharset(legacy, "text/html")) == ("iso-8859-1", "meta"))
+    // a commented-out meta never wins (WHATWG prescan skips comments) —
+    // including the unterminated-comment form, which swallows the window
+    val commented = ("<!-- <meta charset=\"iso-8859-1\"> -->" +
+      "<meta charset=\"utf-8\"><body>x</body>").getBytes(ISO_8859_1)
+    assert(named(Warc.sniffCharset(commented, "text/html")) == ("utf-8", "meta"))
+    val dangling = "<!-- <meta charset=\"iso-8859-1\"> <body>x</body>"
+      .getBytes(ISO_8859_1)
+    assert(named(Warc.sniffCharset(dangling, "text/html")) == ("utf-8", "default"))
     // a meta past the 1024-byte prescan window is ignored → default
     val far = ("<html>" + " " * 1100 +
       "<meta charset=\"iso-8859-1\"></html>").getBytes(ISO_8859_1)

@@ -181,6 +181,17 @@ class WebSpec extends SparkSpec {
     assert(rows.map(_._1).distinct.sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("urlPathQuery: path+query for robots matching, scheme-case-proof") {
+    val got = Seq(
+      "http://h.com/a/b?x=1#frag",
+      "HTTPS://Ext.com/private/x", // resolveUrl passes absolute hrefs verbatim
+      "http://h.com",
+      "ftp+ssh://h/x",
+      "not a url")
+      .toDF("u").select(Web.urlPathQuery(col("u"))).as[String].collect().toSeq
+    assert(got == Seq("/a/b?x=1", "/private/x", "/", "/x", "/"))
+  }
+
   test("urlDedup groups normalization-equivalent spellings, min-id keeper") {
     val df = Seq(
       (10L, "http://www.site.com/p?b=2&a=1"),

@@ -76,14 +76,14 @@ class IndexIngestSpec extends SparkSpec {
     assert(rowsIn == 10)
     // crash window: files moved but the marker never landed — replay must
     // re-land on the SAME names, not append duplicates
-    fs.delete(new Path(tableDir, "_graft_commits/0"), false)
+    fs.delete(new Path(tableDir, "_graft_commits/default-0"), false)
     assert(IndexIngest.appendBatchExactlyOnce(spark, b0, tableDir, 0L, 2))
     assert(rowsIn == 10)
     // crash window: a prior attempt left MORE part files than the replay
     // produces (stale b0-p* must be cleared, not survive as orphans)
-    fs.delete(new Path(tableDir, "_graft_commits/0"), false)
-    val orphan = new Path(tableDir, "b0-p7.parquet")
-    fs.rename(new Path(tableDir, "b0-p0.parquet"), orphan)
+    fs.delete(new Path(tableDir, "_graft_commits/default-0"), false)
+    val orphan = new Path(tableDir, "bdefault-0-p7.parquet")
+    fs.rename(new Path(tableDir, "bdefault-0-p0.parquet"), orphan)
     assert(IndexIngest.appendBatchExactlyOnce(spark, b0, tableDir, 0L, 2))
     assert(!fs.exists(orphan), "stale prior-attempt files must be cleared")
     assert(rowsIn == 10)
@@ -96,7 +96,17 @@ class IndexIngestSpec extends SparkSpec {
       .sameElements(0L until 25L))
     // staging and commit dirs stay invisible to Spark's listing
     assert(spark.read.parquet(tableDir).inputFiles
-      .forall(f => f.contains("/b0-p") || f.contains("/b1-p")))
+      .forall(f => f.contains("/bdefault-0-p") || f.contains("/bdefault-1-p")))
+    // multi-source: a second source's batch 0 is a DIFFERENT commit scope
+    // (tag from its checkpoint path), not a skip or a clobber of the first
+    val b2 = (25 until 30).map(i => (i.toLong, Seq.fill(dim)(i * 0.1f)))
+      .toDF("id", "vec")
+    val tagB = IndexIngest.sourceTag("/cp/sourceB")
+    assert(tagB != "default" && IndexIngest.sourceTag("/cp/sourceA") != tagB)
+    assert(IndexIngest.appendBatchExactlyOnce(spark, b2, tableDir, 0L, 1, tagB))
+    assert(rowsIn == 30)
+    assert(!IndexIngest.appendBatchExactlyOnce(spark, b2, tableDir, 0L, 1, tagB))
+    assert(rowsIn == 30)
 
     // end to end: the streamed form with exactlyOnce=true ingests once and
     // the per-batch index maintenance still works on the keyed file names
