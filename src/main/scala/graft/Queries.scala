@@ -4265,6 +4265,35 @@ object Queries {
       |  (doc_id % 8) IN (0, 3, 5, 6, 7) AS allowed
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Sitemap-directive extraction from robots.txt
+    * ([[ops.Web.robotsSitemaps]] — the discovery pointer feeding
+    * [[ops.Web.sitemapUrls]]): per doc a robots file with two Sitemap
+    * lines in mixed case/indentation, a trailing comment after one value,
+    * a commented-OUT line that must not match, and group directives in
+    * between (global-directive semantics: position is irrelevant). The
+    * oracle states the exploded (doc_id, seq, url) rows closed-form.
+    */
+  def rq2RobotsSitemaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = col("doc_id").cast("string")
+    val robots = concat(
+      lit("# robots for site"), g, lit("\nUser-agent: *\nDisallow: /private\n"),
+      lit("Sitemap: https://s"), g, lit(".com/sitemap.xml # primary\n"),
+      lit("# Sitemap: https://s"), g, lit(".com/commented.xml\n"),
+      lit("  sitemap:\thttps://s"), g, lit(".com/news.xml\n"))
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        posexplode(ops.Web.robotsSitemaps(robots)).as(Seq("seq", "url")))
+      .orderBy(col("doc_id"), col("seq"))
+  }
+
+  val rq2Oracle: String =
+    """SELECT doc_id, CAST(seq AS INT) AS seq, url FROM (
+      |  SELECT doc_id, 0 AS seq,
+      |    'https://s' || doc_id || '.com/sitemap.xml' AS url FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 1, 'https://s' || doc_id || '.com/news.xml' FROM documents
+      |) ORDER BY doc_id, seq""".stripMargin
+
   /** The COMPOSED crawl-discovery pipeline — every stage individually
     * gated, composed here so stage-boundary defects have a gate too
     * (the cq1/cq3 pattern, for the crawl side): per doc a WARC shard
@@ -5581,6 +5610,7 @@ object Queries {
     "wq2_html_blocks" -> (wq2HtmlBlocks _),
     "wq3_link_resolve" -> (wq3LinkResolve _),
     "rq1_robots" -> (rq1Robots _),
+    "rq2_robots_sitemaps" -> (rq2RobotsSitemaps _),
     "cq7_crawl_discovery" -> (cq7CrawlDiscovery _),
     "tq14_line_dedup" -> (tq14LineDedup _),
     "wq4_warc_extract" -> (wq4WarcExtract _),
@@ -5761,6 +5791,7 @@ object Queries {
     "wq2_html_blocks" -> wq2Oracle,
     "wq3_link_resolve" -> wq3Oracle,
     "rq1_robots" -> rq1Oracle,
+    "rq2_robots_sitemaps" -> rq2Oracle,
     "cq7_crawl_discovery" -> cq7Oracle,
     "tq14_line_dedup" -> tq14Oracle,
     "wq4_warc_extract" -> wq4Oracle,

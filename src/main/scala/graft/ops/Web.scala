@@ -360,6 +360,20 @@ object Web {
         lit("")),
       lit("/"))
 
+  /** `Sitemap:` directives of a robots.txt, in file order, as
+    * `array<string>` — the discovery pointer that feeds
+    * [[sitemapUrls]] (fetch robots → collect these → fetch + parse each).
+    * Per the sitemaps.org protocol the directive is GLOBAL (not scoped to
+    * a User-agent group, unlike allow/disallow — which is why this is a
+    * plain column extraction rather than part of the
+    * `robots_allowed` group-selection expression) and the key is
+    * case-insensitive; values are absolute URLs, passed through trimmed.
+    * Empty array when none; null for null input.
+    */
+  def robotsSitemaps(robotsTxt: Column): Column =
+    regexp_extract_all(robotsTxt,
+      lit("(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*(\\S+)"), lit(1))
+
   /** The five XML character entities — the only escaping the sitemap
     * protocol allows inside `<loc>` (sitemaps.org: data values "must be
     * entity-escaped"), decoded after extraction.
