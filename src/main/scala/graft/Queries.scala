@@ -4294,6 +4294,37 @@ object Queries {
       |  SELECT doc_id, 1, 'https://s' || doc_id || '.com/news.xml' FROM documents
       |) ORDER BY doc_id, seq""".stripMargin
 
+  /** Group-scoped Crawl-delay extraction
+    * ([[graft.functions.robots_crawl_delay]]): per doc a robots file with
+    * a graftbot group carrying a doc-dependent delay, a newsbot group
+    * WITHOUT one (a specific group HIDES `*` — RFC 9309 §2.2.1 — so the
+    * column is null, not the `*` value), and a `*` group at 2.5 s that an
+    * unknown agent falls back to. Oracle states all three columns
+    * closed-form (the delay arithmetic is exact: k·0.5 in doubles).
+    */
+  def rq3CrawlDelay(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = expr("doc_id % 7").cast("string")
+    val robots = concat(
+      lit("User-agent: graftbot\nCrawl-delay: "), k,
+      lit(".5\nDisallow: /x\n\n"),
+      lit("User-agent: newsbot\nDisallow: /y\n\n"),
+      lit("User-agent: *\nCrawl-delay: 2.5\n"))
+    t(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        graft.functions.robots_crawl_delay(robots, "graftbot").as("delay_graftbot"),
+        graft.functions.robots_crawl_delay(robots, "unknownbot").as("delay_unknown"),
+        graft.functions.robots_crawl_delay(robots, "newsbot").as("delay_newsbot"))
+      .orderBy(col("doc_id"))
+  }
+
+  val rq3Oracle: String =
+    """SELECT doc_id,
+      |  CAST(doc_id % 7 AS DOUBLE) + 0.5 AS delay_graftbot,
+      |  CAST(2.5 AS DOUBLE) AS delay_unknown,
+      |  CAST(NULL AS DOUBLE) AS delay_newsbot
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** The COMPOSED crawl-discovery pipeline — every stage individually
     * gated, composed here so stage-boundary defects have a gate too
     * (the cq1/cq3 pattern, for the crawl side): per doc a WARC shard
@@ -5611,6 +5642,7 @@ object Queries {
     "wq3_link_resolve" -> (wq3LinkResolve _),
     "rq1_robots" -> (rq1Robots _),
     "rq2_robots_sitemaps" -> (rq2RobotsSitemaps _),
+    "rq3_crawl_delay" -> (rq3CrawlDelay _),
     "cq7_crawl_discovery" -> (cq7CrawlDiscovery _),
     "tq14_line_dedup" -> (tq14LineDedup _),
     "wq4_warc_extract" -> (wq4WarcExtract _),
@@ -5792,6 +5824,7 @@ object Queries {
     "wq3_link_resolve" -> wq3Oracle,
     "rq1_robots" -> rq1Oracle,
     "rq2_robots_sitemaps" -> rq2Oracle,
+    "rq3_crawl_delay" -> rq3Oracle,
     "cq7_crawl_discovery" -> cq7Oracle,
     "tq14_line_dedup" -> tq14Oracle,
     "wq4_warc_extract" -> wq4Oracle,

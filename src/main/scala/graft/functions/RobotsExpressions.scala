@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{BooleanType, DataType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,9 +21,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    tie, allow wins; no matching rule → allowed.
   *
   * Deliberately out of scope (documented): percent-encoding
-  * normalization of rule/path octets, `Crawl-delay`/`Sitemap` fields,
-  * and UA-token *substring* fallbacks some crawlers apply. A crawl
-  * pipeline's URL side should already be [[graft.ops.Web.normalizeUrl]]d.
+  * normalization of rule/path octets and UA-token *substring* fallbacks
+  * some crawlers apply. A crawl pipeline's URL side should already be
+  * [[graft.ops.Web.normalizeUrl]]d. `Crawl-delay` IS parsed (group-
+  * scoped, last value in a group wins, [[RobotsCrawlDelay]]); `Sitemap`
+  * is a GLOBAL directive and lives in [[graft.ops.Web.robotsSitemaps]]
+  * as a plain column extraction instead.
   *
   * One robots file serves MANY URL rows after the host join, so parses
   * are memoized per thread (small LRU keyed by the robots text) — the
@@ -33,11 +36,18 @@ object RobotsTxt {
 
   final case class Rule(pattern: String, allow: Boolean)
 
-  /** Parsed rules per agent-token (lowercased), plus the `*` group. */
-  final case class Parsed(byAgent: Map[String, Array[Rule]], star: Array[Rule])
+  /** Parsed rules per agent-token (lowercased), plus the `*` group, plus
+    * the group-scoped crawl delays (seconds; absent key = not declared).
+    */
+  final case class Parsed(
+      byAgent: Map[String, Array[Rule]],
+      star: Array[Rule],
+      delayByAgent: Map[String, Double],
+      delayStar: Option[Double])
 
   def parse(txt: String): Parsed = {
     val byAgent = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Rule]]
+    val delays = scala.collection.mutable.HashMap.empty[String, Double]
     var currentAgents: List[String] = Nil
     var lastWasAgent = false
     txt.linesIterator.foreach { raw =>
@@ -66,12 +76,22 @@ object RobotsTxt {
               val r = Rule(value, field == "allow")
               currentAgents.foreach(a => byAgent(a) += r)
             }
+          case "crawl-delay" =>
+            lastWasAgent = false
+            // group member like allow/disallow; last value in a group
+            // wins; an unparsable value is ignored like any unknown line
+            try {
+              val d = value.toDouble
+              if (d >= 0 && !d.isNaN && !d.isInfinite)
+                currentAgents.foreach(a => delays(a) = d)
+            } catch { case _: NumberFormatException => }
           case _ => lastWasAgent = false
         }
       }
     }
     val m = byAgent.iterator.map { case (k, v) => k -> v.toArray }.toMap
-    Parsed(m - "*", m.getOrElse("*", Array.empty))
+    val dm = delays.toMap
+    Parsed(m - "*", m.getOrElse("*", Array.empty), dm - "*", dm.get("*"))
   }
 
   /** Glob full-match: `*` = any sequence; no other metacharacters. */
@@ -127,11 +147,29 @@ object RobotsTxt {
 
   /** Entry point for the expression (and generated code). */
   def allowedRaw(robots: UTF8String, agent: String, path: UTF8String): Boolean = {
+    allowed(cachedParse(robots), agent, path.toString)
+  }
+
+  private def cachedParse(robots: UTF8String): Parsed = {
     val txt = robots.toString
     val c = cache.get()
     var parsed = c.get(txt)
     if (parsed == null) { parsed = parse(txt); c.put(txt, parsed) }
-    allowed(parsed, agent, path.toString)
+    parsed
+  }
+
+  /** Crawl delay for the agent, boxed (null = not declared). Group
+    * selection mirrors [[allowed]]: a specific-agent group HIDES the `*`
+    * groups entirely, so a specific group WITHOUT a delay yields null,
+    * not the `*` delay — the same RFC 9309 §2.2.1 visibility rule the
+    * allow/disallow matcher applies.
+    */
+  def delayRaw(robots: UTF8String, agent: String): java.lang.Double = {
+    val parsed = cachedParse(robots)
+    val a = agent.toLowerCase
+    if (parsed.byAgent.contains(a) || parsed.delayByAgent.contains(a))
+      parsed.delayByAgent.get(a).map(java.lang.Double.valueOf).orNull
+    else parsed.delayStar.map(java.lang.Double.valueOf).orNull
   }
 }
 
@@ -157,4 +195,32 @@ case class RobotsAllowed(left: Expression, right: Expression, agent: String)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** `robots_crawl_delay(robots_txt)` for a fixed crawler agent token: the
+  * group-scoped Crawl-delay in seconds, or null when the selected group
+  * declares none (a politeness scheduler coalesces its own default).
+  * Null input → null.
+  */
+case class RobotsCrawlDelay(child: Expression, agent: String)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "robots_crawl_delay"
+
+  override def nullSafeEval(robots: Any): Any = {
+    val d = RobotsTxt.delayRaw(robots.asInstanceOf[UTF8String], agent)
+    if (d == null) null else d.doubleValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val agentRef = ctx.addReferenceObj("agent", agent, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, r => s"""
+      java.lang.Double graftDelay = graft.functions.RobotsTxt.delayRaw($r, $agentRef);
+      if (graftDelay == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = graftDelay.doubleValue(); }""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }

