@@ -291,6 +291,23 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.MediaCodec.ahash(png, 8).nonEmpty)
   }
 
+  test("TIFF decodes through the same ImageIO path (JDK 9+ ships the plugin)") {
+    val w = 9; val h = 7
+    def rgb(x: Int, y: Int): Int =
+      ((x * 23 + y * 5) % 256) << 16 | ((x + y * 31) % 256) << 8 | ((x * 7) % 256)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "tiff", bos), "JDK TIFF writer absent?")
+    val info = Multimodal.MediaCodec.decodeImage(bos.toByteArray).get
+    def expSum(ch: Int): Long =
+      (for (x <- 0 until w; y <- 0 until h) yield ((rgb(x, y) >> ch) & 0xFF).toLong).sum
+    assert(info.width == w && info.height == h)
+    // TIFF is lossless: channel sums are exact, like the PNG gate
+    assert(info.sumR == expSum(16) && info.sumG == expSum(8) && info.sumB == expSum(0))
+  }
+
   test("MP4/raw demux+decode: exact pixel sums, sample tables, stride") {
     import org.apache.spark.sql.functions._
     val w = 7; val h = 5 // odd width: raw rows are tightly packed, no padding seam
