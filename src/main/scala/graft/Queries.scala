@@ -4058,6 +4058,53 @@ object Queries {
       |     (SELECT unnest(range(6)) AS link_idx)
       |ORDER BY doc_id, link_idx""".stripMargin
 
+  /** `<base href>` handling ([[ops.Html.baseHref]]/[[ops.Html.effectiveBase]]
+    * → [[ops.Web.resolveUrl]]): per doc one of three page shapes — an
+    * ABSOLUTE base (links leave the fetched host entirely), a RELATIVE
+    * base (itself resolved against the fetched URI per the HTML spec,
+    * then redirecting the link), and no base (the fetch-URI directory
+    * rule) — plus a commented-out base that must not win. Oracle states
+    * the effective base and the resolved outlink closed-form.
+    */
+  def wq6BaseHref(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = expr("(doc_id div 3) % 40").cast("string")
+    val k = expr("doc_id % 3")
+    val id = col("doc_id").cast("string")
+    val fetched = concat(lit("http://site"), g, lit(".com/a/page"), id,
+      lit(".html"))
+    val html = concat(
+      lit("<!-- <base href=\"https://evil.example/\"> --><head>"),
+      when(k === 0, concat(
+        lit("<base href=\"https://cdn"), g, lit(".example/assets/\">")))
+        .when(k === 1, lit("<base href='/b/'>"))
+        .otherwise(lit("")),
+      lit("</head><body><a href=\"img/x"), id, lit("\">l</a></body>"))
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), fetched.as("fetched"), html.as("html"))
+      .select(
+        col("doc_id"),
+        ops.Html.effectiveBase(col("fetched"), col("html")).as("base"),
+        ops.Web.resolveUrl(
+          ops.Html.effectiveBase(col("fetched"), col("html")),
+          element_at(ops.Html.extractLinks(col("html")), 1)).as("url"))
+      .orderBy(col("doc_id"))
+  }
+
+  val wq6Oracle: String =
+    """SELECT doc_id,
+      |  CASE doc_id % 3
+      |    WHEN 0 THEN 'https://cdn' || g || '.example/assets/'
+      |    WHEN 1 THEN 'http://site' || g || '.com/b/'
+      |    ELSE 'http://site' || g || '.com/a/page' || doc_id || '.html'
+      |  END AS base,
+      |  CASE doc_id % 3
+      |    WHEN 0 THEN 'https://cdn' || g || '.example/assets/img/x' || doc_id
+      |    WHEN 1 THEN 'http://site' || g || '.com/b/img/x' || doc_id
+      |    ELSE 'http://site' || g || '.com/a/img/x' || doc_id
+      |  END AS url
+      |FROM (SELECT doc_id, (doc_id // 3) % 40 AS g FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   /** WARC record extraction ([[ops.Warc.records]]): per doc a 2-record
     * WARC (warcinfo + an HTTP 200 text/html response wrapping the doc
     * text), odd docs gzipped — so the oracle hash also gates the
@@ -5640,6 +5687,7 @@ object Queries {
     "wq1_html_extract" -> (wq1HtmlExtract _),
     "wq2_html_blocks" -> (wq2HtmlBlocks _),
     "wq3_link_resolve" -> (wq3LinkResolve _),
+    "wq6_base_href" -> (wq6BaseHref _),
     "rq1_robots" -> (rq1Robots _),
     "rq2_robots_sitemaps" -> (rq2RobotsSitemaps _),
     "rq3_crawl_delay" -> (rq3CrawlDelay _),
@@ -5822,6 +5870,7 @@ object Queries {
     "wq1_html_extract" -> wq1Oracle,
     "wq2_html_blocks" -> wq2Oracle,
     "wq3_link_resolve" -> wq3Oracle,
+    "wq6_base_href" -> wq6Oracle,
     "rq1_robots" -> rq1Oracle,
     "rq2_robots_sitemaps" -> rq2Oracle,
     "rq3_crawl_delay" -> rq3Oracle,

@@ -191,6 +191,29 @@ object Html {
         lit(1)),
       h => regexp_replace(h, "^[\"']|[\"']$", ""))
 
+  /** First `<base href>` of the document (comments dropped first, both
+    * quote styles, value trimmed), or null when absent — HTML redirects
+    * RELATIVE link resolution through it, so a crawl that resolves
+    * `extractLinks` output against the fetch URI alone mis-resolves pages
+    * that declare one. Compose via [[effectiveBase]].
+    */
+  def baseHref(html: Column): Column =
+    nullif(
+      trim(regexp_replace(
+        regexp_extract(
+          regexp_replace(html, "(?s)<!--.*?-->", " "),
+          "(?is)<base\\b[^>]*?\\bhref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)", 1),
+        "^[\"']|[\"']$", "")),
+      lit(""))
+
+  /** The base URL every relative link of the page resolves against: the
+    * `<base href>` — ITSELF resolved against the fetched URI when
+    * relative, per the HTML spec — else the fetched URI. Feed this (not
+    * the raw fetch URI) to [[Web.resolveUrl]] for outlink resolution.
+    */
+  def effectiveBase(fetchedUri: Column, html: Column): Column =
+    coalesce(Web.resolveUrl(fetchedUri, baseHref(html)), fetchedUri)
+
   /** Diagnostic/block-level surface: one row per non-blank block with its
     * classification signals and the keep verdict — what a curation run
     * inspects when tuning [[BoilerplateRules]] for a corpus. Columns:

@@ -32,6 +32,26 @@ class HtmlSpec extends SparkSpec {
     assert(title("<body>no title</body>") == "")
   }
 
+  test("baseHref: quote styles, first wins, no-href base ignored, comments dropped") {
+    def base(html: String): Option[String] =
+      Seq(html).toDF("h").select(Html.baseHref(col("h")))
+        .as[Option[String]].head()
+    assert(base("<base href=\"https://a/\">") contains "https://a/")
+    assert(base("<base target='_top' href='/x/'>") contains "/x/")
+    assert(base("<base href=/bare/>") contains "/bare/")
+    // first base wins (the HTML rule); later ones are ignored
+    assert(base("<base href='/one/'><base href='/two/'>") contains "/one/")
+    // a base with no href contributes nothing; commented-out base ignored
+    assert(base("<base target='_blank'>").isEmpty)
+    assert(base("<!-- <base href='/evil/'> --><p>x</p>").isEmpty)
+    assert(base("no base here").isEmpty)
+    // effectiveBase falls back to the fetched URI, resolves relative bases
+    val eb = Seq(("http://h.com/a/p.html", "<base href='sub/'>"))
+      .toDF("u", "h")
+      .select(Html.effectiveBase(col("u"), col("h"))).as[String].head()
+    assert(eb == "http://h.com/a/sub/")
+  }
+
   test("content survives; nav, footer, script, style, head, comments go") {
     val html =
       """<!DOCTYPE html><html><head><title>The Page</title>
