@@ -4407,11 +4407,13 @@ object Queries {
       }.toDF("id", "media")
     val links = ops.Warc.records(spark, src).toDF()
       .where(col("warc_type") === "response")
-      .select(col("id"), col("target_uri"),
+      .select(col("id"),
+        // <base href>-aware: pages can redirect relative resolution
+        ops.Html.effectiveBase(col("target_uri"), col("body_text")).as("base"),
         explode(ops.Html.extractLinks(col("body_text"))).as("href"))
       .select(col("id"),
         ops.Web.normalizeUrl(
-          ops.Web.resolveUrl(col("target_uri"), col("href"))).as("url"))
+          ops.Web.resolveUrl(col("base"), col("href"))).as("url"))
     // per-host robots (fixture: every discovered host disallows /private);
     // the robots table is tiny → broadcast, never a shuffle
     val robots = links.select(ops.Web.urlHost(col("url")).as("host")).distinct()

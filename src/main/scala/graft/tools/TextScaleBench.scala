@@ -324,10 +324,12 @@ object TextScaleBench {
               html.getBytes("UTF-8"))))
         }.toDF("id", "media")
       val links = graft.ops.Warc.records(spark, src).toDF()
-        .select(col("id"), col("target_uri"),
+        .select(col("id"),
+          graft.ops.Html.effectiveBase(col("target_uri"), col("body_text"))
+            .as("base"),
           explode(graft.ops.Html.extractLinks(col("body_text"))).as("href"))
         .select(col("id"), graft.ops.Web.normalizeUrl(
-          graft.ops.Web.resolveUrl(col("target_uri"), col("href"))).as("url"))
+          graft.ops.Web.resolveUrl(col("base"), col("href"))).as("url"))
       val robots = links.select(graft.ops.Web.urlHost(col("url")).as("host"))
         .distinct()
         .withColumn("robots_txt", lit("User-agent: *\nDisallow: /private\n"))
