@@ -210,6 +210,16 @@ object Html {
     * `<base href>` — ITSELF resolved against the fetched URI when
     * relative, per the HTML spec — else the fetched URI. Feed this (not
     * the raw fetch URI) to [[Web.resolveUrl]] for outlink resolution.
+    *
+    * PERFORMANCE: Column builders substitute their argument TREE at every
+    * reference site, and [[Web.resolveUrl]] references its base in many
+    * `when` branches — branches codegen subexpression elimination does not
+    * deduplicate. Passing this column INLINE into further URL builders
+    * therefore re-runs [[baseHref]]'s full-document regex per branch copy,
+    * combinatorially (a 70× slowdown in the cq7 discovery chain, r14).
+    * In a pipeline, stage it: project `baseHref(html)` to a column, then
+    * `coalesce(resolveUrl(uri, bh), uri)` to another, then resolve hrefs
+    * against that ATTRIBUTE (cq7 / wq6 show the pattern).
     */
   def effectiveBase(fetchedUri: Column, html: Column): Column =
     coalesce(Web.resolveUrl(fetchedUri, baseHref(html)), fetchedUri)

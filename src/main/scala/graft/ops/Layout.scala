@@ -25,6 +25,14 @@ object Layout {
     * managed-table writer (was duplicated verbatim in the lexical
     * artifact writer — review r11).
     */
+  /** Smallest multiple of `numBuckets` that is ≥ the session's default
+    * parallelism — the bucket-aligned write width (see [[writeBucketed]]).
+    */
+  private[ops] def alignedPartitions(df: DataFrame, numBuckets: Int): Int = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    numBuckets * math.max(1, (p + numBuckets - 1) / numBuckets)
+  }
+
   private[ops] def dropManagedTable(
       spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
@@ -45,7 +53,20 @@ object Layout {
     val sorts = if (sortCols.isEmpty) Seq(key) else sortCols
     val spark = df.sparkSession
     dropManagedTable(spark, table)
-    df.write
+    // bucket-ALIGNED repartition before the write (r14, guide §6): a
+    // bucketed V1 write splits every task's rows across all `numBuckets`
+    // files, so an unaligned upstream (e.g. a 32-partition aggregate)
+    // writes up to tasks×buckets tiny files — paid again by every later
+    // scan. Hash-repartitioning on the bucket key into any MULTIPLE m of
+    // numBuckets aligns tasks to buckets (bucket id = pmod(hash, B) =
+    // partition id mod B, same Murmur3), so each task holds exactly one
+    // bucket → exactly m output files. m = smallest multiple of
+    // numBuckets ≥ the cluster's default parallelism, so the write keeps
+    // its parallelism when buckets < cores (the local-mode shape) and
+    // degenerates to one file per bucket when buckets ≥ cores (the
+    // production shape, where bucket count is the corpus-level knob).
+    df.repartition(alignedPartitions(df, numBuckets), col(key))
+      .write
       .format("parquet")
       .bucketBy(numBuckets, key)
       .sortBy(sorts.head, sorts.tail: _*)

@@ -628,6 +628,12 @@ object Lexical {
       batch: DataFrame, snapshot: PostingsSnapshot, textCol: String): Unit = {
     val spark = batch.sparkSession
     val (post, dft, dl, stats) = corpusArtifacts(batch, snapshot.idCol, textCol)
+    // NO bucket-aligned repartition here, unlike [[Layout.writeBucketed]]
+    // (r14, measured): ingest batches are small by design (cost ∝ batch),
+    // AQE already coalesces their aggregates to ~1 task — so one append
+    // writes ~buckets files either way, and a forced repartition only adds
+    // 3 shuffles per batch (st8 solo: 7.5 s → 9.0 s with it). Large-batch
+    // small-file accumulation is [[compactPostings]]' job, per its doc.
     def app(df: DataFrame, table: String, key: String): Unit =
       df.write
         .format("parquet")

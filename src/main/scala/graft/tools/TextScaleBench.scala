@@ -323,13 +323,22 @@ object TextScaleBench {
             graft.ops.Warc.encodeHttpResponse(200, "text/html; charset=utf-8",
               html.getBytes("UTF-8"))))
         }.toDF("id", "media")
+      // staged one level per projection, mirroring cq7 (inlined Column
+      // composition re-substitutes baseHref's full-document regex at every
+      // branch reference — hundreds of evaluations per row)
       val links = graft.ops.Warc.records(spark, src).toDF()
-        .select(col("id"),
-          graft.ops.Html.effectiveBase(col("target_uri"), col("body_text"))
-            .as("base"),
+        .select(col("id"), col("target_uri"), col("body_text"))
+        .withColumn("_bh", graft.ops.Html.baseHref(col("body_text")))
+        .withColumn("base",
+          coalesce(
+            graft.ops.Web.resolveUrl(col("target_uri"), col("_bh")),
+            col("target_uri")))
+        .select(col("id"), col("base"),
           explode(graft.ops.Html.extractLinks(col("body_text"))).as("href"))
-        .select(col("id"), graft.ops.Web.normalizeUrl(
-          graft.ops.Web.resolveUrl(col("base"), col("href"))).as("url"))
+        .withColumn("_resolved",
+          graft.ops.Web.resolveUrl(col("base"), col("href")))
+        .select(col("id"),
+          graft.ops.Web.normalizeUrl(col("_resolved")).as("url"))
       val robots = links.select(graft.ops.Web.urlHost(col("url")).as("host"))
         .distinct()
         .withColumn("robots_txt", lit("User-agent: *\nDisallow: /private\n"))

@@ -39,6 +39,19 @@ object VerifySubset {
       }
       println(s"[verify-subset] wrote $name")
     }
+    // the oracle_sql.json manifest check_oracle.py consumes — so the
+    // subset dir is directly checkable by the same gate script as a full
+    // Verify run (r14: was hand-assembled every time)
+    val manifest = names
+      .flatMap(n => graft.SparkEntry.oracleSql.get(n).map(n -> _))
+      .map { case (n, sql) =>
+        val esc = sql.replace("\\", "\\\\").replace("\"", "\\\"")
+          .replace("\n", "\\n").replace("\t", "\\t")
+        s""""$n":"$esc""""
+      }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), manifest): Unit
     spark.stop()
   }
 }

@@ -80,6 +80,33 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("bucketed write is bucket-aligned: one file per task, not tasks x buckets") {
+    // 37 scrambled input partitions would write up to 37x4 files without
+    // the aligned repartition; with it, each task holds exactly one bucket
+    val df = (1L to 4000L).map(i => (i % 97, i)).toDF("k", "row_id")
+      .repartition(37)
+    Layout.writeBucketed(df, "graft_spec_aligned", "k", 4)
+    try {
+      val loc = new java.io.File(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier("graft_spec_aligned")))
+      val files = loc.listFiles().filter(_.getName.startsWith("part-"))
+      val expected = Layout.alignedPartitions(df, 4)
+      assert(files.length <= expected,
+        s"expected <= $expected bucket-aligned files, got ${files.length}")
+      // every file belongs to exactly one bucket (the _NNNNN suffix), and
+      // all 4 buckets are populated
+      val bucketsSeen = files.map(_.getName.replaceAll("""^.*_(\d{5})\..*$""", "$1"))
+      assert(bucketsSeen.toSet.size == 4, s"buckets seen: ${bucketsSeen.toSet}")
+      assert(bucketsSeen.length == bucketsSeen.distinct.length ||
+        files.length <= expected) // multiple tasks per bucket allowed, never split tasks
+      // content survives the alignment exactly
+      assert(spark.table("graft_spec_aligned").count() == 4000)
+      assert(spark.table("graft_spec_aligned").agg(sum(col("row_id")))
+        .head().getLong(0) == (1L to 4000L).sum)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_spec_aligned")
+  }
+
   test("z-order bounds every layout dimension per file; trailing-column predicates prune") {
     val hc = spark.sparkContext.hadoopConfiguration
     val prevBlock = hc.get("parquet.block.size")
