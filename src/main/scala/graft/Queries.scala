@@ -5191,7 +5191,12 @@ object Queries {
     */
   def bp2BpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents")
-    val merges = ops.Bpe.trainMerges(docs, "text", bpeNMerges)
+    // the PRODUCTION trainer (r14 optimization): one distributed word-freq
+    // job + the in-memory merge loop, vs one Spark job per merge — merge
+    // sequence spec-pinned identical to trainMerges (BpeSpec), and the
+    // oracle re-derives the merges in SQL so the hash still gates the
+    // trainer end-to-end. bp1 keeps timing the job-per-merge SQL form.
+    val merges = ops.Bpe.trainMergesLocal(docs, "text", bpeNMerges)
     docs
       .select(
         col("doc_id"),
@@ -5224,7 +5229,8 @@ object Queries {
     */
   def bp3TokenIds(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents")
-    val merges = ops.Bpe.trainMerges(docs, "text", bpeNMerges)
+    // production trainer, same rationale (and gate) as bp2
+    val merges = ops.Bpe.trainMergesLocal(docs, "text", bpeNMerges)
     ops.Bpe
       .tokenIdRows(docs, "doc_id", "text", merges)
       .orderBy(col("doc_id"), col("pos"))

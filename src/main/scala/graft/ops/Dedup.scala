@@ -149,7 +149,13 @@ object Dedup {
     require(wordsPerBlock > 0, "wordsPerBlock must be > 0")
     require(!df.columns.contains(outCol), s"blockDedup: column '$outCol' already exists")
     val n = wordsPerBlock
-    val words = split(col(textCol), " ")
+    require(!df.columns.contains("_words"),
+      "blockDedup: input already has a '_words' working column")
+    // split ONCE into a staged column (r14): the transform lambda
+    // references `words` per element, and a lambda body re-evaluates any
+    // outer non-attribute expression per element — inline, each document
+    // was re-split once per block
+    val words = col("_words")
     // ceil(size/n): Spark's `/` is true division, so floor the double —
     // exact below 2^52, far above any document's word count
     val nBlocks = floor((size(words) + lit(n - 1)) / lit(n)).cast("int")
@@ -157,6 +163,7 @@ object Dedup {
       sequence(lit(0), nBlocks - 1),
       i => array_join(slice(words, i * n + 1, lit(n)), " "))
     val segments = df
+      .select(col(idCol), split(col(textCol), " ").as("_words"))
       .select(col(idCol), posexplode(segs).as(Seq("_idx", "_seg")))
     reassemble(df, dedupSegments(segments, idCol, "_idx", "_seg"), idCol, " ", outCol)
   }
@@ -288,6 +295,10 @@ object Dedup {
       maxDocFreq: Long = 1000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     requireIntegralId(df, idCol, "invertedIndexNearDupPairs")
+    // NOT persisted although it feeds four consumers (df-count, prefix
+    // join, both verify sides): A/B-measured NO win at sf0.1 (2.19 s
+    // unpersisted vs 2.27 s persisted) — materializing the shingle arrays
+    // costs as much as re-deriving them, unlike dq9's hashed posting
     val docs = df
       .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
       .where(size(col("sh")) > 0)
@@ -970,11 +981,17 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(n >= 1, s"n must be >= 1, got $n")
+    // the ngram-explode + hash pass feeds BOTH the duplicate-gram count
+    // and the probe side of the join below — persist it once instead of
+    // recomputing the corpus-sized explode twice (r14; the
+    // winnowingOverlapPairs convention: O(grams) rows, released by the
+    // caller's action / context cleaner)
     val posting = df
       .select(
         col(idCol).as("id"),
         posexplode(graft.functions.word_ngrams(col(textCol), n)))
       .select(col("id"), col("pos"), xxhash64(col("col")).as("gh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupGrams = posting
       .groupBy(col("gh")).agg(count(lit(1)).as("_cnt"))
       .where(col("_cnt") > 1)

@@ -303,22 +303,36 @@ object TextAnalysis {
     require(
       overlap >= 0 && overlap < maxTokens,
       s"chunkByTokens: overlap=$overlap must be in [0, maxTokens)")
+    require(!df.columns.contains("_toks"),
+      "chunkByTokens: input already has a '_toks' working column")
     val stride = maxTokens - overlap
-    val toks = tokens(col(textCol))
+    // tokenize ONCE into a staged column (r14 optimization): a lambda body
+    // that references the outer array EXPRESSION re-evaluates it per
+    // element — with `toks = tokens(text)` inline, the filter lambda
+    // (via n) and the transform lambda re-tokenized the document once per
+    // start candidate and once per chunk (~2×chunks tokenizations/doc;
+    // tq12 solo 2.2 → 0.76 s, cq5 1.6 → 0.65 s). Against an attribute the lambdas are
+    // array ops only. chunk_tokens = size(slice) replaces re-tokenizing
+    // the joined chunk text: tokens are whitespace-free and non-empty, so
+    // splitting their single-space join returns exactly the slice.
+    val toks = col("_toks")
     val n = size(toks)
     val starts = filter(
       sequence(lit(0), greatest(n - 1, lit(0)), lit(stride)),
       s => s === 0 || s + overlap < n)
-    df.where(tokenCount(col(textCol)) > 0)
+    df.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .where(size(col("_toks")) > 0)
       .select(
         col(idCol),
         posexplode(
-          transform(starts, s => array_join(slice(toks, s + 1, lit(maxTokens)), " "))))
+          transform(starts, s => struct(
+            array_join(slice(toks, s + 1, lit(maxTokens)), " ").as("t"),
+            size(slice(toks, s + 1, lit(maxTokens))).cast("int").as("n")))))
       .select(
         col(idCol),
         col("pos").cast("int").as("chunk_idx"),
-        col("col").as("chunk_text"),
-        tokenCount(col("col")).as("chunk_tokens"))
+        col("col.t").as("chunk_text"),
+        col("col.n").as("chunk_tokens"))
   }
 
   /** PII redaction patterns, ordered: email first (its local part can
