@@ -485,6 +485,14 @@ object TextAnalysis {
       portableHash: Boolean = true): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxDocsPerFp >= 1, s"maxDocsPerFp must be >= 1, got $maxDocsPerFp")
+    // NOT persisted, although corpusFps feeds two consumers and streaming
+    // callers re-invoke per micro-batch: A/B at sf0.1 (r14) measured the
+    // persisted form NO faster for st14 and ~0.3-1 s SLOWER for the
+    // one-shot dx3 (materializing the fingerprint table costs what the
+    // second derivation does, and the cache write is a barrier the
+    // pipelined form doesn't pay). A standing ingest that wants the
+    // corpus side amortized should persist the winnowingFingerprints
+    // frame itself, as the scaladoc describes.
     val corpusFps = winnowingFingerprints(corpus, idCol, textCol, k, w, portableHash)
       .select(col(idCol).as("_cid"), col("fp"))
       .distinct()

@@ -339,6 +339,10 @@ object TextScaleBench {
           graft.ops.Web.resolveUrl(col("base"), col("href")))
         .select(col("id"),
           graft.ops.Web.normalizeUrl(col("_resolved")).as("url"))
+        // one materialization for the two consumers (robots host set +
+        // frontier probe side), mirroring cq7 — the arm measures the same
+        // plan the gate query executes
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val robots = links.select(graft.ops.Web.urlHost(col("url")).as("host"))
         .distinct()
         .withColumn("robots_txt", lit("User-agent: *\nDisallow: /private\n"))
