@@ -27,27 +27,29 @@ import org.apache.spark.sql.functions._
   */
 object Linear {
 
-  /** Per-(doc, bucket) token counts — md5-prefix % dim, the
-    * `linear_bow_score` bucket contract, all codegen'd built-ins.
-    */
-  private def bucketCounts(
-      df: DataFrame, idCol: Column, textCol: Column, dim: Int): DataFrame =
-    df.where(trim(textCol) =!= "")
-      .select(idCol.as("_d"), explode(split(trim(textCol), "\\s+")).as("_t"))
-      .select(
-        col("_d"),
-        (conv(substring(md5(col("_t")), 1, 8), 16, 10).cast("bigint") % dim).as("i"))
-      .groupBy(col("_d"), col("i"))
-      .agg(count(lit(1)).cast("bigint").as("x"))
-
   /** Normal-equation sufficient statistics: rows (kind, i, j, v) with
     * kind ∈ {"xx" (i ≤ j: Σ xᵢxⱼ), "xy" (Σ xᵢy), "x" (Σ xᵢ), "y" (Σ y),
     * "yy" (Σ y²), "n" (row count)}. `labelCol` must be integral (0/1
     * labels make every sum BIGINT-exact — the hash-gate precondition).
-    * Plan: one token explode + per-doc bucket count (map-side combined),
-    * a per-doc self-join for the upper-triangle products (≤ nnz² rows
-    * per doc, nnz ≤ min(dim, tokens)), and dim²-bounded aggregates — no
-    * driver collect, nothing corpus-sized in one task.
+    *
+    * Plan shape (r15, guide §1.2/§2.4): ONE corpus scan and ONE exchange.
+    * Every per-document contribution — the upper-triangle products, the
+    * label cross-moments, the feature sums and the scalar moments — is
+    * generated map-side from a per-ROW run-length count over the sorted
+    * bucket array (all codegen'd HOFs, no explode-then-regroup, no
+    * self-join), then one partial-aggregated groupBy(kind, i, j) reduces
+    * ≤ dim²/2 + 2·dim + 3 rows per task. The previous form (token explode
+    * + per-doc groupBy + cnt⋈cnt self-join + four separate aggregates
+    * unioned) scanned the corpus 4× and shuffled 5× for the same rows —
+    * at 100 TB that is 4 extra corpus passes, and on a contended 32-way
+    * host it was the single slowest bench entry (driver r14: 14.5 s vs
+    * this shape's sub-second). Values are identical: run-length counts
+    * over the sorted per-doc bucket list ARE the per-(doc, bucket) token
+    * counts, and every sum is order-independent BIGINT arithmetic.
+    *
+    * One edge narrows: an EMPTY input frame now yields zero rows (no
+    * groups) where the old union emitted y/yy/n scalar rows from the
+    * global aggregate; no caller trains on an empty corpus.
     */
   def bowMoments(
       df: DataFrame,
@@ -56,30 +58,58 @@ object Linear {
       labelCol: Column,
       dim: Int): DataFrame = {
     require(dim >= 1 && dim <= 1024, s"dim must be in [1, 1024], got $dim")
-    val cnt = bucketCounts(df, idCol, textCol, dim)
-    val lab = df.select(idCol.as("_d"), labelCol.cast("bigint").as("_y"))
-    val xx = cnt.as("a")
-      .join(cnt.as("b"), col("a._d") === col("b._d") && col("a.i") <= col("b.i"))
-      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-      .agg(sum(col("a.x") * col("b.x")).as("v"))
-      .select(lit("xx").as("kind"), col("i"), col("j"), col("v"))
-    val xy = cnt.join(lab, "_d")
-      .groupBy(col("i"))
-      .agg(sum(col("x") * col("_y")).as("v"))
-      .select(lit("xy").as("kind"), col("i"), lit(-1L).as("j"), col("v"))
-    val xs = cnt.groupBy(col("i"))
-      .agg(sum(col("x")).as("v"))
-      .select(lit("x").as("kind"), col("i"), lit(-1L).as("j"), col("v"))
-    val ys = lab.agg(
-      sum(col("_y")).as("_sy"), sum(col("_y") * col("_y")).as("_syy"),
-      count(lit(1)).as("_n"))
-    val scalars = ys.select(explode(array(
-      struct(lit("y").as("kind"), lit(-1L).as("i"), lit(-1L).as("j"), col("_sy").as("v")),
-      struct(lit("yy").as("kind"), lit(-1L).as("i"), lit(-1L).as("j"), col("_syy").as("v")),
-      struct(lit("n").as("kind"), lit(-1L).as("i"), lit(-1L).as("j"),
-        col("_n").cast("bigint").as("v")))).as("s"))
-      .select(col("s.kind"), col("s.i"), col("s.j"), col("s.v"))
-    xx.unionByName(xy).unionByName(xs).unionByName(scalars)
+    // entry struct: (kind, i, j, v), all sums BIGINT
+    def e(kind: String, i: Column, j: Column, v: Column): Column = struct(
+      lit(kind).as("kind"), i.cast("bigint").as("i"), j.cast("bigint").as("j"),
+      v.cast("bigint").as("v"))
+    val emptyEntries =
+      array().cast("array<struct<kind:string,i:bigint,j:bigint,v:bigint>>")
+    // staged columns (each level references the previous as a cheap
+    // attribute — HOF lambda bodies re-evaluate outer NON-attribute
+    // expressions per element, the engine's recurring blowup):
+    //  _s  sorted bucket id per token (md5-prefix % dim, the
+    //      `linear_bow_score` bucket contract), null for blank/null text
+    //  _st run-start positions (0-based) in _s
+    //  _p  run-length (i, x) pairs = the per-doc bucket counts, i ascending
+    val sorted = when(
+      trim(textCol) =!= "",
+      array_sort(transform(
+        split(trim(textCol), "\\s+"),
+        t => conv(substring(md5(t), 1, 8), 16, 10).cast("bigint") % dim)))
+    val runStarts = filter(
+      sequence(lit(0), size(col("_s")) - 1),
+      k => when(k === 0, lit(true))
+        .otherwise(element_at(col("_s"), k + 1) =!= element_at(col("_s"), k)))
+    val pairs = transform(
+      col("_st"),
+      (st, idx) => struct(
+        element_at(col("_s"), st + 1).as("i"),
+        (when(idx === size(col("_st")) - 1, size(col("_s")))
+          .otherwise(element_at(col("_st"), idx + 2)) - st).cast("bigint").as("x")))
+    // per-doc entries: upper-triangle products from the sorted suffix
+    // (i ascending and distinct, so b at position ≥ a's ⇔ a.i ≤ b.i),
+    // label cross-moments, feature sums, plus the scalar y/yy/n moments
+    // (emitted for EVERY row, like the old global aggregate over all docs)
+    val xx = flatten(transform(
+      col("_p"),
+      (a, ai) => transform(
+        slice(col("_p"), ai + 1, size(col("_p")) - ai),
+        b => e("xx", a.getField("i"), b.getField("i"),
+          a.getField("x") * b.getField("x")))))
+    val xy = transform(
+      col("_p"), a => e("xy", a.getField("i"), lit(-1L), a.getField("x") * col("_y")))
+    val xs = transform(col("_p"), a => e("x", a.getField("i"), lit(-1L), a.getField("x")))
+    val scalars = array(
+      e("y", lit(-1L), lit(-1L), col("_y")),
+      e("yy", lit(-1L), lit(-1L), col("_y") * col("_y")),
+      e("n", lit(-1L), lit(-1L), lit(1L)))
+    df.select(labelCol.cast("bigint").as("_y"), sorted.as("_s"))
+      .withColumn("_st", runStarts)
+      .withColumn("_p", pairs)
+      .select(explode(concat(
+        coalesce(concat(xx, xy, xs), emptyEntries), scalars)).as("_e"))
+      .groupBy(col("_e.kind").as("kind"), col("_e.i").as("i"), col("_e.j").as("j"))
+      .agg(sum(col("_e.v")).as("v"))
   }
 
   /** Solve the ridge normal equations from [[bowMoments]] rows: weights
