@@ -4628,10 +4628,16 @@ object Queries {
     * mis-segmentation, threshold drift) breaks the hash.
     */
   def wq1HtmlExtract(spark: SparkSession, sfDir: String): DataFrame =
-    wqHtml(spark, sfDir).select(
-      col("doc_id"),
-      ops.Html.htmlTitle(col("html")).as("title"),
-      ops.Html.htmlMainText(col("html"), wqRules).as("main_text"))
+    // the comment/script strip is shared by BOTH surfaces: stage it once
+    // per row (r15 — was one full-document 6-branch pass for the title
+    // plus a second 7-branch pass for the text; now one 6-branch pass
+    // plus a 1-branch head drop)
+    wqHtml(spark, sfDir)
+      .withColumn("_stripped", ops.Html.titleStrip(col("html")))
+      .select(
+        col("doc_id"),
+        ops.Html.titleOfStripped(col("_stripped")).as("title"),
+        ops.Html.mainTextOfStripped(col("_stripped"), wqRules).as("main_text"))
       .orderBy(col("doc_id"))
 
   val wq1Oracle: String =

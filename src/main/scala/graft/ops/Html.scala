@@ -125,15 +125,53 @@ object Html {
   private[graft] val TitleDropPattern: String =
     dropBranches(Seq("script", "style", "noscript", "svg", "template"))
 
+  /** The `<head>` element (with content) alone — the one branch that
+    * separates the title surface from the text surface. Applied by
+    * [[mainTextOfStripped]] to a document [[titleStrip]] already cleaned,
+    * so the second full-document pass carries a 1-branch alternation
+    * instead of re-running all of [[DropElementPattern]]'s 7.
+    */
+  private[graft] val HeadDropPattern: String = "(?is)<head\\b[^>]*>.*?</head>"
+
+  /** The comment/script/style/… strip SHARED by the title and main-text
+    * surfaces ([[TitleDropPattern]] — everything but `<head>`). A pipeline
+    * that extracts BOTH title and text (wq1) should project this ONCE per
+    * row and feed the staged column to [[titleOfStripped]] and
+    * [[mainTextOfStripped]]: the alternation scan over the full document
+    * is the dominant per-row cost of extraction, and the two un-fused
+    * surfaces each paid their own (r15, guide §1.2 — don't compute things
+    * twice). Column-builder note ([[effectiveBase]]): reference the staged
+    * ATTRIBUTE, never pass this builder inline into both consumers.
+    */
+  def titleStrip(html: Column): Column =
+    regexp_replace(html, TitleDropPattern, " ")
+
+  /** `<title>` text of a [[titleStrip]]-cleaned document. */
+  def titleOfStripped(stripped: Column): Column =
+    normWs(decodeEntities(
+      regexp_extract(stripped, "(?is)<title\\b[^>]*>(.*?)</title>", 1)))
+
+  /** Main content of a [[titleStrip]]-cleaned document: drops the
+    * remaining `<head>` element (1-branch pass) and applies
+    * [[htmlMainText]]'s block classification. Equivalent to
+    * [[htmlMainText]] on every document whose `</head>` is not hidden
+    * inside a script/comment string — and strictly MORE robust when one
+    * is (the script is gone before the head drop scans).
+    */
+  def mainTextOfStripped(
+      stripped: Column,
+      rules: BoilerplateRules = BoilerplateRules()): Column =
+    mainTextOfBlocks(
+      split(regexp_replace(stripped, HeadDropPattern, " "), BlockTagPattern),
+      rules)
+
   /** `<title>` text: decoded, whitespace-normalized; `''` when absent.
     * Comments/scripts are dropped first (via [[TitleDropPattern]] — not
     * the full [[DropElementPattern]], which would drop `<head>` and the
     * title with it).
     */
   def htmlTitle(html: Column): Column =
-    normWs(decodeEntities(
-      regexp_extract(regexp_replace(html, TitleDropPattern, " "),
-        "(?is)<title\\b[^>]*>(.*?)</title>", 1)))
+    titleOfStripped(titleStrip(html))
 
   /** ALL visible text, one line per block — tag/script/style strip and
     * entity decode without any boilerplate judgment (the "lynx -dump"
@@ -147,15 +185,33 @@ object Html {
   /** The keep predicate over (text, linkedChars) — one place, so the
     * column op, the exploded diagnostic op, and the scaladoc can't drift.
     */
+  /** The block tokenization both stopword signals share — stage its
+    * result (struct field or projected column) and pass it to
+    * [[keepPredicate]]: HOF lambda bodies get no subexpression
+    * elimination, so referencing an INLINE token array three times
+    * (stopword filter + the two `nullif` copies of the denominator)
+    * re-split the block three times (r15).
+    */
+  private def blockToks(text: Column): Column =
+    filter(split(lower(text), " "), w => w =!= "")
+
+  /** The keep predicate over (text, toks, linkedChars) — one place, so
+    * the column op, the exploded diagnostic op, and the scaladoc can't
+    * drift. `toks` must be [[blockToks]] of `text`, pre-staged by the
+    * caller. Link density sits LAST (3VL AND short-circuits and is
+    * commutative, so verdicts are unchanged): a caller passing `linked`
+    * as an in-place expression only pays the per-anchor strip on blocks
+    * that cleared the cheap gates.
+    */
   private def keepPredicate(
-      text: Column, linked: Column, rules: BoilerplateRules): Column = {
-    val toks = filter(split(lower(text), " "), w => w =!= "")
+      text: Column, toks: Column, linked: Column,
+      rules: BoilerplateRules): Column = {
     val nStop = size(filter(toks, w => w.isin(TextAnalysis.Stopwords: _*)))
     val stopRatio = nStop.cast("double") / nullif(size(toks), lit(0))
     val linkDensity = linked.cast("double") / nullif(length(text), lit(0))
     (length(text) >= rules.minChars) &&
-      (linkDensity <= rules.maxLinkDensity) &&
-      (stopRatio >= rules.minStopwordRatio)
+      (stopRatio >= rules.minStopwordRatio) &&
+      (linkDensity <= rules.maxLinkDensity)
   }
 
   /** Main content: the concatenation (one line per block) of blocks the
@@ -164,12 +220,32 @@ object Html {
     */
   def htmlMainText(
       html: Column,
-      rules: BoilerplateRules = BoilerplateRules()): Column = {
-    val feats = transform(rawBlocks(html), b =>
-      struct(blockTextOf(b).as("t"), linkedCharsOf(b).as("l")))
-    val kept = filter(feats, s =>
-      (s.getField("t") =!= "") &&
-        keepPredicate(s.getField("t"), s.getField("l"), rules))
+      rules: BoilerplateRules = BoilerplateRules()): Column =
+    mainTextOfBlocks(rawBlocks(html), rules)
+
+  /** Shared body of [[htmlMainText]] / [[mainTextOfStripped]], staged so
+    * each block pays each signal at most once and only when reached
+    * (r15): a first filter applies the free gates (non-blank, length),
+    * survivors tokenize ONCE into a struct field, and the final filter
+    * reads the staged tokens and evaluates the per-anchor link-density
+    * scan lazily in the last conjunct — nav/footer blocks fail length
+    * without ever being tokenized or anchor-scanned. Verdicts are
+    * [[keepPredicate]]'s exactly (conjunct split across filters = 3VL
+    * AND: null and false both drop).
+    */
+  private def mainTextOfBlocks(
+      blocks: Column, rules: BoilerplateRules): Column = {
+    val feats = transform(blocks, b =>
+      struct(blockTextOf(b).as("t"), b.as("raw")))
+    val longEnough = filter(feats, s =>
+      (s.getField("t") =!= "") && (length(s.getField("t")) >= rules.minChars))
+    val withToks = transform(longEnough, s => struct(
+      s.getField("t").as("t"), s.getField("raw").as("raw"),
+      blockToks(s.getField("t")).as("toks")))
+    val kept = filter(withToks, s =>
+      keepPredicate(
+        s.getField("t"), s.getField("toks"),
+        linkedCharsOf(s.getField("raw")), rules))
     array_join(transform(kept, s => s.getField("t")), "\n")
   }
 
@@ -239,12 +315,16 @@ object Html {
       struct(blockTextOf(b).as("t"), linkedCharsOf(b).as("l")))
     val nonBlank = filter(feats, s => s.getField("t") =!= "")
     df.select(col(idCol), posexplode(nonBlank).as(Seq("block_idx", "_b")))
+      // tokens staged as a projected column: the diagnostic surface
+      // reports every block, so the lazy gates don't apply, but the
+      // stopword signals still share ONE tokenization (r15)
+      .withColumn("_toks", blockToks(col("_b.t")))
       .select(
         col(idCol),
         col("block_idx"),
         col("_b.t").as("block_text"),
         length(col("_b.t")).as("n_chars"),
         col("_b.l").as("linked_chars"),
-        keepPredicate(col("_b.t"), col("_b.l"), rules).as("kept"))
+        keepPredicate(col("_b.t"), col("_toks"), col("_b.l"), rules).as("kept"))
   }
 }

@@ -251,10 +251,13 @@ object TextScaleBench {
         "<footer><a href=\"/a\">About</a> &copy; 2026</footer></body></html>"))
     val htmlRules = graft.ops.Html.BoilerplateRules(
       minChars = 25, maxLinkDensity = 0.2, minStopwordRatio = 0.0)
+    // mirrors wq1's staged shared strip (r15) so the scale arm measures
+    // the plan the gated query executes
     def htmlExtract() = docs.select(col("doc_id"), htmlPage.as("html"))
+      .withColumn("_stripped", graft.ops.Html.titleStrip(col("html")))
       .select(col("doc_id"),
-        graft.ops.Html.htmlTitle(col("html")).as("title"),
-        graft.ops.Html.htmlMainText(col("html"), htmlRules).as("main_text"))
+        graft.ops.Html.titleOfStripped(col("_stripped")).as("title"),
+        graft.ops.Html.mainTextOfStripped(col("_stripped"), htmlRules).as("main_text"))
     def htmlBlocksAgg() = graft.ops.Html.htmlBlocks(
       docs.select(col("doc_id"), htmlPage.as("html")), "doc_id", "html", htmlRules)
       .groupBy("kept").agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
