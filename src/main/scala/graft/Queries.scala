@@ -4426,7 +4426,7 @@ object Queries {
     // strip regex inside baseHref ran O(branches^depth) ≈ hundreds of
     // times per row (measured 231 s vs 3.3 s at sf0.1). Each staged column
     // evaluates once; results are identical (wq6/uq-mirrored rules).
-    val links = ops.Warc.records(spark, src).toDF()
+    val linksRaw = ops.Warc.records(spark, src).toDF()
       .where(col("warc_type") === "response")
       .select(col("id"), col("target_uri"), col("body_text"))
       .withColumn("_bh", ops.Html.baseHref(col("body_text")))
@@ -4439,13 +4439,14 @@ object Queries {
         explode(ops.Html.extractLinks(col("body_text"))).as("href"))
       .withColumn("_resolved", ops.Web.resolveUrl(col("base"), col("href")))
       .select(col("id"), ops.Web.normalizeUrl(col("_resolved")).as("url"))
-      // consumed TWICE (robots host-set build + the frontier probe side):
-      // one materialization instead of re-running the WARC-parse → link-
-      // extract → resolve → normalize chain per consumer (guide §2.4; the
-      // r13 scoreBulk precedent). Bench honesty: the timing harness clears
-      // the DF cache before every timed rep, so the persist is paid inside
-      // every measurement.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // consumed TWICE (robots host-set build + the frontier probe side):
+    // one materialization instead of re-running the WARC-parse → link-
+    // extract → resolve → normalize chain per consumer (guide §2.4; the
+    // r13 scoreBulk precedent). Bench honesty: the timing harness clears
+    // the DF cache before every timed rep, so the persist is paid inside
+    // every measurement. Registered with OpCaches (r15): long-lived
+    // sessions release via ops.OpCaches.release(spark) after consuming.
+    val links = ops.OpCaches.persist(linksRaw)
     // per-host robots (fixture: every discovered host disallows /private);
     // the robots table is tiny → broadcast, never a shuffle
     val robots = links.select(ops.Web.urlHost(col("url")).as("host")).distinct()

@@ -302,10 +302,11 @@ object Bpe {
     // encode ONCE: with the corpus's own vocabulary, the chained-replace
     // pass (the heavy projection) previously ran twice — once inside
     // vocabulary(), once for the export. Persist the encoded frame and
-    // feed both consumers (r14; A/B at sf0.1: bp3 solo 3.29 → 2.41 s)
-    val enc = df
-      .select(col(idCol), encodedSymbols(col(textCol), merges).as("_syms"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // feed both consumers (r14; A/B at sf0.1: bp3 solo 3.29 → 2.41 s).
+    // Registered with OpCaches — release via OpCaches.release(spark)
+    // after the export is consumed (r15 release-path item).
+    val enc = OpCaches.persist(
+      df.select(col(idCol), encodedSymbols(col(textCol), merges).as("_syms")))
     val v = vocab.getOrElse(vocabularyOfEncoded(enc))
       .select(col("sym").as("_vsym"), col("id").as("_vid"))
     enc.select(

@@ -977,14 +977,15 @@ object Corpus {
     // and the bucket-count tables are each read twice (weight join + total)
     // — without the persists the raw corpus was gram-exploded 3× and the
     // target 2× per call (r14; rows are (id, int-bucket) pairs, the dq9
-    // posting-persist shape; released by the context cleaner / the bench
-    // harness's per-rep cache clear)
-    val rawG = dsirGramBuckets(raw, col(idCol), col(textCol), buckets, maxN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // posting-persist shape). Registered with OpCaches — release via
+    // OpCaches.release(spark) after the scores are consumed (r15
+    // release-path item).
+    val rawG = OpCaches.persist(
+      dsirGramBuckets(raw, col(idCol), col(textCol), buckets, maxN))
     val tgtG = dsirGramBuckets(target, col(idCol), col(textCol), buckets, maxN)
     val rawC = rawG.groupBy(col("_b")).agg(count(lit(1)).as("_rc"))
-    val tgtC = tgtG.groupBy(col("_b")).agg(count(lit(1)).as("_tc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tgtC = OpCaches.persist(
+      tgtG.groupBy(col("_b")).agg(count(lit(1)).as("_tc")))
     // totals ride the same aggregates (no extra corpus scans)
     val weights = rawC.join(tgtC, Seq("_b"), "full_outer")
       .select(col("_b"),

@@ -983,15 +983,14 @@ object Dedup {
     require(n >= 1, s"n must be >= 1, got $n")
     // the ngram-explode + hash pass feeds BOTH the duplicate-gram count
     // and the probe side of the join below — persist it once instead of
-    // recomputing the corpus-sized explode twice (r14; the
-    // winnowingOverlapPairs convention: O(grams) rows, released by the
-    // caller's action / context cleaner)
-    val posting = df
+    // recomputing the corpus-sized explode twice (r14; O(grams) rows).
+    // Registered with OpCaches — release via OpCaches.release(spark)
+    // after the spans are consumed (r15 release-path item).
+    val posting = OpCaches.persist(df
       .select(
         col(idCol).as("id"),
         posexplode(graft.functions.word_ngrams(col(textCol), n)))
-      .select(col("id"), col("pos"), xxhash64(col("col")).as("gh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("id"), col("pos"), xxhash64(col("col")).as("gh")))
     val dupGrams = posting
       .groupBy(col("gh")).agg(count(lit(1)).as("_cnt"))
       .where(col("_cnt") > 1)

@@ -327,60 +327,23 @@ object Lexical {
     */
   @volatile private[graft] var disableMidTier = false
 
-  /** Per-session registry of the mid-tier's persisted (qid, term) batch
-    * plans (see the persist comment in [[scoreBulk]]). Entries are STRONG
-    * references on purpose: Spark's CacheManager itself pins every
-    * persisted plan until an explicit unpersist — `Dataset.persist`
-    * blocks are NOT GC-evicted — so the registry adds no pinning beyond
-    * what the persist already created, and a weak entry would be
-    * collected (the returned result holds the logical plan, not this
-    * wrapper) before [[releaseBatchCaches]] could unpersist it, silently
-    * leaking the blocks forever. Corollary: a loop-heavy caller that
-    * never calls [[releaseBatchCaches]] accumulates query-batch-sized
-    * block sets — that is the pre-existing CacheManager lifecycle, which
-    * this registry exists to make releasable, not a registry-introduced
-    * leak. (The WeakHashMap keying is best-effort only: the queued plans
-    * generally reference the session, so a session that is dropped
-    * without release keeps its entries — call release before dropping a
-    * session.)
-    */
-  private val batchCaches =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
-
   private def registerBatchCache(
       spark: org.apache.spark.sql.SparkSession, df: DataFrame): Unit =
-    batchCaches.synchronized {
-      var q = batchCaches.get(spark)
-      if (q == null) {
-        q = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-        batchCaches.put(spark, q)
-      }
-      q.add(df): Unit
-    }
+    OpCaches.register(spark, df)
 
-  /** Unpersist every batch-term cache [[scoreBulk]]'s mid-tier registered
-    * in this session and return how many were dropped. Call between
-    * batches in a loop-heavy bulk-scoring service, AFTER the previous
-    * batch's result has been fully consumed — an un-consumed result
-    * recomputes from lineage, which for a non-deterministic `queries`
-    * input reintroduces the broadcast/join consistency hazard the persist
-    * exists to close (so the op cannot safely auto-evict on your behalf).
+  /** Unpersist every op-internal cache registered in this session —
+    * [[scoreBulk]]'s mid-tier (qid, term) batch plans plus every other
+    * operator's registered persist (r15: now delegates to the engine-wide
+    * [[OpCaches]] registry) — and return how many were dropped. Call
+    * between batches in a loop-heavy bulk-scoring service, AFTER the
+    * previous batch's result has been fully consumed — an un-consumed
+    * result recomputes from lineage, which for a non-deterministic
+    * `queries` input reintroduces the broadcast/join consistency hazard
+    * the persist exists to close (so the op cannot safely auto-evict on
+    * your behalf).
     */
-  def releaseBatchCaches(spark: org.apache.spark.sql.SparkSession): Int = {
-    val q = batchCaches.synchronized(batchCaches.remove(spark))
-    if (q == null) 0
-    else {
-      var n = 0
-      var df = q.poll()
-      while (df != null) {
-        df.unpersist(blocking = true)
-        n += 1
-        df = q.poll()
-      }
-      n
-    }
-  }
+  def releaseBatchCaches(spark: org.apache.spark.sql.SparkSession): Int =
+    OpCaches.release(spark)
 
   private def scoreBulk(
       post: DataFrame,
@@ -677,38 +640,43 @@ object Lexical {
     fs.delete(marker, false): Unit
   }
 
-  /** Bounded daemon pool for overlapping independent artifact-write jobs
-    * (guide §2.6 — concurrent jobs back-fill each other's stragglers);
-    * sized to the artifact count, not CPU (each task just drives one
-    * Spark job).
-    */
-  private lazy val artifactPool = java.util.concurrent.Executors.newFixedThreadPool(
-    4,
-    (r: Runnable) => {
-      val t = new Thread(r, "graft-artifact-write")
-      t.setDaemon(true)
-      t
-    })
-
-  /** Run independent write tasks concurrently; waits for ALL to finish
+  /** Run independent write tasks concurrently (guide §2.6 — concurrent
+    * jobs back-fill each other's stragglers); waits for ALL to finish
     * (no early abandon — a partially-written artifact set must never look
     * "done"), then rethrows the first failure.
+    *
+    * The pool is PER-INVOCATION (r15 — was a global 4-thread JVM
+    * singleton): concurrent ingests into DIFFERENT prefixes are legal
+    * (the WAL marker is per-prefix), and sharing one fixed pool made
+    * them serialize each other's four writes — quietly reverting the
+    * overlap this exists for. Each task just parks a thread driving one
+    * Spark job, so a short-lived pool sized to the task count costs
+    * microseconds against multi-second write jobs.
     */
   private def inParallel(tasks: Seq[() => Unit]): Unit = {
-    val futures = tasks.map { t =>
-      artifactPool.submit(new java.util.concurrent.Callable[Unit] {
-        override def call(): Unit = t()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, tasks.size),
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-artifact-write")
+        t.setDaemon(true)
+        t
       })
-    }
-    var firstErr: Throwable = null
-    futures.foreach { f =>
-      try f.get()
-      catch {
-        case e: java.util.concurrent.ExecutionException =>
-          if (firstErr == null) firstErr = e.getCause
+    try {
+      val futures = tasks.map { t =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = t()
+        })
       }
-    }
-    if (firstErr != null) throw firstErr
+      var firstErr: Throwable = null
+      futures.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            if (firstErr == null) firstErr = e.getCause
+        }
+      }
+      if (firstErr != null) throw firstErr
+    } finally pool.shutdown()
   }
 
   /** The ingest write-ahead marker for `prefix` — lives next to the
