@@ -96,12 +96,18 @@ object Lexical {
     */
   def bm25Stats(docs: DataFrame, textCol: String, terms: Seq[String]): Bm25Stats = {
     validate(terms)
-    val ws = lexTokens(col(textCol))
+    // tokenize ONCE per row through a staged projection (r15): Column
+    // builders substitute their argument tree per reference, so an inline
+    // `ws` re-ran the split/trim/remove chain once per term per row
+    // (terms+1 tokenizations; the engine's recurring blowup) — the
+    // aggregate now computes terms+2 cheap array passes over one array
+    val tok = docs.select(lexTokens(col(textCol)).as("_ws"))
     val dfs = terms.indices.map { i =>
-      sum((tfCol(ws, terms(i)) > 0).cast("long")).as(s"_df$i")
+      sum((tfCol(col("_ws"), terms(i)) > 0).cast("long")).as(s"_df$i")
     }
-    val aggs = count(lit(1)).as("_n") +: sum(size(ws)).as("_sumdl") +: dfs
-    Bm25Stats(terms, docs.agg(aggs.head, aggs.tail: _*))
+    val aggs =
+      count(lit(1)).as("_n") +: sum(size(col("_ws"))).as("_sumdl") +: dfs
+    Bm25Stats(terms, tok.agg(aggs.head, aggs.tail: _*))
   }
 
   /** BM25 scores for every document: `(idCol, score_e9)` where `score_e9`
@@ -127,10 +133,13 @@ object Lexical {
     stats.foreach(st => require(st.terms == terms,
       s"bm25: stats were computed for terms ${st.terms}, query has $terms"))
     val st = stats.getOrElse(bm25Stats(docs, textCol, terms)).df
-    val ws = lexTokens(col(textCol))
-    val tf = docs.select(
-      col(idCol) +: size(ws).as("_dl") +:
-        terms.indices.map(i => tfCol(ws, terms(i)).as(s"_tf$i")): _*)
+    // same staged-tokenization shape as bm25Stats (r15): one split per
+    // row, terms+1 array passes over the staged attribute
+    val tf = docs
+      .select(col(idCol), lexTokens(col(textCol)).as("_ws"))
+      .select(
+        col(idCol) +: size(col("_ws")).as("_dl") +:
+          terms.indices.map(i => tfCol(col("_ws"), terms(i)).as(s"_tf$i")): _*)
     // 1-row stats side: always broadcast, never a shuffle
     val joined = tf.crossJoin(broadcast(st))
     // every sub-expression below is mirrored token-for-token in the oracle
