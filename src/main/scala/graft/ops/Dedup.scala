@@ -1312,6 +1312,13 @@ object Dedup {
       transform(
         sequence(lit(0), length(key) - 1),
         i => concat(key.substr(lit(1), i), key.substr(i + 2, length(key))))))
+    // NOT persisted (r15, measured): the variant table feeds the
+    // frequency cap and both self-join sides, but its distinct() already
+    // ends in an exchange that AQE's ReusedExchange shares across all
+    // three consumers — an explicit persist replaced that reuse with a
+    // materialization barrier + cache write and read 1.8 → 2.6 s on dq13
+    // solo (the dq12 fps persist pays off only because its consumers sit
+    // ABOVE further joins that break exchange reuse)
     val vars = df
       .select(col(idCol).cast("long").as("_id"), key.as("_k"), explode(variants).as("_v"))
       .distinct()

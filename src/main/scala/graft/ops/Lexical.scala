@@ -511,36 +511,55 @@ object Lexical {
       buckets: Int): PostingsSnapshot = {
     checkIdCol(idCol)
     require(buckets >= 1, s"writePostings: buckets=$buckets must be >= 1")
-    val (post, dft, dl, stats) = corpusArtifacts(docs, idCol, textCol)
-    writeArtifacts(docs.sparkSession, post, dft, dl, stats, prefix, idCol, buckets)
+    val (post, _, dl, _) = corpusArtifacts(docs, idCol, textCol)
+    writeArtifacts(docs.sparkSession, post, dl, prefix, idCol, buckets)
   }
 
   /** The table-writing half of [[writePostings]], shared with
-    * [[compactPostings]].
+    * [[compactPostings]]. Takes only the two CORPUS-DERIVED tables;
+    * df/stats are re-derived from the freshly WRITTEN postings/dl tables
+    * (r15, guide §1.2/§2.4): the old four-way fan-out re-tokenized the
+    * corpus once per table (4 scans — the df job even recomputed the
+    * whole postings aggregate), where df is exactly the per-term row
+    * count of the postings table ((id, term) is unique) and stats the
+    * (count, sum) of dl — vocabulary-sized aggregates over bucketed
+    * parquet, no third and fourth corpus pass. Two phases, each
+    * overlapped (guide §2.6); WAL cleanup still runs only after all four
+    * tables committed.
     */
   private def writeArtifacts(
       spark: org.apache.spark.sql.SparkSession,
       post: DataFrame,
-      dft: DataFrame,
       dl: DataFrame,
-      stats: DataFrame,
       prefix: String,
       idCol: String,
       buckets: Int): PostingsSnapshot = {
     val rebuildStartMs = System.currentTimeMillis()
-    // the four tables are independent — overlap their write jobs (guide
-    // §2.6): Spark schedules concurrent jobs FIFO, so each job's tail
-    // stragglers are back-filled by the next one's tasks instead of
-    // leaving the cluster idle 4× per rebuild
+    // phase 1: the corpus-scan writes, overlapped
     inParallel(Seq(
       () => Layout.writeBucketed(post, s"${prefix}_postings", "_term", buckets),
-      () => Layout.writeBucketed(dft, s"${prefix}_df", "_term", buckets),
-      () => Layout.writeBucketed(dl, s"${prefix}_dl", idCol, buckets),
+      () => Layout.writeBucketed(dl, s"${prefix}_dl", idCol, buckets)))
+    // phase 2: derived tables, read back from phase 1's output
+    inParallel(Seq(
+      () => Layout.writeBucketed(
+        spark.table(s"${prefix}_postings")
+          .groupBy(col("_term")).agg(count(lit(1)).as("_df")),
+        s"${prefix}_df", "_term", buckets),
       () => {
         Layout.dropManagedTable(spark, s"${prefix}_stats")
-        stats.write.format("parquet").mode("overwrite")
+        spark.table(s"${prefix}_dl")
+          .agg(count(lit(1)).as("_n"), sum(col("_dl")).as("_sumdl"))
+          .write.format("parquet").mode("overwrite")
           .saveAsTable(s"${prefix}_stats")
       }))
+    // phase 2's reads populated the shared file-listing cache for the
+    // postings/dl tables — for an EMPTY seed snapshot (the streaming
+    // ingest path) that stale empty listing would hide every later
+    // appendPostings batch from readers (measured: snapshot reads
+    // returned 0 rows while the parquet files held the appends). Drop
+    // the entries so the next read re-lists.
+    spark.catalog.refreshTable(s"${prefix}_postings")
+    spark.catalog.refreshTable(s"${prefix}_dl")
     // a completed full rebuild supersedes any CRASHED partial append: the
     // four tables were just rewritten from one consistent source, so a
     // leftover ingest-pending marker (which would otherwise block readers
@@ -582,14 +601,14 @@ object Lexical {
       "compactPostings: newPrefix must differ from the snapshot's prefix — " +
         "the source tables are being read (blue/green swap)")
     checkWal(spark, snapshot.prefix)
+    // df/stats need no fold input: writeArtifacts re-derives them from
+    // the compacted postings/dl — per-term postings row counts ARE the
+    // summed df deltas ((id, term) is unique under the append-only
+    // contract), and (count, sum) over dl IS the summed stats deltas
     writeArtifacts(
       spark,
       spark.table(s"${snapshot.prefix}_postings"),
-      spark.table(s"${snapshot.prefix}_df")
-        .groupBy(col("_term")).agg(sum(col("_df")).as("_df")),
       spark.table(s"${snapshot.prefix}_dl"),
-      spark.table(s"${snapshot.prefix}_stats")
-        .agg(sum(col("_n")).as("_n"), sum(col("_sumdl")).as("_sumdl")),
       newPrefix, snapshot.idCol, snapshot.buckets)
   }
 

@@ -427,13 +427,12 @@ object TextAnalysis {
     require(maxDocsPerFp >= 2, s"maxDocsPerFp must be >= 2, got $maxDocsPerFp")
     // the fingerprint pass (the md5/xxhash-heavy part) feeds the frequency
     // count AND both join sides — persist it once instead of recomputing
-    // 3×; stays persisted for the caller's action (the CC convention —
-    // O(fps) rows, tiny next to the corpus; callers looping corpora can
-    // unpersist)
-    val fps = winnowingFingerprints(df, idCol, textCol, k, w, portableHash)
-      .select(col(idCol).as("_id"), col("fp"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 3× (O(fps) rows, tiny next to the corpus). Registered with OpCaches
+    // (r15): long-lived sessions release via OpCaches.release(spark).
+    val fps = OpCaches.persist(
+      winnowingFingerprints(df, idCol, textCol, k, w, portableHash)
+        .select(col(idCol).as("_id"), col("fp"))
+        .distinct())
     val keep = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("_n"))
       .where(col("_n") <= maxDocsPerFp && col("_n") >= 2)
